@@ -1,0 +1,37 @@
+"""Scalar helper columns shared across operators.
+
+Exactness helpers keep Spark results bit-identical to the DuckDB oracle:
+double aggregation order differs between engines, so money/quantity math is
+done in DECIMAL (exact) and cast to DOUBLE only at the output edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Scale-6 decimal: enough for the testdata's 2dp money and 2dp-ish rates.
+DEC = "decimal(18,6)"
+# Rate factors like (1 - discount) live in [0, 2] — decimal(8,6) is exact.
+RATE = "decimal(8,6)"
+
+
+def dec(col: str | Column) -> Column:
+    """Exact-decimal view of a double column (deterministic cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def rate(expr: Column) -> Column:
+    """Exact-decimal rate factor, e.g. (1 - l_discount)."""
+    return expr.cast(RATE)
+
+
+def dsum(col: str | Column) -> Column:
+    """Exact decimal sum surfaced as double (bit-stable across engines)."""
+    return F.sum(dec(col)).cast("double")
+
+
+def davg(col: str | Column) -> Column:
+    """Exact average: decimal sum / count, evaluated in double."""
+    return F.sum(dec(col)).cast("double") / F.count(F.lit(1))

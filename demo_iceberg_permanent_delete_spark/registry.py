@@ -1,0 +1,82 @@
+"""Query/oracle registry.
+
+Every operator module registers its oracle-checkable queries here with the
+``@query`` decorator; ``__spark_entry__.py`` aggregates the registry into the
+driver contract (``queries()`` / ``oracle_sql()``).
+
+Conventions (keep Spark and DuckDB hash-identical):
+- Alias every computed column identically in the Spark code and the SQL.
+- Money/quantity aggregates: exact DECIMAL arithmetic, CAST to DOUBLE at the
+  end (float summation order would otherwise drift between engines).
+- Averages: decimal-sum / count in double, never engine-native AVG (engines
+  disagree on AVG's result type for decimal inputs).
+- Timestamps: session timezone pinned UTC (session.py); truncations via
+  date_trunc in both engines.
+- Deterministic output: unique sort keys for any LIMIT query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a driver-contract query.
+
+    ``oracle`` is the equivalent DuckDB SQL (tables pre-registered as views:
+    region nation customer supplier part orders lineitem events documents
+    embeddings). ``None`` marks a rows-only (non-SQL-expressible) check.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registrations run."""
+    import importlib
+
+    for mod in (
+        "demo_iceberg_permanent_delete_spark.operators.relational",
+        "demo_iceberg_permanent_delete_spark.operators.diff",
+        "demo_iceberg_permanent_delete_spark.operators.dedup",
+        "demo_iceberg_permanent_delete_spark.operators.similarity",
+        "demo_iceberg_permanent_delete_spark.operators.text",
+        "demo_iceberg_permanent_delete_spark.operators.windows",
+        "demo_iceberg_permanent_delete_spark.operators.setops",
+        "demo_iceberg_permanent_delete_spark.operators.sketches",
+        "demo_iceberg_permanent_delete_spark.operators.lake_queries",
+        "demo_iceberg_permanent_delete_spark.operators.multimodal",
+    ):
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as exc:
+            # Modules come online phase by phase; only swallow *our own*
+            # missing modules, never a real dependency error inside one.
+            if mod.rsplit(".", 1)[-1] not in str(exc):
+                raise
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)
