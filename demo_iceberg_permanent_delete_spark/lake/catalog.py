@@ -1,0 +1,133 @@
+"""Filesystem catalog — stand-in for the reference's REST catalog
+(docker-compose.yml:28-29, uri=http://rest:8181; table drop via REST DELETE
+at notebooks/iceberg_pii_deletion_demo.py:67).
+
+Layout::
+
+    warehouse/
+      catalog.json                      # {namespaces: [...], tables: {...}}
+      <namespace>/<table>/metadata/v{N}.json
+      <namespace>/<table>/data/*.parquet
+
+Single-writer, local-FS. The catalog document is committed atomically
+(temp + rename) like table metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+from demo_iceberg_permanent_delete_spark.lake.errors import NamespaceError, NoSuchTableError
+from demo_iceberg_permanent_delete_spark.lake.metadata import TableMetadata
+from demo_iceberg_permanent_delete_spark.lake.table import LakeTable
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+        self._registry_path = os.path.join(warehouse, "catalog.json")
+        if not os.path.exists(self._registry_path):
+            self._write_registry({"namespaces": [], "tables": {}})
+
+    # ----------------------------------------------------------- registry
+    def _read_registry(self) -> dict:
+        with open(self._registry_path) as fh:
+            return json.load(fh)
+
+    def _write_registry(self, reg: dict) -> None:
+        tmp = self._registry_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(reg, fh, indent=1)
+        os.replace(tmp, self._registry_path)
+
+    # --------------------------------------------------------- namespaces
+    def create_namespace(self, namespace: str, if_not_exists: bool = True) -> None:
+        """CREATE NAMESPACE IF NOT EXISTS (reference: iceberg_pii_deletion_demo.py:71)."""
+        reg = self._read_registry()
+        if namespace in reg["namespaces"]:
+            if if_not_exists:
+                return
+            raise NamespaceError(f"namespace {namespace!r} already exists")
+        reg["namespaces"].append(namespace)
+        os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+        self._write_registry(reg)
+
+    def list_namespaces(self) -> list[str]:
+        return list(self._read_registry()["namespaces"])
+
+    # ------------------------------------------------------------- tables
+    def _qualify(self, name: str) -> tuple[str, str]:
+        if "." not in name:
+            raise NoSuchTableError(f"table name must be <namespace>.<table>, got {name!r}")
+        ns, tbl = name.rsplit(".", 1)
+        return ns, tbl
+
+    def table_location(self, name: str) -> str:
+        ns, tbl = self._qualify(name)
+        return os.path.join(self.warehouse, ns, tbl)
+
+    def create_table(
+        self,
+        name: str,
+        schema_ddl: str,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> LakeTable:
+        """CREATE TABLE … (reference DDL: iceberg_pii_deletion_demo.py:74-85)."""
+        ns, _ = self._qualify(name)
+        reg = self._read_registry()
+        if ns not in reg["namespaces"]:
+            raise NamespaceError(f"namespace {ns!r} does not exist")
+        if name in reg["tables"]:
+            if if_not_exists:
+                return self.load_table(name)
+            raise NamespaceError(f"table {name!r} already exists")
+        location = self.table_location(name)
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        meta = TableMetadata(
+            name=name,
+            location=location,
+            schema_ddl=schema_ddl,
+            properties=dict(properties or {}),
+        )
+        meta.commit()
+        reg["tables"][name] = {"location": location}
+        self._write_registry(reg)
+        return LakeTable(self.spark, meta)
+
+    def load_table(self, name: str) -> LakeTable:
+        reg = self._read_registry()
+        if name not in reg["tables"]:
+            raise NoSuchTableError(f"table {name!r} not found in catalog")
+        return LakeTable(self.spark, TableMetadata.load(reg["tables"][name]["location"]))
+
+    def table_exists(self, name: str) -> bool:
+        return name in self._read_registry()["tables"]
+
+    def list_tables(self, namespace: str | None = None) -> list[str]:
+        names = self._read_registry()["tables"].keys()
+        if namespace is None:
+            return sorted(names)
+        return sorted(n for n in names if n.startswith(namespace + "."))
+
+    def drop_table(self, name: str, purge: bool = False, if_exists: bool = True) -> None:
+        """DROP TABLE [IF EXISTS] (reference: iceberg_pii_deletion_demo.py:70;
+        REST-DELETE drop at :67). ``purge`` removes the table directory —
+        without it, files linger exactly like the reference's post-drop
+        orphans."""
+        reg = self._read_registry()
+        if name not in reg["tables"]:
+            if if_exists:
+                return
+            raise NoSuchTableError(f"table {name!r} not found")
+        location = reg["tables"].pop(name)["location"]
+        self._write_registry(reg)
+        if purge:
+            shutil.rmtree(location, ignore_errors=True)

@@ -1,0 +1,122 @@
+"""Managed parquet file writer: DataFrame → named data files + manifest
+entries with footer-derived stats.
+
+Spark writes directories of part files; the lake layer needs *named,
+individually tracked* files (the reference's model — every file is a row of
+the ``.files`` metadata table, notebooks/iceberg_pii_deletion_demo.py:
+204-216). So: write to a scratch dir, move the parts into the table's data
+dir under UUID names, and harvest per-file record counts + min/max column
+stats from the parquet footers (pyarrow, driver-side, metadata-only reads —
+no data scan).
+
+Stats feed file-level pruning (SURVEY.md §4) exactly like Iceberg's
+manifest-held column bounds.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+from math import ceil
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+
+from demo_iceberg_permanent_delete_spark.lake.metadata import (
+    CONTENT_DATA,
+    ManifestEntry,
+)
+
+TARGET_FILE_SIZE_BYTES = 134_217_728  # 128 MiB — the reference's compaction
+# target (notebooks/iceberg_pii_deletion_demo.py:428,443)
+
+
+def _footer_stats(path: str) -> tuple[int, dict[str, Any], dict[str, Any]]:
+    """Record count + column min/max from the parquet footer (no data read)."""
+    f = pq.ParquetFile(path)
+    meta = f.metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            lo, hi = stats.min, stats.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue  # undecoded byte stats are not comparable
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return meta.num_rows, mins, maxs
+
+
+def write_data_files(
+    df: DataFrame,
+    target_dir: str,
+    *,
+    content: int = CONTENT_DATA,
+    target_file_size_bytes: int | None = None,
+    prefix: str = "data",
+) -> list[ManifestEntry]:
+    """Write ``df`` as managed parquet files under ``target_dir``.
+
+    If ``target_file_size_bytes`` is given, repartition so output files land
+    near that size (estimated from the first write — good enough for the
+    compaction contract; Iceberg's own binpacking is similarly estimate-based).
+    Returns one ManifestEntry per file.
+    """
+    os.makedirs(target_dir, exist_ok=True)
+    scratch = os.path.join(target_dir, f"_tmp-{uuid.uuid4().hex}")
+
+    df.write.mode("overwrite").parquet(scratch)
+    parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
+
+    if target_file_size_bytes and parts:
+        total = sum(os.path.getsize(p) for p in parts)
+        want = max(1, ceil(total / target_file_size_bytes))
+        if want != len(parts):
+            df.repartition(want).write.mode("overwrite").parquet(scratch)
+            parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
+
+    entries: list[ManifestEntry] = []
+    for part in parts:
+        final = os.path.join(target_dir, f"{prefix}-{uuid.uuid4().hex}.parquet")
+        shutil.move(part, final)
+        n_rows, mins, maxs = _footer_stats(final)
+        if n_rows == 0:
+            os.remove(final)
+            continue
+        entries.append(
+            ManifestEntry(
+                file_path=final,
+                content=content,
+                record_count=n_rows,
+                file_size_in_bytes=os.path.getsize(final),
+                min_values={k: _jsonable(v) for k, v in mins.items()},
+                max_values={k: _jsonable(v) for k, v in maxs.items()},
+            )
+        )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return entries
+
+
+def _jsonable(v: Any) -> Any:
+    """Stats values must round-trip through JSON (datetime → isoformat)."""
+    try:
+        import datetime as dt
+
+        if isinstance(v, (dt.datetime, dt.date)):
+            return v.isoformat()
+    except Exception:
+        pass
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return str(v)

@@ -1,0 +1,28 @@
+"""Lake-layer exceptions.
+
+The reference relies on errors as part of its contract: reading an expired
+snapshot must raise (notebooks/iceberg_pii_deletion_demo.py:300-305,530-533),
+and orphan cleanup with a far-future cutoff must be refused by the SQL
+procedure path (:343-358) while the Action path bypasses the check
+(notebooks/utils/cleanup_utils.py:49-67).
+"""
+
+
+class LakeError(Exception):
+    pass
+
+
+class NoSuchTableError(LakeError):
+    pass
+
+
+class NamespaceError(LakeError):
+    pass
+
+
+class SnapshotNotFoundError(LakeError):
+    """Time travel to a snapshot that no longer exists (expired or unknown)."""
+
+
+class UnsafeOperationError(LakeError):
+    """Safety-window refusal, e.g. orphan cleanup with a future cutoff."""

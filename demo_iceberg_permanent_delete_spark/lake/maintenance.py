@@ -1,0 +1,254 @@
+"""Table maintenance procedures (SURVEY.md §2.3 M1-M6) — the heart of the
+reference's permanent-PII-deletion story.
+
+The reference drives these as Iceberg SQL procedures / JVM actions:
+- CALL demo.system.expire_snapshots   (iceberg_pii_deletion_demo.py:289-305)
+- CALL demo.system.remove_orphan_files (:341-358; cleanup_utils.py:26-47)
+- SparkActions.deleteOrphanFiles       (cleanup_utils.py:49-67 — bypasses the
+  SQL safety window)
+- CALL demo.system.rewrite_data_files  (:421-433)
+- CALL demo.system.rewrite_position_delete_files (:436-447)
+- examine_delete_files audit           (cleanup_utils.py:133-202)
+
+All are reimplemented natively over the JSON-manifest lake:
+reachability = DataFrame union/distinct + anti-join (never a driver loop
+over file contents), physical deletion only after the metadata commit that
+stops referencing the files.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.lake.datafiles import (
+    TARGET_FILE_SIZE_BYTES,
+    write_data_files,
+)
+from demo_iceberg_permanent_delete_spark.lake.errors import UnsafeOperationError
+from demo_iceberg_permanent_delete_spark.lake.metadata import (
+    CONTENT_DATA,
+    CONTENT_POSITION_DELETES,
+    now_ms,
+)
+from demo_iceberg_permanent_delete_spark.sources.listing import list_files
+
+# Iceberg's default orphan-file protection window (reference README.md:97,108:
+# files younger than 3 days are protected).
+ORPHAN_SAFETY_WINDOW_MS = 3 * 24 * 3600 * 1000
+
+
+def _to_ms(ts: dt.datetime | int) -> int:
+    if isinstance(ts, dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=dt.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    return int(ts)
+
+
+def expire_snapshots(table, older_than: dt.datetime | int) -> dict[str, int]:
+    """M1 — drop snapshots committed before ``older_than`` (current snapshot
+    always survives), then physically delete files only reachable from the
+    expired ones. Post-condition (asserted by the reference at
+    iceberg_pii_deletion_demo.py:300-315): time travel to an expired
+    snapshot raises, and .history shrinks.
+    """
+    cutoff_ms = _to_ms(older_than)
+    meta = table.metadata
+    current_id = meta.current_snapshot_id
+
+    expired = [
+        s
+        for s in meta.snapshots
+        if s.committed_at_ms < cutoff_ms and s.snapshot_id != current_id
+    ]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+    survivors = [s for s in meta.snapshots if s not in expired]
+
+    # Reachability via DataFrame set algebra (union + distinct + anti-join):
+    # scales with file *count*, runs in Spark, matches the M1 plan in
+    # SURVEY.md §2.3.
+    spark = table.spark
+    surv_paths = [(e.file_path,) for s in survivors for e in s.manifest]
+    exp_paths = [(e.file_path,) for s in expired for e in s.manifest]
+    surv_df = spark.createDataFrame(surv_paths or [("",)], "file_path string").distinct()
+    exp_df = spark.createDataFrame(exp_paths or [("",)], "file_path string").distinct()
+    doomed = [r["file_path"] for r in exp_df.join(surv_df, "file_path", "left_anti").collect()]
+
+    meta.snapshots = survivors
+    meta.commit()
+
+    deleted = 0
+    for path in doomed:
+        if path and os.path.exists(path):
+            os.remove(path)
+            deleted += 1
+    return {"expired_snapshots": len(expired), "deleted_files": deleted}
+
+
+def remove_orphan_files(
+    table,
+    older_than: dt.datetime | int | None = None,
+    *,
+    dry_run: bool = False,
+    enforce_safety: bool = True,
+) -> list[str]:
+    """M2/M3 — delete files present under the table location but referenced
+    by no retained snapshot.
+
+    ``enforce_safety=True`` mirrors the SQL procedure (cleanup_utils.py:
+    26-47): a cutoff inside the 3-day protection window — in particular any
+    future cutoff — is refused (the reference *expects* this failure at
+    iceberg_pii_deletion_demo.py:343-358). ``enforce_safety=False`` mirrors
+    the JVM Action path (cleanup_utils.py:49-67) that deletes immediately.
+    """
+    cutoff_ms = now_ms() - ORPHAN_SAFETY_WINDOW_MS if older_than is None else _to_ms(older_than)
+    if enforce_safety and cutoff_ms > now_ms() - ORPHAN_SAFETY_WINDOW_MS:
+        raise UnsafeOperationError(
+            "remove_orphan_files: cutoff is inside the 3-day safety window; "
+            "pass enforce_safety=False (Action path) to override"
+        )
+
+    spark = table.spark
+    listing = list_files(spark, os.path.join(table.location, "data"), suffix=".parquet")
+    referenced = spark.createDataFrame(
+        [(p,) for p in table.metadata.all_referenced_files()] or [("",)],
+        "file_path string",
+    )
+    cutoff_ts = dt.datetime.fromtimestamp(cutoff_ms / 1000, dt.timezone.utc).replace(tzinfo=None)
+    orphans = [
+        r["file_path"]
+        for r in (
+            listing.join(referenced, "file_path", "left_anti")
+            .filter(F.col("modified_at") < F.lit(cutoff_ts))
+            .select("file_path")
+            .collect()
+        )
+    ]
+    if not dry_run:
+        for path in orphans:
+            if os.path.exists(path):
+                os.remove(path)
+    return sorted(orphans)
+
+
+def rewrite_data_files(
+    table,
+    *,
+    rewrite_all: bool = True,
+    target_file_size_bytes: int = TARGET_FILE_SIZE_BYTES,
+) -> dict[str, int]:
+    """M4 — compact: read the current snapshot WITH position deletes applied,
+    write fresh ~128 MiB files, commit a snapshot referencing only the new
+    files (zero delete files). This is the step that makes MOR deletes
+    physical — the reference's "permanent delete" moment
+    (iceberg_pii_deletion_demo.py:421-433, options rewrite-all +
+    target-file-size-bytes=134217728).
+    """
+    meta = table.metadata
+    snap = meta.current_snapshot()
+    if snap is None:
+        return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
+    prior_data = snap.data_files()
+    prior_deletes = snap.delete_files()
+    if not rewrite_all and not prior_deletes:
+        return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
+
+    merged = table.read()  # delete-merge applied
+    new_entries = write_data_files(
+        merged, table.data_dir, target_file_size_bytes=target_file_size_bytes
+    )
+    snapshot = meta.add_snapshot(
+        "replace",
+        new_entries,
+        summary={
+            "rewritten-data-files": len(prior_data),
+            "removed-delete-files": len(prior_deletes),
+            "added-data-files": len(new_entries),
+        },
+    )
+    for e in new_entries:
+        e.added_snapshot_id = snapshot.snapshot_id
+    meta.commit()
+    return {
+        "rewritten_data_files_count": len(prior_data),
+        "added_data_files_count": len(new_entries),
+        "removed_delete_files_count": len(prior_deletes),
+    }
+
+
+def rewrite_position_delete_files(table) -> dict[str, int]:
+    """M5 — consolidate position-delete files: drop entries that target data
+    files no longer in the current snapshot (inert after COW/compaction) and
+    merge the survivors into one file (reference: iceberg_pii_deletion_demo
+    .py:436-447; post-condition :449-466 — delete-file count drops)."""
+    meta = table.metadata
+    snap = meta.current_snapshot()
+    if snap is None:
+        return {"rewritten_delete_files_count": 0, "added_delete_files_count": 0}
+    delete_entries = snap.delete_files()
+    if not delete_entries:
+        return {"rewritten_delete_files_count": 0, "added_delete_files_count": 0}
+
+    spark = table.spark
+    live_data = spark.createDataFrame(
+        [(e.file_path,) for e in snap.data_files()] or [("",)], "file_path string"
+    )
+    dels = spark.read.parquet(*[e.file_path for e in delete_entries])
+    live_dels = dels.join(F.broadcast(live_data), "file_path", "left_semi")
+
+    new_entries = write_data_files(
+        live_dels,
+        table.data_dir,
+        content=CONTENT_POSITION_DELETES,
+        prefix="delete",
+    )
+    snapshot = meta.add_snapshot(
+        "replace",
+        snap.data_files() + new_entries,
+        summary={
+            "rewritten-delete-files": len(delete_entries),
+            "added-delete-files": len(new_entries),
+        },
+    )
+    for e in new_entries:
+        e.added_snapshot_id = snapshot.snapshot_id
+    meta.commit()
+    return {
+        "rewritten_delete_files_count": len(delete_entries),
+        "added_delete_files_count": len(new_entries),
+    }
+
+
+def examine_delete_files(table) -> list[dict[str, Any]]:
+    """M6 — the audit (cleanup_utils.py:133-202): list current delete files,
+    read each as parquet, and follow position-delete ``file_path`` targets
+    back to the still-existing data files — the "PII still physically
+    exists" proof."""
+    snap = table.metadata.current_snapshot()
+    if snap is None:
+        return []
+    spark = table.spark
+    out: list[dict[str, Any]] = []
+    for entry in snap.delete_files():
+        df = spark.read.parquet(entry.file_path)
+        targets = [r["file_path"] for r in df.select("file_path").distinct().collect()]
+        target_rows: dict[str, int] = {}
+        for tpath in targets:
+            if os.path.exists(tpath):
+                # the deleted rows are physically readable in the target file
+                target_rows[tpath] = spark.read.parquet(tpath).count()
+        out.append(
+            {
+                "delete_file": entry.file_path,
+                "content": entry.content,
+                "positions": df.count(),
+                "targets": targets,
+                "target_physical_rows": target_rows,
+            }
+        )
+    return out

@@ -1,0 +1,508 @@
+"""LakeTable: snapshot-versioned Parquet table with MOR deletes, COW
+updates, time travel, and queryable metadata relations.
+
+Read path (the custom planning layer SURVEY.md §4 calls out — above
+Catalyst, no custom rules): resolve snapshot → file list from the JSON
+manifest → ``spark.read.parquet(*files)``. Position-delete masking uses
+Spark's parquet hidden columns ``_metadata.file_path`` / ``_metadata
+.row_index`` for shuffle-free, stable row positions (the hardest
+correctness spot per SURVEY.md §7: positions derive from the physical file,
+never from a shuffled DataFrame), then a LEFT ANTI join against the delete
+set — broadcast when the delete files are small (the common case), left to
+AQE otherwise.
+
+Reference behaviors mirrored:
+- table read: notebooks/iceberg_pii_deletion_demo.py:114,185,238
+- time travel: :261,303 (spark.read.option("snapshot-id", id))
+- MOR delete → position-delete files: :175-180 with mode set at :166-171
+- COW update (PII nulling): :228-235
+- metadata tables: :120,205; notebooks/utils/file_summary_utils.py:53-137
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from demo_iceberg_permanent_delete_spark.lake.datafiles import (
+    TARGET_FILE_SIZE_BYTES,
+    write_data_files,
+)
+from demo_iceberg_permanent_delete_spark.lake.metadata import (
+    CONTENT_DATA,
+    CONTENT_POSITION_DELETES,
+    ManifestEntry,
+    Snapshot,
+    TableMetadata,
+)
+
+# A broadcast of the delete set is safe well past this size; beyond it we let
+# AQE choose the join strategy (at 100 TB a pathological delete set could be
+# large).
+_BROADCAST_DELETES_MAX_BYTES = 256 * 1024 * 1024
+
+_POS_DELETE_SCHEMA = "file_path string, pos long"
+
+
+def _utc(ms: int) -> dt.datetime:
+    return dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc).replace(tzinfo=None)
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, metadata: TableMetadata):
+        self.spark = spark
+        self.metadata = metadata
+
+    # ------------------------------------------------------------ basics
+    @property
+    def name(self) -> str:
+        return self.metadata.name
+
+    @property
+    def location(self) -> str:
+        return self.metadata.location
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.location, "data")
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return self.metadata.properties
+
+    def refresh(self) -> LakeTable:
+        self.metadata = TableMetadata.load(self.location)
+        return self
+
+    def schema(self) -> T.StructType:
+        return T._parse_datatype_string(self.metadata.schema_ddl)
+
+    def empty_frame(self) -> DataFrame:
+        return self.spark.createDataFrame([], self.metadata.schema_ddl)
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES (reference: iceberg_pii_deletion_demo.py:166-171).
+
+        Controls the physical write strategy: write.delete.mode /
+        write.update.mode ∈ {merge-on-read, copy-on-write}.
+        """
+        self.metadata.properties.update(props)
+        self.metadata.commit()
+
+    # -------------------------------------------------------------- read
+    def read(self, snapshot_id: int | None = None, apply_deletes: bool = True) -> DataFrame:
+        """Current-snapshot read, or time travel when ``snapshot_id`` given.
+
+        Raises SnapshotNotFoundError for expired/unknown snapshots — the
+        post-condition the reference asserts after expire_snapshots
+        (iceberg_pii_deletion_demo.py:300-305).
+        """
+        if snapshot_id is None:
+            snap = self.metadata.current_snapshot()
+            if snap is None:
+                return self.empty_frame()
+        else:
+            snap = self.metadata.snapshot_by_id(snapshot_id)
+        return self._read_snapshot(snap, apply_deletes=apply_deletes)
+
+    def _read_snapshot(self, snap: Snapshot, apply_deletes: bool = True) -> DataFrame:
+        data_files = snap.data_files()
+        if not data_files:
+            return self.empty_frame()
+        df = self.spark.read.parquet(*[e.file_path for e in data_files])
+        delete_files = snap.delete_files() if apply_deletes else []
+        if not delete_files:
+            return df
+        return self._apply_position_deletes(df, delete_files).select(*df.columns)
+
+    def _with_position(self, df: DataFrame) -> DataFrame:
+        """Attach physical (file_path, pos) — stable per parquet file."""
+        return df.select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+
+    def _apply_position_deletes(
+        self, df: DataFrame, delete_files: list[ManifestEntry]
+    ) -> DataFrame:
+        dels = self.spark.read.parquet(*[e.file_path for e in delete_files]).select(
+            F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+        )
+        if sum(e.file_size_in_bytes for e in delete_files) <= _BROADCAST_DELETES_MAX_BYTES:
+            dels = F.broadcast(dels)
+        return (
+            self._with_position(df)
+            .join(dels, on=["__fp", "__pos"], how="left_anti")
+            .drop("__fp", "__pos")
+        )
+
+    def read_with_positions(self, snap: Snapshot | None = None) -> DataFrame:
+        """Merged read that keeps (__fp, __pos) — the DML planning input."""
+        snap = snap or self.metadata.current_snapshot()
+        if snap is None or not snap.data_files():
+            return self.empty_frame().withColumns(
+                {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
+            )
+        df = self.spark.read.parquet(*[e.file_path for e in snap.data_files()])
+        with_pos = self._with_position(df)
+        delete_files = snap.delete_files()
+        if not delete_files:
+            return with_pos
+        dels = self.spark.read.parquet(*[e.file_path for e in delete_files]).select(
+            F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+        )
+        if sum(e.file_size_in_bytes for e in delete_files) <= _BROADCAST_DELETES_MAX_BYTES:
+            dels = F.broadcast(dels)
+        return with_pos.join(dels, on=["__fp", "__pos"], how="left_anti")
+
+    # --------------------------------------------------------------- DML
+    def insert(self, df: DataFrame) -> Snapshot:
+        """INSERT INTO … VALUES / append (reference: iceberg_pii_deletion_demo.py:105-110)."""
+        snap = self.metadata.current_snapshot()
+        base = list(snap.manifest) if snap else []
+        new_entries = write_data_files(df, self.data_dir)
+        snapshot = self.metadata.add_snapshot(
+            "append", base + new_entries, summary={"added-files": len(new_entries)}
+        )
+        for e in new_entries:
+            e.added_snapshot_id = snapshot.snapshot_id
+        self.metadata.commit()
+        return snapshot
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        new_entries = write_data_files(df, self.data_dir)
+        snapshot = self.metadata.add_snapshot(
+            "overwrite", new_entries, summary={"added-files": len(new_entries)}
+        )
+        for e in new_entries:
+            e.added_snapshot_id = snapshot.snapshot_id
+        self.metadata.commit()
+        return snapshot
+
+    def _as_column(self, predicate: str | Column) -> Column:
+        return F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    def _affected_files(self, pred: Column) -> list[str]:
+        """Data files containing at least one live match — one pushed-down
+        scan; parquet row-group stats + manifest min/max prune the rest."""
+        matches = self.read_with_positions().filter(pred)
+        return [r["__fp"] for r in matches.select("__fp").distinct().collect()]
+
+    def delete(self, predicate: str | Column) -> Snapshot | None:
+        """DELETE FROM … WHERE pred.
+
+        Dispatches on ``write.delete.mode`` (reference sets merge-on-read at
+        iceberg_pii_deletion_demo.py:166-171 then deletes at :175-180):
+        - merge-on-read: write position-delete parquet files; data persists
+          physically until rewrite (the reference's entire PII point).
+        - copy-on-write: rewrite affected files without the matching rows.
+        """
+        pred = self._as_column(predicate)
+        mode = self.properties.get("write.delete.mode", "copy-on-write")
+        if mode == "merge-on-read":
+            return self._delete_mor(pred)
+        return self._delete_cow(pred)
+
+    def _delete_mor(self, pred: Column) -> Snapshot | None:
+        matches = (
+            self.read_with_positions()
+            .filter(pred)
+            .select(F.col("__fp").alias("file_path"), F.col("__pos").alias("pos"))
+        )
+        snap = self.metadata.current_snapshot()
+        base = list(snap.manifest) if snap else []
+        delete_entries = write_data_files(
+            matches,
+            self.data_dir,
+            content=CONTENT_POSITION_DELETES,
+            prefix="delete",
+        )
+        if not delete_entries:
+            return None  # nothing matched — no commit (Iceberg behavior)
+        snapshot = self.metadata.add_snapshot(
+            "delete", base + delete_entries, summary={"added-delete-files": len(delete_entries)}
+        )
+        for e in delete_entries:
+            e.added_snapshot_id = snapshot.snapshot_id
+        self.metadata.commit()
+        return snapshot
+
+    def _delete_cow(self, pred: Column) -> Snapshot | None:
+        affected = set(self._affected_files(pred))
+        if not affected:
+            return None
+        # DELETE keeps rows where the predicate is false OR null — a bare
+        # ~pred would also drop null-predicate rows.
+        survivors = self.read_with_positions().filter(F.col("__fp").isin(list(affected))).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        cols = [c for c in survivors.columns if c not in ("__fp", "__pos")]
+        new_entries = write_data_files(survivors.select(*cols), self.data_dir)
+        snap = self.metadata.current_snapshot()
+        kept = [e for e in snap.manifest if e.file_path not in affected]
+        snapshot = self.metadata.add_snapshot(
+            "delete",
+            kept + new_entries,
+            summary={"rewritten-files": len(affected), "added-files": len(new_entries)},
+        )
+        for e in new_entries:
+            e.added_snapshot_id = snapshot.snapshot_id
+        self.metadata.commit()
+        return snapshot
+
+    def update(self, assignments: dict[str, Column | Any], predicate: str | Column) -> Snapshot | None:
+        """UPDATE … SET col=expr WHERE pred — copy-on-write rewrite of the
+        affected files (reference PII nulling: iceberg_pii_deletion_demo.py:
+        228-235 with write.update.mode=copy-on-write at :169)."""
+        pred = self._as_column(predicate)
+        affected = set(self._affected_files(pred))
+        if not affected:
+            return None
+        rows = self.read_with_positions().filter(F.col("__fp").isin(list(affected)))
+        cols = [c for c in rows.columns if c not in ("__fp", "__pos")]
+        updated = rows
+        for col_name, value in assignments.items():
+            val = value if isinstance(value, Column) else F.lit(value)
+            field_type = dict((f.name, f.dataType) for f in self.schema().fields).get(col_name)
+            if field_type is not None:
+                val = val.cast(field_type)
+            updated = updated.withColumn(col_name, F.when(pred, val).otherwise(F.col(col_name)))
+        new_entries = write_data_files(updated.select(*cols), self.data_dir)
+        snap = self.metadata.current_snapshot()
+        kept = [e for e in snap.manifest if e.file_path not in affected]
+        snapshot = self.metadata.add_snapshot(
+            "overwrite",
+            kept + new_entries,
+            summary={"rewritten-files": len(affected), "added-files": len(new_entries)},
+        )
+        for e in new_entries:
+            e.added_snapshot_id = snapshot.snapshot_id
+        self.metadata.commit()
+        return snapshot
+
+    # ------------------------------------------------- metadata relations
+    # Each mirrors an Iceberg metadata table the reference queries (S3 in
+    # SURVEY.md §2.1): .files .history .snapshots .all_manifests
+    # .metadata_log_entries .all_entries
+    def meta(self, view: str) -> DataFrame:
+        builder = {
+            "files": self._files_view,
+            "history": self._history_view,
+            "snapshots": self._snapshots_view,
+            "all_manifests": self._all_manifests_view,
+            "metadata_log_entries": self._metadata_log_view,
+            "all_entries": self._all_entries_view,
+        }.get(view)
+        if builder is None:
+            raise KeyError(f"unknown metadata view {view!r}")
+        return builder()
+
+    def register_metadata_views(self, prefix: str | None = None) -> None:
+        """Register `<prefix>__files` etc. so the reference-shaped SQL
+        (file_summary_utils.py:45-105) runs via spark.sql."""
+        prefix = prefix or self.name.replace(".", "_")
+        for view in (
+            "files",
+            "history",
+            "snapshots",
+            "all_manifests",
+            "metadata_log_entries",
+            "all_entries",
+        ):
+            self.meta(view).createOrReplaceTempView(f"{prefix}__{view}")
+
+    def _snapshots_view(self) -> DataFrame:
+        schema = T.StructType(
+            [
+                T.StructField("committed_at", T.TimestampType()),
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("parent_id", T.LongType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("manifest_list", T.StringType()),
+            ]
+        )
+        rows = [
+            (
+                _utc(s.committed_at_ms),
+                s.snapshot_id,
+                s.parent_id,
+                s.operation,
+                os.path.join(self.metadata.metadata_dir, f"snap-{s.snapshot_id}.json"),
+            )
+            for s in self.metadata.snapshots
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def _history_view(self) -> DataFrame:
+        schema = T.StructType(
+            [
+                T.StructField("made_current_at", T.TimestampType()),
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("parent_id", T.LongType()),
+                T.StructField("is_current_ancestor", T.BooleanType()),
+            ]
+        )
+        # ancestors of the current snapshot
+        by_id = {s.snapshot_id: s for s in self.metadata.snapshots}
+        ancestors: set[int] = set()
+        cur = self.metadata.current_snapshot_id
+        while cur is not None and cur in by_id:
+            ancestors.add(cur)
+            cur = by_id[cur].parent_id
+        rows = [
+            (_utc(s.committed_at_ms), s.snapshot_id, s.parent_id, s.snapshot_id in ancestors)
+            for s in self.metadata.snapshots
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    _FILE_STRUCT = T.StructType(
+        [
+            T.StructField("content", T.IntegerType()),
+            T.StructField("file_path", T.StringType()),
+            T.StructField("file_format", T.StringType()),
+            T.StructField("record_count", T.LongType()),
+            T.StructField("file_size_in_bytes", T.LongType()),
+        ]
+    )
+
+    def _files_view(self) -> DataFrame:
+        """Files of the *current* snapshot (iceberg_pii_deletion_demo.py:205:
+        content/file_path/record_count projected; cleanup_utils.py:145)."""
+        snap = self.metadata.current_snapshot()
+        entries = snap.manifest if snap else []
+        rows = [
+            (e.content, e.file_path, "parquet", e.record_count, e.file_size_in_bytes)
+            for e in entries
+        ]
+        return self.spark.createDataFrame(rows, self._FILE_STRUCT)
+
+    def _all_manifests_view(self) -> DataFrame:
+        """One manifest per snapshot in our format (inline manifests)."""
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("length", T.LongType()),
+                T.StructField("added_snapshot_id", T.LongType()),
+                T.StructField("added_data_files_count", T.IntegerType()),
+                T.StructField("existing_data_files_count", T.IntegerType()),
+            ]
+        )
+        rows = []
+        for s in self.metadata.snapshots:
+            added = sum(1 for e in s.manifest if e.added_snapshot_id == s.snapshot_id)
+            rows.append(
+                (
+                    os.path.join(self.metadata.metadata_dir, f"manifest-{s.snapshot_id}.json"),
+                    sum(e.file_size_in_bytes for e in s.manifest),
+                    s.snapshot_id,
+                    added,
+                    len(s.manifest) - added,
+                )
+            )
+        return self.spark.createDataFrame(rows, schema)
+
+    def _metadata_log_view(self) -> DataFrame:
+        schema = T.StructType(
+            [
+                T.StructField("timestamp", T.TimestampType()),
+                T.StructField("file", T.StringType()),
+                T.StructField("latest_snapshot_id", T.LongType()),
+            ]
+        )
+        rows = [
+            (_utc(entry["timestamp_ms"]), entry["metadata_file"], self.metadata.current_snapshot_id)
+            for entry in self.metadata.metadata_log
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def _all_entries_view(self) -> DataFrame:
+        """Per-snapshot manifest entries with Iceberg status codes
+        (1=added, 0=existing, 2=deleted — decoded by the reference at
+        file_summary_utils.py:119-120) and the nested data_file struct
+        accessed as e.data_file.file_path / .content (:118,134-135)."""
+        schema = T.StructType(
+            [
+                T.StructField("status", T.IntegerType()),
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("data_file", self._FILE_STRUCT),
+            ]
+        )
+        by_id = {s.snapshot_id: s for s in self.metadata.snapshots}
+        rows = []
+        for s in self.metadata.snapshots:
+            parent = by_id.get(s.parent_id) if s.parent_id is not None else None
+            parent_paths = parent.file_paths() if parent else set()
+            for e in s.manifest:
+                status = 1 if e.added_snapshot_id == s.snapshot_id else 0
+                rows.append(
+                    (
+                        status,
+                        s.snapshot_id,
+                        (e.content, e.file_path, "parquet", e.record_count, e.file_size_in_bytes),
+                    )
+                )
+            if parent:
+                current_paths = s.file_paths()
+                for e in parent.manifest:
+                    if e.file_path not in current_paths:
+                        rows.append(
+                            (
+                                2,
+                                s.snapshot_id,
+                                (
+                                    e.content,
+                                    e.file_path,
+                                    "parquet",
+                                    e.record_count,
+                                    e.file_size_in_bytes,
+                                ),
+                            )
+                        )
+        return self.spark.createDataFrame(rows, schema)
+
+    # -------------------------------------------------------- maintenance
+    def expire_snapshots(self, older_than: dt.datetime | int) -> dict[str, int]:
+        from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+        return maintenance.expire_snapshots(self, older_than)
+
+    def remove_orphan_files(
+        self,
+        older_than: dt.datetime | int | None = None,
+        *,
+        dry_run: bool = False,
+        enforce_safety: bool = True,
+    ) -> list[str]:
+        from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+        return maintenance.remove_orphan_files(
+            self, older_than, dry_run=dry_run, enforce_safety=enforce_safety
+        )
+
+    def rewrite_data_files(
+        self,
+        *,
+        rewrite_all: bool = True,
+        target_file_size_bytes: int = TARGET_FILE_SIZE_BYTES,
+    ) -> dict[str, int]:
+        from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+        return maintenance.rewrite_data_files(
+            self, rewrite_all=rewrite_all, target_file_size_bytes=target_file_size_bytes
+        )
+
+    def rewrite_position_delete_files(self) -> dict[str, int]:
+        from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+        return maintenance.rewrite_position_delete_files(self)
+
+    def examine_delete_files(self) -> list[dict[str, Any]]:
+        from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+        return maintenance.examine_delete_files(self)

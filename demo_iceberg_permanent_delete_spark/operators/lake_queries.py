@@ -1,0 +1,168 @@
+"""Driver-contract queries that exercise the lake layer end-to-end with
+DuckDB-checkable results (SURVEY.md §2.2 D5-D7, §2.3 M4).
+
+Trick: build a lake table *from the driver's own testdata* (a deterministic
+lineitem subset), run the lifecycle op, and read the table back — the result
+is then plain SQL over `lineitem` for the oracle. This makes the MOR delete
+path, COW update path, time travel, and rewrite compaction *hash-checked*,
+not just pytest-asserted.
+
+Each call uses a fresh temp warehouse; the subset (l_orderkey % 10 = 0)
+keeps the per-query write volume small at sf0.01 while still spanning many
+files/partitions.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+from demo_iceberg_permanent_delete_spark.registry import query
+from demo_iceberg_permanent_delete_spark.sources.tables import load_table
+
+_LINEITEM_DDL = (
+    "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+    "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+)
+
+_SUBSET = "l_orderkey % 10 = 0"
+
+
+def _subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").filter(_SUBSET)
+
+
+def _fresh_table(spark: SparkSession, sf_dir: str, properties: dict[str, str]):
+    warehouse = tempfile.mkdtemp(prefix="lakeq-")
+    cat = Catalog(spark, warehouse)
+    cat.create_namespace("default")
+    t = cat.create_table("default.lineitem_lake", _LINEITEM_DDL, properties=properties)
+    t.insert(_subset(spark, sf_dir))
+    return t, warehouse
+
+
+@query(
+    "lake_mor_delete",
+    oracle=f"""
+    SELECT * FROM lineitem
+    WHERE {_SUBSET} AND NOT COALESCE(l_returnflag = 'R', FALSE)
+    """,
+)
+def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR DELETE (position-delete files) then merged read — the read-side
+    anti-join must mask exactly the predicate rows."""
+    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
+    try:
+        t.delete("l_returnflag = 'R'")
+        assert any(e.content == 1 for e in t.metadata.current_snapshot().manifest), (
+            "MOR delete must produce position-delete files"
+        )
+        # localCheckpoint truncates lineage so the result survives the
+        # warehouse teardown below
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query(
+    "lake_cow_delete",
+    oracle=f"""
+    SELECT * FROM lineitem
+    WHERE {_SUBSET} AND NOT COALESCE(l_returnflag = 'R', FALSE)
+    """,
+)
+def lake_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical delete via copy-on-write — files rewritten, no delete
+    files in the manifest, same query result."""
+    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "copy-on-write"})
+    try:
+        t.delete("l_returnflag = 'R'")
+        assert all(e.content == 0 for e in t.metadata.current_snapshot().manifest), (
+            "COW delete must not produce delete files"
+        )
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query(
+    "lake_cow_update",
+    oracle=f"""
+    SELECT
+      l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      CASE WHEN l_returnflag = 'R' THEN NULL ELSE l_quantity END AS l_quantity,
+      l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    WHERE {_SUBSET}
+    """,
+)
+def lake_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COW UPDATE … SET col = NULL WHERE pred — the reference's PII-nulling
+    pattern (iceberg_pii_deletion_demo.py:228-235)."""
+    t, warehouse = _fresh_table(spark, sf_dir, {"write.update.mode": "copy-on-write"})
+    try:
+        t.update({"l_quantity": None}, "l_returnflag = 'R'")
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query(
+    "lake_time_travel",
+    oracle=f"""
+    SELECT * FROM lineitem WHERE {_SUBSET}
+    """,
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read as-of the pre-delete snapshot: the deleted rows must reappear
+    (reference: spark.read.option('snapshot-id', id),
+    iceberg_pii_deletion_demo.py:261)."""
+    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
+    try:
+        snap_before = t.metadata.current_snapshot_id
+        t.delete("l_returnflag = 'R'")
+        return t.read(snapshot_id=snap_before).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query(
+    "lake_rewrite_purge",
+    oracle=f"""
+    SELECT * FROM lineitem
+    WHERE {_SUBSET} AND NOT COALESCE(l_returnflag = 'R', FALSE)
+    """,
+)
+def lake_rewrite_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR delete + rewrite_data_files compaction: deletes applied
+    physically, zero delete files remain, result unchanged
+    (iceberg_pii_deletion_demo.py:421-433)."""
+    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
+    try:
+        t.delete("l_returnflag = 'R'")
+        stats = t.rewrite_data_files()
+        assert stats["removed_delete_files_count"] >= 1
+        assert not t.metadata.current_snapshot().delete_files()
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query("lake_file_summary")  # rows-only: run_id/timestamps are nondeterministic
+def lake_file_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full summarize_files flow over a real lifecycle (insert → MOR delete)
+    — the reference's flagship metadata analytics (file_summary_utils.py:
+    18-179). Rows-only check: wall-clock minute buckets are nondeterministic."""
+    from demo_iceberg_permanent_delete_spark.lake.file_summary import summarize_files
+
+    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
+    try:
+        t.delete("l_returnflag = 'R'")
+        return summarize_files(t, operation="post_delete").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)

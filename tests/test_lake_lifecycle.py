@@ -1,0 +1,226 @@
+"""Lifecycle suite mirroring the reference notebook's end-to-end script
+(notebooks/iceberg_pii_deletion_demo.py §§2-7) over a temp warehouse, with
+the five oracle patterns from SURVEY.md §5 plus the stronger physical check:
+after rewrite + expire, no parquet under the warehouse contains the purged
+predicate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+
+from demo_iceberg_permanent_delete_spark.lake import (
+    Catalog,
+    SnapshotNotFoundError,
+    UnsafeOperationError,
+)
+from demo_iceberg_permanent_delete_spark.lake.metadata import now_ms
+
+PII_SCHEMA = (
+    "case_id string, first_name string, email_address string, key_nm string, "
+    "secure_txt string, secure_key string, update_date date"
+)
+
+SEED_ROWS = [
+    ("case-1", "Alice", "alice@example.com", "k1", "s1", "sk1", dt.date(2023, 1, 1)),
+    ("case-2", "Bob", "bob@example.com", "k2", "s2", "sk2", dt.date(2023, 1, 2)),
+    ("case-3", "Carol", "carol@example.com", "k3", "s3", "sk3", dt.date(2023, 1, 3)),
+]
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def pii_table(spark, catalog):
+    catalog.create_namespace("default")
+    t = catalog.create_table(
+        "default.pii_data",
+        PII_SCHEMA,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "copy-on-write",
+        },
+    )
+    t.insert(spark.createDataFrame(SEED_ROWS, PII_SCHEMA))
+    return t
+
+
+def physical_rows_matching(spark, table, predicate: str) -> int:
+    """Scan every parquet file under the table's data dir directly (S4) —
+    the reference's raw-evidence audit (cleanup_utils.py:167,191)."""
+    files = [
+        f
+        for f in glob.glob(os.path.join(table.data_dir, "*.parquet"))
+        if not os.path.basename(f).startswith("delete-")
+    ]
+    total = 0
+    for f in files:
+        total += spark.read.parquet(f).filter(predicate).count()
+    return total
+
+
+def test_create_insert_read(spark, pii_table):
+    got = pii_table.read().orderBy("case_id").collect()
+    assert [r["case_id"] for r in got] == ["case-1", "case-2", "case-3"]
+    assert pii_table.meta("history").count() == 1
+    files = pii_table.meta("files").collect()
+    assert all(f["content"] == 0 for f in files)
+
+
+def test_cow_update_nulls_pii(spark, pii_table):
+    snap_before = pii_table.metadata.current_snapshot_id
+    pii_table.update(
+        {"first_name": None, "email_address": None, "secure_txt": None},
+        "case_id = 'case-1'",
+    )
+    rows = {r["case_id"]: r for r in pii_table.read().collect()}
+    assert rows["case-1"]["first_name"] is None
+    assert rows["case-1"]["email_address"] is None
+    assert rows["case-2"]["first_name"] == "Bob"
+    assert len(rows) == 3
+    # time travel to before the update still shows the PII (COW keeps old files)
+    old = {r["case_id"]: r for r in pii_table.read(snapshot_id=snap_before).collect()}
+    assert old["case-1"]["first_name"] == "Alice"
+
+
+def test_mor_delete_masks_but_persists(spark, pii_table):
+    snap_before = pii_table.metadata.current_snapshot_id
+    pii_table.delete("case_id = 'case-2'")
+
+    # masked at read
+    got = [r["case_id"] for r in pii_table.read().orderBy("case_id").collect()]
+    assert got == ["case-1", "case-3"]
+
+    # a position-delete file appeared in .files (content=1, V2 pattern)
+    files = pii_table.meta("files").collect()
+    assert sum(1 for f in files if f["content"] == 1) == 1
+
+    # the PII physically persists in the data files (the reference's proof,
+    # cleanup_utils.py:133-202)
+    assert physical_rows_matching(spark, pii_table, "case_id = 'case-2'") == 1
+    audit = pii_table.examine_delete_files()
+    assert len(audit) == 1 and audit[0]["positions"] == 1
+
+    # time travel pre-delete still sees case-2
+    old = pii_table.read(snapshot_id=snap_before).collect()
+    assert sorted(r["case_id"] for r in old) == ["case-1", "case-2", "case-3"]
+
+
+def test_delete_nothing_is_noop(pii_table):
+    v = pii_table.metadata.version
+    assert pii_table.delete("case_id = 'case-999'") is None
+    assert pii_table.metadata.version == v
+
+
+def test_rewrite_purges_deleted_rows(spark, pii_table):
+    pii_table.delete("case_id = 'case-2'")
+    assert physical_rows_matching(spark, pii_table, "case_id = 'case-2'") == 1
+
+    before_deletes = sum(1 for f in pii_table.meta("files").collect() if f["content"] == 1)
+    stats = pii_table.rewrite_data_files()
+    assert stats["removed_delete_files_count"] == before_deletes == 1
+
+    # logical view unchanged
+    got = [r["case_id"] for r in pii_table.read().orderBy("case_id").collect()]
+    assert got == ["case-1", "case-3"]
+    # delete-file count dropped to zero (V2 monotonicity)
+    after = pii_table.meta("files").collect()
+    assert sum(1 for f in after if f["content"] == 1) == 0
+    # current files no longer contain the PII…
+    current_paths = [f["file_path"] for f in after]
+    assert all(
+        spark.read.parquet(p).filter("case_id = 'case-2'").count() == 0 for p in current_paths
+    )
+    # …but pre-rewrite files still exist on disk until expire (time travel works)
+    assert physical_rows_matching(spark, pii_table, "case_id = 'case-2'") == 1
+
+    assert pii_table.rewrite_position_delete_files()["rewritten_delete_files_count"] == 0
+
+
+def test_expire_snapshots_blocks_time_travel_and_purges(spark, pii_table):
+    snap_before = pii_table.metadata.current_snapshot_id
+    pii_table.delete("case_id = 'case-2'")
+    pii_table.rewrite_data_files()
+
+    result = pii_table.expire_snapshots(older_than=now_ms() + 1000)
+    assert result["expired_snapshots"] >= 2
+    # V3: only the current snapshot remains
+    assert pii_table.meta("history").count() == 1
+    # V1: time travel to the expired snapshot raises
+    with pytest.raises(SnapshotNotFoundError):
+        pii_table.read(snapshot_id=snap_before)
+    # the strong physical check: nothing on disk matches the purged predicate
+    assert physical_rows_matching(spark, pii_table, "case_id = 'case-2'") == 0
+    # logical view intact
+    assert sorted(r["case_id"] for r in pii_table.read().collect()) == ["case-1", "case-3"]
+
+
+def test_orphan_files_safety_and_cleanup(spark, pii_table):
+    # drop an out-of-band parquet into the data dir (cleanup_utils.py:80-92)
+    orphan_df = spark.createDataFrame(
+        [("orphan-1", "Eve", "eve@example.com", "k9", "s9", "sk9", dt.date(2023, 2, 1))],
+        PII_SCHEMA,
+    )
+    orphan_dir = os.path.join(pii_table.data_dir, "_orphan_tmp")
+    orphan_df.coalesce(1).write.parquet(orphan_dir)
+    part = glob.glob(os.path.join(orphan_dir, "part-*.parquet"))[0]
+    orphan_path = os.path.join(pii_table.data_dir, "orphan.parquet")
+    os.rename(part, orphan_path)
+    import shutil
+
+    shutil.rmtree(orphan_dir)
+
+    # SQL-procedure path: future cutoff refused (the reference EXPECTS this
+    # failure, iceberg_pii_deletion_demo.py:343-358)
+    with pytest.raises(UnsafeOperationError):
+        pii_table.remove_orphan_files(older_than=now_ms() + 10_000)
+
+    # Action path (deleteOrphanFiles olderThan=far future): dry run first
+    listed = pii_table.remove_orphan_files(
+        older_than=now_ms() + 10_000, dry_run=True, enforce_safety=False
+    )
+    assert listed == [orphan_path]
+    assert os.path.exists(orphan_path)
+
+    removed = pii_table.remove_orphan_files(older_than=now_ms() + 10_000, enforce_safety=False)
+    assert removed == [orphan_path]
+    assert not os.path.exists(orphan_path)
+    # referenced files untouched
+    assert sorted(r["case_id"] for r in pii_table.read().collect()) == [
+        "case-1",
+        "case-2",
+        "case-3",
+    ]
+
+
+def test_drop_table_purge(spark, catalog):
+    catalog.create_namespace("default")
+    t = catalog.create_table("default.tmp", "a string")
+    t.insert(spark.createDataFrame([("x",)], "a string"))
+    loc = t.location
+    catalog.drop_table("default.tmp", purge=True)
+    assert not os.path.exists(loc)
+    assert not catalog.table_exists("default.tmp")
+
+
+def test_metadata_views_shapes(spark, pii_table):
+    pii_table.delete("case_id = 'case-2'")
+    snaps = pii_table.meta("snapshots")
+    assert {"committed_at", "snapshot_id", "parent_id", "operation", "manifest_list"} <= set(
+        snaps.columns
+    )
+    assert snaps.count() == 2
+    entries = pii_table.meta("all_entries")
+    # nested struct access like the reference's e.data_file.file_path
+    added = entries.filter("status = 1").select("data_file.file_path", "data_file.content")
+    assert added.count() >= 2
+    logs = pii_table.meta("metadata_log_entries")
+    assert logs.count() >= 2
+    manifests = pii_table.meta("all_manifests")
+    assert manifests.count() == 2
