@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "total_query_wall", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan + execute) against the ``noop``
+sink, which fully materializes the result on executors without any
+write cost or a driver-side collect — the closest analog to what a
+downstream stage would observe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return float("nan")
+
+
+def main() -> None:
+    from demo_iceberg_permanent_delete_spark import registry
+    from demo_iceberg_permanent_delete_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = registry.all_queries()
+
+    timings: dict[str, float] = {}
+    # Warm the JVM + parquet footer cache once so per-query numbers measure
+    # the query, not first-touch session costs.
+    next(iter(queries.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
