@@ -1,0 +1,102 @@
+"""Approximate / sketch aggregates (SURVEY.md §2.8 X8).
+
+Absent from the reference; required by the north-star surface. Approximate
+results are engine-specific (Spark HLL++ vs DuckDB HLL give different
+estimates), so each approx query is declared rows-only (no oracle) and is
+paired with an exact twin that IS hash-checked — the twin also serves as the
+accuracy yardstick in tests.
+
+Scale notes (100 TB story):
+- approx_count_distinct is THE scale play: constant-size HLL sketch per
+  group merged map-side, vs an exact distinct whose shuffle carries every
+  distinct value. At 100 TB the exact variant may be infeasible; the sketch
+  is always one pass.
+- percentile_approx (GK/KLL-style) likewise merges bounded sketches;
+  exact percentile requires a full sort or collect of each group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.registry import query
+from demo_iceberg_permanent_delete_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counts — the hash-checked yardstick for the sketch below.
+# ---------------------------------------------------------------------------
+@query(
+    "exact_distinct_counts",
+    oracle="""
+    SELECT
+      l_returnflag,
+      count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_suppliers,
+      count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def exact_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL++ approximate distinct counts — rows-only (estimates are
+# implementation-specific); accuracy vs the exact twin asserted in pytest.
+# ---------------------------------------------------------------------------
+@query("approx_distinct_counts", oracle=None)
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("n_suppliers_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+# `quantile_cont`: both compute the continuous quantile a+(b-a)*frac).
+# ---------------------------------------------------------------------------
+@query(
+    "exact_percentiles",
+    oracle="""
+    SELECT
+      l_returnflag,
+      quantile_cont(l_extendedprice, 0.5)  AS p50_price,
+      quantile_cont(l_extendedprice, 0.95) AS p95_price,
+      min(l_extendedprice) AS min_price,
+      max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based percentiles — rows-only; bounded-memory mergeable sketch.
+# ---------------------------------------------------------------------------
+@query("approx_percentiles", oracle=None)
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
