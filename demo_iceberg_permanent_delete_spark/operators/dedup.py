@@ -1,0 +1,392 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.8
+X1/X2): exact hash dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash,
+and embedding-cosine near-dup over ``documents`` / ``embeddings``.
+
+Cross-engine determinism (all ✓ oracle-checked):
+- 60-bit md5-prefix hashes (see operators/text.py — probed bit-identical).
+- Embedding arithmetic is quantized to 1e-6 integers before the dot
+  product, so similarity values are exact integers + one IEEE sqrt/divide —
+  bit-identical across engines (raw float32 accumulation order would not
+  be). The quantization error (<1e-5 on unit vectors) is far below any
+  dedup threshold anyone would set.
+
+Scale notes (100 TB story):
+- Exact dedup is one hash-aggregate: map-side partial min/count per
+  fingerprint, shuffle carries one row per distinct content.
+- Jaccard/MinHash are *blocked* joins: pairs are only formed inside a
+  shingle/bucket posting list, never all-pairs. Posting lists are capped
+  (LSH skew guard) so one hot bucket cannot quadratic-blow a task — at
+  100 TB a stopword-like shingle would otherwise produce 10^12 pairs.
+- SimHash is explode + 60 conditional sums: pure map-side work, one
+  shuffle of (doc, 60 ints).
+- Embedding near-dup blocks on the cluster label (IVF-style partition
+  assignment): within-block pairs only, top-N output bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.operators.text import (
+    DUCK_TOKENS,
+    duck_hash60,
+    spark_hash60,
+    tokens_col,
+)
+from demo_iceberg_permanent_delete_spark.registry import query
+from demo_iceberg_permanent_delete_spark.sources.tables import load_table
+
+MINHASH_K = 16  # signature length
+MINHASH_BANDS = 4  # bands of 4 rows each
+BUCKET_CAP = 50  # LSH skew guard: ignore posting lists longer than this
+TOP_PAIRS = 100  # deterministic output bound for pair queries
+
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup — normalize (lower, collapse whitespace), md5 fingerprint,
+# keep the lowest doc_id per content group. One row per distinct content.
+# ---------------------------------------------------------------------------
+_DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT
+      md5({_DUCK_NORM}) AS fingerprint,
+      min(doc_id) AS keeper_doc_id,
+      count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2a: n-gram Jaccard near-dup — word-bigram shingle sets, candidate pairs
+# via the shingle posting lists (blocked join), exact Jaccard, global top-N
+# by similarity (deterministic tiebreak on the pair key).
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {DUCK_TOKENS} AS t FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    doc_sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    posting_ok AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= {BUCKET_CAP}
+    ),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM shingles a
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN posting_ok p ON a.shingle = p.shingle
+      GROUP BY 1, 2
+    )
+    SELECT
+      s.doc_a,
+      s.doc_b,
+      s.n_shared,
+      s.n_shared / (da.n_shingles + db.n_shingles - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN doc_sizes da ON s.doc_a = da.doc_id
+    JOIN doc_sizes db ON s.doc_b = db.doc_id
+    ORDER BY jaccard DESC, s.doc_a ASC, s.doc_b ASC
+    LIMIT {TOP_PAIRS}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    positions = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(1)))).alias(
+            "i"
+        ),
+    )
+    shingles = positions.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), 2)).alias("shingle"),
+    ).distinct()
+    doc_sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    posting_ok = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("pl"))
+        .filter(F.col("pl") <= BUCKET_CAP)
+        .select("shingle")
+    )
+    a = shingles.join(posting_ok, "shingle").alias("a")
+    b = shingles.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    da = doc_sizes.alias("da")
+    db = doc_sizes.alias("db")
+    return (
+        shared.join(F.broadcast(da), F.col("doc_a") == F.col("da.doc_id"))
+        .join(F.broadcast(db), F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared")
+                / (F.col("da.n_shingles") + F.col("db.n_shingles") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(TOP_PAIRS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2b: MinHash signatures + LSH band buckets. Signature row i =
+# min over the doc's distinct tokens of hash60(i || ':' || token); band key
+# concatenates 4 signature rows. Output: per-doc signature band keys — the
+# deterministic, hash-checkable core of MinHash LSH. (Candidate buckets are
+# aggregated in minhash_lsh_buckets below.)
+# ---------------------------------------------------------------------------
+def _duck_minhash_band(band: int) -> str:
+    rows = ", ".join(
+        "min(" + duck_hash60(f"'{i}:' || t") + ")"
+        for i in range(band * 4, band * 4 + 4)
+    )
+    return f"array_to_string([{rows}], '-') AS band_{band}"
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({DUCK_TOKENS}) AS t FROM documents
+    )
+    SELECT
+      doc_id,
+      {", ".join(_duck_minhash_band(b) for b in range(MINHASH_BANDS))}
+    FROM tok
+    GROUP BY doc_id
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("t")
+    ).distinct()
+    mins = [
+        F.min(spark_hash60(F.concat(F.lit(f"{i}:"), F.col("t")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    sig = tok.groupBy("doc_id").agg(*mins)
+    bands = [
+        F.concat_ws("-", *[F.col(f"h{i}") for i in range(b * 4, b * 4 + 4)]).alias(
+            f"band_{b}"
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    return sig.select("doc_id", *bands)
+
+
+# ---------------------------------------------------------------------------
+# X2b': LSH candidate buckets — docs sharing any band key are near-dup
+# candidates. Output: per (band, bucket) the member count and the two
+# smallest doc ids (the candidate pair seed), only for buckets with >1 doc.
+# ---------------------------------------------------------------------------
+@query(
+    "minhash_lsh_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({DUCK_TOKENS}) AS t FROM documents
+    ),
+    sig AS (
+      SELECT
+        doc_id,
+        {", ".join(_duck_minhash_band(b) for b in range(MINHASH_BANDS))}
+      FROM tok
+      GROUP BY doc_id
+    ),
+    unpivoted AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, band_{b} AS band_key FROM sig" for b in range(MINHASH_BANDS))}
+    )
+    SELECT
+      band_id,
+      band_key,
+      count(*) AS n_docs,
+      min(doc_id) AS min_doc_id,
+      max(doc_id) AS max_doc_id
+    FROM unpivoted
+    GROUP BY band_id, band_key
+    HAVING count(*) > 1
+    """,
+)
+def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    unpivoted = None
+    for b in range(MINHASH_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.col(f"band_{b}").alias("band_key"),
+        )
+        unpivoted = part if unpivoted is None else unpivoted.unionByName(part)
+    return (
+        unpivoted.groupBy("band_id", "band_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2c: SimHash — 60-bit fingerprint: per distinct token hash, each bit votes
+# ±1; fingerprint bit j is 1 iff the vote sum is positive.
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 60
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({DUCK_TOKENS}) AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {duck_hash60("t")} AS h FROM tok
+    ),
+    votes AS (
+      SELECT
+        doc_id,
+        {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(SIMHASH_BITS))}
+      FROM hashed
+      GROUP BY doc_id
+    )
+    SELECT
+      doc_id,
+      {" + ".join(f"(CASE WHEN v{j} > 0 THEN 1::BIGINT << {j} ELSE 0 END)" for j in range(SIMHASH_BITS))}
+        AS simhash
+    FROM votes
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("t")
+    ).distinct()
+    hashed = tok.select("doc_id", spark_hash60(F.col("t")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fingerprint = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return votes.select("doc_id", fingerprint.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# X2d: embedding-cosine near-dup — IVF-style blocking on the cluster label,
+# quantized-integer cosine within blocks, global top-N pairs.
+# ---------------------------------------------------------------------------
+_DUCK_QVEC = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+)
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_DUCK_QVEC} AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, v,
+             sqrt(CAST(list_sum([v[i] * v[i] FOR i IN generate_series(1, len(v))]) AS DOUBLE)) AS nrm
+      FROM q
+    )
+    SELECT
+      a.vec_id AS vec_a,
+      b.vec_id AS vec_b,
+      a.label AS label,
+      CAST(list_sum([a.v[i] * b.v[i] FOR i IN generate_series(1, len(a.v))]) AS DOUBLE)
+        / (a.nrm * b.nrm) AS cosine
+    FROM n a
+    JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+    LIMIT {TOP_PAIRS}
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000.0).cast("long"),
+    )
+    q = emb.select("vec_id", "label", qvec.alias("v"))
+    dot_self = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = q.select(
+        "vec_id", "label", "v", F.sqrt(dot_self.cast("double")).alias("nrm")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            (dot_ab.cast("double") / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(TOP_PAIRS)
+    )

@@ -1,0 +1,291 @@
+"""Similarity search over embeddings (SURVEY.md §2.8 X3): brute-force
+cosine top-k as the exact baseline, a sign-LSH bucketed ANN as the scale
+path, and an Arrow-vectorized Pandas-UDF variant demonstrating the batch
+numpy path.
+
+Determinism: quantized-integer cosine (see operators/dedup.py — exact
+integer dot products + one IEEE sqrt/divide, bit-identical to DuckDB).
+
+Scale notes (100 TB story):
+- Brute-force top-k broadcasts the (small) query set and streams the corpus
+  once: cost O(|corpus| · |queries| · dim) with NO corpus shuffle — the
+  per-query top-k is a windowed rank over a corpus-partitioned frame, and
+  only |queries|·k rows survive to the final exchange.
+- The ANN variant buckets both sides by the sign pattern of the leading
+  dimensions (random-hyperplane LSH with axis-aligned planes): each query
+  probes exactly one bucket, so the join touches |corpus|/2^bits of the
+  data per query — the 100×-smaller candidate set is what makes 100 TB
+  interactive. Recall < 1 by design; the exact baseline measures it.
+- The Pandas-UDF variant shows the Arrow batch path (one numpy matmul per
+  batch) — the right shape when dim is large enough that JVM higher-order
+  functions lose to BLAS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.registry import query
+from demo_iceberg_permanent_delete_spark.sources.tables import load_table
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+# Multi-table sign-LSH: each table buckets on the sign pattern of a
+# disjoint slice of LSH_BITS dimensions; a candidate matches if it shares a
+# bucket in ANY table. More tables = higher recall, more candidates —
+# tune (tables, bits) to corpus size: candidates ≈ tables · n / 2^bits.
+LSH_BITS = 4
+LSH_TABLES = 2
+
+
+def _quantized(emb: Column) -> Column:
+    return F.transform(
+        emb, lambda x: F.round(x.cast("double") * 1000000.0).cast("long")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+_DUCK_QVEC = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+)
+_DUCK_NORM = (
+    "sqrt(CAST(list_sum([v[i] * v[i] FOR i IN generate_series(1, len(v))]) AS DOUBLE))"
+)
+_DUCK_DOT_AB = (
+    "CAST(list_sum([q.v[i] * c.v[i] FOR i IN generate_series(1, len(q.v))]) AS DOUBLE)"
+)
+
+
+def _corpus_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", _quantized(F.col("embedding")).alias("v"))
+    return q.select(
+        "vec_id", "label", "v", F.sqrt(_dot(F.col("v"), F.col("v")).cast("double")).alias("nrm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact brute-force cosine top-k: every query vector against the full
+# corpus (self excluded), windowed rank, keep k.
+# ---------------------------------------------------------------------------
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, v, {_DUCK_NORM} AS nrm
+      FROM (SELECT vec_id, label, {_DUCK_QVEC} AS v FROM embeddings)
+    ),
+    scored AS (
+      SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        c.label AS neighbor_label,
+        {_DUCK_DOT_AB} / (q.nrm * c.nrm) AS cosine
+      FROM n q
+      JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rnk
+    FROM ranked
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _corpus_with_norm(spark, sf_dir)
+    queries = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        n.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            (
+                _dot(F.col("qv"), F.col("v")).cast("double")
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: multi-table sign-LSH top-k — table t buckets on the sign pattern of
+# dims [t·LSH_BITS, (t+1)·LSH_BITS); candidates share a bucket in any
+# table (unioned, deduped), then only candidates are scored. Approximate
+# (recall<1 vs cosine_topk), still fully deterministic → hash-checked.
+# ---------------------------------------------------------------------------
+def _duck_bucket(table: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN embedding[{table * LSH_BITS + d + 1}] >= 0 THEN 1 << {d} ELSE 0 END)"
+        for d in range(LSH_BITS)
+    )
+    return f"({bits})"
+
+
+_DUCK_CAND_BRANCHES = " UNION ".join(
+    f"""
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM b q JOIN b c ON q.b{t} = c.b{t}
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+    """
+    for t in range(LSH_TABLES)
+)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id,
+             {", ".join(f"{_duck_bucket(t)} AS b{t}" for t in range(LSH_TABLES))}
+      FROM embeddings
+    ),
+    candidates AS (
+      {_DUCK_CAND_BRANCHES}
+    ),
+    n AS (
+      SELECT vec_id, v, {_DUCK_NORM} AS nrm
+      FROM (SELECT vec_id, {_DUCK_QVEC} AS v FROM embeddings)
+    ),
+    scored AS (
+      SELECT
+        cd.query_id,
+        cd.neighbor_id,
+        {_DUCK_DOT_AB} / (q.nrm * c.nrm) AS cosine
+      FROM candidates cd
+      JOIN n q ON cd.query_id = q.vec_id
+      JOIN n c ON cd.neighbor_id = c.vec_id
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM ranked
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def bucket(table: int) -> Column:
+        out = None
+        for d in range(LSH_BITS):
+            bit = F.when(
+                F.element_at(F.col("embedding"), table * LSH_BITS + d + 1) >= 0,
+                F.lit(1 << d),
+            ).otherwise(F.lit(0))
+            out = bit if out is None else out + bit
+        return out
+
+    n = _corpus_with_norm(spark, sf_dir).select("vec_id", "v", "nrm")
+    buckets = emb.select(
+        "vec_id", *[bucket(t).alias(f"b{t}") for t in range(LSH_TABLES)]
+    )
+    qside = buckets.filter(F.col("vec_id") < N_QUERIES)
+    candidates = None
+    for t in range(LSH_TABLES):
+        q = qside.select(F.col("vec_id").alias("query_id"), F.col(f"b{t}").alias("qb"))
+        c = buckets.select(F.col("vec_id").alias("neighbor_id"), F.col(f"b{t}").alias("cb"))
+        branch = (
+            c.join(F.broadcast(q), (F.col("cb") == F.col("qb")))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+        )
+        candidates = branch if candidates is None else candidates.unionByName(branch)
+    candidates = candidates.distinct()
+    qn = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        candidates.join(n, F.col("neighbor_id") == F.col("vec_id"))
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("v")).cast("double")
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized brute force (rows-only): mapInPandas batches the corpus
+# through one numpy matmul per Arrow batch against the broadcast query
+# matrix — the BLAS path for high-dim embeddings. Results are float
+# (unquantized), so no DuckDB hash check; correctness vs cosine_topk is
+# asserted in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+@query("ann_topk_pandas", oracle=None)
+def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score_batches(batches):
+        ids, qm = bc.value
+        for pdf in batches:
+            c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ qm.T  # (batch, n_queries)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, len(pdf)),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), len(ids)),
+                    "cosine": sims.T.reshape(-1),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score_batches, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
