@@ -1,0 +1,92 @@
+"""Driver-contract entries for the streaming surface.
+
+Each query runs a bounded ``availableNow`` pass of a streaming pipeline
+over ``events.parquet`` and returns the sink contents. In a single-batch
+bounded run the watermark drops nothing, so complete/append-mode outputs
+are fully deterministic and DuckDB-oracle-checkable — a stronger gate than
+rows-only. (The late-data/watermark semantics that CAN'T be expressed in
+batch SQL are exercised in tests/test_streaming.py with multi-batch
+triggers.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from demo_iceberg_permanent_delete_spark.registry import query
+from demo_iceberg_permanent_delete_spark.sources.tables import table_path
+from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
+    read_event_stream,
+    run_available_now,
+    session_window_stream,
+    streaming_dedup,
+    tumbling_count_stream,
+)
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT
+      to_timestamp((epoch_us(ts) // 600000000) * 600) AS window_start,
+      to_timestamp((epoch_us(ts) // 600000000) * 600 + 600) AS window_end,
+      event_type,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, table_path(sf_dir, "events"))
+    return run_available_now(tumbling_count_stream(stream), output_mode="complete")
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT
+        user_id, ts,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    numbered AS (
+      SELECT *,
+        sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS session_seq
+      FROM flagged
+    )
+    SELECT
+      min(ts) AS session_start,
+      -- session_window's end = last event time + gap
+      max(ts) + INTERVAL 10 MINUTE AS session_end,
+      user_id,
+      count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, table_path(sf_dir, "events"))
+    return run_available_now(session_window_stream(stream), output_mode="complete")
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, table_path(sf_dir, "events"))
+    return run_available_now(streaming_dedup(stream), output_mode="append")
