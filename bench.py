@@ -44,9 +44,14 @@ def main() -> None:
     queries = registry.all_queries()
 
     timings: dict[str, float] = {}
-    # Warm the JVM + parquet footer cache once so per-query numbers measure
-    # the query, not first-touch session costs.
+    # Warm the JVM + parquet footer cache + Python UDF workers once so
+    # per-query numbers measure the query, not first-touch session costs
+    # (spawning 32 Arrow workers otherwise lands on the first Pandas-UDF
+    # query in alphabetical order).
     next(iter(queries.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    spark.range(1000).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     for name in sorted(queries):
         t0 = time.perf_counter()

@@ -1,0 +1,62 @@
+"""Plan-shape regression tests: the properties the 100 TB design depends
+on must be visible in the physical plan, not assumed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.operators.relational import (
+    join_using_limit,
+    left_join_least,
+    pricing_summary,
+)
+from demo_iceberg_permanent_delete_spark.plans import (
+    has_broadcast_join,
+    has_whole_stage_codegen,
+    pushed_filters,
+    read_schema_columns,
+)
+from demo_iceberg_permanent_delete_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = load_table(spark, SF_ORACLE, "lineitem").filter(
+        (F.col("l_quantity") > 30) & F.col("l_returnflag").isin("A", "R")
+    )
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed, f"quantity filter not pushed: {pushed}"
+    assert "l_returnflag" in pushed, f"returnflag IN-filter not pushed: {pushed}"
+
+
+def test_column_pruning_on_narrow_projection(spark):
+    df = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet scan found"
+    assert schemas[0] == ["l_orderkey", "l_quantity"], (
+        f"scan reads more than the projection: {schemas[0]}"
+    )
+
+
+def test_pricing_summary_prunes_to_used_columns(spark):
+    df = pricing_summary(spark, SF_ORACLE)
+    (cols,) = read_schema_columns(df)
+    # 7 of 11 lineitem columns are referenced; the scan must not read more.
+    assert set(cols) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }, cols
+
+
+def test_dimension_joins_are_broadcast(spark):
+    assert has_broadcast_join(left_join_least(spark, SF_ORACLE))
+    assert has_broadcast_join(join_using_limit(spark, SF_ORACLE))
+
+
+def test_aggregation_stays_in_codegen(spark):
+    assert has_whole_stage_codegen(pricing_summary(spark, SF_ORACLE))
