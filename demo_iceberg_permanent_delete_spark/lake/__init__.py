@@ -32,10 +32,12 @@ from demo_iceberg_permanent_delete_spark.lake.errors import (
     SnapshotNotFoundError,
     UnsafeOperationError,
 )
+from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
 from demo_iceberg_permanent_delete_spark.lake.table import LakeTable
 
 __all__ = [
     "Catalog",
+    "LakeEngine",
     "LakeTable",
     "NoSuchTableError",
     "SnapshotNotFoundError",

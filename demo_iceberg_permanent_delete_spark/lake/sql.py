@@ -1,0 +1,341 @@
+"""SQL facade: the reference's entire SQL surface over the native lake.
+
+The reference drives everything through ``spark.sql`` strings against the
+Iceberg extension grammar. This module is the thin dispatch layer
+(SURVEY.md §3.3: "a thin engine.sql regex dispatch can accept the CALL
+syntax for parity") that accepts exactly those statement shapes and routes
+them to the Python lake API — no custom parser generator, no Catalyst
+extension. Covered statements, with the reference call sites:
+
+- DROP TABLE IF EXISTS t                 iceberg_pii_deletion_demo.py:70
+- CREATE NAMESPACE IF NOT EXISTS ns      :71
+- CREATE TABLE t (cols) USING iceberg    :74-85
+- INSERT INTO t VALUES (...), (...)      :105-110 (incl. DATE('…') literals)
+- ALTER TABLE t SET TBLPROPERTIES (...)  :166-171
+- DELETE FROM t WHERE pred               :175-180
+- UPDATE t SET c = e, … WHERE pred       :228-235
+- CALL demo.system.expire_snapshots      :289-296, 486-492
+- CALL demo.system.remove_orphan_files   cleanup_utils.py:26-47
+- CALL demo.system.rewrite_data_files    :421-433
+- CALL demo.system.rewrite_position_delete_files  :436-447
+- SELECT … FROM t / t.files / t.history / t.snapshots / t.all_manifests /
+  t.metadata_log_entries / t.all_entries  :114,120,205; file_summary_utils
+  (plain Spark SQL after identifier rewrite to registered temp views)
+
+Everything else falls through to ``spark.sql`` untouched.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from demo_iceberg_permanent_delete_spark.lake.catalog import Catalog
+from demo_iceberg_permanent_delete_spark.lake.table import LakeTable
+
+_META_VIEWS = (
+    "files",
+    "history",
+    "snapshots",
+    "all_manifests",
+    "metadata_log_entries",
+    "all_entries",
+)
+
+
+def _one_row_df(spark: SparkSession, data: dict[str, Any]) -> DataFrame:
+    return spark.createDataFrame([tuple(data.values())], list(data.keys()))
+
+
+class LakeEngine:
+    """``engine.sql(text)`` — the reference's spark.sql replacement.
+
+    ``catalog_name`` mirrors the reference's ``spark.sql.defaultCatalog=demo``
+    (docker-compose.yml:24): a leading ``demo.`` on table identifiers is
+    accepted and stripped.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str, catalog_name: str = "demo"):
+        self.spark = spark
+        self.catalog = Catalog(spark, warehouse)
+        self.catalog_name = catalog_name
+
+    # ------------------------------------------------------------ helpers
+    def _strip_catalog(self, name: str) -> str:
+        prefix = self.catalog_name + "."
+        return name[len(prefix):] if name.startswith(prefix) else name
+
+    def table(self, name: str) -> LakeTable:
+        return self.catalog.load_table(self._strip_catalog(name))
+
+    def read_table(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        """``spark.table(t)`` / ``spark.read.option('snapshot-id', id)
+        .table(t)`` parity (reference :114 / :261)."""
+        return self.table(name).read(snapshot_id=snapshot_id)
+
+    # ---------------------------------------------------------------- sql
+    def sql(self, text: str) -> DataFrame:
+        stmt = text.strip().rstrip(";").strip()
+        for pattern, handler in self._DISPATCH:
+            m = pattern.match(stmt)
+            if m:
+                return handler(self, m)
+        return self._select(stmt)
+
+    # ------------------------------------------------------- DDL handlers
+    def _create_namespace(self, m: re.Match) -> DataFrame:
+        ns = self._strip_catalog(m.group("ns"))
+        self.catalog.create_namespace(ns, if_not_exists=True)
+        return _one_row_df(self.spark, {"namespace": ns, "status": "created"})
+
+    def _drop_table(self, m: re.Match) -> DataFrame:
+        name = self._strip_catalog(m.group("name"))
+        self.catalog.drop_table(
+            name, purge=m.group("purge") is not None, if_exists=m.group("ife") is not None
+        )
+        return _one_row_df(self.spark, {"table": name, "status": "dropped"})
+
+    def _create_table(self, m: re.Match) -> DataFrame:
+        name = self._strip_catalog(m.group("name"))
+        props = dict(_parse_kv_props(m.group("props"))) if m.group("props") else {}
+        self.catalog.create_table(
+            name,
+            m.group("schema").strip(),
+            properties=props,
+            if_not_exists=m.group("ine") is not None,
+        )
+        return _one_row_df(self.spark, {"table": name, "status": "created"})
+
+    def _alter_properties(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        t.set_properties(dict(_parse_kv_props(m.group("props"))))
+        return _one_row_df(self.spark, {"table": t.name, "status": "properties set"})
+
+    # ------------------------------------------------------- DML handlers
+    def _insert_values(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        # DATE('2023-01-01') (reference :107-109) → standard DATE literal.
+        values = re.sub(r"DATE\('([^']*)'\)", r"DATE '\1'", m.group("values"), flags=re.I)
+        fields = t.schema().fields
+        cols = ", ".join(f.name for f in fields)
+        raw = self.spark.sql(f"SELECT * FROM (VALUES {values}) AS v({cols})")
+        aligned = raw.select(
+            *[raw[f.name].cast(f.dataType).alias(f.name) for f in fields]
+        )
+        snap = t.insert(aligned)
+        return _one_row_df(
+            self.spark,
+            {"table": t.name, "status": "inserted", "snapshot_id": snap.snapshot_id},
+        )
+
+    def _delete(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        snap = t.delete(m.group("pred"))
+        return _one_row_df(
+            self.spark,
+            {
+                "table": t.name,
+                "status": "deleted",
+                "snapshot_id": snap.snapshot_id if snap else None,
+            },
+        )
+
+    def _update(self, m: re.Match) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        t = self.table(m.group("name"))
+        assignments = {}
+        for part in _split_top_level(m.group("sets")):
+            col, expr = part.split("=", 1)
+            assignments[col.strip()] = F.expr(expr.strip())
+        snap = t.update(assignments, m.group("pred"))
+        return _one_row_df(
+            self.spark,
+            {
+                "table": t.name,
+                "status": "updated",
+                "snapshot_id": snap.snapshot_id if snap else None,
+            },
+        )
+
+    # ------------------------------------------------------ CALL handlers
+    def _call(self, m: re.Match) -> DataFrame:
+        proc = m.group("proc").lower()
+        args = _parse_call_args(m.group("args"))
+        t = self.table(str(args.pop("table")))
+        if proc == "expire_snapshots":
+            stats = t.expire_snapshots(older_than=args["older_than"])
+            return _one_row_df(self.spark, stats)
+        if proc == "remove_orphan_files":
+            orphans = t.remove_orphan_files(
+                older_than=args.get("older_than"),
+                dry_run=bool(args.get("dry_run", False)),
+            )
+            return self.spark.createDataFrame(
+                [(p,) for p in orphans] or [], "orphan_file_location string"
+            )
+        if proc == "rewrite_data_files":
+            options = args.get("options", {})
+            stats = t.rewrite_data_files(
+                rewrite_all=options.get("rewrite-all", "true") == "true",
+                target_file_size_bytes=int(
+                    options.get("target-file-size-bytes", 134217728)
+                ),
+            )
+            return _one_row_df(self.spark, stats)
+        if proc == "rewrite_position_delete_files":
+            return _one_row_df(self.spark, t.rewrite_position_delete_files())
+        raise ValueError(f"unknown procedure {proc!r}")
+
+    # ------------------------------------------------------------ queries
+    def _select(self, stmt: str) -> DataFrame:
+        """Plain SQL: rewrite lake-table identifiers (and their metadata
+        relations) to freshly registered temp views, then spark.sql."""
+        for name in self.catalog.list_tables():
+            t = None
+            base = name.replace(".", "__")
+            for candidate in (f"{self.catalog_name}.{name}", name):
+                if candidate not in stmt:
+                    continue
+                if t is None:
+                    t = self.catalog.load_table(name)
+                    t.read().createOrReplaceTempView(base)
+                    t.register_metadata_views(prefix=base)
+                for view in _META_VIEWS:  # longest suffixes first: meta before bare
+                    stmt = stmt.replace(f"{candidate}.{view}", f"{base}__{view}")
+                stmt = stmt.replace(candidate, base)
+        return self.spark.sql(stmt)
+
+    # dispatch table (compiled once; DOTALL so VALUES lists span lines)
+    _DISPATCH = [
+        (
+            re.compile(
+                r"CREATE\s+NAMESPACE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<ns>[\w.]+)$",
+                re.I | re.S,
+            ),
+            _create_namespace,
+        ),
+        (
+            re.compile(
+                r"DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>[\w.]+)"
+                r"(?P<purge>\s+PURGE)?$",
+                re.I | re.S,
+            ),
+            _drop_table,
+        ),
+        (
+            re.compile(
+                r"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+                r"\((?P<schema>.*)\)\s*USING\s+iceberg"
+                r"(?:\s+TBLPROPERTIES\s*\((?P<props>.*)\))?$",
+                re.I | re.S,
+            ),
+            _create_table,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+SET\s+TBLPROPERTIES\s*"
+                r"\((?P<props>.*)\)$",
+                re.I | re.S,
+            ),
+            _alter_properties,
+        ),
+        (
+            re.compile(
+                r"INSERT\s+INTO\s+(?P<name>[\w.]+)\s+VALUES\s+(?P<values>.+)$",
+                re.I | re.S,
+            ),
+            _insert_values,
+        ),
+        (
+            re.compile(
+                r"DELETE\s+FROM\s+(?P<name>[\w.]+)\s+WHERE\s+(?P<pred>.+)$",
+                re.I | re.S,
+            ),
+            _delete,
+        ),
+        (
+            re.compile(
+                r"UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<pred>.+)$",
+                re.I | re.S,
+            ),
+            _update,
+        ),
+        (
+            re.compile(
+                r"CALL\s+[\w.]*system\.(?P<proc>\w+)\s*\((?P<args>.*)\)$",
+                re.I | re.S,
+            ),
+            _call,
+        ),
+    ]
+
+
+# --------------------------------------------------------------- parsing
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas outside quotes/parens."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _parse_kv_props(text: str) -> list[tuple[str, str]]:
+    """'k' = 'v', 'k2' = 'v2'  (reference :167-170)."""
+    return re.findall(r"'([^']+)'\s*=\s*'([^']*)'", text)
+
+
+def _parse_literal(text: str) -> Any:
+    text = text.strip()
+    m = re.match(r"TIMESTAMP\s+'([^']+)'", text, re.I)
+    if m:
+        return dt.datetime.fromisoformat(m.group(1))
+    m = re.match(r"map\s*\((.*)\)$", text, re.I | re.S)
+    if m:
+        items = [_parse_literal(x) for x in _split_top_level(m.group(1))]
+        return dict(zip(items[::2], items[1::2]))
+    if re.match(r"^'.*'$", text, re.S):
+        return text[1:-1]
+    if text.lower() in ("true", "false"):
+        return text.lower() == "true"
+    if re.match(r"^-?\d+$", text):
+        return int(text)
+    return text
+
+
+def _parse_call_args(text: str) -> dict[str, Any]:
+    """Both positional ('tbl', TIMESTAMP '…') — reference :296 — and named
+    (table => 'tbl', older_than => TIMESTAMP '…') — reference
+    cleanup_utils.py:30-44 — argument styles."""
+    positional_names = ["table", "older_than"]
+    out: dict[str, Any] = {}
+    for i, part in enumerate(_split_top_level(text)):
+        if "=>" in part:
+            key, val = part.split("=>", 1)
+            out[key.strip()] = _parse_literal(val)
+        else:
+            out[positional_names[i]] = _parse_literal(part)
+    return out

@@ -1,0 +1,189 @@
+"""Replay of the reference notebook's full PII-deletion script THROUGH THE
+SQL SURFACE (notebooks/iceberg_pii_deletion_demo.py §§1-7): every statement
+below is shaped exactly like the one the reference issues, so a reference
+user could run their workflow against LakeEngine unchanged."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.lake import SnapshotNotFoundError, UnsafeOperationError
+from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+TABLE = "demo.default.pii_data"
+
+PII_DDL = """
+CREATE TABLE demo.default.pii_data (
+    case_id STRING,
+    first_name STRING,
+    email_address STRING,
+    key_nm STRING,
+    secure_txt STRING,
+    secure_key STRING,
+    update_date DATE
+) USING iceberg
+"""
+
+INSERT = """
+INSERT INTO demo.default.pii_data VALUES
+    ('case-1', 'Alice', 'alice@example.com', 'k1', 'secret-1', 'sk1', DATE('2023-01-01')),
+    ('case-2', 'Bob',   'bob@example.com',   'k2', 'secret-2', 'sk2', DATE('2023-01-02')),
+    ('case-3', 'Cara',  'cara@example.com',  'k3', 'secret-3', 'sk3', DATE('2023-01-03'))
+"""
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    eng = LakeEngine(spark, str(tmp_path / "warehouse"))
+    eng.sql("DROP TABLE IF EXISTS demo.default.pii_data")
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql(PII_DDL)
+    eng.sql(INSERT)
+    eng.sql("""
+        ALTER TABLE demo.default.pii_data SET TBLPROPERTIES (
+            'write.delete.mode' = 'merge-on-read',
+            'write.update.mode' = 'copy-on-write'
+        )
+    """)
+    return eng
+
+
+def test_full_pii_lifecycle_via_sql(engine, spark):
+    # -- §2: MOR delete (reference :175-180) --------------------------------
+    pre_delete_snapshot = engine.table(TABLE).metadata.current_snapshot_id
+    engine.sql("DELETE FROM demo.default.pii_data WHERE case_id = 'case-2'")
+
+    live = engine.sql("SELECT case_id FROM demo.default.pii_data ORDER BY case_id")
+    assert [r["case_id"] for r in live.collect()] == ["case-1", "case-3"]
+
+    # .files metadata relation shows position-delete files (reference :205-216)
+    deletes = engine.sql(
+        "SELECT COUNT(*) AS n FROM demo.default.pii_data.files WHERE content IN (1, 2)"
+    )
+    assert deletes.first()["n"] >= 1
+
+    # the PII physically persists in the data files (cleanup_utils.py:133-202)
+    data_files = [
+        e.file_path
+        for e in engine.table(TABLE).metadata.current_snapshot().data_files()
+    ]
+    raw = spark.read.parquet(*data_files)
+    assert raw.filter(F.col("case_id") == "case-2").count() == 1
+
+    # -- §3: COW update nulls PII in place (reference :228-235) -------------
+    engine.sql("""
+        UPDATE demo.default.pii_data
+        SET first_name = NULL, email_address = NULL, secure_txt = NULL
+        WHERE case_id = 'case-1'
+    """)
+    row = engine.sql(
+        "SELECT * FROM demo.default.pii_data WHERE case_id = 'case-1'"
+    ).first()
+    assert row["first_name"] is None and row["secure_txt"] is None
+    assert row["key_nm"] == "k1"
+
+    # -- §4: time travel to the pre-delete snapshot (reference :261) --------
+    back = engine.read_table(TABLE, snapshot_id=pre_delete_snapshot)
+    assert back.filter(F.col("case_id") == "case-2").count() == 1
+
+    # -- §5: expire_snapshots blocks time travel (reference :289-315) -------
+    cutoff = engine.sql("SELECT current_timestamp() AS ts").first()["ts"]
+    engine.sql(
+        f"CALL demo.system.expire_snapshots('default.pii_data', TIMESTAMP '{cutoff}')"
+    )
+    history = engine.sql(
+        "SELECT COUNT(*) AS n FROM demo.default.pii_data.history"
+    )
+    assert history.first()["n"] == 1
+    with pytest.raises(SnapshotNotFoundError):
+        engine.read_table(TABLE, snapshot_id=pre_delete_snapshot).collect()
+
+    # -- §6: orphan cleanup — safety window refuses a future cutoff
+    #    (reference :343-358 EXPECTS this failure), Action path allows it ---
+    with pytest.raises(UnsafeOperationError):
+        engine.sql("""
+            CALL demo.system.remove_orphan_files(
+                table => 'default.pii_data',
+                older_than => TIMESTAMP '2100-01-01 00:00:00'
+            )
+        """)
+    removed = engine.table(TABLE).remove_orphan_files(
+        older_than=cutoff, enforce_safety=False, dry_run=True
+    )
+    assert removed == []  # nothing orphaned yet
+
+    # -- §7: rewrite makes the deletes physical (reference :421-466) --------
+    stats = engine.sql("""
+        CALL demo.system.rewrite_data_files(
+            table => 'default.pii_data',
+            options => map('rewrite-all', 'true',
+                           'target-file-size-bytes', '134217728')
+        )
+    """).first()
+    assert stats["removed_delete_files_count"] >= 1
+    engine.sql(
+        "CALL demo.system.rewrite_position_delete_files(table => 'default.pii_data')"
+    )
+    post = engine.sql(
+        "SELECT COUNT(*) AS n FROM demo.default.pii_data.files WHERE content IN (1, 2)"
+    )
+    assert post.first()["n"] == 0
+
+    # the strongest check (SURVEY §5): NO parquet file under the table's
+    # data dir contains the purged case — the PII is physically gone.
+    import glob
+    import os
+
+    t = engine.table(TABLE)
+    engine.sql(f"""
+        CALL demo.system.expire_snapshots(
+            'default.pii_data',
+            TIMESTAMP '{engine.sql("SELECT current_timestamp() AS ts").first()["ts"]}'
+        )
+    """)
+    # "immediate" cleanup = year-2100 cutoff, the cleanup_utils.py:58 trick
+    t.remove_orphan_files(older_than=4102444800000, enforce_safety=False)
+    leftover = glob.glob(os.path.join(t.data_dir, "*.parquet"))
+    assert leftover, "table should still have data files"
+    assert spark.read.parquet(*leftover).filter(F.col("case_id") == "case-2").count() == 0
+    final = engine.sql("SELECT case_id FROM demo.default.pii_data ORDER BY case_id")
+    assert [r["case_id"] for r in final.collect()] == ["case-1", "case-3"]
+
+
+def test_metadata_sql_runs_reference_shaped_summary(engine):
+    """The reference's flagship CTE summary shape (file_summary_utils.py:
+    45-105) over our metadata views, issued as one SQL string."""
+    out = engine.sql("""
+        WITH snaps AS (
+            SELECT snapshot_id, committed_at
+            FROM demo.default.pii_data.snapshots
+            WHERE manifest_list IS NOT NULL
+        ),
+        entries AS (
+            SELECT e.snapshot_id,
+                   e.data_file.file_path AS file_path,
+                   e.data_file.content AS content
+            FROM demo.default.pii_data.all_entries e
+            WHERE e.status != 2
+        )
+        SELECT
+            CASE en.content
+                WHEN 0 THEN 'data'
+                WHEN 1 THEN 'position_deletes'
+                ELSE 'equality_deletes'
+            END AS file_type,
+            date_trunc('minute', MIN(s.committed_at)) AS created_minute,
+            COUNT(*) AS files_in_catalog
+        FROM entries en
+        LEFT JOIN snaps s USING (snapshot_id)
+        GROUP BY en.content
+        ORDER BY file_type
+    """)
+    rows = {r["file_type"]: r["files_in_catalog"] for r in out.collect()}
+    assert rows.get("data", 0) >= 1
+
+
+def test_drop_table_via_sql(engine):
+    engine.sql("DROP TABLE IF EXISTS demo.default.pii_data PURGE")
+    assert not engine.catalog.table_exists("default.pii_data")
