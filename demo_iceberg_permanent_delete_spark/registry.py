@@ -53,6 +53,7 @@ def load_all() -> None:
 
     for mod in (
         "demo_iceberg_permanent_delete_spark.operators.relational",
+        "demo_iceberg_permanent_delete_spark.operators.analytics",
         "demo_iceberg_permanent_delete_spark.operators.diff",
         "demo_iceberg_permanent_delete_spark.operators.dedup",
         "demo_iceberg_permanent_delete_spark.operators.similarity",
