@@ -1,0 +1,155 @@
+"""File-level pruning from manifest min/max stats (SURVEY.md §4: "our
+engine's snapshot layer should record per-file min/max to emulate Iceberg
+file-level pruning").
+
+``write_data_files`` harvests per-column min/max from parquet footers into
+each ManifestEntry; this module evaluates a predicate against those bounds
+to skip files that cannot contain matches — before Spark ever opens them.
+At 100 TB this is the difference between scanning 3 files and 800,000: the
+parquet row-group stats only help after a file is opened and its footer
+fetched; manifest pruning avoids the open entirely.
+
+Scope (sound, conservative): only top-level AND conjuncts of simple
+comparisons ``col <op> literal`` (op ∈ =, <, <=, >, >=) and BETWEEN are
+used for skipping; anything else (OR at top level, functions, IN, nested
+expressions) makes that conjunct non-pruning. A file is skipped only when
+some conjunct is provably unsatisfiable on the file's [min, max] — missing
+stats keep the file. Equality/range semantics over strings use
+lexicographic order, matching parquet footer stats.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
+
+_CMP_RE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][\w]*)\s*(?P<op>>=|<=|=|<|>)\s*(?P<lit>.+?)\s*$"
+)
+_BETWEEN_RE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][\w]*)\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+(?P<hi>.+?)\s*$",
+    re.I,
+)
+
+
+def _parse_literal(text: str) -> Any | None:
+    text = text.strip()
+    m = re.match(r"^'(.*)'$", text, re.S)
+    if m:
+        return m.group(1)
+    if re.match(r"^-?\d+$", text):
+        return int(text)
+    if re.match(r"^-?\d+\.\d*$", text):
+        return float(text)
+    return None  # not a literal we understand → non-pruning
+
+
+_BETWEEN_AND = "\x00BETWEEN_AND\x00"
+
+
+def _split_conjuncts(pred: str) -> list[str] | None:
+    """Top-level AND conjuncts; None if a top-level OR makes pruning unsound."""
+    # BETWEEN's inner AND is part of the comparison, not a conjunction.
+    pred = re.sub(
+        r"(\bBETWEEN\b\s+\S+\s+)AND\b", rf"\1{_BETWEEN_AND}", pred, flags=re.I
+    )
+    parts, depth, quote, cur = [], 0, None, []
+    tokens = re.split(r"(\s+AND\s+|\s+OR\s+|[()'])", pred, flags=re.I)
+    for tok in tokens:
+        if tok is None or tok == "":
+            continue
+        if quote:
+            cur.append(tok)
+            if tok == "'":
+                quote = None
+            continue
+        if tok == "'":
+            quote = "'"
+            cur.append(tok)
+        elif tok == "(":
+            depth += 1
+            cur.append(tok)
+        elif tok == ")":
+            depth -= 1
+            cur.append(tok)
+        elif depth == 0 and re.fullmatch(r"\s+AND\s+", tok, re.I):
+            parts.append("".join(cur))
+            cur = []
+        elif depth == 0 and re.fullmatch(r"\s+OR\s+", tok, re.I):
+            return None  # top-level OR: no sound pruning from conjuncts
+        else:
+            cur.append(tok)
+    parts.append("".join(cur))
+    return [p.replace(_BETWEEN_AND, "AND").strip() for p in parts if p.strip()]
+
+
+def _bounds_for(entry: ManifestEntry, col: str) -> tuple[Any, Any] | None:
+    lo = (entry.min_values or {}).get(col)
+    hi = (entry.max_values or {}).get(col)
+    if lo is None or hi is None:
+        return None
+    return lo, hi
+
+
+def _comparable(lit: Any, lo: Any, hi: Any) -> bool:
+    if isinstance(lit, str):
+        return isinstance(lo, str) and isinstance(hi, str)
+    if isinstance(lit, (int, float)):
+        return isinstance(lo, (int, float)) and isinstance(hi, (int, float))
+    return False
+
+
+def _conjunct_can_match(entry: ManifestEntry, conjunct: str) -> bool:
+    """False only when the conjunct is PROVABLY unsatisfiable on this file."""
+    m = _BETWEEN_RE.match(conjunct)
+    if m:
+        lo_lit, hi_lit = _parse_literal(m.group("lo")), _parse_literal(m.group("hi"))
+        bounds = _bounds_for(entry, m.group("col"))
+        if bounds is None or lo_lit is None or hi_lit is None:
+            return True
+        lo, hi = bounds
+        if not (_comparable(lo_lit, lo, hi) and _comparable(hi_lit, lo, hi)):
+            return True
+        return not (hi < lo_lit or lo > hi_lit)
+
+    m = _CMP_RE.match(conjunct)
+    if not m:
+        return True
+    lit = _parse_literal(m.group("lit"))
+    bounds = _bounds_for(entry, m.group("col"))
+    if lit is None or bounds is None:
+        return True
+    lo, hi = bounds
+    if not _comparable(lit, lo, hi):
+        return True
+    op = m.group("op")
+    if op == "=":
+        return lo <= lit <= hi
+    if op == "<":
+        return lo < lit
+    if op == "<=":
+        return lo <= lit
+    if op == ">":
+        return hi > lit
+    if op == ">=":
+        return hi >= lit
+    return True
+
+
+def candidate_files(
+    entries: list[ManifestEntry], predicate: str | None
+) -> list[ManifestEntry]:
+    """The subset of ``entries`` that may contain rows matching
+    ``predicate``. Sound: never drops a file that could match."""
+    if not predicate or not isinstance(predicate, str):
+        return list(entries)
+    conjuncts = _split_conjuncts(predicate)
+    if conjuncts is None:
+        return list(entries)
+    return [
+        e
+        for e in entries
+        if all(_conjunct_can_match(e, c) for c in conjuncts)
+    ]

@@ -142,14 +142,53 @@ class LakeTable:
             .drop("__fp", "__pos")
         )
 
-    def read_with_positions(self, snap: Snapshot | None = None) -> DataFrame:
-        """Merged read that keeps (__fp, __pos) — the DML planning input."""
+    def scan(self, predicate: str | Column | None = None) -> DataFrame:
+        """Predicate-pushed read: manifest min/max stats prune whole files
+        before Spark opens them (SURVEY.md §4 — the Iceberg-manifest
+        emulation; at 100 TB this skips the file *open*, which parquet
+        row-group stats cannot). Sound: falls back to all files whenever
+        the predicate isn't a provably-prunable string."""
+        if predicate is None:
+            return self.read()
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            return self.empty_frame()
+        from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
+
+        entries = (
+            candidate_files(snap.data_files(), predicate)
+            if isinstance(predicate, str)
+            else snap.data_files()
+        )
+        if not entries:
+            return self.empty_frame()
+        df = self.spark.read.parquet(*[e.file_path for e in entries])
+        delete_files = snap.delete_files()
+        if delete_files:
+            df = self._apply_position_deletes(df, delete_files).select(*df.columns)
+        return df.filter(self._as_column(predicate))
+
+    def read_with_positions(
+        self, snap: Snapshot | None = None, prune_for: str | None = None
+    ) -> DataFrame:
+        """Merged read that keeps (__fp, __pos) — the DML planning input.
+        ``prune_for`` applies manifest min/max file pruning for a string
+        predicate (the rows of skipped files provably cannot match)."""
         snap = snap or self.metadata.current_snapshot()
         if snap is None or not snap.data_files():
             return self.empty_frame().withColumns(
                 {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
             )
-        df = self.spark.read.parquet(*[e.file_path for e in snap.data_files()])
+        data_entries = snap.data_files()
+        if prune_for is not None:
+            from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
+
+            data_entries = candidate_files(data_entries, prune_for)
+            if not data_entries:
+                return self.empty_frame().withColumns(
+                    {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
+                )
+        df = self.spark.read.parquet(*[e.file_path for e in data_entries])
         with_pos = self._with_position(df)
         delete_files = snap.delete_files()
         if not delete_files:
@@ -188,10 +227,11 @@ class LakeTable:
     def _as_column(self, predicate: str | Column) -> Column:
         return F.expr(predicate) if isinstance(predicate, str) else predicate
 
-    def _affected_files(self, pred: Column) -> list[str]:
+    def _affected_files(self, pred: Column, pred_str: str | None = None) -> list[str]:
         """Data files containing at least one live match — one pushed-down
-        scan; parquet row-group stats + manifest min/max prune the rest."""
-        matches = self.read_with_positions().filter(pred)
+        scan; manifest min/max skip non-candidate files entirely and
+        parquet row-group stats prune inside the rest."""
+        matches = self.read_with_positions(prune_for=pred_str).filter(pred)
         return [r["__fp"] for r in matches.select("__fp").distinct().collect()]
 
     def delete(self, predicate: str | Column) -> Snapshot | None:
@@ -204,14 +244,15 @@ class LakeTable:
         - copy-on-write: rewrite affected files without the matching rows.
         """
         pred = self._as_column(predicate)
+        pred_str = predicate if isinstance(predicate, str) else None
         mode = self.properties.get("write.delete.mode", "copy-on-write")
         if mode == "merge-on-read":
-            return self._delete_mor(pred)
-        return self._delete_cow(pred)
+            return self._delete_mor(pred, pred_str)
+        return self._delete_cow(pred, pred_str)
 
-    def _delete_mor(self, pred: Column) -> Snapshot | None:
+    def _delete_mor(self, pred: Column, pred_str: str | None = None) -> Snapshot | None:
         matches = (
-            self.read_with_positions()
+            self.read_with_positions(prune_for=pred_str)
             .filter(pred)
             .select(F.col("__fp").alias("file_path"), F.col("__pos").alias("pos"))
         )
@@ -233,8 +274,8 @@ class LakeTable:
         self.metadata.commit()
         return snapshot
 
-    def _delete_cow(self, pred: Column) -> Snapshot | None:
-        affected = set(self._affected_files(pred))
+    def _delete_cow(self, pred: Column, pred_str: str | None = None) -> Snapshot | None:
+        affected = set(self._affected_files(pred, pred_str))
         if not affected:
             return None
         # DELETE keeps rows where the predicate is false OR null — a bare
@@ -261,7 +302,8 @@ class LakeTable:
         affected files (reference PII nulling: iceberg_pii_deletion_demo.py:
         228-235 with write.update.mode=copy-on-write at :169)."""
         pred = self._as_column(predicate)
-        affected = set(self._affected_files(pred))
+        pred_str = predicate if isinstance(predicate, str) else None
+        affected = set(self._affected_files(pred, pred_str))
         if not affected:
             return None
         rows = self.read_with_positions().filter(F.col("__fp").isin(list(affected)))
@@ -301,6 +343,10 @@ class LakeTable:
         }.get(view)
         if builder is None:
             raise KeyError(f"unknown metadata view {view!r}")
+        # Left as LocalRelation-backed frames deliberately: Catalyst folds
+        # LocalRelation joins/aggregates without scheduling task fleets
+        # (measured: coalesce(1) here made the summary SQL 2-3× slower by
+        # defeating that optimization).
         return builder()
 
     def register_metadata_views(self, prefix: str | None = None) -> None:

@@ -1,0 +1,78 @@
+"""Manifest min/max file pruning (SURVEY.md §4): skipped files are provably
+non-matching, pruning composes with MOR deletes, and unsound cases fall
+back to scanning everything."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
+
+DDL = "k bigint, name string, v double"
+
+
+@pytest.fixture
+def ranged_table(spark, tmp_path):
+    """Three inserts with disjoint key ranges → three files with disjoint
+    manifest [min,max] bounds."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.ranged", DDL, properties={"write.delete.mode": "merge-on-read"}
+    )
+    for lo in (0, 100, 200):
+        rows = [(lo + i, f"name-{lo + i}", float(i)) for i in range(100)]
+        t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+    return t
+
+
+def test_disjoint_ranges_prune_to_one_file(ranged_table):
+    entries = ranged_table.metadata.current_snapshot().data_files()
+    assert len(entries) == 3
+    assert len(candidate_files(entries, "k = 150")) == 1
+    assert len(candidate_files(entries, "k >= 100 AND k < 200")) == 1
+    assert len(candidate_files(entries, "k BETWEEN 50 AND 150")) == 2
+    assert len(candidate_files(entries, "k < 0")) == 0
+    # string bounds prune too (lexicographic, like parquet footers)
+    assert len(candidate_files(entries, "name = 'name-0'")) == 1
+
+
+def test_pruning_is_conservative_on_unprunable_predicates(ranged_table):
+    entries = ranged_table.metadata.current_snapshot().data_files()
+    # top-level OR, functions, unknown columns: everything stays
+    for pred in (
+        "k = 1 OR k = 250",
+        "abs(k) = 5",
+        "unknown_col = 3",
+        "k IN (1, 2)",
+    ):
+        assert len(candidate_files(entries, pred)) == 3, pred
+
+
+def test_scan_results_match_unpruned_read(ranged_table):
+    pruned = ranged_table.scan("k >= 100 AND k < 200")
+    full = ranged_table.read().filter("k >= 100 AND k < 200")
+    assert sorted(r["k"] for r in pruned.collect()) == sorted(
+        r["k"] for r in full.collect()
+    )
+    # and the pruned plan really reads fewer files
+    assert len(pruned.inputFiles()) == 1
+    assert len(ranged_table.read().inputFiles()) == 3
+
+
+def test_pruned_delete_composes_with_mor_read(ranged_table):
+    t = ranged_table
+    snap = t.delete("k = 150")
+    assert snap is not None
+    # delete files target only the single candidate file
+    assert t.read().filter(F.col("k") == 150).count() == 0
+    assert t.read().count() == 299
+    # a pruned scan after the delete still applies the position deletes
+    assert t.scan("k BETWEEN 140 AND 160").count() == 20
+
+
+def test_empty_candidate_set_short_circuits(ranged_table):
+    assert ranged_table.scan("k = 99999").count() == 0
+    assert ranged_table.delete("k = 99999") is None
