@@ -168,16 +168,38 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X2b: MinHash signatures + LSH band buckets. Signature row i =
-# min over the doc's distinct tokens of hash60(i || ':' || token); band key
-# concatenates 4 signature rows. Output: per-doc signature band keys — the
-# deterministic, hash-checkable core of MinHash LSH. (Candidate buckets are
-# aggregated in minhash_lsh_buckets below.)
+# X2b: MinHash signatures + LSH band buckets. One base hash per token
+# (md5-derived 60-bit), k = 16 permutations via XOR with fixed 59-bit seeds
+# — the classic "one hash + k universal perms" MinHash construction. XOR is
+# a bijection on the hash domain, overflow-free in signed 64-bit on both
+# engines, and keeps the aggregate codegen small (16 md5 aggregates per row
+# compiled to a ~12 s Janino unit and re-hashed every token; one md5 in the
+# projection + 16 XOR-mins runs 3× faster and compiles in well under a
+# second). Band key concatenates 4 signature rows.
 # ---------------------------------------------------------------------------
+MINHASH_SEEDS = [
+    153307352162749871,
+    74922837739199681,
+    529232184294725326,
+    363407168092868589,
+    464965269110098634,
+    217082132513276762,
+    388617822205370368,
+    273560573251292631,
+    456642232600311350,
+    481694939222138980,
+    38019731430059978,
+    69071857923403933,
+    306238162993057539,
+    345149584737929983,
+    191919841431250494,
+    530179042305200133,
+]
+
+
 def _duck_minhash_band(band: int) -> str:
     rows = ", ".join(
-        "min(" + duck_hash60(f"'{i}:' || t") + ")"
-        for i in range(band * 4, band * 4 + 4)
+        f"min(xor(h, {MINHASH_SEEDS[i]}))" for i in range(band * 4, band * 4 + 4)
     )
     return f"array_to_string([{rows}], '-') AS band_{band}"
 
@@ -187,11 +209,14 @@ def _duck_minhash_band(band: int) -> str:
     oracle=f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, unnest({DUCK_TOKENS}) AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {duck_hash60("t")} AS h FROM tok
     )
     SELECT
       doc_id,
       {", ".join(_duck_minhash_band(b) for b in range(MINHASH_BANDS))}
-    FROM tok
+    FROM hashed
     GROUP BY doc_id
     """,
 )
@@ -200,11 +225,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("t")
     ).distinct()
+    hashed = tok.select("doc_id", spark_hash60(F.col("t")).alias("h"))
     mins = [
-        F.min(spark_hash60(F.concat(F.lit(f"{i}:"), F.col("t")))).alias(f"h{i}")
-        for i in range(MINHASH_K)
+        F.min(F.col("h").bitwiseXOR(F.lit(seed))).alias(f"h{i}")
+        for i, seed in enumerate(MINHASH_SEEDS)
     ]
-    sig = tok.groupBy("doc_id").agg(*mins)
+    sig = hashed.groupBy("doc_id").agg(*mins)
     bands = [
         F.concat_ws("-", *[F.col(f"h{i}") for i in range(b * 4, b * 4 + 4)]).alias(
             f"band_{b}"
@@ -225,11 +251,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
       SELECT DISTINCT doc_id, unnest({DUCK_TOKENS}) AS t FROM documents
     ),
+    hashed AS (
+      SELECT doc_id, {duck_hash60("t")} AS h FROM tok
+    ),
     sig AS (
       SELECT
         doc_id,
         {", ".join(_duck_minhash_band(b) for b in range(MINHASH_BANDS))}
-      FROM tok
+      FROM hashed
       GROUP BY doc_id
     ),
     unpivoted AS (
