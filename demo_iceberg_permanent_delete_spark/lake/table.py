@@ -168,6 +168,31 @@ class LakeTable:
             df = self._apply_position_deletes(df, delete_files).select(*df.columns)
         return df.filter(self._as_column(predicate))
 
+    def deleted_rows(self) -> DataFrame:
+        """M6 audit companion (reference examine_delete_files,
+        cleanup_utils.py:133-202): the rows that are position-DELETED in the
+        current snapshot yet still physically present in data files — the
+        "PII persists until rewrite" proof, as a DataFrame. Inner-joins the
+        position-delete files back onto the raw data scan; empty when the
+        table has no delete files (COW, or post-compaction)."""
+        snap = self.metadata.current_snapshot()
+        if snap is None or not snap.delete_files() or not snap.data_files():
+            return self.empty_frame()
+        df = self.spark.read.parquet(*[e.file_path for e in snap.data_files()])
+        dels = self.spark.read.parquet(
+            *[e.file_path for e in snap.delete_files()]
+        ).select(F.col("file_path").alias("__fp"), F.col("pos").alias("__pos"))
+        if (
+            sum(e.file_size_in_bytes for e in snap.delete_files())
+            <= _BROADCAST_DELETES_MAX_BYTES
+        ):
+            dels = F.broadcast(dels)
+        return (
+            self._with_position(df)
+            .join(dels, on=["__fp", "__pos"], how="left_semi")
+            .drop("__fp", "__pos")
+        )
+
     def read_with_positions(
         self, snap: Snapshot | None = None, prune_for: str | None = None
     ) -> DataFrame:

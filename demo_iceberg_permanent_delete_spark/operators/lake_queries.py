@@ -153,6 +153,105 @@ def lake_rewrite_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
+@query(
+    "lake_expire_snapshots",
+    oracle=f"""
+    SELECT * FROM lineitem
+    WHERE {_SUBSET} AND NOT COALESCE(l_returnflag = 'R', FALSE)
+    """,
+)
+def lake_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 expire_snapshots (iceberg_pii_deletion_demo.py:289-305): after a
+    MOR delete, expiring everything older than now leaves exactly the
+    current snapshot, blocks time travel to the pre-delete state, and the
+    surviving read equals the post-delete result."""
+    import datetime as _dt
+
+    from demo_iceberg_permanent_delete_spark.lake.errors import SnapshotNotFoundError
+
+    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
+    try:
+        snap_before = t.metadata.current_snapshot_id
+        t.delete("l_returnflag = 'R'")
+        stats = t.expire_snapshots(_dt.datetime.now(_dt.timezone.utc))
+        assert stats["expired_snapshots"] >= 1
+        assert len(t.metadata.snapshots) == 1, "only the current snapshot survives"
+        try:
+            t.read(snapshot_id=snap_before)
+            raise AssertionError("time travel to an expired snapshot must raise")
+        except SnapshotNotFoundError:
+            pass
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query(
+    "lake_orphan_cleanup",
+    oracle=f"""
+    SELECT * FROM lineitem WHERE {_SUBSET}
+    """,
+)
+def lake_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M3 remove_orphan_files (cleanup_utils.py:26-67): a parquet file
+    planted in the table location but referenced by no snapshot is listed by
+    dry_run, protected by the 3-day SQL safety window (expected failure,
+    iceberg_pii_deletion_demo.py:343-358), then deleted via the Action path;
+    the table read is untouched."""
+    import datetime as _dt
+    import os as _os
+
+    from demo_iceberg_permanent_delete_spark.lake.errors import UnsafeOperationError
+
+    t, warehouse = _fresh_table(spark, sf_dir, {})
+    try:
+        orphan = _os.path.join(t.data_dir, "orphan-plant.parquet")
+        spark.range(10).coalesce(1).write.mode("overwrite").parquet(orphan + ".tmp")
+        part = next(
+            f for f in _os.listdir(orphan + ".tmp") if f.endswith(".parquet")
+        )
+        _os.replace(_os.path.join(orphan + ".tmp", part), orphan)
+        shutil.rmtree(orphan + ".tmp", ignore_errors=True)
+
+        future = _dt.datetime.now(_dt.timezone.utc) + _dt.timedelta(days=365)
+        try:
+            t.remove_orphan_files(future)
+            raise AssertionError("future cutoff must be refused by the safety window")
+        except UnsafeOperationError:
+            pass
+        listed = t.remove_orphan_files(future, dry_run=True, enforce_safety=False)
+        assert listed == [orphan], f"dry_run must list exactly the orphan, got {listed}"
+        removed = t.remove_orphan_files(future, enforce_safety=False)
+        assert removed == [orphan] and not _os.path.exists(orphan)
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query(
+    "lake_delete_audit",
+    oracle=f"""
+    SELECT * FROM lineitem
+    WHERE {_SUBSET} AND l_returnflag = 'R'
+    """,
+)
+def lake_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 delete-file audit (cleanup_utils.py:133-202): after a MOR delete
+    the position-deleted rows remain physically readable in the data files —
+    deleted_rows() recovers exactly the predicate's rows, the reference's
+    "PII still exists" proof. After rewrite_data_files the same audit
+    returns zero rows (permanence)."""
+    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
+    try:
+        t.delete("l_returnflag = 'R'")
+        persisted = t.deleted_rows().localCheckpoint(eager=True)
+        t.rewrite_data_files()
+        assert t.deleted_rows().count() == 0, "post-rewrite audit must be empty"
+        return persisted
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
 @query("lake_file_summary")  # rows-only: run_id/timestamps are nondeterministic
 def lake_file_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full summarize_files flow over a real lifecycle (insert → MOR delete)
