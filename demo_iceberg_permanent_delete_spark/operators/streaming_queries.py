@@ -21,6 +21,7 @@ from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
     session_window_stream,
     streaming_dedup,
     tumbling_count_stream,
+    user_profile_stream,
 )
 
 # Stateful-operator partition count for these bounded contract runs: each
@@ -88,6 +89,40 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         session_window_stream(stream),
         output_mode="complete",
+        state_partitions=_STATE_PARTITIONS,
+    )
+
+
+@query(
+    "streaming_user_profiles",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT
+        user_id,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        min(ts) AS first_ts,
+        max(ts) AS last_ts
+      FROM events GROUP BY 1
+    )
+    SELECT p.user_id, p.n_events, p.total_value, p.first_ts, p.last_ts,
+           count(*) AS n_types, max(t.c) AS top_type_count
+    FROM prof p JOIN per_type t ON p.user_id = t.user_id
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState, update mode): the
+    per-user running profile. One bounded batch ⇒ each user emits exactly
+    one row, equal to the batch aggregate the oracle computes."""
+    stream = read_event_stream(spark, table_path(sf_dir, "events"))
+    return run_available_now(
+        user_profile_stream(stream),
+        output_mode="update",
         state_partitions=_STATE_PARTITIONS,
     )
 

@@ -111,6 +111,154 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a per-user
+    running profile (event count, exact value sum, first/last seen, per-type
+    histogram) that no built-in streaming aggregate expresses in one pass —
+    the distinct-type histogram and top-type count require arbitrary
+    per-group state. Update mode: each micro-batch emits the refreshed
+    profile row for every user seen in that batch.
+
+    Scale notes: state is one small row per user (bounded by user
+    cardinality, not event volume); the operator shuffles once on
+    hash(user_id) — the same partitioning as a batch groupBy — and rows
+    reach Python as Arrow batches, not per-row pickling. The value sum is
+    accumulated as integer micro-units (HALF_UP at 6 decimals), matching a
+    ``CAST(value AS DECIMAL(18,6))`` sum bit-for-bit while keeping state a
+    single long.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("first_ts", T.TimestampType()),
+            T.StructField("last_ts", T.TimestampType()),
+            T.StructField("n_types", T.LongType()),
+            T.StructField("top_type_count", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_micros", T.LongType()),
+            T.StructField("first_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("type_names", T.ArrayType(T.StringType())),
+            T.StructField("type_counts", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update_profile(key, pdfs, state):  # pragma: no cover - runs on workers
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            n, vmic, first_us, last_us, names, counts = state.get
+            tcounts = dict(zip(names, counts))
+        else:
+            n, vmic, first_us, last_us, tcounts = 0, 0, None, None, {}
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            v = pdf["value"].to_numpy(dtype="float64")
+            v = v[~np.isnan(v)]
+            # HALF_UP to 6 decimals == Spark/DuckDB CAST(.. AS DECIMAL(18,6))
+            vmic += int((np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)).sum())
+            us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+            for etype, c in pdf["event_type"].value_counts().items():
+                tcounts[etype] = tcounts.get(etype, 0) + int(c)
+        names = list(tcounts)
+        state.update((n, vmic, first_us, last_us, names, [tcounts[k] for k in names]))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [vmic / 1e6],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "n_types": [len(tcounts)],
+                "top_type_count": [max(tcounts.values()) if tcounts else 0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_profile, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
+def stateful_session_stream(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
+    """Custom gap-based sessionizer via ``applyInPandasWithState`` with an
+    **event-time timeout**: a user's session stays open in state while events
+    keep arriving within ``gap_minutes``; when the watermark passes
+    last-event-time + gap the state times out and the closed session is
+    emitted exactly once (append mode). This is ``session_window`` rebuilt
+    from raw state primitives — the shape any custom stateful operator
+    (fraud windows, CDC collapse, trajectory stitching) follows at 100 TB:
+    watermark-bounded state, one shuffle on the group key, Arrow-batched
+    Python.
+    """
+    gap_us = gap_minutes * 60_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("first_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def track_session(key, pdfs, state):  # pragma: no cover - runs on workers
+        import pandas as pd
+
+        if state.hasTimedOut:
+            first_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(first_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        first_us = last_us = None
+        n = 0
+        if state.exists:
+            first_us, last_us, n = state.get
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+            n += len(us)
+        state.update((first_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60_000)
+        yield from ()
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track_session, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     *,

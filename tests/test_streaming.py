@@ -21,6 +21,7 @@ import pytest
 from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
     read_event_stream,
     run_available_now,
+    stateful_session_stream,
     streaming_dedup,
     tumbling_count_stream,
 )
@@ -114,3 +115,28 @@ def test_append_mode_window_finalizes_only_closed_windows(spark, three_batch_dir
     # window still counts 2. Event 5's window [11:00,11:10) is NOT closed
     # (watermark 10:50) and must not appear.
     assert rows == {(0, 10, "click"): 2, (30, 10, "view"): 2}
+
+
+def test_stateful_sessionizer_emits_on_event_time_timeout(spark, three_batch_dir):
+    stream = read_event_stream(spark, three_batch_dir, max_files_per_trigger=1)
+    out = run_available_now(stateful_session_stream(stream), output_mode="append")
+    rows = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.collect()
+    )
+    # Final watermark = 10:50 (event 5 at minute 60, minus 10min delay; the
+    # availableNow run ends with a no-data batch that fires pending
+    # timeouts). User 100's session (minutes 0,5 → timeout 10:15) and user
+    # 200's (minutes 30,31 spanning two batches → timeout 10:41) are closed
+    # and emitted exactly once. User 400 (minute 60 → timeout 11:10 > wm)
+    # stays open and must NOT appear; user 300's sole event arrived behind
+    # the watermark and never created state.
+    assert rows == [
+        (100, BASE, BASE + dt.timedelta(minutes=15), 2),
+        (
+            200,
+            BASE + dt.timedelta(minutes=30),
+            BASE + dt.timedelta(minutes=41),
+            2,
+        ),
+    ]
