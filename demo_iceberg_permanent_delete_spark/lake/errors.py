@@ -26,3 +26,8 @@ class SnapshotNotFoundError(LakeError):
 
 class UnsafeOperationError(LakeError):
     """Safety-window refusal, e.g. orphan cleanup with a future cutoff."""
+
+
+class MergeCardinalityError(LakeError):
+    """MERGE matched one target row to multiple source rows (the ANSI/Iceberg
+    cardinality violation — the update would be nondeterministic)."""

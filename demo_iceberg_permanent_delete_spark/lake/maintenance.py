@@ -206,6 +206,10 @@ def rewrite_position_delete_files(table) -> dict[str, int]:
         table.data_dir,
         content=CONTENT_POSITION_DELETES,
         prefix="delete",
+        # Bin-pack to the compaction target — consolidation must *shrink*
+        # the delete-file count (the reference's post-condition :449-466),
+        # not mirror the input partitioning.
+        target_file_size_bytes=TARGET_FILE_SIZE_BYTES,
     )
     snapshot = meta.add_snapshot(
         "replace",

@@ -14,6 +14,8 @@ extension. Covered statements, with the reference call sites:
 - ALTER TABLE t SET TBLPROPERTIES (...)  :166-171
 - DELETE FROM t WHERE pred               :175-180
 - UPDATE t SET c = e, … WHERE pred       :228-235
+- MERGE INTO t USING src ON keys WHEN MATCHED … WHEN NOT MATCHED …
+  (extension — the reference stops at UPDATE/DELETE; same Iceberg grammar)
 - CALL demo.system.expire_snapshots      :289-296, 486-492
 - CALL demo.system.remove_orphan_files   cleanup_utils.py:26-47
 - CALL demo.system.rewrite_data_files    :421-433
@@ -161,6 +163,74 @@ class LakeEngine:
             },
         )
 
+    def _merge(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        talias = m.group("talias") or "t"
+        salias = m.group("salias") or "s"
+
+        src_text = m.group("src").strip()
+        if src_text.startswith("("):
+            source = self._select(src_text[1:-1].strip())
+        else:
+            source = self._select(f"SELECT * FROM {src_text}")
+
+        # ON: conjunction of same-named equality keys (t.k = s.k AND …)
+        keys = []
+        for clause in re.split(r"\s+AND\s+", m.group("cond").strip(), flags=re.I):
+            eq = re.match(
+                r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", clause.strip()
+            )
+            if not eq or eq.group(2) != eq.group(4) or {eq.group(1), eq.group(3)} != {
+                talias,
+                salias,
+            }:
+                raise ValueError(
+                    f"MERGE ON supports same-named equality keys only, got {clause!r}"
+                )
+            keys.append(eq.group(2))
+
+        clauses = m.group("clauses")
+        when_matched, assignments = "ignore", None
+        mm = re.search(
+            r"WHEN\s+MATCHED\s+THEN\s+(?:(?P<del>DELETE)|UPDATE\s+SET\s+"
+            r"(?P<sets>\*|.+?))\s*(?=WHEN\s+NOT\s+MATCHED|$)",
+            clauses,
+            re.I | re.S,
+        )
+        if mm:
+            if mm.group("del"):
+                when_matched = "delete"
+            else:
+                when_matched = "update"
+                sets = mm.group("sets").strip()
+                if sets != "*":
+                    assignments = {}
+                    for part in _split_top_level(sets):
+                        col, expr = part.split("=", 1)
+                        expr = re.sub(rf"\b{talias}\.", "t.", expr)
+                        expr = re.sub(rf"\b{salias}\.", "s.", expr)
+                        col = col.strip()
+                        col = col.split(".")[-1]  # accept t.col = …
+                        assignments[col] = expr.strip()
+        insert_unmatched = bool(
+            re.search(r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", clauses, re.I)
+        )
+        snap = t.merge(
+            source,
+            keys,
+            when_matched=when_matched,
+            assignments=assignments,
+            insert_unmatched=insert_unmatched,
+        )
+        return _one_row_df(
+            self.spark,
+            {
+                "table": t.name,
+                "status": "merged",
+                "snapshot_id": snap.snapshot_id if snap else None,
+            },
+        )
+
     # ------------------------------------------------------ CALL handlers
     def _call(self, m: re.Match) -> DataFrame:
         proc = m.group("proc").lower()
@@ -263,6 +333,15 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _update,
+        ),
+        (
+            re.compile(
+                r"MERGE\s+INTO\s+(?P<name>[\w.]+)(?:\s+AS)?(?:\s+(?P<talias>(?!USING\b)\w+))?"
+                r"\s+USING\s+(?P<src>\(.*?\)|[\w.]+)(?:\s+AS)?(?:\s+(?P<salias>(?!ON\b)\w+))?"
+                r"\s+ON\s+(?P<cond>.+?)\s+(?P<clauses>WHEN\s+.+)$",
+                re.I | re.S,
+            ),
+            _merge,
         ),
         (
             re.compile(

@@ -322,6 +322,140 @@ class LakeTable:
         self.metadata.commit()
         return snapshot
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        *,
+        when_matched: str = "update",
+        assignments: dict[str, Column | str | Any] | None = None,
+        insert_unmatched: bool = True,
+    ) -> Snapshot | None:
+        """MERGE INTO (upsert) — copy-on-write, one commit.
+
+        ``on`` lists equality key columns. ``when_matched`` is ``"update"``
+        (default), ``"delete"``, or ``"ignore"``; ``assignments`` maps
+        target columns to expressions (``str`` exprs may reference the
+        aliases ``t`` and ``s``, e.g. ``"s.qty + t.qty"``) — ``None`` means
+        ``UPDATE SET *`` (replace every non-key column with the source's).
+        ``insert_unmatched`` appends source rows whose keys match no target
+        row (``WHEN NOT MATCHED THEN INSERT *``). A target row matching
+        multiple source rows raises MergeCardinalityError (the ANSI/Iceberg
+        rule). Extension beyond the reference's DML surface (it stops at
+        UPDATE/DELETE, iceberg_pii_deletion_demo.py:175-235); same COW
+        machinery.
+
+        Plan shape at scale: one pruned scan of the target joined against
+        per-key source counts finds affected files AND checks cardinality in
+        a single job; only affected files are rewritten (left join vs
+        source); inserts are a key anti-join against a column-pruned target
+        key projection. Source-side joins broadcast under AQE when small.
+        """
+        from demo_iceberg_permanent_delete_spark.lake.errors import (
+            MergeCardinalityError,
+        )
+
+        fields = self.schema().fields
+        cols = [f.name for f in fields]
+        types = {f.name: f.dataType for f in fields}
+        bad = [k for k in on if k not in cols]
+        if bad:
+            raise ValueError(f"merge keys not in table schema: {bad}")
+        if (assignments is None and when_matched == "update") or insert_unmatched:
+            missing = [c for c in cols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"SET */INSERT * needs every table column in the source; missing {missing}"
+                )
+
+        tgt = self.read_with_positions()
+        key_counts = source.groupBy(*on).agg(F.count(F.lit(1)).alias("__src_n"))
+        probe = (
+            tgt.join(key_counts, on=on, how="inner")
+            .agg(
+                F.max("__src_n").alias("max_matches"),
+                F.collect_set("__fp").alias("affected"),
+            )
+            .first()
+        )
+        affected = set(probe["affected"] or [])
+        if probe["max_matches"] is not None and probe["max_matches"] > 1:
+            raise MergeCardinalityError(
+                f"{probe['max_matches']} source rows matched a single target key"
+            )
+
+        new_entries: list[ManifestEntry] = []
+        rewritten = 0
+        if affected and when_matched != "ignore":
+            rows = (
+                self.read_with_positions()
+                .filter(F.col("__fp").isin(list(affected)))
+                .drop("__pos")
+                .alias("t")
+            )
+            src = source.withColumn("__m", F.lit(1)).alias("s")
+            merged = rows.join(src, on=on, how="left")
+            matched = F.col("__m").isNotNull()
+            if when_matched == "delete":
+                out = merged.filter(~matched).select(
+                    *[F.col(f"t.{c}").alias(c) for c in cols]
+                )
+            else:
+                exprs = []
+                for c in cols:
+                    if c in on:
+                        exprs.append(F.col(c))
+                        continue
+                    if assignments is None:
+                        val = F.col(f"s.{c}")
+                    elif c in assignments:
+                        v = assignments[c]
+                        val = F.expr(v) if isinstance(v, str) else (
+                            v if isinstance(v, Column) else F.lit(v)
+                        )
+                    else:
+                        exprs.append(F.col(f"t.{c}").alias(c))
+                        continue
+                    exprs.append(
+                        F.when(matched, val.cast(types[c]))
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                    )
+                out = merged.select(*exprs)
+            new_entries += write_data_files(out, self.data_dir)
+            rewritten = len(affected)
+
+        inserted_files = 0
+        if insert_unmatched:
+            fresh = source.join(tgt.select(*on).distinct(), on=on, how="left_anti")
+            aligned = fresh.select(*[fresh[c].cast(types[c]).alias(c) for c in cols])
+            ins_entries = write_data_files(aligned, self.data_dir)
+            inserted_files = len(ins_entries)
+            new_entries += ins_entries
+
+        if not new_entries and not (affected and when_matched == "delete"):
+            return None
+        snap = self.metadata.current_snapshot()
+        base = list(snap.manifest) if snap else []
+        kept = [
+            e
+            for e in base
+            if e.file_path not in affected or when_matched == "ignore"
+        ]
+        snapshot = self.metadata.add_snapshot(
+            "overwrite",
+            kept + new_entries,
+            summary={
+                "rewritten-files": rewritten,
+                "added-files": len(new_entries),
+                "inserted-files": inserted_files,
+            },
+        )
+        for e in new_entries:
+            e.added_snapshot_id = snapshot.snapshot_id
+        self.metadata.commit()
+        return snapshot
+
     def update(self, assignments: dict[str, Column | Any], predicate: str | Column) -> Snapshot | None:
         """UPDATE … SET col=expr WHERE pred — copy-on-write rewrite of the
         affected files (reference PII nulling: iceberg_pii_deletion_demo.py:

@@ -252,6 +252,93 @@ def lake_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
+_ORDERS_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+@query(
+    "lake_merge_upsert",
+    oracle="""
+    SELECT
+      o_orderkey, o_custkey, o_orderstatus,
+      CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1000
+           ELSE o_totalprice END AS o_totalprice,
+      o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 5
+    """,
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (COW upsert) on the unique o_orderkey key: matched rows
+    ('F'-status orders) arrive with o_totalprice bumped and replace the
+    target row (UPDATE SET *), unmatched source rows (a disjoint orderkey
+    slice) are inserted — one snapshot, only affected files rewritten.
+    Merging on lineitem's non-unique key raises MergeCardinalityError
+    (covered in tests/test_sql_facade.py)."""
+    warehouse = tempfile.mkdtemp(prefix="lakeq-")
+    cat = Catalog(spark, warehouse)
+    cat.create_namespace("default")
+    t = cat.create_table("default.orders_lake", _ORDERS_DDL)
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        t.insert(orders.filter("o_orderkey % 10 = 0"))
+        source = orders.filter(
+            "(o_orderkey % 10 = 0 AND o_orderstatus = 'F') OR o_orderkey % 10 = 5"
+        ).withColumn(
+            "o_totalprice",
+            F.when(
+                F.expr("o_orderkey % 10 = 0"), F.col("o_totalprice") + 1000
+            ).otherwise(F.col("o_totalprice")),
+        )
+        snap = t.merge(
+            source,
+            ["o_orderkey"],
+            when_matched="update",
+            assignments=None,  # SET *
+            insert_unmatched=True,
+        )
+        assert snap is not None and snap.summary["rewritten-files"] >= 1
+        assert snap.summary["inserted-files"] >= 1
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query(
+    "lake_rewrite_position_deletes",
+    oracle=f"""
+    SELECT * FROM lineitem
+    WHERE {_SUBSET}
+      AND NOT COALESCE(l_returnflag = 'R', FALSE)
+      AND NOT COALESCE(l_linestatus = 'O', FALSE)
+    """,
+)
+def lake_rewrite_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 rewrite_position_delete_files (iceberg_pii_deletion_demo.py:
+    436-447): two MOR deletes leave multiple position-delete files;
+    consolidation merges them into fewer files (the reference's
+    post-condition :449-466 — delete-file count drops) without changing
+    the read result."""
+    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
+    try:
+        t.delete("l_returnflag = 'R'")
+        t.delete("l_linestatus = 'O'")
+        before = len(t.metadata.current_snapshot().delete_files())
+        assert before >= 2, "two MOR deletes must produce ≥2 delete files"
+        stats = t.rewrite_position_delete_files()
+        after = len(t.metadata.current_snapshot().delete_files())
+        assert stats["rewritten_delete_files_count"] == before
+        assert after < before, f"consolidation must shrink {before} -> {after}"
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
 @query("lake_file_summary")  # rows-only: run_id/timestamps are nondeterministic
 def lake_file_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full summarize_files flow over a real lifecycle (insert → MOR delete)

@@ -187,3 +187,47 @@ def test_metadata_sql_runs_reference_shaped_summary(engine):
 def test_drop_table_via_sql(engine):
     engine.sql("DROP TABLE IF EXISTS demo.default.pii_data PURGE")
     assert not engine.catalog.table_exists("default.pii_data")
+
+
+def test_merge_into_via_sql(engine, spark):
+    # case-2 updated in place (assignment referencing the source alias),
+    # case-9 inserted; case-1/3 untouched.
+    spark.createDataFrame(
+        [
+            ("case-2", "Bobby", "bobby@example.com", "k2", "new-2", "sk2", "2023-02-01"),
+            ("case-9", "Zoe", "zoe@example.com", "k9", "secret-9", "sk9", "2023-02-02"),
+        ],
+        "case_id string, first_name string, email_address string, key_nm string,"
+        " secure_txt string, secure_key string, update_date string",
+    ).withColumn("update_date", F.col("update_date").cast("date")).createOrReplaceTempView(
+        "pii_source"
+    )
+    engine.sql("""
+        MERGE INTO demo.default.pii_data t
+        USING pii_source s
+        ON t.case_id = s.case_id
+        WHEN MATCHED THEN UPDATE SET first_name = s.first_name, secure_txt = s.secure_txt
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    rows = {
+        r["case_id"]: (r["first_name"], r["secure_txt"], r["email_address"])
+        for r in engine.sql("SELECT * FROM demo.default.pii_data").collect()
+    }
+    assert set(rows) == {"case-1", "case-2", "case-3", "case-9"}
+    # updated columns changed, unassigned column kept the target value
+    assert rows["case-2"] == ("Bobby", "new-2", "bob@example.com")
+    assert rows["case-9"][0] == "Zoe"
+
+
+def test_merge_when_matched_delete_and_cardinality(engine, spark):
+    from demo_iceberg_permanent_delete_spark.lake.errors import MergeCardinalityError
+
+    t = engine.table(TABLE)
+    src = spark.createDataFrame([("case-1",)], "case_id string")
+    t.merge(src, ["case_id"], when_matched="delete", insert_unmatched=False)
+    left = sorted(r["case_id"] for r in t.read().select("case_id").collect())
+    assert left == ["case-2", "case-3"]
+
+    dup = spark.createDataFrame([("case-2",), ("case-2",)], "case_id string")
+    with pytest.raises(MergeCardinalityError):
+        t.merge(dup, ["case_id"], when_matched="delete", insert_unmatched=False)
