@@ -20,6 +20,8 @@ extension. Covered statements, with the reference call sites:
 - CALL demo.system.remove_orphan_files   cleanup_utils.py:26-47
 - CALL demo.system.rewrite_data_files    :421-433
 - CALL demo.system.rewrite_position_delete_files  :436-447
+- CALL demo.system.rollback_to_snapshot  (extension — Iceberg's standard
+  maintenance procedure; the reference recovers state via time travel only)
 - SELECT … FROM t / t.files / t.history / t.snapshots / t.all_manifests /
   t.metadata_log_entries / t.all_entries  :114,120,205; file_summary_utils
   (plain Spark SQL after identifier rewrite to registered temp views)
@@ -234,8 +236,22 @@ class LakeEngine:
     # ------------------------------------------------------ CALL handlers
     def _call(self, m: re.Match) -> DataFrame:
         proc = m.group("proc").lower()
-        args = _parse_call_args(m.group("args"))
+        positional = (
+            ["table", "snapshot_id"]
+            if proc == "rollback_to_snapshot"
+            else ["table", "older_than"]
+        )
+        args = _parse_call_args(m.group("args"), positional)
         t = self.table(str(args.pop("table")))
+        if proc == "rollback_to_snapshot":
+            t.rollback_to_snapshot(int(args["snapshot_id"]))
+            return _one_row_df(
+                self.spark,
+                {
+                    "previous_snapshot_id": t.metadata.snapshots[-1].snapshot_id,
+                    "current_snapshot_id": t.metadata.current_snapshot_id,
+                },
+            )
         if proc == "expire_snapshots":
             stats = t.expire_snapshots(older_than=args["older_than"])
             return _one_row_df(self.spark, stats)
@@ -405,11 +421,13 @@ def _parse_literal(text: str) -> Any:
     return text
 
 
-def _parse_call_args(text: str) -> dict[str, Any]:
+def _parse_call_args(
+    text: str, positional_names: list[str] | None = None
+) -> dict[str, Any]:
     """Both positional ('tbl', TIMESTAMP '…') — reference :296 — and named
     (table => 'tbl', older_than => TIMESTAMP '…') — reference
     cleanup_utils.py:30-44 — argument styles."""
-    positional_names = ["table", "older_than"]
+    positional_names = positional_names or ["table", "older_than"]
     out: dict[str, Any] = {}
     for i, part in enumerate(_split_top_level(text)):
         if "=>" in part:

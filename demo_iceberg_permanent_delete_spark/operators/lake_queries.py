@@ -339,6 +339,47 @@ def lake_rewrite_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
+@query(
+    "lake_incremental_read",
+    oracle="""
+    SELECT * FROM lineitem WHERE l_orderkey % 10 = 5
+    """,
+)
+def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (Iceberg incremental-read parity): two append
+    snapshots; reading the range after the first returns exactly the second
+    batch — manifest-only planning, no row-set diffing."""
+    t, warehouse = _fresh_table(spark, sf_dir, {})
+    try:
+        snap1 = t.metadata.current_snapshot_id
+        li = load_table(spark, sf_dir, "lineitem")
+        t.insert(li.filter("l_orderkey % 10 = 5"))
+        return t.incremental_read(from_snapshot_id=snap1).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query(
+    "lake_rollback",
+    oracle=f"""
+    SELECT * FROM lineitem WHERE {_SUBSET}
+    """,
+)
+def lake_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL rollback_to_snapshot: a MOR delete is undone by pointing the
+    table back at the pre-delete snapshot — the current read returns every
+    row again, and the delete snapshot leaves the current ancestry."""
+    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
+    try:
+        snap_before = t.metadata.current_snapshot_id
+        t.delete("l_returnflag = 'R'")
+        t.rollback_to_snapshot(snap_before)
+        assert t.metadata.current_snapshot_id == snap_before
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
 @query("lake_file_summary")  # rows-only: run_id/timestamps are nondeterministic
 def lake_file_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full summarize_files flow over a real lifecycle (insert → MOR delete)

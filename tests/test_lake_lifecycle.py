@@ -112,6 +112,36 @@ def test_mor_delete_masks_but_persists(spark, pii_table):
     assert sorted(r["case_id"] for r in old) == ["case-1", "case-2", "case-3"]
 
 
+def test_incremental_read_appends_only(spark, pii_table):
+    snap1 = pii_table.metadata.current_snapshot_id
+    extra = [("case-4", "Dinh", "dinh@example.com", "k4", "s4", "sk4", dt.date(2023, 1, 4))]
+    pii_table.insert(spark.createDataFrame(extra, PII_SCHEMA))
+    got = pii_table.incremental_read(from_snapshot_id=snap1).collect()
+    assert [r["case_id"] for r in got] == ["case-4"]
+    # same-snapshot range is empty
+    cur = pii_table.metadata.current_snapshot_id
+    assert pii_table.incremental_read(from_snapshot_id=cur).count() == 0
+    # a delete inside the range breaks the append-only contract
+    pii_table.delete("case_id = 'case-2'")
+    with pytest.raises(ValueError, match="append-only"):
+        pii_table.incremental_read(from_snapshot_id=snap1)
+    # unknown starting snapshot still raises SnapshotNotFoundError
+    with pytest.raises(SnapshotNotFoundError):
+        pii_table.incremental_read(from_snapshot_id=123456789)
+
+
+def test_rollback_to_snapshot(spark, pii_table):
+    snap_before = pii_table.metadata.current_snapshot_id
+    pii_table.delete("case_id = 'case-2'")
+    pii_table.rollback_to_snapshot(snap_before)
+    rows = sorted(r["case_id"] for r in pii_table.read().collect())
+    assert rows == ["case-1", "case-2", "case-3"]
+    # the abandoned delete snapshot is no longer a current ancestor
+    hist = {r["snapshot_id"]: r["is_current_ancestor"] for r in pii_table.meta("history").collect()}
+    assert hist[snap_before] is True
+    assert sum(1 for v in hist.values() if not v) == 1
+
+
 def test_delete_nothing_is_noop(pii_table):
     v = pii_table.metadata.version
     assert pii_table.delete("case_id = 'case-999'") is None

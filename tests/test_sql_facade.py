@@ -189,6 +189,17 @@ def test_drop_table_via_sql(engine):
     assert not engine.catalog.table_exists("default.pii_data")
 
 
+def test_rollback_via_call(engine):
+    snap_before = engine.table(TABLE).metadata.current_snapshot_id
+    engine.sql("DELETE FROM demo.default.pii_data WHERE case_id = 'case-2'")
+    out = engine.sql(
+        f"CALL demo.system.rollback_to_snapshot('default.pii_data', {snap_before})"
+    ).first()
+    assert out["current_snapshot_id"] == snap_before
+    live = engine.sql("SELECT case_id FROM demo.default.pii_data ORDER BY case_id")
+    assert [r["case_id"] for r in live.collect()] == ["case-1", "case-2", "case-3"]
+
+
 def test_merge_into_via_sql(engine, spark):
     # case-2 updated in place (assignment referencing the source alias),
     # case-9 inserted; case-1/3 untouched.
