@@ -118,6 +118,20 @@ class LakeEngine:
         t.set_properties(dict(_parse_kv_props(m.group("props"))))
         return _one_row_df(self.spark, {"table": t.name, "status": "properties set"})
 
+    def _alter_add_column(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        t.add_column(m.group("col"), m.group("type").strip())
+        return _one_row_df(
+            self.spark, {"table": t.name, "status": f"added column {m.group('col')}"}
+        )
+
+    def _alter_drop_column(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        t.drop_column(m.group("col"))
+        return _one_row_df(
+            self.spark, {"table": t.name, "status": f"dropped column {m.group('col')}"}
+        )
+
     # ------------------------------------------------------- DML handlers
     def _insert_values(self, m: re.Match) -> DataFrame:
         t = self.table(m.group("name"))
@@ -328,6 +342,22 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _alter_properties,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*"
+                r"(?P<col>\w+)\s+(?P<type>[\w<>(),. ]+?)\s*\)?$",
+                re.I | re.S,
+            ),
+            _alter_add_column,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMNS?\s*\(?\s*"
+                r"(?P<col>\w+)\s*\)?$",
+                re.I | re.S,
+            ),
+            _alter_drop_column,
         ),
         (
             re.compile(

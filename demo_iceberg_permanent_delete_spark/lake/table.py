@@ -85,6 +85,37 @@ class LakeTable:
     def empty_frame(self) -> DataFrame:
         return self.spark.createDataFrame([], self.metadata.schema_ddl)
 
+    def add_column(self, name: str, type_ddl: str) -> None:
+        """ALTER TABLE ADD COLUMN (schema evolution — extension; the
+        reference mutates only table *properties*, SURVEY.md §1.4). Pure
+        metadata: existing files simply lack the column and every read
+        null-fills it because scans pass the declared schema explicitly."""
+        if any(f.name == name for f in self.schema().fields):
+            raise ValueError(f"column {name!r} already exists")
+        self.metadata.schema_ddl = f"{self.metadata.schema_ddl}, {name} {type_ddl}"
+        self.schema()  # validate the DDL parses before committing
+        self.metadata.commit()
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — metadata-only: files keep the physical
+        column; declared-schema reads stop projecting it."""
+        fields = [f for f in self.schema().fields if f.name != name]
+        if len(fields) == len(self.schema().fields):
+            raise ValueError(f"no such column {name!r}")
+        if not fields:
+            raise ValueError("cannot drop the last column")
+        self.metadata.schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in fields
+        )
+        self.metadata.commit()
+
+    def _data_reader(self):
+        """Parquet reader pinned to the declared schema: by-name column
+        resolution null-fills columns added after a file was written and
+        drops columns removed since — the schema-evolution read contract.
+        Also skips cross-file schema inference at plan time."""
+        return self.spark.read.schema(self.schema())
+
     def set_properties(self, props: dict[str, str]) -> None:
         """ALTER TABLE SET TBLPROPERTIES (reference: iceberg_pii_deletion_demo.py:166-171).
 
@@ -114,7 +145,7 @@ class LakeTable:
         data_files = snap.data_files()
         if not data_files:
             return self.empty_frame()
-        df = self.spark.read.parquet(*[e.file_path for e in data_files])
+        df = self._data_reader().parquet(*[e.file_path for e in data_files])
         delete_files = snap.delete_files() if apply_deletes else []
         if not delete_files:
             return df
@@ -162,7 +193,7 @@ class LakeTable:
         )
         if not entries:
             return self.empty_frame()
-        df = self.spark.read.parquet(*[e.file_path for e in entries])
+        df = self._data_reader().parquet(*[e.file_path for e in entries])
         delete_files = snap.delete_files()
         if delete_files:
             df = self._apply_position_deletes(df, delete_files).select(*df.columns)
@@ -178,7 +209,7 @@ class LakeTable:
         snap = self.metadata.current_snapshot()
         if snap is None or not snap.delete_files() or not snap.data_files():
             return self.empty_frame()
-        df = self.spark.read.parquet(*[e.file_path for e in snap.data_files()])
+        df = self._data_reader().parquet(*[e.file_path for e in snap.data_files()])
         dels = self.spark.read.parquet(
             *[e.file_path for e in snap.delete_files()]
         ).select(F.col("file_path").alias("__fp"), F.col("pos").alias("__pos"))
@@ -238,7 +269,7 @@ class LakeTable:
         ]
         if not files:
             return self.empty_frame()
-        return self.spark.read.parquet(*files)
+        return self._data_reader().parquet(*files)
 
     def rollback_to_snapshot(self, snapshot_id: int) -> None:
         """CALL rollback_to_snapshot parity (Iceberg maintenance procedure):
@@ -269,7 +300,7 @@ class LakeTable:
                 return self.empty_frame().withColumns(
                     {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
                 )
-        df = self.spark.read.parquet(*[e.file_path for e in data_entries])
+        df = self._data_reader().parquet(*[e.file_path for e in data_entries])
         with_pos = self._with_position(df)
         delete_files = snap.delete_files()
         if not delete_files:

@@ -380,6 +380,40 @@ def lake_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
+@query(
+    "lake_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, CAST(NULL AS VARCHAR) AS o_note
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, 'backfill' AS o_note
+    FROM orders WHERE o_orderkey % 10 = 5
+    """,
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN then append: pre-evolution files null-fill the
+    new column at read (declared-schema scans), post-evolution rows carry
+    values — no file rewrite anywhere."""
+    warehouse = tempfile.mkdtemp(prefix="lakeq-")
+    cat = Catalog(spark, warehouse)
+    cat.create_namespace("default")
+    t = cat.create_table("default.orders_evolve", _ORDERS_DDL)
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        t.insert(orders.filter("o_orderkey % 10 = 0"))
+        t.add_column("o_note", "string")
+        t.insert(
+            orders.filter("o_orderkey % 10 = 5").withColumn(
+                "o_note", F.lit("backfill")
+            )
+        )
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
 @query("lake_file_summary")  # rows-only: run_id/timestamps are nondeterministic
 def lake_file_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full summarize_files flow over a real lifecycle (insert → MOR delete)

@@ -142,6 +142,30 @@ def test_rollback_to_snapshot(spark, pii_table):
     assert sum(1 for v in hist.values() if not v) == 1
 
 
+def test_schema_evolution_add_drop_column(spark, pii_table):
+    pii_table.add_column("region", "string")
+    extra = [
+        ("case-4", "Dinh", "dinh@example.com", "k4", "s4", "sk4", dt.date(2023, 1, 4), "EU")
+    ]
+    pii_table.insert(
+        spark.createDataFrame(extra, PII_SCHEMA + ", region string")
+    )
+    rows = {r["case_id"]: r["region"] for r in pii_table.read().collect()}
+    # old files null-fill the new column; the new row carries its value
+    assert rows == {"case-1": None, "case-2": None, "case-3": None, "case-4": "EU"}
+    with pytest.raises(ValueError, match="already exists"):
+        pii_table.add_column("region", "string")
+
+    pii_table.drop_column("secure_txt")
+    assert "secure_txt" not in pii_table.read().columns
+    # DML through the evolved schema still works (COW update on mixed files)
+    pii_table.update({"region": "NA"}, "case_id = 'case-1'")
+    rows = {r["case_id"]: r["region"] for r in pii_table.read().collect()}
+    assert rows["case-1"] == "NA" and rows["case-4"] == "EU"
+    with pytest.raises(ValueError, match="no such column"):
+        pii_table.drop_column("ghost")
+
+
 def test_delete_nothing_is_noop(pii_table):
     v = pii_table.metadata.version
     assert pii_table.delete("case_id = 'case-999'") is None

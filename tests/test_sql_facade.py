@@ -200,6 +200,14 @@ def test_rollback_via_call(engine):
     assert [r["case_id"] for r in live.collect()] == ["case-1", "case-2", "case-3"]
 
 
+def test_alter_add_drop_column_via_sql(engine):
+    engine.sql("ALTER TABLE demo.default.pii_data ADD COLUMN region string")
+    out = engine.sql("SELECT case_id, region FROM demo.default.pii_data")
+    assert all(r["region"] is None for r in out.collect())
+    engine.sql("ALTER TABLE demo.default.pii_data DROP COLUMN region")
+    assert "region" not in engine.sql("SELECT * FROM demo.default.pii_data").columns
+
+
 def test_merge_into_via_sql(engine, spark):
     # case-2 updated in place (assignment referencing the source alias),
     # case-9 inserted; case-1/3 untouched.
