@@ -79,6 +79,7 @@ class Catalog:
         schema_ddl: str,
         properties: dict[str, str] | None = None,
         if_not_exists: bool = False,
+        partition_by: list[str] | None = None,
     ) -> LakeTable:
         """CREATE TABLE … (reference DDL: iceberg_pii_deletion_demo.py:74-85)."""
         ns, _ = self._qualify(name)
@@ -96,6 +97,7 @@ class Catalog:
             location=location,
             schema_ddl=schema_ddl,
             properties=dict(properties or {}),
+            partition_by=list(partition_by or []),
         )
         meta.commit()
         reg["tables"][name] = {"location": location}

@@ -122,6 +122,10 @@ class TableMetadata:
     location: str  # table root dir
     schema_ddl: str
     properties: dict[str, str]
+    # PARTITIONED BY columns (identity transform). Inserts range-cluster on
+    # these so manifest min/max stats give exact file-level partition
+    # pruning (Iceberg's write.distribution-mode=range behavior).
+    partition_by: list[str] = field(default_factory=list)
     snapshots: list[Snapshot] = field(default_factory=list)
     current_snapshot_id: int | None = None
     # [{"metadata_file": path, "timestamp_ms": int}] — mirrors
@@ -143,6 +147,7 @@ class TableMetadata:
             "location": self.location,
             "schema_ddl": self.schema_ddl,
             "properties": self.properties,
+            "partition_by": self.partition_by,
             "current_snapshot_id": self.current_snapshot_id,
             "metadata_log": self.metadata_log,
             "version": self.version,
@@ -156,6 +161,7 @@ class TableMetadata:
             location=d["location"],
             schema_ddl=d["schema_ddl"],
             properties=dict(d["properties"]),
+            partition_by=list(d.get("partition_by", [])),
             snapshots=[Snapshot.from_json(s) for s in d["snapshots"]],
             current_snapshot_id=d.get("current_snapshot_id"),
             metadata_log=list(d.get("metadata_log", [])),

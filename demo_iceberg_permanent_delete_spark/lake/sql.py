@@ -105,11 +105,17 @@ class LakeEngine:
     def _create_table(self, m: re.Match) -> DataFrame:
         name = self._strip_catalog(m.group("name"))
         props = dict(_parse_kv_props(m.group("props"))) if m.group("props") else {}
+        parts = (
+            [c.strip() for c in m.group("parts").split(",")]
+            if m.group("parts")
+            else None
+        )
         self.catalog.create_table(
             name,
             m.group("schema").strip(),
             properties=props,
             if_not_exists=m.group("ine") is not None,
+            partition_by=parts,
         )
         return _one_row_df(self.spark, {"table": name, "status": "created"})
 
@@ -330,6 +336,7 @@ class LakeEngine:
             re.compile(
                 r"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
                 r"\((?P<schema>.*)\)\s*USING\s+iceberg"
+                r"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>[\w,\s]+)\))?"
                 r"(?:\s+TBLPROPERTIES\s*\((?P<props>.*)\))?$",
                 re.I | re.S,
             ),

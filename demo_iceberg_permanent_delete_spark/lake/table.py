@@ -313,11 +313,29 @@ class LakeTable:
         return with_pos.join(dels, on=["__fp", "__pos"], how="left_anti")
 
     # --------------------------------------------------------------- DML
+    def _cluster_for_write(self, df: DataFrame) -> DataFrame:
+        """Range-cluster incoming rows on the PARTITIONED BY columns
+        (Iceberg's write.distribution-mode=range): each output file then
+        covers a narrow value range, so the manifest min/max stats act as
+        exact partition pruning at plan time — scan('p = x') opens only the
+        files whose range contains x, never the other 799,999."""
+        cols = self.metadata.partition_by
+        if not cols:
+            return df
+        exprs = [F.col(c) for c in cols]
+        # Default: AQE sizes the range shuffle by data volume (small insert →
+        # few files, 100 TB insert → many); `write.distribution.partitions`
+        # pins an explicit file count (AQE never coalesces an explicit n).
+        n = self.properties.get("write.distribution.partitions")
+        if n:
+            return df.repartitionByRange(int(n), *exprs)
+        return df.repartitionByRange(*exprs)
+
     def insert(self, df: DataFrame) -> Snapshot:
         """INSERT INTO … VALUES / append (reference: iceberg_pii_deletion_demo.py:105-110)."""
         snap = self.metadata.current_snapshot()
         base = list(snap.manifest) if snap else []
-        new_entries = write_data_files(df, self.data_dir)
+        new_entries = write_data_files(self._cluster_for_write(df), self.data_dir)
         snapshot = self.metadata.add_snapshot(
             "append", base + new_entries, summary={"added-files": len(new_entries)}
         )
@@ -327,7 +345,7 @@ class LakeTable:
         return snapshot
 
     def overwrite(self, df: DataFrame) -> Snapshot:
-        new_entries = write_data_files(df, self.data_dir)
+        new_entries = write_data_files(self._cluster_for_write(df), self.data_dir)
         snapshot = self.metadata.add_snapshot(
             "overwrite", new_entries, summary={"added-files": len(new_entries)}
         )

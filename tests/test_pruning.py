@@ -39,6 +39,40 @@ def test_disjoint_ranges_prune_to_one_file(ranged_table):
     assert len(candidate_files(entries, "name = 'name-0'")) == 1
 
 
+def test_partitioned_insert_clusters_for_pruning(spark, tmp_path):
+    """PARTITIONED BY range-clusters one *unsorted* insert so per-file
+    min/max bounds become partition pruning; the same insert into an
+    unpartitioned table leaves every file covering the whole key range."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    rows = [((i * 7919) % 300, f"name-{i}", float(i)) for i in range(3000)]
+    df = spark.createDataFrame(rows, DDL).repartition(8)
+
+    flat = cat.create_table("default.flat", DDL)
+    flat.insert(df)
+    part = cat.create_table(
+        "default.parted",
+        DDL,
+        properties={"write.distribution.partitions": "8"},
+        partition_by=["k"],
+    )
+    part.insert(df)
+
+    flat_entries = flat.metadata.current_snapshot().data_files()
+    part_entries = part.metadata.current_snapshot().data_files()
+    assert len(candidate_files(flat_entries, "k = 150")) == len(flat_entries)
+    pruned = candidate_files(part_entries, "k = 150")
+    assert 0 < len(pruned) < len(part_entries)
+    # and range predicates prune proportionally
+    assert len(candidate_files(part_entries, "k < 40")) < len(part_entries)
+    # results identical either way
+    assert (
+        part.scan("k = 150").count()
+        == flat.read().filter("k = 150").count()
+        == df.filter("k = 150").count()
+    )
+
+
 def test_pruning_is_conservative_on_unprunable_predicates(ranged_table):
     entries = ranged_table.metadata.current_snapshot().data_files()
     # top-level OR, functions, unknown columns: everything stays

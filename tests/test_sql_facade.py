@@ -200,6 +200,21 @@ def test_rollback_via_call(engine):
     assert [r["case_id"] for r in live.collect()] == ["case-1", "case-2", "case-3"]
 
 
+def test_create_partitioned_table_via_sql(engine):
+    engine.sql("""
+        CREATE TABLE demo.default.events_parted (
+            user_id BIGINT,
+            day STRING,
+            n BIGINT
+        ) USING iceberg
+        PARTITIONED BY (day)
+        TBLPROPERTIES ('write.distribution.partitions' = '4')
+    """)
+    t = engine.table("demo.default.events_parted")
+    assert t.metadata.partition_by == ["day"]
+    assert t.properties["write.distribution.partitions"] == "4"
+
+
 def test_alter_add_drop_column_via_sql(engine):
     engine.sql("ALTER TABLE demo.default.pii_data ADD COLUMN region string")
     out = engine.sql("SELECT case_id, region FROM demo.default.pii_data")
