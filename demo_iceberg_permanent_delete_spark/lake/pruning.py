@@ -20,6 +20,7 @@ lexicographic order, matching parquet footer stats.
 
 from __future__ import annotations
 
+import datetime as dt
 import re
 from typing import Any
 
@@ -36,14 +37,56 @@ _BETWEEN_RE = re.compile(
 
 def _parse_literal(text: str) -> Any | None:
     text = text.strip()
-    m = re.match(r"^'(.*)'$", text, re.S)
+    # DATE '…' / TIMESTAMP '…' typed literals → inner string (temporal
+    # coercion happens in _coerce, alongside the stat side).
+    m = re.match(r"^(?:DATE|TIMESTAMP)\s+'(.*)'$", text, re.I | re.S)
+    if not m:
+        m = re.match(r"^'(.*)'$", text, re.S)
     if m:
-        return m.group(1)
+        return m.group(1).replace("''", "'")  # SQL-escaped quote
     if re.match(r"^-?\d+$", text):
         return int(text)
     if re.match(r"^-?\d+\.\d*$", text):
         return float(text)
     return None  # not a literal we understand → non-pruning
+
+
+def _to_dt(s: str) -> dt.datetime | None:
+    """Parse an ISO-ish date/timestamp string to a naive UTC datetime.
+
+    Stats are stored via ``datetime.isoformat()`` ('T' separator,
+    datafiles.py:_jsonable) while SQL literals use a space — raw
+    lexicographic comparison between the two formats is unsound ('T' >
+    ' '), so both sides are parsed to datetime before comparing.
+    """
+    try:
+        d = dt.datetime.fromisoformat(s)
+    except (ValueError, TypeError):
+        return None
+    if d.tzinfo is not None:
+        d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return d
+
+
+def _coerce(lit: Any, lo: Any, hi: Any) -> tuple[Any, Any, Any] | None:
+    """Coerce (literal, file-min, file-max) to a common comparable type;
+    None = not soundly comparable (caller keeps the file)."""
+    if isinstance(lit, str) and isinstance(lo, str) and isinstance(hi, str):
+        d_lit, d_lo, d_hi = _to_dt(lit), _to_dt(lo), _to_dt(hi)
+        if d_lit is not None and d_lo is not None and d_hi is not None:
+            return d_lit, d_lo, d_hi
+        if d_lit is not None or d_lo is not None or d_hi is not None:
+            return None  # temporal on one side only → no sound ordering
+        return lit, lo, hi
+    if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+        if (
+            isinstance(lo, (int, float))
+            and isinstance(hi, (int, float))
+            and not isinstance(lo, bool)
+            and not isinstance(hi, bool)
+        ):
+            return lit, lo, hi
+    return None
 
 
 _BETWEEN_AND = "\x00BETWEEN_AND\x00"
@@ -93,14 +136,6 @@ def _bounds_for(entry: ManifestEntry, col: str) -> tuple[Any, Any] | None:
     return lo, hi
 
 
-def _comparable(lit: Any, lo: Any, hi: Any) -> bool:
-    if isinstance(lit, str):
-        return isinstance(lo, str) and isinstance(hi, str)
-    if isinstance(lit, (int, float)):
-        return isinstance(lo, (int, float)) and isinstance(hi, (int, float))
-    return False
-
-
 def _conjunct_can_match(entry: ManifestEntry, conjunct: str) -> bool:
     """False only when the conjunct is PROVABLY unsatisfiable on this file."""
     m = _BETWEEN_RE.match(conjunct)
@@ -110,8 +145,12 @@ def _conjunct_can_match(entry: ManifestEntry, conjunct: str) -> bool:
         if bounds is None or lo_lit is None or hi_lit is None:
             return True
         lo, hi = bounds
-        if not (_comparable(lo_lit, lo, hi) and _comparable(hi_lit, lo, hi)):
+        c_lo = _coerce(lo_lit, lo, hi)
+        c_hi = _coerce(hi_lit, lo, hi)
+        if c_lo is None or c_hi is None:
             return True
+        lo_lit, lo, hi = c_lo
+        hi_lit = c_hi[0]
         return not (hi < lo_lit or lo > hi_lit)
 
     m = _CMP_RE.match(conjunct)
@@ -121,9 +160,10 @@ def _conjunct_can_match(entry: ManifestEntry, conjunct: str) -> bool:
     bounds = _bounds_for(entry, m.group("col"))
     if lit is None or bounds is None:
         return True
-    lo, hi = bounds
-    if not _comparable(lit, lo, hi):
+    coerced = _coerce(lit, *bounds)
+    if coerced is None:
         return True
+    lit, lo, hi = coerced
     op = m.group("op")
     if op == "=":
         return lo <= lit <= hi

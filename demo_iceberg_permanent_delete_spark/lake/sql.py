@@ -299,21 +299,40 @@ class LakeEngine:
     # ------------------------------------------------------------ queries
     def _select(self, stmt: str) -> DataFrame:
         """Plain SQL: rewrite lake-table identifiers (and their metadata
-        relations) to freshly registered temp views, then spark.sql."""
+        relations) to freshly registered temp views, then spark.sql.
+
+        Identifiers are matched with word-boundary regexes, longest name
+        first, and only outside single-quoted string literals — a naive
+        substring replace would mangle a table whose name prefixes another
+        (default.pii inside default.pii_data) or rewrite literals.
+        """
+        # (pattern text, table name, replacement view name), longest first
+        # so demo-prefixed and .meta-suffixed forms win over bare names.
+        candidates: list[tuple[str, str, str]] = []
         for name in self.catalog.list_tables():
-            t = None
             base = name.replace(".", "__")
-            for candidate in (f"{self.catalog_name}.{name}", name):
-                if candidate not in stmt:
-                    continue
-                if t is None:
-                    t = self.catalog.load_table(name)
-                    t.read().createOrReplaceTempView(base)
-                    t.register_metadata_views(prefix=base)
-                for view in _META_VIEWS:  # longest suffixes first: meta before bare
-                    stmt = stmt.replace(f"{candidate}.{view}", f"{base}__{view}")
-                stmt = stmt.replace(candidate, base)
-        return self.spark.sql(stmt)
+            for cand in (f"{self.catalog_name}.{name}", name):
+                for view in _META_VIEWS:
+                    candidates.append((f"{cand}.{view}", name, f"{base}__{view}"))
+                candidates.append((cand, name, base))
+        candidates.sort(key=lambda c: len(c[0]), reverse=True)
+
+        # Split into quoted-literal segments (odd indices — '' escapes kept
+        # whole) and code segments; rewrite code only.
+        segments = re.split(r"('(?:[^']|'')*')", stmt)
+        registered: set[str] = set()
+        for cand, name, target in candidates:
+            pat = re.compile(r"(?<![\w.])" + re.escape(cand) + r"(?![\w.])")
+            for i in range(0, len(segments), 2):
+                new_seg, n = pat.subn(target, segments[i])
+                if n:
+                    segments[i] = new_seg
+                    if name not in registered:
+                        registered.add(name)
+                        t = self.catalog.load_table(name)
+                        t.read().createOrReplaceTempView(name.replace(".", "__"))
+                        t.register_metadata_views(prefix=name.replace(".", "__"))
+        return self.spark.sql("".join(segments))
 
     # dispatch table (compiled once; DOTALL so VALUES lists span lines)
     _DISPATCH = [

@@ -572,14 +572,27 @@ class LakeTable:
             return None
         rows = self.read_with_positions().filter(F.col("__fp").isin(list(affected)))
         cols = [c for c in rows.columns if c not in ("__fp", "__pos")]
-        updated = rows
-        for col_name, value in assignments.items():
-            val = value if isinstance(value, Column) else F.lit(value)
-            field_type = dict((f.name, f.dataType) for f in self.schema().fields).get(col_name)
-            if field_type is not None:
-                val = val.cast(field_type)
-            updated = updated.withColumn(col_name, F.when(pred, val).otherwise(F.col(col_name)))
-        new_entries = write_data_files(updated.select(*cols), self.data_dir)
+        unknown = [c for c in assignments if c not in cols]
+        if unknown:
+            raise ValueError(f"UPDATE SET columns not in table schema: {unknown}")
+        types = {f.name: f.dataType for f in self.schema().fields}
+        # SQL UPDATE evaluates the WHERE predicate and every SET expression
+        # against the PRE-update row, so build all output columns in ONE
+        # projection. Chained withColumn would re-resolve the predicate (and
+        # later RHS) against already-assigned columns — e.g. nulling email
+        # first makes "email = 'x'" false for the name assignment, silently
+        # retaining PII; it also breaks column swaps.
+        exprs = []
+        for c in cols:
+            if c in assignments:
+                value = assignments[c]
+                val = value if isinstance(value, Column) else F.lit(value)
+                if types.get(c) is not None:
+                    val = val.cast(types[c])
+                exprs.append(F.when(pred, val).otherwise(F.col(c)).alias(c))
+            else:
+                exprs.append(F.col(c))
+        new_entries = write_data_files(rows.select(*exprs), self.data_dir)
         snap = self.metadata.current_snapshot()
         kept = [e for e in snap.manifest if e.file_path not in affected]
         snapshot = self.metadata.add_snapshot(

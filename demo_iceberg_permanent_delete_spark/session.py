@@ -49,6 +49,10 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # INT96 (Spark's legacy default) carries no parquet min/max stats,
+        # which blinds manifest-level timestamp pruning; micros is the
+        # modern Iceberg-compatible physical type and keeps footer stats.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # parquet scan parallelism: 128 MiB splits (also the compaction
         # target the reference uses: notebooks/iceberg_pii_deletion_demo.py:428)
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

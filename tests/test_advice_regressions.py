@@ -1,0 +1,127 @@
+"""Regression tests for the round-1 ADVICE findings: unsound timestamp
+pruning (isoformat 'T' vs SQL space literals), UPDATE's chained-withColumn
+assignment semantics, naive identifier substitution in the SQL facade, and
+SQL-escaped quotes in prunable literals."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
+from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
+from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+
+def _ts_table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.ts_t", "id bigint, ts timestamp")
+    rows = [
+        (i, dt.datetime(2024, 6, 5, 12, 0, 0) + dt.timedelta(minutes=i))
+        for i in range(10)
+    ]
+    t.insert(spark.createDataFrame(rows, "id bigint, ts timestamp").coalesce(1))
+    return t
+
+
+def test_timestamp_pruning_space_literal_is_sound(spark, tmp_path):
+    """Manifest stats store timestamps as isoformat ('T' separator); SQL
+    literals use a space. Pruning must still keep files containing matches
+    (was: lexicographic compare pruned them, so DELETE/UPDATE silently
+    skipped rows)."""
+    t = _ts_table(spark, tmp_path)
+    entries = t.metadata.current_snapshot().data_files()
+    assert len(entries) == 1
+    # same-day bounds, space-separator literals — all must keep the file
+    assert len(candidate_files(entries, "ts = '2024-06-05 12:00:00'")) == 1
+    assert len(candidate_files(entries, "ts <= '2024-06-05 23:59:59'")) == 1
+    assert len(candidate_files(entries, "ts >= '2024-06-05 00:00:00'")) == 1
+    assert (
+        len(candidate_files(entries, "ts BETWEEN '2024-06-05 00:00:00' AND '2024-06-05 23:59:59'"))
+        == 1
+    )
+    # typed literal form too
+    assert len(candidate_files(entries, "ts = TIMESTAMP '2024-06-05 12:00:00'")) == 1
+    # and a provably-out-of-range literal still prunes
+    assert len(candidate_files(entries, "ts > '2024-06-06 00:00:00'")) == 0
+
+    # end-to-end: DELETE through the pruned path actually deletes
+    snap = t.delete("ts = TIMESTAMP '2024-06-05 12:00:00'")
+    assert snap is not None
+    assert t.read().count() == 9
+
+
+def test_date_literal_against_timestamp_bounds(spark, tmp_path):
+    t = _ts_table(spark, tmp_path)
+    entries = t.metadata.current_snapshot().data_files()
+    # date-only literal coerces to midnight, like Spark's cast
+    assert len(candidate_files(entries, "ts >= '2024-06-05'")) == 1
+    assert len(candidate_files(entries, "ts < '2024-06-05'")) == 0
+
+
+def test_escaped_quote_literal_not_mangled():
+    e = ManifestEntry(
+        file_path="f",
+        content=0,
+        record_count=1,
+        file_size_in_bytes=1,
+        min_values={"name": "it's"},
+        max_values={"name": "it's"},
+    )
+    # 'it''s' is SQL for it's — must match the bounds, not prune
+    assert len(candidate_files([e], "name = 'it''s'")) == 1
+    assert len(candidate_files([e], "name = 'zzz'")) == 0
+
+
+def test_update_multi_column_uses_pre_update_row(spark, tmp_path):
+    """UPDATE SET email=NULL, name=NULL WHERE email='x@a.com' must null BOTH
+    columns (was: first assignment nulled email, making the predicate false
+    for the name assignment — PII silently retained)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.pii", "case_id string, email string, name string")
+    t.insert(
+        spark.createDataFrame(
+            [("c1", "x@a.com", "Alice"), ("c2", "y@b.com", "Bob")],
+            "case_id string, email string, name string",
+        )
+    )
+    snap = t.update({"email": None, "name": None}, "email = 'x@a.com'")
+    assert snap is not None
+    rows = {r["case_id"]: r for r in t.read().collect()}
+    assert rows["c1"]["email"] is None and rows["c1"]["name"] is None
+    assert rows["c2"]["email"] == "y@b.com" and rows["c2"]["name"] == "Bob"
+
+
+def test_update_swap_assignments(spark, tmp_path):
+    """Assignment RHS referencing other assigned columns sees pre-update
+    values (SQL semantics): a = b, b = a swaps."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.swap", "k bigint, a string, b string")
+    t.insert(spark.createDataFrame([(1, "left", "right")], "k bigint, a string, b string"))
+    t.update({"a": F.col("b"), "b": F.col("a")}, "k = 1")
+    row = t.read().first()
+    assert row["a"] == "right" and row["b"] == "left"
+
+
+def test_sql_select_identifier_rewrite_prefix_safe(spark, tmp_path):
+    """default.pii must not be substituted inside default.pii_data, nor
+    inside string literals."""
+    engine = LakeEngine(spark, str(tmp_path / "wh"))
+    engine.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    engine.sql("CREATE TABLE default.pii (k bigint) USING iceberg")
+    engine.sql("CREATE TABLE default.pii_data (k bigint) USING iceberg")
+    engine.sql("INSERT INTO default.pii VALUES (1)")
+    engine.sql("INSERT INTO default.pii_data VALUES (10), (20)")
+
+    assert engine.sql("SELECT count(*) AS n FROM default.pii_data").first()["n"] == 2
+    assert engine.sql("SELECT count(*) AS n FROM demo.default.pii").first()["n"] == 1
+    # literal containing a table name survives untouched
+    row = engine.sql("SELECT 'default.pii' AS s, k FROM default.pii_data ORDER BY k").first()
+    assert row["s"] == "default.pii" and row["k"] == 10
+    # metadata suffix on the longer name resolves to the right table
+    assert engine.sql("SELECT count(*) AS n FROM default.pii_data.snapshots").first()["n"] == 1
