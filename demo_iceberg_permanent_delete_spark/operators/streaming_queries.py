@@ -37,8 +37,10 @@ _STATE_PARTITIONS = 8
     "streaming_tumbling_counts",
     oracle="""
     SELECT
-      to_timestamp((epoch_us(ts) // 600000000) * 600) AS window_start,
-      to_timestamp((epoch_us(ts) // 600000000) * 600 + 600) AS window_end,
+      -- CAST: DuckDB's to_timestamp is TIMESTAMPTZ, Spark windows are
+      -- plain TIMESTAMP (same drift as tumbling_window_agg, CORRECTNESS_r01)
+      CAST(to_timestamp((epoch_us(ts) // 600000000) * 600) AS TIMESTAMP) AS window_start,
+      CAST(to_timestamp((epoch_us(ts) // 600000000) * 600 + 600) AS TIMESTAMP) AS window_end,
       event_type,
       count(*) AS n_events,
       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -69,8 +71,10 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT *,
-        sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        -- BIGINT pin: DuckDB windowed sum(int) is HUGEINT (grouped away
+        -- below, but pinned against future reshapes — CORRECTNESS_r01)
+        CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           AS session_seq
       FROM flagged
     )

@@ -119,7 +119,9 @@ def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tumbling_window_agg",
     oracle="""
     SELECT
-      to_timestamp((epoch_us(ts) // 600000000) * 600) AS window_start,
+      -- DuckDB's to_timestamp returns TIMESTAMP WITH TIME ZONE; pin plain
+      -- TIMESTAMP to match Spark's window().start (CORRECTNESS_r01 drift)
+      CAST(to_timestamp((epoch_us(ts) // 600000000) * 600) AS TIMESTAMP) AS window_start,
       event_type,
       count(*) AS n_events,
       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -164,8 +166,10 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT *,
-        sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        -- DuckDB's windowed sum(int) is HUGEINT (int128 → float64 via
+        -- pandas); pin BIGINT to match Spark (CORRECTNESS_r01 drift)
+        CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT
