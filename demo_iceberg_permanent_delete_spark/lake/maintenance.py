@@ -190,7 +190,13 @@ def rewrite_position_delete_files(table) -> dict[str, int]:
     snap = meta.current_snapshot()
     if snap is None:
         return {"rewritten_delete_files_count": 0, "added_delete_files_count": 0}
-    delete_entries = snap.delete_files()
+    delete_entries = [
+        e for e in snap.delete_files() if e.content == CONTENT_POSITION_DELETES
+    ]
+    # equality-delete files (content=2) have their own schema and sequence
+    # semantics; they pass through untouched and are purged by
+    # rewrite_data_files instead.
+    eq_entries = [e for e in snap.delete_files() if e.content != CONTENT_POSITION_DELETES]
     if not delete_entries:
         return {"rewritten_delete_files_count": 0, "added_delete_files_count": 0}
 
@@ -213,7 +219,7 @@ def rewrite_position_delete_files(table) -> dict[str, int]:
     )
     snapshot = meta.add_snapshot(
         "replace",
-        snap.data_files() + new_entries,
+        snap.data_files() + eq_entries + new_entries,
         summary={
             "rewritten-delete-files": len(delete_entries),
             "added-delete-files": len(new_entries),
@@ -240,7 +246,12 @@ def examine_delete_files(table) -> list[dict[str, Any]]:
     out: list[dict[str, Any]] = []
     for entry in snap.delete_files():
         df = spark.read.parquet(entry.file_path)
-        targets = [r["file_path"] for r in df.select("file_path").distinct().collect()]
+        if entry.content == CONTENT_POSITION_DELETES:
+            targets = [
+                r["file_path"] for r in df.select("file_path").distinct().collect()
+            ]
+        else:
+            targets = []  # equality deletes name key tuples, not files
         target_rows: dict[str, int] = {}
         for tpath in targets:
             if os.path.exists(tpath):

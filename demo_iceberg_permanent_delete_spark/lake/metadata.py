@@ -39,7 +39,10 @@ from typing import Any
 # (file_summary_utils.py:143-148 and iceberg_pii_deletion_demo.py:204-216)
 CONTENT_DATA = 0
 CONTENT_POSITION_DELETES = 1
-CONTENT_EQUALITY_DELETES = 2  # never produced (reference never creates them either)
+CONTENT_EQUALITY_DELETES = 2  # (col=value) delete rows; read path anti-joins
+# on the equality columns. The reference never *creates* these, but its
+# display decode handles them (file_summary_utils.py:146) and its .files
+# queries filter content IN (1,2) (iceberg_pii_deletion_demo.py:210,215,451).
 
 
 def now_ms() -> int:
@@ -53,12 +56,15 @@ def new_snapshot_id() -> int:
 @dataclass
 class ManifestEntry:
     file_path: str  # absolute path, no scheme
-    content: int  # 0 data / 1 position deletes
+    content: int  # 0 data / 1 position deletes / 2 equality deletes
     record_count: int
     file_size_in_bytes: int
     min_values: dict[str, Any] = field(default_factory=dict)
     max_values: dict[str, Any] = field(default_factory=dict)
     added_snapshot_id: int = 0
+    # content=2 only: the columns whose equality defines the delete
+    # (Iceberg's equality_ids, by name since we own the format)
+    equality_columns: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -69,6 +75,7 @@ class ManifestEntry:
             "min_values": self.min_values,
             "max_values": self.max_values,
             "added_snapshot_id": self.added_snapshot_id,
+            "equality_columns": self.equality_columns,
         }
 
     @classmethod

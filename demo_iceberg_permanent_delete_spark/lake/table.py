@@ -35,6 +35,7 @@ from demo_iceberg_permanent_delete_spark.lake.datafiles import (
 )
 from demo_iceberg_permanent_delete_spark.lake.metadata import (
     CONTENT_DATA,
+    CONTENT_EQUALITY_DELETES,
     CONTENT_POSITION_DELETES,
     ManifestEntry,
     Snapshot,
@@ -149,7 +150,9 @@ class LakeTable:
         delete_files = snap.delete_files() if apply_deletes else []
         if not delete_files:
             return df
-        return self._apply_position_deletes(df, delete_files).select(*df.columns)
+        return self._apply_delete_files(
+            self._with_position(df), delete_files, data_files
+        ).select(*df.columns)
 
     def _with_position(self, df: DataFrame) -> DataFrame:
         """Attach physical (file_path, pos) — stable per parquet file."""
@@ -159,19 +162,82 @@ class LakeTable:
             F.col("_metadata.row_index").alias("__pos"),
         )
 
-    def _apply_position_deletes(
-        self, df: DataFrame, delete_files: list[ManifestEntry]
+    def _apply_delete_files(
+        self,
+        with_pos: DataFrame,
+        delete_files: list[ManifestEntry],
+        data_entries: list[ManifestEntry],
     ) -> DataFrame:
-        dels = self.spark.read.parquet(*[e.file_path for e in delete_files]).select(
-            F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+        """Mask rows per the snapshot's delete files, keeping __fp/__pos.
+
+        - content=1 (position deletes): anti-join on (file_path, pos).
+        - content=2 (equality deletes): anti-join on the entry's equality
+          columns, gated on sequence — a delete applies only to rows from
+          data files committed BEFORE the delete file (Iceberg's sequence-
+          number rule, using snapshot commit order as the sequence), so
+          re-inserted keys survive later reads.
+        """
+        pos_files = [e for e in delete_files if e.content == CONTENT_POSITION_DELETES]
+        eq_files = [e for e in delete_files if e.content == CONTENT_EQUALITY_DELETES]
+        out = with_pos
+        if pos_files:
+            dels = self.spark.read.parquet(*[e.file_path for e in pos_files]).select(
+                F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+            )
+            if sum(e.file_size_in_bytes for e in pos_files) <= _BROADCAST_DELETES_MAX_BYTES:
+                dels = F.broadcast(dels)
+            out = out.join(dels, on=["__fp", "__pos"], how="left_anti")
+        if eq_files:
+            out = self._apply_equality_deletes(out, eq_files, data_entries)
+        return out
+
+    def _apply_equality_deletes(
+        self,
+        with_pos: DataFrame,
+        eq_files: list[ManifestEntry],
+        data_entries: list[ManifestEntry],
+    ) -> DataFrame:
+        """Equality-delete merge. The per-row data sequence comes from a
+        broadcast (file_path → commit order) map — metadata-proportional,
+        never data-proportional."""
+        snap_order = {s.snapshot_id: i for i, s in enumerate(self.metadata.snapshots)}
+        seq_df = F.broadcast(
+            self.spark.createDataFrame(
+                [
+                    (e.file_path, snap_order.get(e.added_snapshot_id, -1))
+                    for e in data_entries
+                ],
+                "__fp string, __dataseq long",
+            )
         )
-        if sum(e.file_size_in_bytes for e in delete_files) <= _BROADCAST_DELETES_MAX_BYTES:
-            dels = F.broadcast(dels)
-        return (
-            self._with_position(df)
-            .join(dels, on=["__fp", "__pos"], how="left_anti")
-            .drop("__fp", "__pos")
-        )
+        out = with_pos.join(seq_df, on="__fp", how="left")
+        groups: dict[tuple[str, ...], list[ManifestEntry]] = {}
+        for e in eq_files:
+            if not e.equality_columns:
+                raise ValueError(
+                    f"equality-delete file {e.file_path} lacks equality_columns"
+                )
+            groups.setdefault(tuple(e.equality_columns), []).append(e)
+        for cols, entries in groups.items():
+            dels = None
+            for e in entries:
+                d = (
+                    self.spark.read.parquet(e.file_path)
+                    .select(*[F.col(c).alias(f"__d_{c}") for c in cols])
+                    .withColumn(
+                        "__dseq",
+                        F.lit(snap_order.get(e.added_snapshot_id, 2**31)).cast("long"),
+                    )
+                )
+                dels = d if dels is None else dels.unionByName(d)
+            if sum(e.file_size_in_bytes for e in entries) <= _BROADCAST_DELETES_MAX_BYTES:
+                dels = F.broadcast(dels)
+            cond = F.col("__dataseq") < F.col("__dseq")
+            for c in cols:
+                # null-safe: an equality delete on NULL removes NULL rows
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+            out = out.join(dels, on=cond, how="left_anti")
+        return out.drop("__dataseq")
 
     def scan(self, predicate: str | Column | None = None) -> DataFrame:
         """Predicate-pushed read: manifest min/max stats prune whole files
@@ -196,7 +262,9 @@ class LakeTable:
         df = self._data_reader().parquet(*[e.file_path for e in entries])
         delete_files = snap.delete_files()
         if delete_files:
-            df = self._apply_position_deletes(df, delete_files).select(*df.columns)
+            df = self._apply_delete_files(
+                self._with_position(df), delete_files, entries
+            ).select(*df.columns)
         return df.filter(self._as_column(predicate))
 
     def deleted_rows(self) -> DataFrame:
@@ -207,16 +275,18 @@ class LakeTable:
         position-delete files back onto the raw data scan; empty when the
         table has no delete files (COW, or post-compaction)."""
         snap = self.metadata.current_snapshot()
-        if snap is None or not snap.delete_files() or not snap.data_files():
+        pos_files = [
+            e
+            for e in (snap.delete_files() if snap else [])
+            if e.content == CONTENT_POSITION_DELETES
+        ]
+        if snap is None or not pos_files or not snap.data_files():
             return self.empty_frame()
         df = self._data_reader().parquet(*[e.file_path for e in snap.data_files()])
-        dels = self.spark.read.parquet(
-            *[e.file_path for e in snap.delete_files()]
-        ).select(F.col("file_path").alias("__fp"), F.col("pos").alias("__pos"))
-        if (
-            sum(e.file_size_in_bytes for e in snap.delete_files())
-            <= _BROADCAST_DELETES_MAX_BYTES
-        ):
+        dels = self.spark.read.parquet(*[e.file_path for e in pos_files]).select(
+            F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+        )
+        if sum(e.file_size_in_bytes for e in pos_files) <= _BROADCAST_DELETES_MAX_BYTES:
             dels = F.broadcast(dels)
         return (
             self._with_position(df)
@@ -305,12 +375,7 @@ class LakeTable:
         delete_files = snap.delete_files()
         if not delete_files:
             return with_pos
-        dels = self.spark.read.parquet(*[e.file_path for e in delete_files]).select(
-            F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
-        )
-        if sum(e.file_size_in_bytes for e in delete_files) <= _BROADCAST_DELETES_MAX_BYTES:
-            dels = F.broadcast(dels)
-        return with_pos.join(dels, on=["__fp", "__pos"], how="left_anti")
+        return self._apply_delete_files(with_pos, delete_files, data_entries)
 
     # --------------------------------------------------------------- DML
     def _cluster_for_write(self, df: DataFrame) -> DataFrame:
@@ -423,6 +488,48 @@ class LakeTable:
             summary={"rewritten-files": len(affected), "added-files": len(new_entries)},
         )
         for e in new_entries:
+            e.added_snapshot_id = snapshot.snapshot_id
+        self.metadata.commit()
+        return snapshot
+
+    def equality_delete(
+        self, deletes: DataFrame, equality_columns: list[str] | None = None
+    ) -> Snapshot | None:
+        """Equality-delete commit (content=2): every row of ``deletes``
+        (projected to ``equality_columns``, default: all of its columns)
+        deletes the matching rows of data files committed BEFORE this
+        snapshot — later inserts of the same keys survive (Iceberg's
+        sequence-number semantics; reference decode arm
+        file_summary_utils.py:146, filter sites
+        iceberg_pii_deletion_demo.py:210,215,451).
+
+        Unlike position deletes, no data scan happens at write time at all —
+        the delete file holds key tuples, and the cost moves to read-side
+        anti-joins until ``rewrite_data_files`` purges them. That is the
+        100 TB write-fast path: deleting a key costs O(|keys|) regardless of
+        table size.
+        """
+        cols = equality_columns or list(deletes.columns)
+        table_cols = {f.name for f in self.schema().fields}
+        missing = [c for c in cols if c not in table_cols]
+        if missing:
+            raise ValueError(f"equality columns not in table schema: {missing}")
+        rows = deletes.select(*cols).distinct()
+        snap = self.metadata.current_snapshot()
+        base = list(snap.manifest) if snap else []
+        delete_entries = write_data_files(
+            rows, self.data_dir, content=CONTENT_EQUALITY_DELETES, prefix="eqdelete"
+        )
+        if not delete_entries:
+            return None
+        for e in delete_entries:
+            e.equality_columns = list(cols)
+        snapshot = self.metadata.add_snapshot(
+            "delete",
+            base + delete_entries,
+            summary={"added-equality-delete-files": len(delete_entries)},
+        )
+        for e in delete_entries:
             e.added_snapshot_id = snapshot.snapshot_id
         self.metadata.commit()
         return snapshot

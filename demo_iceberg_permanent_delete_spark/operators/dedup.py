@@ -204,22 +204,6 @@ def _duck_minhash_band(band: int) -> str:
     return f"array_to_string([{rows}], '-') AS band_{band}"
 
 
-@query(
-    "minhash_signatures",
-    oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest({DUCK_TOKENS}) AS t FROM documents
-    ),
-    hashed AS (
-      SELECT doc_id, {duck_hash60("t")} AS h FROM tok
-    )
-    SELECT
-      doc_id,
-      {", ".join(_duck_minhash_band(b) for b in range(MINHASH_BANDS))}
-    FROM hashed
-    GROUP BY doc_id
-    """,
-)
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -245,36 +229,6 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidates. Output: per (band, bucket) the member count and the two
 # smallest doc ids (the candidate pair seed), only for buckets with >1 doc.
 # ---------------------------------------------------------------------------
-@query(
-    "minhash_lsh_buckets",
-    oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest({DUCK_TOKENS}) AS t FROM documents
-    ),
-    hashed AS (
-      SELECT doc_id, {duck_hash60("t")} AS h FROM tok
-    ),
-    sig AS (
-      SELECT
-        doc_id,
-        {", ".join(_duck_minhash_band(b) for b in range(MINHASH_BANDS))}
-      FROM hashed
-      GROUP BY doc_id
-    ),
-    unpivoted AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, band_{b} AS band_key FROM sig" for b in range(MINHASH_BANDS))}
-    )
-    SELECT
-      band_id,
-      band_key,
-      count(*) AS n_docs,
-      min(doc_id) AS min_doc_id,
-      max(doc_id) AS max_doc_id
-    FROM unpivoted
-    GROUP BY band_id, band_key
-    HAVING count(*) > 1
-    """,
-)
 def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(spark, sf_dir)
     unpivoted = None
@@ -419,3 +373,73 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite driver entry for the MinHash pipeline: per-doc banded signature
+# (minhash_signatures) PLUS the LSH bucketing signal — n_dup_bands counts
+# the bands in which the doc shares its bucket with ≥1 other doc, i.e. the
+# number of independent LSH tables that nominate it as a near-dup
+# candidate. One entry keeps both stages hash-checked under the driver's
+# 50-row correctness cap. Scale shape unchanged: bucket sizes come from a
+# window over (band, key) — the same hash shuffle the banded join uses; no
+# all-pairs anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "minhash_dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({DUCK_TOKENS}) AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {duck_hash60("t")} AS h FROM tok
+    ),
+    sig AS (
+      SELECT
+        doc_id,
+        {", ".join(_duck_minhash_band(b) for b in range(MINHASH_BANDS))}
+      FROM hashed
+      GROUP BY doc_id
+    ),
+    unpivoted AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, band_{b} AS band_key FROM sig" for b in range(MINHASH_BANDS))}
+    ),
+    bucketed AS (
+      SELECT doc_id, band_id,
+             count(*) OVER (PARTITION BY band_id, band_key) AS n_in_bucket
+      FROM unpivoted
+    ),
+    cand AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN n_in_bucket > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_bands
+      FROM bucketed
+      GROUP BY doc_id
+    )
+    SELECT sig.*, cand.n_dup_bands
+    FROM sig JOIN cand ON sig.doc_id = cand.doc_id
+    """,
+)
+def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sig = minhash_signatures(spark, sf_dir)
+    unpivoted = None
+    for b in range(MINHASH_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.col(f"band_{b}").alias("band_key"),
+        )
+        unpivoted = part if unpivoted is None else unpivoted.unionByName(part)
+    w = Window.partitionBy("band_id", "band_key")
+    cand = (
+        unpivoted.withColumn("n_in_bucket", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n_in_bucket") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_bands")
+        )
+    )
+    return sig.join(cand, "doc_id")

@@ -47,47 +47,40 @@ def _fresh_table(spark: SparkSession, sf_dir: str, properties: dict[str, str]):
 
 
 @query(
-    "lake_mor_delete",
+    "lake_delete_modes",
     oracle=f"""
-    SELECT * FROM lineitem
+    SELECT 'merge-on-read' AS delete_mode, * FROM lineitem
+    WHERE {_SUBSET} AND NOT COALESCE(l_returnflag = 'R', FALSE)
+    UNION ALL
+    SELECT 'copy-on-write' AS delete_mode, * FROM lineitem
     WHERE {_SUBSET} AND NOT COALESCE(l_returnflag = 'R', FALSE)
     """,
 )
-def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOR DELETE (position-delete files) then merged read — the read-side
-    anti-join must mask exactly the predicate rows."""
-    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
+def lake_delete_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 both ways, one hash-checked entry (the driver records at most 50
+    correctness rows): the same logical DELETE via merge-on-read
+    (position-delete files; the read-side anti-join masks exactly the
+    predicate rows) and via copy-on-write (files rewritten, no delete files
+    in the manifest) — both reads must equal the same oracle."""
+    t_mor, wh_mor = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
+    t_cow, wh_cow = _fresh_table(spark, sf_dir, {"write.delete.mode": "copy-on-write"})
     try:
-        t.delete("l_returnflag = 'R'")
-        assert any(e.content == 1 for e in t.metadata.current_snapshot().manifest), (
+        t_mor.delete("l_returnflag = 'R'")
+        assert any(e.content == 1 for e in t_mor.metadata.current_snapshot().manifest), (
             "MOR delete must produce position-delete files"
         )
-        # localCheckpoint truncates lineage so the result survives the
-        # warehouse teardown below
-        return t.read().localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(warehouse, ignore_errors=True)
-
-
-@query(
-    "lake_cow_delete",
-    oracle=f"""
-    SELECT * FROM lineitem
-    WHERE {_SUBSET} AND NOT COALESCE(l_returnflag = 'R', FALSE)
-    """,
-)
-def lake_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same logical delete via copy-on-write — files rewritten, no delete
-    files in the manifest, same query result."""
-    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "copy-on-write"})
-    try:
-        t.delete("l_returnflag = 'R'")
-        assert all(e.content == 0 for e in t.metadata.current_snapshot().manifest), (
+        t_cow.delete("l_returnflag = 'R'")
+        assert all(e.content == 0 for e in t_cow.metadata.current_snapshot().manifest), (
             "COW delete must not produce delete files"
         )
-        return t.read().localCheckpoint(eager=True)
+        mor = t_mor.read().select(F.lit("merge-on-read").alias("delete_mode"), "*")
+        cow = t_cow.read().select(F.lit("copy-on-write").alias("delete_mode"), "*")
+        # localCheckpoint truncates lineage so the result survives the
+        # warehouse teardown below
+        return mor.unionByName(cow).localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(warehouse, ignore_errors=True)
+        shutil.rmtree(wh_mor, ignore_errors=True)
+        shutil.rmtree(wh_cow, ignore_errors=True)
 
 
 @query(
@@ -113,20 +106,32 @@ def lake_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lake_time_travel",
+    "lake_time_travel_rollback",
     oracle=f"""
-    SELECT * FROM lineitem WHERE {_SUBSET}
+    SELECT 'time_travel' AS path, * FROM lineitem WHERE {_SUBSET}
+    UNION ALL
+    SELECT 'rollback' AS path, * FROM lineitem WHERE {_SUBSET}
     """,
 )
-def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read as-of the pre-delete snapshot: the deleted rows must reappear
-    (reference: spark.read.option('snapshot-id', id),
-    iceberg_pii_deletion_demo.py:261)."""
+def lake_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 + rollback procedure in one hash-checked entry: after a MOR
+    delete, (a) a time-travel read as-of the pre-delete snapshot makes the
+    deleted rows reappear (reference: spark.read.option('snapshot-id', id),
+    iceberg_pii_deletion_demo.py:261), and (b) CALL rollback_to_snapshot
+    points the table back at that snapshot so the CURRENT read returns every
+    row again — both reads equal the full subset."""
     t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
     try:
         snap_before = t.metadata.current_snapshot_id
         t.delete("l_returnflag = 'R'")
-        return t.read(snapshot_id=snap_before).localCheckpoint(eager=True)
+        travel = (
+            t.read(snapshot_id=snap_before)
+            .select(F.lit("time_travel").alias("path"), "*")
+        )
+        t.rollback_to_snapshot(snap_before)
+        assert t.metadata.current_snapshot_id == snap_before
+        rolled = t.read().select(F.lit("rollback").alias("path"), "*")
+        return travel.unionByName(rolled).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 
@@ -360,27 +365,6 @@ def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lake_rollback",
-    oracle=f"""
-    SELECT * FROM lineitem WHERE {_SUBSET}
-    """,
-)
-def lake_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CALL rollback_to_snapshot: a MOR delete is undone by pointing the
-    table back at the pre-delete snapshot — the current read returns every
-    row again, and the delete snapshot leaves the current ancestry."""
-    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
-    try:
-        snap_before = t.metadata.current_snapshot_id
-        t.delete("l_returnflag = 'R'")
-        t.rollback_to_snapshot(snap_before)
-        assert t.metadata.current_snapshot_id == snap_before
-        return t.read().localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(warehouse, ignore_errors=True)
-
-
-@query(
     "lake_schema_evolution",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -410,6 +394,49 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@query(
+    "lake_eq_delete",
+    oracle=f"""
+    SELECT * FROM lineitem
+    WHERE {_SUBSET} AND NOT COALESCE(l_returnflag = 'R', FALSE)
+    UNION ALL
+    SELECT * FROM lineitem WHERE l_orderkey % 10 = 5
+    """,
+)
+def lake_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete round trip (content=2 — the one Iceberg delete
+    mechanism the reference only *decodes*, file_summary_utils.py:146):
+    delete key l_returnflag='R' via an equality-delete file (no data scan
+    at write), then append a second batch whose 'R' rows must SURVIVE (the
+    delete applies only to files committed before it — sequence rule).
+    rewrite_data_files then purges the delete file and makes the erasure
+    physical."""
+    t, warehouse = _fresh_table(spark, sf_dir, {})
+    try:
+        t.equality_delete(
+            spark.createDataFrame([("R",)], "l_returnflag string")
+        )
+        assert any(
+            e.content == 2 for e in t.metadata.current_snapshot().manifest
+        ), "equality delete must add a content=2 file"
+        li = load_table(spark, sf_dir, "lineitem")
+        t.insert(li.filter("l_orderkey % 10 = 5"))
+        result = t.read().localCheckpoint(eager=True)
+
+        # physical purge: compaction applies the equality deletes and drops
+        # the delete file; the batch-1 'R' rows are gone from raw parquet
+        t.rewrite_data_files()
+        assert not t.metadata.current_snapshot().delete_files()
+        raw = t.read(apply_deletes=False)
+        assert (
+            raw.filter("l_orderkey % 10 = 0 AND l_returnflag = 'R'").count() == 0
+        ), "post-rewrite raw files must not contain the eq-deleted rows"
+        assert raw.filter("l_orderkey % 10 = 5 AND l_returnflag = 'R'").count() > 0
+        return result
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 

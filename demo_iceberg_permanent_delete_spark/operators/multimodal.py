@@ -133,7 +133,6 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ◦ Feature extraction: Arrow-batched decode of the binary column. The
 # decoder is the deterministic stub; the batch plumbing is production-real.
 # ---------------------------------------------------------------------------
-@query("media_decode_features", oracle=None)
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = with_media_columns(load_table(spark, sf_dir, "documents"))
     decode = _make_fake_decoder(FEAT_DIM)  # closure: no package import on workers
@@ -163,7 +162,6 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ◦ Frame sampling: explode each video asset into sampled frame rows with
 # byte-range slices — the shape of a video-pretraining loader.
 # ---------------------------------------------------------------------------
-@query("media_frame_sample", oracle=None)
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = with_media_columns(load_table(spark, sf_dir, "documents")).filter(
         F.col("media_type") == "video"
@@ -197,3 +195,31 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_batches,
         "doc_id long, frame_index int, frame_bytes binary, frame_feat array<double>",
     )
+
+
+# ---------------------------------------------------------------------------
+# ◦ Composite driver entry: whole-asset decode features + sampled video
+# frames under one schema (item_kind 'asset'/'frame'). Rows-only — the stub
+# decoder's float features aren't SQL-expressible; both stages' plumbing is
+# unit-tested in tests/test_multimodal.py. (One entry instead of two: the
+# driver records at most 50 correctness rows.)
+# ---------------------------------------------------------------------------
+@query("media_pipeline", oracle=None)
+def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = media_decode_features(spark, sf_dir).select(
+        "doc_id",
+        "media_type",
+        F.lit("asset").alias("item_kind"),
+        F.lit(-1).alias("frame_index"),
+        "n_bytes",
+        "feat",
+    )
+    frames = media_frame_sample(spark, sf_dir).select(
+        "doc_id",
+        F.lit("video").alias("media_type"),
+        F.lit("frame").alias("item_kind"),
+        "frame_index",
+        F.octet_length("frame_bytes").cast("long").alias("n_bytes"),
+        F.col("frame_feat").alias("feat"),
+    )
+    return assets.unionByName(frames)

@@ -296,48 +296,21 @@ def case_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Nested-struct construction + dotted-field projection (R15 —
-#  e.data_file.file_path access, file_summary_utils.py:118,134-135).
-# Testdata is flat, so the struct is built in-query then projected back out;
-# Catalyst prunes the unused struct fields from the scan.
+#  e.data_file.file_path access, file_summary_utils.py:118,134-135) PLUS the
+# scalar function battery F1-F10 (SURVEY §2.5): date_trunc, LEAST, CONCAT,
+# DATE/TIMESTAMP literals, regexp_extract, date_format (strftime analog,
+# diff_utils.py:26), epoch-ms→timestamp (s3_utils.py:16,37). One scan of
+# orders covers both; Catalyst prunes the struct's unused field.
+# (Composite: the driver records at most 50 correctness rows, so operator
+# queries are packed without losing coverage — see __spark_entry__.)
 # ---------------------------------------------------------------------------
 @query(
-    "struct_projection",
+    "scalar_struct_functions",
     oracle="""
     SELECT
       o_orderkey AS entry_key,
       o_orderstatus AS status,
-      o_totalprice AS record_value
-    FROM orders
-    WHERE o_orderstatus != 'X'
-    """,
-)
-def struct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    nested = orders.select(
-        F.col("o_orderkey").alias("entry_key"),
-        F.struct(
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_totalprice").alias("record_value"),
-            F.col("o_orderpriority").alias("unused_field"),
-        ).alias("data_file"),
-    )
-    return nested.filter(F.col("data_file.status") != "X").select(
-        "entry_key",
-        F.col("data_file.status").alias("status"),
-        F.col("data_file.record_value").alias("record_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Scalar function battery F1-F10 (SURVEY §2.5): date_trunc, LEAST, CONCAT,
-# DATE/TIMESTAMP literals, regexp_extract, date_format (strftime analog,
-# diff_utils.py:26), epoch-ms→timestamp (s3_utils.py:16,37).
-# ---------------------------------------------------------------------------
-@query(
-    "scalar_functions",
-    oracle="""
-    SELECT
-      o_orderkey,
+      o_totalprice AS record_value,
       date_trunc('minute', o_orderdate) AS trunc_minute,
       LEAST(o_totalprice, 150000.0) AS capped_price,
       concat('snapshot (', o_orderstatus, ')') AS status_label,
@@ -347,20 +320,35 @@ def struct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
       regexp_extract(o_orderpriority, '([0-9]+)', 1) AS priority_num,
       epoch_ms(o_orderkey * 1000 + 500) AS synth_ts
     FROM orders
+    WHERE o_orderstatus != 'X'
     """,
 )
-def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey",
+    nested = orders.select(
+        F.col("o_orderkey").alias("entry_key"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("record_value"),
+            F.col("o_orderpriority").alias("unused_field"),
+        ).alias("data_file"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return nested.filter(F.col("data_file.status") != "X").select(
+        "entry_key",
+        F.col("data_file.status").alias("status"),
+        F.col("data_file.record_value").alias("record_value"),
         F.date_trunc("minute", F.col("o_orderdate")).alias("trunc_minute"),
-        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("capped_price"),
-        F.concat(F.lit("snapshot ("), F.col("o_orderstatus"), F.lit(")")).alias("status_label"),
+        F.least(F.col("data_file.record_value"), F.lit(150000.0)).alias("capped_price"),
+        F.concat(F.lit("snapshot ("), F.col("data_file.status"), F.lit(")")).alias(
+            "status_label"
+        ),
         (F.col("o_orderdate") >= F.expr("TIMESTAMP '1995-01-01 00:00:00'")).alias("is_modern"),
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:00").alias("minute_str"),
         F.regexp_extract(F.col("o_orderpriority"), "([0-9]+)", 1).alias("priority_num"),
-        F.timestamp_millis(F.col("o_orderkey") * 1000 + 500).alias("synth_ts"),
+        F.timestamp_millis(F.col("entry_key") * 1000 + 500).alias("synth_ts"),
     )
 
 

@@ -4,7 +4,9 @@
 The reference reaches anti-join semantics only through the pandas
 ``merge(indicator=True)`` idiom (notebooks/utils/diff_utils.py:58-71) and
 never uses INTERSECT/EXCEPT or grouping sets. These queries make the full
-surface first-class.
+surface first-class. Pairs of related operators share one driver entry with
+an ``op``/``grp_src`` label column (the driver records at most 50
+correctness rows; packing keeps every operator hash-checked).
 
 Scale notes (100 TB story):
 - Semi/anti joins ship only the join keys of the probe side — Spark's
@@ -16,6 +18,8 @@ Scale notes (100 TB story):
 - ROLLUP/CUBE expand to grouping-set repetition on the map side; partial
   aggregation still applies, so the shuffle carries one row per
   (group, grouping-set) not per input row.
+- The UNION ALL packing adds no exchange: each branch keeps its own plan and
+  the union is a no-shuffle concatenation.
 """
 
 from __future__ import annotations
@@ -29,76 +33,56 @@ from demo_iceberg_permanent_delete_spark.sources.tables import load_table
 
 
 # ---------------------------------------------------------------------------
-# INTERSECT (distinct semantics): customers that ordered in BOTH statuses.
+# INTERSECT (distinct semantics) + EXCEPT ALL (multiset difference,
+# preserves multiplicity), labeled by op.
 # ---------------------------------------------------------------------------
 @query(
-    "intersect_keys",
+    "set_ops_keys",
     oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    SELECT 'intersect' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
     """,
 )
-def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     f_side = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o_side = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f_side.intersect(o_side)
-
-
-# ---------------------------------------------------------------------------
-# EXCEPT ALL (multiset difference, preserves multiplicity).
-# ---------------------------------------------------------------------------
-@query(
-    "except_all_keys",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
-    EXCEPT ALL
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-    """,
-)
-def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
     big = orders.filter(F.col("o_totalprice") > 50000).select("o_custkey")
     pending = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
-    return big.exceptAll(pending)
+    inter = f_side.intersect(o_side).select(
+        F.lit("intersect").alias("op"), "o_custkey"
+    )
+    exc = big.exceptAll(pending).select(
+        F.lit("except_all").alias("op"), "o_custkey"
+    )
+    return inter.unionByName(exc)
 
 
 # ---------------------------------------------------------------------------
-# LEFT SEMI join — customers having at least one high-value order
-# (EXISTS shape; the pandas indicator='both' analog).
+# LEFT SEMI (EXISTS: customers with a high-value order) + LEFT ANTI
+# (NOT EXISTS: customers with no PENDING order — the pandas
+# indicator='left_only' idiom of diff_utils.py:58-71 as a native operator).
 # ---------------------------------------------------------------------------
 @query(
-    "semi_join_customers",
+    "semi_anti_customers",
     oracle="""
-    SELECT c_custkey, c_name, c_acctbal
+    SELECT 'semi' AS op, c_custkey, c_name
     FROM customer c
     WHERE EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
     )
-    """,
-)
-def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    keys = (
-        orders.filter(F.col("o_totalprice") > 100000).select("o_custkey").distinct()
-    )
-    return customer.join(
-        keys, customer["c_custkey"] == keys["o_custkey"], "left_semi"
-    ).select("c_custkey", "c_name", "c_acctbal")
-
-
-# ---------------------------------------------------------------------------
-# LEFT ANTI join — customers with no PENDING order (NOT EXISTS; the pandas
-# indicator='left_only' idiom of diff_utils.py:58-71 as a native operator).
-# The subset predicate keeps the result non-empty at every scale factor.
-# ---------------------------------------------------------------------------
-@query(
-    "anti_join_customers",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti' AS op, c_custkey, c_name
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
@@ -106,81 +90,92 @@ def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
 )
-def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    keys = (
+    big_keys = (
+        orders.filter(F.col("o_totalprice") > 100000).select("o_custkey").distinct()
+    )
+    pending_keys = (
         orders.filter(F.col("o_orderstatus") == "P").select("o_custkey").distinct()
     )
-    return customer.join(
-        keys, customer["c_custkey"] == keys["o_custkey"], "left_anti"
-    ).select("c_custkey", "c_name")
+    semi = customer.join(
+        big_keys, customer["c_custkey"] == big_keys["o_custkey"], "left_semi"
+    ).select(F.lit("semi").alias("op"), "c_custkey", "c_name")
+    anti = customer.join(
+        pending_keys, customer["c_custkey"] == pending_keys["o_custkey"], "left_anti"
+    ).select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    return semi.unionByName(anti)
 
 
 # ---------------------------------------------------------------------------
-# ROLLUP — hierarchical totals (nation → segment → grand total), with
-# GROUPING() so total rows are distinguishable from genuine NULL keys.
+# ROLLUP (hierarchical totals over customer) + CUBE (all grouping
+# combinations over orders) with GROUPING() markers, unified under a
+# grp_src label and text-cast dimensions.
 # ---------------------------------------------------------------------------
 @query(
-    "rollup_summary",
+    "rollup_cube_summary",
     oracle="""
     SELECT
-      c_nationkey,
-      c_mktsegment,
-      GROUPING(c_nationkey) AS g_nation,
-      GROUPING(c_mktsegment) AS g_segment,
-      count(*) AS n_customers,
-      CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+      'customer_rollup' AS grp_src,
+      CAST(c_nationkey AS VARCHAR) AS dim1,
+      c_mktsegment AS dim2,
+      GROUPING(c_nationkey) AS g_dim1,
+      GROUPING(c_mktsegment) AS g_dim2,
+      count(*) AS n_rows,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM customer
     GROUP BY ROLLUP (c_nationkey, c_mktsegment)
-    """,
-)
-def rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    return customer.rollup("c_nationkey", "c_mktsegment").agg(
-        F.grouping("c_nationkey").cast("long").alias("g_nation"),
-        F.grouping("c_mktsegment").cast("long").alias("g_segment"),
-        F.count(F.lit(1)).alias("n_customers"),
-        dsum("c_acctbal").alias("total_balance"),
-    ).select(
-        "c_nationkey",
-        "c_mktsegment",
-        "g_nation",
-        "g_segment",
-        "n_customers",
-        "total_balance",
-    )
-
-
-# ---------------------------------------------------------------------------
-# CUBE — all grouping combinations across two dimensions.
-# ---------------------------------------------------------------------------
-@query(
-    "cube_summary",
-    oracle="""
+    UNION ALL
     SELECT
-      o_orderstatus,
-      o_orderpriority,
-      GROUPING(o_orderstatus) AS g_status,
-      GROUPING(o_orderpriority) AS g_priority,
-      count(*) AS n_orders,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      'orders_cube' AS grp_src,
+      o_orderstatus AS dim1,
+      o_orderpriority AS dim2,
+      GROUPING(o_orderstatus) AS g_dim1,
+      GROUPING(o_orderpriority) AS g_dim2,
+      count(*) AS n_rows,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
-def cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.grouping("o_orderstatus").cast("long").alias("g_status"),
-        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("total_price"),
-    ).select(
-        "o_orderstatus",
-        "o_orderpriority",
-        "g_status",
-        "g_priority",
-        "n_orders",
-        "total_price",
+    roll = (
+        customer.rollup("c_nationkey", "c_mktsegment")
+        .agg(
+            F.grouping("c_nationkey").cast("long").alias("g_dim1"),
+            F.grouping("c_mktsegment").cast("long").alias("g_dim2"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("c_acctbal").alias("total_value"),
+        )
+        .select(
+            F.lit("customer_rollup").alias("grp_src"),
+            F.col("c_nationkey").cast("string").alias("dim1"),
+            F.col("c_mktsegment").alias("dim2"),
+            "g_dim1",
+            "g_dim2",
+            "n_rows",
+            "total_value",
+        )
     )
+    cube = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_dim1"),
+            F.grouping("o_orderpriority").cast("long").alias("g_dim2"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("total_value"),
+        )
+        .select(
+            F.lit("orders_cube").alias("grp_src"),
+            F.col("o_orderstatus").alias("dim1"),
+            F.col("o_orderpriority").alias("dim2"),
+            "g_dim1",
+            "g_dim2",
+            "n_rows",
+            "total_value",
+        )
+    )
+    return roll.unionByName(cube)

@@ -2,9 +2,11 @@
 
 Absent from the reference; required by the north-star surface. Approximate
 results are engine-specific (Spark HLL++ vs DuckDB HLL give different
-estimates), so each approx query is declared rows-only (no oracle) and is
+estimates), so the approx battery is declared rows-only (no oracle) and is
 paired with an exact twin that IS hash-checked — the twin also serves as the
-accuracy yardstick in tests.
+accuracy yardstick in tests. Each side packs distinct-counts and
+percentiles into one driver entry (the driver records at most 50
+correctness rows).
 
 Scale notes (100 TB story):
 - approx_count_distinct is THE scale play: constant-size HLL sketch per
@@ -13,6 +15,8 @@ Scale notes (100 TB story):
   is always one pass.
 - percentile_approx (GK/KLL-style) likewise merges bounded sketches;
   exact percentile requires a full sort or collect of each group.
+- Packing both aggregates into one groupBy is itself the scale-correct
+  shape: one shuffle on l_returnflag serves every aggregate.
 """
 
 from __future__ import annotations
@@ -25,52 +29,18 @@ from demo_iceberg_permanent_delete_spark.sources.tables import load_table
 
 
 # ---------------------------------------------------------------------------
-# Exact distinct counts — the hash-checked yardstick for the sketch below.
+# Exact twins — the hash-checked yardstick: distinct counts + interpolated
+# percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both
+# a+(b-a)*frac) in ONE grouped pass.
 # ---------------------------------------------------------------------------
 @query(
-    "exact_distinct_counts",
+    "sketch_exact_summary",
     oracle="""
     SELECT
       l_returnflag,
       count(DISTINCT l_partkey) AS n_parts,
       count(DISTINCT l_suppkey) AS n_suppliers,
-      count(*) AS n_rows
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def exact_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_partkey").alias("n_parts"),
-        F.count_distinct("l_suppkey").alias("n_suppliers"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# HLL++ approximate distinct counts — rows-only (estimates are
-# implementation-specific); accuracy vs the exact twin asserted in pytest.
-# ---------------------------------------------------------------------------
-@query("approx_distinct_counts", oracle=None)
-def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_parts_approx"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("n_suppliers_approx"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-# `quantile_cont`: both compute the continuous quantile a+(b-a)*frac).
-# ---------------------------------------------------------------------------
-@query(
-    "exact_percentiles",
-    oracle="""
-    SELECT
-      l_returnflag,
+      count(*) AS n_rows,
       quantile_cont(l_extendedprice, 0.5)  AS p50_price,
       quantile_cont(l_extendedprice, 0.95) AS p95_price,
       min(l_extendedprice) AS min_price,
@@ -79,9 +49,12 @@ def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
 )
-def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
         F.percentile("l_extendedprice", 0.5).alias("p50_price"),
         F.percentile("l_extendedprice", 0.95).alias("p95_price"),
         F.min("l_extendedprice").alias("min_price"),
@@ -90,12 +63,16 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Sketch-based percentiles — rows-only; bounded-memory mergeable sketch.
+# Sketch battery — rows-only (estimates are implementation-specific):
+# HLL++ distinct counts + bounded-memory mergeable percentile sketches.
+# Accuracy vs the exact twin asserted in pytest.
 # ---------------------------------------------------------------------------
-@query("approx_percentiles", oracle=None)
-def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("sketch_approx_summary", oracle=None)
+def sketch_approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("n_suppliers_approx"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price_approx"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price_approx"),
         F.count(F.lit(1)).alias("n_rows"),

@@ -65,19 +65,6 @@ DUCK_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
 # ---------------------------------------------------------------------------
 # Token counting: whitespace tokens, distinct tokens, BPE-ish regex tokens.
 # ---------------------------------------------------------------------------
-@query(
-    "text_token_stats",
-    oracle=f"""
-    SELECT
-      doc_id,
-      lang,
-      length(text) AS n_chars_measured,
-      len({DUCK_TOKENS}) AS n_tokens,
-      len(list_distinct({DUCK_TOKENS})) AS n_distinct_tokens,
-      len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens
-    FROM documents
-    """,
-)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
@@ -99,48 +86,6 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 
-@query(
-    "text_quality_score",
-    oracle=f"""
-    WITH feat AS (
-      SELECT
-        doc_id,
-        lang,
-        CAST(length(text) AS BIGINT) AS n_chars,
-        CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens,
-        CAST(len(list_filter({DUCK_TOKENS}, t -> t IN ({_STOP_IN}))) AS BIGINT)
-          AS n_stopwords,
-        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
-        CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
-      FROM documents
-    )
-    SELECT
-      doc_id,
-      lang,
-      n_chars,
-      n_tokens,
-      n_stopwords / n_tokens AS stopword_ratio,
-      n_punct / n_chars AS punct_ratio,
-      n_digits / n_chars AS digit_ratio,
-      (n_chars / n_tokens) AS mean_token_len,
-      (n_stopwords / n_tokens) * 0.5
-        + CASE WHEN n_tokens >= 20 THEN 0.3 ELSE 0.0 END
-        + CASE WHEN n_punct / n_chars < 0.1 THEN 0.2 ELSE 0.0 END
-        AS quality_score,
-      CASE
-        WHEN (n_stopwords / n_tokens) * 0.5
-             + CASE WHEN n_tokens >= 20 THEN 0.3 ELSE 0.0 END
-             + CASE WHEN n_punct / n_chars < 0.1 THEN 0.2 ELSE 0.0 END >= 0.5
-          THEN 'high'
-        WHEN (n_stopwords / n_tokens) * 0.5
-             + CASE WHEN n_tokens >= 20 THEN 0.3 ELSE 0.0 END
-             + CASE WHEN n_punct / n_chars < 0.1 THEN 0.2 ELSE 0.0 END >= 0.3
-          THEN 'medium'
-        ELSE 'low'
-      END AS quality_bucket
-    FROM feat
-    """,
-)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
@@ -194,33 +139,6 @@ def _duck_hits(lang: str) -> str:
     return f"len(list_filter({DUCK_TOKENS}, t -> t IN ({inlist})))"
 
 
-@query(
-    "language_id",
-    oracle=f"""
-    WITH hits AS (
-      SELECT
-        doc_id,
-        lang AS labeled_lang,
-        {_duck_hits("en")} AS hits_en,
-        {_duck_hits("de")} AS hits_de,
-        {_duck_hits("fr")} AS hits_fr,
-        {_duck_hits("es")} AS hits_es
-      FROM documents
-    )
-    SELECT
-      doc_id,
-      labeled_lang,
-      hits_en, hits_de, hits_fr, hits_es,
-      CASE
-        WHEN hits_en + hits_de + hits_fr + hits_es = 0 THEN 'unknown'
-        WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
-        WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
-        WHEN hits_fr >= hits_es THEN 'fr'
-        ELSE 'es'
-      END AS detected_lang
-    FROM hits
-    """,
-)
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
@@ -255,30 +173,6 @@ SHINGLE_LEN = 8
 SHINGLE_STRIDE = 4
 
 
-@query(
-    "doc_fingerprint",
-    oracle=f"""
-    WITH positions AS (
-      SELECT
-        doc_id,
-        lower(text) AS t,
-        unnest(generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1),
-                               {SHINGLE_STRIDE})) AS i
-      FROM documents
-    ),
-    shingles AS (
-      SELECT doc_id, {duck_hash60(f"substr(t, i, {SHINGLE_LEN})")} AS h
-      FROM positions
-    )
-    SELECT
-      doc_id,
-      min(h) AS min_shingle_hash,
-      count(DISTINCT h) AS n_distinct_shingles,
-      count(*) AS n_shingles
-    FROM shingles
-    GROUP BY doc_id
-    """,
-)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     positions = docs.select(
@@ -300,4 +194,173 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("min_shingle_hash"),
         F.count_distinct("h").alias("n_distinct_shingles"),
         F.count(F.lit(1)).alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite driver entry: the full X4 text-analysis battery in one
+# hash-checked query — token stats, quality scoring, language ID, and the
+# rolling-hash fingerprint, joined per doc. (The driver records at most 50
+# correctness rows; packing the four per-doc projections into one entry
+# keeps each operator oracle-checked without spending four slots. The
+# individual builders above remain importable.)
+# One scan computes every projection column; only the fingerprint needs the
+# strided explode + per-doc aggregate, joined back on doc_id.
+# ---------------------------------------------------------------------------
+def _duck_hits_expr(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return f"len(list_filter({DUCK_TOKENS}, t -> t IN ({inlist})))"
+
+
+_QUALITY_EXPR = (
+    "(n_stopwords / n_tokens) * 0.5"
+    " + CASE WHEN n_tokens >= 20 THEN 0.3 ELSE 0.0 END"
+    " + CASE WHEN n_punct / n_chars < 0.1 THEN 0.2 ELSE 0.0 END"
+)
+
+
+@query(
+    "text_analysis",
+    oracle=f"""
+    WITH feat AS (
+      SELECT
+        doc_id,
+        lang,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+        len(list_distinct({DUCK_TOKENS})) AS n_distinct_tokens,
+        len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
+        CAST(len(list_filter({DUCK_TOKENS}, t -> t IN ({_STOP_IN}))) AS BIGINT)
+          AS n_stopwords,
+        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+        CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+        {_duck_hits_expr("en")} AS hits_en,
+        {_duck_hits_expr("de")} AS hits_de,
+        {_duck_hits_expr("fr")} AS hits_fr,
+        {_duck_hits_expr("es")} AS hits_es
+      FROM documents
+    ),
+    positions AS (
+      SELECT
+        doc_id,
+        lower(text) AS t,
+        unnest(generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1),
+                               {SHINGLE_STRIDE})) AS i
+      FROM documents
+    ),
+    shingles AS (
+      SELECT doc_id, {duck_hash60(f"substr(t, i, {SHINGLE_LEN})")} AS h
+      FROM positions
+    ),
+    fp AS (
+      SELECT
+        doc_id,
+        min(h) AS min_shingle_hash,
+        count(DISTINCT h) AS n_distinct_shingles,
+        count(*) AS n_shingles
+      FROM shingles
+      GROUP BY doc_id
+    )
+    SELECT
+      f.doc_id,
+      f.lang,
+      n_chars,
+      n_tokens,
+      n_distinct_tokens,
+      n_bpe_tokens,
+      n_stopwords / n_tokens AS stopword_ratio,
+      n_punct / n_chars AS punct_ratio,
+      n_digits / n_chars AS digit_ratio,
+      n_chars / n_tokens AS mean_token_len,
+      {_QUALITY_EXPR} AS quality_score,
+      CASE
+        WHEN {_QUALITY_EXPR} >= 0.5 THEN 'high'
+        WHEN {_QUALITY_EXPR} >= 0.3 THEN 'medium'
+        ELSE 'low'
+      END AS quality_bucket,
+      hits_en, hits_de, hits_fr, hits_es,
+      CASE
+        WHEN hits_en + hits_de + hits_fr + hits_es = 0 THEN 'unknown'
+        WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+        WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+        WHEN hits_fr >= hits_es THEN 'fr'
+        ELSE 'es'
+      END AS detected_lang,
+      fp.min_shingle_hash,
+      fp.n_distinct_shingles,
+      fp.n_shingles
+    FROM feat f
+    JOIN fp ON f.doc_id = fp.doc_id
+    """,
+)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+
+    def hits(lang: str) -> Column:
+        arr = F.array(*[F.lit(w) for w in LANG_LEXICONS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9\\s]"), 0))
+        .cast("long")
+        .alias("n_punct"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+        .cast("long")
+        .alias("n_digits"),
+        *[hits(lang).alias(f"hits_{lang}") for lang in LANG_LEXICONS],
+    )
+    fp = doc_fingerprint(spark, sf_dir)
+
+    stop_ratio = F.col("n_stopwords") / F.col("n_tokens")
+    punct_ratio = F.col("n_punct") / F.col("n_chars")
+    score = (
+        stop_ratio * 0.5
+        + F.when(F.col("n_tokens") >= 20, 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0)
+    )
+    en, de, fr, es = (F.col(f"hits_{lang}") for lang in ("en", "de", "fr", "es"))
+    detected = (
+        F.when(en + de + fr + es == 0, "unknown")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return feat.join(fp, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_bpe_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (F.col("n_digits") / F.col("n_chars")).alias("digit_ratio"),
+        (F.col("n_chars") / F.col("n_tokens")).alias("mean_token_len"),
+        score.alias("quality_score"),
+        F.when(score >= 0.5, "high")
+        .when(score >= 0.3, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+        "hits_en",
+        "hits_de",
+        "hits_fr",
+        "hits_es",
+        detected.alias("detected_lang"),
+        "min_shingle_hash",
+        "n_distinct_shingles",
+        "n_shingles",
     )

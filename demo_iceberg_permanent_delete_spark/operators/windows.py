@@ -36,76 +36,62 @@ SESSION_GAP_US = 10 * 60 * 1_000_000
 
 # ---------------------------------------------------------------------------
 # X6: ranking/analytic battery — rank, dense_rank, row_number, lag, lead
-# over a keyed partition. Unique tiebreak (o_orderkey) keeps every ranked
-# value deterministic for the oracle.
+# over a keyed partition PLUS a running aggregate with an explicit ROWS
+# frame, in one scan with two window specs (one driver entry — the driver
+# records at most 50 correctness rows). Unique tiebreak (o_orderkey) keeps
+# every ranked value deterministic for the oracle; the running sum is
+# decimal-exact (float running sums would drift between engines by rounding
+# asymmetry even with the frame pinning order). Two different partitionings
+# ⇒ two exchanges, same as the queries run separately — packing adds no
+# shuffle.
 # ---------------------------------------------------------------------------
 @query(
-    "ranking_windows",
+    "ranking_running_windows",
     oracle="""
     SELECT
       o_orderkey,
+      o_custkey,
       o_orderpriority,
       o_totalprice,
+      o_orderdate,
       rank()       OVER w AS price_rank,
       dense_rank() OVER w AS price_dense_rank,
       row_number() OVER w AS price_row_number,
       lag(o_totalprice)  OVER w AS prev_price,
-      lead(o_totalprice) OVER w AS next_price
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice DESC, o_orderkey ASC)
-    """,
-)
-def ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return orders.select(
-        "o_orderkey",
-        "o_orderpriority",
-        "o_totalprice",
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
-        F.row_number().over(w).alias("price_row_number"),
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# X6: running aggregate with an explicit ROWS frame. Decimal-exact running
-# sum (float running sums would drift between engines by evaluation order —
-# the frame pins the order, but DECIMAL removes rounding asymmetry too).
-# ---------------------------------------------------------------------------
-@query(
-    "running_sum",
-    oracle="""
-    SELECT
-      o_custkey,
-      o_orderkey,
-      o_orderdate,
+      lead(o_totalprice) OVER w AS next_price,
       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
         PARTITION BY o_custkey
         ORDER BY o_orderdate ASC, o_orderkey ASC
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
       ) AS DOUBLE) AS running_spend
     FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
     """,
 )
-def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ranking_running_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    w = (
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_run = (
         Window.partitionBy("o_custkey")
         .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
-        "o_custkey",
         "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
         "o_orderdate",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.row_number().over(w).alias("price_row_number"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-        .over(w)
+        .over(w_run)
         .cast("double")
         .alias("running_spend"),
     )
