@@ -67,11 +67,13 @@ def expire_snapshots(table, older_than: dt.datetime | int) -> dict[str, int]:
     ]
     if not expired:
         return {"expired_snapshots": 0, "deleted_files": 0}
-    survivors = [s for s in meta.snapshots if s not in expired]
+    expired_ids = {s.snapshot_id for s in expired}
+    survivors = [s for s in meta.snapshots if s.snapshot_id not in expired_ids]
 
     # Reachability via DataFrame set algebra (union + distinct + anti-join):
     # scales with file *count*, runs in Spark, matches the M1 plan in
-    # SURVEY.md §2.3.
+    # SURVEY.md §2.3. Resolved BEFORE snapshot removal — the expired
+    # snapshots' delta manifests are still walkable here.
     spark = table.spark
     surv_paths = [(e.file_path,) for s in survivors for e in s.manifest]
     exp_paths = [(e.file_path,) for s in expired for e in s.manifest]
@@ -79,7 +81,9 @@ def expire_snapshots(table, older_than: dt.datetime | int) -> dict[str, int]:
     exp_df = spark.createDataFrame(exp_paths or [("",)], "file_path string").distinct()
     doomed = [r["file_path"] for r in exp_df.join(surv_df, "file_path", "left_anti").collect()]
 
-    meta.snapshots = survivors
+    # Drops headers + expired delta files; survivors whose ancestry crossed
+    # an expired snapshot get a materialized base delta first.
+    meta.remove_snapshots(expired_ids)
     meta.commit()
 
     deleted = 0
@@ -113,6 +117,10 @@ def remove_orphan_files(
             "pass enforce_safety=False (Action path) to override"
         )
 
+    # Orphan detection must run against the CURRENT table state, not a
+    # stale in-memory view — a concurrent expire may have rewritten the
+    # referenced-file set since this handle was loaded.
+    table.refresh()
     spark = table.spark
     listing = list_files(spark, os.path.join(table.location, "data"), suffix=".parquet")
     referenced = spark.createDataFrame(
@@ -129,6 +137,22 @@ def remove_orphan_files(
             .collect()
         )
     ]
+    # Manifest-file GC (expired snapshots leave their delta manifests on
+    # disk so stale readers keep working — see metadata.remove_snapshots):
+    # a manifest not referenced by any retained snapshot header and older
+    # than the cutoff is an orphan too, exactly like Iceberg's.
+    live_manifests = {
+        s.manifest_file for s in table.metadata.snapshots if s.manifest_file
+    }
+    meta_dir = table.metadata.metadata_dir
+    for name in sorted(os.listdir(meta_dir)):
+        if not name.startswith("manifest-"):
+            continue
+        path = os.path.join(meta_dir, name)
+        if path in live_manifests:
+            continue
+        if os.path.getmtime(path) * 1000 < cutoff_ms:
+            orphans.append(path)
     if not dry_run:
         for path in orphans:
             if os.path.exists(path):

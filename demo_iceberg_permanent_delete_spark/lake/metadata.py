@@ -2,28 +2,30 @@
 
 Stand-in for Iceberg's metadata.json + Avro manifest chain (the reference
 reads these through metadata tables: notebooks/utils/file_summary_utils.py:
-51-88 — manifest-lists/manifests as Avro, metadata log as JSON). We own the
-format, so everything is one JSON document per version:
+51-88 — manifest-lists/manifests as Avro, metadata log as JSON). Layout:
 
-    warehouse/<ns>/<table>/metadata/v{N}.json
+    warehouse/<ns>/<table>/metadata/v{N}.json          snapshot HEADERS only
+    warehouse/<ns>/<table>/metadata/manifest-{id}.json per-snapshot DELTA
 
-Each snapshot carries its *complete* manifest (every live file, data and
-position-delete), which makes time travel and expire-reachability pure list
-operations. Manifest entries carry per-file record counts, sizes, and
-min/max column stats — the same stats Iceberg keeps, used for file-level
-pruning at plan time (SURVEY.md §4: "record per-file min/max to emulate
-Iceberg file-level pruning").
+Incremental manifests (Iceberg's manifest-list design): each snapshot
+persists only its *delta* — entries added and file paths removed relative
+to its parent — as a JSON-lines file written once and never rewritten. A
+snapshot's full file set is reconstructed lazily by walking ancestry to the
+nearest base snapshot (the first snapshot, or a survivor materialized by
+expire_snapshots) and folding deltas; reconstructions are cached per
+metadata instance. Commit cost is therefore O(delta) + O(#snapshots), not
+O(files × snapshots): at 100 TB ≈ 800k files, an append of 10 files writes
+~10 manifest lines and a header list, where the previous inline format
+re-serialized the full 800k-entry list into every version file.
 
-Commits are atomic: write ``v{N}.json.tmp`` then ``os.replace``. Single
-writer assumed (documented limitation; the reference's REST catalog served
-this role).
+The JSON-lines shape is deliberate: executors can scan manifests directly
+via spark.read.json, which backs the metadata tables (.files/.all_entries)
+without materializing O(snapshots × files) rows on the driver (table.py).
 
-Scale note: a 100 TB table has ~800k 128-MiB files; one JSON manifest per
-snapshot stays in the tens-of-MB range and is only touched on the driver.
-Real deployments would shard manifests; the *reachability and pruning
-algebra* here (set-of-files union/anti-join, stat-range filters) is the part
-that transfers, and it is executed as Spark DataFrame ops wherever the input
-can be large (see maintenance.py).
+Commits are atomic: write ``v{N}.json.tmp`` then ``os.replace`` (delta
+files land before the header file that references them). Single writer
+assumed (documented limitation; the reference's REST catalog served this
+role).
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ import os
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 
 # content codes, mirroring the Iceberg codes the reference decodes
 # (file_summary_utils.py:143-148 and iceberg_pii_deletion_demo.py:204-216)
@@ -84,13 +86,38 @@ class ManifestEntry:
 
 
 @dataclass
+class ManifestDelta:
+    """One snapshot's change set relative to its parent."""
+
+    added: list[ManifestEntry] = field(default_factory=list)
+    removed: list[str] = field(default_factory=list)  # file paths
+    base: bool = False  # True: `added` IS the full set; stop the walk here
+
+
+@dataclass
 class Snapshot:
+    """Snapshot HEADER. The file set lives in the per-snapshot delta
+    manifest; ``.manifest`` reconstructs the full set lazily through the
+    owning TableMetadata (wired at load/add time)."""
+
     snapshot_id: int
     committed_at_ms: int
     operation: str  # append / delete / overwrite / replace
-    manifest: list[ManifestEntry]
     parent_id: int | None = None
     summary: dict[str, Any] = field(default_factory=dict)
+    manifest_file: str | None = None  # delta JSONL path (set at add time)
+    base: bool = False  # delta IS the full set — ancestry walks stop here
+    _resolve: Callable[[Snapshot], list[ManifestEntry]] | None = field(
+        default=None, repr=False, compare=False
+    )
+
+    @property
+    def manifest(self) -> list[ManifestEntry]:
+        if self._resolve is None:
+            raise RuntimeError(
+                f"snapshot {self.snapshot_id} is not attached to TableMetadata"
+            )
+        return self._resolve(self)
 
     def data_files(self) -> list[ManifestEntry]:
         return [e for e in self.manifest if e.content == CONTENT_DATA]
@@ -108,7 +135,8 @@ class Snapshot:
             "operation": self.operation,
             "parent_id": self.parent_id,
             "summary": self.summary,
-            "manifest": [e.to_json() for e in self.manifest],
+            "manifest_file": self.manifest_file,
+            "base": self.base,
         }
 
     @classmethod
@@ -119,7 +147,9 @@ class Snapshot:
             operation=d["operation"],
             parent_id=d.get("parent_id"),
             summary=d.get("summary", {}),
-            manifest=[ManifestEntry.from_json(e) for e in d["manifest"]],
+            manifest_file=d.get("manifest_file"),
+            # legacy inline-manifest snapshots are self-contained
+            base=d.get("base", "manifest" in d),
         )
 
 
@@ -139,6 +169,16 @@ class TableMetadata:
     # .metadata_log_entries (file_summary_utils.py:86-88)
     metadata_log: list[dict[str, Any]] = field(default_factory=list)
     version: int = 0
+    # runtime caches (never serialized)
+    _deltas: dict[int, ManifestDelta] = field(
+        default_factory=dict, repr=False, compare=False
+    )
+    _full_cache: dict[int, list[ManifestEntry]] = field(
+        default_factory=dict, repr=False, compare=False
+    )
+    _written_deltas: set[int] = field(
+        default_factory=set, repr=False, compare=False
+    )
 
     # ------------------------------------------------------------------ io
     @property
@@ -163,7 +203,7 @@ class TableMetadata:
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> TableMetadata:
-        return cls(
+        meta = cls(
             name=d["name"],
             location=d["location"],
             schema_ddl=d["schema_ddl"],
@@ -174,6 +214,20 @@ class TableMetadata:
             metadata_log=list(d.get("metadata_log", [])),
             version=d.get("version", 0),
         )
+        for raw, snap in zip(d["snapshots"], meta.snapshots):
+            snap._resolve = meta.resolve_manifest
+            if "manifest" in raw:
+                # legacy inline-manifest format: treat each snapshot's full
+                # list as a base delta; new delta files land on next commit
+                meta._deltas[snap.snapshot_id] = ManifestDelta(
+                    added=[ManifestEntry.from_json(e) for e in raw["manifest"]],
+                    base=True,
+                )
+                if snap.manifest_file is None:
+                    snap.manifest_file = os.path.join(
+                        meta.metadata_dir, f"manifest-{snap.snapshot_id}.json"
+                    )
+        return meta
 
     @classmethod
     def load(cls, location: str) -> TableMetadata:
@@ -191,10 +245,107 @@ class TableMetadata:
         meta.version = latest
         return meta
 
+    # ------------------------------------------------------- delta storage
+    def delta_of(self, snapshot_id: int) -> ManifestDelta:
+        """The snapshot's change set, from memory or its JSONL file."""
+        if snapshot_id in self._deltas:
+            return self._deltas[snapshot_id]
+        snap = self.snapshot_by_id(snapshot_id)
+        if snap.manifest_file is None or not os.path.exists(snap.manifest_file):
+            raise FileNotFoundError(
+                f"manifest delta for snapshot {snapshot_id} not found "
+                f"({snap.manifest_file})"
+            )
+        delta = ManifestDelta()
+        with open(snap.manifest_file) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                row = json.loads(line)
+                kind = row.pop("kind")
+                row.pop("snapshot_id", None)
+                if kind == "base":
+                    delta.base = True
+                elif kind == "add":
+                    delta.added.append(ManifestEntry.from_json(row))
+                elif kind == "remove":
+                    delta.removed.append(row["file_path"])
+        self._deltas[snapshot_id] = delta
+        return delta
+
+    def resolve_manifest(self, snap: Snapshot) -> list[ManifestEntry]:
+        """Full file set of ``snap``: walk ancestry to the nearest base,
+        then fold deltas forward. O(files + chain-deltas), cached."""
+        if snap.snapshot_id in self._full_cache:
+            return self._full_cache[snap.snapshot_id]
+        chain: list[Snapshot] = []
+        cur: Snapshot | None = snap
+        while cur is not None:
+            chain.append(cur)
+            if cur.base or cur.parent_id is None:
+                break
+            cur = self._maybe_snapshot(cur.parent_id)
+            if cur is None:
+                raise KeyError(
+                    f"snapshot chain for {snap.snapshot_id} references an "
+                    "expired ancestor with no materialized base"
+                )
+        files: dict[str, ManifestEntry] = {}
+        for s in reversed(chain):
+            delta = self.delta_of(s.snapshot_id)
+            if delta.base:
+                files = {}
+            for path in delta.removed:
+                files.pop(path, None)
+            for e in delta.added:
+                files[e.file_path] = e
+        out = list(files.values())
+        self._full_cache[snap.snapshot_id] = out
+        return out
+
+    def _maybe_snapshot(self, snapshot_id: int) -> Snapshot | None:
+        for s in self.snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        return None
+
+    def _write_delta_file(self, snap: Snapshot, delta: ManifestDelta) -> None:
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        tmp = snap.manifest_file + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            if delta.base:
+                fh.write(
+                    json.dumps({"kind": "base", "snapshot_id": snap.snapshot_id})
+                    + "\n"
+                )
+            for path in delta.removed:
+                fh.write(
+                    json.dumps(
+                        {
+                            "kind": "remove",
+                            "snapshot_id": snap.snapshot_id,
+                            "file_path": path,
+                        }
+                    )
+                    + "\n"
+                )
+            for e in delta.added:
+                row = {"kind": "add", "snapshot_id": snap.snapshot_id}
+                row.update(e.to_json())
+                fh.write(json.dumps(row, default=str) + "\n")
+        os.replace(tmp, snap.manifest_file)
+
     def commit(self) -> str:
-        """Atomically persist the next metadata version (temp + rename)."""
+        """Atomically persist the next metadata version: unwritten delta
+        manifests first (each O(delta)), then the header file (temp +
+        rename)."""
         self.version += 1
         os.makedirs(self.metadata_dir, exist_ok=True)
+        for snap in self.snapshots:
+            sid = snap.snapshot_id
+            if sid in self._deltas and sid not in self._written_deltas:
+                self._write_delta_file(snap, self._deltas[sid])
+                self._written_deltas.add(sid)
         path = self.metadata_file(self.version)
         self.metadata_log.append({"metadata_file": path, "timestamp_ms": now_ms()})
         tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -212,26 +363,85 @@ class TableMetadata:
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         from demo_iceberg_permanent_delete_spark.lake.errors import SnapshotNotFoundError
 
-        for s in self.snapshots:
-            if s.snapshot_id == snapshot_id:
-                return s
+        snap = self._maybe_snapshot(snapshot_id)
+        if snap is not None:
+            return snap
         raise SnapshotNotFoundError(
             f"snapshot {snapshot_id} not found for table {self.name} "
             f"(expired or never existed); time travel unavailable"
         )
 
     def add_snapshot(self, operation: str, manifest: list[ManifestEntry], summary=None) -> Snapshot:
+        """Register a snapshot whose FULL file set is ``manifest``; only the
+        delta vs the parent is persisted."""
+        parent = self.current_snapshot()
+        parent_files = {e.file_path for e in parent.manifest} if parent else set()
+        new_by_path = {e.file_path: e for e in manifest}
+        delta = ManifestDelta(
+            added=[e for p, e in new_by_path.items() if p not in parent_files],
+            removed=[p for p in parent_files if p not in new_by_path],
+            base=parent is None,
+        )
+        # Header-borne stats: let metadata views and size gates run from
+        # headers alone, no manifest resolution (Iceberg's summary map).
+        stats = {
+            "total-files": len(manifest),
+            "total-bytes": sum(e.file_size_in_bytes for e in manifest),
+            "added-entries": len(delta.added),
+            "removed-entries": len(delta.removed),
+        }
         snap = Snapshot(
             snapshot_id=new_snapshot_id(),
             committed_at_ms=now_ms(),
             operation=operation,
-            manifest=manifest,
             parent_id=self.current_snapshot_id,
-            summary=summary or {},
+            summary={**stats, **(summary or {})},
+            base=delta.base,
         )
+        snap.manifest_file = os.path.join(
+            self.metadata_dir, f"manifest-{snap.snapshot_id}.json"
+        )
+        snap._resolve = self.resolve_manifest
+        self._deltas[snap.snapshot_id] = delta
+        self._full_cache[snap.snapshot_id] = list(manifest)
         self.snapshots.append(snap)
         self.current_snapshot_id = snap.snapshot_id
         return snap
+
+    def remove_snapshots(self, expired_ids: set[int]) -> None:
+        """Drop snapshot headers, materializing a base delta for any
+        survivor whose ancestry walk would cross an expired snapshot (its
+        full set is captured BEFORE the ancestors disappear). Expired delta
+        files stay on disk — a previously loaded (stale) metadata instance
+        may still be resolving through them; remove_orphan_files garbage-
+        collects unreferenced manifest files later, like Iceberg."""
+        for s in self.snapshots:
+            if s.snapshot_id in expired_ids:
+                continue
+            if self._walk_crosses(s, expired_ids):
+                full = list(s.manifest)  # resolve while ancestors exist
+                self._deltas[s.snapshot_id] = ManifestDelta(added=full, base=True)
+                self._full_cache[s.snapshot_id] = full
+                s.base = True
+                # new file name: delta files are immutable once written
+                s.manifest_file = os.path.join(
+                    self.metadata_dir,
+                    f"manifest-{s.snapshot_id}-base-v{self.version + 1}.json",
+                )
+                self._written_deltas.discard(s.snapshot_id)
+        self.snapshots = [
+            s for s in self.snapshots if s.snapshot_id not in expired_ids
+        ]
+
+    def _walk_crosses(self, snap: Snapshot, expired_ids: set[int]) -> bool:
+        cur: Snapshot | None = snap
+        while cur is not None:
+            if cur.snapshot_id in expired_ids:
+                return True
+            if cur.base or cur.parent_id is None:
+                return False
+            cur = self._maybe_snapshot(cur.parent_id)
+        return True  # chain already broken → must have crossed
 
     def all_referenced_files(self) -> set[str]:
         """Every file reachable from *any* retained snapshot."""
