@@ -33,6 +33,32 @@ _BETWEEN_RE = re.compile(
     r"^\s*(?P<col>[A-Za-z_][\w]*)\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+(?P<hi>.+?)\s*$",
     re.I,
 )
+_IN_RE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][\w]*)\s+IN\s*\((?P<items>[^()]*)\)\s*$",
+    re.I,
+)
+
+
+def _split_in_items(items: str) -> list[str] | None:
+    """Split an IN-list body on commas outside quotes; None if malformed."""
+    parts, cur, quote = [], [], False
+    for ch in items:
+        if quote:
+            cur.append(ch)
+            if ch == "'":
+                quote = False
+        elif ch == "'":
+            quote = True
+            cur.append(ch)
+        elif ch == ",":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if quote:
+        return None
+    parts.append("".join(cur))
+    return parts
 
 
 def _parse_literal(text: str) -> Any | None:
@@ -138,6 +164,25 @@ def _bounds_for(entry: ManifestEntry, col: str) -> tuple[Any, Any] | None:
 
 def _conjunct_can_match(entry: ManifestEntry, conjunct: str) -> bool:
     """False only when the conjunct is PROVABLY unsatisfiable on this file."""
+    m = _IN_RE.match(conjunct)
+    if m:
+        items = _split_in_items(m.group("items"))
+        bounds = _bounds_for(entry, m.group("col"))
+        if items is None or bounds is None:
+            return True
+        lo, hi = bounds
+        for item in items:
+            lit = _parse_literal(item)
+            if lit is None:
+                return True  # non-literal member → can't prune soundly
+            coerced = _coerce(lit, lo, hi)
+            if coerced is None:
+                return True
+            c_lit, c_lo, c_hi = coerced
+            if c_lo <= c_lit <= c_hi:
+                return True
+        return False  # every member provably outside [min, max]
+
     m = _BETWEEN_RE.match(conjunct)
     if m:
         lo_lit, hi_lit = _parse_literal(m.group("lo")), _parse_literal(m.group("hi"))

@@ -75,14 +75,32 @@ def test_partitioned_insert_clusters_for_pruning(spark, tmp_path):
 
 def test_pruning_is_conservative_on_unprunable_predicates(ranged_table):
     entries = ranged_table.metadata.current_snapshot().data_files()
-    # top-level OR, functions, unknown columns: everything stays
+    # top-level OR, functions, unknown columns, NOT IN: everything stays
     for pred in (
         "k = 1 OR k = 250",
         "abs(k) = 5",
         "unknown_col = 3",
-        "k IN (1, 2)",
+        "k NOT IN (1, 2)",
+        "k IN (1, abs(5))",  # non-literal member
     ):
         assert len(candidate_files(entries, pred)) == 3, pred
+
+
+def test_in_list_pruning(ranged_table):
+    entries = ranged_table.metadata.current_snapshot().data_files()
+    assert len(candidate_files(entries, "k IN (1, 2)")) == 1
+    assert len(candidate_files(entries, "k IN (1, 150)")) == 2
+    assert len(candidate_files(entries, "k IN (400, 500)")) == 0
+    # lexicographic string bounds: file 3 ['name-200','name-299'] excludes both
+    assert len(candidate_files(entries, "name IN ('name-0', 'name-150')")) == 2
+    # composes with other conjuncts: file 1 fails k >= 100, file 3 fails the IN
+    assert len(candidate_files(entries, "k IN (1, 150) AND k >= 100")) == 1
+    # results identical to an unpruned read
+    assert (
+        ranged_table.scan("k IN (1, 150)").count()
+        == ranged_table.read().filter("k IN (1, 150)").count()
+        == 2
+    )
 
 
 def test_scan_results_match_unpruned_read(ranged_table):
