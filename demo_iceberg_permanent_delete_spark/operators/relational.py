@@ -240,57 +240,51 @@ def self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  .select('file_path').distinct()).
 # ---------------------------------------------------------------------------
 @query(
-    "distinct_projection",
-    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
-def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
-
-
-# ---------------------------------------------------------------------------
-# CASE WHEN decode, simple + searched with ELSE fallback (R14 — the
-# content/status decodes at file_summary_utils.py:119-120,143-148), plus the
-# IN-list / != predicates of R2.
-# ---------------------------------------------------------------------------
-@query(
-    "case_decode",
+    "distinct_case_decode",
     oracle="""
-    SELECT
-      l_orderkey,
-      l_linenumber,
-      CASE CAST(l_linenumber % 3 AS INTEGER)
+    SELECT DISTINCT
+      c_mktsegment,
+      c_nationkey,
+      CASE CAST(c_nationkey % 3 AS INTEGER)
         WHEN 0 THEN 'data'
         WHEN 1 THEN 'position_deletes'
         WHEN 2 THEN 'equality_deletes'
         ELSE 'unknown'
       END AS content_type,
       CASE
-        WHEN l_returnflag = 'A' THEN 'accepted'
-        WHEN l_returnflag = 'R' THEN 'returned'
-        ELSE concat('other (', l_returnflag, ')')
-      END AS flag_desc
-    FROM lineitem
-    WHERE l_linenumber IN (1, 2, 3, 4) AND l_linestatus != 'X'
+        WHEN c_mktsegment = 'BUILDING' THEN 'accepted'
+        WHEN c_mktsegment = 'MACHINERY' THEN 'returned'
+        ELSE concat('other (', c_mktsegment, ')')
+      END AS segment_desc
+    FROM customer
+    WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+      AND c_mktsegment != 'X'
     """,
 )
-def case_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    content = (F.col("l_linenumber") % 3).cast("int")
+def distinct_case_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (R13) + CASE WHEN decode, simple + searched with
+    ELSE fallback (R14 — the content/status decodes at
+    file_summary_utils.py:119-120,143-148) + IN-list / != predicates (R2),
+    composited in one scan (the driver records at most 50 correctness rows).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    content = (F.col("c_nationkey") % 3).cast("int")
     return (
-        li.filter(F.col("l_linenumber").isin(1, 2, 3, 4) & (F.col("l_linestatus") != "X"))
+        cust.filter(F.col("c_nationkey").isin(*range(13)) & (F.col("c_mktsegment") != "X"))
         .select(
-            "l_orderkey",
-            "l_linenumber",
+            "c_mktsegment",
+            "c_nationkey",
             F.when(content == 0, "data")
             .when(content == 1, "position_deletes")
             .when(content == 2, "equality_deletes")
             .otherwise("unknown")
             .alias("content_type"),
-            F.when(F.col("l_returnflag") == "A", F.lit("accepted"))
-            .when(F.col("l_returnflag") == "R", F.lit("returned"))
-            .otherwise(F.concat(F.lit("other ("), F.col("l_returnflag"), F.lit(")")))
-            .alias("flag_desc"),
+            F.when(F.col("c_mktsegment") == "BUILDING", F.lit("accepted"))
+            .when(F.col("c_mktsegment") == "MACHINERY", F.lit("returned"))
+            .otherwise(F.concat(F.lit("other ("), F.col("c_mktsegment"), F.lit(")")))
+            .alias("segment_desc"),
         )
+        .distinct()
     )
 
 

@@ -64,6 +64,7 @@ def load_all() -> None:
         "demo_iceberg_permanent_delete_spark.operators.streaming_queries",
         "demo_iceberg_permanent_delete_spark.operators.multimodal",
         "demo_iceberg_permanent_delete_spark.operators.windows",
+        "demo_iceberg_permanent_delete_spark.operators.temporal",
         "demo_iceberg_permanent_delete_spark.operators.setops",
         "demo_iceberg_permanent_delete_spark.operators.sketches",
         "demo_iceberg_permanent_delete_spark.operators.dedup",

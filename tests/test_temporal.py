@@ -1,0 +1,162 @@
+"""As-of join and bounded range join: semantics edge cases, equivalence with
+a naive formulation, and the plan shapes the 100 TB design depends on."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.operators.temporal import (
+    RANGE_WINDOW_US,
+    asof_join,
+    range_agg_join,
+    temporal_asof_range_join,
+)
+from demo_iceberg_permanent_delete_spark.plans import explain_str
+from tests.conftest import SF_ORACLE
+
+
+def ts(minute: int, second: int = 0) -> datetime:
+    return datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, ts(0)),   # before any anchor -> NULL
+            (2, 10, ts(5)),   # exactly at anchor a1 -> inclusive match
+            (3, 10, ts(7)),   # between a1 and a2 -> a1
+            (4, 10, ts(20)),  # after both -> latest (a2)
+            (5, 99, ts(20)),  # key with no anchors -> NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(101, 10, ts(5), 1.5), (102, 10, ts(9), 2.5)],
+        "anchor_id long, user_id long, ts timestamp, v double",
+    )
+    out = asof_join(
+        left, right, on="user_id", left_time="ts", right_time="ts",
+        payload={"a_id": "anchor_id", "a_v": "v"},
+    )
+    got = {r["event_id"]: (r["a_id"], r["a_v"]) for r in out.collect()}
+    assert got == {
+        1: (None, None),
+        2: (101, 1.5),
+        3: (101, 1.5),
+        4: (102, 2.5),
+        5: (None, None),
+    }
+
+
+def test_asof_join_payload_columns_come_from_same_row(spark):
+    # Two anchors at distinct times: the id and value carried must pair up.
+    left = spark.createDataFrame([(1, 1, ts(30))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(201, 1, ts(10), 10.0), (202, 1, ts(20), 20.0)],
+        "anchor_id long, user_id long, ts timestamp, v double",
+    )
+    row = asof_join(
+        left, right, on="user_id", left_time="ts", right_time="ts",
+        payload={"a_id": "anchor_id", "a_v": "v"},
+    ).collect()[0]
+    assert (row["a_id"], row["a_v"]) == (202, 20.0)
+
+
+def test_range_agg_join_boundaries_and_bucket_crossing(spark):
+    w = 600_000_000  # 10 min in µs
+    # anchor at t=0; points at t=0 (excluded: strictly after), t=1 (in),
+    # t=w (in: inclusive end), t=w+1 (out). The t=w point lands in the NEXT
+    # bucket — covered only via the anchor's exploded second bucket id.
+    anchors = spark.createDataFrame([(1, 7, 0)], "a_id long, k long, a_us long")
+    points = spark.createDataFrame(
+        [(7, 0, 1.0), (7, 1, 2.0), (7, w, 4.0), (7, w + 1, 8.0)],
+        "k long, p_us long, v double",
+    )
+    out = range_agg_join(
+        anchors, points, on="k", anchor_time_us="a_us", point_time_us="p_us",
+        window_us=w, aggs={"n": F.count("v"), "s": F.sum("v")},
+    ).collect()[0]
+    assert (out["n"], out["s"]) == (2, 6.0)
+
+
+def test_range_agg_join_unmatched_anchor_keeps_left_semantics(spark):
+    anchors = spark.createDataFrame([(1, 7, 0), (2, 8, 0)], "a_id long, k long, a_us long")
+    points = spark.createDataFrame([(7, 50, 1.0)], "k long, p_us long, v double")
+    got = {
+        r["a_id"]: (r["n"], r["s"])
+        for r in range_agg_join(
+            anchors, points, on="k", anchor_time_us="a_us", point_time_us="p_us",
+            window_us=600, aggs={"n": F.count("v"), "s": F.sum("v")},
+        ).collect()
+    }
+    assert got == {1: (1, 1.0), 2: (0, None)}
+
+
+def test_range_agg_join_matches_naive_inequality_join(spark):
+    # Seeded pseudo-random micro-corpus, verified against the O(n·m) plan.
+    anchors = spark.range(40).select(
+        F.col("id").alias("a_id"),
+        (F.col("id") % 5).alias("k"),
+        ((F.col("id") * 7919) % 3000).alias("a_us"),
+    )
+    points = spark.range(300).select(
+        (F.col("id") % 5).alias("k"),
+        ((F.col("id") * 104729) % 3000).alias("p_us"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    w = 500
+    fast = range_agg_join(
+        anchors, points, on="k", anchor_time_us="a_us", point_time_us="p_us",
+        window_us=w, aggs={"n": F.count("v"), "s": F.sum("v")},
+    )
+    naive = (
+        anchors.join(
+            points.withColumnRenamed("k", "pk"),
+            (F.col("k") == F.col("pk"))
+            & (F.col("p_us") > F.col("a_us"))
+            & (F.col("p_us") <= F.col("a_us") + w),
+            "left",
+        )
+        .groupBy("a_id", "k", "a_us")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"))
+    )
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+
+
+def test_asof_plan_has_no_join_operator(spark):
+    left = spark.range(10).select(
+        F.col("id").alias("event_id"), (F.col("id") % 3).alias("user_id"),
+        F.col("id").cast("timestamp").alias("ts"),
+    )
+    right = spark.range(10).select(
+        F.col("id").alias("anchor_id"), (F.col("id") % 3).alias("user_id"),
+        F.col("id").cast("timestamp").alias("ts"), F.col("id").cast("double").alias("v"),
+    )
+    plan = explain_str(
+        asof_join(left, right, on="user_id", left_time="ts", right_time="ts",
+                  payload={"a_id": "anchor_id"})
+    )
+    # union + running last: a window over one exchange, no join at all
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_range_plan_is_equi_join_not_nested_loop(spark):
+    df = temporal_asof_range_join(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_driver_query_matches_oracle_sample(spark, duck):
+    from demo_iceberg_permanent_delete_spark.registry import all_oracles
+
+    sp = temporal_asof_range_join(spark, SF_ORACLE).toPandas()
+    oc = duck.execute(all_oracles()["temporal_asof_range_join"]).df()
+    cols = sorted(sp.columns)
+    sp = sp[cols].sort_values(cols).reset_index(drop=True)
+    oc = oc[cols].sort_values(cols).reset_index(drop=True)
+    assert sp.equals(oc)
