@@ -34,19 +34,33 @@ TARGET_FILE_SIZE_BYTES = 134_217_728  # 128 MiB — the reference's compaction
 # target (notebooks/iceberg_pii_deletion_demo.py:428,443)
 
 
-def _footer_stats(path: str) -> tuple[int, dict[str, Any], dict[str, Any]]:
-    """Record count + column min/max from the parquet footer (no data read)."""
+def _footer_stats(
+    path: str,
+) -> tuple[int, dict[str, Any], dict[str, Any], dict[str, int]]:
+    """Record count, column min/max, and per-column null counts from the
+    parquet footer (no data read). A column whose null count is missing in
+    ANY row group is omitted from the null-count map (pruning must stay
+    conservative on partial stats)."""
     f = pq.ParquetFile(path)
     meta = f.metadata
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    null_gaps: set[str] = set()
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
         for ci in range(group.num_columns):
             col = group.column(ci)
             name = col.path_in_schema
             stats = col.statistics
-            if stats is None or not stats.has_min_max:
+            if stats is None:
+                null_gaps.add(name)
+                continue
+            if stats.null_count is None:
+                null_gaps.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + stats.null_count
+            if not stats.has_min_max:
                 continue
             lo, hi = stats.min, stats.max
             if isinstance(lo, bytes) or isinstance(hi, bytes):
@@ -55,7 +69,9 @@ def _footer_stats(path: str) -> tuple[int, dict[str, Any], dict[str, Any]]:
                 mins[name] = lo
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
-    return meta.num_rows, mins, maxs
+    for name in null_gaps:
+        nulls.pop(name, None)
+    return meta.num_rows, mins, maxs, nulls
 
 
 def write_data_files(
@@ -90,7 +106,7 @@ def write_data_files(
     for part in parts:
         final = os.path.join(target_dir, f"{prefix}-{uuid.uuid4().hex}.parquet")
         shutil.move(part, final)
-        n_rows, mins, maxs = _footer_stats(final)
+        n_rows, mins, maxs, nulls = _footer_stats(final)
         if n_rows == 0:
             os.remove(final)
             continue
@@ -102,6 +118,7 @@ def write_data_files(
                 file_size_in_bytes=os.path.getsize(final),
                 min_values={k: _jsonable(v) for k, v in mins.items()},
                 max_values={k: _jsonable(v) for k, v in maxs.items()},
+                null_counts=dict(nulls),
             )
         )
     shutil.rmtree(scratch, ignore_errors=True)

@@ -67,6 +67,10 @@ class ManifestEntry:
     # content=2 only: the columns whose equality defines the delete
     # (Iceberg's equality_ids, by name since we own the format)
     equality_columns: list[str] = field(default_factory=list)
+    # per-column null counts (Iceberg's null_value_counts); a column absent
+    # here has unknown nulls — IS [NOT] NULL pruning must treat it as
+    # unprunable. Pre-null-stats manifests deserialize to {}.
+    null_counts: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -78,6 +82,7 @@ class ManifestEntry:
             "max_values": self.max_values,
             "added_snapshot_id": self.added_snapshot_id,
             "equality_columns": self.equality_columns,
+            "null_counts": self.null_counts,
         }
 
     @classmethod

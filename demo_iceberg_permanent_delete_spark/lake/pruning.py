@@ -10,12 +10,15 @@ parquet row-group stats only help after a file is opened and its footer
 fetched; manifest pruning avoids the open entirely.
 
 Scope (sound, conservative): only top-level AND conjuncts of simple
-comparisons ``col <op> literal`` (op ∈ =, <, <=, >, >=) and BETWEEN are
-used for skipping; anything else (OR at top level, functions, IN, nested
-expressions) makes that conjunct non-pruning. A file is skipped only when
-some conjunct is provably unsatisfiable on the file's [min, max] — missing
-stats keep the file. Equality/range semantics over strings use
-lexicographic order, matching parquet footer stats.
+comparisons ``col <op> literal`` (op ∈ =, <, <=, >, >=), BETWEEN, literal
+IN-lists, and IS [NOT] NULL are used for skipping; anything else (OR at top
+level, functions, nested expressions) makes that conjunct non-pruning. A
+file is skipped only when some conjunct is provably unsatisfiable on the
+file's [min, max] / null-count stats — missing stats keep the file.
+Equality/range semantics over strings use lexicographic order, matching
+parquet footer stats. Null-count stats additionally prune comparisons on
+all-NULL columns (parquet leaves min/max absent there, so bounds alone
+can't).
 """
 
 from __future__ import annotations
@@ -35,6 +38,10 @@ _BETWEEN_RE = re.compile(
 )
 _IN_RE = re.compile(
     r"^\s*(?P<col>[A-Za-z_][\w]*)\s+IN\s*\((?P<items>[^()]*)\)\s*$",
+    re.I,
+)
+_NULL_RE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][\w]*)\s+IS\s+(?P<neg>NOT\s+)?NULL\s*$",
     re.I,
 )
 
@@ -162,10 +169,32 @@ def _bounds_for(entry: ManifestEntry, col: str) -> tuple[Any, Any] | None:
     return lo, hi
 
 
+def _null_count_for(entry: ManifestEntry, col: str) -> int | None:
+    return (entry.null_counts or {}).get(col)
+
+
+def _provably_all_null(entry: ManifestEntry, col: str) -> bool:
+    """True when stats prove every value of ``col`` in this file is NULL —
+    no comparison/IN/BETWEEN conjunct on it can then be satisfied."""
+    nc = _null_count_for(entry, col)
+    return nc is not None and nc >= entry.record_count
+
+
 def _conjunct_can_match(entry: ManifestEntry, conjunct: str) -> bool:
     """False only when the conjunct is PROVABLY unsatisfiable on this file."""
+    m = _NULL_RE.match(conjunct)
+    if m:
+        nc = _null_count_for(entry, m.group("col"))
+        if nc is None:
+            return True  # unknown null stats → keep
+        if m.group("neg"):
+            return nc < entry.record_count  # IS NOT NULL needs a non-null row
+        return nc > 0  # IS NULL needs at least one null
+
     m = _IN_RE.match(conjunct)
     if m:
+        if _provably_all_null(entry, m.group("col")):
+            return False
         items = _split_in_items(m.group("items"))
         bounds = _bounds_for(entry, m.group("col"))
         if items is None or bounds is None:
@@ -185,6 +214,8 @@ def _conjunct_can_match(entry: ManifestEntry, conjunct: str) -> bool:
 
     m = _BETWEEN_RE.match(conjunct)
     if m:
+        if _provably_all_null(entry, m.group("col")):
+            return False
         lo_lit, hi_lit = _parse_literal(m.group("lo")), _parse_literal(m.group("hi"))
         bounds = _bounds_for(entry, m.group("col"))
         if bounds is None or lo_lit is None or hi_lit is None:
@@ -201,6 +232,8 @@ def _conjunct_can_match(entry: ManifestEntry, conjunct: str) -> bool:
     m = _CMP_RE.match(conjunct)
     if not m:
         return True
+    if _provably_all_null(entry, m.group("col")):
+        return False
     lit = _parse_literal(m.group("lit"))
     bounds = _bounds_for(entry, m.group("col"))
     if lit is None or bounds is None:

@@ -128,3 +128,56 @@ def test_pruned_delete_composes_with_mor_read(ranged_table):
 def test_empty_candidate_set_short_circuits(ranged_table):
     assert ranged_table.scan("k = 99999").count() == 0
     assert ranged_table.delete("k = 99999") is None
+
+
+@pytest.fixture
+def nullable_table(spark, tmp_path):
+    """Three files: v fully populated / half NULL / all NULL."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.nullable", DDL)
+    batches = [
+        [(i, f"n-{i}", float(i)) for i in range(10)],
+        [(100 + i, f"n-{100 + i}", float(i) if i % 2 == 0 else None) for i in range(10)],
+        [(200 + i, f"n-{200 + i}", None) for i in range(10)],
+    ]
+    for rows in batches:
+        t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+    return t
+
+
+def test_null_count_stats_recorded(nullable_table):
+    entries = sorted(
+        nullable_table.metadata.current_snapshot().data_files(),
+        key=lambda e: e.min_values["k"],
+    )
+    assert [e.null_counts.get("v") for e in entries] == [0, 5, 10]
+    assert all(e.null_counts.get("k") == 0 for e in entries)
+
+
+def test_is_null_pruning(nullable_table):
+    entries = nullable_table.metadata.current_snapshot().data_files()
+    assert len(candidate_files(entries, "v IS NULL")) == 2
+    assert len(candidate_files(entries, "v IS NOT NULL")) == 2
+    assert len(candidate_files(entries, "v IS NULL AND k >= 200")) == 1
+    # unknown column / no stats → conservative
+    assert len(candidate_files(entries, "unknown_col IS NULL")) == 3
+    # results identical to an unpruned read
+    assert (
+        nullable_table.scan("v IS NULL").count()
+        == nullable_table.read().filter("v IS NULL").count()
+        == 15
+    )
+    assert (
+        nullable_table.scan("v IS NOT NULL").count()
+        == nullable_table.read().filter("v IS NOT NULL").count()
+        == 15
+    )
+
+
+def test_all_null_file_pruned_by_comparisons(nullable_table):
+    entries = nullable_table.metadata.current_snapshot().data_files()
+    # the all-NULL file has no [min,max] for v; null stats still prune it
+    assert len(candidate_files(entries, "v = 3.0")) == 2
+    assert len(candidate_files(entries, "v BETWEEN 1.0 AND 2.0")) == 2
+    assert len(candidate_files(entries, "v IN (1.0, 3.0)")) == 2
