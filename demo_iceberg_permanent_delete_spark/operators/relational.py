@@ -350,18 +350,9 @@ def scalar_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unionByName — schema-aligned union (R5, file_summary_utils.py:169), with
 # deliberately different column orders on the two sides.
 # ---------------------------------------------------------------------------
-@query(
-    "union_by_name",
-    oracle="""
-    SELECT o_orderkey AS record_key, 'orders' AS source, o_totalprice AS amount
-    FROM orders
-    WHERE o_orderstatus = 'F'
-    UNION ALL BY NAME
-    SELECT c_acctbal AS amount, c_custkey AS record_key, 'customer' AS source
-    FROM customer
-    WHERE c_acctbal > 0
-    """,
-)
+# R5 unionByName: driver slot ceded to training_data_prep (chunking.py),
+# which unions its three differently-ordered parts by name — same coverage,
+# hash-checked there. This variant stays for direct use and pytest.
 def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
