@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import re
 from typing import Any
 
 from pyspark.sql import functions as F
@@ -58,12 +59,16 @@ def expire_snapshots(table, older_than: dt.datetime | int) -> dict[str, int]:
     """
     cutoff_ms = _to_ms(older_than)
     meta = table.metadata
-    current_id = meta.current_snapshot_id
+    # the current snapshot and every ref'd (tag/branch) snapshot survive —
+    # Iceberg's retention rule: expiry never breaks a named ref
+    protected = {meta.current_snapshot_id} | {
+        int(r["snapshot_id"]) for r in meta.refs.values()
+    }
 
     expired = [
         s
         for s in meta.snapshots
-        if s.committed_at_ms < cutoff_ms and s.snapshot_id != current_id
+        if s.committed_at_ms < cutoff_ms and s.snapshot_id not in protected
     ]
     if not expired:
         return {"expired_snapshots": 0, "deleted_files": 0}
@@ -165,6 +170,7 @@ def rewrite_data_files(
     *,
     rewrite_all: bool = True,
     target_file_size_bytes: int = TARGET_FILE_SIZE_BYTES,
+    sort_order: str | list[str] | None = None,
 ) -> dict[str, int]:
     """M4 — compact: read the current snapshot WITH position deletes applied,
     write fresh ~128 MiB files, commit a snapshot referencing only the new
@@ -172,6 +178,12 @@ def rewrite_data_files(
     physical — the reference's "permanent delete" moment
     (iceberg_pii_deletion_demo.py:421-433, options rewrite-all +
     target-file-size-bytes=134217728).
+
+    ``sort_order`` selects the rewrite strategy, mirroring Iceberg's
+    rewrite procedure options: None = binpack (size only);
+    ``["c1", "c2"]`` = hierarchical sort (range-cluster on the columns);
+    ``"zorder(c1, c2)"`` = interleaved-bit clustering so file min/max
+    bounds prune on ANY listed column (lake/clustering.py).
     """
     meta = table.metadata
     snap = meta.current_snapshot()
@@ -183,9 +195,35 @@ def rewrite_data_files(
         return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
 
     merged = table.read()  # delete-merge applied
-    new_entries = write_data_files(
-        merged, table.data_dir, target_file_size_bytes=target_file_size_bytes
-    )
+    if sort_order is not None:
+        from math import ceil
+
+        from demo_iceberg_permanent_delete_spark.lake.clustering import (
+            cluster_by_zorder,
+        )
+
+        # File count from the prior snapshot's byte total: clustering must
+        # control the partitioning itself (write_data_files' resize pass
+        # would round-robin the clustering away).
+        total = sum(e.file_size_in_bytes for e in prior_data)
+        want = max(1, ceil(total / target_file_size_bytes))
+        if isinstance(sort_order, str):
+            m = re.fullmatch(r"\s*zorder\s*\(([^)]*)\)\s*", sort_order, re.I)
+            if not m:
+                raise ValueError(
+                    f"sort_order string must be 'zorder(col, ...)', got {sort_order!r}"
+                )
+            cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+            merged = cluster_by_zorder(merged, cols, want)
+        else:
+            merged = merged.repartitionByRange(want, *sort_order).sortWithinPartitions(
+                *sort_order
+            )
+        new_entries = write_data_files(merged, table.data_dir)
+    else:
+        new_entries = write_data_files(
+            merged, table.data_dir, target_file_size_bytes=target_file_size_bytes
+        )
     snapshot = meta.add_snapshot(
         "replace",
         new_entries,

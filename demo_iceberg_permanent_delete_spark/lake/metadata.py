@@ -173,6 +173,10 @@ class TableMetadata:
     # [{"metadata_file": path, "timestamp_ms": int}] — mirrors
     # .metadata_log_entries (file_summary_utils.py:86-88)
     metadata_log: list[dict[str, Any]] = field(default_factory=list)
+    # named refs (Iceberg's tags & branches): name → {"snapshot_id": int,
+    # "type": "tag" | "branch"}. Referenced snapshots are protected from
+    # expire_snapshots. "main" is implicit (current_snapshot_id).
+    refs: dict[str, dict[str, Any]] = field(default_factory=dict)
     version: int = 0
     # runtime caches (never serialized)
     _deltas: dict[int, ManifestDelta] = field(
@@ -202,6 +206,7 @@ class TableMetadata:
             "partition_by": self.partition_by,
             "current_snapshot_id": self.current_snapshot_id,
             "metadata_log": self.metadata_log,
+            "refs": self.refs,
             "version": self.version,
             "snapshots": [s.to_json() for s in self.snapshots],
         }
@@ -217,6 +222,7 @@ class TableMetadata:
             snapshots=[Snapshot.from_json(s) for s in d["snapshots"]],
             current_snapshot_id=d.get("current_snapshot_id"),
             metadata_log=list(d.get("metadata_log", [])),
+            refs={k: dict(v) for k, v in d.get("refs", {}).items()},
             version=d.get("version", 0),
         )
         for raw, snap in zip(d["snapshots"], meta.snapshots):

@@ -47,6 +47,7 @@ _META_VIEWS = (
     "all_manifests",
     "metadata_log_entries",
     "all_entries",
+    "refs",
 )
 
 
@@ -212,6 +213,21 @@ class LakeEngine:
             keys.append(eq.group(2))
 
         clauses = m.group("clauses")
+
+        def _parse_sets(sets: str) -> dict[str, str] | None:
+            sets = sets.strip()
+            if sets == "*":
+                return None
+            out: dict[str, str] = {}
+            for part in _split_top_level(sets):
+                col, expr = part.split("=", 1)
+                expr = re.sub(rf"\b{talias}\.", "t.", expr)
+                expr = re.sub(rf"\b{salias}\.", "s.", expr)
+                col = col.strip()
+                col = col.split(".")[-1]  # accept t.col = …
+                out[col] = expr.strip()
+            return out
+
         when_matched, assignments = "ignore", None
         mm = re.search(
             r"WHEN\s+MATCHED\s+THEN\s+(?:(?P<del>DELETE)|UPDATE\s+SET\s+"
@@ -224,25 +240,35 @@ class LakeEngine:
                 when_matched = "delete"
             else:
                 when_matched = "update"
-                sets = mm.group("sets").strip()
-                if sets != "*":
-                    assignments = {}
-                    for part in _split_top_level(sets):
-                        col, expr = part.split("=", 1)
-                        expr = re.sub(rf"\b{talias}\.", "t.", expr)
-                        expr = re.sub(rf"\b{salias}\.", "s.", expr)
-                        col = col.strip()
-                        col = col.split(".")[-1]  # accept t.col = …
-                        assignments[col] = expr.strip()
+                assignments = _parse_sets(mm.group("sets"))
         insert_unmatched = bool(
-            re.search(r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", clauses, re.I)
+            re.search(
+                r"WHEN\s+NOT\s+MATCHED\s+(?!BY\s+SOURCE)(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*",
+                clauses,
+                re.I,
+            )
         )
+        by_source, by_source_sets = "ignore", None
+        ms = re.search(
+            r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+"
+            r"(?:(?P<del>DELETE)|UPDATE\s+SET\s+(?P<sets>.+?))\s*(?=WHEN\s|$)",
+            clauses,
+            re.I | re.S,
+        )
+        if ms:
+            if ms.group("del"):
+                by_source = "delete"
+            else:
+                by_source = "update"
+                by_source_sets = _parse_sets(ms.group("sets"))
         snap = t.merge(
             source,
             keys,
             when_matched=when_matched,
             assignments=assignments,
             insert_unmatched=insert_unmatched,
+            when_not_matched_by_source=by_source,
+            not_matched_by_source_assignments=by_source_sets,
         )
         return _one_row_df(
             self.spark,
@@ -285,11 +311,17 @@ class LakeEngine:
             )
         if proc == "rewrite_data_files":
             options = args.get("options", {})
+            # Iceberg procedure parity: strategy => 'sort' takes the order
+            # from sort_order => 'zorder(c1,c2)' or a column list string.
+            sort_order = args.get("sort_order")
+            if sort_order and not re.match(r"(?i)\s*zorder\s*\(", sort_order):
+                sort_order = [c.strip() for c in sort_order.split(",") if c.strip()]
             stats = t.rewrite_data_files(
                 rewrite_all=options.get("rewrite-all", "true") == "true",
                 target_file_size_bytes=int(
                     options.get("target-file-size-bytes", 134217728)
                 ),
+                sort_order=sort_order,
             )
             return _one_row_df(self.spark, stats)
         if proc == "rewrite_position_delete_files":

@@ -134,13 +134,24 @@ class LakeTable:
         self.metadata.commit()
 
     # -------------------------------------------------------------- read
-    def read(self, snapshot_id: int | None = None, apply_deletes: bool = True) -> DataFrame:
-        """Current-snapshot read, or time travel when ``snapshot_id`` given.
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        apply_deletes: bool = True,
+        *,
+        ref: str | None = None,
+    ) -> DataFrame:
+        """Current-snapshot read, or time travel when ``snapshot_id`` or a
+        named ``ref`` (tag/branch, Iceberg VERSION AS OF semantics) is given.
 
         Raises SnapshotNotFoundError for expired/unknown snapshots — the
         post-condition the reference asserts after expire_snapshots
         (iceberg_pii_deletion_demo.py:300-305).
         """
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            snapshot_id = self.resolve_ref(ref)
         if snapshot_id is None:
             snap = self.metadata.current_snapshot()
             if snap is None:
@@ -357,6 +368,65 @@ class LakeTable:
         self.metadata.current_snapshot_id = snap.snapshot_id
         self.metadata.commit()
 
+    # ------------------------------------------------------------ refs
+    # Iceberg tags & branches (the snapshot-ref surface the reference's
+    # catalog stack carries but its notebooks never exercise). Tags are
+    # immutable named snapshots; branches are movable pointers
+    # (fast_forward). Both protect their snapshot from expire_snapshots —
+    # the Iceberg retention rule that makes tags useful for audits.
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        self._create_ref(name, snapshot_id, "tag")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        self._create_ref(name, snapshot_id, "branch")
+
+    def _create_ref(self, name: str, snapshot_id: int | None, kind: str) -> None:
+        if name in self.metadata.refs or name == "main":
+            raise ValueError(f"ref {name!r} already exists")
+        if snapshot_id is None:
+            snapshot_id = self.metadata.current_snapshot_id
+        if snapshot_id is None:
+            raise ValueError("table has no snapshot to reference")
+        self.metadata.snapshot_by_id(snapshot_id)  # raises if unknown
+        self.metadata.refs[name] = {"snapshot_id": snapshot_id, "type": kind}
+        self.metadata.commit()
+
+    def drop_ref(self, name: str) -> None:
+        if name not in self.metadata.refs:
+            raise KeyError(f"unknown ref {name!r}")
+        del self.metadata.refs[name]
+        self.metadata.commit()
+
+    def fast_forward(self, name: str, snapshot_id: int | None = None) -> None:
+        """Advance a branch to ``snapshot_id`` (default: the current
+        snapshot). Tags are immutable — advancing one raises."""
+        ref = self.metadata.refs.get(name)
+        if ref is None:
+            raise KeyError(f"unknown ref {name!r}")
+        if ref["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag; tags are immutable")
+        if snapshot_id is None:
+            snapshot_id = self.metadata.current_snapshot_id
+        self.metadata.snapshot_by_id(snapshot_id)
+        ref["snapshot_id"] = snapshot_id
+        self.metadata.commit()
+
+    def resolve_ref(self, name: str) -> int:
+        """Ref name → snapshot id ('main' = the current snapshot)."""
+        from demo_iceberg_permanent_delete_spark.lake.errors import (
+            SnapshotNotFoundError,
+        )
+
+        if name == "main":
+            if self.metadata.current_snapshot_id is None:
+                raise SnapshotNotFoundError("table has no current snapshot")
+            return self.metadata.current_snapshot_id
+        ref = self.metadata.refs.get(name)
+        if ref is None:
+            raise SnapshotNotFoundError(f"unknown ref {name!r}")
+        return int(ref["snapshot_id"])
+
     def read_with_positions(
         self, snap: Snapshot | None = None, prune_for: str | None = None
     ) -> DataFrame:
@@ -549,6 +619,8 @@ class LakeTable:
         when_matched: str = "update",
         assignments: dict[str, Column | str | Any] | None = None,
         insert_unmatched: bool = True,
+        when_not_matched_by_source: str = "ignore",
+        not_matched_by_source_assignments: dict[str, Column | str | Any] | None = None,
     ) -> Snapshot | None:
         """MERGE INTO (upsert) — copy-on-write, one commit.
 
@@ -563,6 +635,12 @@ class LakeTable:
         rule). Extension beyond the reference's DML surface (it stops at
         UPDATE/DELETE, iceberg_pii_deletion_demo.py:175-235); same COW
         machinery.
+
+        ``when_not_matched_by_source`` (Spark 3.4 / Delta MERGE extension)
+        acts on TARGET rows whose key has no source match: ``"ignore"``
+        (default), ``"delete"`` (full-sync mirror of the source), or
+        ``"update"`` with ``not_matched_by_source_assignments`` (exprs may
+        reference ``t`` only — there is no matching source row).
 
         Plan shape at scale: one pruned scan of the target joined against
         per-key source counts finds affected files AND checks cardinality in
@@ -605,46 +683,67 @@ class LakeTable:
                 f"{max_matches} source rows matched a single target key"
             )
 
+        by_source = when_not_matched_by_source
+        files_to_rewrite: set[str] = set()
+        if when_matched != "ignore":
+            files_to_rewrite |= affected
+        if by_source != "ignore":
+            # second file-proportional probe: files holding source-less rows
+            files_to_rewrite |= {
+                r["__fp"]
+                for r in tgt.join(key_counts, on=on, how="left_anti")
+                .select("__fp")
+                .distinct()
+                .collect()
+            }
+
+        def _val(c: str, asg, fallback: Column) -> Column:
+            if asg is None or c not in asg:
+                return fallback
+            v = asg[c]
+            col = F.expr(v) if isinstance(v, str) else (
+                v if isinstance(v, Column) else F.lit(v)
+            )
+            return col.cast(types[c])
+
         new_entries: list[ManifestEntry] = []
         rewritten = 0
-        if affected and when_matched != "ignore":
+        if files_to_rewrite:
             rows = (
                 self.read_with_positions()
-                .filter(F.col("__fp").isin(list(affected)))
+                .filter(F.col("__fp").isin(list(files_to_rewrite)))
                 .drop("__pos")
                 .alias("t")
             )
             src = source.withColumn("__m", F.lit(1)).alias("s")
             merged = rows.join(src, on=on, how="left")
             matched = F.col("__m").isNotNull()
-            if when_matched == "delete":
-                out = merged.filter(~matched).select(
-                    *[F.col(f"t.{c}").alias(c) for c in cols]
-                )
-            else:
-                exprs = []
-                for c in cols:
-                    if c in on:
-                        exprs.append(F.col(c))
-                        continue
-                    if assignments is None:
-                        val = F.col(f"s.{c}")
-                    elif c in assignments:
-                        v = assignments[c]
-                        val = F.expr(v) if isinstance(v, str) else (
-                            v if isinstance(v, Column) else F.lit(v)
-                        )
-                    else:
-                        exprs.append(F.col(f"t.{c}").alias(c))
-                        continue
-                    exprs.append(
-                        F.when(matched, val.cast(types[c]))
-                        .otherwise(F.col(f"t.{c}"))
-                        .alias(c)
+            keep = (matched & F.lit(when_matched != "delete")) | (
+                ~matched & F.lit(by_source != "delete")
+            )
+            exprs = []
+            for c in cols:
+                if c in on:
+                    exprs.append(F.col(c))  # equi-join key: single output col
+                    continue
+                t_col = F.col(f"t.{c}")
+                if when_matched == "update":
+                    m_val = (
+                        F.col(f"s.{c}").cast(types[c])
+                        if assignments is None
+                        else _val(c, assignments, t_col)
                     )
-                out = merged.select(*exprs)
+                else:  # delete (filtered out) or ignore: keep target value
+                    m_val = t_col
+                u_val = (
+                    _val(c, not_matched_by_source_assignments, t_col)
+                    if by_source == "update"
+                    else t_col
+                )
+                exprs.append(F.when(matched, m_val).otherwise(u_val).alias(c))
+            out = merged.filter(keep).select(*exprs)
             new_entries += write_data_files(out, self.data_dir)
-            rewritten = len(affected)
+            rewritten = len(files_to_rewrite)
 
         inserted_files = 0
         if insert_unmatched:
@@ -654,15 +753,11 @@ class LakeTable:
             inserted_files = len(ins_entries)
             new_entries += ins_entries
 
-        if not new_entries and not (affected and when_matched == "delete"):
+        if not new_entries and not files_to_rewrite:
             return None
         snap = self.metadata.current_snapshot()
         base = list(snap.manifest) if snap else []
-        kept = [
-            e
-            for e in base
-            if e.file_path not in affected or when_matched == "ignore"
-        ]
+        kept = [e for e in base if e.file_path not in files_to_rewrite]
         snapshot = self.metadata.add_snapshot(
             "overwrite",
             kept + new_entries,
@@ -733,6 +828,7 @@ class LakeTable:
             "all_manifests": self._all_manifests_view,
             "metadata_log_entries": self._metadata_log_view,
             "all_entries": self._all_entries_view,
+            "refs": self._refs_view,
         }.get(view)
         if builder is None:
             raise KeyError(f"unknown metadata view {view!r}")
@@ -753,6 +849,7 @@ class LakeTable:
             "all_manifests",
             "metadata_log_entries",
             "all_entries",
+            "refs",
         ):
             self.meta(view).createOrReplaceTempView(f"{prefix}__{view}")
 
@@ -804,6 +901,24 @@ class LakeTable:
         rows = [
             (_utc(s.committed_at_ms), s.snapshot_id, s.parent_id, s.snapshot_id in ancestors)
             for s in self.metadata.snapshots
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def _refs_view(self) -> DataFrame:
+        """Iceberg's .refs metadata table: one row per named ref plus the
+        implicit main branch."""
+        schema = T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("snapshot_id", T.LongType()),
+            ]
+        )
+        rows = [
+            ("main", "BRANCH", self.metadata.current_snapshot_id),
+        ] + [
+            (name, r["type"].upper(), int(r["snapshot_id"]))
+            for name, r in sorted(self.metadata.refs.items())
         ]
         return self.spark.createDataFrame(rows, schema)
 
@@ -1074,11 +1189,15 @@ class LakeTable:
         *,
         rewrite_all: bool = True,
         target_file_size_bytes: int = TARGET_FILE_SIZE_BYTES,
+        sort_order: str | list[str] | None = None,
     ) -> dict[str, int]:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 
         return maintenance.rewrite_data_files(
-            self, rewrite_all=rewrite_all, target_file_size_bytes=target_file_size_bytes
+            self,
+            rewrite_all=rewrite_all,
+            target_file_size_bytes=target_file_size_bytes,
+            sort_order=sort_order,
         )
 
     def rewrite_position_delete_files(self) -> dict[str, int]:

@@ -267,3 +267,63 @@ def test_merge_when_matched_delete_and_cardinality(engine, spark):
     dup = spark.createDataFrame([("case-2",), ("case-2",)], "case_id string")
     with pytest.raises(MergeCardinalityError):
         t.merge(dup, ["case_id"], when_matched="delete", insert_unmatched=False)
+
+
+def test_merge_not_matched_by_source_delete_full_sync(engine, spark):
+    # mirror the source: case-2 updated, case-9 inserted, case-1/3 DELETED
+    spark.createDataFrame(
+        [
+            ("case-2", "Bobby", "bobby@example.com", "k2", "new-2", "sk2", "2023-02-01"),
+            ("case-9", "Zoe", "zoe@example.com", "k9", "secret-9", "sk9", "2023-02-02"),
+        ],
+        "case_id string, first_name string, email_address string, key_nm string,"
+        " secure_txt string, secure_key string, update_date string",
+    ).withColumn("update_date", F.col("update_date").cast("date")).createOrReplaceTempView(
+        "sync_source"
+    )
+    engine.sql("""
+        MERGE INTO demo.default.pii_data t
+        USING sync_source s
+        ON t.case_id = s.case_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    rows = {
+        r["case_id"]: r["first_name"]
+        for r in engine.sql("SELECT * FROM demo.default.pii_data").collect()
+    }
+    assert rows == {"case-2": "Bobby", "case-9": "Zoe"}
+
+
+def test_merge_not_matched_by_source_update(engine, spark):
+    # tombstone target rows missing from the source; matched rows untouched
+    t = engine.table(TABLE)
+    src = spark.createDataFrame([("case-2",)], "case_id string")
+    t.merge(
+        src,
+        ["case_id"],
+        when_matched="ignore",
+        insert_unmatched=False,
+        when_not_matched_by_source="update",
+        not_matched_by_source_assignments={"first_name": "concat('gone:', t.first_name)"},
+    )
+    rows = {
+        r["case_id"]: r["first_name"] for r in t.read().collect()
+    }
+    assert rows == {"case-1": "gone:Alice", "case-2": "Bob", "case-3": "gone:Cara"}
+
+
+def test_merge_by_source_noop_when_source_covers_target(engine, spark):
+    t = engine.table(TABLE)
+    before = t.metadata.current_snapshot().snapshot_id
+    src = t.read().select("case_id")
+    snap = t.merge(
+        src,
+        ["case_id"],
+        when_matched="ignore",
+        insert_unmatched=False,
+        when_not_matched_by_source="delete",
+    )
+    assert snap is None  # nothing matched the by-source branch: no commit
+    assert t.metadata.current_snapshot().snapshot_id == before
