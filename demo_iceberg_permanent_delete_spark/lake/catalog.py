@@ -90,6 +90,12 @@ class Catalog:
             if if_not_exists:
                 return self.load_table(name)
             raise NamespaceError(f"table {name!r} already exists")
+        if partition_by:
+            from demo_iceberg_permanent_delete_spark.lake.transforms import (
+                parse_partition_by,
+            )
+
+            parse_partition_by(list(partition_by))  # fail fast on bad specs
         location = self.table_location(name)
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         meta = TableMetadata(

@@ -128,8 +128,14 @@ _BETWEEN_AND = "\x00BETWEEN_AND\x00"
 def _split_conjuncts(pred: str) -> list[str] | None:
     """Top-level AND conjuncts; None if a top-level OR makes pruning unsound."""
     # BETWEEN's inner AND is part of the comparison, not a conjunction.
+    # The lower bound may be a quoted literal containing spaces
+    # (TIMESTAMP '2024-06-02 00:00:00'), so match typed/quoted literals
+    # before falling back to a bare token.
     pred = re.sub(
-        r"(\bBETWEEN\b\s+\S+\s+)AND\b", rf"\1{_BETWEEN_AND}", pred, flags=re.I
+        r"(\bBETWEEN\b\s+(?:(?:DATE|TIMESTAMP)\s+'(?:[^']|'')*'|'(?:[^']|'')*'|\S+)\s+)AND\b",
+        rf"\1{_BETWEEN_AND}",
+        pred,
+        flags=re.I,
     )
     parts, depth, quote, cur = [], 0, None, []
     tokens = re.split(r"(\s+AND\s+|\s+OR\s+|[()'])", pred, flags=re.I)
@@ -256,18 +262,50 @@ def _conjunct_can_match(entry: ManifestEntry, conjunct: str) -> bool:
     return True
 
 
+def _bucket_can_match(
+    entry: ManifestEntry, part_col: str, allowed: list[int]
+) -> bool:
+    """False only when the file's synthetic bucket-column bounds provably
+    exclude every allowed bucket value (files written before the table was
+    bucket-partitioned, or by non-clustering rewrites, lack the stats and
+    are kept)."""
+    bounds = _bounds_for(entry, part_col)
+    if bounds is None:
+        return True
+    lo, hi = bounds
+    if not isinstance(lo, int) or not isinstance(hi, int):
+        return True
+    return any(lo <= v <= hi for v in allowed)
+
+
 def candidate_files(
-    entries: list[ManifestEntry], predicate: str | None
+    entries: list[ManifestEntry],
+    predicate: str | None,
+    partition_fields: list | None = None,
 ) -> list[ManifestEntry]:
     """The subset of ``entries`` that may contain rows matching
-    ``predicate``. Sound: never drops a file that could match."""
+    ``predicate``. Sound: never drops a file that could match.
+
+    With ``partition_fields`` (the table's hidden-partitioning spec),
+    equality/IN literals on bucket-transformed source columns are also
+    projected into bucket space and pruned against the synthetic
+    ``__part_…`` column stats (transforms.py) — the raw bounds of a
+    hash-distributed column cannot answer those."""
     if not predicate or not isinstance(predicate, str):
         return list(entries)
     conjuncts = _split_conjuncts(predicate)
     if conjuncts is None:
         return list(entries)
+    bucket_checks: list[tuple[str, list[int]]] = []
+    if partition_fields:
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            bucket_conjuncts,
+        )
+
+        bucket_checks = bucket_conjuncts(partition_fields, predicate)
     return [
         e
         for e in entries
         if all(_conjunct_can_match(e, c) for c in conjuncts)
+        and all(_bucket_can_match(e, col, vals) for col, vals in bucket_checks)
     ]

@@ -22,6 +22,10 @@ extension. Covered statements, with the reference call sites:
 - CALL demo.system.rewrite_position_delete_files  :436-447
 - CALL demo.system.rollback_to_snapshot  (extension — Iceberg's standard
   maintenance procedure; the reference recovers state via time travel only)
+- CALL demo.system.create_changelog_view (extension — Iceberg's CDC
+  procedure; registers a temp view fed by LakeTable.changes())
+- SELECT … FROM t [FOR] VERSION|TIMESTAMP AS OF …  (Spark/Iceberg
+  time-travel grammar; resolved to a snapshot-pinned temp view)
 - SELECT … FROM t / t.files / t.history / t.snapshots / t.all_manifests /
   t.metadata_log_entries / t.all_entries  :114,120,205; file_summary_utils
   (plain Spark SQL after identifier rewrite to registered temp views)
@@ -76,10 +80,18 @@ class LakeEngine:
     def table(self, name: str) -> LakeTable:
         return self.catalog.load_table(self._strip_catalog(name))
 
-    def read_table(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+    def read_table(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        *,
+        ref: str | None = None,
+        as_of=None,
+    ) -> DataFrame:
         """``spark.table(t)`` / ``spark.read.option('snapshot-id', id)
-        .table(t)`` parity (reference :114 / :261)."""
-        return self.table(name).read(snapshot_id=snapshot_id)
+        .table(t)`` parity (reference :114 / :261), plus named-ref
+        (VERSION AS OF) and timestamp (TIMESTAMP AS OF) travel."""
+        return self.table(name).read(snapshot_id=snapshot_id, ref=ref, as_of=as_of)
 
     # ---------------------------------------------------------------- sql
     def sql(self, text: str) -> DataFrame:
@@ -106,11 +118,8 @@ class LakeEngine:
     def _create_table(self, m: re.Match) -> DataFrame:
         name = self._strip_catalog(m.group("name"))
         props = dict(_parse_kv_props(m.group("props"))) if m.group("props") else {}
-        parts = (
-            [c.strip() for c in m.group("parts").split(",")]
-            if m.group("parts")
-            else None
-        )
+        # transform specs carry commas — bucket(16, id) — so split top-level
+        parts = _split_top_level(m.group("parts")) if m.group("parts") else None
         self.catalog.create_table(
             name,
             m.group("schema").strip(),
@@ -282,13 +291,23 @@ class LakeEngine:
     # ------------------------------------------------------ CALL handlers
     def _call(self, m: re.Match) -> DataFrame:
         proc = m.group("proc").lower()
-        positional = (
-            ["table", "snapshot_id"]
-            if proc == "rollback_to_snapshot"
-            else ["table", "older_than"]
-        )
+        positional = {
+            "rollback_to_snapshot": ["table", "snapshot_id"],
+            "create_changelog_view": ["table", "changelog_view"],
+        }.get(proc, ["table", "older_than"])
         args = _parse_call_args(m.group("args"), positional)
         t = self.table(str(args.pop("table")))
+        if proc == "create_changelog_view":
+            options = args.get("options", {})
+            view = str(args.get("changelog_view") or f"{t.name.split('.')[-1]}_changes")
+            start = options.get("start-snapshot-id")
+            end = options.get("end-snapshot-id")
+            t.changes(
+                start_snapshot_id=int(start) if start is not None else None,
+                end_snapshot_id=int(end) if end is not None else None,
+                net=bool(args.get("net_changes", False)),
+            ).createOrReplaceTempView(view)
+            return _one_row_df(self.spark, {"changelog_view": view})
         if proc == "rollback_to_snapshot":
             t.rollback_to_snapshot(int(args["snapshot_id"]))
             return _one_row_df(
@@ -329,6 +348,42 @@ class LakeEngine:
         raise ValueError(f"unknown procedure {proc!r}")
 
     # ------------------------------------------------------------ queries
+    _TRAVEL = re.compile(
+        r"(?P<tbl>[\w.]+)\s+(?:FOR\s+)?"
+        r"(?P<kind>SYSTEM_VERSION|VERSION|SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+"
+        r"(?P<val>TIMESTAMP\s+'(?:[^']|'')*'|'(?:[^']|'')*'|\d+)",
+        re.I,
+    )
+
+    def _rewrite_time_travel(self, stmt: str) -> str:
+        """Spark/Iceberg time-travel syntax: ``FROM t VERSION AS OF <id|'ref'>``
+        and ``FROM t TIMESTAMP AS OF <'ts'|epoch-ms>`` (``FOR`` and
+        ``SYSTEM_VERSION``/``SYSTEM_TIME`` spellings accepted). Each travel
+        clause is resolved to a concrete snapshot, registered as a temp view
+        pinned to that snapshot, and the clause replaced by the view name.
+        """
+        tables = set(self.catalog.list_tables())
+
+        def sub(m: re.Match) -> str:
+            name = self._strip_catalog(m.group("tbl"))
+            if name not in tables:
+                return m.group(0)
+            t = self.catalog.load_table(name)
+            kind = m.group("kind").upper()
+            raw = m.group("val")
+            quoted = re.match(r"(?:TIMESTAMP\s+)?'(?P<lit>(?:[^']|'')*)'$", raw, re.I)
+            lit = quoted.group("lit").replace("''", "'") if quoted else raw
+            if kind in ("VERSION", "SYSTEM_VERSION"):
+                snap_id = t.resolve_ref(lit) if quoted else int(lit)
+            else:  # TIMESTAMP / SYSTEM_TIME — ISO string or epoch-ms
+                as_of = dt.datetime.fromisoformat(lit) if quoted else int(lit)
+                snap_id = t.snapshot_as_of(as_of)
+            view = f"{name.replace('.', '__')}__v{snap_id}"
+            t.read(snapshot_id=snap_id).createOrReplaceTempView(view)
+            return view
+
+        return self._TRAVEL.sub(sub, stmt)
+
     def _select(self, stmt: str) -> DataFrame:
         """Plain SQL: rewrite lake-table identifiers (and their metadata
         relations) to freshly registered temp views, then spark.sql.
@@ -338,6 +393,7 @@ class LakeEngine:
         substring replace would mangle a table whose name prefixes another
         (default.pii inside default.pii_data) or rewrite literals.
         """
+        stmt = self._rewrite_time_travel(stmt)
         # (pattern text, table name, replacement view name), longest first
         # so demo-prefixed and .meta-suffixed forms win over bare names.
         candidates: list[tuple[str, str, str]] = []
@@ -387,7 +443,7 @@ class LakeEngine:
             re.compile(
                 r"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
                 r"\((?P<schema>.*)\)\s*USING\s+iceberg"
-                r"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>[\w,\s]+)\))?"
+                r"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>[^()]*(?:\([^()]*\)[^()]*)*)\))?"
                 r"(?:\s+TBLPROPERTIES\s*\((?P<props>.*)\))?$",
                 re.I | re.S,
             ),

@@ -140,18 +140,23 @@ class LakeTable:
         apply_deletes: bool = True,
         *,
         ref: str | None = None,
+        as_of: dt.datetime | int | None = None,
     ) -> DataFrame:
-        """Current-snapshot read, or time travel when ``snapshot_id`` or a
-        named ``ref`` (tag/branch, Iceberg VERSION AS OF semantics) is given.
+        """Current-snapshot read, or time travel when ``snapshot_id``, a
+        named ``ref`` (tag/branch — VERSION AS OF), or ``as_of`` (datetime
+        or epoch-ms — Iceberg TIMESTAMP AS OF: the latest snapshot committed
+        at or before that instant) is given.
 
         Raises SnapshotNotFoundError for expired/unknown snapshots — the
         post-condition the reference asserts after expire_snapshots
         (iceberg_pii_deletion_demo.py:300-305).
         """
+        if sum(x is not None for x in (snapshot_id, ref, as_of)) > 1:
+            raise ValueError("pass only one of snapshot_id, ref, as_of")
         if ref is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass either snapshot_id or ref, not both")
             snapshot_id = self.resolve_ref(ref)
+        if as_of is not None:
+            snapshot_id = self.snapshot_as_of(as_of)
         if snapshot_id is None:
             snap = self.metadata.current_snapshot()
             if snap is None:
@@ -271,7 +276,7 @@ class LakeTable:
         from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
 
         entries = (
-            candidate_files(snap.data_files(), predicate)
+            candidate_files(snap.data_files(), predicate, self._partition_fields)
             if isinstance(predicate, str)
             else snap.data_files()
         )
@@ -359,6 +364,190 @@ class LakeTable:
             return self.empty_frame()
         return self._data_reader().parquet(*files)
 
+    def changes(
+        self,
+        start_snapshot_id: int | None = None,
+        end_snapshot_id: int | None = None,
+        net: bool = False,
+    ) -> DataFrame:
+        """Iceberg changelog scan (the ``create_changelog_view`` procedure's
+        row feed): every row-level change committed after
+        ``start_snapshot_id`` (exclusive; default: table creation) up to
+        ``end_snapshot_id`` (inclusive; default: current), stamped with
+        ``_change_type`` (INSERT/DELETE), ``_change_ordinal`` (commit order
+        within the range) and ``_commit_snapshot_id`` — Iceberg's changelog
+        column triple.
+
+        Semantics per commit, matching Iceberg's changelog tasks:
+        - ``replace`` snapshots (compaction/clustering rewrites) are
+          skipped — they change layout, not content.
+        - rows of data files *added* by a commit are INSERTs; rows of data
+          files *removed* (visible rows only — the parent's delete files are
+          applied first) are DELETEs. A COW delete therefore emits DELETE
+          for every old-file row and INSERT for the kept rows, exactly like
+          Iceberg's raw changelog; ``net=True`` nets the two sides per
+          commit (Iceberg's ``net_changes`` option) so only true deletions
+          remain.
+        - position-delete files added by a commit emit DELETE for exactly
+          the masked rows; only the referenced data files are read (the
+          path list is metadata-proportional, never data-proportional).
+        - equality-delete files added by a commit emit DELETE for the
+          parent-visible rows matching the equality keys.
+
+        Scale: all reads are bounded by the commit's *delta* — files the
+        commit touched — so a changelog over a 100 TB table costs the
+        changed data, not the table.
+        """
+        to_id = (
+            end_snapshot_id
+            if end_snapshot_id is not None
+            else self.metadata.current_snapshot_id
+        )
+        cols = self.empty_frame().columns
+        empty = (
+            self.empty_frame()
+            .select(
+                "*",
+                F.lit("").alias("_change_type"),
+                F.lit(0).alias("_change_ordinal"),
+                F.lit(0).cast("long").alias("_commit_snapshot_id"),
+            )
+            .limit(0)
+        )
+        if to_id is None:
+            return empty
+        segment: list[Snapshot] = []
+        cur: int | None = to_id
+        while cur is not None and cur != start_snapshot_id:
+            snap = self.metadata.snapshot_by_id(cur)
+            segment.append(snap)
+            cur = snap.parent_id
+        if start_snapshot_id is not None and cur != start_snapshot_id:
+            self.metadata.snapshot_by_id(start_snapshot_id)  # raise if unknown
+            raise ValueError(
+                f"snapshot {start_snapshot_id} is not an ancestor of {to_id}"
+            )
+        segment.reverse()
+
+        parts: list[DataFrame] = []
+        ordinal = 0
+        for s in segment:
+            if s.operation == "replace":
+                continue
+            delta = self.metadata.delta_of(s.snapshot_id)
+            parent = (
+                self.metadata.snapshot_by_id(s.parent_id)
+                if s.parent_id is not None
+                else None
+            )
+            inserts: DataFrame | None = None
+            deletes: DataFrame | None = None
+
+            added_data = [e for e in delta.added if e.content == CONTENT_DATA]
+            if added_data:
+                inserts = self._data_reader().parquet(
+                    *[e.file_path for e in added_data]
+                ).select(*cols)
+
+            if parent is not None and delta.removed:
+                parent_by_path = {e.file_path: e for e in parent.manifest}
+                removed_data = [
+                    parent_by_path[p]
+                    for p in delta.removed
+                    if p in parent_by_path
+                    and parent_by_path[p].content == CONTENT_DATA
+                ]
+                if removed_data:
+                    df = self._data_reader().parquet(
+                        *[e.file_path for e in removed_data]
+                    )
+                    pdels = parent.delete_files()
+                    if pdels:
+                        df = self._apply_delete_files(
+                            self._with_position(df), pdels, removed_data
+                        )
+                    deletes = df.select(*cols)
+
+            pos_added = [
+                e for e in delta.added if e.content == CONTENT_POSITION_DELETES
+            ]
+            if pos_added and parent is not None:
+                dels = self.spark.read.parquet(
+                    *[e.file_path for e in pos_added]
+                ).select(
+                    F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+                )
+                # referenced-file list is metadata-proportional (distinct
+                # paths, not rows) — read only those files, not the table
+                ref_paths = [r["__fp"] for r in dels.select("__fp").distinct().collect()]
+                if ref_paths:
+                    if (
+                        sum(e.file_size_in_bytes for e in pos_added)
+                        <= _BROADCAST_DELETES_MAX_BYTES
+                    ):
+                        dels = F.broadcast(dels)
+                    masked = (
+                        self._with_position(
+                            self._data_reader().parquet(*ref_paths)
+                        )
+                        .join(dels, on=["__fp", "__pos"], how="left_semi")
+                        .select(*cols)
+                    )
+                    deletes = (
+                        masked if deletes is None else deletes.unionByName(masked)
+                    )
+
+            eq_added = [
+                e for e in delta.added if e.content == CONTENT_EQUALITY_DELETES
+            ]
+            if eq_added and parent is not None:
+                base = self._read_snapshot(parent).select(*cols)
+                for e in eq_added:
+                    keys = e.equality_columns
+                    dvals = self.spark.read.parquet(e.file_path).select(
+                        *[F.col(c).alias(f"__d_{c}") for c in keys]
+                    )
+                    if e.file_size_in_bytes <= _BROADCAST_DELETES_MAX_BYTES:
+                        dvals = F.broadcast(dvals)
+                    cond = F.lit(True)
+                    for c in keys:
+                        cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+                    matched = base.join(dvals, on=cond, how="left_semi")
+                    deletes = (
+                        matched if deletes is None else deletes.unionByName(matched)
+                    )
+
+            if net and inserts is not None and deletes is not None:
+                inserts, deletes = (
+                    inserts.exceptAll(deletes),
+                    deletes.exceptAll(inserts),
+                )
+
+            def _stamp(df: DataFrame, kind: str) -> DataFrame:
+                return df.select(
+                    "*",
+                    F.lit(kind).alias("_change_type"),
+                    F.lit(ordinal).alias("_change_ordinal"),
+                    F.lit(s.snapshot_id).cast("long").alias("_commit_snapshot_id"),
+                )
+
+            emitted = False
+            if deletes is not None:
+                parts.append(_stamp(deletes, "DELETE"))
+                emitted = True
+            if inserts is not None:
+                parts.append(_stamp(inserts, "INSERT"))
+                emitted = True
+            if emitted:
+                ordinal += 1
+
+        if not parts:
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def rollback_to_snapshot(self, snapshot_id: int) -> None:
         """CALL rollback_to_snapshot parity (Iceberg maintenance procedure):
         point the table back at an existing snapshot — later snapshots stay
@@ -412,6 +601,26 @@ class LakeTable:
         ref["snapshot_id"] = snapshot_id
         self.metadata.commit()
 
+    def snapshot_as_of(self, as_of: dt.datetime | int) -> int:
+        """TIMESTAMP AS OF resolution: the latest snapshot committed at or
+        before ``as_of`` (datetime, naive = UTC, or epoch-ms int)."""
+        from demo_iceberg_permanent_delete_spark.lake.errors import (
+            SnapshotNotFoundError,
+        )
+
+        if isinstance(as_of, dt.datetime):
+            if as_of.tzinfo is None:
+                as_of = as_of.replace(tzinfo=dt.timezone.utc)
+            cutoff_ms = int(as_of.timestamp() * 1000)
+        else:
+            cutoff_ms = int(as_of)
+        eligible = [s for s in self.metadata.snapshots if s.committed_at_ms <= cutoff_ms]
+        if not eligible:
+            raise SnapshotNotFoundError(
+                f"no snapshot committed at or before {as_of!r}"
+            )
+        return max(eligible, key=lambda s: s.committed_at_ms).snapshot_id
+
     def resolve_ref(self, name: str) -> int:
         """Ref name → snapshot id ('main' = the current snapshot)."""
         from demo_iceberg_permanent_delete_spark.lake.errors import (
@@ -442,7 +651,9 @@ class LakeTable:
         if prune_for is not None:
             from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
 
-            data_entries = candidate_files(data_entries, prune_for)
+            data_entries = candidate_files(
+                data_entries, prune_for, self._partition_fields
+            )
             if not data_entries:
                 return self.empty_frame().withColumns(
                     {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
@@ -455,29 +666,53 @@ class LakeTable:
         return self._apply_delete_files(with_pos, delete_files, data_entries)
 
     # --------------------------------------------------------------- DML
+    @property
+    def _partition_fields(self):
+        """Parsed PARTITIONED BY spec (identity columns and Iceberg hidden-
+        partitioning transforms — days/bucket/truncate, transforms.py)."""
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            parse_partition_by,
+        )
+
+        return parse_partition_by(self.metadata.partition_by)
+
     def _cluster_for_write(self, df: DataFrame) -> DataFrame:
-        """Range-cluster incoming rows on the PARTITIONED BY columns
-        (Iceberg's write.distribution-mode=range): each output file then
-        covers a narrow value range, so the manifest min/max stats act as
-        exact partition pruning at plan time — scan('p = x') opens only the
-        files whose range contains x, never the other 799,999."""
-        cols = self.metadata.partition_by
-        if not cols:
+        """Range-cluster incoming rows on the PARTITIONED BY transform
+        values (Iceberg's write.distribution-mode=range): each output file
+        then covers a narrow slice of every partition dimension, so the
+        manifest min/max stats act as exact partition pruning at plan time —
+        scan('p = x') opens only the files whose range contains x, never the
+        other 799,999. Bucket transforms additionally materialize their
+        synthetic stat column (transforms.py)."""
+        fields = self._partition_fields
+        if not fields:
             return df
-        exprs = [F.col(c) for c in cols]
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            cluster_for_write,
+        )
+
         # Default: AQE sizes the range shuffle by data volume (small insert →
         # few files, 100 TB insert → many); `write.distribution.partitions`
         # pins an explicit file count (AQE never coalesces an explicit n).
         n = self.properties.get("write.distribution.partitions")
-        if n:
-            return df.repartitionByRange(int(n), *exprs)
-        return df.repartitionByRange(*exprs)
+        return cluster_for_write(df, fields, num_partitions=int(n) if n else None)
+
+    def _write_target_size(self) -> int | None:
+        """Optional write.target-file-size-bytes table property (Iceberg's
+        write sizing knob — the reference sets the analogous rewrite option,
+        iceberg_pii_deletion_demo.py:428)."""
+        raw = self.properties.get("write.target-file-size-bytes")
+        return int(raw) if raw else None
 
     def insert(self, df: DataFrame) -> Snapshot:
         """INSERT INTO … VALUES / append (reference: iceberg_pii_deletion_demo.py:105-110)."""
         snap = self.metadata.current_snapshot()
         base = list(snap.manifest) if snap else []
-        new_entries = write_data_files(self._cluster_for_write(df), self.data_dir)
+        new_entries = write_data_files(
+            self._cluster_for_write(df),
+            self.data_dir,
+            target_file_size_bytes=self._write_target_size(),
+        )
         snapshot = self.metadata.add_snapshot(
             "append", base + new_entries, summary={"added-files": len(new_entries)}
         )

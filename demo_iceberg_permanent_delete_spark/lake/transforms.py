@@ -1,0 +1,223 @@
+"""Hidden partitioning transforms — Iceberg's signature table-layout
+feature, re-expressed for the Spark-native lake format.
+
+Iceberg lets a table declare ``PARTITIONED BY (days(ts), bucket(16, id),
+truncate(4, name))``: writers cluster rows by *derived* values and readers
+prune files from predicates on the RAW columns, without the query ever
+naming a partition column (the reference's catalog stack ships this
+surface; its demo table is unpartitioned, iceberg_pii_deletion_demo.py:
+74-85, so this is parity with the format, not the notebook).
+
+How each transform maps onto this engine's pruning model (per-file
+min/max stats in the manifest, pruning.py):
+
+- **identity / temporal (year, month, day, hour) / truncate** are
+  *monotonic* in the source column. Range-clustering the write by the
+  transform value makes the RAW column's footer min/max tight per file,
+  so the existing raw-stats pruning already answers predicates on the
+  source column — no synthetic metadata needed at all.
+- **bucket(n, col)** is not monotonic — raw bounds can't answer
+  ``col = x`` on hash-distributed files. Writers therefore materialize
+  the bucket value as a synthetic ``__part_…`` column in the data file
+  (the Delta generated-column technique; declared-schema reads drop it
+  by name), which lands its min/max in the manifest for free, and the
+  scan planner projects equality literals into bucket space Python-side
+  to prune against those bounds.
+
+The bucket hash is CRC32 over the value's canonical string — chosen
+because ``F.crc32(cast(col as string))`` (JVM, codegen) and
+``zlib.crc32(str(v).encode())`` (planner) agree exactly for integral and
+string types, keeping write-side clustering and read-side literal
+projection in lockstep without a Python UDF in the write path. (Iceberg
+itself uses murmur3; any hash works as long as both sides share it.)
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SPEC_RE = re.compile(
+    r"^\s*(?:(?P<fn>year|years|month|months|day|days|date|hour|hours)\s*\(\s*(?P<tcol>\w+)\s*\)"
+    r"|bucket\s*\(\s*(?P<n>\d+)\s*,\s*(?P<bcol>\w+)\s*\)"
+    r"|truncate\s*\(\s*(?P<w>\d+)\s*,\s*(?P<wcol>\w+)\s*\)"
+    r"|(?P<col>\w+))\s*$",
+    re.I,
+)
+
+_CANON_UNIT = {
+    "years": "year",
+    "months": "month",
+    "days": "day",
+    "date": "day",
+    "hours": "hour",
+}
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    spec: str  # original text, persisted in metadata.partition_by
+    source: str  # raw column the transform derives from
+    transform: str  # identity | year | month | day | hour | bucket | truncate
+    arg: int | None = None  # n for bucket, width for truncate
+
+    @property
+    def part_column(self) -> str | None:
+        """Synthetic data-file column name; only bucket materializes one."""
+        if self.transform == "bucket":
+            return f"__part_{self.source}_bucket"
+        return None
+
+
+def parse_partition_by(specs: list[str]) -> list[PartitionField]:
+    """Parse PARTITIONED BY items. Plain column names (the pre-transform
+    format) parse as identity, so existing tables load unchanged."""
+    fields: list[PartitionField] = []
+    for spec in specs:
+        m = _SPEC_RE.match(spec)
+        if not m:
+            raise ValueError(f"unsupported partition transform: {spec!r}")
+        if m.group("fn"):
+            unit = m.group("fn").lower()
+            fields.append(
+                PartitionField(spec, m.group("tcol"), _CANON_UNIT.get(unit, unit))
+            )
+        elif m.group("n") is not None:
+            fields.append(
+                PartitionField(spec, m.group("bcol"), "bucket", int(m.group("n")))
+            )
+        elif m.group("w") is not None:
+            fields.append(
+                PartitionField(spec, m.group("wcol"), "truncate", int(m.group("w")))
+            )
+        else:
+            fields.append(PartitionField(spec, m.group("col"), "identity"))
+    return fields
+
+
+def bucket_of(value: Any, n: int) -> int:
+    """Planner-side bucket projection — must equal the Spark expression in
+    :func:`transform_column` for every supported literal type."""
+    return zlib.crc32(str(value).encode("utf-8")) % n
+
+
+def transform_column(field: PartitionField, dtype: T.DataType) -> Column:
+    """The transform as a pure-projection Column (whole-stage codegen)."""
+    col = F.col(field.source)
+    t = field.transform
+    if t == "identity":
+        return col
+    if t in ("year", "month", "day", "hour"):
+        if not isinstance(dtype, (T.TimestampType, T.DateType)):
+            raise ValueError(
+                f"{field.spec}: temporal transform needs date/timestamp, "
+                f"got {dtype.simpleString()}"
+            )
+        # any monotonic representation works — these are clustering keys,
+        # pruning happens on the raw column's (tight) bounds
+        return {
+            "year": F.year(col),
+            "month": F.date_format(col, "yyyy-MM"),
+            "day": F.to_date(col),
+            "hour": F.date_format(col, "yyyy-MM-dd HH"),
+        }[t]
+    if t == "truncate":
+        if isinstance(dtype, T.StringType):
+            return F.substring(col, 1, field.arg)
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            # Iceberg truncate for ints: v - (((v % W) + W) % W)
+            return col - F.pmod(col, F.lit(field.arg))
+        raise ValueError(
+            f"{field.spec}: truncate needs string/integral, got {dtype.simpleString()}"
+        )
+    if t == "bucket":
+        if not isinstance(
+            dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
+        ):
+            raise ValueError(
+                f"{field.spec}: bucket needs integral/string (canonical "
+                f"string form), got {dtype.simpleString()}"
+            )
+        return F.pmod(F.crc32(col.cast("string")), F.lit(field.arg)).cast("int")
+    raise ValueError(f"unknown transform {t!r}")
+
+
+def cluster_for_write(
+    df: DataFrame,
+    fields: list[PartitionField],
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach synthetic bucket columns and range-cluster by the transform
+    values, so every output file covers a narrow slice of each partition
+    dimension (tight stats → file pruning at plan time)."""
+    if not fields:
+        return df
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for fld in fields:
+        if fld.source not in types:
+            raise ValueError(f"partition source column {fld.source!r} missing")
+    exprs: list[Column] = []
+    for fld in fields:
+        expr = transform_column(fld, types[fld.source])
+        part_col = fld.part_column
+        if part_col is not None:
+            df = df.withColumn(part_col, expr)
+            expr = F.col(part_col)
+        exprs.append(expr)
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, *exprs)
+    return df.repartitionByRange(*exprs)
+
+
+def bucket_conjuncts(
+    fields: list[PartitionField], predicate: str
+) -> list[tuple[str, list[int]]]:
+    """Project equality/IN literals on bucketed source columns into bucket
+    space: ``[(part_column, [allowed bucket values])]``. Only provably-safe
+    projections are returned (literal `col = lit` / `col IN (lits)` at the
+    top conjunct level); anything else contributes nothing."""
+    from demo_iceberg_permanent_delete_spark.lake.pruning import (
+        _parse_literal,
+        _split_conjuncts,
+        _split_in_items,
+    )
+
+    buckets = {f.source: f for f in fields if f.transform == "bucket"}
+    if not buckets:
+        return []
+    conjuncts = _split_conjuncts(predicate)
+    if not conjuncts:
+        return []
+    out: list[tuple[str, list[int]]] = []
+    for conj in conjuncts:
+        m = re.match(r"^\s*(?P<col>\w+)\s*=\s*(?P<lit>.+?)\s*$", conj)
+        items: list[str] | None = None
+        if m and m.group("col") in buckets:
+            items = [m.group("lit")]
+        else:
+            m = re.match(
+                r"^\s*(?P<col>\w+)\s+IN\s*\((?P<items>[^()]*)\)\s*$", conj, re.I
+            )
+            if m and m.group("col") in buckets:
+                items = _split_in_items(m.group("items"))
+        if not m or items is None:
+            continue
+        fld = buckets[m.group("col")]
+        vals: list[int] = []
+        ok = True
+        for item in items:
+            lit = _parse_literal(item)
+            if lit is None or isinstance(lit, float):
+                ok = False  # non-literal / float member → no sound projection
+                break
+            vals.append(bucket_of(lit, fld.arg))
+        if ok and vals:
+            out.append((fld.part_column, sorted(set(vals))))
+    return out

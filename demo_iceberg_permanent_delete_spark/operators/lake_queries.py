@@ -346,20 +346,44 @@ def lake_rewrite_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "lake_incremental_read",
-    oracle="""
-    SELECT * FROM lineitem WHERE l_orderkey % 10 = 5
+    oracle=f"""
+    SELECT 'appends' AS feed, 'INSERT' AS _change_type, 0 AS _change_ordinal, *
+    FROM lineitem WHERE l_orderkey % 10 = 5
+    UNION ALL
+    SELECT 'changelog', 'INSERT', 0, * FROM lineitem WHERE {_SUBSET}
+    UNION ALL
+    SELECT 'changelog', 'INSERT', 1, * FROM lineitem WHERE l_orderkey % 10 = 5
+    UNION ALL
+    SELECT 'changelog', 'DELETE', 2, * FROM lineitem
+    WHERE (({_SUBSET}) OR l_orderkey % 10 = 5)
+      AND COALESCE(l_returnflag = 'R', FALSE)
     """,
 )
 def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental append scan (Iceberg incremental-read parity): two append
-    snapshots; reading the range after the first returns exactly the second
-    batch — manifest-only planning, no row-set diffing."""
-    t, warehouse = _fresh_table(spark, sf_dir, {})
+    """Incremental/CDC reads, both Iceberg surfaces in one hash-checked
+    entry: (a) the incremental append scan — reading the range after the
+    first snapshot returns exactly the second batch, manifest-only
+    planning; (b) the changelog scan (create_changelog_view parity) over
+    insert → insert → MOR delete, emitting INSERT rows per append ordinal
+    and DELETE rows for exactly the position-deleted rows."""
+    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
     try:
         snap1 = t.metadata.current_snapshot_id
         li = load_table(spark, sf_dir, "lineitem")
         t.insert(li.filter("l_orderkey % 10 = 5"))
-        return t.incremental_read(from_snapshot_id=snap1).localCheckpoint(eager=True)
+        inc = t.incremental_read(from_snapshot_id=snap1).select(
+            F.lit("appends").alias("feed"),
+            F.lit("INSERT").alias("_change_type"),
+            F.lit(0).alias("_change_ordinal"),
+            "*",
+        )
+        t.delete("l_returnflag = 'R'")
+        chg = (
+            t.changes()
+            .drop("_commit_snapshot_id")
+            .select(F.lit("changelog").alias("feed"), "*")
+        )
+        return inc.unionByName(chg).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 

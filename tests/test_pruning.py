@@ -37,6 +37,14 @@ def test_disjoint_ranges_prune_to_one_file(ranged_table):
     assert len(candidate_files(entries, "k < 0")) == 0
     # string bounds prune too (lexicographic, like parquet footers)
     assert len(candidate_files(entries, "name = 'name-0'")) == 1
+    # BETWEEN bounds whose literals contain spaces must not be split at
+    # the inner AND (regression: TIMESTAMP '… …' broke the protection).
+    # 'name …' sorts below every 'name-…', so this range matches no file;
+    # the broken split used to fall back to the k conjunct alone (1 file).
+    assert (
+        len(candidate_files(entries, "name BETWEEN 'name 0' AND 'name 1' AND k = 150"))
+        == 0
+    )
 
 
 def test_partitioned_insert_clusters_for_pruning(spark, tmp_path):

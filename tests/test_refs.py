@@ -90,3 +90,66 @@ def test_refs_via_sql_facade(spark, tmp_path):
         ("main", "BRANCH"),
         ("release", "TAG"),
     ]
+
+
+def test_sql_time_travel_syntax(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql(f"CREATE TABLE demo.default.tt ({DDL}) USING iceberg")
+    eng.sql("INSERT INTO demo.default.tt VALUES (1, 'a'), (2, 'b')")
+    t = eng.table("demo.default.tt")
+    first = t.metadata.current_snapshot_id
+    t.create_tag("v1")
+    eng.sql("INSERT INTO demo.default.tt VALUES (3, 'c')")
+
+    # VERSION AS OF snapshot-id (bare and FOR SYSTEM_VERSION spellings)
+    assert eng.sql(f"SELECT * FROM demo.default.tt VERSION AS OF {first}").count() == 2
+    assert (
+        eng.sql(
+            f"SELECT * FROM demo.default.tt FOR SYSTEM_VERSION AS OF {first}"
+        ).count()
+        == 2
+    )
+    # VERSION AS OF 'ref'
+    assert eng.sql("SELECT * FROM demo.default.tt VERSION AS OF 'v1'").count() == 2
+    # TIMESTAMP AS OF epoch-ms and ISO literal
+    at_ms = t.metadata.snapshots[0].committed_at_ms
+    assert eng.sql(f"SELECT * FROM demo.default.tt TIMESTAMP AS OF {at_ms}").count() == 2
+    iso = dt.datetime.fromtimestamp(at_ms / 1000, dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    assert (
+        eng.sql(
+            f"SELECT * FROM demo.default.tt FOR TIMESTAMP AS OF TIMESTAMP '{iso}'"
+        ).count()
+        == 2
+    )
+    # untraveled read still sees everything; joins mixing both work
+    assert eng.sql("SELECT * FROM demo.default.tt").count() == 3
+    both = eng.sql(
+        f"SELECT cur.k FROM demo.default.tt cur "
+        f"LEFT ANTI JOIN demo.default.tt VERSION AS OF {first} old ON cur.k = old.k"
+    )
+    assert [r["k"] for r in both.collect()] == [3]
+
+
+def test_timestamp_as_of_travel(table):
+    snaps = table.metadata.snapshots
+    first, second = snaps[0], snaps[1]
+    # exactly at the first commit -> first snapshot (inclusive)
+    assert table.read(as_of=first.committed_at_ms).count() == 2
+    # between the commits -> still the first
+    mid = (first.committed_at_ms + second.committed_at_ms) // 2
+    assert table.read(as_of=mid).count() == 2
+    # far future -> current; far past -> raises
+    assert table.read(as_of=second.committed_at_ms + 10**9).count() == 3
+    with pytest.raises(SnapshotNotFoundError):
+        table.read(as_of=first.committed_at_ms - 10**6)
+    # datetime form, tz-aware
+    when = dt.datetime.fromtimestamp(mid / 1000, dt.timezone.utc)
+    assert table.read(as_of=when).count() == 2
+    # only one selector at a time
+    with pytest.raises(ValueError, match="only one of"):
+        table.read(snapshot_id=first.snapshot_id, as_of=mid)
