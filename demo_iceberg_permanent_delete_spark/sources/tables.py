@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -48,12 +49,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pinned UTC session zone regardless of who built the session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-        # truncate to micros — bit-identical to DuckDB's ns→µs handling.
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects — PARQUET_TYPE_ILLEGAL — so we
+        # read nanos as long and truncate to micros, bit-identical to
+        # DuckDB's ns→µs handling) or plain TIMESTAMP(MICROS) NTZ. Detect
+        # from the decoded dtype and normalize to a session-UTC timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

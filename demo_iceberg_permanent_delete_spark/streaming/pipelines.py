@@ -39,6 +39,35 @@ EVENT_SCHEMA = T.StructType(
     ]
 )
 
+# Same shape when the source files store ts as TIMESTAMP(MICROS) NTZ.
+EVENT_SCHEMA_MICROS = T.StructType(
+    [f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType()) for f in EVENT_SCHEMA]
+)
+
+
+def _ts_stored_as_nanos(path: str) -> bool:
+    """Metadata-only probe of one parquet footer: is ``ts`` physical nanos?
+
+    The streaming file source needs a declared schema up front; testdata has
+    shipped with both TIMESTAMP(NANOS) (readable only as raw long under
+    ``nanosAsLong``) and TIMESTAMP(MICROS). One footer read settles it.
+    """
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        pattern = os.path.join(path, "**", "*.parquet")
+    elif os.path.isfile(path):
+        pattern = path
+    else:  # glob input (the tests stream `dir/*/*.parquet`)
+        pattern = path
+    matches = sorted(globmod.glob(pattern, recursive=True))
+    if not matches:
+        return False
+    field = pq.read_schema(matches[0]).field("ts")
+    return str(field.type) in ("timestamp[ns]", "int64")
+
 WATERMARK = "10 minutes"
 WINDOW = "10 minutes"
 SESSION_GAP = "10 minutes"
@@ -49,12 +78,16 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source stream of events.parquet-shaped data.
 
-    ``ts`` arrives as parquet TIMESTAMP(NANOS); the declared schema reads it
-    as raw nanos long (the streaming source cannot take per-query confs) and
-    converts to a micros timestamp — same semantics as the batch loader.
+    ``ts`` has shipped as either parquet TIMESTAMP(NANOS) or
+    TIMESTAMP(MICROS); the streaming source needs a declared schema, so
+    probe the parquet footer (metadata-only) and declare ``ts`` as raw
+    nanos long or as a timestamp accordingly — same normalization as the
+    batch loader (sources/tables.py).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    ts_is_nanos = _ts_stored_as_nanos(path)
+    schema = EVENT_SCHEMA if ts_is_nanos else EVENT_SCHEMA_MICROS
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
@@ -64,7 +97,9 @@ def read_event_stream(
         # basePath while matching exactly this file.
         path = f"{path[:-1]}[{path[-1]}]"
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_count_stream(events: DataFrame) -> DataFrame:
