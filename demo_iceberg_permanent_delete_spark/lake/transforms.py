@@ -114,7 +114,7 @@ def transform_column(field: PartitionField, dtype: T.DataType) -> Column:
     if t == "identity":
         return col
     if t in ("year", "month", "day", "hour"):
-        if not isinstance(dtype, (T.TimestampType, T.DateType)):
+        if not isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             raise ValueError(
                 f"{field.spec}: temporal transform needs date/timestamp, "
                 f"got {dtype.simpleString()}"
