@@ -110,28 +110,54 @@ def lake_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT 'time_travel' AS path, * FROM lineitem WHERE {_SUBSET}
     UNION ALL
+    SELECT 'as_of' AS path, * FROM lineitem WHERE {_SUBSET}
+    UNION ALL
+    SELECT 'tag' AS path, * FROM lineitem WHERE {_SUBSET}
+    UNION ALL
+    SELECT 'branch' AS path, * FROM lineitem WHERE {_SUBSET}
+    UNION ALL
     SELECT 'rollback' AS path, * FROM lineitem WHERE {_SUBSET}
     """,
 )
 def lake_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 + rollback procedure in one hash-checked entry: after a MOR
-    delete, (a) a time-travel read as-of the pre-delete snapshot makes the
-    deleted rows reappear (reference: spark.read.option('snapshot-id', id),
-    iceberg_pii_deletion_demo.py:261), and (b) CALL rollback_to_snapshot
-    points the table back at that snapshot so the CURRENT read returns every
-    row again — both reads equal the full subset."""
+    """Every time-travel surface + rollback in one hash-checked entry:
+    after a MOR delete, (a) a snapshot-id travel read as-of the pre-delete
+    snapshot makes the deleted rows reappear (reference:
+    spark.read.option('snapshot-id', id), iceberg_pii_deletion_demo.py:261),
+    (b) TIMESTAMP AS OF the first commit resolves to the same snapshot,
+    (c) a tag and (d) a branch created at that snapshot read it by name
+    (Iceberg VERSION AS OF refs), and (e) CALL rollback_to_snapshot points
+    the table back so the CURRENT read returns every row again — all five
+    reads equal the full subset."""
     t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
     try:
-        snap_before = t.metadata.current_snapshot_id
+        first = t.metadata.current_snapshot()
+        t.create_tag("v1")
+        t.create_branch("audit", first.snapshot_id)
         t.delete("l_returnflag = 'R'")
-        travel = (
-            t.read(snapshot_id=snap_before)
-            .select(F.lit("time_travel").alias("path"), "*")
-        )
-        t.rollback_to_snapshot(snap_before)
-        assert t.metadata.current_snapshot_id == snap_before
-        rolled = t.read().select(F.lit("rollback").alias("path"), "*")
-        return travel.unionByName(rolled).localCheckpoint(eager=True)
+        # commit-time ms resolution: commits are file writes, so a same-ms
+        # collision cannot realistically happen — assert loudly rather than
+        # hash-mismatch if it ever does
+        assert t.snapshot_as_of(first.committed_at_ms) == first.snapshot_id
+        refs = {r["name"]: r["type"] for r in t.meta("refs").collect()}
+        assert refs == {"main": "BRANCH", "v1": "TAG", "audit": "BRANCH"}
+        parts = [
+            t.read(snapshot_id=first.snapshot_id).select(
+                F.lit("time_travel").alias("path"), "*"
+            ),
+            t.read(as_of=first.committed_at_ms).select(
+                F.lit("as_of").alias("path"), "*"
+            ),
+            t.read(ref="v1").select(F.lit("tag").alias("path"), "*"),
+            t.read(ref="audit").select(F.lit("branch").alias("path"), "*"),
+        ]
+        t.rollback_to_snapshot(first.snapshot_id)
+        assert t.metadata.current_snapshot_id == first.snapshot_id
+        parts.append(t.read().select(F.lit("rollback").alias("path"), "*"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 
@@ -466,126 +492,75 @@ def lake_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lake_hidden_partitioning",
+    "lake_clustering",
     oracle=f"""
-    SELECT * FROM lineitem
+    SELECT 'hidden_partitioning' AS part, * FROM lineitem
     WHERE {_SUBSET} AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    UNION ALL
+    SELECT 'zorder' AS part, * FROM lineitem
+    WHERE {_SUBSET} AND l_orderkey <= 4000 AND l_partkey <= 600
     """,
 )
-def lake_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hidden partitioning (Iceberg transform spec parity — the catalog
-    stack the reference delegates to, docker-compose.yml:23-30): the table
-    is PARTITIONED BY days(l_shipdate), bucket(4, l_orderkey); writes
-    range-cluster on the transform values and the planner prunes files from
-    a predicate on the RAW column — the query never mentions a partition
-    column, which is Iceberg's core hidden-partitioning claim."""
+def lake_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both physical-clustering surfaces in one hash-checked entry.
+
+    (a) Hidden partitioning (Iceberg transform spec parity — the catalog
+    stack the reference delegates to, docker-compose.yml:23-30): a table
+    PARTITIONED BY days(l_shipdate), bucket(4, l_orderkey); writes
+    range-cluster on the transform values and the planner prunes files
+    from a predicate on the RAW column — the query never mentions a
+    partition column, which is Iceberg's core hidden-partitioning claim.
+    (Point-lookup bucket pruning with a leading bucket field is asserted
+    in tests/test_hidden_partitioning.py.)
+
+    (b) Z-order rewrite (CALL rewrite_data_files strategy=sort,
+    sort_order='zorder(...)'): after interleaved-bit clustering on
+    (l_orderkey, l_partkey), file min/max stats prune on EITHER column and
+    the two-sided corner box opens few files.
+    """
     from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
 
     warehouse = tempfile.mkdtemp(prefix="lakeq-")
     cat = Catalog(spark, warehouse)
     cat.create_namespace("default")
-    t = cat.create_table(
+    hp = cat.create_table(
         "default.lineitem_hp",
         _LINEITEM_DDL,
         partition_by=["days(l_shipdate)", "bucket(4, l_orderkey)"],
         properties={"write.distribution.partitions": "8"},
     )
     try:
-        t.insert(_subset(spark, sf_dir))
-        pred = "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
-        entries = t.metadata.current_snapshot().data_files()
-        cand = candidate_files(entries, pred, t._partition_fields)
+        hp.insert(_subset(spark, sf_dir))
+        hp_pred = "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+        entries = hp.metadata.current_snapshot().data_files()
+        cand = candidate_files(entries, hp_pred, hp._partition_fields)
         assert len(entries) >= 4, "range-clustered write must produce several files"
         assert 0 < len(cand) < len(entries), (
             f"raw-column predicate must prune: {len(cand)}/{len(entries)}"
         )
-        # bucket(4, l_orderkey) is the secondary range key here, so each
-        # file spans all buckets — point-lookup bucket pruning (leading
-        # bucket field) is asserted in tests/test_hidden_partitioning.py
-        return t.scan(pred).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(warehouse, ignore_errors=True)
 
-
-@query(
-    "lake_refs_travel",
-    oracle=f"""
-    SELECT 'tag' AS ref, * FROM lineitem WHERE {_SUBSET}
-    UNION ALL
-    SELECT 'branch' AS ref, * FROM lineitem WHERE {_SUBSET}
-    UNION ALL
-    SELECT 'as_of' AS ref, * FROM lineitem WHERE {_SUBSET}
-    UNION ALL
-    SELECT 'main' AS ref, * FROM lineitem
-    WHERE ({_SUBSET}) OR l_orderkey % 10 = 5
-    """,
-)
-def lake_refs_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot refs + timestamp travel in one hash-checked entry (Iceberg
-    VERSION AS OF <tag/branch> and TIMESTAMP AS OF): tag the first snapshot,
-    branch from it, append a second batch, then read through the tag, the
-    branch, a TIMESTAMP AS OF the first commit, and main — the first three
-    see only batch 1; main sees both."""
-    t, warehouse = _fresh_table(spark, sf_dir, {})
-    try:
-        first = t.metadata.current_snapshot()
-        t.create_tag("v1")
-        t.create_branch("audit", first.snapshot_id)
-        li = load_table(spark, sf_dir, "lineitem")
-        t.insert(li.filter("l_orderkey % 10 = 5"))
-        # guard: as-of resolution is by commit-time ms; commits are file
-        # writes so same-ms collision cannot realistically happen — assert
-        # loudly rather than hash-mismatch if it ever does
-        assert t.snapshot_as_of(first.committed_at_ms) == first.snapshot_id
-        parts = [
-            t.read(ref="v1").select(F.lit("tag").alias("ref"), "*"),
-            t.read(ref="audit").select(F.lit("branch").alias("ref"), "*"),
-            t.read(as_of=first.committed_at_ms).select(
-                F.lit("as_of").alias("ref"), "*"
-            ),
-            t.read(ref="main").select(F.lit("main").alias("ref"), "*"),
-        ]
-        refs = {r["name"]: r["type"] for r in t.meta("refs").collect()}
-        assert refs == {"main": "BRANCH", "v1": "TAG", "audit": "BRANCH"}
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(warehouse, ignore_errors=True)
-
-
-@query(
-    "lake_zorder_cluster",
-    oracle=f"""
-    SELECT * FROM lineitem
-    WHERE {_SUBSET} AND l_orderkey <= 4000 AND l_partkey <= 600
-    """,
-)
-def lake_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order rewrite (CALL rewrite_data_files strategy=sort,
-    sort_order='zorder(...)' — Iceberg's multi-dimension clustering): after
-    interleaved-bit clustering on (l_orderkey, l_partkey), file min/max
-    stats prune on EITHER column, and the two-sided corner box opens a
-    small fraction of files. Read-back is hash-checked against plain SQL."""
-    from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
-
-    t, warehouse = _fresh_table(spark, sf_dir, {})
-    try:
-        t.rewrite_data_files(
+        zt = cat.create_table("default.lineitem_z", _LINEITEM_DDL)
+        zt.insert(_subset(spark, sf_dir))
+        zt.rewrite_data_files(
             sort_order="zorder(l_orderkey, l_partkey)",
             target_file_size_bytes=16 * 1024,
         )
-        entries = t.metadata.current_snapshot().data_files()
+        entries = zt.metadata.current_snapshot().data_files()
         assert len(entries) >= 4, "small target size must yield several files"
         by_order = candidate_files(entries, "l_orderkey <= 4000")
         by_part = candidate_files(entries, "l_partkey <= 600")
         assert len(by_order) < len(entries), "zorder must prune on dim 1"
         assert len(by_part) < len(entries), "zorder must prune on dim 2"
-        pred = "l_orderkey <= 4000 AND l_partkey <= 600"
-        corner = candidate_files(entries, pred)
+        z_pred = "l_orderkey <= 4000 AND l_partkey <= 600"
+        corner = candidate_files(entries, z_pred)
         assert len(corner) <= min(len(by_order), len(by_part))
-        return t.scan(pred).localCheckpoint(eager=True)
+
+        return (
+            hp.scan(hp_pred)
+            .select(F.lit("hidden_partitioning").alias("part"), "*")
+            .unionByName(zt.scan(z_pred).select(F.lit("zorder").alias("part"), "*"))
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 

@@ -1,0 +1,219 @@
+"""Gopher-style repetition / quality gates and PII scrubbing for
+training-data pipelines (north-star extension beyond the reference's
+operator set, alongside operators/text.py).
+
+Implements the standard document-level repetition signals used by
+large-scale corpus filters (the "repetition removal" family popularized by
+the Gopher/MassiveText and RefinedWeb filtering recipes, re-expressed as
+pure Spark column expressions):
+
+- ``top_token_frac``    — occurrences of the most frequent token / n_tokens
+- ``top_bigram_frac``   — occurrences of the most frequent 2-gram / n_bigrams
+- ``dup_trigram_frac``  — fraction of 3-grams that are repeats (1 − distinct/total)
+- PII scrubbing          — e-mail / phone redaction + URL stripping via
+  ``regexp_replace``, with redaction counts for audit
+
+Cross-engine determinism: tokenization and hashes follow the conventions in
+operators/text.py; n-grams are built with 1-based index sequences
+(``F.transform(F.sequence(...))`` ≡ DuckDB ``list_transform(generate_series(...))``)
+so both engines materialize identical n-gram lists.
+
+Scale notes (100 TB story): every signal is a per-row projection inside
+whole-stage codegen — no joins, no shuffles, no Python. The most-frequent-
+token scan is O(distinct · tokens) per document, bounded by document length;
+pathological megabyte documents should be length-capped upstream (the
+chunking operator in operators/chunking.py is the production path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.operators.text import (
+    DUCK_TOKENS,
+    tokens_col,
+)
+from demo_iceberg_permanent_delete_spark.registry import query
+from demo_iceberg_permanent_delete_spark.sources.tables import load_table
+
+# Shared (Java ∩ RE2) regexes — only common syntax: no lookaround, no \b.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+URL_RE = "https?://[^ ]+"
+
+# Gopher-style acceptance thresholds (repetition gates).
+MAX_TOP_TOKEN_FRAC = 0.10
+MAX_DUP_TRIGRAM_FRAC = 0.50
+
+
+def ngrams_col(toks: Column, n: int) -> Column:
+    """n-gram list via 1-based index sequence — identical construction in
+    DuckDB (`list_transform(generate_series(1, len-n+1), i -> ...)`).
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` yields a DESCENDING
+    [1, 0] (unlike DuckDB's empty ``generate_series``), so emit an empty
+    list outright when the doc has fewer than ``n`` tokens.
+    """
+    joined = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), joined),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def _duck_ngrams(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return (
+        f"list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)), "
+        f"i -> {parts})"
+    )
+
+
+def top_count(arr: Column) -> Column:
+    """Occurrences of the most frequent element (0 for empty lists)."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda d: F.size(F.filter(arr, lambda t: t == d)),
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+
+
+def _duck_top_count(arr: str) -> str:
+    return (
+        f"CAST(coalesce(list_max(list_transform(list_distinct({arr}), "
+        f"d -> len(list_filter({arr}, t -> t = d)))), 0) AS BIGINT)"
+    )
+
+
+@query(
+    "quality_filters",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-0100 via https://example.com/'
+                  || CAST(doc_id AS VARCHAR) AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, text, {DUCK_TOKENS} AS toks FROM aug
+    ),
+    grams AS (
+      SELECT doc_id, lang, text, toks,
+             {_duck_ngrams(2)} AS bigrams,
+             {_duck_ngrams(3)} AS trigrams
+      FROM tok
+    ),
+    feat AS (
+      SELECT
+        doc_id, lang,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        {_duck_top_count("toks")} AS top_token_count,
+        {_duck_top_count("bigrams")} AS top_bigram_count,
+        CAST(len(trigrams) AS BIGINT) AS n_trigrams,
+        CAST(len(list_distinct(trigrams)) AS BIGINT) AS n_distinct_trigrams,
+        CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT) AS n_urls,
+        CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+          '{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g'),
+          '{URL_RE}', '', 'g')) AS BIGINT) AS clean_len
+      FROM grams
+    )
+    SELECT
+      doc_id, lang, n_tokens,
+      top_token_count / n_tokens AS top_token_frac,
+      top_bigram_count / greatest(n_tokens - 1, 1) AS top_bigram_frac,
+      (n_trigrams - n_distinct_trigrams) / greatest(n_trigrams, 1)
+        AS dup_trigram_frac,
+      n_emails, n_phones, n_urls, clean_len,
+      (top_token_count / n_tokens <= {MAX_TOP_TOKEN_FRAC}
+        AND (n_trigrams - n_distinct_trigrams) / greatest(n_trigrams, 1)
+            <= {MAX_DUP_TRIGRAM_FRAC}) AS passes_repetition
+    FROM feat
+    """,
+)
+def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition gates + PII scrub in one pass. The synthetic corpus
+    carries no PII, so each document is augmented with a deterministic
+    e-mail / phone / URL tail — the redaction expressions then have real
+    work to do and the counts are hash-checked (1 each per doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0100 via https://example.com/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    toks = tokens_col(F.col("text"))
+    grams = aug.select(
+        "doc_id",
+        "lang",
+        "text",
+        toks.alias("toks"),
+        ngrams_col(toks, 2).alias("bigrams"),
+        ngrams_col(toks, 3).alias("trigrams"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        URL_RE,
+        "",
+    )
+    feat = grams.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_tokens"),
+        top_count(F.col("toks")).alias("top_token_count"),
+        top_count(F.col("bigrams")).alias("top_bigram_count"),
+        F.size("trigrams").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("trigrams")).cast("long").alias("n_distinct_trigrams"),
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(URL_RE), 0))
+        .cast("long")
+        .alias("n_urls"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+    top_token_frac = F.col("top_token_count") / F.col("n_tokens")
+    top_bigram_frac = F.col("top_bigram_count") / F.greatest(
+        F.col("n_tokens") - 1, F.lit(1)
+    )
+    dup_trigram_frac = (
+        F.col("n_trigrams") - F.col("n_distinct_trigrams")
+    ) / F.greatest(F.col("n_trigrams"), F.lit(1))
+    return feat.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        top_token_frac.alias("top_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_trigram_frac.alias("dup_trigram_frac"),
+        "n_emails",
+        "n_phones",
+        "n_urls",
+        "clean_len",
+        (
+            (top_token_frac <= MAX_TOP_TOKEN_FRAC)
+            & (dup_trigram_frac <= MAX_DUP_TRIGRAM_FRAC)
+        ).alias("passes_repetition"),
+    )

@@ -123,11 +123,25 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    exact = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rnk")
+        .localCheckpoint(eager=True)
     )
+    # Self-check the Arrow/numpy BLAS path (ann_topk_pandas) against the
+    # quantized-JVM exact path: same neighbor SETS per query (order can
+    # swap only on near-exact cosine ties; quantization error ~1e-5).
+    by_query: dict[int, set[int]] = {}
+    for r in exact.collect():
+        by_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    arrow: dict[int, set[int]] = {}
+    for r in ann_topk_pandas(spark, sf_dir).collect():
+        arrow.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(by_query) == set(arrow), "BLAS path must cover the same queries"
+    for q in by_query:
+        assert by_query[q] == arrow[q], f"query {q}: BLAS neighbor set differs"
+    return exact
 
 
 # ---------------------------------------------------------------------------
@@ -244,13 +258,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Arrow-vectorized brute force (rows-only): mapInPandas batches the corpus
-# through one numpy matmul per Arrow batch against the broadcast query
-# matrix — the BLAS path for high-dim embeddings. Results are float
-# (unquantized), so no DuckDB hash check; correctness vs cosine_topk is
-# asserted in tests/test_similarity.py.
+# Arrow-vectorized brute force: mapInPandas batches the corpus through one
+# numpy matmul per Arrow batch against the broadcast query matrix — the
+# BLAS path for high-dim embeddings. Results are float (unquantized), so
+# no DuckDB hash check of its own; instead cosine_topk runs it and asserts
+# neighbor-set agreement in-query (plus tests/test_similarity.py), which
+# keeps the driver's 50-entry budget for hash-checked queries.
 # ---------------------------------------------------------------------------
-@query("ann_topk_pandas", oracle=None)
 def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd

@@ -1,0 +1,83 @@
+"""Gopher-style repetition gates + PII scrubbing (operators/quality.py):
+n-gram construction, repetition fractions, and redaction counts on a
+hand-checkable corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.operators.quality import (
+    EMAIL_RE,
+    PHONE_RE,
+    URL_RE,
+    ngrams_col,
+    top_count,
+)
+
+
+def test_ngrams_and_top_count(spark):
+    df = spark.createDataFrame(
+        [("a b a b c",), ("x",), ("",)], "text string"
+    ).select(F.split(F.col("text"), " ").alias("toks"))
+    rows = df.select(
+        ngrams_col(F.col("toks"), 2).alias("bi"),
+        top_count(F.col("toks")).alias("top"),
+    ).collect()
+    assert rows[0]["bi"] == ["a b", "b a", "a b", "b c"]
+    assert rows[0]["top"] == 2  # 'a' and 'b' both occur twice
+    assert rows[1]["bi"] == []  # shorter than n -> empty, not [1,0] descending
+    assert rows[1]["top"] == 1
+
+
+def test_redaction_regexes(spark):
+    text = "mail me at jo.doe+x@foo.org or +1-555-0100, see https://x.io/a then done"
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("e"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0)).alias("p"),
+        F.size(F.regexp_extract_all("text", F.lit(URL_RE), 0)).alias("u"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+                PHONE_RE,
+                "<PHONE>",
+            ),
+            URL_RE,
+            "",
+        ).alias("clean"),
+    ).collect()[0]
+    assert (row["e"], row["p"], row["u"]) == (1, 1, 1)
+    assert "<EMAIL>" in row["clean"] and "<PHONE>" in row["clean"]
+    assert "https://" not in row["clean"]
+
+
+def test_quality_filters_flags_repetitive_docs(spark):
+    """A maximally repetitive doc fails the gates; a diverse doc passes."""
+    from demo_iceberg_permanent_delete_spark.operators import quality as q
+
+    # run the registered query's internals on a small local corpus by
+    # monkey-level reuse: build the same projection pipeline inline
+    docs = spark.createDataFrame(
+        [
+            (0, "spam " * 50),
+            (1, " ".join(f"w{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    tri = ngrams_col(toks, 3)
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            (top_count(toks) / F.size(toks)).alias("top_frac"),
+            (
+                (F.size(tri) - F.size(F.array_distinct(tri)))
+                / F.greatest(F.size(tri), F.lit(1))
+            ).alias("dup_tri"),
+        ).collect()
+    }
+    assert out[0]["top_frac"] > q.MAX_TOP_TOKEN_FRAC
+    assert out[0]["dup_tri"] > q.MAX_DUP_TRIGRAM_FRAC
+    assert out[1]["top_frac"] <= q.MAX_TOP_TOKEN_FRAC
+    assert out[1]["dup_tri"] <= q.MAX_DUP_TRIGRAM_FRAC
