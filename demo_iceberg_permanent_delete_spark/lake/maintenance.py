@@ -243,6 +243,39 @@ def rewrite_data_files(
     }
 
 
+def rewrite_manifests(table, *, min_count_to_rewrite: int = 2) -> dict[str, int]:
+    """CALL rewrite_manifests parity (Iceberg's manifest-layer optimizer,
+    the procedure the reference's catalog stack ships alongside M1-M5).
+
+    In the incremental-delta format the read-side planning cost is the
+    ancestry walk: a table with N commits since its last base folds N delta
+    files per cold reconstruction. This procedure folds the chain of the
+    current snapshot and of every ref head (tags/branches) into one base
+    manifest each, restoring O(1) scan planning; historical snapshots keep
+    their own deltas, so time travel is untouched. Superseded delta files
+    stay on disk for stale readers and are GC'd by remove_orphan_files —
+    the same lifecycle Iceberg gives rewritten manifests.
+    """
+    meta = table.metadata
+    heads = set()
+    if meta.current_snapshot_id is not None:
+        heads.add(meta.current_snapshot_id)
+    heads |= {int(r["snapshot_id"]) for r in meta.refs.values()}
+    rewritten = added = 0
+    for sid in sorted(heads):
+        n = meta.chain_length(sid)
+        if n >= min_count_to_rewrite:
+            meta.materialize_base(sid)
+            rewritten += n
+            added += 1
+    if added:
+        meta.commit()
+    return {
+        "rewritten_manifests_count": rewritten,
+        "added_manifests_count": added,
+    }
+
+
 def rewrite_position_delete_files(table) -> dict[str, int]:
     """M5 — consolidate position-delete files: drop entries that target data
     files no longer in the current snapshot (inert after COW/compaction) and

@@ -320,6 +320,36 @@ class TableMetadata:
                 return s
         return None
 
+    def chain_length(self, snapshot_id: int) -> int:
+        """Number of delta manifests an ancestry walk folds to reconstruct
+        this snapshot's file set (1 = the snapshot is itself a base)."""
+        n = 0
+        cur: Snapshot | None = self.snapshot_by_id(snapshot_id)
+        while cur is not None:
+            n += 1
+            if cur.base or cur.parent_id is None:
+                break
+            cur = self._maybe_snapshot(cur.parent_id)
+        return n
+
+    def materialize_base(self, snapshot_id: int) -> None:
+        """Fold a snapshot's ancestry chain into a single base delta so
+        future reconstructions are O(1) manifest reads. The old delta file
+        is left on disk for stale readers (GC'd by remove_orphan_files);
+        the new base lands under a fresh name at the next commit."""
+        s = self.snapshot_by_id(snapshot_id)
+        if s.base:
+            return
+        full = list(s.manifest)  # resolve through the existing chain
+        self._deltas[s.snapshot_id] = ManifestDelta(added=full, base=True)
+        self._full_cache[s.snapshot_id] = full
+        s.base = True
+        s.manifest_file = os.path.join(
+            self.metadata_dir,
+            f"manifest-{s.snapshot_id}-base-v{self.version + 1}.json",
+        )
+        self._written_deltas.discard(s.snapshot_id)
+
     def _write_delta_file(self, snap: Snapshot, delta: ManifestDelta) -> None:
         os.makedirs(self.metadata_dir, exist_ok=True)
         tmp = snap.manifest_file + f".tmp-{uuid.uuid4().hex}"
@@ -382,10 +412,29 @@ class TableMetadata:
             f"(expired or never existed); time travel unavailable"
         )
 
-    def add_snapshot(self, operation: str, manifest: list[ManifestEntry], summary=None) -> Snapshot:
+    def add_snapshot(
+        self,
+        operation: str,
+        manifest: list[ManifestEntry],
+        summary=None,
+        *,
+        parent_snapshot_id: int | None = -1,
+        advance: bool = True,
+    ) -> Snapshot:
         """Register a snapshot whose FULL file set is ``manifest``; only the
-        delta vs the parent is persisted."""
-        parent = self.current_snapshot()
+        delta vs the parent is persisted.
+
+        ``parent_snapshot_id``: -1 (default) parents on the current
+        snapshot; an explicit id parents elsewhere (branch/WAP commits).
+        ``advance=False`` stages the snapshot without moving the table's
+        current pointer — the write-audit-publish shape (Iceberg's
+        ``spark.wap.branch`` staged commits)."""
+        if parent_snapshot_id == -1:
+            parent = self.current_snapshot()
+        elif parent_snapshot_id is None:
+            parent = None
+        else:
+            parent = self.snapshot_by_id(parent_snapshot_id)
         parent_files = {e.file_path for e in parent.manifest} if parent else set()
         new_by_path = {e.file_path: e for e in manifest}
         delta = ManifestDelta(
@@ -405,7 +454,7 @@ class TableMetadata:
             snapshot_id=new_snapshot_id(),
             committed_at_ms=now_ms(),
             operation=operation,
-            parent_id=self.current_snapshot_id,
+            parent_id=parent.snapshot_id if parent else None,
             summary={**stats, **(summary or {})},
             base=delta.base,
         )
@@ -416,7 +465,8 @@ class TableMetadata:
         self._deltas[snap.snapshot_id] = delta
         self._full_cache[snap.snapshot_id] = list(manifest)
         self.snapshots.append(snap)
-        self.current_snapshot_id = snap.snapshot_id
+        if advance:
+            self.current_snapshot_id = snap.snapshot_id
         return snap
 
     def remove_snapshots(self, expired_ids: set[int]) -> None:
@@ -430,16 +480,9 @@ class TableMetadata:
             if s.snapshot_id in expired_ids:
                 continue
             if self._walk_crosses(s, expired_ids):
-                full = list(s.manifest)  # resolve while ancestors exist
-                self._deltas[s.snapshot_id] = ManifestDelta(added=full, base=True)
-                self._full_cache[s.snapshot_id] = full
-                s.base = True
-                # new file name: delta files are immutable once written
-                s.manifest_file = os.path.join(
-                    self.metadata_dir,
-                    f"manifest-{s.snapshot_id}-base-v{self.version + 1}.json",
-                )
-                self._written_deltas.discard(s.snapshot_id)
+                # resolve while ancestors exist; delta files are immutable
+                # once written so the base lands under a new name
+                self.materialize_base(s.snapshot_id)
         self.snapshots = [
             s for s in self.snapshots if s.snapshot_id not in expired_ids
         ]

@@ -294,6 +294,9 @@ class LakeEngine:
         positional = {
             "rollback_to_snapshot": ["table", "snapshot_id"],
             "create_changelog_view": ["table", "changelog_view"],
+            "cherrypick_snapshot": ["table", "snapshot_id"],
+            "fast_forward": ["table", "branch", "to"],
+            "rewrite_manifests": ["table"],
         }.get(proc, ["table", "older_than"])
         args = _parse_call_args(m.group("args"), positional)
         t = self.table(str(args.pop("table")))
@@ -345,6 +348,29 @@ class LakeEngine:
             return _one_row_df(self.spark, stats)
         if proc == "rewrite_position_delete_files":
             return _one_row_df(self.spark, t.rewrite_position_delete_files())
+        if proc == "rewrite_manifests":
+            return _one_row_df(self.spark, t.rewrite_manifests())
+        if proc == "cherrypick_snapshot":
+            snap = t.cherrypick_snapshot(int(args["snapshot_id"]))
+            return _one_row_df(
+                self.spark,
+                {
+                    "source_snapshot_id": int(args["snapshot_id"]),
+                    "current_snapshot_id": snap.snapshot_id,
+                },
+            )
+        if proc == "fast_forward":
+            branch = str(args["branch"]).strip("'\"")
+            before = (
+                t.metadata.current_snapshot_id
+                if branch == "main"
+                else t.resolve_ref(branch)
+            )
+            t.fast_forward(branch, int(args["to"]))
+            return _one_row_df(
+                self.spark,
+                {"branch_updated": branch, "previous_ref": before, "updated_ref": int(args["to"])},
+            )
         raise ValueError(f"unknown procedure {proc!r}")
 
     # ------------------------------------------------------------ queries

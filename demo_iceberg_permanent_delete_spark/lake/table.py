@@ -589,7 +589,32 @@ class LakeTable:
 
     def fast_forward(self, name: str, snapshot_id: int | None = None) -> None:
         """Advance a branch to ``snapshot_id`` (default: the current
-        snapshot). Tags are immutable — advancing one raises."""
+        snapshot). Tags are immutable — advancing one raises.
+
+        ``name='main'`` advances the table's current pointer itself and
+        requires the target to be a descendant of the current snapshot —
+        Iceberg's ``CALL fast_forward(table, 'main', branch-head)``, the
+        publish step of write-audit-publish."""
+        if name == "main":
+            if snapshot_id is None:
+                raise ValueError("fast_forward('main') needs a target snapshot id")
+            target = self.metadata.snapshot_by_id(snapshot_id)
+            cur_id = self.metadata.current_snapshot_id
+            walk = target
+            while walk is not None and walk.snapshot_id != cur_id:
+                walk = (
+                    self.metadata._maybe_snapshot(walk.parent_id)
+                    if walk.parent_id is not None
+                    else None
+                )
+            if cur_id is not None and walk is None:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not a descendant of the current "
+                    "snapshot; use cherrypick_snapshot to replay it instead"
+                )
+            self.metadata.current_snapshot_id = snapshot_id
+            self.metadata.commit()
+            return
         ref = self.metadata.refs.get(name)
         if ref is None:
             raise KeyError(f"unknown ref {name!r}")
@@ -600,6 +625,35 @@ class LakeTable:
         self.metadata.snapshot_by_id(snapshot_id)
         ref["snapshot_id"] = snapshot_id
         self.metadata.commit()
+
+    def cherrypick_snapshot(self, snapshot_id: int) -> Snapshot:
+        """CALL cherrypick_snapshot parity (Iceberg): replay a staged or
+        branch snapshot's *changes* onto the current table state as a new
+        commit — the publish path when main moved since the stage. Only
+        incremental snapshots can be cherry-picked (a base snapshot carries
+        a full file set, not a change set — same restriction Iceberg puts
+        on non-append overwrites)."""
+        meta = self.metadata
+        src = meta.snapshot_by_id(snapshot_id)
+        delta = meta.delta_of(snapshot_id)
+        if delta.base:
+            raise ValueError(
+                f"snapshot {snapshot_id} is a base snapshot (full file set); "
+                "cherry-pick needs an incremental change set"
+            )
+        cur = meta.current_snapshot()
+        files = {e.file_path: e for e in (cur.manifest if cur else [])}
+        for p in delta.removed:
+            files.pop(p, None)
+        for e in delta.added:
+            files[e.file_path] = e
+        snap = meta.add_snapshot(
+            src.operation,
+            list(files.values()),
+            summary={"source-snapshot-id": snapshot_id},
+        )
+        meta.commit()
+        return snap
 
     def snapshot_as_of(self, as_of: dt.datetime | int) -> int:
         """TIMESTAMP AS OF resolution: the latest snapshot committed at or
@@ -704,18 +758,37 @@ class LakeTable:
         raw = self.properties.get("write.target-file-size-bytes")
         return int(raw) if raw else None
 
-    def insert(self, df: DataFrame) -> Snapshot:
-        """INSERT INTO … VALUES / append (reference: iceberg_pii_deletion_demo.py:105-110)."""
-        snap = self.metadata.current_snapshot()
-        base = list(snap.manifest) if snap else []
+    def insert(self, df: DataFrame, *, branch: str | None = None) -> Snapshot:
+        """INSERT INTO … VALUES / append (reference: iceberg_pii_deletion_demo.py:105-110).
+
+        ``branch`` targets a named branch instead of main (Iceberg's
+        ``spark.wap.branch`` write step): the commit parents on the branch
+        head and advances only the branch ref — main is untouched until
+        fast_forward/cherrypick publishes it."""
+        if branch is not None:
+            ref = self.metadata.refs.get(branch)
+            if ref is None or ref["type"] != "branch":
+                raise KeyError(f"unknown branch {branch!r}")
+            parent_id = int(ref["snapshot_id"])
+            base = list(self.metadata.snapshot_by_id(parent_id).manifest)
+        else:
+            snap = self.metadata.current_snapshot()
+            parent_id = -1
+            base = list(snap.manifest) if snap else []
         new_entries = write_data_files(
             self._cluster_for_write(df),
             self.data_dir,
             target_file_size_bytes=self._write_target_size(),
         )
         snapshot = self.metadata.add_snapshot(
-            "append", base + new_entries, summary={"added-files": len(new_entries)}
+            "append",
+            base + new_entries,
+            summary={"added-files": len(new_entries)},
+            parent_snapshot_id=parent_id,
+            advance=branch is None,
         )
+        if branch is not None:
+            self.metadata.refs[branch]["snapshot_id"] = snapshot.snapshot_id
         for e in new_entries:
             e.added_snapshot_id = snapshot.snapshot_id
         self.metadata.commit()
@@ -1439,6 +1512,13 @@ class LakeTable:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 
         return maintenance.rewrite_position_delete_files(self)
+
+    def rewrite_manifests(self, *, min_count_to_rewrite: int = 2) -> dict[str, int]:
+        from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+        return maintenance.rewrite_manifests(
+            self, min_count_to_rewrite=min_count_to_rewrite
+        )
 
     def examine_delete_files(self) -> list[dict[str, Any]]:
         from demo_iceberg_permanent_delete_spark.lake import maintenance

@@ -1,0 +1,169 @@
+"""rewrite_manifests (manifest-chain compaction) and write-audit-publish
+(branch writes + cherrypick_snapshot / fast_forward('main')).
+
+Iceberg parity surfaces: CALL rewrite_manifests, CALL cherrypick_snapshot,
+CALL fast_forward — the manifest optimizer + WAP publish procedures the
+reference's catalog stack (docker-compose.yml:23-30) ships alongside the
+maintenance procedures its notebook exercises.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+
+DDL = "k bigint, v string"
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.mrw", DDL)
+    t.insert(spark.createDataFrame([(1, "a"), (2, "b")], DDL))
+    return t
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_rewrite_manifests_folds_chain(table, spark):
+    for i in range(2, 12):
+        table.insert(spark.createDataFrame([(i * 10, f"r{i}")], DDL))
+    meta = table.metadata
+    head = meta.current_snapshot_id
+    assert meta.chain_length(head) == 11
+    before = _rows(table.read())
+    mid_id = meta.snapshots[4].snapshot_id
+    mid_rows = _rows(table.read(snapshot_id=mid_id))
+
+    stats = table.rewrite_manifests()
+    assert stats == {"rewritten_manifests_count": 11, "added_manifests_count": 1}
+    # same head snapshot, now O(1) reconstruction; data unchanged
+    assert table.metadata.current_snapshot_id == head
+    assert table.metadata.chain_length(head) == 1
+    assert _rows(table.read()) == before
+    # time travel to pre-rewrite snapshots is untouched
+    assert _rows(table.read(snapshot_id=mid_id)) == mid_rows
+
+    # a reloaded handle resolves from the persisted base manifest alone
+    fresh = Catalog(spark, table.location.rsplit("/default/", 1)[0]).load_table(
+        "default.mrw"
+    )
+    assert fresh.metadata.chain_length(head) == 1
+    assert _rows(fresh.read()) == before
+
+    # next commit parents on the base: chain grows from 1, not 11
+    table.insert(spark.createDataFrame([(999, "z")], DDL))
+    assert table.metadata.chain_length(table.metadata.current_snapshot_id) == 2
+
+    # idempotent below threshold: a 1-long chain is left alone
+    table.rewrite_manifests()
+    assert table.rewrite_manifests() == {
+        "rewritten_manifests_count": 0,
+        "added_manifests_count": 0,
+    }
+
+
+def test_rewrite_manifests_old_delta_becomes_orphan(table, spark):
+    table.insert(spark.createDataFrame([(3, "c")], DDL))
+    head = table.metadata.snapshot_by_id(table.metadata.current_snapshot_id)
+    old_manifest = head.manifest_file
+    table.rewrite_manifests()
+    assert head.manifest_file != old_manifest
+    assert os.path.exists(old_manifest)  # kept for stale readers
+    import datetime as dt
+
+    # Action path (bypasses the 3-day window) with an immediate cutoff —
+    # the reference's cleanup_utils.py:49-67 "immediate" shape
+    orphans = table.remove_orphan_files(
+        older_than=dt.datetime.now(dt.timezone.utc) + dt.timedelta(days=1),
+        enforce_safety=False,
+    )
+    assert old_manifest in orphans
+    assert not os.path.exists(old_manifest)
+    # table still fully readable after GC
+    assert table.read().count() == 3
+
+
+def test_wap_branch_write_then_fast_forward_publish(table, spark):
+    table.create_branch("audit")
+    staged = table.insert(
+        spark.createDataFrame([(100, "staged")], DDL), branch="audit"
+    )
+    # write: branch advanced, main untouched
+    assert table.resolve_ref("audit") == staged.snapshot_id
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+    # audit: the staged rows are readable through the branch
+    assert (100, "staged") in _rows(table.read(ref="audit"))
+    # publish: branch head is a descendant of main → fast-forward
+    table.fast_forward("main", staged.snapshot_id)
+    assert table.metadata.current_snapshot_id == staged.snapshot_id
+    assert (100, "staged") in _rows(table.read())
+
+
+def test_fast_forward_main_rejects_non_descendant(table, spark):
+    table.create_branch("audit")
+    staged = table.insert(spark.createDataFrame([(100, "s")], DDL), branch="audit")
+    # main moves independently → branch head no longer a descendant
+    table.insert(spark.createDataFrame([(200, "m")], DDL))
+    with pytest.raises(ValueError, match="not a descendant"):
+        table.fast_forward("main", staged.snapshot_id)
+
+
+def test_cherrypick_replays_staged_changes(table, spark):
+    table.create_branch("audit")
+    staged = table.insert(spark.createDataFrame([(100, "s")], DDL), branch="audit")
+    table.insert(spark.createDataFrame([(200, "m")], DDL))  # main diverges
+    snap = table.cherrypick_snapshot(staged.snapshot_id)
+    assert snap.summary["source-snapshot-id"] == staged.snapshot_id
+    got = _rows(table.read())
+    assert (100, "s") in got and (200, "m") in got and (1, "a") in got
+    # a base snapshot has no change set to replay
+    first = table.metadata.snapshots[0].snapshot_id
+    with pytest.raises(ValueError, match="base snapshot"):
+        table.cherrypick_snapshot(first)
+
+
+def test_insert_unknown_branch_raises(table, spark):
+    with pytest.raises(KeyError, match="unknown branch"):
+        table.insert(spark.createDataFrame([(1, "x")], DDL), branch="nope")
+
+
+def test_procedures_via_sql_facade(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql("CREATE TABLE default.wapt (k bigint, v string) USING iceberg")
+    eng.sql("INSERT INTO default.wapt VALUES (1, 'a')")
+    eng.sql("INSERT INTO default.wapt VALUES (2, 'b')")
+
+    row = eng.sql("CALL demo.system.rewrite_manifests('default.wapt')").first()
+    assert row["rewritten_manifests_count"] == 2
+    assert row["added_manifests_count"] == 1
+
+    # single-writer discipline: reload the handle after every facade commit
+    # (eng.table() loads fresh; a long-lived handle would be a stale writer)
+    t = eng.table("default.wapt")
+    t.create_branch("audit")
+    staged = t.insert(spark.createDataFrame([(3, "c")], DDL), branch="audit")
+    row = eng.sql(
+        f"CALL demo.system.fast_forward('default.wapt', 'main', {staged.snapshot_id})"
+    ).first()
+    assert row["updated_ref"] == staged.snapshot_id
+    assert eng.sql("SELECT COUNT(*) AS n FROM default.wapt").first()["n"] == 3
+
+    t = eng.table("default.wapt")
+    t.create_branch("audit2", staged.snapshot_id)
+    staged2 = t.insert(spark.createDataFrame([(4, "d")], DDL), branch="audit2")
+    t.insert(spark.createDataFrame([(5, "e")], DDL))  # main diverges
+    row = eng.sql(
+        f"CALL demo.system.cherrypick_snapshot('default.wapt', {staged2.snapshot_id})"
+    ).first()
+    assert row["source_snapshot_id"] == staged2.snapshot_id
+    assert eng.sql("SELECT COUNT(*) AS n FROM default.wapt").first()["n"] == 5
