@@ -27,7 +27,15 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from demo_iceberg_permanent_delete_spark.operators.text import spark_hash60
+from demo_iceberg_permanent_delete_spark.operators.contamination import (
+    BENCH_MOD,
+    benchmark_ngram_contamination,
+)
+from demo_iceberg_permanent_delete_spark.operators.text import (
+    DUCK_TOKENS,
+    duck_hash60,
+    spark_hash60,
+)
 from demo_iceberg_permanent_delete_spark.registry import query
 from demo_iceberg_permanent_delete_spark.sources.tables import load_table
 
@@ -107,6 +115,34 @@ def pack_sequences(
     )
 
 
+SPLIT_BOUNDS = (("train", 80), ("val", 90), ("test", 100))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    *,
+    id_col: str,
+    salt: str = "split",
+    bounds: Sequence[tuple[str, int]] = SPLIT_BOUNDS,
+) -> DataFrame:
+    """Deterministic dataset split: ``hash60(salt:id) % 100`` bucketed by
+    the cumulative ``bounds`` percentages (default 80/10/10). Hash-based,
+    so membership is stable under corpus growth and reshuffling — a
+    document never migrates between train and eval when new data lands,
+    which random splits cannot guarantee. Adds a ``split`` column."""
+    h = spark_hash60(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    ) % 100
+    label = None
+    for name, upper in reversed(bounds):
+        label = (
+            F.lit(name)
+            if label is None
+            else F.when(h < upper, F.lit(name)).otherwise(label)
+        )
+    return df.withColumn("split", label)
+
+
 def stratified_sample(
     df: DataFrame,
     *,
@@ -129,12 +165,14 @@ def stratified_sample(
 
 
 # ---------------------------------------------------------------------------
-# Driver query: the three preparation stages label-packed over ``documents``
-# and combined with unionByName with shuffled column orders (R5 coverage —
-# this entry supersedes the standalone union_by_name query).
+# Driver query: the preparation stages label-packed over ``documents`` and
+# combined with unionByName with shuffled column orders (R5 coverage — this
+# entry supersedes the standalone union_by_name query).
 # Parts: 'chunk' = every chunk (text verified verbatim), 'pack' = per
 # (lang, pack) sequence/token totals, 'sample' = the surviving doc ids of a
-# 30%-en / 100%-other curation pass.
+# 30%-en / 100%-other curation pass, 'contam' = per-corpus-doc benchmark
+# 5-gram collision counts (operators/contamination.py), 'split' = the
+# deterministic 80/10/10 train/val/test assignment.
 # ---------------------------------------------------------------------------
 _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
 
@@ -178,6 +216,37 @@ _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
     FROM documents
     WHERE CAST('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100
           < CASE WHEN lang = 'en' THEN {SAMPLE_PERCENTS["en"]} ELSE {SAMPLE_DEFAULT_PERCENT} END
+    UNION ALL BY NAME
+    SELECT 'contam' AS part, doc_id AS k1, n_matched AS k2, n_ngrams AS n,
+           CAST(NULL AS VARCHAR) AS s
+    FROM (
+      WITH lt AS (
+        SELECT doc_id, {DUCK_TOKENS} AS t FROM documents
+      ),
+      gr AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 4, 0)),
+          i -> {duck_hash60("t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]")}
+        ))) AS h
+        FROM lt
+      ),
+      bench AS (SELECT DISTINCT h FROM gr WHERE doc_id % {BENCH_MOD} = 0)
+      SELECT c.doc_id,
+             CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(count(b.h) AS BIGINT) AS n_matched
+      FROM gr c LEFT JOIN bench b USING (h)
+      WHERE c.doc_id % {BENCH_MOD} <> 0
+      GROUP BY c.doc_id
+    )
+    UNION ALL BY NAME
+    SELECT 'split' AS part, doc_id AS k1, CAST(NULL AS BIGINT) AS k2,
+           CAST(NULL AS BIGINT) AS n,
+           CASE
+             WHEN CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 < 80 THEN 'train'
+             WHEN CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 < 90 THEN 'val'
+             ELSE 'test'
+           END AS s
+    FROM documents
     """,
 )
 def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,4 +292,27 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("s"),
     )
 
-    return chunk_part.unionByName(pack_part).unionByName(sample_part)
+    contam_part = benchmark_ngram_contamination(docs).select(
+        F.lit("contam").alias("part"),
+        F.col("doc_id").alias("k1"),
+        F.col("n_matched").alias("k2"),
+        F.col("n_ngrams").alias("n"),
+        F.lit(None).cast("string").alias("s"),
+    )
+
+    split_part = train_val_test_split(
+        docs.select("doc_id"), id_col="doc_id"
+    ).select(
+        F.lit("split").alias("part"),
+        F.col("doc_id").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("split").alias("s"),
+    )
+
+    return (
+        chunk_part.unionByName(pack_part)
+        .unionByName(sample_part)
+        .unionByName(contam_part)
+        .unionByName(split_part)
+    )
