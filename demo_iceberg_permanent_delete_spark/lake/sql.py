@@ -16,6 +16,13 @@ extension. Covered statements, with the reference call sites:
 - UPDATE t SET c = e, … WHERE pred       :228-235
 - MERGE INTO t USING src ON keys WHEN MATCHED … WHEN NOT MATCHED …
   (extension — the reference stops at UPDATE/DELETE; same Iceberg grammar)
+- CREATE TABLE t [USING iceberg] [PARTITIONED BY …] AS SELECT …  (CTAS,
+  extension — schema inferred from the query, first snapshot appended)
+- INSERT INTO t SELECT …                 (extension — query-fed append,
+  columns aligned by name/cast to the table schema)
+- CALL demo.system.rewrite_manifests     (extension — manifest-chain fold)
+- CALL demo.system.cherrypick_snapshot / fast_forward  (extension — the
+  WAP publish procedures; branch writes via LakeTable.insert(branch=…))
 - CALL demo.system.expire_snapshots      :289-296, 486-492
 - CALL demo.system.remove_orphan_files   cleanup_utils.py:26-47
 - CALL demo.system.rewrite_data_files    :421-433
@@ -148,7 +155,51 @@ class LakeEngine:
             self.spark, {"table": t.name, "status": f"dropped column {m.group('col')}"}
         )
 
+    def _create_table_as_select(self, m: re.Match) -> DataFrame:
+        """CTAS: schema inferred from the SELECT (which may itself read
+        lake tables / metadata views / time-travel clauses), then a first
+        append snapshot with the result."""
+        name = self._strip_catalog(m.group("name"))
+        props = dict(_parse_kv_props(m.group("props"))) if m.group("props") else {}
+        parts = _split_top_level(m.group("parts")) if m.group("parts") else None
+        df = self._select(m.group("query").strip())
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        self.catalog.create_table(
+            name,
+            schema_ddl,
+            properties=props,
+            if_not_exists=m.group("ine") is not None,
+            partition_by=parts,
+        )
+        t = self.table(name)
+        snap = t.insert(df)
+        return _one_row_df(
+            self.spark,
+            {"table": t.name, "status": "created as select", "snapshot_id": snap.snapshot_id},
+        )
+
     # ------------------------------------------------------- DML handlers
+    def _insert_select(self, m: re.Match) -> DataFrame:
+        """INSERT INTO t SELECT …: run the query through the same
+        identifier/travel rewrite as any SELECT, align columns by name to
+        the table schema, append."""
+        t = self.table(m.group("name"))
+        df = self._select(m.group("query").strip())
+        fields = t.schema().fields
+        missing = [f.name for f in fields if f.name not in df.columns]
+        if missing:
+            raise ValueError(f"INSERT SELECT is missing columns {missing}")
+        aligned = df.select(
+            *[df[f.name].cast(f.dataType).alias(f.name) for f in fields]
+        )
+        snap = t.insert(aligned)
+        return _one_row_df(
+            self.spark,
+            {"table": t.name, "status": "inserted", "snapshot_id": snap.snapshot_id},
+        )
+
     def _insert_values(self, m: re.Match) -> DataFrame:
         t = self.table(m.group("name"))
         # DATE('2023-01-01') (reference :107-109) → standard DATE literal.
@@ -468,6 +519,17 @@ class LakeEngine:
         (
             re.compile(
                 r"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+                r"(?:USING\s+iceberg\s*)?"
+                r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^()]*(?:\([^()]*\)[^()]*)*)\)\s*)?"
+                r"(?:TBLPROPERTIES\s*\((?P<props>[^()]*)\)\s*)?"
+                r"AS\s+(?P<query>SELECT\s+.+)$",
+                re.I | re.S,
+            ),
+            _create_table_as_select,
+        ),
+        (
+            re.compile(
+                r"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
                 r"\((?P<schema>.*)\)\s*USING\s+iceberg"
                 r"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>[^()]*(?:\([^()]*\)[^()]*)*)\))?"
                 r"(?:\s+TBLPROPERTIES\s*\((?P<props>.*)\))?$",
@@ -505,6 +567,13 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _insert_values,
+        ),
+        (
+            re.compile(
+                r"INSERT\s+INTO\s+(?P<name>[\w.]+)\s+(?P<query>SELECT\s+.+)$",
+                re.I | re.S,
+            ),
+            _insert_select,
         ),
         (
             re.compile(

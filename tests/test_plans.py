@@ -60,3 +60,31 @@ def test_dimension_joins_are_broadcast(spark):
 
 def test_aggregation_stays_in_codegen(spark):
     assert has_whole_stage_codegen(pricing_summary(spark, SF_ORACLE))
+
+
+def test_doc_fingerprint_single_exchange(spark):
+    """The groupBy(doc_id) must reuse the pre-hash repartition(doc_id)
+    exchange: exactly one shuffle in the whole fingerprint plan (the
+    design claim in operators/text.py:doc_fingerprint)."""
+    from demo_iceberg_permanent_delete_spark.operators.text import doc_fingerprint
+
+    plan = (
+        doc_fingerprint(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}:\n{plan}"
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    """The benchmark n-gram set must broadcast — the corpus side may not
+    shuffle its gram rows for the join (operators/contamination.py)."""
+    from demo_iceberg_permanent_delete_spark.operators.contamination import (
+        benchmark_ngram_contamination,
+    )
+    from demo_iceberg_permanent_delete_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, SF_ORACLE, "documents")
+    assert has_broadcast_join(benchmark_ngram_contamination(docs))

@@ -327,3 +327,51 @@ def test_merge_by_source_noop_when_source_covers_target(engine, spark):
     )
     assert snap is None  # nothing matched the by-source branch: no commit
     assert t.metadata.current_snapshot().snapshot_id == before
+
+
+def test_ctas_and_insert_select(engine, spark):
+    # CTAS from a lake-table SELECT: schema inferred, data landed
+    engine.sql(
+        "CREATE TABLE demo.default.pii_copy AS "
+        "SELECT case_id, email_address FROM demo.default.pii_data "
+        "WHERE case_id != 'case-3'"
+    )
+    t = engine.table("default.pii_copy")
+    assert [f.name for f in t.schema().fields] == ["case_id", "email_address"]
+    assert t.read().count() == 2
+
+    # INSERT INTO ... SELECT appends through the same rewrite machinery,
+    # aligning columns by name (source order shuffled on purpose)
+    engine.sql(
+        "INSERT INTO demo.default.pii_copy "
+        "SELECT email_address, case_id FROM demo.default.pii_data "
+        "WHERE case_id = 'case-3'"
+    )
+    rows = {
+        r["case_id"]: r["email_address"]
+        for r in engine.sql("SELECT * FROM demo.default.pii_copy").collect()
+    }
+    assert rows == {
+        "case-1": "alice@example.com",
+        "case-2": "bob@example.com",
+        "case-3": "cara@example.com",
+    }
+    # the CTAS table is a real lake table: snapshots + time travel work
+    hist = engine.sql("SELECT * FROM demo.default.pii_copy.history").count()
+    assert hist == 2
+
+    # missing column is a hard error, not silent misalignment
+    with pytest.raises(ValueError, match="missing columns"):
+        engine.sql(
+            "INSERT INTO demo.default.pii_copy SELECT case_id FROM demo.default.pii_data"
+        )
+
+
+def test_ctas_partitioned(engine, spark):
+    engine.sql(
+        "CREATE TABLE demo.default.pii_part PARTITIONED BY (case_id) AS "
+        "SELECT case_id, update_date FROM demo.default.pii_data"
+    )
+    t = engine.table("default.pii_part")
+    assert t.metadata.partition_by == ["case_id"]
+    assert t.read().count() == 3
