@@ -180,6 +180,32 @@ class LakeEngine:
             {"table": t.name, "status": "created as select", "snapshot_id": snap.snapshot_id},
         )
 
+    def _show_tables(self, m: re.Match) -> DataFrame:
+        ns = m.group("ns")
+        names = self.catalog.list_tables()
+        if ns:
+            ns = self._strip_catalog(ns)
+            names = [n for n in names if n.startswith(ns + ".")]
+        rows = [(n.rsplit(".", 1)[0], n.rsplit(".", 1)[1]) for n in sorted(names)]
+        return self.spark.createDataFrame(
+            rows or [], "namespace string, tableName string"
+        )
+
+    def _describe_table(self, m: re.Match) -> DataFrame:
+        if self._strip_catalog(m.group("name")) not in self.catalog.list_tables():
+            return self.spark.sql(m.group(0))  # temp view / non-lake relation
+        t = self.table(m.group("name"))
+        rows = [(f.name, f.dataType.simpleString()) for f in t.schema().fields]
+        if t.metadata.partition_by:
+            rows.append(("# Partition spec", ", ".join(t.metadata.partition_by)))
+        return self.spark.createDataFrame(rows, "col_name string, data_type string")
+
+    def _show_tblproperties(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        return self.spark.createDataFrame(
+            sorted(t.properties.items()) or [], "key string, value string"
+        )
+
     # ------------------------------------------------------- DML handlers
     def _insert_select(self, m: re.Match) -> DataFrame:
         """INSERT INTO t SELECT …: run the query through the same
@@ -604,6 +630,24 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _call,
+        ),
+        (
+            re.compile(
+                r"SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+(?P<ns>[\w.]+))?$", re.I
+            ),
+            _show_tables,
+        ),
+        (
+            re.compile(
+                r"DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>[\w.]+)$", re.I
+            ),
+            _describe_table,
+        ),
+        (
+            re.compile(
+                r"SHOW\s+TBLPROPERTIES\s+(?P<name>[\w.]+)$", re.I
+            ),
+            _show_tblproperties,
         ),
     ]
 

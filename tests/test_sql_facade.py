@@ -375,3 +375,20 @@ def test_ctas_partitioned(engine, spark):
     t = engine.table("default.pii_part")
     assert t.metadata.partition_by == ["case_id"]
     assert t.read().count() == 3
+
+
+def test_show_and_describe_statements(engine):
+    tbls = {
+        (r["namespace"], r["tableName"]) for r in engine.sql("SHOW TABLES").collect()
+    }
+    assert ("default", "pii_data") in tbls
+    assert engine.sql("SHOW TABLES IN demo.default").count() == len(
+        [t for t in tbls if t[0] == "default"]
+    )
+
+    desc = {r["col_name"]: r["data_type"] for r in engine.sql("DESCRIBE TABLE demo.default.pii_data").collect()}
+    assert desc["case_id"] == "string"
+    assert desc["update_date"] == "date"
+
+    props = {r["key"]: r["value"] for r in engine.sql("SHOW TBLPROPERTIES demo.default.pii_data").collect()}
+    assert props["write.delete.mode"] == "merge-on-read"
