@@ -294,6 +294,68 @@ def stateful_session_stream(events: DataFrame, gap_minutes: int = 10) -> DataFra
     )
 
 
+LAST_BATCH_PROP = "streaming.last-committed-batch-id"
+
+
+def stream_into_lake(
+    stream_df: DataFrame,
+    table,
+    *,
+    mode: str = "append",
+    merge_keys: list[str] | None = None,
+    timeout_s: int = 300,
+    checkpoint: str | None = None,
+) -> None:
+    """Sink a streaming DataFrame into a lake table via ``foreachBatch`` —
+    the streaming-ingest integration Iceberg gives Spark users
+    (``writeStream.format('iceberg')``), re-expressed over the native
+    snapshot lake. Bounded ``availableNow`` run; pass the same
+    ``checkpoint`` across calls to resume.
+
+    Exactly-once per micro-batch: the batch id is written into the table
+    properties *inside the same metadata commit* as the batch's snapshot
+    (properties ride the version file), so a batch replayed after a crash
+    or restart is detected (``batch_id <= last committed``) and skipped —
+    the standard idempotent-foreachBatch pattern, made atomic by the
+    single-file commit.
+
+    ``mode='append'`` → one append snapshot per batch;
+    ``mode='upsert'`` → MERGE on ``merge_keys`` (latest row wins), for
+    streams carrying updates (CDC feeds, profile upserts).
+    """
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")
+    if mode == "upsert" and not merge_keys:
+        raise ValueError("upsert mode needs merge_keys")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        t = table.refresh()
+        last = t.properties.get(LAST_BATCH_PROP)
+        if last is not None and batch_id <= int(last):
+            return  # replay of an already-committed batch
+        # piggyback on the next commit — atomic with the snapshot
+        t.metadata.properties[LAST_BATCH_PROP] = str(batch_id)
+        if mode == "append":
+            t.insert(batch_df)
+        else:
+            t.merge(batch_df, on=list(merge_keys))
+
+    checkpoint = checkpoint or os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "cp")
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"lake ingest did not finish in {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def run_available_now(
     stream_df: DataFrame,
     *,
