@@ -31,3 +31,10 @@ class UnsafeOperationError(LakeError):
 class MergeCardinalityError(LakeError):
     """MERGE matched one target row to multiple source rows (the ANSI/Iceberg
     cardinality violation — the update would be nondeterministic)."""
+
+
+class CommitConflictError(LakeError):
+    """Another writer committed the metadata version this commit targeted
+    (optimistic-concurrency CAS failure). Appends rebase and retry
+    automatically; read-modify-write operations surface this so the caller
+    can refresh and re-validate — Iceberg's conflict model."""

@@ -22,10 +22,11 @@ The JSON-lines shape is deliberate: executors can scan manifests directly
 via spark.read.json, which backs the metadata tables (.files/.all_entries)
 without materializing O(snapshots × files) rows on the driver (table.py).
 
-Commits are atomic: write ``v{N}.json.tmp`` then ``os.replace`` (delta
-files land before the header file that references them). Single writer
-assumed (documented limitation; the reference's REST catalog served this
-role).
+Commits are atomic and optimistically concurrent: delta files land first,
+then the header claims ``v{N}.json`` via hard-link CAS — a stale writer
+raises CommitConflictError instead of clobbering the head (the conflict
+arbitration the reference's REST catalog performed). Append paths rebase
+and retry (table.py); read-modify-write paths surface the conflict.
 """
 
 from __future__ import annotations
@@ -378,8 +379,20 @@ class TableMetadata:
 
     def commit(self) -> str:
         """Atomically persist the next metadata version: unwritten delta
-        manifests first (each O(delta)), then the header file (temp +
-        rename)."""
+        manifests first (each O(delta)), then the header file.
+
+        The header lands via hard-link (compare-and-swap): linking the temp
+        file to ``v{N}.json`` fails with EEXIST if any other writer claimed
+        version N first — optimistic concurrency instead of the silent
+        last-writer-wins an ``os.replace`` would give. On conflict the
+        in-memory state is rolled back and CommitConflictError raised;
+        append paths rebase onto the new head and retry (table.py), the
+        read-modify-write paths surface it (Iceberg's conflict model, the
+        job the reference delegated to its REST catalog)."""
+        from demo_iceberg_permanent_delete_spark.lake.errors import (
+            CommitConflictError,
+        )
+
         self.version += 1
         os.makedirs(self.metadata_dir, exist_ok=True)
         for snap in self.snapshots:
@@ -392,7 +405,16 @@ class TableMetadata:
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(self.to_json(), fh, indent=1, default=str)
-        os.replace(tmp, path)
+        try:
+            os.link(tmp, path)  # atomic claim of version N
+        except FileExistsError:
+            self.metadata_log.pop()
+            self.version -= 1
+            raise CommitConflictError(
+                f"metadata version {path} was committed by another writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return path
 
     # ----------------------------------------------------------- snapshots

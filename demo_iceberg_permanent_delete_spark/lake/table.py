@@ -765,34 +765,51 @@ class LakeTable:
         ``spark.wap.branch`` write step): the commit parents on the branch
         head and advances only the branch ref — main is untouched until
         fast_forward/cherrypick publishes it."""
-        if branch is not None:
-            ref = self.metadata.refs.get(branch)
-            if ref is None or ref["type"] != "branch":
-                raise KeyError(f"unknown branch {branch!r}")
-            parent_id = int(ref["snapshot_id"])
-            base = list(self.metadata.snapshot_by_id(parent_id).manifest)
-        else:
-            snap = self.metadata.current_snapshot()
-            parent_id = -1
-            base = list(snap.manifest) if snap else []
+        from demo_iceberg_permanent_delete_spark.lake.errors import (
+            CommitConflictError,
+        )
+
+        # Data files are written exactly once; only the metadata commit
+        # rebases and retries on a CAS conflict — an append never conflicts
+        # semantically with another writer (Iceberg's fast-append retry).
         new_entries = write_data_files(
             self._cluster_for_write(df),
             self.data_dir,
             target_file_size_bytes=self._write_target_size(),
         )
-        snapshot = self.metadata.add_snapshot(
-            "append",
-            base + new_entries,
-            summary={"added-files": len(new_entries)},
-            parent_snapshot_id=parent_id,
-            advance=branch is None,
-        )
-        if branch is not None:
-            self.metadata.refs[branch]["snapshot_id"] = snapshot.snapshot_id
-        for e in new_entries:
-            e.added_snapshot_id = snapshot.snapshot_id
-        self.metadata.commit()
-        return snapshot
+        last_err: CommitConflictError | None = None
+        for _attempt in range(5):
+            if branch is not None:
+                ref = self.metadata.refs.get(branch)
+                if ref is None or ref["type"] != "branch":
+                    raise KeyError(f"unknown branch {branch!r}")
+                parent_id = int(ref["snapshot_id"])
+                base = list(self.metadata.snapshot_by_id(parent_id).manifest)
+            else:
+                snap = self.metadata.current_snapshot()
+                parent_id = -1
+                base = list(snap.manifest) if snap else []
+            snapshot = self.metadata.add_snapshot(
+                "append",
+                base + new_entries,
+                summary={"added-files": len(new_entries)},
+                parent_snapshot_id=parent_id,
+                advance=branch is None,
+            )
+            if branch is not None:
+                self.metadata.refs[branch]["snapshot_id"] = snapshot.snapshot_id
+            for e in new_entries:
+                e.added_snapshot_id = snapshot.snapshot_id
+            try:
+                self.metadata.commit()
+                return snapshot
+            except CommitConflictError as err:
+                last_err = err
+                # discard the staged in-memory snapshot, reload the new
+                # head, and rebase (the staged delta file on disk is an
+                # orphan; remove_orphan_files GCs it)
+                self.refresh()
+        raise last_err
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         new_entries = write_data_files(self._cluster_for_write(df), self.data_dir)
