@@ -117,6 +117,9 @@ def lake_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'branch' AS path, * FROM lineitem WHERE {_SUBSET}
     UNION ALL
     SELECT 'rollback' AS path, * FROM lineitem WHERE {_SUBSET}
+    UNION ALL
+    SELECT 'wap' AS path, * FROM lineitem
+    WHERE ({_SUBSET}) OR l_orderkey % 10 = 5
     """,
 )
 def lake_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,9 +129,12 @@ def lake_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.option('snapshot-id', id), iceberg_pii_deletion_demo.py:261),
     (b) TIMESTAMP AS OF the first commit resolves to the same snapshot,
     (c) a tag and (d) a branch created at that snapshot read it by name
-    (Iceberg VERSION AS OF refs), and (e) CALL rollback_to_snapshot points
-    the table back so the CURRENT read returns every row again — all five
-    reads equal the full subset."""
+    (Iceberg VERSION AS OF refs), (e) CALL rollback_to_snapshot points
+    the table back so the CURRENT read returns every row again — those
+    five reads equal the full subset — and (f) a write-audit-publish
+    cycle: stage a batch on the branch, cherrypick_snapshot onto main,
+    rewrite_manifests folds the chain, and the published read adds
+    exactly the staged rows."""
     t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
     try:
         first = t.metadata.current_snapshot()
@@ -154,6 +160,22 @@ def lake_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.rollback_to_snapshot(first.snapshot_id)
         assert t.metadata.current_snapshot_id == first.snapshot_id
         parts.append(t.read().select(F.lit("rollback").alias("path"), "*"))
+        # (f) write-audit-publish: stage a second batch on the audit
+        # branch (main untouched), publish by cherry-picking the staged
+        # change set onto main, then fold the manifest chain — the final
+        # read must show base subset + staged batch, hash-checked
+        staged = t.insert(
+            load_table(spark, sf_dir, "lineitem").filter("l_orderkey % 10 = 5"),
+            branch="audit",
+        )
+        assert t.metadata.current_snapshot_id == first.snapshot_id, (
+            "branch write must not move main"
+        )
+        t.cherrypick_snapshot(staged.snapshot_id)
+        stats = t.rewrite_manifests()
+        assert stats["added_manifests_count"] >= 1
+        assert t.metadata.chain_length(t.metadata.current_snapshot_id) == 1
+        parts.append(t.read().select(F.lit("wap").alias("path"), "*"))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
