@@ -243,6 +243,76 @@ def rewrite_data_files(
     }
 
 
+def add_files(table, source: str, *, pattern: str = "*.parquet") -> dict[str, int]:
+    """CALL add_files parity (Iceberg's migration procedure): register
+    existing parquet files into the table IN PLACE — footer-only reads
+    (record counts + min/max + null counts via pyarrow), no data copy, no
+    rewrite, one append snapshot. The files become table-managed from this
+    commit on (Iceberg's documented ownership transfer: expire/orphan
+    maintenance may later delete them).
+
+    Files must carry every table column (extra columns are ignored by the
+    declared-schema scan). Empty files are skipped.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from demo_iceberg_permanent_delete_spark.lake.datafiles import (
+        _footer_stats,
+        _jsonable,
+    )
+    from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
+
+    paths = sorted(
+        _glob.glob(os.path.join(source, "**", pattern), recursive=True)
+        if os.path.isdir(source)
+        else _glob.glob(source)
+    )
+    table_cols = {f.name for f in table.schema().fields}
+    entries: list[ManifestEntry] = []
+    for p in paths:
+        p = os.path.abspath(p)
+        n_rows, mins, maxs, nulls = _footer_stats(p)
+        if n_rows == 0:
+            continue
+        file_cols = set(pq.ParquetFile(p).schema_arrow.names)
+        missing = table_cols - file_cols
+        if missing:
+            raise ValueError(
+                f"{p} is missing table columns {sorted(missing)}; "
+                "add_files requires schema-compatible files"
+            )
+        entries.append(
+            ManifestEntry(
+                file_path=p,
+                content=CONTENT_DATA,
+                record_count=n_rows,
+                file_size_in_bytes=os.path.getsize(p),
+                min_values={k: _jsonable(v) for k, v in mins.items()},
+                max_values={k: _jsonable(v) for k, v in maxs.items()},
+                null_counts=dict(nulls),
+            )
+        )
+    if not entries:
+        return {"added_files_count": 0, "added_records_count": 0}
+    meta = table.metadata
+    snap_cur = meta.current_snapshot()
+    base = list(snap_cur.manifest) if snap_cur else []
+    snapshot = meta.add_snapshot(
+        "append",
+        base + entries,
+        summary={"added-files": len(entries), "procedure": "add_files"},
+    )
+    for e in entries:
+        e.added_snapshot_id = snapshot.snapshot_id
+    meta.commit()
+    return {
+        "added_files_count": len(entries),
+        "added_records_count": sum(e.record_count for e in entries),
+    }
+
+
 def rewrite_manifests(table, *, min_count_to_rewrite: int = 2) -> dict[str, int]:
     """CALL rewrite_manifests parity (Iceberg's manifest-layer optimizer,
     the procedure the reference's catalog stack ships alongside M1-M5).

@@ -21,6 +21,8 @@ extension. Covered statements, with the reference call sites:
 - INSERT INTO t SELECT …                 (extension — query-fed append,
   columns aligned by name/cast to the table schema)
 - CALL demo.system.rewrite_manifests     (extension — manifest-chain fold)
+- CALL demo.system.add_files             (extension — Iceberg's migration
+  procedure: register external parquet in place, footer-only stats)
 - CALL demo.system.cherrypick_snapshot / fast_forward  (extension — the
   WAP publish procedures; branch writes via LakeTable.insert(branch=…))
 - CALL demo.system.expire_snapshots      :289-296, 486-492
@@ -374,6 +376,7 @@ class LakeEngine:
             "cherrypick_snapshot": ["table", "snapshot_id"],
             "fast_forward": ["table", "branch", "to"],
             "rewrite_manifests": ["table"],
+            "add_files": ["table", "source_table"],
         }.get(proc, ["table", "older_than"])
         args = _parse_call_args(m.group("args"), positional)
         t = self.table(str(args.pop("table")))
@@ -427,6 +430,14 @@ class LakeEngine:
             return _one_row_df(self.spark, t.rewrite_position_delete_files())
         if proc == "rewrite_manifests":
             return _one_row_df(self.spark, t.rewrite_manifests())
+        if proc == "add_files":
+            # Iceberg spells the source `parquet`.`/path`; accept that or
+            # a plain path string
+            src = str(args["source_table"]).strip()
+            m2 = re.match(r"(?i)`?parquet`?\s*\.\s*`(?P<p>[^`]+)`$", src)
+            if m2:
+                src = m2.group("p")
+            return _one_row_df(self.spark, t.add_files(src))
         if proc == "cherrypick_snapshot":
             snap = t.cherrypick_snapshot(int(args["snapshot_id"]))
             return _one_row_df(

@@ -1537,6 +1537,11 @@ class LakeTable:
             self, min_count_to_rewrite=min_count_to_rewrite
         )
 
+    def add_files(self, source: str, *, pattern: str = "*.parquet") -> dict[str, int]:
+        from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+        return maintenance.add_files(self, source, pattern=pattern)
+
     def examine_delete_files(self) -> list[dict[str, Any]]:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 

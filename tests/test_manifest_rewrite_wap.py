@@ -167,3 +167,51 @@ def test_procedures_via_sql_facade(spark, tmp_path):
     ).first()
     assert row["source_snapshot_id"] == staged2.snapshot_id
     assert eng.sql("SELECT COUNT(*) AS n FROM default.wapt").first()["n"] == 5
+
+
+def test_add_files_registers_in_place(spark, tmp_path, table):
+    ext = str(tmp_path / "external")
+    spark.createDataFrame(
+        [(10, "x"), (11, "y"), (12, "z")], DDL
+    ).repartition(2).write.mode("overwrite").parquet(ext)
+
+    stats = table.add_files(ext)
+    assert stats["added_records_count"] == 3
+    assert stats["added_files_count"] >= 1
+    got = _rows(table.read())
+    assert (10, "x") in got and (1, "a") in got and len(got) == 5
+
+    # in place: registered paths live under the external dir, not data/
+    snap = table.metadata.current_snapshot()
+    added = [
+        e for e in snap.data_files() if e.added_snapshot_id == snap.snapshot_id
+    ]
+    assert added and all(e.file_path.startswith(ext) for e in added)
+    # footer stats landed → pruning works on the imported files
+    assert all(e.min_values.get("k") is not None for e in added)
+    # time travel: pre-import snapshot unchanged
+    prev = table.metadata.snapshots[-2].snapshot_id
+    assert len(_rows(table.read(snapshot_id=prev))) == 2
+
+    # schema-incompatible file is refused
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([(1,)], "k bigint").write.mode("overwrite").parquet(bad)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing table columns"):
+        table.add_files(bad)
+
+
+def test_add_files_via_sql_call(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql("CREATE TABLE default.imp (k bigint, v string) USING iceberg")
+    ext = str(tmp_path / "ext")
+    spark.createDataFrame([(1, "a"), (2, "b")], DDL).write.mode("overwrite").parquet(ext)
+    row = eng.sql(
+        f"CALL demo.system.add_files(table => 'default.imp', source_table => '`parquet`.`{ext}`')"
+    ).first()
+    assert row["added_records_count"] == 2
+    assert eng.sql("SELECT COUNT(*) AS n FROM default.imp").first()["n"] == 2
