@@ -758,13 +758,24 @@ class LakeTable:
         raw = self.properties.get("write.target-file-size-bytes")
         return int(raw) if raw else None
 
-    def insert(self, df: DataFrame, *, branch: str | None = None) -> Snapshot:
+    def insert(
+        self,
+        df: DataFrame,
+        *,
+        branch: str | None = None,
+        extra_properties: dict[str, str] | None = None,
+    ) -> Snapshot:
         """INSERT INTO … VALUES / append (reference: iceberg_pii_deletion_demo.py:105-110).
 
         ``branch`` targets a named branch instead of main (Iceberg's
         ``spark.wap.branch`` write step): the commit parents on the branch
         head and advances only the branch ref — main is untouched until
-        fast_forward/cherrypick publishes it."""
+        fast_forward/cherrypick publishes it.
+
+        ``extra_properties`` are table properties committed ATOMICALLY with
+        the snapshot — re-applied on every rebase attempt, so they survive
+        a CAS conflict retry (the streaming sink's batch-id bookkeeping
+        depends on this)."""
         from demo_iceberg_permanent_delete_spark.lake.errors import (
             CommitConflictError,
         )
@@ -779,6 +790,8 @@ class LakeTable:
         )
         last_err: CommitConflictError | None = None
         for _attempt in range(5):
+            if extra_properties:
+                self.metadata.properties.update(extra_properties)
             if branch is not None:
                 ref = self.metadata.refs.get(branch)
                 if ref is None or ref["type"] != "branch":

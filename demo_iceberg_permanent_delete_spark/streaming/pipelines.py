@@ -333,11 +333,18 @@ def stream_into_lake(
         last = t.properties.get(LAST_BATCH_PROP)
         if last is not None and batch_id <= int(last):
             return  # replay of an already-committed batch
-        # piggyback on the next commit — atomic with the snapshot
-        t.metadata.properties[LAST_BATCH_PROP] = str(batch_id)
         if mode == "append":
-            t.insert(batch_df)
+            # the batch id rides the same commit as the snapshot and is
+            # re-applied on every CAS-conflict rebase inside insert()
+            t.insert(
+                batch_df, extra_properties={LAST_BATCH_PROP: str(batch_id)}
+            )
         else:
+            # merge is read-modify-write: a conflicting concurrent commit
+            # surfaces CommitConflictError and fails the stream (rerun
+            # resumes from the checkpoint; the guard above skips committed
+            # batches)
+            t.metadata.properties[LAST_BATCH_PROP] = str(batch_id)
             t.merge(batch_df, on=list(merge_keys))
 
     checkpoint = checkpoint or os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "cp")

@@ -80,3 +80,18 @@ def test_failed_append_leaves_no_readable_garbage(spark, warehouse):
     for s in final.metadata.snapshots:
         assert s.manifest is not None
     assert all("manifest" in o or o.endswith(".parquet") for o in orphans)
+
+
+def test_insert_extra_properties_survive_conflict_retry(spark, warehouse):
+    a = warehouse.load_table("default.cc")
+    b = warehouse.load_table("default.cc")
+    a.insert(spark.createDataFrame([(2, "x")], DDL))
+    # b's commit conflicts once and rebases; the property must still land
+    # in the same (retried) commit as the snapshot
+    b.insert(
+        spark.createDataFrame([(3, "y")], DDL),
+        extra_properties={"streaming.last-committed-batch-id": "7"},
+    )
+    final = warehouse.load_table("default.cc")
+    assert final.read().count() == 3
+    assert final.properties["streaming.last-committed-batch-id"] == "7"
