@@ -252,7 +252,10 @@ def add_files(table, source: str, *, pattern: str = "*.parquet") -> dict[str, in
     maintenance may later delete them).
 
     Files must carry every table column (extra columns are ignored by the
-    declared-schema scan). Empty files are skipped.
+    declared-schema scan). Empty files are skipped. Files already
+    registered in the current snapshot are rejected (Iceberg's
+    check_duplicate_files default) — re-registering would double-count in
+    the reported stats while add_snapshot silently dedupes by path.
     """
     import glob as _glob
 
@@ -270,6 +273,15 @@ def add_files(table, source: str, *, pattern: str = "*.parquet") -> dict[str, in
         else _glob.glob(source)
     )
     table_cols = {f.name for f in table.schema().fields}
+    snap_cur = table.metadata.current_snapshot()
+    registered = snap_cur.file_paths() if snap_cur else set()
+    dupes = [os.path.abspath(p) for p in paths if os.path.abspath(p) in registered]
+    if dupes:
+        raise ValueError(
+            f"add_files: {len(dupes)} file(s) already registered in the "
+            f"current snapshot (first: {dupes[0]}); Iceberg's "
+            "check_duplicate_files rejects re-imports"
+        )
     entries: list[ManifestEntry] = []
     for p in paths:
         p = os.path.abspath(p)
@@ -297,7 +309,6 @@ def add_files(table, source: str, *, pattern: str = "*.parquet") -> dict[str, in
     if not entries:
         return {"added_files_count": 0, "added_records_count": 0}
     meta = table.metadata
-    snap_cur = meta.current_snapshot()
     base = list(snap_cur.manifest) if snap_cur else []
     snapshot = meta.add_snapshot(
         "append",

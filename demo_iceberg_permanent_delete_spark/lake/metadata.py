@@ -321,6 +321,37 @@ class TableMetadata:
                 return s
         return None
 
+    def change_set(self, snapshot_id: int) -> ManifestDelta:
+        """The snapshot's TRUE change set relative to its parent — what a
+        changelog/CDC scan or a cherry-pick must consume.
+
+        Normally the stored delta. When the stored delta has been folded
+        into a full-set base (rewrite_manifests, or expire_snapshots
+        materializing a survivor) its ``added`` list is the whole table,
+        not the commit's changes — so reconstruct the real delta by
+        diffing this snapshot's manifest against the parent's. Folding is
+        a layout optimization; it must never alter change semantics."""
+        snap = self.snapshot_by_id(snapshot_id)
+        delta = self.delta_of(snapshot_id)
+        if not delta.base or snap.parent_id is None:
+            return delta
+        parent = self._maybe_snapshot(snap.parent_id)
+        if parent is None:
+            from demo_iceberg_permanent_delete_spark.lake.errors import (
+                SnapshotNotFoundError,
+            )
+
+            raise SnapshotNotFoundError(
+                f"change set of snapshot {snapshot_id} is unrecoverable: its "
+                "parent has been expired and its own manifest was folded to a base"
+            )
+        cur_files = {e.file_path: e for e in snap.manifest}
+        parent_paths = {e.file_path for e in parent.manifest}
+        return ManifestDelta(
+            added=[e for p, e in cur_files.items() if p not in parent_paths],
+            removed=[p for p in parent_paths if p not in cur_files],
+        )
+
     def chain_length(self, snapshot_id: int) -> int:
         """Number of delta manifests an ancestry walk folds to reconstruct
         this snapshot's file set (1 = the snapshot is itself a base)."""

@@ -162,6 +162,12 @@ class LakeEngine:
         lake tables / metadata views / time-travel clauses), then a first
         append snapshot with the result."""
         name = self._strip_catalog(m.group("name"))
+        if m.group("ine") is not None and name in self.catalog.list_tables():
+            # CTAS IF NOT EXISTS on an existing table is a no-op (Spark /
+            # Iceberg semantics) — it must NOT append the query result
+            return _one_row_df(
+                self.spark, {"table": name, "status": "already exists"}
+            )
         props = dict(_parse_kv_props(m.group("props"))) if m.group("props") else {}
         parts = _split_top_level(m.group("parts")) if m.group("parts") else None
         df = self._select(m.group("query").strip())

@@ -434,7 +434,10 @@ class LakeTable:
         for s in segment:
             if s.operation == "replace":
                 continue
-            delta = self.metadata.delta_of(s.snapshot_id)
+            # change_set, not delta_of: a manifest folded to a base by
+            # rewrite_manifests carries the full table in `added` — the
+            # true change set is reconstructed vs the parent
+            delta = self.metadata.change_set(s.snapshot_id)
             parent = (
                 self.metadata.snapshot_by_id(s.parent_id)
                 if s.parent_id is not None
@@ -629,18 +632,16 @@ class LakeTable:
     def cherrypick_snapshot(self, snapshot_id: int) -> Snapshot:
         """CALL cherrypick_snapshot parity (Iceberg): replay a staged or
         branch snapshot's *changes* onto the current table state as a new
-        commit — the publish path when main moved since the stage. Only
-        incremental snapshots can be cherry-picked (a base snapshot carries
-        a full file set, not a change set — same restriction Iceberg puts
-        on non-append overwrites)."""
+        commit — the publish path when main moved since the stage.
+
+        Uses the snapshot's true change set (metadata.change_set), so a
+        staged commit whose manifest was folded to a base by
+        rewrite_manifests still cherry-picks correctly; only a snapshot
+        whose parent has been expired AND whose manifest was folded is
+        unrecoverable (SnapshotNotFoundError)."""
         meta = self.metadata
         src = meta.snapshot_by_id(snapshot_id)
-        delta = meta.delta_of(snapshot_id)
-        if delta.base:
-            raise ValueError(
-                f"snapshot {snapshot_id} is a base snapshot (full file set); "
-                "cherry-pick needs an incremental change set"
-            )
+        delta = meta.change_set(snapshot_id)
         cur = meta.current_snapshot()
         files = {e.file_path: e for e in (cur.manifest if cur else [])}
         for p in delta.removed:

@@ -303,6 +303,7 @@ def stream_into_lake(
     *,
     mode: str = "append",
     merge_keys: list[str] | None = None,
+    order_col: str | None = None,
     timeout_s: int = 300,
     checkpoint: str | None = None,
 ) -> None:
@@ -312,42 +313,66 @@ def stream_into_lake(
     snapshot lake. Bounded ``availableNow`` run; pass the same
     ``checkpoint`` across calls to resume.
 
-    Exactly-once per micro-batch: the batch id is written into the table
-    properties *inside the same metadata commit* as the batch's snapshot
-    (properties ride the version file), so a batch replayed after a crash
-    or restart is detected (``batch_id <= last committed``) and skipped —
-    the standard idempotent-foreachBatch pattern, made atomic by the
-    single-file commit.
+    Exactly-once per micro-batch: a ``run_id:batch_id`` marker is written
+    into the table properties *inside the same metadata commit* as the
+    batch's snapshot (properties ride the version file), so a batch
+    replayed after a crash or restart is detected and skipped — the
+    standard idempotent-foreachBatch pattern, made atomic by the
+    single-file commit. The marker is scoped to the checkpoint (run id =
+    hash of the checkpoint path, mirroring Iceberg's queryId-scoped commit
+    dedup): batch ids restart at 0 under a NEW checkpoint, and a stale
+    marker from a previous run must not silently swallow them — a new
+    checkpoint reprocesses the source (standard Spark semantics), it
+    never drops data.
 
     ``mode='append'`` → one append snapshot per batch;
-    ``mode='upsert'`` → MERGE on ``merge_keys`` (latest row wins), for
-    streams carrying updates (CDC feeds, profile upserts).
+    ``mode='upsert'`` → MERGE on ``merge_keys``, for streams carrying
+    updates (CDC feeds, profile upserts). The micro-batch is deduplicated
+    per key first — by greatest ``order_col`` when given (latest wins),
+    else an arbitrary-but-single row per key — because MERGE rejects
+    multi-row key matches (cardinality violation) and would otherwise
+    poison-pill the checkpoint replay.
     """
     if mode not in ("append", "upsert"):
         raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")
     if mode == "upsert" and not merge_keys:
         raise ValueError("upsert mode needs merge_keys")
 
+    checkpoint = checkpoint or os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "cp")
+    import hashlib
+
+    run_id = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = table.refresh()
-        last = t.properties.get(LAST_BATCH_PROP)
-        if last is not None and batch_id <= int(last):
-            return  # replay of an already-committed batch
+        last = t.properties.get(LAST_BATCH_PROP, "")
+        last_run, _, last_batch = last.rpartition(":")
+        if last_run == run_id and last_batch and batch_id <= int(last_batch):
+            return  # replay of a batch this run already committed
+        marker = f"{run_id}:{batch_id}"
         if mode == "append":
-            # the batch id rides the same commit as the snapshot and is
+            # the marker rides the same commit as the snapshot and is
             # re-applied on every CAS-conflict rebase inside insert()
-            t.insert(
-                batch_df, extra_properties={LAST_BATCH_PROP: str(batch_id)}
-            )
+            t.insert(batch_df, extra_properties={LAST_BATCH_PROP: marker})
         else:
+            from pyspark.sql import Window
+
+            if order_col is not None:
+                w = Window.partitionBy(*merge_keys).orderBy(F.desc(order_col))
+                batch_df = (
+                    batch_df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                batch_df = batch_df.dropDuplicates(list(merge_keys))
             # merge is read-modify-write: a conflicting concurrent commit
             # surfaces CommitConflictError and fails the stream (rerun
             # resumes from the checkpoint; the guard above skips committed
             # batches)
-            t.metadata.properties[LAST_BATCH_PROP] = str(batch_id)
+            t.metadata.properties[LAST_BATCH_PROP] = marker
             t.merge(batch_df, on=list(merge_keys))
 
-    checkpoint = checkpoint or os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "cp")
     q = (
         stream_df.writeStream.foreachBatch(sink)
         .outputMode("update")

@@ -123,10 +123,36 @@ def test_cherrypick_replays_staged_changes(table, spark):
     assert snap.summary["source-snapshot-id"] == staged.snapshot_id
     got = _rows(table.read())
     assert (100, "s") in got and (200, "m") in got and (1, "a") in got
-    # a base snapshot has no change set to replay
+    # cherry-picking an ancestor whose files are already present is a
+    # well-defined no-op (the change set dedupes by path)
     first = table.metadata.snapshots[0].snapshot_id
-    with pytest.raises(ValueError, match="base snapshot"):
-        table.cherrypick_snapshot(first)
+    table.cherrypick_snapshot(first)
+    assert _rows(table.read()) == got
+
+
+def test_cherrypick_survives_rewrite_manifests_fold(table, spark):
+    """rewrite_manifests folds every ref head — including a staged WAP
+    branch — but the staged change set must still be replayable
+    (metadata.change_set reconstructs it vs the parent)."""
+    table.create_branch("audit")
+    staged = table.insert(spark.createDataFrame([(100, "s")], DDL), branch="audit")
+    table.insert(spark.createDataFrame([(200, "m")], DDL))  # main diverges
+    stats = table.rewrite_manifests()  # folds main head AND audit head
+    assert stats["added_manifests_count"] == 2
+    table.cherrypick_snapshot(staged.snapshot_id)
+    got = _rows(table.read())
+    assert (100, "s") in got and (200, "m") in got and len(got) == 4
+
+
+def test_changelog_unaffected_by_rewrite_manifests(table, spark):
+    """CDC must report per-commit changes, not the folded full set."""
+    s1 = table.metadata.current_snapshot_id
+    table.insert(spark.createDataFrame([(3, "c")], DDL))
+    table.rewrite_manifests()  # head delta folded to a 3-row base
+    chg = table.changes(start_snapshot_id=s1).collect()
+    assert sorted((r["k"], r["_change_type"]) for r in chg) == [(3, "INSERT")], (
+        "changelog after fold must contain only the second commit's row"
+    )
 
 
 def test_insert_unknown_branch_raises(table, spark):
@@ -215,3 +241,27 @@ def test_add_files_via_sql_call(spark, tmp_path):
     ).first()
     assert row["added_records_count"] == 2
     assert eng.sql("SELECT COUNT(*) AS n FROM default.imp").first()["n"] == 2
+
+
+def test_add_files_rejects_duplicates(spark, tmp_path, table):
+    ext = str(tmp_path / "ext2")
+    spark.createDataFrame([(50, "q")], DDL).write.mode("overwrite").parquet(ext)
+    assert table.add_files(ext)["added_records_count"] == 1
+    with pytest.raises(ValueError, match="already registered"):
+        table.add_files(ext)
+    assert table.read().count() == 3  # nothing double-counted
+
+
+def test_ctas_if_not_exists_is_noop_on_existing(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql("CREATE TABLE default.ct (k bigint, v string) USING iceberg")
+    eng.sql("INSERT INTO default.ct VALUES (1, 'a')")
+    ctas = "CREATE TABLE IF NOT EXISTS default.ct AS SELECT * FROM default.ct"
+    row = eng.sql(ctas).first()
+    assert row["status"] == "already exists"
+    assert eng.sql("SELECT COUNT(*) AS n FROM default.ct").first()["n"] == 1
+    row = eng.sql(ctas).first()  # idempotent re-run
+    assert eng.sql("SELECT COUNT(*) AS n FROM default.ct").first()["n"] == 1

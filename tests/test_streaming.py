@@ -167,7 +167,7 @@ def test_stream_into_lake_append_and_idempotent_replay(spark, tmp_path):
     stream_into_lake(stream, t, checkpoint=ckpt)
     t = cat.load_table("default.events_ingest")
     assert t.read().count() == 2
-    assert t.properties[LAST_BATCH_PROP] == "0"
+    assert t.properties[LAST_BATCH_PROP].endswith(":0")
     n_snaps = len(t.metadata.snapshots)
 
     # re-run with the same checkpoint and no new data: no new snapshot
@@ -183,7 +183,7 @@ def test_stream_into_lake_append_and_idempotent_replay(spark, tmp_path):
     stream_into_lake(read_event_stream(spark, glob), t, checkpoint=ckpt)
     t = cat.load_table("default.events_ingest")
     assert t.read().count() == 3
-    assert t.properties[LAST_BATCH_PROP] == "1"
+    assert t.properties[LAST_BATCH_PROP].endswith(":1")
 
     # a replayed batch id is skipped even if the sink is called directly
     # (the crash-recovery path foreachBatch guarantees)
@@ -194,13 +194,13 @@ def test_stream_into_lake_append_and_idempotent_replay(spark, tmp_path):
     from demo_iceberg_permanent_delete_spark.streaming import pipelines as P
 
     t2 = cat.load_table("default.events_ingest")
-    last = int(t2.properties[P.LAST_BATCH_PROP])
+    last = int(t2.properties[P.LAST_BATCH_PROP].rpartition(":")[2])
     # simulate the foreachBatch closure replaying the last batch
     t2.metadata.properties  # touch
     before = t2.read().count()
     def replay():
         tt = t2.refresh()
-        if int(tt.properties[P.LAST_BATCH_PROP]) >= last:
+        if int(tt.properties[P.LAST_BATCH_PROP].rpartition(":")[2]) >= last:
             return
         tt.insert(batch)
     replay()
@@ -236,3 +236,65 @@ def test_stream_into_lake_upsert_mode(spark, tmp_path):
     t = cat.load_table("default.events_upsert")
     rows = {r["event_id"]: r["value"] for r in t.read().collect()}
     assert rows == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+def test_stream_into_lake_upsert_dedups_batch(spark, tmp_path):
+    """A micro-batch carrying several updates for one key must not
+    poison-pill the stream (MERGE cardinality) — latest (by order_col)
+    wins within the batch."""
+    from demo_iceberg_permanent_delete_spark.lake import Catalog
+    from demo_iceberg_permanent_delete_spark.streaming.pipelines import stream_into_lake
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events_file(
+        spark,
+        os.path.join(src, "b0"),
+        [(1, 0, 10, "v1", 1.0), (1, 5, 10, "v2", 2.0), (2, 1, 11, "x", 9.0)],
+        1000,
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.ded",
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    stream_into_lake(
+        read_event_stream(spark, os.path.join(src, "*", "*.parquet")),
+        t,
+        mode="upsert",
+        merge_keys=["event_id"],
+        order_col="ts",
+        checkpoint=str(tmp_path / "ck"),
+    )
+    rows = {r["event_id"]: r["event_type"] for r in cat.load_table("default.ded").read().collect()}
+    assert rows == {1: "v2", 2: "x"}  # latest ts won for the duplicated key
+
+
+def test_stream_into_lake_new_checkpoint_does_not_drop_data(spark, tmp_path):
+    """Batch-id markers are checkpoint-scoped: a NEW checkpoint reprocesses
+    the source (standard Spark semantics, duplicates possible) — a stale
+    marker from a previous run must never silently swallow new data."""
+    from demo_iceberg_permanent_delete_spark.lake import Catalog
+    from demo_iceberg_permanent_delete_spark.streaming.pipelines import stream_into_lake
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events_file(spark, os.path.join(src, "b0"), [(1, 0, 10, "a", 1.0)], 1000)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.ckscope",
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    glob = os.path.join(src, "*", "*.parquet")
+    stream_into_lake(read_event_stream(spark, glob), t, checkpoint=str(tmp_path / "ck1"))
+    assert cat.load_table("default.ckscope").read().count() == 1
+
+    _write_events_file(spark, os.path.join(src, "b1"), [(2, 1, 11, "b", 2.0)], 2000)
+    # fresh checkpoint → batch 0 again; the run-scoped marker must let it in
+    t = cat.load_table("default.ckscope")
+    stream_into_lake(read_event_stream(spark, glob), t, checkpoint=str(tmp_path / "ck2"))
+    got = [r["event_id"] for r in cat.load_table("default.ckscope").read().collect()]
+    assert 2 in got, "new data must land under a new checkpoint"
+    assert len(got) == 3  # at-least-once: row 1 reprocessed (documented)
