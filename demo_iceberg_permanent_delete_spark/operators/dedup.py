@@ -443,3 +443,154 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sig.join(cand, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X2e: duplicate-cluster assembly — connected components over the MinHash-LSH
+# candidate graph, so "keep one doc per near-dup *group*" (not just per
+# pair) is a single declarative output: (doc_id, cluster_id, cluster_size,
+# is_canonical).
+#
+# Scale shape (100 TB story):
+# - Edges are *star* edges per LSH bucket — every member links to the
+#   bucket's minimum doc_id. Same connectivity as the within-bucket clique
+#   at |bucket|-1 edges instead of |bucket|^2/2; combined with BUCKET_CAP
+#   the edge set is linear in corpus size.
+# - Components are resolved by hash-min label propagation: each round is
+#   one join + one min-aggregate on (edges ∪ reversed edges), i.e. two
+#   shuffles partitioned by doc_id, with localCheckpoint truncating the
+#   plan between rounds. Rounds needed = graph diameter; near-dup graphs
+#   built from star edges have tiny diameter (buckets overlap through
+#   shared members), so the loop converges in a handful of rounds — the
+#   convergence check is a count of changed labels, and the operator raises
+#   if _CC_MAX_ROUNDS is hit (at web scale, swap in the
+#   large-star/small-star alternation of Kiveris et al., "Connected
+#   Components in MapReduce and Beyond", for O(log n) worst-case rounds).
+# ---------------------------------------------------------------------------
+_CC_MAX_ROUNDS = 15
+
+_DUCK_SIG_CTES = f"""
+    tok AS (
+      SELECT DISTINCT doc_id, unnest({DUCK_TOKENS}) AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {duck_hash60("t")} AS h FROM tok
+    ),
+    sig AS (
+      SELECT
+        doc_id,
+        {", ".join(_duck_minhash_band(b) for b in range(MINHASH_BANDS))}
+      FROM hashed
+      GROUP BY doc_id
+    ),
+    unpivoted AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, band_{b} AS band_key FROM sig" for b in range(MINHASH_BANDS))}
+    )
+"""
+
+
+def lsh_candidate_edges(sig: DataFrame) -> DataFrame:
+    """Star edges (bucket-min doc -> member) per capped LSH bucket."""
+    unpivoted = None
+    for b in range(MINHASH_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.col(f"band_{b}").alias("band_key"),
+        )
+        unpivoted = part if unpivoted is None else unpivoted.unionByName(part)
+    w = Window.partitionBy("band_id", "band_key")
+    return (
+        unpivoted.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("m", F.min("doc_id").over(w))
+        .filter(
+            (F.col("n") >= 2) & (F.col("n") <= BUCKET_CAP) & (F.col("doc_id") != F.col("m"))
+        )
+        .select(F.col("m").alias("src"), F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Hash-min label propagation; returns (id_col, cluster_id)."""
+    bi = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(_CC_MAX_ROUNDS):
+        nbr = (
+            bi.join(labels, bi["src"] == labels[id_col])
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            return labels.withColumnRenamed("label", "cluster_id")
+    raise RuntimeError(
+        f"connected_components did not converge in {_CC_MAX_ROUNDS} rounds; "
+        "use star-contraction (Kiveris et al.) for adversarial graphs"
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_DUCK_SIG_CTES},
+    buckets AS (
+      SELECT band_id, band_key, min(doc_id) AS m, count(*) AS n
+      FROM unpivoted GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT DISTINCT b.m AS src, u.doc_id AS dst
+      FROM unpivoted u
+      JOIN buckets b ON u.band_id = b.band_id AND u.band_key = b.band_key
+      WHERE b.n BETWEEN 2 AND {BUCKET_CAP} AND u.doc_id != b.m
+    ),
+    bi AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN bi e ON e.src = r.id
+    ),
+    cc AS (
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT
+      doc_id,
+      cluster_id,
+      count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      doc_id = cluster_id AS is_canonical
+    FROM cc
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(spark, sf_dir)
+    edges = lsh_candidate_edges(sig)
+    cc = connected_components(docs.select("doc_id"), edges)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -144,18 +144,6 @@ def cte_union_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dim table still fits the broadcast threshold per-partition strategy; here it
 # demonstrates the shuffle-free join plan.
 # ---------------------------------------------------------------------------
-@query(
-    "left_join_least",
-    oracle="""
-    SELECT
-      o.o_orderkey,
-      c.c_name,
-      LEAST(o.o_totalprice, c.c_acctbal) AS least_value
-    FROM orders o
-    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE o.o_totalprice IS NOT NULL
-    """,
-)
 def left_join_least(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -181,16 +169,6 @@ def left_join_least(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  ORDER BY committed_at DESC LIMIT 10). Unique tiebreak key keeps the LIMIT
 # deterministic for the oracle.
 # ---------------------------------------------------------------------------
-@query(
-    "join_using_limit",
-    oracle="""
-    SELECT o_orderkey, o_totalprice, c_name
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-)
 def join_using_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
     customer = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
@@ -206,18 +184,6 @@ def join_using_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Self-join (R8 — snapshots joined twice as s1/s2,
 #  file_summary_utils.py:65-68): nation paired with nation within a region.
 # ---------------------------------------------------------------------------
-@query(
-    "self_join_pairs",
-    oracle="""
-    SELECT
-      n1.n_regionkey AS regionkey,
-      n1.n_name AS nation_a,
-      n2.n_name AS nation_b
-    FROM nation n1
-    JOIN nation n2
-      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
-    """,
-)
 def self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     n1, n2 = nation.alias("n1"), nation.alias("n2")
@@ -233,6 +199,70 @@ def self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n2.n_name").alias("nation_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite driver entry for the join family (R6 LEFT join + LEAST, R7 JOIN
+# USING + ORDER BY/LIMIT, R8 self-join) — round-2 consolidation under the
+# driver's 50-row correctness cap. Each part keeps its original plan shape
+# (broadcast dimension joins asserted in tests/test_plans.py); the composite
+# just normalizes the three outputs into one (part,k1,s1,s2,v) union so all
+# three stay hash-checked in a single driver row.
+# ---------------------------------------------------------------------------
+@query(
+    "join_suite",
+    oracle="""
+    SELECT 'left' AS part,
+           o.o_orderkey AS k1,
+           c.c_name AS s1,
+           CAST(NULL AS VARCHAR) AS s2,
+           LEAST(o.o_totalprice, c.c_acctbal) AS v
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice IS NOT NULL
+    UNION ALL
+    SELECT 'topn' AS part, k1, s1, s2, v FROM (
+      SELECT o_orderkey AS k1, c_name AS s1,
+             CAST(NULL AS VARCHAR) AS s2, o_totalprice AS v
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 10
+    )
+    UNION ALL
+    SELECT 'pairs' AS part,
+           CAST(n1.n_regionkey AS BIGINT) AS k1,
+           n1.n_name AS s1,
+           n2.n_name AS s2,
+           CAST(NULL AS DOUBLE) AS v
+    FROM nation n1
+    JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+)
+def join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left_part = left_join_least(spark, sf_dir).select(
+        F.lit("left").alias("part"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("c_name").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("least_value").alias("v"),
+    )
+    topn_part = join_using_limit(spark, sf_dir).select(
+        F.lit("topn").alias("part"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("c_name").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("o_totalprice").alias("v"),
+    )
+    pairs_part = self_join_pairs(spark, sf_dir).select(
+        F.lit("pairs").alias("part"),
+        F.col("regionkey").cast("long").alias("k1"),
+        F.col("nation_a").alias("s1"),
+        F.col("nation_b").alias("s2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return left_part.unionByName(topn_part).unionByName(pairs_part)
 
 
 # ---------------------------------------------------------------------------
