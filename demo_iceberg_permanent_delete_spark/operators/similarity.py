@@ -76,9 +76,7 @@ def _corpus_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact brute-force cosine top-k: every query vector against the full
 # corpus (self excluded), windowed rank, keep k.
 # ---------------------------------------------------------------------------
-@query(
-    "cosine_topk",
-    oracle=f"""
+_COSINE_ORACLE = f"""
     WITH n AS (
       SELECT vec_id, label, v, {_DUCK_NORM} AS nrm
       FROM (SELECT vec_id, label, {_DUCK_QVEC} AS v FROM embeddings)
@@ -101,8 +99,9 @@ def _corpus_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, neighbor_label, cosine, rnk
     FROM ranked
     WHERE rnk <= {TOP_K}
-    """,
-)
+    """
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _corpus_with_norm(spark, sf_dir)
     queries = n.filter(F.col("vec_id") < N_QUERIES).select(
@@ -168,9 +167,7 @@ _DUCK_CAND_BRANCHES = " UNION ".join(
 )
 
 
-@query(
-    "ann_lsh_topk",
-    oracle=f"""
+_ANN_ORACLE = f"""
     WITH b AS (
       SELECT vec_id,
              {", ".join(f"{_duck_bucket(t)} AS b{t}" for t in range(LSH_TABLES))}
@@ -201,8 +198,9 @@ _DUCK_CAND_BRANCHES = " UNION ".join(
     SELECT query_id, neighbor_id, cosine, rnk
     FROM ranked
     WHERE rnk <= {TOP_K}
-    """,
-)
+    """
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -303,3 +301,41 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite driver entry for X3 (round-2 consolidation under the driver's
+# 50-row cap): the exact brute-force top-k and the sign-LSH ANN top-k,
+# normalized into one union so both stay hash-checked in a single driver
+# row. Plan shapes unchanged — the parts call the original operators.
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_topk",
+    oracle=f"""
+    SELECT 'exact' AS part, query_id, neighbor_id,
+           CAST(neighbor_label AS VARCHAR) AS neighbor_label, cosine, rnk
+    FROM ({_COSINE_ORACLE})
+    UNION ALL
+    SELECT 'ann' AS part, query_id, neighbor_id,
+           CAST(NULL AS VARCHAR) AS neighbor_label, cosine, rnk
+    FROM ({_ANN_ORACLE})
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk(spark, sf_dir).select(
+        F.lit("exact").alias("part"),
+        "query_id",
+        "neighbor_id",
+        F.col("neighbor_label").cast("string").alias("neighbor_label"),
+        "cosine",
+        "rnk",
+    )
+    ann = ann_lsh_topk(spark, sf_dir).select(
+        F.lit("ann").alias("part"),
+        "query_id",
+        "neighbor_id",
+        F.lit(None).cast("string").alias("neighbor_label"),
+        "cosine",
+        "rnk",
+    )
+    return exact.unionByName(ann)

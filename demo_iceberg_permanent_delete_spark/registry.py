@@ -71,6 +71,7 @@ def load_all() -> None:
         "demo_iceberg_permanent_delete_spark.operators.similarity",
         "demo_iceberg_permanent_delete_spark.operators.text",
         "demo_iceberg_permanent_delete_spark.operators.pii",
+        "demo_iceberg_permanent_delete_spark.operators.retrieval",
         "demo_iceberg_permanent_delete_spark.operators.quality",
         "demo_iceberg_permanent_delete_spark.operators.chunking",
     ):
