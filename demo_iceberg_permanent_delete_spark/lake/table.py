@@ -1168,6 +1168,7 @@ class LakeTable:
             "metadata_log_entries": self._metadata_log_view,
             "all_entries": self._all_entries_view,
             "refs": self._refs_view,
+            "partitions": self._partitions_view,
         }.get(view)
         if builder is None:
             raise KeyError(f"unknown metadata view {view!r}")
@@ -1189,6 +1190,7 @@ class LakeTable:
             "metadata_log_entries",
             "all_entries",
             "refs",
+            "partitions",
         ):
             self.meta(view).createOrReplaceTempView(f"{prefix}__{view}")
 
@@ -1242,6 +1244,60 @@ class LakeTable:
             for s in self.metadata.snapshots
         ]
         return self.spark.createDataFrame(rows, schema)
+
+    _PARTITIONS_STRUCT = T.StructType(
+        [
+            T.StructField("partition", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("spec_id", T.IntegerType()),
+            T.StructField("record_count", T.LongType()),
+            T.StructField("file_count", T.LongType()),
+        ]
+    )
+
+    def _partitions_view(self) -> DataFrame:
+        """Iceberg's ``.partitions`` metadata table: per-partition record
+        and file counts for the current snapshot.
+
+        Computed BY EXECUTORS from the data files themselves (one scan +
+        one hash aggregate over the transform values), not from manifests:
+        this engine's writers range-cluster rather than split files on
+        partition boundaries (lake/transforms.py), so a file *may* straddle
+        two adjacent partition values — ``file_count`` therefore counts
+        files *containing rows of* the partition (≥ Iceberg's
+        one-partition-per-file count, equal in the common case).
+        ``record_count`` counts live data-file rows, like Iceberg (delete
+        files are not applied here). Unpartitioned tables report one row
+        with an empty partition map.
+        """
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            transform_column,
+        )
+
+        snap = self.metadata.current_snapshot()
+        if snap is None or not snap.data_files():
+            return self.spark.createDataFrame([], self._PARTITIONS_STRUCT)
+        fields = self._partition_fields
+        df = self._data_reader().parquet(*[e.file_path for e in snap.data_files()])
+        types = {f.name: f.dataType for f in df.schema.fields}
+        kvs: list[Column] = []
+        for fld in fields:
+            kvs.append(F.lit(fld.spec))
+            kvs.append(transform_column(fld, types[fld.source]).cast("string"))
+        part = F.create_map(*kvs) if kvs else F.create_map()
+        return (
+            df.select(part.alias("partition"), F.input_file_name().alias("__f"))
+            .groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("record_count"),
+                F.count_distinct(F.col("__f")).alias("file_count"),
+            )
+            .select(
+                "partition",
+                F.lit(0).cast("int").alias("spec_id"),
+                "record_count",
+                "file_count",
+            )
+        )
 
     def _refs_view(self) -> DataFrame:
         """Iceberg's .refs metadata table: one row per named ref plus the
