@@ -138,19 +138,41 @@ _DUCK_QTERMS = " UNION ALL ".join(
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
-    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
 
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-
-    tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
-        .filter(F.col("term").isin(_ALL_TERMS))
-        .groupBy("doc_id", "term")
+    # ONE corpus pass: doc length + exploded *pre-filtered* matched terms
+    # (the filter runs inside the array before the explode, so the Generate
+    # only fans out query-vocabulary hits; explode_outer keeps zero-match
+    # docs so corpus statistics can come from this same relation). The
+    # aggregate is |docs|·|matched terms| rows — corpus-independent-ly tiny
+    # relative to text bytes — and is pinned with localCheckpoint so the
+    # text is tokenized exactly once for stats, df, and scoring.
+    matched = F.filter(F.col("t"), lambda tk: tk.isin(_ALL_TERMS))
+    base = (
+        toks.select(
+            "doc_id",
+            F.size("t").cast("long").alias("dl"),
+            F.explode_outer(matched).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
     )
+
+    # Corpus statistics are two scalars — collect and inline as literals
+    # (a 1-row aggregate stays metadata-sized at any corpus scale; inlining
+    # keeps the scoring plan free of a cross join + extra stage).
+    n, sum_dl = (
+        base.select("doc_id", "dl")
+        .distinct()
+        .select(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        .first()
+    )
+    avgdl = float(sum_dl) / n  # same one IEEE division as the oracle
+
+    tf = base.filter(F.col("term").isNotNull())
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
     qterms = spark.createDataFrame(
@@ -165,13 +187,16 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
             "doc_id",
             "ord",
-            F.expr(_score_expr_sql("tf", "dl", "df", "n")).alias("s"),
+            F.expr(
+                # Spark parses bare decimal literals as DECIMAL — pin DOUBLE
+                _score_expr_sql("tf", "dl", "df", str(n)).replace(
+                    "avgdl", f"CAST({avgdl!r} AS DOUBLE)"
+                )
+            ).alias("s"),
         )
     )
     pivoted = scored.groupBy("query_id", "doc_id").agg(
