@@ -1,0 +1,470 @@
+"""Spark Python DataSource for the lake format (round 2, X29).
+
+Registers a ``lakehouse`` format so the table layer is reachable through
+Spark's own source API — the way the reference reaches Iceberg through
+``spark.read.format(...)`` / ``spark.readStream`` (its catalog stack wires
+the Iceberg Spark runtime; iceberg_pii_deletion_demo.py:261 reads with
+``spark.read.option("snapshot-id", …)``):
+
+    spark.dataSource.register(LakeDataSource)
+    df  = spark.read.format("lakehouse").option("location", loc).load()
+    st  = spark.readStream.format("lakehouse").option("location", loc).load()
+    df.write.format("lakehouse").option("location", loc).mode("append").save()
+
+Built on PySpark 4's Python DataSource API (pyspark.sql.datasource — public
+API, shipped in this container). All heavy work happens on EXECUTORS:
+
+- **Batch read**: one InputPartition per data file; each task reads its
+  parquet with pyarrow, applies the snapshot's position deletes (row-index
+  anti-filter) and equality deletes (anti-join gated on the Iceberg
+  sequence rule — a delete only masks data files committed before it),
+  then conforms to the declared schema (null-fill added columns, drop
+  removed — the schema-evolution read contract). The driver ships only
+  manifest metadata.
+- **Filter pushdown**: simple comparison/null filters are translated to a
+  predicate string for the manifest min/max pruner (lake/pruning.py), so
+  non-matching files are never scheduled; every filter is also returned as
+  "unsupported" so Spark re-applies it exactly (pruning is sound skipping,
+  not evaluation).
+- **Streaming read**: offsets are snapshot ids on the main ancestry; each
+  micro-batch emits the data files *appended* between offsets (per-commit
+  change sets, metadata.change_set) — Iceberg's incremental append scan as
+  a Structured Streaming source. Removed files and delete files are
+  ignored (append-stream semantics, like Iceberg's default).
+- **Batch write**: each task streams its Arrow batches into one parquet
+  file and reports footer stats in its commit message; the driver commit
+  registers all files in ONE snapshot (append, or overwrite for
+  mode("overwrite")) with the same CAS retry the table API uses. Aborts
+  delete the written files.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+# --------------------------------------------------------------- helpers
+def _load_meta(options):
+    """Resolve the table's TableMetadata from reader/writer options:
+    ``location`` (table root) or ``warehouse`` + ``table`` (catalog
+    registry lookup). Driver-side only."""
+    import json
+
+    from demo_iceberg_permanent_delete_spark.lake.metadata import TableMetadata
+
+    location = options.get("location")
+    if not location:
+        warehouse, table = options.get("warehouse"), options.get("table")
+        if not warehouse or not table:
+            raise ValueError(
+                "lakehouse source needs option 'location' or options "
+                "'warehouse' + 'table'"
+            )
+        with open(os.path.join(warehouse, "catalog.json")) as fh:
+            reg = json.load(fh)
+        if table not in reg["tables"]:
+            raise ValueError(f"table {table!r} not found in catalog")
+        location = reg["tables"][table]["location"]
+    return TableMetadata.load(location)
+
+
+def _conform(table, arrow_schema):
+    """Project/cast/null-fill an arrow table to the declared schema —
+    the by-name resolution contract of lake/table.py:_data_reader."""
+    import pyarrow as pa
+
+    cols = []
+    for fld in arrow_schema:
+        if fld.name in table.column_names:
+            col = table.column(fld.name)
+            if col.type != fld.type:
+                col = col.cast(fld.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(table.num_rows, type=fld.type))
+    return pa.Table.from_arrays(cols, schema=arrow_schema)
+
+
+def _read_data_file(
+    path: str,
+    arrow_schema,
+    pos_delete_paths: Sequence[str] = (),
+    eq_deletes: Sequence[tuple[tuple[str, ...], tuple[str, ...]]] = (),
+):
+    """Executor-side MOR read of one data file → iterator of RecordBatch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    if pos_delete_paths:
+        dels = pa.concat_tables(
+            pq.read_table(p, columns=["file_path", "pos"]) for p in pos_delete_paths
+        )
+        mine = dels.filter(pc.equal(dels.column("file_path"), path))
+        if mine.num_rows:
+            drop = np.asarray(mine.column("pos")).astype("int64")
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            keep[drop[drop < tbl.num_rows]] = False
+            tbl = tbl.filter(pa.array(keep))
+    for paths, key_cols in eq_deletes:
+        keys = pa.concat_tables(
+            pq.read_table(p, columns=list(key_cols)) for p in paths
+        )
+        if keys.num_rows:
+            tbl = tbl.append_column("__row", pa.array(range(tbl.num_rows), pa.int64()))
+            tbl = tbl.join(
+                keys.group_by(list(key_cols)).aggregate([]),
+                keys=list(key_cols),
+                join_type="left anti",
+            ).sort_by("__row")
+            tbl = tbl.drop_columns(["__row"])
+    yield from _conform(tbl, arrow_schema).to_batches()
+
+
+@dataclass
+class LakeFilePartition(InputPartition):
+    file_path: str | None
+    pos_delete_paths: tuple[str, ...] = ()
+    # ((delete file paths…), (equality key columns…)) — already
+    # sequence-filtered for this data file on the driver
+    eq_deletes: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = ()
+
+
+# ------------------------------------------------------------ batch read
+class LakeBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options) -> None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(schema)
+        self._options = options
+        self._meta = _load_meta(options)
+        self._predicate: str | None = None
+
+    def pushFilters(self, filters):
+        """Translate simple filters into a pruning predicate; report ALL
+        filters unsupported so Spark re-applies them (file skipping via
+        manifest min/max stats is sound regardless)."""
+        conjuncts = []
+        for f in filters:
+            sql = _filter_to_sql(f)
+            if sql is not None:
+                conjuncts.append(sql)
+        if conjuncts:
+            self._predicate = " AND ".join(conjuncts)
+        return filters  # none handled exactly — Spark keeps them all
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from demo_iceberg_permanent_delete_spark.lake.metadata import (
+            CONTENT_EQUALITY_DELETES,
+            CONTENT_POSITION_DELETES,
+        )
+
+        snap_id = self._options.get("snapshot-id")
+        snap = (
+            self._meta.snapshot_by_id(int(snap_id))
+            if snap_id
+            else self._meta.current_snapshot()
+        )
+        if snap is None:
+            return [LakeFilePartition(None)]
+        data_entries = snap.data_files()
+        if self._predicate:
+            from demo_iceberg_permanent_delete_spark.lake.pruning import (
+                candidate_files,
+            )
+            from demo_iceberg_permanent_delete_spark.lake.transforms import (
+                parse_partition_by,
+            )
+
+            data_entries = candidate_files(
+                data_entries,
+                self._predicate,
+                parse_partition_by(self._meta.partition_by),
+            )
+        if not data_entries:
+            return [LakeFilePartition(None)]
+
+        deletes = [e for e in snap.manifest if e.content != 0]
+        pos_paths = tuple(
+            e.file_path for e in deletes if e.content == CONTENT_POSITION_DELETES
+        )
+        snap_order = {s.snapshot_id: i for i, s in enumerate(self._meta.snapshots)}
+        parts = []
+        for e in data_entries:
+            data_seq = snap_order.get(e.added_snapshot_id, -1)
+            eq = tuple(
+                ((d.file_path,), tuple(d.equality_columns))
+                for d in deletes
+                if d.content == CONTENT_EQUALITY_DELETES
+                and snap_order.get(d.added_snapshot_id, -1) > data_seq
+            )
+            parts.append(LakeFilePartition(e.file_path, pos_paths, eq))
+        return parts
+
+    def read(self, partition: LakeFilePartition) -> Iterator:
+        if partition.file_path is None:
+            return iter(())
+        return _read_data_file(
+            partition.file_path,
+            self._arrow_schema,
+            partition.pos_delete_paths,
+            partition.eq_deletes,
+        )
+
+
+def _filter_to_sql(f) -> str | None:
+    """Best-effort translation of a pushed Filter to the pruner's SQL
+    dialect; None = not translatable (no pruning contribution)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    def col(f):
+        path = f.attribute
+        return path[0] if len(path) == 1 else None
+
+    def lit(v) -> str | None:
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return None
+
+    ops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    for cls, op in ops.items():
+        if isinstance(f, cls):
+            c, v = col(f), lit(f.value)
+            return f"{c} {op} {v}" if c and v is not None else None
+    if isinstance(f, IsNull):
+        c = col(f)
+        return f"{c} IS NULL" if c else None
+    if isinstance(f, IsNotNull):
+        c = col(f)
+        return f"{c} IS NOT NULL" if c else None
+    return None
+
+
+# -------------------------------------------------------- streaming read
+class LakeStreamReader(DataSourceStreamReader):
+    """Incremental append scan as a streaming source. Offset =
+    {"snapshot_id": last-consumed main-ancestry snapshot, -1 = none}."""
+
+    def __init__(self, schema: StructType, options) -> None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(schema)
+        self._options = options
+        starting = (options.get("starting-offset") or "latest").lower()
+        if starting == "earliest":
+            self._initial = -1
+        elif starting == "latest":
+            meta = _load_meta(options)
+            self._initial = (
+                meta.current_snapshot_id if meta.current_snapshot_id is not None else -1
+            )
+        else:
+            self._initial = int(starting)
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": self._initial}
+
+    def latestOffset(self) -> dict:
+        meta = _load_meta(self._options)  # reload: see concurrent commits
+        cur = meta.current_snapshot_id
+        return {"snapshot_id": cur if cur is not None else -1}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        start_id, end_id = start["snapshot_id"], end["snapshot_id"]
+        if end_id == -1 or start_id == end_id:
+            return [LakeFilePartition(None)]
+        meta = _load_meta(self._options)
+        chain = []
+        cur = meta.snapshot_by_id(end_id)
+        while cur is not None and cur.snapshot_id != start_id:
+            chain.append(cur)
+            if cur.parent_id is None:
+                if start_id != -1:
+                    raise RuntimeError(
+                        f"streaming offset {start_id} is no longer in the "
+                        "table's ancestry (expired or rolled back); restart "
+                        "the stream with a fresh checkpoint"
+                    )
+                break
+            cur = meta._maybe_snapshot(cur.parent_id)
+            if cur is None and start_id != -1:
+                raise RuntimeError(
+                    f"streaming offset {start_id} unreachable: an ancestor "
+                    "snapshot was expired; restart with a fresh checkpoint"
+                )
+        parts = [
+            LakeFilePartition(e.file_path)
+            for snap in reversed(chain)  # oldest commit first
+            for e in meta.change_set(snap.snapshot_id).added
+            if e.content == 0
+        ]
+        return parts or [LakeFilePartition(None)]
+
+    def read(self, partition: LakeFilePartition) -> Iterator:
+        if partition.file_path is None:
+            return iter(())
+        return _read_data_file(partition.file_path, self._arrow_schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the table's own metadata
+
+
+# ------------------------------------------------------------ batch write
+@dataclass
+class LakeWriteMessage(WriterCommitMessage):
+    file_path: str | None = None
+    record_count: int = 0
+    file_size_in_bytes: int = 0
+    min_values: dict = field(default_factory=dict)
+    max_values: dict = field(default_factory=dict)
+    null_counts: dict = field(default_factory=dict)
+
+
+class LakeAppendWriter(DataSourceArrowWriter):
+    def __init__(self, schema: StructType, options, overwrite: bool) -> None:
+        meta = _load_meta(options)  # validates the target exists
+        self._options = options
+        self._overwrite = overwrite
+        self._data_dir = os.path.join(meta.location, "data")
+
+    def write(self, iterator) -> LakeWriteMessage:
+        """One parquet file per non-empty task (executor-side)."""
+        import pyarrow.parquet as pq
+
+        from demo_iceberg_permanent_delete_spark.lake.datafiles import (
+            _footer_stats,
+            _jsonable,
+        )
+
+        path = os.path.join(self._data_dir, f"ds-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return LakeWriteMessage()
+        writer.close()
+        n_rows, mins, maxs, nulls = _footer_stats(path)
+        return LakeWriteMessage(
+            file_path=path,
+            record_count=n_rows,
+            file_size_in_bytes=os.path.getsize(path),
+            min_values={k: _jsonable(v) for k, v in mins.items()},
+            max_values={k: _jsonable(v) for k, v in maxs.items()},
+            null_counts=dict(nulls),
+        )
+
+    def commit(self, messages) -> None:
+        """ONE snapshot for the whole job (driver-side), CAS-retried."""
+        from demo_iceberg_permanent_delete_spark.lake.errors import (
+            CommitConflictError,
+        )
+        from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
+
+        entries = [
+            ManifestEntry(
+                file_path=m.file_path,
+                content=0,
+                record_count=m.record_count,
+                file_size_in_bytes=m.file_size_in_bytes,
+                min_values=m.min_values,
+                max_values=m.max_values,
+                null_counts=m.null_counts,
+            )
+            for m in messages
+            if m is not None and m.file_path
+        ]
+        op = "overwrite" if self._overwrite else "append"
+        last_err = None
+        for _ in range(5):
+            meta = _load_meta(self._options)
+            snap_cur = meta.current_snapshot()
+            base = (
+                []
+                if self._overwrite
+                else (list(snap_cur.manifest) if snap_cur else [])
+            )
+            snapshot = meta.add_snapshot(
+                op,
+                base + entries,
+                summary={"added-files": len(entries), "writer": "datasource"},
+            )
+            for e in entries:
+                e.added_snapshot_id = snapshot.snapshot_id
+            try:
+                meta.commit()
+                return
+            except CommitConflictError as err:  # stale read — reload, retry
+                last_err = err
+        raise last_err
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.file_path and os.path.exists(m.file_path):
+                os.remove(m.file_path)
+
+
+# ----------------------------------------------------------------- source
+class LakeDataSource(DataSource):
+    """format("lakehouse") — see module docstring for options."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakehouse"
+
+    def schema(self) -> str:
+        return _load_meta(self.options).schema_ddl
+
+    def reader(self, schema: StructType) -> LakeBatchReader:
+        return LakeBatchReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> LakeStreamReader:
+        return LakeStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> LakeAppendWriter:
+        return LakeAppendWriter(schema, self.options, overwrite)
+
+
+def register(spark) -> None:
+    # Python-source filter pushdown is opt-in (runtime-settable); the
+    # reader's pushFilters hook requires it.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakeDataSource)

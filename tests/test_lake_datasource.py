@@ -1,0 +1,186 @@
+"""Python DataSource for the lake format (sources/lake_datasource.py X29):
+batch read (MOR deletes, schema evolution, snapshot-id travel, pruning),
+streaming incremental read, and the distributed Arrow writer."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+from demo_iceberg_permanent_delete_spark.sources.lake_datasource import register
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register(spark)
+    return spark
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "wh"))
+    c.create_namespace("default")
+    return c
+
+
+def _read(spark, t):
+    return (
+        spark.read.format("lakehouse")
+        .option("location", t.metadata.location)
+        .load()
+    )
+
+
+def test_batch_read_matches_table_read(registered, cat):
+    spark = registered
+    t = cat.create_table("default.ds1", "id bigint, v string")
+    t.insert(spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string"))
+    got = {(r["id"], r["v"]) for r in _read(spark, t).collect()}
+    assert got == {(i, f"v{i}") for i in range(10)}
+
+
+def test_batch_read_applies_position_deletes(registered, cat):
+    spark = registered
+    t = cat.create_table(
+        "default.ds2",
+        "id bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string"))
+    t.delete("id >= 7")
+    assert {r["id"] for r in _read(spark, t).collect()} == set(range(7))
+
+
+def test_batch_read_applies_equality_deletes_with_seq_rule(registered, cat):
+    spark = registered
+    t = cat.create_table("default.ds3", "id bigint, v string")
+    t.insert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.equality_delete(spark.createDataFrame([(2,)], "id long"), ["id"])
+    # re-insert after the delete: sequence rule must keep the new row
+    t.insert(spark.createDataFrame([(2, "b2")], "id long, v string"))
+    got = {(r["id"], r["v"]) for r in _read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b2")}
+
+
+def test_batch_read_snapshot_travel_and_schema_evolution(registered, cat):
+    spark = registered
+    t = cat.create_table("default.ds4", "id bigint, v string")
+    s1 = t.insert(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.add_column("extra", "bigint")
+    t.insert(spark.createDataFrame([(2, "b", 20)], "id long, v string, extra long"))
+
+    cur = _read(spark, t)
+    assert set(cur.columns) == {"id", "v", "extra"}
+    rows = {r["id"]: r["extra"] for r in cur.collect()}
+    assert rows == {1: None, 2: 20}  # old file null-fills the added column
+
+    old = (
+        spark.read.format("lakehouse")
+        .option("location", t.metadata.location)
+        .option("snapshot-id", str(s1.snapshot_id))
+        .load()
+    )
+    assert {r["id"] for r in old.collect()} == {1}
+
+
+def test_batch_pushdown_prunes_files(registered, cat):
+    spark = registered
+    t = cat.create_table("default.ds5", "id bigint, v string")
+    t.insert(spark.createDataFrame([(i, "lo") for i in range(100)], "id long, v string"))
+    t.insert(
+        spark.createDataFrame([(i, "hi") for i in range(1000, 1100)], "id long, v string")
+    )
+    df = _read(spark, t).filter(F.col("id") >= 1000)
+    assert {r["v"] for r in df.collect()} == {"hi"}
+    # the pruning path is exercised via the same predicate translation the
+    # reader uses; correctness (sound skipping) is what matters here
+
+
+def test_writer_append_and_overwrite(registered, cat):
+    spark = registered
+    t = cat.create_table("default.ds6", "id bigint, v string")
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(50)], "id long, v string")
+    (
+        src.repartition(4)
+        .write.format("lakehouse")
+        .option("location", t.metadata.location)
+        .mode("append")
+        .save()
+    )
+    t2 = cat.load_table("default.ds6")
+    assert t2.read().count() == 50
+    snap = t2.metadata.current_snapshot()
+    assert snap.operation == "append"
+    assert len(snap.data_files()) >= 1
+
+    # stats harvested: manifest prunes like a table-API write
+    spark.createDataFrame([(999, "x")], "id long, v string").write.format(
+        "lakehouse"
+    ).option("location", t.metadata.location).mode("append").save()
+    t3 = cat.load_table("default.ds6")
+    assert t3.read().count() == 51
+
+    src.limit(5).write.format("lakehouse").option(
+        "location", t.metadata.location
+    ).mode("overwrite").save()
+    t4 = cat.load_table("default.ds6")
+    assert t4.read().count() == 5
+    assert t4.metadata.current_snapshot().operation == "overwrite"
+    # history preserved: time travel to the pre-overwrite snapshot works
+    assert t4.read(snapshot_id=t3.metadata.current_snapshot_id).count() == 51
+
+
+def test_writer_roundtrip_via_datasource_read(registered, cat):
+    spark = registered
+    t = cat.create_table("default.ds7", "id bigint, ts timestamp")
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 6, 1, 12, 0, i)) for i in range(7)]
+    spark.createDataFrame(rows, "id long, ts timestamp").write.format(
+        "lakehouse"
+    ).option("location", t.metadata.location).mode("append").save()
+    got = {(r["id"], r["ts"]) for r in _read(spark, t).collect()}
+    assert got == set(rows)
+
+
+def test_stream_read_incremental(registered, cat, tmp_path):
+    spark = registered
+    t = cat.create_table("default.ds8", "id bigint, v string")
+    t.insert(spark.createDataFrame([(0, "pre")], "id long, v string"))  # pre-stream
+
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch():
+        stream = (
+            spark.readStream.format("lakehouse")
+            .option("location", t.metadata.location)
+            .option("starting-offset", "earliest")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    first = {(r["id"], r["v"]) for r in spark.read.parquet(out_dir).collect()}
+    assert first == {(0, "pre")}
+
+    t.insert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.insert(spark.createDataFrame([(3, "c")], "id long, v string"))
+    run_batch()
+    second = {(r["id"], r["v"]) for r in spark.read.parquet(out_dir).collect()}
+    assert second == {(0, "pre"), (1, "a"), (2, "b"), (3, "c")}
+
+    # no new commits → a third run adds nothing (exactly-once per file)
+    run_batch()
+    third = spark.read.parquet(out_dir).count()
+    assert third == 4
