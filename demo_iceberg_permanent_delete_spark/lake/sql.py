@@ -157,6 +157,36 @@ class LakeEngine:
             self.spark, {"table": t.name, "status": f"dropped column {m.group('col')}"}
         )
 
+    def _alter_add_partition_field(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        t.add_partition_field(m.group("spec").strip())
+        return _one_row_df(
+            self.spark,
+            {"table": t.name, "status": f"added partition field {m.group('spec').strip()}"},
+        )
+
+    def _alter_drop_partition_field(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        t.drop_partition_field(m.group("spec").strip())
+        return _one_row_df(
+            self.spark,
+            {"table": t.name, "status": f"dropped partition field {m.group('spec').strip()}"},
+        )
+
+    def _alter_write_ordered(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        t.set_sort_order(m.group("order").strip())
+        return _one_row_df(
+            self.spark, {"table": t.name, "status": "write order set"}
+        )
+
+    def _alter_write_unordered(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        t.set_sort_order(None)
+        return _one_row_df(
+            self.spark, {"table": t.name, "status": "write order cleared"}
+        )
+
     def _create_table_as_select(self, m: re.Match) -> DataFrame:
         """CTAS: schema inferred from the SELECT (which may itself read
         lake tables / metadata views / time-travel clauses), then a first
@@ -587,6 +617,37 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _alter_properties,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+"
+                r"(?P<spec>.+)$",
+                re.I | re.S,
+            ),
+            _alter_add_partition_field,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+PARTITION\s+FIELD\s+"
+                r"(?P<spec>.+)$",
+                re.I | re.S,
+            ),
+            _alter_drop_partition_field,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+WRITE\s+ORDERED\s+BY\s*"
+                r"\(?(?P<order>[^()]+?)\)?$",
+                re.I | re.S,
+            ),
+            _alter_write_ordered,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+WRITE\s+UNORDERED$",
+                re.I | re.S,
+            ),
+            _alter_write_unordered,
         ),
         (
             re.compile(

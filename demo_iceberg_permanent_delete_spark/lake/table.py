@@ -57,6 +57,29 @@ _META_LOCAL_MAX_ENTRIES = int(os.environ.get("SPARK_GRAFT_META_LOCAL_MAX", "1000
 _POS_DELETE_SCHEMA = "file_path string, pos long"
 
 
+def _parse_sort_order_specs(order: str) -> list[tuple[str, bool]]:
+    """'c1, c2 DESC' → [('c1', True), ('c2', False)] (True = ascending)."""
+    specs: list[tuple[str, bool]] = []
+    for item in order.split(","):
+        toks = item.split()
+        if not toks or len(toks) > 2:
+            raise ValueError(f"bad sort-order item {item!r}")
+        asc = True
+        if len(toks) == 2:
+            if toks[1].upper() not in ("ASC", "DESC"):
+                raise ValueError(f"bad sort direction in {item!r}")
+            asc = toks[1].upper() == "ASC"
+        specs.append((toks[0], asc))
+    return specs
+
+
+def _parse_sort_order(order: str) -> list[Column]:
+    return [
+        F.col(c).asc() if asc else F.col(c).desc()
+        for c, asc in _parse_sort_order_specs(order)
+    ]
+
+
 def _utc(ms: int) -> dt.datetime:
     return dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc).replace(tzinfo=None)
 
@@ -738,19 +761,85 @@ class LakeTable:
         manifest min/max stats act as exact partition pruning at plan time —
         scan('p = x') opens only the files whose range contains x, never the
         other 799,999. Bucket transforms additionally materialize their
-        synthetic stat column (transforms.py)."""
-        fields = self._partition_fields
-        if not fields:
-            return df
-        from demo_iceberg_permanent_delete_spark.lake.transforms import (
-            cluster_for_write,
-        )
+        synthetic stat column (transforms.py).
 
+        A declared sort order (WRITE ORDERED BY → ``write.sort-order``)
+        additionally sorts rows within each output file; on an
+        unpartitioned table it also range-distributes by the sort key
+        first, so the manifest carries tight, non-overlapping bounds —
+        Iceberg's globally-ordered write."""
+        fields = self._partition_fields
         # Default: AQE sizes the range shuffle by data volume (small insert →
         # few files, 100 TB insert → many); `write.distribution.partitions`
         # pins an explicit file count (AQE never coalesces an explicit n).
-        n = self.properties.get("write.distribution.partitions")
-        return cluster_for_write(df, fields, num_partitions=int(n) if n else None)
+        n_raw = self.properties.get("write.distribution.partitions")
+        n = int(n_raw) if n_raw else None
+        if fields:
+            from demo_iceberg_permanent_delete_spark.lake.transforms import (
+                cluster_for_write,
+            )
+
+            df = cluster_for_write(df, fields, num_partitions=n)
+        order = self.properties.get("write.sort-order")
+        if order:
+            sort_cols = _parse_sort_order(order)
+            if not fields:
+                df = (
+                    df.repartitionByRange(n, *sort_cols)
+                    if n
+                    else df.repartitionByRange(*sort_cols)
+                )
+            df = df.sortWithinPartitions(*sort_cols)
+        return df
+
+    # ------------------------------------------- spec / sort-order evolution
+    def add_partition_field(self, spec: str) -> None:
+        """ALTER TABLE … ADD PARTITION FIELD (Iceberg partition-spec
+        evolution): future writes cluster by the new field; existing files
+        are untouched — their manifests simply lack the new field's stats,
+        which the pruner treats as unprunable (sound), exactly Iceberg's
+        old-spec-files-keep-old-layout behavior."""
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            parse_partition_by,
+        )
+
+        new = parse_partition_by([spec])[0]
+        if any(
+            (f.source, f.transform, f.arg) == (new.source, new.transform, new.arg)
+            for f in self._partition_fields
+        ):
+            raise ValueError(f"partition field {spec!r} already present")
+        self.metadata.partition_by.append(spec)
+        self.metadata.commit()
+
+    def drop_partition_field(self, spec: str) -> None:
+        """ALTER TABLE … DROP PARTITION FIELD: matched by parsed equality
+        (``days(ts)`` drops ``date(ts)`` — same canonical transform)."""
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            parse_partition_by,
+        )
+
+        target = parse_partition_by([spec])[0]
+        keep = [
+            raw
+            for raw, f in zip(self.metadata.partition_by, self._partition_fields)
+            if (f.source, f.transform, f.arg) != (target.source, target.transform, target.arg)
+        ]
+        if len(keep) == len(self.metadata.partition_by):
+            raise ValueError(f"partition field {spec!r} not found")
+        self.metadata.partition_by[:] = keep
+        self.metadata.commit()
+
+    def set_sort_order(self, order: str | None) -> None:
+        """ALTER TABLE … WRITE ORDERED BY (cols) / WRITE UNORDERED."""
+        if order:
+            for c, _asc in _parse_sort_order_specs(order):
+                if c not in {f.name for f in self.schema().fields}:
+                    raise ValueError(f"sort column {c!r} not in table schema")
+            self.metadata.properties["write.sort-order"] = order
+        else:
+            self.metadata.properties.pop("write.sort-order", None)
+        self.metadata.commit()
 
     def _write_target_size(self) -> int | None:
         """Optional write.target-file-size-bytes table property (Iceberg's

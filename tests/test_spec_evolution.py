@@ -1,0 +1,106 @@
+"""Partition-spec evolution + WRITE ORDERED BY (lake/table.py, lake/sql.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "wh"))
+    c.create_namespace("default")
+    return c
+
+
+def test_add_partition_field_prunes_new_files_keeps_old_readable(spark, cat):
+    t = cat.create_table(
+        "default.pe", "id bigint, v string",
+        properties={"write.distribution.partitions": "4"},
+    )
+    s1 = t.insert(
+        spark.createDataFrame([(i, "old") for i in range(40)], "id long, v string")
+    )
+    t.add_partition_field("bucket(4, id)")
+    assert t.metadata.partition_by == ["bucket(4, id)"]
+    # same id range again so raw min/max bounds cannot distinguish specs
+    t.insert(spark.createDataFrame([(i, "new") for i in range(40)], "id long, v string"))
+
+    # all 80 rows remain readable across both specs
+    assert t.read().count() == 80
+
+    snap = t.metadata.current_snapshot()
+    old_paths = {e.file_path for e in snap.data_files() if e.added_snapshot_id == s1.snapshot_id}
+    old_files = [e for e in snap.data_files() if e.file_path in old_paths]
+    new_files = [e for e in snap.data_files() if e.file_path not in old_paths]
+    assert old_files and new_files
+
+    # pruning on the bucketed column: old-spec files (no synthetic stats)
+    # that cover the id are conservatively kept; new-spec files prune by
+    # bucket even though their raw id bounds all cover the probe
+    cands = candidate_files(snap.data_files(), "id = 5", t._partition_fields)
+    cand_paths = {e.file_path for e in cands}
+    covering_old = [
+        e for e in old_files
+        if int(e.min_values["id"]) <= 5 <= int(e.max_values["id"])
+    ]
+    assert all(e.file_path in cand_paths for e in covering_old)  # sound
+    assert len([e for e in new_files if e.file_path in cand_paths]) < len(new_files)
+
+
+def test_drop_partition_field(spark, cat):
+    t = cat.create_table("default.pd", "id bigint, ts timestamp",
+                         partition_by=["days(ts)", "bucket(4, id)"])
+    t.drop_partition_field("bucket(4, id)")
+    assert t.metadata.partition_by == ["days(ts)"]
+    with pytest.raises(ValueError, match="not found"):
+        t.drop_partition_field("bucket(4, id)")
+    with pytest.raises(ValueError, match="already present"):
+        t.add_partition_field("date(ts)")  # same canonical transform as days
+
+
+def test_write_ordered_by_tightens_bounds(spark, cat):
+    t = cat.create_table(
+        "default.so", "id bigint, v string",
+        properties={"write.distribution.partitions": "4"},
+    )
+    t.set_sort_order("id")
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(1000))
+    rng.shuffle(ids)
+    t.insert(spark.createDataFrame([(i, f"v{i}") for i in ids], "id long, v string"))
+
+    snap = t.metadata.current_snapshot()
+    files = snap.data_files()
+    assert len(files) == 4
+    # ordered write → non-overlapping id ranges across files
+    bounds = sorted((int(e.min_values["id"]), int(e.max_values["id"])) for e in files)
+    for (lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2
+    # point lookup prunes to exactly one file
+    assert len(candidate_files(files, "id = 500", [])) == 1
+
+
+def test_sort_order_sql_surface(spark, cat):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, cat.warehouse)
+    eng.sql("CREATE TABLE default.sq (id bigint, v string) USING iceberg")
+    eng.sql("ALTER TABLE default.sq WRITE ORDERED BY (id DESC)")
+    t = cat.load_table("default.sq")
+    assert t.properties["write.sort-order"] == "id DESC"
+    eng.sql("ALTER TABLE default.sq WRITE UNORDERED")
+    assert "write.sort-order" not in cat.load_table("default.sq").properties
+
+    eng.sql("ALTER TABLE default.sq ADD PARTITION FIELD bucket(8, id)")
+    assert cat.load_table("default.sq").metadata.partition_by == ["bucket(8, id)"]
+    eng.sql("ALTER TABLE default.sq DROP PARTITION FIELD bucket(8, id)")
+    assert cat.load_table("default.sq").metadata.partition_by == []
+
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.set_sort_order("nope")
