@@ -1201,36 +1201,105 @@ class LakeTable:
         return snapshot
 
     def update(self, assignments: dict[str, Column | Any], predicate: str | Column) -> Snapshot | None:
-        """UPDATE … SET col=expr WHERE pred — copy-on-write rewrite of the
-        affected files (reference PII nulling: iceberg_pii_deletion_demo.py:
-        228-235 with write.update.mode=copy-on-write at :169)."""
+        """UPDATE … SET col=expr WHERE pred.
+
+        Dispatches on ``write.update.mode`` (the reference pins
+        copy-on-write at iceberg_pii_deletion_demo.py:169 before its PII
+        nulling at :228-235):
+        - copy-on-write: rewrite the affected files with assignments
+          applied — old values physically gone from the new files.
+        - merge-on-read: position-delete the matched rows and append a
+          data file holding their updated versions — write cost is
+          O(matched rows), the read path merges, and (exactly like MOR
+          DELETE — the reference's entire point) the PRE-update values
+          persist physically until rewrite_data_files.
+        """
         pred = self._as_column(predicate)
         pred_str = predicate if isinstance(predicate, str) else None
-        affected = set(self._affected_files(pred, pred_str))
-        if not affected:
-            return None
-        rows = self.read_with_positions().filter(F.col("__fp").isin(list(affected)))
-        cols = [c for c in rows.columns if c not in ("__fp", "__pos")]
+        if self.properties.get("write.update.mode", "copy-on-write") == "merge-on-read":
+            return self._update_mor(assignments, pred, pred_str)
+        return self._update_cow(assignments, pred, pred_str)
+
+    def _assignment_exprs(
+        self, assignments: dict[str, Column | Any], cols: list[str], *, gate: Column | None
+    ) -> list[Column]:
+        """Output columns computed from the PRE-update row in ONE projection
+        (see _update_cow's note on chained withColumn). ``gate`` applies the
+        predicate per row (COW rewrites whole files); None = every row is a
+        match (MOR operates on the matched set only)."""
         unknown = [c for c in assignments if c not in cols]
         if unknown:
             raise ValueError(f"UPDATE SET columns not in table schema: {unknown}")
         types = {f.name: f.dataType for f in self.schema().fields}
-        # SQL UPDATE evaluates the WHERE predicate and every SET expression
-        # against the PRE-update row, so build all output columns in ONE
-        # projection. Chained withColumn would re-resolve the predicate (and
-        # later RHS) against already-assigned columns — e.g. nulling email
-        # first makes "email = 'x'" false for the name assignment, silently
-        # retaining PII; it also breaks column swaps.
-        exprs = []
+        exprs: list[Column] = []
         for c in cols:
             if c in assignments:
                 value = assignments[c]
                 val = value if isinstance(value, Column) else F.lit(value)
                 if types.get(c) is not None:
                     val = val.cast(types[c])
-                exprs.append(F.when(pred, val).otherwise(F.col(c)).alias(c))
+                if gate is not None:
+                    val = F.when(gate, val).otherwise(F.col(c))
+                exprs.append(val.alias(c))
             else:
                 exprs.append(F.col(c))
+        return exprs
+
+    def _update_mor(
+        self, assignments: dict[str, Column | Any], pred: Column, pred_str: str | None
+    ) -> Snapshot | None:
+        from pyspark import StorageLevel
+
+        matches = (
+            self.read_with_positions(prune_for=pred_str)
+            .filter(pred)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            pos_entries = write_data_files(
+                matches.select(
+                    F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+                ),
+                self.data_dir,
+                content=CONTENT_POSITION_DELETES,
+                prefix="delete",
+            )
+            if not pos_entries:
+                return None  # nothing matched — no commit (Iceberg behavior)
+            cols = [c for c in matches.columns if c not in ("__fp", "__pos")]
+            exprs = self._assignment_exprs(assignments, cols, gate=None)
+            new_entries = write_data_files(matches.select(*exprs), self.data_dir)
+        finally:
+            matches.unpersist()
+        snap = self.metadata.current_snapshot()
+        base = list(snap.manifest) if snap else []
+        snapshot = self.metadata.add_snapshot(
+            "overwrite",
+            base + pos_entries + new_entries,
+            summary={
+                "added-delete-files": len(pos_entries),
+                "added-files": len(new_entries),
+            },
+        )
+        for e in pos_entries + new_entries:
+            e.added_snapshot_id = snapshot.snapshot_id
+        self.metadata.commit()
+        return snapshot
+
+    def _update_cow(
+        self, assignments: dict[str, Column | Any], pred: Column, pred_str: str | None
+    ) -> Snapshot | None:
+        affected = set(self._affected_files(pred, pred_str))
+        if not affected:
+            return None
+        rows = self.read_with_positions().filter(F.col("__fp").isin(list(affected)))
+        cols = [c for c in rows.columns if c not in ("__fp", "__pos")]
+        # SQL UPDATE evaluates the WHERE predicate and every SET expression
+        # against the PRE-update row, so build all output columns in ONE
+        # projection (chained withColumn would re-resolve the predicate and
+        # later RHS against already-assigned columns — silently retaining
+        # PII on multi-column nulling, and breaking column swaps).
+        exprs = self._assignment_exprs(assignments, cols, gate=pred)
         new_entries = write_data_files(rows.select(*exprs), self.data_dir)
         snap = self.metadata.current_snapshot()
         kept = [e for e in snap.manifest if e.file_path not in affected]
