@@ -51,17 +51,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from demo_iceberg_permanent_delete_spark.lake.catalog import Catalog
+from demo_iceberg_permanent_delete_spark.lake.table import METADATA_VIEWS as _META_VIEWS
 from demo_iceberg_permanent_delete_spark.lake.table import LakeTable
-
-_META_VIEWS = (
-    "files",
-    "history",
-    "snapshots",
-    "all_manifests",
-    "metadata_log_entries",
-    "all_entries",
-    "refs",
-)
 
 
 def _one_row_df(spark: SparkSession, data: dict[str, Any]) -> DataFrame:
@@ -544,32 +535,43 @@ class LakeEngine:
         (default.pii inside default.pii_data) or rewrite literals.
         """
         stmt = self._rewrite_time_travel(stmt)
-        # (pattern text, table name, replacement view name), longest first
-        # so demo-prefixed and .meta-suffixed forms win over bare names.
-        candidates: list[tuple[str, str, str]] = []
+        # (pattern text, table name, meta-view name or None, replacement
+        # view name), longest first so demo-prefixed and .meta-suffixed
+        # forms win over bare names.
+        candidates: list[tuple[str, str, str | None, str]] = []
         for name in self.catalog.list_tables():
             base = name.replace(".", "__")
             for cand in (f"{self.catalog_name}.{name}", name):
                 for view in _META_VIEWS:
-                    candidates.append((f"{cand}.{view}", name, f"{base}__{view}"))
-                candidates.append((cand, name, base))
+                    candidates.append(
+                        (f"{cand}.{view}", name, view, f"{base}__{view}")
+                    )
+                candidates.append((cand, name, None, base))
         candidates.sort(key=lambda c: len(c[0]), reverse=True)
 
         # Split into quoted-literal segments (odd indices — '' escapes kept
-        # whole) and code segments; rewrite code only.
+        # whole) and code segments; rewrite code only. Register only the
+        # relations the statement references: each metadata view pays a
+        # build cost (parquet schema inference, manifest reads), so
+        # registering all of them per query would be pure waste.
         segments = re.split(r"('(?:[^']|'')*')", stmt)
-        registered: set[str] = set()
-        for cand, name, target in candidates:
+        needed: dict[str, set[str]] = {}
+        for cand, name, view, target in candidates:
             pat = re.compile(r"(?<![\w.])" + re.escape(cand) + r"(?![\w.])")
             for i in range(0, len(segments), 2):
                 new_seg, n = pat.subn(target, segments[i])
                 if n:
                     segments[i] = new_seg
-                    if name not in registered:
-                        registered.add(name)
-                        t = self.catalog.load_table(name)
-                        t.read().createOrReplaceTempView(name.replace(".", "__"))
-                        t.register_metadata_views(prefix=name.replace(".", "__"))
+                    views = needed.setdefault(name, set())
+                    if view is not None:
+                        views.add(view)
+        for name, views in needed.items():
+            t = self.catalog.load_table(name)
+            t.read().createOrReplaceTempView(name.replace(".", "__"))
+            if views:
+                t.register_metadata_views(
+                    prefix=name.replace(".", "__"), views=sorted(views)
+                )
         return self.spark.sql("".join(segments))
 
     # dispatch table (compiled once; DOTALL so VALUES lists span lines)

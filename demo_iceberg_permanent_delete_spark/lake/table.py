@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+from collections.abc import Iterable
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -55,6 +56,25 @@ _BROADCAST_DELETES_MAX_BYTES = 256 * 1024 * 1024
 _META_LOCAL_MAX_ENTRIES = int(os.environ.get("SPARK_GRAFT_META_LOCAL_MAX", "100000"))
 
 _POS_DELETE_SCHEMA = "file_path string, pos long"
+
+# Every queryable metadata relation (Iceberg's `<table>.<relation>` family).
+# Single source of truth for meta() dispatch, register_metadata_views, and
+# the SQL facade's identifier rewriting.
+METADATA_VIEWS = (
+    "files",
+    "data_files",
+    "delete_files",
+    "position_deletes",
+    "history",
+    "snapshots",
+    "manifests",
+    "all_manifests",
+    "metadata_log_entries",
+    "entries",
+    "all_entries",
+    "refs",
+    "partitions",
+)
 
 
 def _parse_sort_order_specs(order: str) -> list[tuple[str, bool]]:
@@ -1316,14 +1336,21 @@ class LakeTable:
     # ------------------------------------------------- metadata relations
     # Each mirrors an Iceberg metadata table the reference queries (S3 in
     # SURVEY.md §2.1): .files .history .snapshots .all_manifests
-    # .metadata_log_entries .all_entries
+    # .metadata_log_entries .all_entries — plus the rest of Iceberg's
+    # metadata-relation family (.entries .manifests .data_files
+    # .delete_files .position_deletes .refs .partitions)
     def meta(self, view: str) -> DataFrame:
         builder = {
             "files": self._files_view,
+            "data_files": self._data_files_view,
+            "delete_files": self._delete_files_view,
+            "position_deletes": self._position_deletes_view,
             "history": self._history_view,
             "snapshots": self._snapshots_view,
+            "manifests": self._manifests_view,
             "all_manifests": self._all_manifests_view,
             "metadata_log_entries": self._metadata_log_view,
+            "entries": self._entries_view,
             "all_entries": self._all_entries_view,
             "refs": self._refs_view,
             "partitions": self._partitions_view,
@@ -1336,20 +1363,18 @@ class LakeTable:
         # defeating that optimization).
         return builder()
 
-    def register_metadata_views(self, prefix: str | None = None) -> None:
+    def register_metadata_views(
+        self,
+        prefix: str | None = None,
+        views: Iterable[str] | None = None,
+    ) -> None:
         """Register `<prefix>__files` etc. so the reference-shaped SQL
-        (file_summary_utils.py:45-105) runs via spark.sql."""
+        (file_summary_utils.py:45-105) runs via spark.sql. ``views`` limits
+        registration to a subset (the SQL facade passes only the relations a
+        statement references — building all 13 per query would pay parquet
+        schema inference for relations never read)."""
         prefix = prefix or self.name.replace(".", "_")
-        for view in (
-            "files",
-            "history",
-            "snapshots",
-            "all_manifests",
-            "metadata_log_entries",
-            "all_entries",
-            "refs",
-            "partitions",
-        ):
+        for view in views if views is not None else METADATA_VIEWS:
             self.meta(view).createOrReplaceTempView(f"{prefix}__{view}")
 
     def _snapshots_view(self) -> DataFrame:
@@ -1562,6 +1587,74 @@ class LakeTable:
                 "record_count",
                 "file_size_in_bytes",
             )
+        )
+
+    def _data_files_view(self) -> DataFrame:
+        """Iceberg's ``.data_files``: current-snapshot files restricted to
+        data content (content=0) — the content-filtered twin of ``.files``
+        (reference filters the same way: iceberg_pii_deletion_demo.py:210)."""
+        return self._files_view().filter(F.col("content") == CONTENT_DATA)
+
+    def _delete_files_view(self) -> DataFrame:
+        """Iceberg's ``.delete_files``: position (content=1) and equality
+        (content=2) delete files of the current snapshot
+        (iceberg_pii_deletion_demo.py:215,451 filter content IN (1,2))."""
+        return self._files_view().filter(
+            F.col("content").isin(CONTENT_POSITION_DELETES, CONTENT_EQUALITY_DELETES)
+        )
+
+    _POSITION_DELETES_STRUCT = T.StructType(
+        [
+            T.StructField("file_path", T.StringType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("delete_file_path", T.StringType()),
+        ]
+    )
+
+    def _position_deletes_view(self) -> DataFrame:
+        """Iceberg's ``.position_deletes``: the delete ROWS themselves —
+        (target data file, position, which delete file holds the tombstone).
+        Read BY EXECUTORS straight from the current snapshot's
+        position-delete parquet; the driver ships only the path list."""
+        snap = self.metadata.current_snapshot()
+        pos_files = (
+            [
+                e
+                for e in snap.delete_files()
+                if e.content == CONTENT_POSITION_DELETES
+            ]
+            if snap is not None
+            else []
+        )
+        if not pos_files:
+            return self.spark.createDataFrame([], self._POSITION_DELETES_STRUCT)
+        return self.spark.read.parquet(*[e.file_path for e in pos_files]).select(
+            "file_path",
+            "pos",
+            F.regexp_replace(F.input_file_name(), "^file:(//)?", "").alias(
+                "delete_file_path"
+            ),
+        )
+
+    def _entries_view(self) -> DataFrame:
+        """Iceberg's ``.entries``: manifest entries as of the CURRENT
+        snapshot only (``.all_entries`` restricted to it — the filter
+        reaches the manifest scan on the distributed path)."""
+        cur = self.metadata.current_snapshot_id
+        if cur is None:
+            return self._all_entries_view().limit(0)
+        return self._all_entries_view().filter(F.col("snapshot_id") == cur)
+
+    def _manifests_view(self) -> DataFrame:
+        """Iceberg's ``.manifests``: manifest files reachable from the
+        current snapshot (its ancestry chain in this incremental format),
+        vs ``.all_manifests`` which lists every snapshot's."""
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            return self._all_manifests_view().limit(0)
+        ids = [s.snapshot_id for s in self._ancestry(snap)]
+        return self._all_manifests_view().filter(
+            F.col("added_snapshot_id").isin(ids)
         )
 
     def _all_manifests_view(self) -> DataFrame:

@@ -1,0 +1,131 @@
+"""Parity for the content-filtered / current-snapshot metadata relations:
+``.data_files`` ``.delete_files`` ``.position_deletes`` ``.entries``
+``.manifests`` (lake/table.py) — the rest of Iceberg's metadata-table
+family beyond the six the reference's SQL touches directly
+(iceberg_pii_deletion_demo.py:205-215 filters .files on content, which
+these relations encode as first-class tables)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+
+
+def _table(spark, tmp_path, mode: str = "merge-on-read"):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.mr", "id bigint, v string")
+    t.set_properties({"write.delete.mode": mode})
+    t.insert(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string")
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10, 20)], "id long, v string"
+        )
+    )
+    return t
+
+
+def test_data_and_delete_files_partition_files_view(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete("id IN (3, 14)")
+
+    files = t.meta("files").collect()
+    data = t.meta("data_files").collect()
+    dels = t.meta("delete_files").collect()
+    assert {r["file_path"] for r in files} == {r["file_path"] for r in data} | {
+        r["file_path"] for r in dels
+    }
+    assert all(r["content"] == 0 for r in data)
+    assert all(r["content"] in (1, 2) for r in dels)
+    assert len(dels) >= 1
+
+
+def test_position_deletes_rows_match_delete_semantics(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete("id IN (3, 14)")
+
+    pos = t.meta("position_deletes")
+    rows = pos.collect()
+    # one tombstone per deleted row, each pointing at a live data file
+    assert len(rows) == 2
+    data_paths = {r["file_path"] for r in t.meta("data_files").collect()}
+    assert {r["file_path"] for r in rows} <= data_paths
+    del_paths = {r["file_path"] for r in t.meta("delete_files").collect()}
+    assert {r["delete_file_path"] for r in rows} <= del_paths
+    assert all(r["pos"] >= 0 for r in rows)
+    # summed tombstones reconcile with the read-side row count
+    assert t.read().count() == 20 - len(rows)
+
+
+def test_position_deletes_empty_without_mor_deletes(spark, tmp_path):
+    t = _table(spark, tmp_path, mode="copy-on-write")
+    t.delete("id = 3")
+    assert t.meta("position_deletes").count() == 0
+    assert t.meta("delete_files").count() == 0
+
+
+def test_entries_is_current_snapshot_slice_of_all_entries(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete("id = 3")
+    cur = t.metadata.current_snapshot_id
+    entries = t.meta("entries").collect()
+    all_cur = [
+        r for r in t.meta("all_entries").collect() if r["snapshot_id"] == cur
+    ]
+    assert sorted(
+        (r["status"], r["data_file"]["file_path"]) for r in entries
+    ) == sorted((r["status"], r["data_file"]["file_path"]) for r in all_cur)
+    # the current snapshot added the delete file → at least one added entry
+    assert any(r["status"] == 1 for r in entries)
+
+
+def test_manifests_is_current_ancestry_of_all_manifests(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    snap_before = t.metadata.current_snapshot_id
+    t.delete("id = 3")
+
+    manifests = t.meta("manifests").collect()
+    all_manifests = t.meta("all_manifests").collect()
+    assert len(all_manifests) == len(t.metadata.snapshots)
+    assert {r["path"] for r in manifests} <= {r["path"] for r in all_manifests}
+    assert len(manifests) == len(all_manifests)  # linear history: same set
+
+    # roll back and the .manifests set shrinks to the ancestry again
+    t.rollback_to_snapshot(snap_before)
+    after = t.meta("manifests").collect()
+    assert len(after) < len(t.meta("all_manifests").collect())
+
+
+def test_relations_resolve_through_sql_facade(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake import LakeEngine
+
+    engine = LakeEngine(spark, warehouse=str(tmp_path / "wh2"))
+    engine.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    engine.sql("CREATE TABLE default.sq (id BIGINT, v STRING) USING iceberg")
+    engine.sql(
+        "ALTER TABLE default.sq SET TBLPROPERTIES"
+        " ('write.delete.mode' = 'merge-on-read')"
+    )
+    engine.sql("INSERT INTO default.sq VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    engine.sql("DELETE FROM default.sq WHERE id = 2")
+
+    n_pos = engine.sql(
+        "SELECT count(*) AS n FROM demo.default.sq.position_deletes"
+    ).collect()[0]["n"]
+    assert n_pos == 1
+    n_data = engine.sql(
+        "SELECT count(*) AS n FROM demo.default.sq.data_files"
+    ).collect()[0]["n"]
+    assert n_data >= 1
+    joined = engine.sql(
+        """
+        SELECT d.file_path, count(*) AS tombstones
+        FROM demo.default.sq.position_deletes p
+        JOIN demo.default.sq.data_files d ON p.file_path = d.file_path
+        GROUP BY d.file_path
+        """
+    ).collect()
+    assert sum(r["tombstones"] for r in joined) == 1
