@@ -203,11 +203,14 @@ def self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Composite driver entry for the join family (R6 LEFT join + LEAST, R7 JOIN
-# USING + ORDER BY/LIMIT, R8 self-join) — round-2 consolidation under the
-# driver's 50-row correctness cap. Each part keeps its original plan shape
-# (broadcast dimension joins asserted in tests/test_plans.py); the composite
-# just normalizes the three outputs into one (part,k1,s1,s2,v) union so all
-# three stay hash-checked in a single driver row.
+# USING + ORDER BY/LIMIT, R8 self-join, plus the salted skew join from
+# operators/skew.py) — round-2 consolidation under the driver's 50-row
+# correctness cap. Each part keeps its original plan shape (broadcast
+# dimension joins asserted in tests/test_plans.py, (key,salt) partitioning
+# in tests/test_skew.py); the composite just normalizes the outputs into
+# one (part,k1,s1,s2,v) union so all parts stay hash-checked in a single
+# driver row. The salted part's oracle is the PLAIN join — salting must be
+# invisible in the result.
 # ---------------------------------------------------------------------------
 @query(
     "join_suite",
@@ -238,6 +241,21 @@ def self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation n1
     JOIN nation n2
       ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    UNION ALL
+    SELECT 'salted' AS part,
+           count(*) AS k1,
+           o.o_orderpriority AS s1,
+           CAST(NULL AS VARCHAR) AS s2,
+           -- DECIMAL(18,4) before DOUBLE: lossless (2dp×2dp inputs) and
+           -- keeps the unscaled value < 2^53, where both engines' decimal
+           -- → double conversions are correctly rounded (DuckDB's cast
+           -- from DECIMAL(38,12) is off by an ulp at this magnitude)
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - CAST(l.l_discount AS DECIMAL(18,6)) AS DECIMAL(8,6)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS v
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
     """,
 )
 def join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,7 +280,43 @@ def join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nation_b").alias("s2"),
         F.lit(None).cast("double").alias("v"),
     )
-    return left_part.unionByName(topn_part).unionByName(pairs_part)
+    salted_part = salted_revenue_by_priority(spark, sf_dir).select(
+        F.lit("salted").alias("part"),
+        F.col("n_items").alias("k1"),
+        F.col("o_orderpriority").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("revenue").alias("v"),
+    )
+    return (
+        left_part.unionByName(topn_part)
+        .unionByName(pairs_part)
+        .unionByName(salted_part)
+    )
+
+
+def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact lineitem ⋈ orders through ``salted_join`` (the skew
+    scatter from operators/skew.py), aggregated to revenue per priority —
+    proves the salt changes the shuffle, not the answer."""
+    from demo_iceberg_permanent_delete_spark.functions.scalars import dec, rate
+    from demo_iceberg_permanent_delete_spark.operators.skew import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        lineitem, orders, "l_orderkey", salts=4, salt_expr=F.xxhash64("l_extendedprice")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_extendedprice") * rate(F.lit(1) - dec("l_discount")))
+        .cast("decimal(18,4)")  # see the oracle's DECIMAL(18,4) comment
+        .cast("double")
+        .alias("revenue"),
+    )
 
 
 # ---------------------------------------------------------------------------
