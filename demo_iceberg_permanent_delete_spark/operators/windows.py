@@ -98,13 +98,23 @@ def ranking_running_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X5 (batch): tumbling 10-minute window aggregation over events via
-# F.window — epoch-aligned, so the DuckDB twin is integer epoch math.
+# X5 (batch): time-window aggregation composite over events via F.window —
+# a tumbling 10-minute part plus a sliding (hopping) 10-minute/5-minute
+# part, discriminated by `win_kind`. Both are epoch-aligned, so the DuckDB
+# twin is integer epoch math; the sliding twin enumerates each row's two
+# member windows (duration/slide = 2) with an unnest cross join — exactly
+# what Spark's TimeWindow expression generates internally.
+#
+# Scale note: Spark plans the sliding window as a Generate (explode of the
+# per-row window list) followed by the same partial/final hash aggregate as
+# the tumble — duplication factor = duration/slide (2 here), map-side
+# combined before the single exchange. No extra shuffle vs the tumble.
 # ---------------------------------------------------------------------------
 @query(
     "tumbling_window_agg",
     oracle="""
     SELECT
+      'tumble' AS win_kind,
       -- DuckDB's to_timestamp returns TIMESTAMP WITH TIME ZONE; pin plain
       -- TIMESTAMP to match Spark's window().start (CORRECTNESS_r01 drift)
       CAST(to_timestamp((epoch_us(ts) // 600000000) * 600) AS TIMESTAMP) AS window_start,
@@ -112,24 +122,40 @@ def ranking_running_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       count(*) AS n_events,
       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT
+      'slide' AS win_kind,
+      CAST(to_timestamp(((epoch_us(ts) // 300000000) - hop.i) * 300) AS TIMESTAMP) AS window_start,
+      event_type,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) hop
+    GROUP BY 2, 3
     """,
 )
 def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("total_value"),
+
+    def agg_window(win, kind: str) -> DataFrame:
+        return (
+            ev.groupBy(win.alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+            .select(
+                F.lit(kind).alias("win_kind"),
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
         )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+
+    tumble = agg_window(F.window("ts", "10 minutes"), "tumble")
+    slide = agg_window(F.window("ts", "10 minutes", "5 minutes"), "slide")
+    return tumble.unionByName(slide)
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,25 @@ def tumbling_count_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_count_stream(events: DataFrame) -> DataFrame:
+    """Watermarked sliding (hopping) window counts: 10-minute windows every
+    5 minutes, so each event lands in duration/slide = 2 windows. Append
+    mode still emits each window exactly once when the watermark passes its
+    end; state size is 2x the tumbling stream's for the same horizon —
+    bounded the same way by the watermark."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW, "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def session_window_stream(events: DataFrame) -> DataFrame:
     """Watermarked session windows per user (gap-based, merging state)."""
     return (

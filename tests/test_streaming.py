@@ -21,6 +21,7 @@ import pytest
 from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
     read_event_stream,
     run_available_now,
+    sliding_count_stream,
     stateful_session_stream,
     streaming_dedup,
     tumbling_count_stream,
@@ -115,6 +116,30 @@ def test_append_mode_window_finalizes_only_closed_windows(spark, three_batch_dir
     # window still counts 2. Event 5's window [11:00,11:10) is NOT closed
     # (watermark 10:50) and must not appear.
     assert rows == {(0, 10, "click"): 2, (30, 10, "view"): 2}
+
+
+def test_sliding_windows_emit_two_windows_per_event(spark, three_batch_dir):
+    stream = read_event_stream(spark, three_batch_dir, max_files_per_trigger=1)
+    out = run_available_now(sliding_count_stream(stream), output_mode="append")
+    rows = {
+        ((r["window_start"].hour, r["window_start"].minute), r["event_type"]): r[
+            "n_events"
+        ]
+        for r in out.collect()
+    }
+    # Every on-time event belongs to duration/slide = 2 hopping windows.
+    # Final watermark = 10:50, so only windows ending <= 10:50 are emitted:
+    # clicks at 10:00/10:05 cover starts 9:55, 10:00 (x2), 10:05; views at
+    # 10:30/10:31 cover starts 10:25 (x2), 10:30 (x2). Event 5 (11:00) has
+    # no closed window, and the batch-3 late arrivals are dropped before
+    # they can resurrect the already-emitted 10:00-area windows.
+    assert rows == {
+        ((9, 55), "click"): 1,
+        ((10, 0), "click"): 2,
+        ((10, 5), "click"): 1,
+        ((10, 25), "view"): 2,
+        ((10, 30), "view"): 2,
+    }
 
 
 def test_stateful_sessionizer_emits_on_event_time_timeout(spark, three_batch_dir):
