@@ -1,0 +1,155 @@
+"""Property-based soundness proof for manifest file pruning.
+
+Round-1 advice found an unsound-prune bug class (timestamp stats stored
+with a 'T' separator compared lexicographically against space-separated
+SQL literals silently skipped matching files — retained PII). This test
+makes that whole class unrepresentable going forward: for RANDOM data and
+RANDOM predicates, any file `candidate_files` drops must provably contain
+zero matching rows, where ground truth is DuckDB evaluating the same SQL
+predicate over the same parquet bytes.
+
+The path exercised is the real one: rows → pyarrow parquet → footer-stats
+harvest (`datafiles._footer_stats`) → JSON-roundtripped ManifestEntry
+(`_jsonable`, the isoformat edge) → `pruning.candidate_files`. No Spark
+session needed, so hypothesis can afford hundreds of examples.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from demo_iceberg_permanent_delete_spark.lake.datafiles import (
+    _footer_stats,
+    _jsonable,
+)
+from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
+from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
+
+# Small value pools force boundary collisions (min == literal, equal mins
+# across files) far more often than uniform randomness would.
+INTS = st.integers(-5, 15)
+STRS = st.sampled_from(["", "a", "ab", "b'c", "it's", "zz", "Z"])
+TS = st.sampled_from(
+    [
+        dt.datetime(2024, 6, d, h, 0, 0)
+        for d in (1, 2, 5)
+        for h in (0, 12, 23)
+    ]
+)
+
+
+def _nullable(vals):
+    return st.one_of(st.none(), vals)
+
+
+ROWS = st.lists(
+    st.tuples(_nullable(INTS), _nullable(STRS), _nullable(TS)),
+    min_size=1,
+    max_size=10,
+)
+FILES = st.lists(ROWS, min_size=1, max_size=4)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_ts(t: dt.datetime) -> str:
+    # Space separator on purpose: the stats side stores isoformat ('T');
+    # comparing the two as raw strings was the round-1 unsoundness.
+    return "TIMESTAMP '" + t.strftime("%Y-%m-%d %H:%M:%S") + "'"
+
+
+OPS = st.sampled_from(["=", "<", "<=", ">", ">="])
+
+ATOM = st.one_of(
+    st.builds(lambda o, v: f"i {o} {v}", OPS, INTS),
+    st.builds(lambda o, v: f"i {o} {v}.5", OPS, INTS),
+    st.builds(lambda o, v: f"s {o} {_sql_str(v)}", OPS, STRS),
+    st.builds(lambda o, v: f"t {o} {_sql_ts(v)}", OPS, TS),
+    st.builds(
+        lambda a, b: f"i BETWEEN {min(a, b)} AND {max(a, b)}", INTS, INTS
+    ),
+    st.builds(
+        lambda a, b: f"t BETWEEN {_sql_ts(min(a, b))} AND {_sql_ts(max(a, b))}",
+        TS,
+        TS,
+    ),
+    st.builds(
+        lambda vs: "i IN (" + ", ".join(map(str, vs)) + ")",
+        st.lists(INTS, min_size=1, max_size=3),
+    ),
+    st.builds(
+        lambda vs: "s IN (" + ", ".join(_sql_str(v) for v in vs) + ")",
+        st.lists(STRS, min_size=1, max_size=3),
+    ),
+    st.sampled_from(
+        ["i IS NULL", "i IS NOT NULL", "s IS NULL", "t IS NOT NULL"]
+    ),
+)
+PREDICATE = st.lists(ATOM, min_size=1, max_size=3).map(" AND ".join)
+
+SCHEMA = pa.schema(
+    [
+        pa.field("i", pa.int64()),
+        pa.field("s", pa.string()),
+        pa.field("t", pa.timestamp("us")),
+    ]
+)
+
+_CON = duckdb.connect()
+
+
+@settings(max_examples=150, deadline=None)
+@given(files=FILES, pred=PREDICATE)
+def test_pruned_files_provably_contain_no_matches(files, pred):
+    tmp = tempfile.mkdtemp(prefix="prune_prop_")
+    try:
+        entries = []
+        matches = {}
+        for idx, rows in enumerate(files):
+            path = os.path.join(tmp, f"f{idx}.parquet")
+            table = pa.Table.from_pylist(
+                [{"i": i, "s": s, "t": t} for (i, s, t) in rows],
+                schema=SCHEMA,
+            )
+            pq.write_table(table, path)
+            n_rows, mins, maxs, nulls = _footer_stats(path)
+            entries.append(
+                ManifestEntry(
+                    file_path=path,
+                    content=0,
+                    record_count=n_rows,
+                    file_size_in_bytes=os.path.getsize(path),
+                    min_values={k: _jsonable(v) for k, v in mins.items()},
+                    max_values={k: _jsonable(v) for k, v in maxs.items()},
+                    null_counts=dict(nulls),
+                )
+            )
+            (matches[path],) = _CON.execute(
+                f"SELECT count(*) FROM read_parquet('{path}') WHERE {pred}"
+            ).fetchone()
+
+        kept = {e.file_path for e in candidate_files(entries, pred)}
+        for e in entries:
+            if e.file_path not in kept:
+                assert matches[e.file_path] == 0, (
+                    f"UNSOUND PRUNE: {e.file_path} dropped for predicate "
+                    f"{pred!r} but contains {matches[e.file_path]} matching "
+                    f"rows (stats min={e.min_values} max={e.max_values} "
+                    f"nulls={e.null_counts})"
+                )
+        # and pruning must never lose matches overall
+        assert sum(matches[p] for p in kept) == sum(matches.values())
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
