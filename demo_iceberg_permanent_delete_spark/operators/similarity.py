@@ -256,6 +256,210 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: centroids TRAINED from the corpus itself with a
+# DataFrame-native spherical k-means, then queries probe only the NPROBE
+# nearest centroids' posting lists. Unlike the sign-LSH variant (data-
+# oblivious buckets), IVF adapts its partitions to the data distribution —
+# the standard quality/cost trade for billion-vector search, and the shape
+# that carries to 100 TB: candidates ≈ |corpus| · nprobe / k.
+#
+# Everything is deterministic and DuckDB-mirrorable, so the result is
+# hash-checked (most ANN implementations can't be):
+# - vectors quantized to int64 (1e-6 grid) — dot products are exact bigint;
+# - seeds = the K lowest vec_ids (no RNG);
+# - a centroid is the raw elementwise SUM of its members (bigint, exact):
+#   for cosine assignment only the direction matters, and sum and mean have
+#   the same direction — so no division, no float rounding in the update;
+# - assignment score dot(v,c)/|c| mixes one exact bigint dot with one
+#   IEEE sqrt/divide, and |c|² is an ORDERED left fold of exact per-element
+#   products cast to double — bit-identical in Spark (F.aggregate) and
+#   DuckDB (list_reduce), both position-ordered.
+#
+# Scale notes: training is one broadcast of K centroids per round (the
+# corpus never shuffles for assignment — K distance evals per row, map-side
+# only) plus one (cid, pos)-keyed partial-agg Exchange of n·dim skinny rows
+# for the update, which AQE coalesces; search shuffles candidates once.
+# Bigint headroom at this quantization: |component sum| ≤ n·6e5 → dot ≤
+# dim·6e5·(n·6e5) ≈ 2.3e12·n — safe past n = 10⁶ members per cluster; above
+# that, drop the quantization grid one decade.
+# ---------------------------------------------------------------------------
+K_CENTROIDS = 16
+NPROBE = 2
+
+
+def _cnorm_sql(c: str) -> str:
+    return f"sqrt(list_reduce(list_transform({c}, x -> CAST(x * x AS DOUBLE)), (a, b) -> a + b))"
+
+
+def _duck_assign(src: str, cents: str, out_rn: str) -> str:
+    """Score every ``src`` vector against every ``cents`` centroid and rank
+    centroids per vector: exact bigint dot / double norm, ties to low cid."""
+    return f"""
+      SELECT vec_id, v, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY CAST(list_sum([v[i] * c[i] FOR i IN generate_series(1, len(v))]) AS DOUBLE)
+                        / {_cnorm_sql("c")} DESC, cid ASC) AS {out_rn}
+      FROM {src}, {cents}
+    """
+
+
+_IVF_ORACLE = f"""
+    WITH nv AS (
+      SELECT vec_id, v, {_DUCK_NORM} AS nrm
+      FROM (SELECT vec_id, {_DUCK_QVEC} AS v FROM embeddings)
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM nv WHERE vec_id < {K_CENTROIDS}),
+    a0 AS (
+      SELECT vec_id, v, cid FROM ({_duck_assign("nv", "c0", "rn")}) WHERE rn = 1
+    ),
+    pos0 AS (SELECT cid, unnest(generate_series(1, len(v))) AS i, v FROM a0),
+    c1 AS (
+      SELECT cid, list(s ORDER BY i) AS c
+      FROM (SELECT cid, i, sum(v[i]) AS s FROM pos0 GROUP BY cid, i)
+      GROUP BY cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM ({_duck_assign("nv", "c1", "rn")}) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid
+      FROM ({_duck_assign("nv", "c1", "rn")})
+      WHERE rn <= {NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN a1 a USING (cid)
+      WHERE a.vec_id != p.query_id
+    ),
+    ivf_scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             {_DUCK_DOT_AB} / (q.nrm * c.nrm) AS cosine
+      FROM cand cd
+      JOIN nv q ON cd.query_id = q.vec_id
+      JOIN nv c ON cd.neighbor_id = c.vec_id
+    ),
+    ivf_ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM ivf_scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM ivf_ranked
+    WHERE rnk <= {TOP_K}
+    """
+
+
+def _centroid_norm(c: Column) -> Column:
+    # |c|² as an ordered left fold of exact bigint squares (components stay
+    # < 2^31 at this quantization so x*x is exact int64) cast to double —
+    # the 0.0 seed is additive-identity-exact, so the fold equals DuckDB's
+    # first-element-seeded list_reduce bit-for-bit.
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+
+
+def _assign_to_centroids(vecs: DataFrame, cents: DataFrame, keep_rank: int) -> DataFrame:
+    """Rank centroids per vector by dot(v,c)/|c| (cosine, |v| constant per
+    vector) and keep the top ``keep_rank``. One broadcast of K centroids;
+    the vector side never shuffles."""
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "__score", _dot(F.col("v"), F.col("c")).cast("double") / F.col("cnrm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__score"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep_rank)
+        .drop("__score", "cnrm", "c")
+    )
+
+
+def _with_cnorm(cents: DataFrame) -> DataFrame:
+    return cents.withColumn("cnrm", _centroid_norm(F.col("c")))
+
+
+def ivf_fit_centroids(vecs: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
+    """One spherical-k-means refinement round: seed with the ``k`` lowest
+    vec_ids, assign every vector, re-center each cluster as the elementwise
+    bigint SUM of its members (same direction as the mean — cosine
+    assignment never divides). Returns (cid, c, cnrm).
+
+    The update is a (cid, pos)-keyed sum over posexploded components:
+    map-side combinable, n·dim skinny rows through one Exchange, then a
+    dim-sized array_sort/rebuild per cluster — no collects, no UDFs."""
+    seeds = _with_cnorm(
+        vecs.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("c")
+        )
+    )
+    a0 = _assign_to_centroids(vecs.select("vec_id", "v"), seeds, 1)
+    sums = (
+        a0.select("cid", F.posexplode("v").alias("i", "x"))
+        .groupBy("cid", "i")
+        .agg(F.sum("x").alias("s"))
+    )
+    cents = sums.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))), lambda st: st["s"]
+        ).alias("c")
+    )
+    return _with_cnorm(cents)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: train centroids, build the posting lists (final
+    assignment), probe the NPROBE nearest centroids per query, exact-cosine
+    rerank within the probed lists only."""
+    n = _corpus_with_norm(spark, sf_dir).select("vec_id", "v", "nrm")
+    cents = ivf_fit_centroids(n.select("vec_id", "v")).localCheckpoint(eager=True)
+    posting = _assign_to_centroids(n.select("vec_id", "v"), cents, 1).select(
+        "vec_id", "cid"
+    )
+    probe = (
+        _assign_to_centroids(
+            n.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "v"),
+            cents,
+            NPROBE,
+        )
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        probe.join(posting, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qn = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        cand.join(n, F.col("neighbor_id") == F.col("vec_id"))
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("v")).cast("double")
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Arrow-vectorized brute force: mapInPandas batches the corpus through one
 # numpy matmul per Arrow batch against the broadcast query matrix — the
 # BLAS path for high-dim embeddings. Results are float (unquantized), so
@@ -305,9 +509,10 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Composite driver entry for X3 (round-2 consolidation under the driver's
-# 50-row cap): the exact brute-force top-k and the sign-LSH ANN top-k,
-# normalized into one union so both stay hash-checked in a single driver
-# row. Plan shapes unchanged — the parts call the original operators.
+# 50-row cap): the exact brute-force top-k, the sign-LSH ANN top-k, and the
+# trained-centroid IVF top-k, normalized into one union so all three stay
+# hash-checked in a single driver row. Plan shapes unchanged — the parts
+# call the original operators.
 # ---------------------------------------------------------------------------
 @query(
     "similarity_topk",
@@ -319,6 +524,10 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'ann' AS part, query_id, neighbor_id,
            CAST(NULL AS VARCHAR) AS neighbor_label, cosine, rnk
     FROM ({_ANN_ORACLE})
+    UNION ALL
+    SELECT 'ivf' AS part, query_id, neighbor_id,
+           CAST(NULL AS VARCHAR) AS neighbor_label, cosine, rnk
+    FROM ({_IVF_ORACLE})
     """,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,4 +547,12 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rnk",
     )
-    return exact.unionByName(ann)
+    ivf = ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("part"),
+        "query_id",
+        "neighbor_id",
+        F.lit(None).cast("string").alias("neighbor_label"),
+        "cosine",
+        "rnk",
+    )
+    return exact.unionByName(ann).unionByName(ivf)
