@@ -72,9 +72,12 @@ def _parse_literal(text: str) -> Any | None:
     text = text.strip()
     # DATE '…' / TIMESTAMP '…' typed literals → inner string (temporal
     # coercion happens in _coerce, alongside the stat side).
-    m = re.match(r"^(?:DATE|TIMESTAMP)\s+'(.*)'$", text, re.I | re.S)
+    # A lone quoted literal only: the body may contain escaped quotes ('')
+    # but no bare quote — a greedy ^'(.*)'$ would swallow whole expressions
+    # like  'a' || 'b'  as the "literal" a' || 'b and prune unsoundly.
+    m = re.match(r"^(?:DATE|TIMESTAMP)\s+'((?:[^']|'')*)'$", text, re.I)
     if not m:
-        m = re.match(r"^'(.*)'$", text, re.S)
+        m = re.match(r"^'((?:[^']|'')*)'$", text)
     if m:
         return m.group(1).replace("''", "'")  # SQL-escaped quote
     if re.match(r"^-?\d+$", text):

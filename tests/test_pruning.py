@@ -90,6 +90,9 @@ def test_pruning_is_conservative_on_unprunable_predicates(ranged_table):
         "unknown_col = 3",
         "k NOT IN (1, 2)",
         "k IN (1, abs(5))",  # non-literal member
+        "name = 'zzz' || 'zzz'",  # expression, not a literal
+        "name = concat('zzz', 'zzz')",
+        "name = 'zzz' = 'zzz'",
     ):
         assert len(candidate_files(entries, pred)) == 3, pred
 
