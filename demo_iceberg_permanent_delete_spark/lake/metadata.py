@@ -178,6 +178,11 @@ class TableMetadata:
     # "type": "tag" | "branch"}. Referenced snapshots are protected from
     # expire_snapshots. "main" is implicit (current_snapshot_id).
     refs: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # RENAME COLUMN history: current name → historical physical names,
+    # most recent first. Files written before a rename keep the old
+    # physical column; readers resolve through this map (Iceberg tracks
+    # the same thing via field IDs — we own the format, so name chains).
+    renames: dict[str, list[str]] = field(default_factory=dict)
     version: int = 0
     # runtime caches (never serialized)
     _deltas: dict[int, ManifestDelta] = field(
@@ -208,6 +213,7 @@ class TableMetadata:
             "current_snapshot_id": self.current_snapshot_id,
             "metadata_log": self.metadata_log,
             "refs": self.refs,
+            "renames": self.renames,
             "version": self.version,
             "snapshots": [s.to_json() for s in self.snapshots],
         }
@@ -224,6 +230,7 @@ class TableMetadata:
             current_snapshot_id=d.get("current_snapshot_id"),
             metadata_log=list(d.get("metadata_log", [])),
             refs={k: dict(v) for k, v in d.get("refs", {}).items()},
+            renames={k: list(v) for k, v in d.get("renames", {}).items()},
             version=d.get("version", 0),
         )
         for raw, snap in zip(d["snapshots"], meta.snapshots):

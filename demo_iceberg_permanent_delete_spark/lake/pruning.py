@@ -281,10 +281,44 @@ def _bucket_can_match(
     return any(lo <= v <= hi for v in allowed)
 
 
+def _stats_view(
+    entry: ManifestEntry, aliases: dict[str, list[str]]
+) -> ManifestEntry:
+    """A stats-remapped copy for pruning evaluation only: when a RENAMEd
+    column has no stats under its current name, borrow the first historical
+    name's stats (same physical column, so the bounds are sound). The
+    original entry is what callers keep."""
+    import dataclasses
+
+    mins = dict(entry.min_values or {})
+    maxs = dict(entry.max_values or {})
+    nulls = dict(entry.null_counts or {})
+    changed = False
+    for new, olds in aliases.items():
+        if new in mins or new in maxs or new in nulls:
+            continue
+        for old in olds:
+            if old in mins or old in maxs or old in nulls:
+                if old in mins:
+                    mins[new] = mins[old]
+                if old in maxs:
+                    maxs[new] = maxs[old]
+                if old in nulls:
+                    nulls[new] = nulls[old]
+                changed = True
+                break
+    if not changed:
+        return entry
+    return dataclasses.replace(
+        entry, min_values=mins, max_values=maxs, null_counts=nulls
+    )
+
+
 def candidate_files(
     entries: list[ManifestEntry],
     predicate: str | None,
     partition_fields: list | None = None,
+    aliases: dict[str, list[str]] | None = None,
 ) -> list[ManifestEntry]:
     """The subset of ``entries`` that may contain rows matching
     ``predicate``. Sound: never drops a file that could match.
@@ -293,7 +327,11 @@ def candidate_files(
     equality/IN literals on bucket-transformed source columns are also
     projected into bucket space and pruned against the synthetic
     ``__part_…`` column stats (transforms.py) — the raw bounds of a
-    hash-distributed column cannot answer those."""
+    hash-distributed column cannot answer those.
+
+    ``aliases`` (RENAME COLUMN history, current → historical names) lets
+    predicates on a renamed column prune files written before the rename,
+    whose stats are keyed by the old physical name."""
     if not predicate or not isinstance(predicate, str):
         return list(entries)
     conjuncts = _split_conjuncts(predicate)
@@ -306,9 +344,11 @@ def candidate_files(
         )
 
         bucket_checks = bucket_conjuncts(partition_fields, predicate)
-    return [
-        e
-        for e in entries
-        if all(_conjunct_can_match(e, c) for c in conjuncts)
-        and all(_bucket_can_match(e, col, vals) for col, vals in bucket_checks)
-    ]
+    out = []
+    for e in entries:
+        v = _stats_view(e, aliases) if aliases else e
+        if all(_conjunct_can_match(v, c) for c in conjuncts) and all(
+            _bucket_can_match(v, col, vals) for col, vals in bucket_checks
+        ):
+            out.append(e)
+    return out

@@ -148,6 +148,17 @@ class LakeEngine:
             self.spark, {"table": t.name, "status": f"dropped column {m.group('col')}"}
         )
 
+    def _alter_rename_column(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        t.rename_column(m.group("old"), m.group("new"))
+        return _one_row_df(
+            self.spark,
+            {
+                "table": t.name,
+                "status": f"renamed column {m.group('old')} to {m.group('new')}",
+            },
+        )
+
     def _alter_add_partition_field(self, m: re.Match) -> DataFrame:
         t = self.table(m.group("name"))
         t.add_partition_field(m.group("spec").strip())
@@ -666,6 +677,14 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _alter_drop_column,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+COLUMN\s+"
+                r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)$",
+                re.I | re.S,
+            ),
+            _alter_rename_column,
         ),
         (
             re.compile(

@@ -143,6 +143,11 @@ class LakeTable:
         null-fills it because scans pass the declared schema explicitly."""
         if any(f.name == name for f in self.schema().fields):
             raise ValueError(f"column {name!r} already exists")
+        if name in {h for hs in self.metadata.renames.values() for h in hs}:
+            raise ValueError(
+                f"column name {name!r} is a retired physical name (RENAME "
+                "COLUMN history); reusing it would leak old files' values"
+            )
         self.metadata.schema_ddl = f"{self.metadata.schema_ddl}, {name} {type_ddl}"
         self.schema()  # validate the DDL parses before committing
         self.metadata.commit()
@@ -158,14 +163,66 @@ class LakeTable:
         self.metadata.schema_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in fields
         )
+        # The rename chain dies with the column — a later add_column under
+        # this name must NOT resurrect pre-rename files' values.
+        self.metadata.renames.pop(name, None)
+        self.metadata.commit()
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — metadata-only. Files written before
+        the rename keep the old physical column; every read resolves it
+        through the rename chain (``_data_reader`` reads both names and
+        coalesces), so no data rewrite happens — Iceberg's field-id rename
+        semantics expressed over name chains, since we own the format.
+
+        Rejected when it would make name resolution ambiguous (``new``
+        already live or historical), when ``old`` drives a partition
+        transform (the synthetic stat columns embed the source name), or
+        while retained equality-delete files key on ``old`` (their stored
+        rows use the old name; compact them away first)."""
+        fields = self.schema().fields
+        if not any(f.name == old for f in fields):
+            raise ValueError(f"no such column {old!r}")
+        history = {h for hs in self.metadata.renames.values() for h in hs}
+        if any(f.name == new for f in fields) or new in history:
+            raise ValueError(
+                f"column name {new!r} already in use (live or historical)"
+            )
+        if any(f.source == old for f in self._partition_fields):
+            raise ValueError(
+                f"{old!r} is a partition source column; drop the partition "
+                "field before renaming"
+            )
+        for snap in self.metadata.snapshots:
+            for e in snap.delete_files():
+                if e.content == CONTENT_EQUALITY_DELETES and old in e.equality_columns:
+                    raise ValueError(
+                        f"retained equality-delete files key on {old!r}; run "
+                        "rewrite_data_files + expire_snapshots first"
+                    )
+        self.metadata.schema_ddl = ", ".join(
+            f"{new if f.name == old else f.name} {f.dataType.simpleString()}"
+            for f in fields
+        )
+        self.metadata.renames[new] = [old] + self.metadata.renames.pop(old, [])
+        self.schema()  # validate the DDL parses before committing
         self.metadata.commit()
 
     def _data_reader(self):
         """Parquet reader pinned to the declared schema: by-name column
         resolution null-fills columns added after a file was written and
         drops columns removed since — the schema-evolution read contract.
-        Also skips cross-file schema inference at plan time."""
-        return self.spark.read.schema(self.schema())
+        Also skips cross-file schema inference at plan time.
+
+        With RENAME COLUMN history, the physical read schema additionally
+        carries each renamed column's historical names (same type) and the
+        result is projected back to the declared schema via coalesce — a
+        pure projection that stays in codegen and keeps ``_metadata``
+        resolvable for the MOR position columns."""
+        renames = self.metadata.renames
+        if not renames:
+            return self.spark.read.schema(self.schema())
+        return _ConformingReader(self)
 
     def set_properties(self, props: dict[str, str]) -> None:
         """ALTER TABLE SET TBLPROPERTIES (reference: iceberg_pii_deletion_demo.py:166-171).
@@ -319,7 +376,12 @@ class LakeTable:
         from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
 
         entries = (
-            candidate_files(snap.data_files(), predicate, self._partition_fields)
+            candidate_files(
+                snap.data_files(),
+                predicate,
+                self._partition_fields,
+                aliases=self.metadata.renames,
+            )
             if isinstance(predicate, str)
             else snap.data_files()
         )
@@ -750,7 +812,10 @@ class LakeTable:
             from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
 
             data_entries = candidate_files(
-                data_entries, prune_for, self._partition_fields
+                data_entries,
+                prune_for,
+                self._partition_fields,
+                aliases=self.metadata.renames,
             )
             if not data_entries:
                 return self.empty_frame().withColumns(
@@ -1867,3 +1932,38 @@ class LakeTable:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 
         return maintenance.examine_delete_files(self)
+
+
+class _ConformingReader:
+    """Drop-in for ``spark.read.schema(declared)`` on tables with RENAME
+    COLUMN history: the physical read schema carries each renamed column's
+    historical names (same type — rename never retypes), and the result is
+    projected back to the declared schema by coalescing along the rename
+    chain. A file contains exactly one physical name per chain (collisions
+    are rejected at DDL time), so the coalesce picks the one that file has.
+    Pure projection: whole-stage codegen, ``_metadata`` stays resolvable
+    for the MOR position columns."""
+
+    def __init__(self, table: LakeTable) -> None:
+        self._table = table
+
+    def parquet(self, *paths: str) -> DataFrame:
+        t = self._table
+        declared = t.schema()
+        renames = t.metadata.renames
+        dtypes = {f.name: f.dataType for f in declared.fields}
+        read_fields = list(declared.fields)
+        for new, olds in renames.items():
+            if new in dtypes:  # chain of a since-dropped column is inert
+                read_fields += [T.StructField(o, dtypes[new]) for o in olds]
+        raw = t.spark.read.schema(T.StructType(read_fields)).parquet(*paths)
+        return raw.select(
+            *[
+                F.coalesce(F.col(f.name), *[F.col(o) for o in renames[f.name]]).alias(
+                    f.name
+                )
+                if f.name in renames
+                else F.col(f.name)
+                for f in declared.fields
+            ]
+        )

@@ -81,15 +81,23 @@ def _load_meta(options):
     return TableMetadata.load(location)
 
 
-def _conform(table, arrow_schema):
+def _conform(table, arrow_schema, renames=None):
     """Project/cast/null-fill an arrow table to the declared schema —
-    the by-name resolution contract of lake/table.py:_data_reader."""
+    the by-name resolution contract of lake/table.py:_data_reader.
+    ``renames`` (current → historical names) resolves columns of files
+    written before a RENAME COLUMN through their old physical name."""
     import pyarrow as pa
 
     cols = []
     for fld in arrow_schema:
-        if fld.name in table.column_names:
-            col = table.column(fld.name)
+        name = fld.name
+        if name not in table.column_names and renames:
+            for old in renames.get(name, ()):
+                if old in table.column_names:
+                    name = old
+                    break
+        if name in table.column_names:
+            col = table.column(name)
             if col.type != fld.type:
                 col = col.cast(fld.type)
             cols.append(col)
@@ -103,6 +111,7 @@ def _read_data_file(
     arrow_schema,
     pos_delete_paths: Sequence[str] = (),
     eq_deletes: Sequence[tuple[tuple[str, ...], tuple[str, ...]]] = (),
+    renames=None,
 ):
     """Executor-side MOR read of one data file → iterator of RecordBatch."""
     import numpy as np
@@ -133,7 +142,7 @@ def _read_data_file(
                 join_type="left anti",
             ).sort_by("__row")
             tbl = tbl.drop_columns(["__row"])
-    yield from _conform(tbl, arrow_schema).to_batches()
+    yield from _conform(tbl, arrow_schema, renames).to_batches()
 
 
 @dataclass
@@ -195,6 +204,7 @@ class LakeBatchReader(DataSourceReader):
                 data_entries,
                 self._predicate,
                 parse_partition_by(self._meta.partition_by),
+                aliases=self._meta.renames,
             )
         if not data_entries:
             return [LakeFilePartition(None)]
@@ -224,6 +234,7 @@ class LakeBatchReader(DataSourceReader):
             self._arrow_schema,
             partition.pos_delete_paths,
             partition.eq_deletes,
+            renames=self._meta.renames,
         )
 
 
@@ -283,6 +294,7 @@ class LakeStreamReader(DataSourceStreamReader):
 
         self._arrow_schema = to_arrow_schema(schema)
         self._options = options
+        self._renames = _load_meta(options).renames
         starting = (options.get("starting-offset") or "latest").lower()
         if starting == "earliest":
             self._initial = -1
@@ -336,7 +348,9 @@ class LakeStreamReader(DataSourceStreamReader):
     def read(self, partition: LakeFilePartition) -> Iterator:
         if partition.file_path is None:
             return iter(())
-        return _read_data_file(partition.file_path, self._arrow_schema)
+        return _read_data_file(
+            partition.file_path, self._arrow_schema, renames=self._renames
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the table's own metadata
