@@ -12,6 +12,7 @@ triggers.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from demo_iceberg_permanent_delete_spark.registry import query
 from demo_iceberg_permanent_delete_spark.sources.tables import table_path
@@ -19,6 +20,7 @@ from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
     read_event_stream,
     run_available_now,
     session_window_stream,
+    interval_join_stream,
     streaming_dedup,
     tumbling_count_stream,
     user_profile_stream,
@@ -134,18 +136,63 @@ def streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_dedup_events",
     oracle="""
-    SELECT event_id, ts, user_id, event_type, value, props
+    SELECT 'dedup' AS part, event_id, ts, user_id, event_type, value, props,
+           CAST(NULL AS BIGINT) AS id2, CAST(NULL AS TIMESTAMP) AS ts2
     FROM (
       SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
       FROM events
     )
     WHERE rn = 1
+    UNION ALL BY NAME
+    SELECT 'ivjoin' AS part, p.event_id AS event_id, p.ts AS ts,
+           p.user_id AS user_id, 'interval_pair' AS event_type,
+           CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS props,
+           a.event_id AS id2, a.ts AS ts2
+    FROM events p
+    JOIN events a ON a.user_id = p.user_id
+      AND epoch_us(a.ts) > epoch_us(p.ts)
+      AND epoch_us(a.ts) <= epoch_us(p.ts) + 600000000
+    WHERE p.event_type = 'purchase'
     """,
 )
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = read_event_stream(spark, table_path(sf_dir, "events"))
-    return run_available_now(
-        streaming_dedup(stream),
+    """Composite: streaming exact dedup + stream-stream interval join
+    ('ivjoin' part — every same-user activity within 10 min after each
+    purchase). Bounded single-batch runs, so both are deterministic and
+    the oracle is the equivalent batch SQL."""
+    path = table_path(sf_dir, "events")
+    deduped = run_available_now(
+        streaming_dedup(read_event_stream(spark, path)),
         output_mode="append",
         state_partitions=_STATE_PARTITIONS,
+    ).select(
+        F.lit("dedup").alias("part"),
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.lit(None).cast("long").alias("id2"),
+        F.lit(None).cast("timestamp").alias("ts2"),
     )
+    purchases = read_event_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    activity = read_event_stream(spark, path)
+    pairs = run_available_now(
+        interval_join_stream(purchases, activity),
+        output_mode="append",
+        state_partitions=_STATE_PARTITIONS,
+    ).select(
+        F.lit("ivjoin").alias("part"),
+        F.col("purchase_id").alias("event_id"),
+        F.col("p_ts").alias("ts"),
+        "user_id",
+        F.lit("interval_pair").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+        F.col("click_id").alias("id2"),
+        F.col("c_ts").alias("ts2"),
+    )
+    return deduped.unionByName(pairs)

@@ -156,6 +156,39 @@ def session_window_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_stream(
+    purchases: DataFrame, activity: DataFrame, window_minutes: int = 10
+) -> DataFrame:
+    """Watermarked stream-stream inner interval join: every (purchase,
+    activity) pair of the same user with the activity falling strictly
+    inside the ``window_minutes`` after the purchase — the streaming twin
+    of operators/temporal.range_agg_join, at pair granularity.
+
+    Both sides carry a watermark and the join condition bounds event time
+    in BOTH directions, so the state store evicts each side's rows once
+    the other side's watermark passes the interval — bounded state on an
+    unbounded stream, the requirement for running this at 100 TB/day.
+    Inner join in append mode: pairs emit as soon as both rows arrive."""
+    p = purchases.withWatermark("ts", WATERMARK).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    a = activity.withWatermark("ts", WATERMARK).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("a_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return p.join(a, cond, "inner").select(
+        "purchase_id", "click_id", "user_id", "p_ts", "c_ts"
+    )
+
+
 def streaming_dedup(events: DataFrame) -> DataFrame:
     """Streaming exact dedup on event_id with watermark-bounded state:
     duplicates arriving within the watermark horizon are dropped; state is

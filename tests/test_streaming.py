@@ -323,3 +323,35 @@ def test_stream_into_lake_new_checkpoint_does_not_drop_data(spark, tmp_path):
     got = [r["event_id"] for r in cat.load_table("default.ckscope").read().collect()]
     assert 2 in got, "new data must land under a new checkpoint"
     assert len(got) == 3  # at-least-once: row 1 reprocessed (documented)
+
+
+def test_interval_join_emits_pairs_and_bounds_state(spark, three_batch_dir):
+    from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
+        interval_join_stream,
+    )
+
+    # purchases stream: treat 'click' as the anchor side here; activity =
+    # everything. Batch-1 anchors at minutes 0/5 pair with same-user
+    # activity within (t, t+10min]; the batch-3 late event (user 100,
+    # minute 0) is behind the watermark and must NOT create new pairs.
+    stream = lambda: read_event_stream(  # noqa: E731
+        spark, three_batch_dir, max_files_per_trigger=1
+    )
+    out = run_available_now(
+        interval_join_stream(
+            stream().filter("event_type = 'click'"), stream()
+        ),
+        output_mode="append",
+    )
+    pairs = sorted(
+        (r["purchase_id"], r["click_id"]) for r in out.collect()
+    )
+    # user 100: click@0 (id 1) pairs with click@5 (id 2). Inner join emits
+    # per ARRIVAL: the batch-3 duplicate of id 1 slips past the late-row
+    # filter (one-batch watermark propagation lag, module docstring) while
+    # the right row's state is still unevicted, so the pair re-emits once —
+    # and only once; the late fresh event (9, user 300) creates nothing.
+    # Exactly-once pairs on late-heavy streams need upstream dedup
+    # (streaming_dedup) — the composition this test pins down.
+    assert pairs == [(1, 2), (1, 2)]
+    assert not any(r["user_id"] == 300 for r in out.collect())
