@@ -39,6 +39,9 @@ from demo_iceberg_permanent_delete_spark.sources.tables import load_table
 # arithmetic keeps the DuckDB comparison exact; float seconds would not).
 RANGE_WINDOW_US = 10 * 60 * 1_000_000
 
+# Resample grid step: 1 hour in epoch-microseconds.
+RESAMPLE_STEP_US = 3600 * 1_000_000
+
 
 def asof_join(
     left: DataFrame,
@@ -127,6 +130,60 @@ def range_agg_join(
     )
 
 
+def resample_ffill(
+    df: DataFrame,
+    *,
+    key: str,
+    time_us_col: str,
+    id_col: str,
+    value_col: str,
+    step_us: int = RESAMPLE_STEP_US,
+) -> DataFrame:
+    """Fixed-grid resampling with forward fill: per ``key``, one row per
+    ``step_us`` bucket from the key's first to last observation, carrying
+    ``n`` (observations in the bucket, 0 for gaps) and ``val`` (the last
+    observed ``value_col`` at or before the bucket, forward-filled across
+    gaps). The classic time-series densification step (metric dashboards,
+    feature snapshots at training time).
+
+    Determinism: "last observed" is the max of a (time, id, value) struct —
+    lexicographic, so the unique ``id_col`` breaks time ties identically
+    in any engine. Scale shape: one (key, bucket) hash aggregate
+    (map-side combinable), a key-level min/max to size each grid, a
+    per-key ``sequence`` explode (rows ≈ span/step per key — bounded by
+    the time span, independent of observation count), one equi-join back,
+    and one window pass for the fill; every Exchange is keyed, nothing is
+    driver-side.
+    """
+    bucket = F.expr(f"{time_us_col} div {step_us}")
+    b = df.groupBy(F.col(key), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(
+            F.struct(
+                F.col(time_us_col).alias("t"),
+                F.col(id_col).alias("i"),
+                F.col(value_col).alias("v"),
+            )
+        ).alias("mx"),
+    )
+    spans = b.groupBy(key).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(key, F.explode(F.sequence("lo", "hi")).alias("bucket"))
+    joined = grid.join(b, [key, "bucket"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key),
+        F.col("bucket"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.last(F.col("mx")["v"], ignorenulls=True).over(w).alias("val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver query: both temporal joins over events, label-packed.
 #  - 'asof' rows: every event attributed to the latest purchase of the same
@@ -162,8 +219,33 @@ def range_agg_join(
         AND epoch_us(e.ts) > epoch_us(a.ts)
         AND epoch_us(e.ts) <= epoch_us(a.ts) + {RANGE_WINDOW_US}
       GROUP BY a.event_id, a.user_id
+    ),
+    rs_b AS (
+      SELECT user_id, epoch_us(ts) // {RESAMPLE_STEP_US} AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             max(struct_pack(t := epoch_us(ts), i := event_id, v := value)) AS mx
+      FROM events GROUP BY 1, 2
+    ),
+    rs_spans AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM rs_b GROUP BY 1
+    ),
+    rs_grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM rs_spans
+    ),
+    rs_filled AS (
+      SELECT g.user_id, g.bucket, coalesce(b.n, 0) AS n,
+             last_value(b.mx.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val
+      FROM rs_grid g LEFT JOIN rs_b b USING (user_id, bucket)
+    ),
+    resample_part AS (
+      SELECT 'resample' AS part, bucket AS left_id, user_id AS join_key,
+             n AS right_id, val
+      FROM rs_filled
     )
     SELECT * FROM asof_part UNION ALL SELECT * FROM range_part
+    UNION ALL SELECT * FROM resample_part
     """,
 )
 def temporal_asof_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,4 +295,18 @@ def temporal_asof_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val",
     )
 
-    return asof.unionByName(rng)
+    resample = resample_ffill(
+        events.select("user_id", us("ts").alias("t_us"), "event_id", "value"),
+        key="user_id",
+        time_us_col="t_us",
+        id_col="event_id",
+        value_col="value",
+    ).select(
+        F.lit("resample").alias("part"),
+        F.col("bucket").alias("left_id"),
+        F.col("user_id").alias("join_key"),
+        F.col("n").alias("right_id"),
+        "val",
+    )
+
+    return asof.unionByName(rng).unionByName(resample)

@@ -160,3 +160,86 @@ def test_driver_query_matches_oracle_sample(spark, duck):
     sp = sp[cols].sort_values(cols).reset_index(drop=True)
     oc = oc[cols].sort_values(cols).reset_index(drop=True)
     assert sp.equals(oc)
+
+
+def test_resample_ffill_unit(spark):
+    from demo_iceberg_permanent_delete_spark.operators.temporal import resample_ffill
+
+    H = 3600 * 1_000_000
+    rows = [
+        # key 1: observations in hours 0, 3 (gap at 1-2)
+        (1, 0 * H + 5, 10, 1.5),
+        (1, 0 * H + 9, 11, 2.5),  # later in same bucket -> carries forward
+        (1, 3 * H + 1, 12, 9.0),
+        # key 2: single observation
+        (2, 7 * H, 20, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t_us long, id long, v double")
+    got = {
+        (r["k"], r["bucket"]): (r["n"], r["val"])
+        for r in resample_ffill(
+            df, key="k", time_us_col="t_us", id_col="id", value_col="v"
+        ).collect()
+    }
+    assert got == {
+        (1, 0): (2, 2.5),
+        (1, 1): (0, 2.5),  # gap forward-filled
+        (1, 2): (0, 2.5),
+        (1, 3): (1, 9.0),
+        (2, 7): (1, 4.0),
+    }
+
+
+def test_asof_join_property_vs_duckdb(spark):
+    """Randomized ground-truth check: for random key/time layouts —
+    including time ties between and within sides, keys with no right rows,
+    and empty sides — asof_join must agree row-for-row with DuckDB's
+    native ASOF LEFT JOIN on the same data (right side deduped per
+    (key, time), as the operator contract requires)."""
+    import random
+
+    import duckdb
+
+    from demo_iceberg_permanent_delete_spark.operators.temporal import asof_join
+
+    for seed in range(8):
+        rnd = random.Random(seed)
+        keys = [1, 2, 3]
+        left = [
+            (i, rnd.choice(keys), rnd.randint(0, 20))
+            for i in range(rnd.randint(0, 25))
+        ]
+        best = {}
+        for i in range(rnd.randint(0, 15)):
+            rid, k, t = 100 + i, rnd.choice(keys), rnd.randint(0, 20)
+            v = round(rnd.uniform(0, 10), 3)
+            cur = best.get((k, t))
+            if cur is None or rid > cur[0]:
+                best[(k, t)] = (rid, v)
+        right = [(rid, k, t, v) for (k, t), (rid, v) in best.items()]
+
+        ldf = spark.createDataFrame(left, "lid long, k long, t long")
+        rdf = spark.createDataFrame(right, "rid long, k long, t long, v double")
+        got = sorted(
+            (r["lid"], r["rid_out"], r["v_out"])
+            for r in asof_join(
+                ldf, rdf, on="k", left_time="t", right_time="t",
+                payload={"rid_out": "rid", "v_out": "v"},
+            ).collect()
+        )
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE L(lid BIGINT, k BIGINT, t BIGINT)")
+        con.execute("CREATE TABLE R(rid BIGINT, k BIGINT, t BIGINT, v DOUBLE)")
+        if left:
+            con.executemany("INSERT INTO L VALUES (?, ?, ?)", left)
+        if right:
+            con.executemany("INSERT INTO R VALUES (?, ?, ?, ?)", right)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "SELECT l.lid, r.rid, r.v FROM L l "
+                "ASOF LEFT JOIN R r ON l.k = r.k AND l.t >= r.t"
+            ).fetchall()
+        )
+        assert got == want, f"seed {seed}: {got[:5]} != {want[:5]}"
