@@ -50,12 +50,19 @@ def _to_ms(ts: dt.datetime | int) -> int:
     return int(ts)
 
 
-def expire_snapshots(table, older_than: dt.datetime | int) -> dict[str, int]:
+def expire_snapshots(
+    table, older_than: dt.datetime | int, *, retain_last: int = 1
+) -> dict[str, int]:
     """M1 — drop snapshots committed before ``older_than`` (current snapshot
     always survives), then physically delete files only reachable from the
     expired ones. Post-condition (asserted by the reference at
     iceberg_pii_deletion_demo.py:300-315): time travel to an expired
     snapshot raises, and .history shrinks.
+
+    ``retain_last`` (Iceberg's procedure option, default 1): the N most
+    recent ancestors of the current snapshot are kept even when older than
+    the cutoff — the rollback-window guarantee age-based expiry alone
+    can't give.
     """
     cutoff_ms = _to_ms(older_than)
     meta = table.metadata
@@ -64,6 +71,17 @@ def expire_snapshots(table, older_than: dt.datetime | int) -> dict[str, int]:
     protected = {meta.current_snapshot_id} | {
         int(r["snapshot_id"]) for r in meta.refs.values()
     }
+    if retain_last > 1:
+        cur = meta.current_snapshot()
+        n = 0
+        while cur is not None and n < retain_last:
+            protected.add(cur.snapshot_id)
+            n += 1
+            cur = (
+                meta._maybe_snapshot(cur.parent_id)
+                if cur.parent_id is not None
+                else None
+            )
 
     expired = [
         s
@@ -171,6 +189,7 @@ def rewrite_data_files(
     rewrite_all: bool = True,
     target_file_size_bytes: int = TARGET_FILE_SIZE_BYTES,
     sort_order: str | list[str] | None = None,
+    where: str | None = None,
 ) -> dict[str, int]:
     """M4 — compact: read the current snapshot WITH position deletes applied,
     write fresh ~128 MiB files, commit a snapshot referencing only the new
@@ -184,6 +203,16 @@ def rewrite_data_files(
     ``["c1", "c2"]`` = hierarchical sort (range-cluster on the columns);
     ``"zorder(c1, c2)"`` = interleaved-bit clustering so file min/max
     bounds prune on ANY listed column (lake/clustering.py).
+
+    ``where`` scopes the rewrite to files that may contain matching rows
+    (Iceberg's ``where =>`` option): candidates resolve through the same
+    sound manifest pruning the scan path uses, WHOLE files are rewritten
+    (compaction is file- not row-scoped), untouched files and the
+    snapshot's delete files are carried over — tombstones that now target
+    rewritten (removed) paths become inert and are consolidated away by
+    ``rewrite_position_delete_files``, matching Iceberg's dangling-delete
+    behavior after a partial rewrite. At 100 TB this is the difference
+    between compacting one hot partition and re-writing the whole table.
     """
     meta = table.metadata
     snap = meta.current_snapshot()
@@ -193,8 +222,32 @@ def rewrite_data_files(
     prior_deletes = snap.delete_files()
     if not rewrite_all and not prior_deletes:
         return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
+    kept: list = []
+    if where is not None:
+        from demo_iceberg_permanent_delete_spark.lake.pruning import (
+            candidate_files,
+        )
 
-    merged = table.read()  # delete-merge applied
+        cand = candidate_files(
+            prior_data, where, table._partition_fields, aliases=meta.renames
+        )
+        cand_paths = {e.file_path for e in cand}
+        kept = [e for e in prior_data if e.file_path not in cand_paths]
+        if not cand:
+            return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
+        prior_data = cand
+
+    if where is None:
+        merged = table.read()  # delete-merge applied
+    else:
+        df = table._data_reader().parquet(*[e.file_path for e in prior_data])
+        merged = (
+            table._apply_delete_files(
+                table._with_position(df), prior_deletes, prior_data
+            ).select(*df.columns)
+            if prior_deletes
+            else df
+        )
     if sort_order is not None:
         from math import ceil
 
@@ -224,12 +277,16 @@ def rewrite_data_files(
         new_entries = write_data_files(
             merged, table.data_dir, target_file_size_bytes=target_file_size_bytes
         )
+    # Scoped rewrite carries untouched files AND the delete files over
+    # (kept files still need their tombstones; tombstones for rewritten
+    # paths go inert). Full rewrite removes all delete files.
+    carried_deletes = list(prior_deletes) if where is not None else []
     snapshot = meta.add_snapshot(
         "replace",
-        new_entries,
+        kept + carried_deletes + new_entries,
         summary={
             "rewritten-data-files": len(prior_data),
-            "removed-delete-files": len(prior_deletes),
+            "removed-delete-files": len(prior_deletes) - len(carried_deletes),
             "added-data-files": len(new_entries),
         },
     )
@@ -239,7 +296,7 @@ def rewrite_data_files(
     return {
         "rewritten_data_files_count": len(prior_data),
         "added_data_files_count": len(new_entries),
-        "removed_delete_files_count": len(prior_deletes),
+        "removed_delete_files_count": len(prior_deletes) - len(carried_deletes),
     }
 
 

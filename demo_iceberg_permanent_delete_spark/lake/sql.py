@@ -439,7 +439,10 @@ class LakeEngine:
                 },
             )
         if proc == "expire_snapshots":
-            stats = t.expire_snapshots(older_than=args["older_than"])
+            stats = t.expire_snapshots(
+                older_than=args["older_than"],
+                retain_last=int(args.get("retain_last", 1)),
+            )
             return _one_row_df(self.spark, stats)
         if proc == "remove_orphan_files":
             orphans = t.remove_orphan_files(
@@ -462,6 +465,7 @@ class LakeEngine:
                     options.get("target-file-size-bytes", 134217728)
                 ),
                 sort_order=sort_order,
+                where=args.get("where"),
             )
             return _one_row_df(self.spark, stats)
         if proc == "rewrite_position_delete_files":

@@ -1877,10 +1877,14 @@ class LakeTable:
         )
 
     # -------------------------------------------------------- maintenance
-    def expire_snapshots(self, older_than: dt.datetime | int) -> dict[str, int]:
+    def expire_snapshots(
+        self, older_than: dt.datetime | int, *, retain_last: int = 1
+    ) -> dict[str, int]:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 
-        return maintenance.expire_snapshots(self, older_than)
+        return maintenance.expire_snapshots(
+            self, older_than, retain_last=retain_last
+        )
 
     def remove_orphan_files(
         self,
@@ -1901,6 +1905,7 @@ class LakeTable:
         rewrite_all: bool = True,
         target_file_size_bytes: int = TARGET_FILE_SIZE_BYTES,
         sort_order: str | list[str] | None = None,
+        where: str | None = None,
     ) -> dict[str, int]:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 
@@ -1909,6 +1914,7 @@ class LakeTable:
             rewrite_all=rewrite_all,
             target_file_size_bytes=target_file_size_bytes,
             sort_order=sort_order,
+            where=where,
         )
 
     def rewrite_position_delete_files(self) -> dict[str, int]:
