@@ -34,13 +34,40 @@ TARGET_FILE_SIZE_BYTES = 134_217_728  # 128 MiB — the reference's compaction
 # target (notebooks/iceberg_pii_deletion_demo.py:428,443)
 
 
+# String bounds are truncated Iceberg-style (write.metadata.metrics default
+# truncate(16)): a raw text column's min/max can be kilobytes per file, and
+# at 100 TB ≈ 800k files that alone bloats every manifest read. The lower
+# bound truncates to a prefix (≤ every value), the upper bound truncates
+# and increments its last code point (≥ every value) — pruning stays sound.
+_STRING_BOUND_CHARS = 16
+
+
+def _truncate_lower(s: str) -> str:
+    return s[:_STRING_BOUND_CHARS]
+
+
+def _truncate_upper(s: str) -> str:
+    if len(s) <= _STRING_BOUND_CHARS:
+        return s
+    p = s[:_STRING_BOUND_CHARS]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            nxt = c + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # never emit lone surrogates
+                nxt = 0xE000
+            return p[:i] + chr(nxt)
+    return s  # every char is U+10FFFF — cannot round up, keep exact
+
+
 def _footer_stats(
     path: str,
 ) -> tuple[int, dict[str, Any], dict[str, Any], dict[str, int]]:
     """Record count, column min/max, and per-column null counts from the
     parquet footer (no data read). A column whose null count is missing in
     ANY row group is omitted from the null-count map (pruning must stay
-    conservative on partial stats)."""
+    conservative on partial stats). String bounds are truncated (sound:
+    lower prefix / upper rounded up — see _truncate_upper)."""
     f = pq.ParquetFile(path)
     meta = f.metadata
     mins: dict[str, Any] = {}
@@ -71,6 +98,12 @@ def _footer_stats(
                 maxs[name] = hi
     for name in null_gaps:
         nulls.pop(name, None)
+    for name, v in list(mins.items()):
+        if isinstance(v, str):
+            mins[name] = _truncate_lower(v)
+    for name, v in list(maxs.items()):
+        if isinstance(v, str):
+            maxs[name] = _truncate_upper(v)
     return meta.num_rows, mins, maxs, nulls
 
 
