@@ -500,3 +500,47 @@ def examine_delete_files(table) -> list[dict[str, Any]]:
             }
         )
     return out
+
+
+def compute_table_stats(table, columns: list[str] | None = None) -> dict[str, int]:
+    """CALL compute_table_stats parity (Iceberg's Puffin-stats procedure):
+    one distributed pass over the current snapshot computing per-column
+    NDV sketches (HLL via approx_count_distinct, Iceberg uses theta
+    sketches — same role) and exact null counts, recorded in table
+    metadata tied to the snapshot id. Exposed as the ``.statistics``
+    metadata relation with a staleness flag; a cost-based planner or a
+    human sizing a join reads it instead of scanning.
+
+    One aggregate over the delete-merged read: map-side partial HLLs,
+    one Exchange of sketch bytes — metadata-proportional output no matter
+    the table size."""
+    meta = table.metadata
+    snap = meta.current_snapshot()
+    if snap is None:
+        raise ValueError("cannot ANALYZE an empty table (no snapshot)")
+    cols = columns or [f.name for f in table.schema().fields]
+    known = {f.name for f in table.schema().fields}
+    bad = [c for c in cols if c not in known]
+    if bad:
+        raise ValueError(f"unknown columns for ANALYZE: {bad}")
+    df = table.read()
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(F.approx_count_distinct(c).cast("long").alias(f"__ndv_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nulls_{c}")
+        )
+    row = df.agg(*aggs).first()
+    meta.statistics = {
+        "snapshot_id": snap.snapshot_id,
+        "computed_at_ms": now_ms(),
+        "row_count": row["__n"],
+        "columns": {
+            c: {"ndv": row[f"__ndv_{c}"], "null_count": row[f"__nulls_{c}"]}
+            for c in cols
+        },
+    }
+    meta.commit()
+    return {"analyzed_columns": len(cols), "row_count": row["__n"]}

@@ -183,6 +183,12 @@ class TableMetadata:
     # physical column; readers resolve through this map (Iceberg tracks
     # the same thing via field IDs — we own the format, so name chains).
     renames: dict[str, list[str]] = field(default_factory=dict)
+    # Table-level statistics (Iceberg's Puffin stats files, inlined since
+    # they're tiny): {"snapshot_id", "computed_at_ms", "row_count",
+    # "columns": {name: {"ndv": int, "null_count": int}}}. Tied to the
+    # snapshot they were computed at; readers flag them stale when the
+    # current snapshot has moved on.
+    statistics: dict[str, Any] = field(default_factory=dict)
     version: int = 0
     # runtime caches (never serialized)
     _deltas: dict[int, ManifestDelta] = field(
@@ -214,6 +220,7 @@ class TableMetadata:
             "metadata_log": self.metadata_log,
             "refs": self.refs,
             "renames": self.renames,
+            "statistics": self.statistics,
             "version": self.version,
             "snapshots": [s.to_json() for s in self.snapshots],
         }
@@ -231,6 +238,7 @@ class TableMetadata:
             metadata_log=list(d.get("metadata_log", [])),
             refs={k: dict(v) for k, v in d.get("refs", {}).items()},
             renames={k: list(v) for k, v in d.get("renames", {}).items()},
+            statistics=dict(d.get("statistics", {})),
             version=d.get("version", 0),
         )
         for raw, snap in zip(d["snapshots"], meta.snapshots):

@@ -148,6 +148,23 @@ class LakeEngine:
             self.spark, {"table": t.name, "status": f"dropped column {m.group('col')}"}
         )
 
+    def _analyze_table(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        cols = m.group("cols")
+        cols = [c.strip() for c in cols.split(",") if c.strip()] if cols else None
+        return _one_row_df(self.spark, t.compute_table_stats(cols))
+
+    def _alter_column_type(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        t.alter_column_type(m.group("col"), m.group("type").strip())
+        return _one_row_df(
+            self.spark,
+            {
+                "table": t.name,
+                "status": f"column {m.group('col')} type {m.group('type').strip()}",
+            },
+        )
+
     def _alter_rename_column(self, m: re.Match) -> DataFrame:
         t = self.table(m.group("name"))
         t.rename_column(m.group("old"), m.group("new"))
@@ -415,6 +432,7 @@ class LakeEngine:
             "fast_forward": ["table", "branch", "to"],
             "rewrite_manifests": ["table"],
             "add_files": ["table", "source_table"],
+            "compute_table_stats": ["table", "columns"],
         }.get(proc, ["table", "older_than"])
         args = _parse_call_args(m.group("args"), positional)
         t = self.table(str(args.pop("table")))
@@ -470,6 +488,11 @@ class LakeEngine:
             return _one_row_df(self.spark, stats)
         if proc == "rewrite_position_delete_files":
             return _one_row_df(self.spark, t.rewrite_position_delete_files())
+        if proc == "compute_table_stats":
+            cols = args.get("columns")
+            if isinstance(cols, str):
+                cols = [c.strip() for c in cols.split(",") if c.strip()]
+            return _one_row_df(self.spark, t.compute_table_stats(cols))
         if proc == "rewrite_manifests":
             return _one_row_df(self.spark, t.rewrite_manifests())
         if proc == "add_files":
@@ -689,6 +712,22 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _alter_rename_column,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ALTER\s+COLUMN\s+"
+                r"(?P<col>\w+)\s+TYPE\s+(?P<type>[\w<>(),. ]+?)$",
+                re.I | re.S,
+            ),
+            _alter_column_type,
+        ),
+        (
+            re.compile(
+                r"ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
+                r"(?:\s+FOR\s+COLUMNS\s+(?P<cols>[\w,\s]+))?$",
+                re.I | re.S,
+            ),
+            _analyze_table,
         ),
         (
             re.compile(

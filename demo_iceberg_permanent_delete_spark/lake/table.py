@@ -74,6 +74,7 @@ METADATA_VIEWS = (
     "all_entries",
     "refs",
     "partitions",
+    "statistics",
 )
 
 
@@ -166,6 +167,42 @@ class LakeTable:
         # The rename chain dies with the column — a later add_column under
         # this name must NOT resurrect pre-rename files' values.
         self.metadata.renames.pop(name, None)
+        self.metadata.commit()
+
+    # Iceberg's safe type promotions (spec: "Schema Evolution") — widening
+    # only, so every existing file's physical values remain exactly
+    # representable in the declared type and parquet readers upcast in
+    # place (probed on Spark 4.1: int32/float files read under a
+    # bigint/double declared schema without rewrite).
+    _TYPE_WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
+    def alter_column_type(self, name: str, new_type_ddl: str) -> None:
+        """ALTER TABLE … ALTER COLUMN <name> TYPE <type> — metadata-only
+        widening promotion (int→bigint family, float→double). Anything
+        else would reinterpret stored bytes and is rejected."""
+        fields = self.schema().fields
+        fld = next((f for f in fields if f.name == name), None)
+        if fld is None:
+            raise ValueError(f"no such column {name!r}")
+        new_dt = T._parse_datatype_string(f"__c {new_type_ddl}").fields[0].dataType
+        cur_s, new_s = fld.dataType.simpleString(), new_dt.simpleString()
+        if new_s == cur_s:
+            return  # no-op
+        if new_s not in self._TYPE_WIDENINGS.get(cur_s, set()):
+            raise ValueError(
+                f"only widening type promotions are allowed "
+                f"({cur_s} -> {new_s} is not one of Iceberg's safe promotions)"
+            )
+        self.metadata.schema_ddl = ", ".join(
+            f"{f.name} {new_s if f.name == name else f.dataType.simpleString()}"
+            for f in fields
+        )
+        self.schema()  # validate before committing
         self.metadata.commit()
 
     def rename_column(self, old: str, new: str) -> None:
@@ -1419,6 +1456,7 @@ class LakeTable:
             "all_entries": self._all_entries_view,
             "refs": self._refs_view,
             "partitions": self._partitions_view,
+            "statistics": self._statistics_view,
         }.get(view)
         if builder is None:
             raise KeyError(f"unknown metadata view {view!r}")
@@ -1441,6 +1479,40 @@ class LakeTable:
         prefix = prefix or self.name.replace(".", "_")
         for view in views if views is not None else METADATA_VIEWS:
             self.meta(view).createOrReplaceTempView(f"{prefix}__{view}")
+
+    def _statistics_view(self) -> DataFrame:
+        """``.statistics`` — one row per analyzed column (Iceberg's Puffin
+        stats surfaced as a relation): NDV sketch result, exact null count,
+        table row count, owning snapshot, and a staleness flag (the stats'
+        snapshot is no longer current)."""
+        schema = T.StructType(
+            [
+                T.StructField("column_name", T.StringType()),
+                T.StructField("ndv", T.LongType()),
+                T.StructField("null_count", T.LongType()),
+                T.StructField("row_count", T.LongType()),
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("computed_at", T.TimestampType()),
+                T.StructField("stale", T.BooleanType()),
+            ]
+        )
+        stats = self.metadata.statistics
+        if not stats:
+            return self.spark.createDataFrame([], schema)
+        stale = stats.get("snapshot_id") != self.metadata.current_snapshot_id
+        rows = [
+            (
+                col,
+                int(cs["ndv"]),
+                int(cs["null_count"]),
+                int(stats["row_count"]),
+                int(stats["snapshot_id"]),
+                _utc(int(stats["computed_at_ms"])),
+                stale,
+            )
+            for col, cs in sorted(stats.get("columns", {}).items())
+        ]
+        return self.spark.createDataFrame(rows, schema)
 
     def _snapshots_view(self) -> DataFrame:
         schema = T.StructType(
@@ -1921,6 +1993,11 @@ class LakeTable:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 
         return maintenance.rewrite_position_delete_files(self)
+
+    def compute_table_stats(self, columns: list[str] | None = None) -> dict[str, int]:
+        from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+        return maintenance.compute_table_stats(self, columns)
 
     def rewrite_manifests(self, *, min_count_to_rewrite: int = 2) -> dict[str, int]:
         from demo_iceberg_permanent_delete_spark.lake import maintenance

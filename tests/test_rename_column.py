@@ -163,3 +163,62 @@ def test_datasource_reads_through_rename(spark, cat):
     )
     vals = {r["k"]: r["contact_email"] for r in df.collect()}
     assert vals[4] == "user4@example.com" and len(vals) == 10
+
+
+def test_alter_column_type_widening(spark, cat):
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import register
+
+    cat.create_namespace("default")
+    t = cat.create_table("default.widen", "k int, v float, s string")
+    t.insert(
+        spark.createDataFrame([(1, 1.5, "a"), (2, 2.5, "b")], "k int, v float, s string").coalesce(1)
+    )
+    t.alter_column_type("k", "bigint")
+    t.alter_column_type("v", "double")
+    # pre-promotion files upcast in place; post-promotion writes land wide
+    t.insert(
+        spark.createDataFrame(
+            [(3_000_000_000, 3.5, "c")], "k bigint, v double, s string"
+        ).coalesce(1)
+    )
+    df = t.read()
+    assert dict(df.dtypes)["k"] == "bigint" and dict(df.dtypes)["v"] == "double"
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got == {1: 1.5, 2: 2.5, 3_000_000_000: 3.5}
+    # pruning on mixed-width stats stays sound
+    assert t.scan("k = 3000000000").count() == 1
+    assert t.scan("k = 2").count() == 1
+    # MOR delete through the widened column hits an old-width file
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.delete("k = 1")
+    assert {r["k"] for r in t.read().collect()} == {2, 3_000_000_000}
+    # Python DataSource conforms via arrow cast
+    register(spark)
+    ds = (
+        spark.read.format("lakehouse")
+        .option("location", t.metadata.location)
+        .load()
+    )
+    assert {r["k"] for r in ds.collect()} == {2, 3_000_000_000}
+    # non-widening promotions are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="widening"):
+        t.alter_column_type("k", "int")
+    with _pytest.raises(ValueError, match="widening"):
+        t.alter_column_type("s", "bigint")
+    with _pytest.raises(ValueError, match="no such column"):
+        t.alter_column_type("ghost", "bigint")
+
+
+def test_alter_column_type_sql_grammar(spark, cat):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, cat.warehouse)
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql("CREATE TABLE default.wt (a int, b float) USING iceberg")
+    eng.sql("INSERT INTO default.wt VALUES (7, 1.5)")
+    eng.sql("ALTER TABLE default.wt ALTER COLUMN a TYPE bigint")
+    rows = eng.sql("SELECT a, b FROM default.wt").collect()
+    assert rows[0]["a"] == 7
+    assert dict(eng.sql("SELECT a, b FROM default.wt").dtypes)["a"] == "bigint"

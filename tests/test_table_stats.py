@@ -1,0 +1,69 @@
+"""ANALYZE TABLE / compute_table_stats (Iceberg's Puffin-stats procedure):
+per-column NDV + exact null counts tied to a snapshot, surfaced via the
+``.statistics`` metadata relation with a staleness flag."""
+
+from __future__ import annotations
+
+import pytest
+
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+
+DDL = "k bigint, cat string, v double"
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.stats", DDL)
+    rows = [
+        (i, f"cat{i % 7}", None if i % 10 == 0 else float(i)) for i in range(200)
+    ]
+    t.insert(spark.createDataFrame(rows, DDL).coalesce(2))
+    return t
+
+
+def test_compute_and_view(spark, table):
+    out = table.compute_table_stats()
+    assert out == {"analyzed_columns": 3, "row_count": 200}
+    rows = {r["column_name"]: r for r in table.meta("statistics").collect()}
+    assert set(rows) == {"k", "cat", "v"}
+    assert rows["v"]["null_count"] == 20 and rows["k"]["null_count"] == 0
+    assert rows["cat"]["row_count"] == 200
+    # HLL NDV is approximate; truth is 200 / 7 / 180
+    assert abs(rows["k"]["ndv"] - 200) <= 10
+    assert rows["cat"]["ndv"] == 7
+    assert not rows["k"]["stale"]
+    assert rows["k"]["snapshot_id"] == table.metadata.current_snapshot_id
+
+    # stats go stale when the snapshot moves, fresh again on recompute
+    table.insert(spark.createDataFrame([(999, "new", 1.0)], DDL).coalesce(1))
+    assert all(r["stale"] for r in table.meta("statistics").collect())
+    table.compute_table_stats(["k"])
+    rows = {r["column_name"]: r for r in table.meta("statistics").collect()}
+    assert set(rows) == {"k"} and not rows["k"]["stale"]
+    assert rows["k"]["row_count"] == 201
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        table.compute_table_stats(["ghost"])
+
+
+def test_sql_analyze_and_statistics_relation(spark, table):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, table.location.rsplit("/default/", 1)[0])
+    out = eng.sql("ANALYZE TABLE default.stats COMPUTE STATISTICS FOR COLUMNS cat, v").collect()
+    assert out[0]["analyzed_columns"] == 2
+    rows = eng.sql(
+        "SELECT column_name, null_count, stale FROM default.stats.statistics "
+        "ORDER BY column_name"
+    ).collect()
+    assert [(r["column_name"], r["null_count"], r["stale"]) for r in rows] == [
+        ("cat", 0, False),
+        ("v", 20, False),
+    ]
+    # CALL procedure spelling
+    out = eng.sql(
+        "CALL demo.system.compute_table_stats(table => 'default.stats')"
+    ).collect()
+    assert out[0]["analyzed_columns"] == 3
