@@ -243,3 +243,58 @@ def test_asof_join_property_vs_duckdb(spark):
             ).fetchall()
         )
         assert got == want, f"seed {seed}: {got[:5]} != {want[:5]}"
+
+
+def test_range_agg_join_property_vs_duckdb(spark):
+    """Randomized ground-truth check for the bucketed range join: counts
+    and sums per anchor must equal a direct DuckDB inequality join for
+    random layouts — boundary ties (point exactly at anchor_t and at
+    anchor_t + window), multiple anchors per key, keys with no points."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from demo_iceberg_permanent_delete_spark.operators.temporal import range_agg_join
+
+    W = 10
+    for seed in range(8):
+        rnd = random.Random(1000 + seed)
+        anchors = [
+            (i, rnd.choice([1, 2, 3]), rnd.randint(0, 40))
+            for i in range(rnd.randint(1, 12))
+        ]
+        points = [
+            (100 + i, rnd.choice([1, 2, 3]), rnd.choice([0, 5, 10, 15, 20, 25, 30, 40, 50]))
+            for i in range(rnd.randint(0, 30))
+        ]
+        adf = spark.createDataFrame(anchors, "aid long, k long, t long")
+        pdf = spark.createDataFrame(points, "pid long, k long, t long")
+        got = sorted(
+            (r["aid"], r["n"], r["psum"])
+            for r in range_agg_join(
+                adf,
+                pdf.select("k", F.col("t").alias("pt"), "pid"),
+                on="k",
+                anchor_time_us="t",
+                point_time_us="pt",
+                window_us=W,
+                aggs={"n": F.count("pid"), "psum": F.sum("pid")},
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE A(aid BIGINT, k BIGINT, t BIGINT)")
+        con.execute("CREATE TABLE P(pid BIGINT, k BIGINT, t BIGINT)")
+        con.executemany("INSERT INTO A VALUES (?, ?, ?)", anchors)
+        if points:
+            con.executemany("INSERT INTO P VALUES (?, ?, ?)", points)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"""SELECT a.aid, count(p.pid), sum(p.pid)
+                    FROM A a LEFT JOIN P p
+                      ON p.k = a.k AND p.t > a.t AND p.t <= a.t + {W}
+                    GROUP BY a.aid"""
+            ).fetchall()
+        )
+        assert got == want, f"seed {seed}"
