@@ -126,6 +126,20 @@ def _duck_top_count(arr: str) -> str:
              {_duck_ngrams(3)} AS trigrams
       FROM tok
     ),
+    tokx AS (
+      SELECT doc_id, unnest(toks) AS t FROM tok
+    ),
+    freq AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tokx GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+    docnll AS (
+      SELECT doc_id,
+             CAST(sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / total)
+                  * 1000000000.0) AS BIGINT)) AS BIGINT) AS nll_sum
+      FROM tokx JOIN freq USING (t) CROSS JOIN tot
+      GROUP BY 1
+    ),
     feat AS (
       SELECT
         doc_id, lang,
@@ -139,8 +153,9 @@ def _duck_top_count(arr: str) -> str:
         CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT) AS n_urls,
         CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
           '{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g'),
-          '{URL_RE}', '', 'g')) AS BIGINT) AS clean_len
-      FROM grams
+          '{URL_RE}', '', 'g')) AS BIGINT) AS clean_len,
+        d.nll_sum AS nll_sum
+      FROM grams LEFT JOIN docnll d USING (doc_id)
     )
     SELECT
       doc_id, lang, n_tokens,
@@ -148,6 +163,7 @@ def _duck_top_count(arr: str) -> str:
       top_bigram_count / greatest(n_tokens - 1, 1) AS top_bigram_frac,
       (n_trigrams - n_distinct_trigrams) / greatest(n_trigrams, 1)
         AS dup_trigram_frac,
+      CAST(nll_sum AS DOUBLE) / 1000000000.0 / n_tokens AS mean_nll,
       n_emails, n_phones, n_urls, clean_len,
       (top_token_count / n_tokens <= {MAX_TOP_TOKEN_FRAC}
         AND (n_trigrams - n_distinct_trigrams) / greatest(n_trigrams, 1)
@@ -201,9 +217,39 @@ def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         URL_RE,
         "",
     )
-    feat = grams.select(
+    # Unigram-LM quality signal (the CCNet-style "perplexity" gate with the
+    # LM trained on this corpus itself): mean negative log-likelihood of
+    # the document's tokens under the corpus unigram distribution. Rare-
+    # token gibberish scores high, common prose low. Determinism: ln is
+    # the one non-correctly-rounded op, so each token's nll is quantized
+    # to 1e-9 AND summed as an exact bigint — order-free, unlike a double
+    # sum. Scale shape: one explode + (token)-keyed count, one join back
+    # (freq table is vocabulary-sized — broadcast it when it fits), one
+    # (doc_id)-keyed sum.
+    tok_rows = tokenized.select("doc_id", F.explode("toks").alias("t"))
+    freq = tok_rows.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("long")).first()[0]
+    nll_q = F.round(
+        -F.log(F.col("cnt").cast("double") / F.lit(float(total))) * 1000000000.0
+    ).cast("long")
+    doc_nll = (
+        tok_rows.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(F.sum(nll_q).cast("long").alias("nll_sum"))
+    )
+
+    feat = grams.join(doc_nll, "doc_id", "left").select(
         "doc_id",
         "lang",
+        "toks",
+        "bigrams",
+        "trigrams",
+        "text",
+        "nll_sum",
+    ).select(
+        "doc_id",
+        "lang",
+        "nll_sum",
         F.size("toks").cast("long").alias("n_tokens"),
         top_count(F.col("toks")).alias("top_token_count"),
         top_count(F.col("bigrams")).alias("top_bigram_count"),
@@ -234,6 +280,9 @@ def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_token_frac.alias("top_token_frac"),
         top_bigram_frac.alias("top_bigram_frac"),
         dup_trigram_frac.alias("dup_trigram_frac"),
+        (F.col("nll_sum").cast("double") / 1000000000.0 / F.col("n_tokens")).alias(
+            "mean_nll"
+        ),
         "n_emails",
         "n_phones",
         "n_urls",

