@@ -437,18 +437,18 @@ def rewrite_position_delete_files(table) -> dict[str, int]:
     live_data = spark.createDataFrame(
         [(e.file_path,) for e in snap.data_files()] or [("",)], "file_path string"
     )
-    dels = spark.read.parquet(*[e.file_path for e in delete_entries])
+    dels = table._pos_delete_rows(delete_entries).select(
+        F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+    )
     live_dels = dels.join(F.broadcast(live_data), "file_path", "left_semi")
 
-    new_entries = write_data_files(
-        live_dels,
-        table.data_dir,
-        content=CONTENT_POSITION_DELETES,
-        prefix="delete",
-        # Bin-pack to the compaction target — consolidation must *shrink*
-        # the delete-file count (the reference's post-condition :449-466),
-        # not mirror the input partitioning.
-        target_file_size_bytes=TARGET_FILE_SIZE_BYTES,
+    # Bin-pack to the compaction target — consolidation must *shrink* the
+    # delete-file count (the reference's post-condition :449-466), not
+    # mirror the input partitioning. The output honors the table's
+    # deletion-vector property, so consolidation doubles as a rows→DV
+    # layout migration once the property is set.
+    new_entries = table._write_position_deletes(
+        live_dels, target_file_size_bytes=TARGET_FILE_SIZE_BYTES
     )
     snapshot = meta.add_snapshot(
         "replace",
@@ -483,8 +483,13 @@ def examine_delete_files(table) -> list[dict[str, Any]]:
             targets = [
                 r["file_path"] for r in df.select("file_path").distinct().collect()
             ]
+            if entry.dv:  # deletion-vector layout: 1 row per target file
+                positions = df.agg(F.sum(F.size("positions"))).first()[0] or 0
+            else:
+                positions = df.count()
         else:
             targets = []  # equality deletes name key tuples, not files
+            positions = df.count()
         target_rows: dict[str, int] = {}
         for tpath in targets:
             if os.path.exists(tpath):
@@ -494,7 +499,7 @@ def examine_delete_files(table) -> list[dict[str, Any]]:
             {
                 "delete_file": entry.file_path,
                 "content": entry.content,
-                "positions": df.count(),
+                "positions": positions,
                 "targets": targets,
                 "target_physical_rows": target_rows,
             }

@@ -72,6 +72,12 @@ class ManifestEntry:
     # here has unknown nulls — IS [NOT] NULL pruning must treat it as
     # unprunable. Pre-null-stats manifests deserialize to {}.
     null_counts: dict[str, int] = field(default_factory=dict)
+    # content=1 only: True when the file uses the deletion-vector layout
+    # (one row per TARGET data file: file_path + sorted positions array —
+    # Iceberg v3's DV idea, array-encoded since we own the format) instead
+    # of one (file_path, pos) row per tombstone. Pre-DV manifests
+    # deserialize to False.
+    dv: bool = False
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -84,6 +90,7 @@ class ManifestEntry:
             "added_snapshot_id": self.added_snapshot_id,
             "equality_columns": self.equality_columns,
             "null_counts": self.null_counts,
+            "dv": self.dv,
         }
 
     @classmethod

@@ -341,15 +341,83 @@ class LakeTable:
         eq_files = [e for e in delete_files if e.content == CONTENT_EQUALITY_DELETES]
         out = with_pos
         if pos_files:
-            dels = self.spark.read.parquet(*[e.file_path for e in pos_files]).select(
-                F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
-            )
+            dels = self._pos_delete_rows(pos_files)
             if sum(e.file_size_in_bytes for e in pos_files) <= _BROADCAST_DELETES_MAX_BYTES:
                 dels = F.broadcast(dels)
             out = out.join(dels, on=["__fp", "__pos"], how="left_anti")
         if eq_files:
             out = self._apply_equality_deletes(out, eq_files, data_entries)
         return out
+
+    def _pos_delete_rows(self, pos_files: list[ManifestEntry]) -> DataFrame:
+        """Tombstones of the given position-delete files as (__fp, __pos)
+        rows, whichever layout each file uses: plain row files contribute
+        directly, deletion-vector files (one row per target data file with
+        a sorted positions array) explode executor-side — same anti-join
+        shape downstream either way."""
+        parts = []
+        plain = [e for e in pos_files if not e.dv]
+        dvf = [e for e in pos_files if e.dv]
+        if plain:
+            parts.append(
+                self.spark.read.parquet(*[e.file_path for e in plain]).select(
+                    F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+                )
+            )
+        if dvf:
+            parts.append(
+                self.spark.read.parquet(*[e.file_path for e in dvf]).select(
+                    F.col("file_path").alias("__fp"),
+                    F.explode("positions").alias("__pos"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _write_position_deletes(
+        self,
+        matches: DataFrame,
+        *,
+        target_file_size_bytes: int | None = None,
+    ) -> list[ManifestEntry]:
+        """Persist (file_path, pos) tombstone rows as position-delete
+        files. With ``write.delete.vector.enabled=true`` the deletion-
+        vector layout is used: one row per TARGET data file carrying the
+        sorted positions array (Iceberg v3's DV shape, array-encoded) —
+        delete-file row count becomes O(affected files), the array column
+        run-length/delta-compresses in parquet, and read-side explode is
+        executor-local. Default stays the row layout."""
+        use_dv = (
+            self.properties.get("write.delete.vector.enabled", "false").lower()
+            == "true"
+        )
+        kwargs = {}
+        if target_file_size_bytes is not None:
+            kwargs["target_file_size_bytes"] = target_file_size_bytes
+        if use_dv:
+            dv = matches.groupBy("file_path").agg(
+                F.array_sort(F.collect_list("pos")).alias("positions"),
+                F.count(F.lit(1)).cast("long").alias("cardinality"),
+            )
+            entries = write_data_files(
+                dv,
+                self.data_dir,
+                content=CONTENT_POSITION_DELETES,
+                prefix="delete",
+                **kwargs,
+            )
+            for e in entries:
+                e.dv = True
+            return entries
+        return write_data_files(
+            matches,
+            self.data_dir,
+            content=CONTENT_POSITION_DELETES,
+            prefix="delete",
+            **kwargs,
+        )
 
     def _apply_equality_deletes(
         self,
@@ -448,9 +516,7 @@ class LakeTable:
         if snap is None or not pos_files or not snap.data_files():
             return self.empty_frame()
         df = self._data_reader().parquet(*[e.file_path for e in snap.data_files()])
-        dels = self.spark.read.parquet(*[e.file_path for e in pos_files]).select(
-            F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
-        )
+        dels = self._pos_delete_rows(pos_files)
         if sum(e.file_size_in_bytes for e in pos_files) <= _BROADCAST_DELETES_MAX_BYTES:
             dels = F.broadcast(dels)
         return (
@@ -617,11 +683,7 @@ class LakeTable:
                 e for e in delta.added if e.content == CONTENT_POSITION_DELETES
             ]
             if pos_added and parent is not None:
-                dels = self.spark.read.parquet(
-                    *[e.file_path for e in pos_added]
-                ).select(
-                    F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
-                )
+                dels = self._pos_delete_rows(pos_added)
                 # referenced-file list is metadata-proportional (distinct
                 # paths, not rows) — read only those files, not the table
                 ref_paths = [r["__fp"] for r in dels.select("__fp").distinct().collect()]
@@ -1080,12 +1142,7 @@ class LakeTable:
         )
         snap = self.metadata.current_snapshot()
         base = list(snap.manifest) if snap else []
-        delete_entries = write_data_files(
-            matches,
-            self.data_dir,
-            content=CONTENT_POSITION_DELETES,
-            prefix="delete",
-        )
+        delete_entries = self._write_position_deletes(matches)
         if not delete_entries:
             return None  # nothing matched — no commit (Iceberg behavior)
         snapshot = self.metadata.add_snapshot(
@@ -1378,13 +1435,10 @@ class LakeTable:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         try:
-            pos_entries = write_data_files(
+            pos_entries = self._write_position_deletes(
                 matches.select(
                     F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
-                ),
-                self.data_dir,
-                content=CONTENT_POSITION_DELETES,
-                prefix="delete",
+                )
             )
             if not pos_entries:
                 return None  # nothing matched — no commit (Iceberg behavior)
@@ -1765,13 +1819,28 @@ class LakeTable:
         )
         if not pos_files:
             return self.spark.createDataFrame([], self._POSITION_DELETES_STRUCT)
-        return self.spark.read.parquet(*[e.file_path for e in pos_files]).select(
-            "file_path",
-            "pos",
-            F.regexp_replace(F.input_file_name(), "^file:(//)?", "").alias(
-                "delete_file_path"
-            ),
+        delete_file = F.regexp_replace(F.input_file_name(), "^file:(//)?", "").alias(
+            "delete_file_path"
         )
+        parts = []
+        plain = [e for e in pos_files if not e.dv]
+        dvf = [e for e in pos_files if e.dv]
+        if plain:
+            parts.append(
+                self.spark.read.parquet(*[e.file_path for e in plain]).select(
+                    "file_path", "pos", delete_file
+                )
+            )
+        if dvf:
+            parts.append(
+                self.spark.read.parquet(*[e.file_path for e in dvf]).select(
+                    "file_path", F.explode("positions").alias("pos"), delete_file
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _entries_view(self) -> DataFrame:
         """Iceberg's ``.entries``: manifest entries as of the CURRENT

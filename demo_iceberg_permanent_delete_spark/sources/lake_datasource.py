@@ -112,6 +112,7 @@ def _read_data_file(
     pos_delete_paths: Sequence[str] = (),
     eq_deletes: Sequence[tuple[tuple[str, ...], tuple[str, ...]]] = (),
     renames=None,
+    dv_paths: Sequence[str] = (),
 ):
     """Executor-side MOR read of one data file → iterator of RecordBatch."""
     import numpy as np
@@ -120,16 +121,29 @@ def _read_data_file(
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(path)
+    drops: list = []
     if pos_delete_paths:
         dels = pa.concat_tables(
             pq.read_table(p, columns=["file_path", "pos"]) for p in pos_delete_paths
         )
         mine = dels.filter(pc.equal(dels.column("file_path"), path))
         if mine.num_rows:
-            drop = np.asarray(mine.column("pos")).astype("int64")
-            keep = np.ones(tbl.num_rows, dtype=bool)
-            keep[drop[drop < tbl.num_rows]] = False
-            tbl = tbl.filter(pa.array(keep))
+            drops.append(np.asarray(mine.column("pos")).astype("int64"))
+    if dv_paths:
+        # deletion-vector layout: one row per target data file with the
+        # sorted positions array — filter to this file, concatenate arrays
+        dvt = pa.concat_tables(
+            pq.read_table(p, columns=["file_path", "positions"]) for p in dv_paths
+        )
+        mine = dvt.filter(pc.equal(dvt.column("file_path"), path))
+        for arr in mine.column("positions").to_pylist():
+            if arr:
+                drops.append(np.asarray(arr, dtype="int64"))
+    if drops:
+        drop = np.concatenate(drops)
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        keep[drop[drop < tbl.num_rows]] = False
+        tbl = tbl.filter(pa.array(keep))
     for paths, key_cols in eq_deletes:
         keys = pa.concat_tables(
             pq.read_table(p, columns=list(key_cols)) for p in paths
@@ -152,6 +166,8 @@ class LakeFilePartition(InputPartition):
     # ((delete file paths…), (equality key columns…)) — already
     # sequence-filtered for this data file on the driver
     eq_deletes: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = ()
+    # deletion-vector-layout position-delete files (content=1, dv=True)
+    dv_paths: tuple[str, ...] = ()
 
 
 # ------------------------------------------------------------ batch read
@@ -211,7 +227,14 @@ class LakeBatchReader(DataSourceReader):
 
         deletes = [e for e in snap.manifest if e.content != 0]
         pos_paths = tuple(
-            e.file_path for e in deletes if e.content == CONTENT_POSITION_DELETES
+            e.file_path
+            for e in deletes
+            if e.content == CONTENT_POSITION_DELETES and not e.dv
+        )
+        dv_paths = tuple(
+            e.file_path
+            for e in deletes
+            if e.content == CONTENT_POSITION_DELETES and e.dv
         )
         snap_order = {s.snapshot_id: i for i, s in enumerate(self._meta.snapshots)}
         parts = []
@@ -223,7 +246,7 @@ class LakeBatchReader(DataSourceReader):
                 if d.content == CONTENT_EQUALITY_DELETES
                 and snap_order.get(d.added_snapshot_id, -1) > data_seq
             )
-            parts.append(LakeFilePartition(e.file_path, pos_paths, eq))
+            parts.append(LakeFilePartition(e.file_path, pos_paths, eq, dv_paths))
         return parts
 
     def read(self, partition: LakeFilePartition) -> Iterator:
@@ -235,6 +258,7 @@ class LakeBatchReader(DataSourceReader):
             partition.pos_delete_paths,
             partition.eq_deletes,
             renames=self._meta.renames,
+            dv_paths=partition.dv_paths,
         )
 
 
