@@ -44,7 +44,7 @@ def _revenue_col() -> F.Column:
     oracle=f"""
     SELECT
       l.l_orderkey,
-      CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+      CAST(CAST(sum({_REVENUE_SQL}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       o.o_orderdate,
       o.o_orderpriority
     FROM customer c
@@ -74,7 +74,7 @@ def shipping_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .agg(F.sum(_revenue_col()).cast("decimal(18,4)").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -91,7 +91,7 @@ def shipping_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       n.n_name AS nation,
-      CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+      CAST(CAST(sum({_REVENUE_SQL}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       count(*) AS n_items
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -132,7 +132,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(_revenue_col()).cast("double").alias("revenue"),
+            F.sum(_revenue_col()).cast("decimal(18,4)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -39,12 +39,19 @@ from demo_iceberg_permanent_delete_spark.sources.tables import load_table
       l_linestatus,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-               * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(8,6))) AS DOUBLE)
+      -- reduce product sums to the TRUE value scale before the double
+      -- cast: the raw sum's decimal scale is 12-18, whose unscaled value
+      -- passes 2^53 at sf0.1 and converts to double with engine-specific
+      -- last-ulp rounding; at 4/6dp (lossless for 2dp money math) the
+      -- unscaled value stays exactly representable
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+               * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(8,6)))
+           AS DECIMAL(18,4)) AS DOUBLE)
         AS sum_disc_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
                * (CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(8,6))
-                  * CAST(1 + CAST(l_tax AS DECIMAL(18,6)) AS DECIMAL(8,6)))) AS DOUBLE)
+                  * CAST(1 + CAST(l_tax AS DECIMAL(18,6)) AS DECIMAL(8,6))))
+           AS DECIMAL(18,6)) AS DOUBLE)
         AS sum_charge,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
@@ -65,8 +72,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * one_minus_disc).cast("double").alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * one_minus_disc)
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("sum_disc_price"),
             F.sum(dec("l_extendedprice") * (one_minus_disc * one_plus_tax))
+            .cast("decimal(18,6)")
             .cast("double")
             .alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
