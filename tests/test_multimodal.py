@@ -68,3 +68,60 @@ def test_frame_sample_counts(spark):
     assert first["frame_index"] == 0
     assert isinstance(first["frame_bytes"], (bytes, bytearray))
     assert len(first["frame_feat"]) == FEAT_DIM
+
+
+def test_bmp_roundtrip_and_validation():
+    from demo_iceberg_permanent_delete_spark.operators.multimodal import (
+        decode_bmp,
+        synthesize_bmp,
+    )
+
+    blob = synthesize_bmp(b"hello world", width=6, height=4)
+    d = decode_bmp(blob)
+    assert (d["width"], d["height"]) == (6, 4)
+    # uniform payload -> exact channel means
+    uni = decode_bmp(synthesize_bmp(bytes([7]), width=8, height=8))
+    assert uni["mean_r"] == uni["mean_g"] == uni["mean_b"] == 7.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"JUNK" * 20)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(blob[:-8])
+
+
+def test_wav_roundtrip_and_validation():
+    from demo_iceberg_permanent_delete_spark.operators.multimodal import (
+        decode_wav,
+        synthesize_wav,
+    )
+
+    blob = synthesize_wav(bytes(range(200)), sample_rate=4000)
+    d = decode_wav(blob)
+    assert d["sample_rate"] == 4000 and d["n_samples"] == 200
+    assert d["duration_s"] == 200 / 4000
+    # silence (all 128 = zero after recenter) -> rms 0
+    silent = decode_wav(synthesize_wav(bytes([128] * 50)))
+    assert silent["rms"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_real_decode_features_end_to_end(spark):
+    from demo_iceberg_permanent_delete_spark.operators.multimodal import (
+        real_decode_features,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = real_decode_features(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    kinds = {r["media_type"] for r in rows}
+    assert kinds == {"image", "audio"}
+    for r in rows:
+        if r["media_type"] == "image":
+            assert r["f1"] == 64.0  # 8x8 default
+            assert 0.0 <= r["f2"] <= 255.0
+        else:
+            assert r["f1"] > 0 and r["f2"] >= 0.0
