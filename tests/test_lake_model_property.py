@@ -1,0 +1,120 @@
+"""Model-based stateful property test for the lake DML layer.
+
+Random operation sequences — inserts, MOR/COW deletes, COW updates,
+rollbacks, compaction, tombstone consolidation, snapshot expiry — run
+against both the LakeTable and a plain in-memory Python model, asserting
+``read()`` equivalence after EVERY step. Write modes (merge-on-read vs
+copy-on-write, deletion vectors on/off) flip randomly mid-sequence, so
+mixed-layout snapshots (row tombstones + DVs + rewritten files) are
+exercised together. Maintenance ops must never change the visible table;
+rollback must restore exactly the model's recorded state.
+
+This is the strongest kind of check the snapshot layer can get short of
+a second engine: any divergence between the metadata machinery and the
+obvious semantics surfaces as a one-line diff with the seed to replay.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+
+DDL = "k bigint, v bigint, s string"
+FUTURE = dt.datetime(2100, 1, 1)
+
+N_SEEDS = 5
+N_STEPS = 14
+
+
+def _rows(table):
+    return sorted((r["k"], r["v"], r["s"]) for r in table.read().collect())
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_random_dml_sequences_match_model(spark, tmp_path, seed):
+    rnd = random.Random(9000 + seed)
+    cat = Catalog(spark, str(tmp_path / f"wh{seed}"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.model", DDL)
+
+    model: dict[int, tuple[int, str]] = {}  # k -> (v, s)
+    next_k = 0
+    # snapshot_id -> frozen model state, for rollback targets
+    states: dict[int, dict[int, tuple[int, str]]] = {}
+
+    def check(step, op):
+        got = _rows(t)
+        want = sorted((k, v, s) for k, (v, s) in model.items())
+        assert got == want, (
+            f"seed {seed} step {step} after {op}: engine != model\n"
+            f"engine-only: {sorted(set(got) - set(want))[:5]}\n"
+            f"model-only: {sorted(set(want) - set(got))[:5]}"
+        )
+
+    ops = []
+    for step in range(N_STEPS):
+        choice = rnd.random()
+        if choice < 0.35 or not model:  # insert a small batch
+            n = rnd.randint(1, 6)
+            batch = [
+                (next_k + i, rnd.randint(0, 5), f"s{(next_k + i) % 7}")
+                for i in range(n)
+            ]
+            next_k += n
+            t.insert(
+                spark.createDataFrame(batch, DDL).coalesce(rnd.randint(1, 2))
+            )
+            for k, v, s in batch:
+                model[k] = (v, s)
+            ops.append(f"insert{n}")
+        elif choice < 0.50:  # delete by value predicate (random write mode)
+            t.set_properties(
+                {
+                    "write.delete.mode": rnd.choice(
+                        ["merge-on-read", "copy-on-write"]
+                    ),
+                    "write.delete.vector.enabled": rnd.choice(["true", "false"]),
+                }
+            )
+            v = rnd.randint(0, 5)
+            t.delete(f"v = {v}")
+            model = {k: (mv, s) for k, (mv, s) in model.items() if mv != v}
+            ops.append(f"delete v={v}")
+        elif choice < 0.62:  # COW update: null-ish rewrite of s
+            t.set_properties({"write.update.mode": "copy-on-write"})
+            v = rnd.randint(0, 5)
+            t.update({"s": "redacted"}, f"v = {v}")
+            model = {
+                k: (mv, "redacted" if mv == v else s)
+                for k, (mv, s) in model.items()
+            }
+            ops.append(f"update v={v}")
+        elif choice < 0.72 and states:  # rollback to a recorded ancestor
+            live = {s.snapshot_id for s in t.metadata.snapshots}
+            targets = [sid for sid in states if sid in live]
+            if targets:
+                sid = rnd.choice(targets)
+                t.rollback_to_snapshot(sid)
+                model = dict(states[sid])
+                ops.append(f"rollback {sid}")
+        elif choice < 0.82:  # compaction: visible state must not change
+            t.rewrite_data_files()
+            ops.append("rewrite")
+        elif choice < 0.90:  # tombstone consolidation: no visible change
+            t.rewrite_position_delete_files()
+            ops.append("consolidate")
+        else:  # expiry keeps the current state readable
+            t.expire_snapshots(FUTURE, retain_last=rnd.randint(1, 3))
+            live = {s.snapshot_id for s in t.metadata.snapshots}
+            states_keys = [sid for sid in states if sid not in live]
+            for sid in states_keys:
+                del states[sid]
+            ops.append("expire")
+        cur = t.metadata.current_snapshot_id
+        if cur is not None:
+            states[cur] = dict(model)
+        check(step, ops[-1])
