@@ -118,3 +118,17 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
         if cur is not None:
             states[cur] = dict(model)
         check(step, ops[-1])
+
+    # Time-travel closure: every still-retained snapshot must replay
+    # exactly the state recorded when it was current — across rollbacks,
+    # expiry, layout flips, and manifest-chain reconstruction.
+    live = {s.snapshot_id for s in t.metadata.snapshots}
+    for sid, frozen in states.items():
+        if sid not in live:
+            continue
+        got = sorted(
+            (r["k"], r["v"], r["s"])
+            for r in t.read(snapshot_id=sid).collect()
+        )
+        want = sorted((k, v, s) for k, (v, s) in frozen.items())
+        assert got == want, f"seed {seed}: time travel to {sid} diverged"
