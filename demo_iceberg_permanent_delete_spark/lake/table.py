@@ -55,6 +55,18 @@ _BROADCAST_DELETES_MAX_BYTES = 256 * 1024 * 1024
 # tests and ops.
 _META_LOCAL_MAX_ENTRIES = int(os.environ.get("SPARK_GRAFT_META_LOCAL_MAX", "100000"))
 
+
+def _delete_set_size_estimate(entries) -> int:
+    """Broadcast-budget estimate for a position-delete set: plain row
+    files at face value; deletion-vector files at 8x (a compressed
+    positions array explodes into one row per tombstone, so file bytes
+    understate the in-memory row form)."""
+    return sum(
+        e.file_size_in_bytes * (8 if getattr(e, "dv", False) else 1)
+        for e in entries
+    )
+
+
 _POS_DELETE_SCHEMA = "file_path string, pos long"
 
 # Every queryable metadata relation (Iceberg's `<table>.<relation>` family).
@@ -342,7 +354,7 @@ class LakeTable:
         out = with_pos
         if pos_files:
             dels = self._pos_delete_rows(pos_files)
-            if sum(e.file_size_in_bytes for e in pos_files) <= _BROADCAST_DELETES_MAX_BYTES:
+            if _delete_set_size_estimate(pos_files) <= _BROADCAST_DELETES_MAX_BYTES:
                 dels = F.broadcast(dels)
             out = out.join(dels, on=["__fp", "__pos"], how="left_anti")
         if eq_files:
@@ -517,7 +529,7 @@ class LakeTable:
             return self.empty_frame()
         df = self._data_reader().parquet(*[e.file_path for e in snap.data_files()])
         dels = self._pos_delete_rows(pos_files)
-        if sum(e.file_size_in_bytes for e in pos_files) <= _BROADCAST_DELETES_MAX_BYTES:
+        if _delete_set_size_estimate(pos_files) <= _BROADCAST_DELETES_MAX_BYTES:
             dels = F.broadcast(dels)
         return (
             self._with_position(df)
@@ -689,7 +701,7 @@ class LakeTable:
                 ref_paths = [r["__fp"] for r in dels.select("__fp").distinct().collect()]
                 if ref_paths:
                     if (
-                        sum(e.file_size_in_bytes for e in pos_added)
+                        _delete_set_size_estimate(pos_added)
                         <= _BROADCAST_DELETES_MAX_BYTES
                     ):
                         dels = F.broadcast(dels)

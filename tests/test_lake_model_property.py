@@ -84,8 +84,15 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
             t.delete(f"v = {v}")
             model = {k: (mv, s) for k, (mv, s) in model.items() if mv != v}
             ops.append(f"delete v={v}")
-        elif choice < 0.62:  # COW update: null-ish rewrite of s
-            t.set_properties({"write.update.mode": "copy-on-write"})
+        elif choice < 0.57:  # update (random COW / MOR-position-delete mode)
+            t.set_properties(
+                {
+                    "write.update.mode": rnd.choice(
+                        ["copy-on-write", "merge-on-read"]
+                    ),
+                    "write.delete.vector.enabled": rnd.choice(["true", "false"]),
+                }
+            )
             v = rnd.randint(0, 5)
             t.update({"s": "redacted"}, f"v = {v}")
             model = {
@@ -93,6 +100,14 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
                 for k, (mv, s) in model.items()
             }
             ops.append(f"update v={v}")
+        elif choice < 0.62:  # equality delete: deletes only rows committed
+            # BEFORE it (Iceberg's sequence rule) ≡ dropping current matches
+            s_val = f"s{rnd.randint(0, 6)}"
+            t.equality_delete(
+                spark.createDataFrame([(s_val,)], "s string")
+            )
+            model = {k: (mv, s) for k, (mv, s) in model.items() if s != s_val}
+            ops.append(f"eqdelete s={s_val}")
         elif choice < 0.72 and states:  # rollback to a recorded ancestor
             live = {s.snapshot_id for s in t.metadata.snapshots}
             targets = [sid for sid in states if sid in live]
