@@ -114,25 +114,34 @@ def write_data_files(
     content: int = CONTENT_DATA,
     target_file_size_bytes: int | None = None,
     prefix: str = "data",
+    write_options: dict[str, str] | None = None,
 ) -> list[ManifestEntry]:
     """Write ``df`` as managed parquet files under ``target_dir``.
 
     If ``target_file_size_bytes`` is given, repartition so output files land
     near that size (estimated from the first write — good enough for the
     compaction contract; Iceberg's own binpacking is similarly estimate-based).
-    Returns one ManifestEntry per file.
+    ``write_options`` are parquet writer options (e.g. per-column bloom
+    filters: ``parquet.bloom.filter.enabled#<col>``). Returns one
+    ManifestEntry per file.
     """
     os.makedirs(target_dir, exist_ok=True)
     scratch = os.path.join(target_dir, f"_tmp-{uuid.uuid4().hex}")
 
-    df.write.mode("overwrite").parquet(scratch)
+    def _write(frame: DataFrame) -> None:
+        w = frame.write.mode("overwrite")
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)
+        w.parquet(scratch)
+
+    _write(df)
     parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
 
     if target_file_size_bytes and parts:
         total = sum(os.path.getsize(p) for p in parts)
         want = max(1, ceil(total / target_file_size_bytes))
         if want != len(parts):
-            df.repartition(want).write.mode("overwrite").parquet(scratch)
+            _write(df.repartition(want))
             parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
 
     entries: list[ManifestEntry] = []

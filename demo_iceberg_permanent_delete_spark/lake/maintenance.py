@@ -272,10 +272,10 @@ def rewrite_data_files(
             merged = merged.repartitionByRange(want, *sort_order).sortWithinPartitions(
                 *sort_order
             )
-        new_entries = write_data_files(merged, table.data_dir)
+        new_entries = table._write_data(merged)
     else:
-        new_entries = write_data_files(
-            merged, table.data_dir, target_file_size_bytes=target_file_size_bytes
+        new_entries = table._write_data(
+            merged, target_file_size_bytes=target_file_size_bytes
         )
     # Scoped rewrite carries untouched files AND the delete files over
     # (kept files still need their tombstones; tombstones for rewritten

@@ -388,6 +388,29 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _parquet_write_options(self) -> dict[str, str]:
+        """Iceberg's per-column parquet bloom-filter properties mapped to
+        the parquet-mr writer options Spark passes through: membership
+        tests at row-group level for point lookups on high-cardinality
+        columns, where min/max stats can't discriminate."""
+        out: dict[str, str] = {}
+        for k, v in self.properties.items():
+            if k.startswith("write.parquet.bloom-filter-enabled.column."):
+                out[f"parquet.bloom.filter.enabled#{k.rsplit('.', 1)[-1]}"] = v
+            elif k.startswith("write.parquet.bloom-filter-fpp.column."):
+                out[f"parquet.bloom.filter.fpp#{k.rsplit('.', 1)[-1]}"] = v
+        return out
+
+    def _write_data(self, df: DataFrame, **kwargs) -> list[ManifestEntry]:
+        """All DATA-file writes funnel here so table write properties
+        (bloom filters etc.) apply uniformly."""
+        return write_data_files(
+            df,
+            self.data_dir,
+            write_options=self._parquet_write_options(),
+            **kwargs,
+        )
+
     def _write_position_deletes(
         self,
         matches: DataFrame,
@@ -1069,9 +1092,8 @@ class LakeTable:
         # Data files are written exactly once; only the metadata commit
         # rebases and retries on a CAS conflict — an append never conflicts
         # semantically with another writer (Iceberg's fast-append retry).
-        new_entries = write_data_files(
+        new_entries = self._write_data(
             self._cluster_for_write(df),
-            self.data_dir,
             target_file_size_bytes=self._write_target_size(),
         )
         last_err: CommitConflictError | None = None
@@ -1111,7 +1133,7 @@ class LakeTable:
         raise last_err
 
     def overwrite(self, df: DataFrame) -> Snapshot:
-        new_entries = write_data_files(self._cluster_for_write(df), self.data_dir)
+        new_entries = self._write_data(self._cluster_for_write(df))
         snapshot = self.metadata.add_snapshot(
             "overwrite", new_entries, summary={"added-files": len(new_entries)}
         )
@@ -1175,7 +1197,7 @@ class LakeTable:
             ~F.coalesce(pred, F.lit(False))
         )
         cols = [c for c in survivors.columns if c not in ("__fp", "__pos")]
-        new_entries = write_data_files(survivors.select(*cols), self.data_dir)
+        new_entries = self._write_data(survivors.select(*cols))
         snap = self.metadata.current_snapshot()
         kept = [e for e in snap.manifest if e.file_path not in affected]
         snapshot = self.metadata.add_snapshot(
@@ -1361,14 +1383,14 @@ class LakeTable:
                 )
                 exprs.append(F.when(matched, m_val).otherwise(u_val).alias(c))
             out = merged.filter(keep).select(*exprs)
-            new_entries += write_data_files(out, self.data_dir)
+            new_entries += self._write_data(out)
             rewritten = len(files_to_rewrite)
 
         inserted_files = 0
         if insert_unmatched:
             fresh = source.join(tgt.select(*on).distinct(), on=on, how="left_anti")
             aligned = fresh.select(*[fresh[c].cast(types[c]).alias(c) for c in cols])
-            ins_entries = write_data_files(aligned, self.data_dir)
+            ins_entries = self._write_data(aligned)
             inserted_files = len(ins_entries)
             new_entries += ins_entries
 
@@ -1456,7 +1478,7 @@ class LakeTable:
                 return None  # nothing matched — no commit (Iceberg behavior)
             cols = [c for c in matches.columns if c not in ("__fp", "__pos")]
             exprs = self._assignment_exprs(assignments, cols, gate=None)
-            new_entries = write_data_files(matches.select(*exprs), self.data_dir)
+            new_entries = self._write_data(matches.select(*exprs))
         finally:
             matches.unpersist()
         snap = self.metadata.current_snapshot()
@@ -1488,7 +1510,7 @@ class LakeTable:
         # later RHS against already-assigned columns — silently retaining
         # PII on multi-column nulling, and breaking column swaps).
         exprs = self._assignment_exprs(assignments, cols, gate=pred)
-        new_entries = write_data_files(rows.select(*exprs), self.data_dir)
+        new_entries = self._write_data(rows.select(*exprs))
         snap = self.metadata.current_snapshot()
         kept = [e for e in snap.manifest if e.file_path not in affected]
         snapshot = self.metadata.add_snapshot(

@@ -278,3 +278,38 @@ def test_metadata_views_shapes(spark, pii_table):
     assert logs.count() >= 2
     manifests = pii_table.meta("all_manifests")
     assert manifests.count() == 2
+
+
+def test_parquet_bloom_filter_property_reaches_writer(spark, catalog):
+    """Iceberg's write.parquet.bloom-filter-enabled.column.<col> property
+    must reach the parquet writer: same data written with the property on
+    produces strictly larger files (the serialized bloom bitset), and the
+    table reads back identically."""
+    catalog.create_namespace("default")
+    rows = [(i, f"user-{i:06d}") for i in range(20000)]
+    ddl = "k bigint, name string"
+
+    plain = catalog.create_table("default.nobloom", ddl)
+    plain.insert(spark.createDataFrame(rows, ddl).coalesce(1))
+    bloomy = catalog.create_table(
+        "default.bloom",
+        ddl,
+        properties={
+            "write.parquet.bloom-filter-enabled.column.name": "true",
+            "write.parquet.bloom-filter-fpp.column.name": "0.01",
+        },
+    )
+    bloomy.insert(spark.createDataFrame(rows, ddl).coalesce(1))
+
+    size = lambda t: sum(  # noqa: E731
+        e.file_size_in_bytes
+        for e in t.metadata.current_snapshot().data_files()
+    )
+    assert size(bloomy) > size(plain) + 1024, (
+        f"bloom-enabled file not larger: {size(bloomy)} vs {size(plain)}"
+    )
+    assert bloomy.read().count() == 20000
+    assert bloomy.scan("name = 'user-000042'").count() == 1
+    # compaction preserves the property's effect
+    bloomy.rewrite_data_files()
+    assert size(bloomy) > size(plain) + 1024
