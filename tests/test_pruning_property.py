@@ -34,9 +34,27 @@ from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
 from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
 
 # Small value pools force boundary collisions (min == literal, equal mins
-# across files) far more often than uniform randomness would.
+# across files) far more often than uniform randomness would. The >16-char
+# strings exercise the truncated-bound path (_truncate_lower/_truncate
+# _upper): literals longer than the stored bounds, values sharing a 16-char
+# prefix, and a prefix ending at the upper-bound rounding character.
+STRS = st.sampled_from(
+    [
+        "",
+        "a",
+        "ab",
+        "b'c",
+        "it's",
+        "zz",
+        "Z",
+        "a" * 20,
+        "a" * 16 + "b",
+        "a" * 15 + "b" + "c" * 10,
+        "b" * 40,
+        "zz" + "y" * 30,
+    ]
+)
 INTS = st.integers(-5, 15)
-STRS = st.sampled_from(["", "a", "ab", "b'c", "it's", "zz", "Z"])
 TS = st.sampled_from(
     [
         dt.datetime(2024, 6, d, h, 0, 0)
