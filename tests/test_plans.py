@@ -88,3 +88,15 @@ def test_contamination_benchmark_is_broadcast(spark):
 
     docs = _lt(spark, SF_ORACLE, "documents")
     assert has_broadcast_join(benchmark_ngram_contamination(docs))
+
+
+def test_ivf_assignment_broadcasts_centroids_no_cartesian(spark):
+    """IVF's scale shape: K centroids broadcast against an unshuffled
+    corpus — the plan must contain a broadcast join and NO cartesian /
+    nested-loop over corpus x corpus (operators/similarity.py)."""
+    from demo_iceberg_permanent_delete_spark.operators.similarity import ivf_topk
+    from demo_iceberg_permanent_delete_spark.plans import explain_str
+
+    plan = explain_str(ivf_topk(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" in plan or "BroadcastExchange" in plan, plan
