@@ -373,21 +373,79 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ◦ Composite driver entry: whole-asset decode features + sampled video
-# frames under one schema (item_kind 'asset'/'frame'). Rows-only — the stub
-# decoder's float features aren't SQL-expressible; both stages' plumbing is
-# unit-tested in tests/test_multimodal.py. (One entry instead of two: the
-# driver records at most 50 correctness rows.)
+# ✓ Composite driver entry: whole-asset decode features + sampled video
+# frames under one schema (item_kind 'asset'/'frame'). The driver-facing
+# projection is scalar-only (the r2 harness canonicalizer cannot sort
+# array<double> columns); the array-feature form stays the internal API
+# (media_decode_features / media_frame_sample, unit-tested in
+# tests/test_multimodal.py).
+#
+# Hash-checkable because the stub decoder is sha256-based: feat[0] is
+# uint32(sha256(blob)[0:4]) / 2**32, an exact power-of-two division, so
+# feat[0] * 2**32 recovers the integer exactly and DuckDB reproduces it
+# from sha256 hex. The oracle slices TEXT where Spark slices BYTES — valid
+# because the documents fixture is pure ASCII (asserted at sf0.01/0.1;
+# sha256(VARCHAR) in DuckDB 1.0 hashes the utf-8 bytes, exactly what the
+# executor-side decoder sees).
 # ---------------------------------------------------------------------------
-@query("media_pipeline", oracle=None)
+_MEDIA_PIPELINE_ORACLE = f"""
+WITH media AS (
+  SELECT doc_id,
+         text,
+         octet_length(encode(text)) AS total_bytes,
+         CAST(n_chars % 32 + 1 AS INTEGER) AS n_frames
+  FROM documents
+),
+assets AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+         END AS media_type,
+         'asset' AS item_kind,
+         CAST(-1 AS INTEGER) AS frame_index,
+         CAST(total_bytes AS BIGINT) AS n_bytes,
+         CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) AS feat0
+  FROM media
+),
+video_frames AS (
+  SELECT doc_id, text, total_bytes, n_frames,
+         unnest(range(0, n_frames, {FRAME_SAMPLE_EVERY})) AS frame
+  FROM media
+  WHERE CAST(doc_id % 3 AS INTEGER) = 2
+),
+frames AS (
+  SELECT doc_id,
+         'video' AS media_type,
+         'frame' AS item_kind,
+         CAST(frame AS INTEGER) AS frame_index,
+         CAST((frame + 1) * total_bytes // n_frames
+              - frame * total_bytes // n_frames AS BIGINT) AS n_bytes,
+         CAST(('0x' || substr(sha256(substr(
+             text,
+             CAST(frame * total_bytes // n_frames AS INTEGER) + 1,
+             CAST((frame + 1) * total_bytes // n_frames
+                  - frame * total_bytes // n_frames AS INTEGER)
+         )), 1, 8)) AS BIGINT) AS feat0
+  FROM video_frames
+)
+SELECT * FROM assets UNION ALL SELECT * FROM frames
+"""
+
+
+@query("media_pipeline", oracle=_MEDIA_PIPELINE_ORACLE)
 def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # feat[0] == uint32 / 2**32 exactly (53-bit mantissa > 32 bits), so the
+    # multiply-back is exact integer recovery, not a float round-trip.
+    def _feat0(col: str):
+        return (F.element_at(F.col(col), 1) * F.lit(float(2**32))).cast("bigint")
+
     assets = media_decode_features(spark, sf_dir).select(
         "doc_id",
         "media_type",
         F.lit("asset").alias("item_kind"),
         F.lit(-1).alias("frame_index"),
         "n_bytes",
-        "feat",
+        _feat0("feat").alias("feat0"),
     )
     frames = media_frame_sample(spark, sf_dir).select(
         "doc_id",
@@ -395,6 +453,6 @@ def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("frame").alias("item_kind"),
         "frame_index",
         F.octet_length("frame_bytes").cast("long").alias("n_bytes"),
-        F.col("frame_feat").alias("feat"),
+        _feat0("frame_feat").alias("feat0"),
     )
     return assets.unionByName(frames)
