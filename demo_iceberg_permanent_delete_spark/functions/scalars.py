@@ -32,6 +32,30 @@ def dsum(col: str | Column) -> Column:
     return F.sum(dec(col)).cast("double")
 
 
+def checked_narrow(raw_sum: Column, scale_ddl: str, name: str) -> Column:
+    """Narrow an aggregated decimal to its true value scale, surfacing an
+    ERROR (not a silent NULL) if the narrowing cast overflows.
+
+    Under non-ANSI Spark a decimal overflow casts to NULL; summing ~1e4
+    rows of 18-digit money per sf unit, decimal(18,*) overflows around
+    sf≈17 — this guard turns that silent corruption into a loud failure.
+    Separately, cross-engine bit-equality of the final DOUBLE holds only
+    while the narrowed unscaled value stays under 2^53 (≈ sf 0.2 for
+    scale-6 charge sums): above that, decimal→double conversion rounds
+    with engine-specific last-ulp behavior. That ceiling is inherent to
+    comparing as double; compare decimals directly in the oracle to go
+    past it."""
+    narrowed = raw_sum.cast(scale_ddl)
+    return F.when(raw_sum.isNull() | narrowed.isNotNull(), narrowed).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{name}: decimal narrowing to {scale_ddl} overflowed — "
+                "scale factor exceeds the documented decimal(18,*) ceiling"
+            )
+        )
+    )
+
+
 def davg(col: str | Column) -> Column:
     """Exact average: decimal sum / count, evaluated in double."""
     return F.sum(dec(col)).cast("double") / F.count(F.lit(1))

@@ -190,6 +190,14 @@ class TableMetadata:
     # physical column; readers resolve through this map (Iceberg tracks
     # the same thing via field IDs — we own the format, so name chains).
     renames: dict[str, list[str]] = field(default_factory=dict)
+    # Tombstoned physical column names: every name that may still exist
+    # physically inside retained data files but is no longer live under
+    # that name (DROP COLUMN of the column itself and of its whole rename
+    # chain). add_column/rename_column must never reuse one — by-name
+    # parquet resolution would resurrect the old files' values (Iceberg is
+    # immune because a re-added column gets a fresh field id). Survives
+    # drop_column, unlike the renames chain.
+    retired_columns: list[str] = field(default_factory=list)
     # Table-level statistics (Iceberg's Puffin stats files, inlined since
     # they're tiny): {"snapshot_id", "computed_at_ms", "row_count",
     # "columns": {name: {"ndv": int, "null_count": int}}}. Tied to the
@@ -227,6 +235,7 @@ class TableMetadata:
             "metadata_log": self.metadata_log,
             "refs": self.refs,
             "renames": self.renames,
+            "retired_columns": self.retired_columns,
             "statistics": self.statistics,
             "version": self.version,
             "snapshots": [s.to_json() for s in self.snapshots],
@@ -245,6 +254,7 @@ class TableMetadata:
             metadata_log=list(d.get("metadata_log", [])),
             refs={k: dict(v) for k, v in d.get("refs", {}).items()},
             renames={k: list(v) for k, v in d.get("renames", {}).items()},
+            retired_columns=list(d.get("retired_columns", [])),
             statistics=dict(d.get("statistics", {})),
             version=d.get("version", 0),
         )

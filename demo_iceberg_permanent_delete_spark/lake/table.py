@@ -156,10 +156,13 @@ class LakeTable:
         null-fills it because scans pass the declared schema explicitly."""
         if any(f.name == name for f in self.schema().fields):
             raise ValueError(f"column {name!r} already exists")
-        if name in {h for hs in self.metadata.renames.values() for h in hs}:
+        if name in {h for hs in self.metadata.renames.values() for h in hs} or (
+            name in self.metadata.retired_columns
+        ):
             raise ValueError(
                 f"column name {name!r} is a retired physical name (RENAME "
-                "COLUMN history); reusing it would leak old files' values"
+                "COLUMN history or DROP COLUMN tombstone); reusing it would "
+                "leak old files' values through by-name parquet resolution"
             )
         self.metadata.schema_ddl = f"{self.metadata.schema_ddl}, {name} {type_ddl}"
         self.schema()  # validate the DDL parses before committing
@@ -176,8 +179,21 @@ class LakeTable:
         self.metadata.schema_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in fields
         )
-        # The rename chain dies with the column — a later add_column under
-        # this name must NOT resurrect pre-rename files' values.
+        # Tombstone every physical name the dropped column ever had — the
+        # dropped name itself AND its rename-chain history. The chain must
+        # survive the pop below: add_column('email') after
+        # rename('email','contact_email') + drop('contact_email') would
+        # otherwise resolve re-added 'email' against pre-rename files'
+        # physical column and resurrect supposedly-removed PII. Tombstones
+        # are conservative (we don't track per-file physical schemas): they
+        # persist even after rewrites purge the old files; recreating the
+        # table is the escape hatch for reusing a name.
+        retired = {name, *self.metadata.renames.get(name, [])}
+        has_files = any(snap.manifest for snap in self.metadata.snapshots)
+        if has_files:
+            self.metadata.retired_columns = sorted(
+                set(self.metadata.retired_columns) | retired
+            )
         self.metadata.renames.pop(name, None)
         self.metadata.commit()
 
@@ -233,9 +249,11 @@ class LakeTable:
         if not any(f.name == old for f in fields):
             raise ValueError(f"no such column {old!r}")
         history = {h for hs in self.metadata.renames.values() for h in hs}
+        history |= set(self.metadata.retired_columns)
         if any(f.name == new for f in fields) or new in history:
             raise ValueError(
-                f"column name {new!r} already in use (live or historical)"
+                f"column name {new!r} already in use (live, historical, or "
+                "a DROP COLUMN tombstone)"
             )
         if any(f.source == old for f in self._partition_fields):
             raise ValueError(

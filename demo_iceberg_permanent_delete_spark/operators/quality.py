@@ -220,22 +220,43 @@ def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unigram-LM quality signal (the CCNet-style "perplexity" gate with the
     # LM trained on this corpus itself): mean negative log-likelihood of
     # the document's tokens under the corpus unigram distribution. Rare-
-    # token gibberish scores high, common prose low. Determinism: ln is
-    # the one non-correctly-rounded op, so each token's nll is quantized
-    # to 1e-9 AND summed as an exact bigint — order-free, unlike a double
-    # sum. Scale shape: one explode + (token)-keyed count, one join back
-    # (freq table is vocabulary-sized — broadcast it when it fits), one
+    # token gibberish scores high, common prose low.
+    #
+    # Determinism: ln is the one non-correctly-rounded op, and quantizing
+    # AFTER a JVM Math.log still flips on .5e-9 rounding boundaries when
+    # JVM and libm disagree in the last ulp. So the JVM never computes a
+    # log here: the quantized nll depends only on (cnt, total), and the
+    # distinct cnt values are collected (≤ √(2·total) of them — the
+    # distinct values of a partition of `total`; ~3k at sf0.1, ~4.5M even
+    # at 10^13 tokens) and mapped driver-side with CPython's math.log —
+    # the same system libm DuckDB's ln links — plus an exact emulation of
+    # DuckDB round() (y - floor(y) is an exact subtraction for y < 2^52,
+    # so the half-away-from-zero comparison is boundary-precise, unlike
+    # floor(y + 0.5) whose inexact addition can cross an integer). Each
+    # per-token bigint is then identical in both engines by construction
+    # and the sum is order-free. Scale shape: one explode + (token)-keyed
+    # count, one distinct-cnt collect, one broadcast join back, one
     # (doc_id)-keyed sum.
     tok_rows = tokenized.select("doc_id", F.explode("toks").alias("t"))
     freq = tok_rows.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("long")).first()[0]
-    nll_q = F.round(
-        -F.log(F.col("cnt").cast("double") / F.lit(float(total))) * 1000000000.0
-    ).cast("long")
+
+    def _nll_q(cnt: int) -> int:
+        import math
+
+        y = -math.log(cnt / total) * 1000000000.0
+        fl = math.floor(y)
+        return int(fl) + (1 if y - fl >= 0.5 else 0)
+
+    distinct_cnts = [r[0] for r in freq.select("cnt").distinct().collect()]
+    nll_table = spark.createDataFrame(
+        [(c, _nll_q(c)) for c in distinct_cnts], "cnt long, nll_q long"
+    )
     doc_nll = (
         tok_rows.join(freq, "t")
+        .join(F.broadcast(nll_table), "cnt")
         .groupBy("doc_id")
-        .agg(F.sum(nll_q).cast("long").alias("nll_sum"))
+        .agg(F.sum("nll_q").cast("long").alias("nll_sum"))
     )
 
     feat = grams.join(doc_nll, "doc_id", "left").select(

@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_iceberg_permanent_delete_spark.functions.scalars import davg, dec, dsum, rate
+from demo_iceberg_permanent_delete_spark.functions.scalars import (
+    checked_narrow,
+    davg,
+    dec,
+    dsum,
+    rate,
+)
 from demo_iceberg_permanent_delete_spark.registry import query
 from demo_iceberg_permanent_delete_spark.sources.tables import load_table
 
@@ -72,12 +78,22 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * one_minus_disc)
-            .cast("decimal(18,4)")
+            # Ceilings (see checked_narrow): decimal(18,*) overflow-to-NULL
+            # at sf≈17 is guarded loudly; double bit-parity with the oracle
+            # needs the narrowed unscaled sum under 2^53 — ~sf 0.2 for the
+            # scale-6 charge sum (~5.7e15 unscaled at sf0.1).
+            checked_narrow(
+                F.sum(dec("l_extendedprice") * one_minus_disc),
+                "decimal(18,4)",
+                "sum_disc_price",
+            )
             .cast("double")
             .alias("sum_disc_price"),
-            F.sum(dec("l_extendedprice") * (one_minus_disc * one_plus_tax))
-            .cast("decimal(18,6)")
+            checked_narrow(
+                F.sum(dec("l_extendedprice") * (one_minus_disc * one_plus_tax)),
+                "decimal(18,6)",
+                "sum_charge",
+            )
             .cast("double")
             .alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),

@@ -122,25 +122,15 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    exact = (
+    # The Arrow/numpy BLAS path (ann_topk_pandas) is asserted to agree with
+    # this exact path in tests/test_similarity.py — NOT here: an in-query
+    # self-check would run the exact search twice on every bench/driver
+    # invocation for a guarantee pytest already pins.
+    return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rnk")
-        .localCheckpoint(eager=True)
     )
-    # Self-check the Arrow/numpy BLAS path (ann_topk_pandas) against the
-    # quantized-JVM exact path: same neighbor SETS per query (order can
-    # swap only on near-exact cosine ties; quantization error ~1e-5).
-    by_query: dict[int, set[int]] = {}
-    for r in exact.collect():
-        by_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    arrow: dict[int, set[int]] = {}
-    for r in ann_topk_pandas(spark, sf_dir).collect():
-        arrow.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    assert set(by_query) == set(arrow), "BLAS path must cover the same queries"
-    for q in by_query:
-        assert by_query[q] == arrow[q], f"query {q}: BLAS neighbor set differs"
-    return exact
 
 
 # ---------------------------------------------------------------------------
@@ -279,16 +269,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus never shuffles for assignment — K distance evals per row, map-side
 # only) plus one (cid, pos)-keyed partial-agg Exchange of n·dim skinny rows
 # for the update, which AQE coalesces; search shuffles candidates once.
-# Bigint headroom at this quantization: |component sum| ≤ n·6e5 → dot ≤
-# dim·6e5·(n·6e5) ≈ 2.3e12·n — safe past n = 10⁶ members per cluster; above
-# that, drop the quantization grid one decade.
+# Bigint headroom at this quantization: |component sum| ≤ n·6e5. Centroid
+# norms square in DOUBLE (cast-before-multiply below — a bigint square
+# would overflow int64 at just ~5k members), so the binding constraint is
+# the dot product, which stays bigint in both engines: dot ≤
+# dim·6e5·(n·6e5) ≈ 2.3e12·n → safe to n ≈ 4·10⁶ members per cluster;
+# above that, drop the quantization grid one decade.
 # ---------------------------------------------------------------------------
 K_CENTROIDS = 16
 NPROBE = 2
 
 
 def _cnorm_sql(c: str) -> str:
-    return f"sqrt(list_reduce(list_transform({c}, x -> CAST(x * x AS DOUBLE)), (a, b) -> a + b))"
+    # cast BEFORE squaring: x*x in bigint overflows int64 at ~5k-member
+    # clusters (DuckDB raises, Spark wraps silently — engines diverge).
+    # double(x)*double(x) == double(x*x) exactly for |x| < 2^53, so the
+    # pre-cast changes nothing at small n and stays sound at scale.
+    return f"sqrt(list_reduce(list_transform({c}, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))"
 
 
 def _duck_assign(src: str, cents: str, out_rn: str) -> str:
@@ -352,13 +349,17 @@ _IVF_ORACLE = f"""
 
 
 def _centroid_norm(c: Column) -> Column:
-    # |c|² as an ordered left fold of exact bigint squares (components stay
-    # < 2^31 at this quantization so x*x is exact int64) cast to double —
-    # the 0.0 seed is additive-identity-exact, so the fold equals DuckDB's
-    # first-element-seeded list_reduce bit-for-bit.
+    # |c|² as an ordered left fold of double squares. Cast each component
+    # BEFORE squaring: a bigint x*x overflows int64 once a component sum
+    # passes ~3e9 (≈5k members on the 1e-6 grid) and Spark would wrap
+    # silently while DuckDB raises. double(x)*double(x) equals
+    # double(x*x) exactly below 2^53, so parity with _cnorm_sql holds at
+    # demo scale and both engines stay finite at 100 TB scale. The 0.0
+    # seed is additive-identity-exact, so the fold equals DuckDB's
+    # list_reduce bit-for-bit.
     return F.sqrt(
         F.aggregate(
-            F.transform(c, lambda x: (x * x).cast("double")),
+            F.transform(c, lambda x: x.cast("double") * x),
             F.lit(0.0),
             lambda a, x: a + x,
         )

@@ -125,3 +125,63 @@ def test_sql_select_identifier_rewrite_prefix_safe(spark, tmp_path):
     assert row["s"] == "default.pii" and row["k"] == 10
     # metadata suffix on the longer name resolves to the right table
     assert engine.sql("SELECT count(*) AS n FROM default.pii_data.snapshots").first()["n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-2 ADVICE: drop_column popped the rename chain, so a later
+# add_column under the pre-rename name resolved against old files'
+# physical column — resurrecting supposedly-removed PII. Retired physical
+# names now live in a persistent tombstone set.
+# ---------------------------------------------------------------------------
+def test_drop_column_keeps_rename_tombstones(spark, tmp_path):
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.pii_evo", "k bigint, email string")
+    t.insert(
+        spark.createDataFrame([(1, "secret@a.com")], "k bigint, email string")
+    )
+    t.rename_column("email", "contact_email")
+    t.drop_column("contact_email")
+    # the ADVICE attack sequence: re-adding the original physical name
+    # must fail — old files still physically contain 'email'
+    with pytest.raises(ValueError, match="retired physical name"):
+        t.add_column("email", "string")
+    # the post-rename physical name is equally tombstoned
+    with pytest.raises(ValueError, match="retired physical name"):
+        t.add_column("contact_email", "string")
+    # renaming another column ONTO a tombstoned name is the same hole
+    t.add_column("note", "string")
+    with pytest.raises(ValueError, match="already in use"):
+        t.rename_column("note", "email")
+
+
+def test_drop_then_readd_same_name_blocked_when_files_exist(spark, tmp_path):
+    """Even without renames: files written before DROP COLUMN physically
+    keep the column, and by-name resolution would resurrect the values on
+    a same-name re-add."""
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.pii_readd", "k bigint, ssn string")
+    t.insert(spark.createDataFrame([(1, "123-45-6789")], "k bigint, ssn string"))
+    t.drop_column("ssn")
+    with pytest.raises(ValueError, match="retired physical name"):
+        t.add_column("ssn", "string")
+    # tombstones survive a metadata reload (persisted, not in-memory state)
+    t.refresh()
+    with pytest.raises(ValueError, match="retired physical name"):
+        t.add_column("ssn", "string")
+
+
+def test_drop_then_readd_allowed_on_fileless_table(spark, tmp_path):
+    """No data files → no physical column anywhere → reuse is safe (the
+    common fix-a-typo DDL flow on a fresh table must not be bricked)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.fresh", "k bigint, emial string")
+    t.drop_column("emial")
+    t.add_column("email", "string")
+    assert [f.name for f in t.schema().fields] == ["k", "email"]
