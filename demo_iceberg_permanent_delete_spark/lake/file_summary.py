@@ -132,6 +132,117 @@ def summarize_files(table, operation: str, run_id: str | None = None) -> DataFra
     return empty.unionByName(combined).orderBy("created_minute", "file_type", "file_format")
 
 
+_METADATA_SUMMARY_DET_SQL = """
+WITH snapshot_files AS (
+  SELECT
+    s1.manifest_list AS file_path,
+    'manifest_lists' AS file_type,
+    'json' AS file_format,
+    LEAST(s1.committed_at, s2.committed_at) AS created_at
+  FROM {p}__snapshots s1
+  LEFT JOIN {p}__snapshots s2 ON s1.parent_id = s2.snapshot_id
+  WHERE s1.manifest_list IS NOT NULL
+),
+manifest_files AS (
+  SELECT
+    m.path AS file_path,
+    'manifests' AS file_type,
+    'json' AS file_format,
+    s1.committed_at AS created_at
+  FROM {p}__all_manifests m
+  LEFT JOIN {p}__snapshots s1 ON m.added_snapshot_id = s1.snapshot_id
+),
+metadata_files AS (
+  SELECT
+    file AS file_path,
+    'metadata_log_entries' AS file_type,
+    'json' AS file_format,
+    timestamp AS created_at
+  FROM {p}__metadata_log_entries
+),
+all_meta AS (
+  SELECT * FROM snapshot_files
+  UNION ALL
+  SELECT * FROM manifest_files
+  UNION ALL
+  SELECT * FROM metadata_files
+)
+SELECT
+  'metadata' AS prefix,
+  file_type,
+  file_format,
+  created_at,
+  COUNT(*) AS files_in_catalog,
+  CAST(NULL AS BIGINT) AS records
+FROM all_meta
+GROUP BY file_type, file_format, created_at
+"""
+
+_DATA_SUMMARY_DET_SQL = """
+WITH entries AS (
+  SELECT
+    e.data_file.file_path AS file_path,
+    MIN(e.data_file.content) AS content,
+    MIN(e.data_file.record_count) AS record_count,
+    MIN(s.committed_at) AS created_at
+  FROM {p}__all_entries e
+  LEFT JOIN {p}__snapshots s ON e.snapshot_id = s.snapshot_id
+  WHERE e.status != 2
+  GROUP BY e.data_file.file_path
+)
+SELECT
+  'data' AS prefix,
+  CASE content
+    WHEN 0 THEN 'data'
+    WHEN 1 THEN 'position_deletes'
+    WHEN 2 THEN 'equality_deletes'
+    ELSE CONCAT('unknown (', CAST(content AS STRING), ')')
+  END AS file_type,
+  'parquet' AS file_format,
+  created_at,
+  COUNT(*) AS files_in_catalog,
+  SUM(record_count) AS records
+FROM entries
+GROUP BY content, created_at
+"""
+
+
+def summarize_files_deterministic(
+    table, operation: str, run_id: str = "fixed"
+) -> DataFrame:
+    """Hash-checkable variant of ``summarize_files`` (same CTE/join/decode
+    pipeline over the same metadata views): wall-clock minute buckets are
+    replaced by the commit ORDINAL (dense_rank over the exact commit
+    instants the reference query derives — LEAST-of-self-join for manifest
+    lists included), run_id is a caller-fixed literal instead of a uuid,
+    and each group additionally sums record_count so the oracle has a
+    data-dependent column to pin, not just file counts.
+
+    The ordinal is PER file_type (dense_rank over that type's distinct
+    commit instants): metadata-log timestamps don't coincide with snapshot
+    committed_at instants (a log entry records when a version was
+    superseded), so a global rank would shift with scheduling jitter while
+    the per-type sequence is fixed by the lifecycle's commit order."""
+    spark = table.spark
+    prefix = f"fs_{uuid.uuid4().hex[:8]}"
+    table.register_metadata_views(prefix=prefix)
+    meta_summary = spark.sql(_METADATA_SUMMARY_DET_SQL.format(p=prefix))
+    data_summary = spark.sql(_DATA_SUMMARY_DET_SQL.format(p=prefix))
+    combined = (
+        meta_summary.unionByName(data_summary)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("operation", F.lit(operation))
+    )
+    from pyspark.sql import Window
+
+    # Tiny frame (one row per type×commit); the window is over ~10 rows,
+    # not data-proportional.
+    ordinal = F.dense_rank().over(
+        Window.partitionBy("file_type").orderBy("created_at")
+    )
+    return combined.withColumn("commit_ordinal", ordinal).drop("created_at")
+
+
 def recent_snapshots_debug(table) -> DataFrame:
     """The reference's debug query (file_summary_utils.py:116-125)."""
     prefix = f"fs_{uuid.uuid4().hex[:8]}"

@@ -598,16 +598,71 @@ def lake_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
-@query("lake_file_summary")  # rows-only: run_id/timestamps are nondeterministic
+@query(
+    "lake_file_summary",
+    oracle=f"""
+    WITH stats AS (
+      SELECT count(*) AS n_rows,
+             count(*) FILTER (WHERE l_returnflag = 'R') AS n_del
+      FROM lineitem WHERE {_SUBSET}
+    ),
+    expected(prefix, file_type, file_format, files_in_catalog, rec_kind,
+             commit_ordinal) AS (
+      VALUES
+        -- create, insert, delete each write one metadata version
+        ('metadata', 'metadata_log_entries', 'json', 1, NULL, 1),
+        ('metadata', 'metadata_log_entries', 'json', 1, NULL, 2),
+        ('metadata', 'metadata_log_entries', 'json', 1, NULL, 3),
+        -- both snapshots' manifest lists bucket at the insert commit:
+        -- the reference dates each list LEAST(own, parent committed_at)
+        ('metadata', 'manifest_lists', 'json', 2, NULL, 1),
+        -- one manifest per snapshot (insert, delete)
+        ('metadata', 'manifests', 'json', 1, NULL, 1),
+        ('metadata', 'manifests', 'json', 1, NULL, 2),
+        -- insert repartitions to exactly 2 data files; the MOR delete
+        -- writes one position-delete file per touched data file
+        ('data', 'data', 'parquet', 2, 'rows', 1),
+        ('data', 'position_deletes', 'parquet', 2, 'dels', 1)
+    )
+    SELECT prefix, file_type, file_format,
+           CAST(files_in_catalog AS BIGINT) AS files_in_catalog,
+           CAST(CASE rec_kind WHEN 'rows' THEN n_rows WHEN 'dels' THEN n_del
+                END AS BIGINT) AS records,
+           'fixed' AS run_id, 'post_delete' AS operation,
+           CAST(commit_ordinal AS INTEGER) AS commit_ordinal
+    FROM expected CROSS JOIN stats
+    """,
+)
 def lake_file_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full summarize_files flow over a real lifecycle (insert → MOR delete)
-    — the reference's flagship metadata analytics (file_summary_utils.py:
-    18-179). Rows-only check: wall-clock minute buckets are nondeterministic."""
-    from demo_iceberg_permanent_delete_spark.lake.file_summary import summarize_files
+    """The reference's flagship metadata analytics (summarize_files,
+    file_summary_utils.py:18-179) over a real lifecycle (create → insert →
+    MOR delete), in its hash-checkable form: commit ordinals instead of
+    wall-clock minute buckets and a fixed run_id (the two nondeterminism
+    sources in the reference shape), plus per-group record sums.
 
-    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
+    The lifecycle is pinned so the inventory is predictable: the insert
+    repartitions to exactly 2 data files, so file counts and per-type
+    ordinals are implementation constants in the oracle, while the record
+    sums (total subset rows; deleted 'R' rows) are genuinely data-derived
+    from `lineitem`. The wall-clock variant remains `summarize_files` —
+    same CTE/self-join/UNION/decode pipeline, pytest-covered."""
+    from demo_iceberg_permanent_delete_spark.lake.file_summary import (
+        summarize_files_deterministic,
+    )
+
+    warehouse = tempfile.mkdtemp(prefix="lakeq-")
+    cat = Catalog(spark, warehouse)
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.lineitem_lake",
+        _LINEITEM_DDL,
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(_subset(spark, sf_dir).repartition(2, "l_orderkey"))
     try:
         t.delete("l_returnflag = 'R'")
-        return summarize_files(t, operation="post_delete").localCheckpoint(eager=True)
+        return summarize_files_deterministic(
+            t, operation="post_delete"
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
