@@ -13,7 +13,8 @@ Scale notes (100 TB story):
 - The orders⋈lineitem join is fact-to-fact: it shuffles on the join key.
   At scale both sides would be bucketed by orderkey at write time
   (`bucketBy(orderkey)`) to delete this exchange — noted in SCALE.md.
-- revenue aggregates use exact DECIMAL (registry.py conventions).
+- revenue aggregates use exact scaled-bigint cents math (registry.py
+  conventions; functions/scalars.cents).
 """
 
 from __future__ import annotations
@@ -21,18 +22,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_iceberg_permanent_delete_spark.functions.scalars import dec, rate
+from demo_iceberg_permanent_delete_spark.functions.scalars import cents
 from demo_iceberg_permanent_delete_spark.registry import query
 from demo_iceberg_permanent_delete_spark.sources.tables import load_table
 
-_REVENUE_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(18,6)) "
-    "* CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(8,6))"
+# Revenue as exact scaled-bigint math (see functions/scalars.cents): both
+# engines sum identical int64s and convert with the same IEEE int64→double
+# op — faster than decimal(38) aggregation and parity-stable at any sum
+# magnitude below int64 overflow.
+_REVENUE_CENTS_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "* (100 - CAST(round(l_discount * 100) AS BIGINT))"
 )
 
 
-def _revenue_col() -> F.Column:
-    return dec("l_extendedprice") * rate(F.lit(1) - dec("l_discount"))
+def _revenue_cents() -> F.Column:
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+def revenue_double(sum_col: F.Column) -> F.Column:
+    """Surface a summed revenue-cents column as currency double."""
+    return sum_col.cast("double") / 10000.0
 
 
 # ---------------------------------------------------------------------------
@@ -44,7 +54,7 @@ def _revenue_col() -> F.Column:
     oracle=f"""
     SELECT
       l.l_orderkey,
-      CAST(CAST(sum({_REVENUE_SQL}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      CAST(sum({_REVENUE_CENTS_SQL}) AS DOUBLE) / 10000.0 AS revenue,
       o.o_orderdate,
       o.o_orderpriority
     FROM customer c
@@ -74,7 +84,7 @@ def shipping_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue_col()).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .agg(revenue_double(F.sum(_revenue_cents())).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -91,7 +101,7 @@ def shipping_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       n.n_name AS nation,
-      CAST(CAST(sum({_REVENUE_SQL}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      CAST(sum({_REVENUE_CENTS_SQL}) AS DOUBLE) / 10000.0 AS revenue,
       count(*) AS n_items
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -132,7 +142,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(_revenue_col()).cast("decimal(18,4)").cast("double").alias("revenue"),
+            revenue_double(F.sum(_revenue_cents())).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

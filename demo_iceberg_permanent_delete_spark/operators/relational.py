@@ -21,84 +21,78 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_iceberg_permanent_delete_spark.functions.scalars import (
-    checked_narrow,
-    davg,
-    dec,
-    dsum,
-    rate,
-)
+from demo_iceberg_permanent_delete_spark.functions.scalars import cents
 from demo_iceberg_permanent_delete_spark.registry import query
 from demo_iceberg_permanent_delete_spark.sources.tables import load_table
 
 
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H-Q1-style pricing summary (SURVEY §7 Phase 1; R1/R9/R11 +
-# decimal-exact aggregation). Groups: hash aggregate with map-side combine;
-# the only shuffle carries ~|groups| rows per partition.
+# exact aggregation). Groups: hash aggregate with map-side combine; the
+# only shuffle carries ~|groups| rows per partition.
+#
+# Money math runs on scaled BIGINTs (cents — see functions/scalars.cents):
+# all inputs are 2dp, so round(x*100) is exact and the three-factor charge
+# product is exact integer arithmetic. This is both faster than decimal(38)
+# aggregation in the single-row-group scan hot path (the r2 decimal form
+# cost ~0.4 s of the ~1.0 s query at sf0.1) and parity-stronger: both
+# engines sum identical int64s, and int64→double is the same IEEE op
+# everywhere, with no decimal→double engine-specific rounding ceiling.
 # ---------------------------------------------------------------------------
 @query(
     "pricing_summary",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tc
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-      -- reduce product sums to the TRUE value scale before the double
-      -- cast: the raw sum's decimal scale is 12-18, whose unscaled value
-      -- passes 2^53 at sf0.1 and converts to double with engine-specific
-      -- last-ulp rounding; at 4/6dp (lossless for 2dp money math) the
-      -- unscaled value stays exactly representable
-      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-               * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(8,6)))
-           AS DECIMAL(18,4)) AS DOUBLE)
-        AS sum_disc_price,
-      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-               * (CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(8,6))
-                  * CAST(1 + CAST(l_tax AS DECIMAL(18,6)) AS DECIMAL(8,6))))
-           AS DECIMAL(18,6)) AS DOUBLE)
-        AS sum_charge,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
-      CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+      CAST(sum(qc) AS DOUBLE) / 100.0 AS sum_qty,
+      CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_base_price,
+      CAST(sum(pc * (100 - dc)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      CAST(sum(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0 AS sum_charge,
+      CAST(sum(qc) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+      CAST(sum(pc) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+      CAST(sum(dc) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
       count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    one_minus_disc = rate(F.lit(1) - dec("l_discount"))
-    one_plus_tax = rate(F.lit(1) + dec("l_tax"))
+    qc, pc, dc, tc = (
+        cents("l_quantity"),
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        .select("l_returnflag", "l_linestatus", qc.alias("qc"), pc.alias("pc"),
+                dc.alias("dc"), tc.alias("tc"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            # Ceilings (see checked_narrow): decimal(18,*) overflow-to-NULL
-            # at sf≈17 is guarded loudly; double bit-parity with the oracle
-            # needs the narrowed unscaled sum under 2^53 — ~sf 0.2 for the
-            # scale-6 charge sum (~5.7e15 unscaled at sf0.1).
-            checked_narrow(
-                F.sum(dec("l_extendedprice") * one_minus_disc),
-                "decimal(18,4)",
-                "sum_disc_price",
-            )
-            .cast("double")
+            (F.sum("qc").cast("double") / 100.0).alias("sum_qty"),
+            (F.sum("pc").cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(F.col("pc") * (F.lit(100) - F.col("dc"))).cast("double") / 10000.0)
             .alias("sum_disc_price"),
-            checked_narrow(
-                F.sum(dec("l_extendedprice") * (one_minus_disc * one_plus_tax)),
-                "decimal(18,6)",
-                "sum_charge",
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            (
+                F.sum(
+                    F.col("pc") * (F.lit(100) - F.col("dc")) * (F.lit(100) + F.col("tc"))
+                ).cast("double")
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum("qc").cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum("pc").cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum("dc").cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -273,13 +267,11 @@ def self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS k1,
            o.o_orderpriority AS s1,
            CAST(NULL AS VARCHAR) AS s2,
-           -- DECIMAL(18,4) before DOUBLE: lossless (2dp×2dp inputs) and
-           -- keeps the unscaled value < 2^53, where both engines' decimal
-           -- → double conversions are correctly rounded (DuckDB's cast
-           -- from DECIMAL(38,12) is off by an ulp at this magnitude)
-           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                    * CAST(1 - CAST(l.l_discount AS DECIMAL(18,6)) AS DECIMAL(8,6)))
-                AS DECIMAL(18,4)) AS DOUBLE) AS v
+           -- scaled-bigint revenue (functions/scalars.cents): identical
+           -- int64 sums in both engines, one shared IEEE int64→double op
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS v
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
@@ -325,7 +317,10 @@ def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact lineitem ⋈ orders through ``salted_join`` (the skew
     scatter from operators/skew.py), aggregated to revenue per priority —
     proves the salt changes the shuffle, not the answer."""
-    from demo_iceberg_permanent_delete_spark.functions.scalars import dec, rate
+    from demo_iceberg_permanent_delete_spark.operators.analytics import (
+        _revenue_cents,
+        revenue_double,
+    )
     from demo_iceberg_permanent_delete_spark.operators.skew import salted_join
 
     lineitem = load_table(spark, sf_dir, "lineitem").select(
@@ -339,10 +334,7 @@ def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(dec("l_extendedprice") * rate(F.lit(1) - dec("l_discount")))
-        .cast("decimal(18,4)")  # see the oracle's DECIMAL(18,4) comment
-        .cast("double")
-        .alias("revenue"),
+        revenue_double(F.sum(_revenue_cents())).alias("revenue"),
     )
 
 

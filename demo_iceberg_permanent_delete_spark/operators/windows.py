@@ -136,25 +136,59 @@ def ranking_running_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # ONE scan + one row-proportional exchange: aggregate to the common
+    # 5-minute grid first (slide = gcd(duration, hop)), then derive both
+    # window kinds from the tiny base frame — the tumble rolls up pairs of
+    # buckets, the slide explodes each bucket into its two member windows.
+    # Decimal re-aggregation is associative-exact, so this equals
+    # aggregating the raw rows per window directly (which is what r2 did,
+    # at the cost of scanning events twice). The follow-up aggregates
+    # exchange ~|buckets × types| rows, not ~|events|.
+    from demo_iceberg_permanent_delete_spark.functions.scalars import dec
 
-    def agg_window(win, kind: str) -> DataFrame:
+    base = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w5"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("dv"))
+        .select(F.col("w5.start").alias("b_start"), "event_type", "n", "dv")
+    )
+
+    def rollup(bucketed: DataFrame, kind: str) -> DataFrame:
         return (
-            ev.groupBy(win.alias("w"), "event_type")
+            bucketed.groupBy("window_start", "event_type")
             .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                dsum("value").alias("total_value"),
+                F.sum("n").alias("n_events"),
+                F.sum("dv").cast("double").alias("total_value"),
             )
             .select(
                 F.lit(kind).alias("win_kind"),
-                F.col("w.start").alias("window_start"),
+                "window_start",
                 "event_type",
                 "n_events",
                 "total_value",
             )
         )
 
-    tumble = agg_window(F.window("ts", "10 minutes"), "tumble")
-    slide = agg_window(F.window("ts", "10 minutes", "5 minutes"), "slide")
+    tumble = rollup(
+        base.withColumn(
+            "window_start",
+            F.timestamp_seconds(F.floor(F.unix_timestamp("b_start") / 600) * 600),
+        ),
+        "tumble",
+    )
+    slide = rollup(
+        base.select(
+            F.explode(
+                F.array(
+                    F.col("b_start"),
+                    F.col("b_start") - F.expr("INTERVAL 5 MINUTES"),
+                )
+            ).alias("window_start"),
+            "event_type",
+            "n",
+            "dv",
+        ),
+        "slide",
+    )
     return tumble.unionByName(slide)
 
 
