@@ -9,12 +9,16 @@ At 100 TB this is the difference between scanning 3 files and 800,000: the
 parquet row-group stats only help after a file is opened and its footer
 fetched; manifest pruning avoids the open entirely.
 
-Scope (sound, conservative): only top-level AND conjuncts of simple
-comparisons ``col <op> literal`` (op ∈ =, <, <=, >, >=), BETWEEN, literal
-IN-lists, and IS [NOT] NULL are used for skipping; anything else (OR at top
-level, functions, nested expressions) makes that conjunct non-pruning. A
-file is skipped only when some conjunct is provably unsatisfiable on the
-file's [min, max] / null-count stats — missing stats keep the file.
+Scope (sound, conservative): AND/OR trees (with parentheses, SQL
+precedence: AND binds tighter) over simple comparisons ``col <op>
+literal`` (op ∈ =, <, <=, >, >=), BETWEEN, literal IN-lists, and
+IS [NOT] NULL are evaluated against the stats — AND prunes when any
+branch is unsatisfiable, OR only when EVERY branch is (so
+``date = A OR date = B`` keeps exactly the A-files ∪ B-files).
+Anything else (NOT, functions, nested expressions) makes that leaf
+non-pruning. A file is skipped only when the tree is provably
+unsatisfiable on the file's [min, max] / null-count stats — missing
+stats keep the file.
 Equality/range semantics over strings use lexicographic order, matching
 parquet footer stats. Null-count stats additionally prune comparisons on
 all-NULL columns (parquet leaves min/max absent there, so bounds alone
@@ -128,18 +132,22 @@ def _coerce(lit: Any, lo: Any, hi: Any) -> tuple[Any, Any, Any] | None:
 _BETWEEN_AND = "\x00BETWEEN_AND\x00"
 
 
-def _split_conjuncts(pred: str) -> list[str] | None:
-    """Top-level AND conjuncts; None if a top-level OR makes pruning unsound."""
-    # BETWEEN's inner AND is part of the comparison, not a conjunction.
-    # The lower bound may be a quoted literal containing spaces
-    # (TIMESTAMP '2024-06-02 00:00:00'), so match typed/quoted literals
-    # before falling back to a bare token.
-    pred = re.sub(
+def _mask_between(pred: str) -> str:
+    """Replace BETWEEN's inner AND with a sentinel so boolean splitting
+    never mistakes it for a conjunction. The lower bound may be a quoted
+    literal containing spaces (TIMESTAMP '2024-06-02 00:00:00'), so match
+    typed/quoted literals before falling back to a bare token."""
+    return re.sub(
         r"(\bBETWEEN\b\s+(?:(?:DATE|TIMESTAMP)\s+'(?:[^']|'')*'|'(?:[^']|'')*'|\S+)\s+)AND\b",
         rf"\1{_BETWEEN_AND}",
         pred,
         flags=re.I,
     )
+
+
+def _split_top(pred: str, op: str) -> list[str]:
+    """Split ``pred`` on top-level (outside quotes/parens) AND or OR."""
+    pat = rf"\s+{op}\s+"
     parts, depth, quote, cur = [], 0, None, []
     tokens = re.split(r"(\s+AND\s+|\s+OR\s+|[()'])", pred, flags=re.I)
     for tok in tokens:
@@ -159,15 +167,52 @@ def _split_conjuncts(pred: str) -> list[str] | None:
         elif tok == ")":
             depth -= 1
             cur.append(tok)
-        elif depth == 0 and re.fullmatch(r"\s+AND\s+", tok, re.I):
+        elif depth == 0 and re.fullmatch(pat, tok, re.I):
             parts.append("".join(cur))
             cur = []
-        elif depth == 0 and re.fullmatch(r"\s+OR\s+", tok, re.I):
-            return None  # top-level OR: no sound pruning from conjuncts
         else:
             cur.append(tok)
     parts.append("".join(cur))
-    return [p.replace(_BETWEEN_AND, "AND").strip() for p in parts if p.strip()]
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _strip_parens(expr: str) -> str:
+    """Remove balanced outer parentheses: '((a OR b))' → 'a OR b'."""
+    expr = expr.strip()
+    while expr.startswith("(") and expr.endswith(")"):
+        depth, quote = 0, False
+        wraps = True
+        for i, ch in enumerate(expr):
+            if quote:
+                if ch == "'":
+                    quote = False
+                continue
+            if ch == "'":
+                quote = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(expr) - 1:
+                    wraps = False  # ')' closes before the end: '(a) OR (b)'
+                    break
+        if not wraps or depth != 0:
+            break
+        expr = expr[1:-1].strip()
+    return expr
+
+
+def _split_conjuncts(pred: str) -> list[str] | None:
+    """Top-level AND conjuncts; None if a top-level OR splits the predicate
+    (callers that need pure conjuncts — bucket projection — stay sound by
+    projecting nothing; file pruning itself handles OR via _expr_can_match)."""
+    masked = _mask_between(pred)
+    if len(_split_top(masked, "OR")) > 1:
+        return None
+    return [
+        p.replace(_BETWEEN_AND, "AND")
+        for p in _split_top(masked, "AND")
+    ]
 
 
 def _bounds_for(entry: ManifestEntry, col: str) -> tuple[Any, Any] | None:
@@ -265,6 +310,21 @@ def _conjunct_can_match(entry: ManifestEntry, conjunct: str) -> bool:
     return True
 
 
+def _expr_can_match(entry: ManifestEntry, masked: str) -> bool:
+    """Recursive AND/OR evaluation over a BETWEEN-masked predicate. SQL
+    precedence (AND tighter than OR) falls out of splitting OR first.
+    False only when the whole tree is provably unsatisfiable on this file."""
+    expr = _strip_parens(masked)
+    or_parts = _split_top(expr, "OR")
+    if len(or_parts) > 1:
+        return any(_expr_can_match(entry, p) for p in or_parts)
+    and_parts = _split_top(expr, "AND")
+    if len(and_parts) > 1:
+        return all(_expr_can_match(entry, p) for p in and_parts)
+    # leaf (expr is paren-stripped, so one part can't hide another level)
+    return _conjunct_can_match(entry, expr.replace(_BETWEEN_AND, "AND"))
+
+
 def _bucket_can_match(
     entry: ManifestEntry, part_col: str, allowed: list[int]
 ) -> bool:
@@ -334,9 +394,7 @@ def candidate_files(
     whose stats are keyed by the old physical name."""
     if not predicate or not isinstance(predicate, str):
         return list(entries)
-    conjuncts = _split_conjuncts(predicate)
-    if conjuncts is None:
-        return list(entries)
+    masked = _mask_between(predicate)
     bucket_checks: list[tuple[str, list[int]]] = []
     if partition_fields:
         from demo_iceberg_permanent_delete_spark.lake.transforms import (
@@ -347,7 +405,7 @@ def candidate_files(
     out = []
     for e in entries:
         v = _stats_view(e, aliases) if aliases else e
-        if all(_conjunct_can_match(v, c) for c in conjuncts) and all(
+        if _expr_can_match(v, masked) and all(
             _bucket_can_match(v, col, vals) for col, vals in bucket_checks
         ):
             out.append(e)

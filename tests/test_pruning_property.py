@@ -113,7 +113,20 @@ ATOM = st.one_of(
         ["i IS NULL", "i IS NOT NULL", "s IS NULL", "t IS NOT NULL"]
     ),
 )
-PREDICATE = st.lists(ATOM, min_size=1, max_size=3).map(" AND ".join)
+# AND/OR trees: conjunctions, disjunctions, and the two paren shapes that
+# exercise SQL precedence (AND tighter than OR) both ways. DuckDB evaluates
+# the identical text, so any precedence or paren-stripping bug in
+# _expr_can_match shows up as an unsound prune here.
+_CONJ = st.lists(ATOM, min_size=1, max_size=3).map(" AND ".join)
+_DISJ = st.lists(ATOM, min_size=2, max_size=3).map(" OR ".join)
+PREDICATE = st.one_of(
+    _CONJ,
+    _DISJ,
+    st.builds(lambda d, a: f"({d}) AND {a}", _DISJ, ATOM),
+    st.builds(lambda a, b, c: f"{a} OR ({b} AND {c})", ATOM, ATOM, ATOM),
+    st.builds(lambda a, b, c: f"{a} OR {b} AND {c}", ATOM, ATOM, ATOM),
+    st.builds(lambda d1, d2: f"(({d1})) AND ({d2})", _DISJ, _DISJ),
+)
 
 SCHEMA = pa.schema(
     [
