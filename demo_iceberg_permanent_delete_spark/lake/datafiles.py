@@ -115,6 +115,7 @@ def write_data_files(
     target_file_size_bytes: int | None = None,
     prefix: str = "data",
     write_options: dict[str, str] | None = None,
+    record_count_from: str | None = None,
 ) -> list[ManifestEntry]:
     """Write ``df`` as managed parquet files under ``target_dir``.
 
@@ -124,6 +125,14 @@ def write_data_files(
     ``write_options`` are parquet writer options (e.g. per-column bloom
     filters: ``parquet.bloom.filter.enabled#<col>``). Returns one
     ManifestEntry per file.
+
+    ``record_count_from`` names a bigint column whose per-file SUM becomes
+    the manifest ``record_count`` instead of the parquet row count — the
+    deletion-vector layout uses it so a DV file's record_count is the
+    number of deleted positions it encodes (Iceberg v3 semantics: a DV's
+    cardinality, not its physical row count). The sum is read back from
+    the written file's single column — DV files are O(affected data
+    files) rows, so this is a tiny metadata-sized read.
     """
     os.makedirs(target_dir, exist_ok=True)
     scratch = os.path.join(target_dir, f"_tmp-{uuid.uuid4().hex}")
@@ -152,6 +161,9 @@ def write_data_files(
         if n_rows == 0:
             os.remove(final)
             continue
+        if record_count_from is not None:
+            col = pq.read_table(final, columns=[record_count_from])
+            n_rows = sum(v.as_py() or 0 for v in col.column(0))
         entries.append(
             ManifestEntry(
                 file_path=final,

@@ -436,14 +436,17 @@ class LakeTable:
         target_file_size_bytes: int | None = None,
     ) -> list[ManifestEntry]:
         """Persist (file_path, pos) tombstone rows as position-delete
-        files. With ``write.delete.vector.enabled=true`` the deletion-
-        vector layout is used: one row per TARGET data file carrying the
-        sorted positions array (Iceberg v3's DV shape, array-encoded) —
-        delete-file row count becomes O(affected files), the array column
-        run-length/delta-compresses in parquet, and read-side explode is
-        executor-local. Default stays the row layout."""
+        files. By default (``write.delete.vector.enabled=true``, flippable
+        to ``false`` for the plain row layout) the deletion-vector layout
+        is used: one row per TARGET data file carrying the sorted positions
+        array (Iceberg v3's DV shape, array-encoded) — delete-file row
+        count becomes O(affected files), the array column run-length/
+        delta-compresses in parquet, and read-side explode is executor-
+        local. Measured at sf0.1 with 5 stacked MOR delete generations
+        (~55% of 600k rows): DV writes 7.3 s vs 9.4 s, read-merge 0.92 s
+        vs 1.22 s, 40 vs 370k delete-file rows (scratch/dv_bench.py)."""
         use_dv = (
-            self.properties.get("write.delete.vector.enabled", "false").lower()
+            self.properties.get("write.delete.vector.enabled", "true").lower()
             == "true"
         )
         kwargs = {}
@@ -454,11 +457,19 @@ class LakeTable:
                 F.array_sort(F.collect_list("pos")).alias("positions"),
                 F.count(F.lit(1)).cast("long").alias("cardinality"),
             )
+            # Always bin-pack DV output: a small delete lands in ONE file
+            # regardless of the groupBy's hash partitioning (deterministic
+            # file inventory), a huge one splits at the compaction target —
+            # the puffin-style "many DVs per delete file" shape.
+            kwargs.setdefault("target_file_size_bytes", TARGET_FILE_SIZE_BYTES)
             entries = write_data_files(
                 dv,
                 self.data_dir,
                 content=CONTENT_POSITION_DELETES,
                 prefix="delete",
+                # Iceberg v3: a DV's record_count is its cardinality (rows
+                # it deletes), not the physical row count of the DV file.
+                record_count_from="cardinality",
                 **kwargs,
             )
             for e in entries:

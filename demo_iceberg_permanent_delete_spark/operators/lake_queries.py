@@ -620,9 +620,10 @@ def lake_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('metadata', 'manifests', 'json', 1, NULL, 1),
         ('metadata', 'manifests', 'json', 1, NULL, 2),
         -- insert repartitions to exactly 2 data files; the MOR delete
-        -- writes one position-delete file per touched data file
+        -- bin-packs its deletion vectors into ONE delete file whose
+        -- record_count is the DV cardinality (= rows deleted)
         ('data', 'data', 'parquet', 2, 'rows', 1),
-        ('data', 'position_deletes', 'parquet', 2, 'dels', 1)
+        ('data', 'position_deletes', 'parquet', 1, 'dels', 1)
     )
     SELECT prefix, file_type, file_format,
            CAST(files_in_catalog AS BIGINT) AS files_in_catalog,

@@ -95,7 +95,14 @@ def test_consolidation_migrates_rows_to_dv(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh2"))
     cat.create_namespace("default")
     t = cat.create_table(
-        "default.mig", DDL, properties={"write.delete.mode": "merge-on-read"}
+        "default.mig",
+        DDL,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            # start on the legacy row layout (DV is the default now) to
+            # exercise the rows → DV consolidation migration below
+            "write.delete.vector.enabled": "false",
+        },
     )
     t.insert(
         spark.createDataFrame([(i, f"n{i}") for i in range(50)], DDL).coalesce(1)
