@@ -32,6 +32,10 @@ from demo_iceberg_permanent_delete_spark.lake.errors import (
     SnapshotNotFoundError,
     UnsafeOperationError,
 )
+from demo_iceberg_permanent_delete_spark.lake.planner import (
+    plan_join,
+    scan_estimate,
+)
 from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
 from demo_iceberg_permanent_delete_spark.lake.table import LakeTable
 
@@ -42,4 +46,6 @@ __all__ = [
     "NoSuchTableError",
     "SnapshotNotFoundError",
     "UnsafeOperationError",
+    "plan_join",
+    "scan_estimate",
 ]

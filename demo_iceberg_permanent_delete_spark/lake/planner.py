@@ -1,0 +1,208 @@
+"""Stats-driven join planning over lake tables (SURVEY.md §4; the loop
+Iceberg closes by feeding Puffin/manifest stats to Catalyst's CBO —
+reference delegates this wholesale, iceberg_pii_deletion_demo.py relies on
+`spark.sql.autoBroadcastJoinThreshold` against Iceberg-reported sizes).
+
+Catalyst sizes a parquet relation by its raw file bytes. For a lake scan
+that estimate is wrong in both directions: it can't see manifest pruning
+(a `WHERE day = X` scan reads one file of ten thousand) and it can't see
+MOR tombstones (a table 90% deleted still "weighs" its full byte size).
+Both facts live in THIS layer's metadata — so the broadcast decision is
+made here, from:
+
+- **manifest byte/row totals** (always available, exact): live rows =
+  data record_count − position-delete record_count (DV cardinality
+  semantics), avg row width = bytes / records, optionally scoped to the
+  predicate's candidate files via the same sound pruning the scan uses;
+- **ANALYZE NDV** (`.statistics`, when tied to the current snapshot):
+  join-output cardinality via the System-R containment estimate
+  |L ⋈ R| ≈ rows_L · rows_R / max(ndv_L(k), ndv_R(k)), and per-side key
+  multiplicity rows/ndv as a skew signal (operators/skew.py holds the
+  mitigations).
+
+`plan_join` wraps the chosen side in `F.broadcast(...)` — an explicit,
+tested hint instead of hoping Catalyst's byte heuristic lands right.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.lake.metadata import (
+    CONTENT_POSITION_DELETES,
+)
+
+# Catalyst's default autoBroadcastJoinThreshold (10 MiB) — used when the
+# session conf is disabled (-1) or unparseable. A deliberate floor, not a
+# mirror: the whole point is deciding from better information than the
+# session default.
+DEFAULT_BROADCAST_THRESHOLD = 10 * 1024 * 1024
+
+# rows/ndv above this flags the key as skew-prone (one key value maps to
+# >64 rows on average ⇒ hottest keys are far worse; at 100 TB that's a
+# straggler task unless salted or broadcast).
+SKEW_MULTIPLICITY = 64
+
+
+def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
+    """Size/row estimate for a (possibly predicate-scoped) scan of the
+    current snapshot, from manifests alone — no data read.
+
+    Returns ``{"rows", "bytes", "ndv", "stats_fresh"}`` where ``rows`` is
+    the live-row estimate (data records minus position-delete
+    cardinality, floored at 0), ``bytes`` scales the live fraction by the
+    candidate files' byte total, and ``ndv`` is the ANALYZE column→NDV
+    map when the recorded statistics are tied to the current snapshot
+    (stale stats are ignored, matching the `.statistics` staleness flag).
+    """
+    snap = table.metadata.current_snapshot()
+    if snap is None:
+        return {"rows": 0, "bytes": 0, "ndv": {}, "stats_fresh": False}
+    data = snap.data_files()
+    if predicate is not None:
+        from demo_iceberg_permanent_delete_spark.lake.pruning import (
+            candidate_files,
+        )
+
+        data = candidate_files(
+            data,
+            predicate,
+            table._partition_fields,
+            aliases=table.metadata.renames,
+        )
+    total_rows = sum(e.record_count for e in data)
+    total_bytes = sum(e.file_size_in_bytes for e in data)
+    cand_paths = {e.file_path for e in data}
+    # Position deletes target specific files; count only tombstones whose
+    # target survived pruning when we know the target (DV entries carry it
+    # in min/max of file_path; conservatively count all otherwise).
+    deleted = 0
+    for e in snap.delete_files():
+        if e.content != CONTENT_POSITION_DELETES:
+            continue
+        lo = e.min_values.get("file_path")
+        hi = e.max_values.get("file_path")
+        if lo is not None and lo == hi and lo not in cand_paths:
+            continue  # single-target delete file aimed at a pruned file
+        deleted += e.record_count
+    live_rows = max(0, total_rows - deleted)
+    live_frac = (live_rows / total_rows) if total_rows else 0.0
+    stats = table.metadata.statistics or {}
+    fresh = stats.get("snapshot_id") == snap.snapshot_id
+    return {
+        "rows": live_rows,
+        "bytes": int(total_bytes * live_frac),
+        "ndv": {c: s["ndv"] for c, s in stats.get("columns", {}).items()}
+        if fresh
+        else {},
+        "stats_fresh": fresh,
+    }
+
+
+def _broadcast_threshold(spark, override: int | None) -> int:
+    if override is not None:
+        return override
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    mult = 1
+    low = raw.strip().lower()
+    for suffix, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("b", 1)):
+        if low.endswith(suffix):
+            low = low[: -len(suffix)]
+            mult = m
+            break
+    try:
+        val = int(low) * mult
+    except ValueError:
+        return DEFAULT_BROADCAST_THRESHOLD
+    # -1 disables Catalyst's own heuristic; this planner still decides
+    # from manifest truth, at the default floor.
+    return val if val > 0 else DEFAULT_BROADCAST_THRESHOLD
+
+
+def plan_join(
+    left,
+    right,
+    on: str | list[str],
+    how: str = "inner",
+    *,
+    left_predicate: str | None = None,
+    right_predicate: str | None = None,
+    broadcast_threshold: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Join two lake tables with a stats-chosen strategy.
+
+    Consults :func:`scan_estimate` for both sides and broadcasts the
+    smaller side when its post-prune post-delete byte estimate fits under
+    the threshold (explicit ``F.broadcast`` — deterministic, not left to
+    Catalyst's raw-file-size guess). When fresh ANALYZE stats cover the
+    join key, the decision dict also carries the System-R output-row
+    estimate and a ``skew_hint`` naming any side whose key multiplicity
+    exceeds :data:`SKEW_MULTIPLICITY` (feed it to operators/skew.py).
+
+    Returns ``(joined_df, decision)``; ``decision["strategy"]`` is one of
+    ``broadcast_left`` / ``broadcast_right`` / ``shuffle``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l_est = scan_estimate(left, left_predicate)
+    r_est = scan_estimate(right, right_predicate)
+    threshold = _broadcast_threshold(left.spark, broadcast_threshold)
+
+    l_df = left.scan(left_predicate) if left_predicate else left.read()
+    r_df = right.scan(right_predicate) if right_predicate else right.read()
+
+    # Only the streamed (non-broadcast) side may be outer-preserved: a
+    # broadcast side can't be the row-preserving side of an outer join.
+    can_bcast_left = how in ("inner", "cross", "right", "right_outer")
+    can_bcast_right = how in (
+        "inner",
+        "cross",
+        "left",
+        "left_outer",
+        "left_semi",
+        "left_anti",
+        "semi",
+        "anti",
+    )
+
+    strategy = "shuffle"
+    candidates = []
+    if can_bcast_left and l_est["bytes"] <= threshold:
+        candidates.append(("broadcast_left", l_est["bytes"]))
+    if can_bcast_right and r_est["bytes"] <= threshold:
+        candidates.append(("broadcast_right", r_est["bytes"]))
+    if candidates:
+        strategy = min(candidates, key=lambda c: c[1])[0]
+
+    if strategy == "broadcast_left":
+        joined = F.broadcast(l_df).join(r_df, on=keys, how=how)
+    elif strategy == "broadcast_right":
+        joined = l_df.join(F.broadcast(r_df), on=keys, how=how)
+    else:
+        joined = l_df.join(r_df, on=keys, how=how)
+
+    est_rows = None
+    skew_hint: list[str] = []
+    key = keys[0] if len(keys) == 1 else None
+    if key is not None:
+        l_ndv = l_est["ndv"].get(key)
+        r_ndv = r_est["ndv"].get(key)
+        if l_ndv and r_ndv:
+            est_rows = int(l_est["rows"] * r_est["rows"] / max(l_ndv, r_ndv))
+        for side, est, ndv in (("left", l_est, l_ndv), ("right", r_est, r_ndv)):
+            if ndv and est["rows"] / ndv > SKEW_MULTIPLICITY:
+                skew_hint.append(side)
+
+    return joined, {
+        "strategy": strategy,
+        "left_bytes": l_est["bytes"],
+        "right_bytes": r_est["bytes"],
+        "left_rows": l_est["rows"],
+        "right_rows": r_est["rows"],
+        "threshold": threshold,
+        "est_output_rows": est_rows,
+        "stats_fresh": (l_est["stats_fresh"], r_est["stats_fresh"]),
+        "skew_hint": skew_hint,
+    }

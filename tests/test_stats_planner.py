@@ -1,0 +1,135 @@
+"""Stats-driven join planning (lake/planner.py): ANALYZE NDV + manifest
+byte/row totals choose the join strategy — the loop Iceberg closes by
+feeding Puffin stats to Catalyst's CBO. The decisive test: with
+Catalyst's own broadcast heuristic DISABLED, the planner's stats still
+flip the dim join to a BroadcastHashJoin."""
+
+from __future__ import annotations
+
+import pytest
+
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+from demo_iceberg_permanent_delete_spark.lake.planner import (
+    plan_join,
+    scan_estimate,
+)
+from demo_iceberg_permanent_delete_spark.plans import has_broadcast_join
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    """A small dim (50 rows) and a larger fact (20k rows) lake table."""
+    wh = tmp_path_factory.mktemp("planner-wh")
+    cat = Catalog(spark, str(wh))
+    cat.create_namespace("default")
+    dim = cat.create_table("default.dim", "k bigint, name string")
+    dim.insert(
+        spark.createDataFrame(
+            [(i, f"dim-{i}") for i in range(50)], "k long, name string"
+        ).coalesce(1)
+    )
+    fact = cat.create_table("default.fact", "k bigint, amount bigint")
+    fact.insert(
+        spark.createDataFrame(
+            [(i % 50, i) for i in range(20_000)], "k long, amount long"
+        ).repartition(4)
+    )
+    return dim, fact
+
+
+def test_stats_flip_join_to_broadcast(spark, tables):
+    dim, fact = tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # Control: Catalyst alone (heuristic disabled) shuffles both sides.
+        naive = fact.read().join(dim.read(), on="k")
+        assert not has_broadcast_join(naive), (
+            "control join must not broadcast with the heuristic disabled"
+        )
+        # The planner's manifest stats flip it.
+        joined, decision = plan_join(fact, dim, on="k")
+        assert decision["strategy"] == "broadcast_right", decision
+        assert has_broadcast_join(joined), "stats must force a broadcast join"
+        assert joined.count() == 20_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_shuffle_when_nothing_fits(spark, tables):
+    dim, fact = tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined, decision = plan_join(fact, dim, on="k", broadcast_threshold=1)
+        assert decision["strategy"] == "shuffle"
+        assert not has_broadcast_join(joined)
+        assert joined.count() == 20_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_broadcast_side_respects_outer_semantics(tables):
+    dim, fact = tables
+    # Left-outer: only the right side may be broadcast; if the right side
+    # is the big fact table and doesn't fit, fall back to shuffle even
+    # though the left dim would fit.
+    joined, decision = plan_join(
+        dim, fact, on="k", how="left", broadcast_threshold=10_000
+    )
+    assert decision["strategy"] == "shuffle", decision
+    # Inner with the same threshold broadcasts the dim.
+    joined, decision = plan_join(dim, fact, on="k", how="inner",
+                                 broadcast_threshold=10_000)
+    assert decision["strategy"] == "broadcast_left", decision
+    assert has_broadcast_join(joined)
+
+
+def test_ndv_output_estimate_and_skew_hint(tables):
+    dim, fact = tables
+    dim.compute_table_stats()
+    fact.compute_table_stats()
+    joined, decision = plan_join(fact, dim, on="k")
+    assert decision["stats_fresh"] == (True, True)
+    est = decision["est_output_rows"]
+    actual = joined.count()
+    # HLL NDV error is a few percent; System-R containment is exact here
+    # (every fact key hits the dim), so the estimate must be close.
+    assert est is not None and abs(est - actual) / actual < 0.15, (est, actual)
+    # fact side: 20k rows over ~50 distinct keys = multiplicity ~400 ≫ 64
+    assert decision["skew_hint"] == ["left"], decision
+
+
+def test_estimates_track_deletes_and_staleness(spark, tables):
+    dim, fact = tables
+    before = scan_estimate(fact)
+    assert before["rows"] == 20_000
+    assert before["bytes"] > 0
+    fact.compute_table_stats()
+    assert scan_estimate(fact)["stats_fresh"]
+    # MOR delete shrinks the live-row estimate without a data read …
+    fact.set_properties({"write.delete.mode": "merge-on-read"})
+    fact.delete("k < 10")
+    after = scan_estimate(fact)
+    assert after["rows"] == 20_000 - 4_000
+    assert after["bytes"] < before["bytes"]
+    # … and the new snapshot makes the ANALYZE stats stale.
+    assert not after["stats_fresh"]
+    assert after["ndv"] == {}
+
+
+def test_predicate_scopes_the_estimate(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.days", "day bigint, v bigint")
+    for d in range(4):
+        t.insert(
+            spark.createDataFrame(
+                [(d, i) for i in range(1000)], "day long, v long"
+            ).coalesce(1)
+        )
+    full = scan_estimate(t)
+    one = scan_estimate(t, "day = 2")
+    assert full["rows"] == 4_000
+    assert one["rows"] == 1_000
+    assert 0 < one["bytes"] < full["bytes"]
