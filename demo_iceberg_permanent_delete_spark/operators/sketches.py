@@ -66,27 +66,18 @@ def sketch_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
-    exact = distincts.join(percentiles, "l_returnflag").localCheckpoint(eager=True)
-    # Self-check the sketch battery against the exact twin in-query (the
-    # estimates are engine-specific so they can't be DuckDB-hashed; bounded
-    # relative error vs the exact values IS deterministic and assertable).
-    approx = {r["l_returnflag"]: r for r in sketch_approx_summary(spark, sf_dir).collect()}
-    for r in exact.collect():
-        a = approx[r["l_returnflag"]]
-        assert abs(a["n_parts_approx"] - r["n_parts"]) <= 0.05 * r["n_parts"]
-        assert abs(a["n_suppliers_approx"] - r["n_suppliers"]) <= 0.05 * r["n_suppliers"]
-        spread = r["max_price"] - r["min_price"]
-        assert abs(a["p50_price_approx"] - r["p50_price"]) <= 0.05 * spread
-        assert abs(a["p95_price_approx"] - r["p95_price"]) <= 0.05 * spread
-        assert a["n_rows"] == r["n_rows"]
-    return exact
+    # The sketch battery's bounded-error agreement with this exact twin is
+    # pinned in tests/test_sketches.py — NOT here: an in-query self-check
+    # would pay a second full lineitem scan + aggregate on every bench and
+    # driver invocation for a guarantee pytest already provides (same
+    # rationale as cosine_topk's exact-vs-BLAS split).
+    return distincts.join(percentiles, "l_returnflag")
 
 
 # ---------------------------------------------------------------------------
 # Sketch battery (estimates are implementation-specific so there is no
 # DuckDB twin): HLL++ distinct counts + bounded-memory mergeable percentile
-# sketches. Driver-checked via the in-query accuracy assertions inside
-# sketch_exact_summary; also asserted in pytest.
+# sketches. Accuracy vs the exact twin asserted in tests/test_sketches.py.
 # ---------------------------------------------------------------------------
 def sketch_approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

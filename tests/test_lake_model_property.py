@@ -21,6 +21,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.slow  # ~160 s of randomized DML sequences
+
 from demo_iceberg_permanent_delete_spark.lake import Catalog
 
 DDL = "k bigint, v bigint, s string"

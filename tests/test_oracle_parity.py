@@ -13,12 +13,17 @@ _QUERIES = all_queries()
 _ORACLES = all_oracles()
 
 
+# slow: this is the driver's own CORRECTNESS gate re-run in pytest (all 50
+# composites vs DuckDB) — several minutes; the fast subset keeps
+# test_entry_smoke as the contract canary.
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_oracle_parity(name, spark, duck):
     df = _QUERIES[name](spark, SF_ORACLE)
     compare(df, duck, _ORACLES[name])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_run(name, spark):
     df = _QUERIES[name](spark, SF_ORACLE)

@@ -13,11 +13,8 @@ from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
 DDL = "k bigint, name string, v double"
 
 
-@pytest.fixture
-def ranged_table(spark, tmp_path):
-    """Three inserts with disjoint key ranges → three files with disjoint
-    manifest [min,max] bounds."""
-    cat = Catalog(spark, str(tmp_path / "wh"))
+def _build_ranged(spark, wh: str):
+    cat = Catalog(spark, wh)
     cat.create_namespace("default")
     t = cat.create_table(
         "default.ranged", DDL, properties={"write.delete.mode": "merge-on-read"}
@@ -26,6 +23,20 @@ def ranged_table(spark, tmp_path):
         rows = [(lo + i, f"name-{lo + i}", float(i)) for i in range(100)]
         t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
     return t
+
+
+@pytest.fixture(scope="module")
+def ranged_table(spark, tmp_path_factory):
+    """Three inserts with disjoint key ranges → three files with disjoint
+    manifest [min,max] bounds. Module-scoped: each insert is a Spark job +
+    commit (~15 s of setup) and every consumer is read-only — the one
+    mutating test builds its own copy via ``ranged_table_mut``."""
+    return _build_ranged(spark, str(tmp_path_factory.mktemp("prune") / "wh"))
+
+
+@pytest.fixture
+def ranged_table_mut(spark, tmp_path):
+    return _build_ranged(spark, str(tmp_path / "wh"))
 
 
 def test_disjoint_ranges_prune_to_one_file(ranged_table):
@@ -154,8 +165,8 @@ def test_scan_results_match_unpruned_read(ranged_table):
     assert len(ranged_table.read().inputFiles()) == 3
 
 
-def test_pruned_delete_composes_with_mor_read(ranged_table):
-    t = ranged_table
+def test_pruned_delete_composes_with_mor_read(ranged_table_mut):
+    t = ranged_table_mut
     snap = t.delete("k = 150")
     assert snap is not None
     # delete files target only the single candidate file
@@ -170,10 +181,11 @@ def test_empty_candidate_set_short_circuits(ranged_table):
     assert ranged_table.delete("k = 99999") is None
 
 
-@pytest.fixture
-def nullable_table(spark, tmp_path):
-    """Three files: v fully populated / half NULL / all NULL."""
-    cat = Catalog(spark, str(tmp_path / "wh"))
+@pytest.fixture(scope="module")
+def nullable_table(spark, tmp_path_factory):
+    """Three files: v fully populated / half NULL / all NULL.
+    Module-scoped — all consumers are read-only."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("prune-null") / "wh"))
     cat.create_namespace("default")
     t = cat.create_table("default.nullable", DDL)
     batches = [

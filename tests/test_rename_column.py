@@ -108,9 +108,17 @@ def test_drop_kills_chain_no_resurrection(spark, table):
     table.rename_column("email", "contact_email")
     table.drop_column("contact_email")
     assert "contact_email" not in table.metadata.renames
-    table.add_column("contact_email", "string")
-    vals = {r["k"]: r["contact_email"] for r in table.read().collect()}
-    # re-added column must NOT resurrect pre-rename 'email' values
+    # EVERY name in the dropped chain is tombstoned — by-name parquet
+    # resolution cannot do Iceberg's fresh-field-id trick, so re-adding
+    # either the dropped logical name or a retired physical name could
+    # resurrect values from files written under that name. Conservative
+    # block (tests/test_advice_regressions.py covers the attack sequence).
+    for retired in ("contact_email", "email"):
+        with pytest.raises(ValueError, match="retired"):
+            table.add_column(retired, "string")
+    # a genuinely fresh name still works and null-fills
+    table.add_column("contact_email2", "string")
+    vals = {r["k"]: r["contact_email2"] for r in table.read().collect()}
     assert all(v is None for v in vals.values())
 
 
