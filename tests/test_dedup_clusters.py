@@ -24,6 +24,25 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
 
 
+def test_connected_components_distributed_path_matches(spark, monkeypatch):
+    """Force the ≥gate distributed loop (hash-min + pointer jumping) and
+    assert it matches the driver union-find fast path on the same graph."""
+    import demo_iceberg_permanent_delete_spark.operators.dedup as dd
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(30)], "doc_id long"
+    )
+    # chain 0..9 (deep path exercises pointer jumping), star 10..14,
+    # pair {20,21}, singletons elsewhere
+    e = [(i, i + 1) for i in range(9)] + [(10, j) for j in (11, 12, 13, 14)] + [(21, 20)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    fast = {r["doc_id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    monkeypatch.setattr(dd, "_CC_LOCAL_MAX_EDGES", -1)
+    dist = {r["doc_id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert fast == dist
+    assert dist[9] == 0 and dist[14] == 10 and dist[20] == 20 and dist[25] == 25
+
+
 def test_connected_components_direction_independent(spark):
     # Label must flow against edge direction too (edges are undirected).
     nodes = spark.createDataFrame([(i,) for i in (5, 6, 7)], "doc_id long")
