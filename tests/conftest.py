@@ -28,6 +28,29 @@ def spark():
     s.stop()
 
 
+def one_part(spark, rows, ddl):
+    """Single-partition DataFrame preserving row order.
+
+    Equivalent to ``createDataFrame(rows, ddl).coalesce(1)`` but ~40×
+    faster: a local list parallelizes into defaultParallelism (32) Python
+    slices and coalesce(1) evaluates them SEQUENTIALLY in one task
+    (measured ~4.3 s even for 100 rows); a pandas frame ships as ONE
+    Arrow batch (~0.1 s) with the same single-file, ordered result.
+    """
+    import pandas as pd
+
+    schema = spark.createDataFrame([], ddl).schema if isinstance(ddl, str) else ddl
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    pdf = pd.DataFrame(rows, columns=schema.names)
+    # The Arrow path still slices the frame into defaultParallelism
+    # partitions, but they are JVM-side Arrow batches — coalesce(1) over
+    # them is a cheap local concat (~0.1 s), not 32 sequential Python
+    # worker evaluations.
+    return spark.createDataFrame(pdf, schema).coalesce(1)
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

@@ -9,6 +9,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import Catalog
 from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
 from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
@@ -23,7 +24,7 @@ def _ts_table(spark, tmp_path):
         (i, dt.datetime(2024, 6, 5, 12, 0, 0) + dt.timedelta(minutes=i))
         for i in range(10)
     ]
-    t.insert(spark.createDataFrame(rows, "id bigint, ts timestamp").coalesce(1))
+    t.insert(one_part(spark, rows, "id bigint, ts timestamp"))
     return t
 
 

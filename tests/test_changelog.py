@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import Catalog
 
 DDL = "k bigint, v string"
@@ -60,7 +61,7 @@ def test_cow_delete_raw_and_net(spark, tmp_path):
     t = cat.create_table(
         "default.cow", DDL, properties={"write.delete.mode": "copy-on-write"}
     )
-    t.insert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], DDL).coalesce(1))
+    t.insert(one_part(spark, [(1, "a"), (2, "b"), (3, "c")], DDL))
     t.delete("k = 2")
     raw = _rows(t.changes())
     # raw: file-level — old file's rows deleted, kept rows re-inserted
@@ -74,7 +75,7 @@ def test_cow_update_net_is_before_after_pair(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh3"))
     cat.create_namespace("default")
     t = cat.create_table("default.upd", DDL)
-    t.insert(spark.createDataFrame([(1, "a"), (2, "b")], DDL).coalesce(1))
+    t.insert(one_part(spark, [(1, "a"), (2, "b")], DDL))
     t.update({"v": None}, "k = 2")
     net = [g for g in _rows(t.changes(net=True)) if g[1] == 1]
     assert net == [("DELETE", 1, 2, "b"), ("INSERT", 1, 2, None)]

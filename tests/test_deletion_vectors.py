@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import Catalog
 
 DDL = "k bigint, name string"
@@ -29,7 +30,7 @@ def dv_table(spark, tmp_path):
     )
     for lo in (0, 100):
         rows = [(lo + i, f"name-{lo + i}") for i in range(100)]
-        t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+        t.insert(one_part(spark, rows, DDL))
     return t
 
 
@@ -105,7 +106,7 @@ def test_consolidation_migrates_rows_to_dv(spark, tmp_path):
         },
     )
     t.insert(
-        spark.createDataFrame([(i, f"n{i}") for i in range(50)], DDL).coalesce(1)
+        one_part(spark, [(i, f"n{i}") for i in range(50)], DDL)
     )
     t.delete("k = 1")
     t.delete("k = 2")

@@ -5,6 +5,7 @@ decodes content=2 but never creates it — file_summary_utils.py:146)."""
 
 from __future__ import annotations
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import Catalog
 
 DDL = "k bigint, name string, v double"
@@ -18,7 +19,7 @@ def _table(spark, tmp_path, name="default.eq", props=None):
 
 
 def _rows(spark, data):
-    return spark.createDataFrame(data, DDL)
+    return one_part(spark, data, DDL)
 
 
 def test_equality_delete_masks_matching_rows(spark, tmp_path):
@@ -85,7 +86,7 @@ def test_rewrite_purges_equality_deletes_physically(spark, tmp_path):
 def test_rewrite_position_deletes_passes_eq_files_through(spark, tmp_path):
     t = _table(spark, tmp_path, props={"write.delete.mode": "merge-on-read"})
     for batch in ([(1, "a", 1.0)], [(2, "b", 2.0)], [(3, "c", 3.0)]):
-        t.insert(_rows(spark, batch).coalesce(1))
+        t.insert(_rows(spark, batch))
     t.delete("k = 1")
     t.delete("k = 2")
     t.equality_delete(spark.createDataFrame([("c",)], "name string"))

@@ -12,6 +12,7 @@ import os
 
 import pytest
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import (
     Catalog,
     SnapshotNotFoundError,
@@ -217,12 +218,13 @@ def test_expire_snapshots_blocks_time_travel_and_purges(spark, pii_table):
 
 def test_orphan_files_safety_and_cleanup(spark, pii_table):
     # drop an out-of-band parquet into the data dir (cleanup_utils.py:80-92)
-    orphan_df = spark.createDataFrame(
+    orphan_df = one_part(
+        spark,
         [("orphan-1", "Eve", "eve@example.com", "k9", "s9", "sk9", dt.date(2023, 2, 1))],
         PII_SCHEMA,
     )
     orphan_dir = os.path.join(pii_table.data_dir, "_orphan_tmp")
-    orphan_df.coalesce(1).write.parquet(orphan_dir)
+    orphan_df.write.parquet(orphan_dir)
     part = glob.glob(os.path.join(orphan_dir, "part-*.parquet"))[0]
     orphan_path = os.path.join(pii_table.data_dir, "orphan.parquet")
     os.rename(part, orphan_path)
@@ -290,7 +292,7 @@ def test_parquet_bloom_filter_property_reaches_writer(spark, catalog):
     ddl = "k bigint, name string"
 
     plain = catalog.create_table("default.nobloom", ddl)
-    plain.insert(spark.createDataFrame(rows, ddl).coalesce(1))
+    plain.insert(one_part(spark, rows, ddl))
     bloomy = catalog.create_table(
         "default.bloom",
         ddl,
@@ -299,7 +301,7 @@ def test_parquet_bloom_filter_property_reaches_writer(spark, catalog):
             "write.parquet.bloom-filter-fpp.column.name": "0.01",
         },
     )
-    bloomy.insert(spark.createDataFrame(rows, ddl).coalesce(1))
+    bloomy.insert(one_part(spark, rows, ddl))
 
     size = lambda t: sum(  # noqa: E731
         e.file_size_in_bytes

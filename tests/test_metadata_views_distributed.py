@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import Catalog
 from demo_iceberg_permanent_delete_spark.lake import table as table_mod
 
@@ -24,9 +25,9 @@ def lifecycle_table(spark, tmp_path):
     )
     for lo in (0, 10, 20):
         t.insert(
-            spark.createDataFrame(
+            one_part(spark, 
                 [(lo + i, f"n{lo + i}") for i in range(5)], DDL
-            ).coalesce(1)
+            )
         )
     t.delete("k = 11")
     t.rewrite_data_files()

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import Catalog
 from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
 
@@ -21,7 +22,7 @@ def _build_ranged(spark, wh: str):
     )
     for lo in (0, 100, 200):
         rows = [(lo + i, f"name-{lo + i}", float(i)) for i in range(100)]
-        t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+        t.insert(one_part(spark, rows, DDL))
     return t
 
 
@@ -194,7 +195,7 @@ def nullable_table(spark, tmp_path_factory):
         [(200 + i, f"n-{200 + i}", None) for i in range(10)],
     ]
     for rows in batches:
-        t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+        t.insert(one_part(spark, rows, DDL))
     return t
 
 

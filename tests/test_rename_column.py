@@ -13,6 +13,7 @@ import datetime as dt
 
 import pytest
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import Catalog
 from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
 
@@ -31,7 +32,7 @@ def table(spark, cat):
         "default.people", DDL, properties={"write.delete.mode": "merge-on-read"}
     )
     rows = [(i, f"user{i}@example.com", float(i)) for i in range(100)]
-    t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+    t.insert(one_part(spark, rows, DDL))
     return t
 
 
@@ -39,10 +40,10 @@ def test_rename_reads_old_and_new_files(spark, table):
     table.rename_column("email", "contact_email")
     # post-rename write lands under the NEW physical name
     table.insert(
-        spark.createDataFrame(
+        one_part(spark, 
             [(100, "late@example.com", 100.0)],
             "k bigint, contact_email string, v double",
-        ).coalesce(1)
+        )
     )
     df = table.read()
     assert df.columns == ["k", "contact_email", "v"]
@@ -85,7 +86,7 @@ def test_pruning_uses_alias_stats(spark, table):
     # three disjoint-range files under the OLD name, then rename
     for lo in (1000, 2000):
         rows = [(lo + i, f"user{lo + i}@example.com", float(i)) for i in range(50)]
-        table.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+        table.insert(one_part(spark, rows, DDL))
     table.rename_column("k", "row_id")
     entries = table.metadata.current_snapshot().data_files()
     assert all("row_id" not in (e.min_values or {}) for e in entries)
@@ -126,14 +127,14 @@ def test_rename_blocked_by_equality_deletes_and_partitions(spark, cat):
     cat.create_namespace("default")
     t = cat.create_table("default.parted", DDL, partition_by=["bucket(4, k)"])
     t.insert(
-        spark.createDataFrame([(1, "a@example.com", 1.0)], DDL).coalesce(1)
+        one_part(spark, [(1, "a@example.com", 1.0)], DDL)
     )
     with pytest.raises(ValueError, match="partition source"):
         t.rename_column("k", "row_id")
 
     t2 = cat.create_table("default.eqd", DDL)
     t2.insert(
-        spark.createDataFrame([(1, "a@example.com", 1.0)], DDL).coalesce(1)
+        one_part(spark, [(1, "a@example.com", 1.0)], DDL)
     )
     t2.equality_delete(spark.createDataFrame([("a@example.com",)], "email string"))
     with pytest.raises(ValueError, match="equality-delete"):
@@ -159,9 +160,9 @@ def test_datasource_reads_through_rename(spark, cat):
     cat.create_namespace("default")
     t = cat.create_table("default.ds", DDL)
     t.insert(
-        spark.createDataFrame(
-            [(i, f"user{i}@example.com", float(i)) for i in range(10)], DDL
-        ).coalesce(1)
+        one_part(
+            spark, [(i, f"user{i}@example.com", float(i)) for i in range(10)], DDL
+        )
     )
     t.rename_column("email", "contact_email")
     df = (
@@ -179,15 +180,15 @@ def test_alter_column_type_widening(spark, cat):
     cat.create_namespace("default")
     t = cat.create_table("default.widen", "k int, v float, s string")
     t.insert(
-        spark.createDataFrame([(1, 1.5, "a"), (2, 2.5, "b")], "k int, v float, s string").coalesce(1)
+        one_part(spark, [(1, 1.5, "a"), (2, 2.5, "b")], "k int, v float, s string")
     )
     t.alter_column_type("k", "bigint")
     t.alter_column_type("v", "double")
     # pre-promotion files upcast in place; post-promotion writes land wide
     t.insert(
-        spark.createDataFrame(
+        one_part(spark, 
             [(3_000_000_000, 3.5, "c")], "k bigint, v double, s string"
-        ).coalesce(1)
+        )
     )
     df = t.read()
     assert dict(df.dtypes)["k"] == "bigint" and dict(df.dtypes)["v"] == "double"

@@ -8,6 +8,7 @@ import datetime as dt
 
 import pytest
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import Catalog, SnapshotNotFoundError
 from demo_iceberg_permanent_delete_spark.lake.datafiles import (
     _STRING_BOUND_CHARS,
@@ -29,7 +30,7 @@ def table(spark, tmp_path):
 def test_retain_last_protects_recent_ancestors(spark, table):
     snaps = []
     for i in range(4):
-        table.insert(spark.createDataFrame([(i, f"n{i}")], DDL).coalesce(1))
+        table.insert(one_part(spark, [(i, f"n{i}")], DDL))
         snaps.append(table.metadata.current_snapshot_id)
 
     stats = table.expire_snapshots(FUTURE, retain_last=3)
@@ -50,7 +51,7 @@ def test_retain_last_protects_recent_ancestors(spark, table):
 def test_string_bounds_truncated_and_sound(spark, table):
     long_b = "b" * 40
     rows = [(1, "a" * 50), (2, long_b)]
-    table.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+    table.insert(one_part(spark, rows, DDL))
     [entry] = table.metadata.current_snapshot().data_files()
     lo, hi = entry.min_values["name"], entry.max_values["name"]
     assert len(lo) <= _STRING_BOUND_CHARS

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import Catalog
 
 DDL = "k bigint, name string, v double"
@@ -22,7 +23,7 @@ def table(spark, tmp_path):
     )
     for lo in (0, 100, 200):
         rows = [(lo + i, f"name-{lo + i}", float(i)) for i in range(100)]
-        t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+        t.insert(one_part(spark, rows, DDL))
     return t
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import Catalog
 from demo_iceberg_permanent_delete_spark.lake.planner import (
     plan_join,
@@ -24,9 +25,9 @@ def tables(spark, tmp_path_factory):
     cat.create_namespace("default")
     dim = cat.create_table("default.dim", "k bigint, name string")
     dim.insert(
-        spark.createDataFrame(
+        one_part(spark, 
             [(i, f"dim-{i}") for i in range(50)], "k long, name string"
-        ).coalesce(1)
+        )
     )
     fact = cat.create_table("default.fact", "k bigint, amount bigint")
     fact.insert(
@@ -124,9 +125,9 @@ def test_predicate_scopes_the_estimate(spark, tmp_path):
     t = cat.create_table("default.days", "day bigint, v bigint")
     for d in range(4):
         t.insert(
-            spark.createDataFrame(
+            one_part(spark, 
                 [(d, i) for i in range(1000)], "day long, v long"
-            ).coalesce(1)
+            )
         )
     full = scan_estimate(t)
     one = scan_estimate(t, "day = 2")

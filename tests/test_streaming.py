@@ -18,6 +18,7 @@ import os
 
 import pytest
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
     read_event_stream,
     run_available_now,
@@ -36,14 +37,15 @@ def _ns(minute: float) -> int:
 
 def _write_events_file(spark, path: str, rows: list[tuple], mtime: float) -> None:
     # (event_id, minutes_after_base, user_id, event_type, value)
-    df = spark.createDataFrame(
+    df = one_part(
+        spark,
         [
             (eid, _ns(m), uid, etype, val, "{}")
             for (eid, m, uid, etype, val) in rows
         ],
         "event_id long, ts long, user_id long, event_type string, value double, props string",
     )
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.write.mode("overwrite").parquet(path)
     # The file source orders batches by modification time — pin it so batch
     # boundaries are deterministic.
     for root, _dirs, files in os.walk(path):

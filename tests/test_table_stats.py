@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import one_part
 from demo_iceberg_permanent_delete_spark.lake import Catalog
 
 DDL = "k bigint, cat string, v double"
@@ -37,7 +38,7 @@ def test_compute_and_view(spark, table):
     assert rows["k"]["snapshot_id"] == table.metadata.current_snapshot_id
 
     # stats go stale when the snapshot moves, fresh again on recompute
-    table.insert(spark.createDataFrame([(999, "new", 1.0)], DDL).coalesce(1))
+    table.insert(one_part(spark, [(999, "new", 1.0)], DDL))
     assert all(r["stale"] for r in table.meta("statistics").collect())
     table.compute_table_stats(["k"])
     rows = {r["column_name"]: r for r in table.meta("statistics").collect()}
