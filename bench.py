@@ -13,15 +13,18 @@ sink, which fully materializes the result on executors without any
 write cost or a driver-side collect — the closest analog to what a
 downstream stage would observe.
 
-Per-query value = min of 2 back-to-back runs (steady-state). A query's
-first execution carries 1-6 s of one-time JVM JIT + whole-stage-codegen
-class compilation for its unique generated code; with 50 queries that
-fixed cost would be double-counted 50x into a throughput number. At the
-100 TB design point each query runs for minutes-to-hours, so the
-steady-state (second-run) cost is the honest per-query metric; the cold
-total is still observable as this script's wall-clock minus ~15 s of
-fixture setup. (Round-1 numbers were single-run/cold — see BASELINE.md
-for the comparison caveat.)
+Per-query value = min of 3 back-to-back runs (steady-state; round 2 used
+min-of-2 — see BASELINE.md for the methodology note). A query's first
+execution carries 1-6 s of one-time JVM JIT + whole-stage-codegen class
+compilation for its unique generated code; with 50 queries that fixed
+cost would be double-counted 50x into a throughput number, and repeated
+idle-machine runs still show occasional single-entry JIT/GC spikes of
+2-3x (e.g. similarity_topk 2.4 s vs a one-off 7.5 s in back-to-back
+round-3 runs — almost certainly what flagged pricing_summary as a
+round-2 "regression"). At the 100 TB design point each query runs for
+minutes-to-hours, so the steady-state cost is the honest per-query
+metric; the cold total is still observable as this script's wall-clock
+minus ~15 s of fixture setup.
 """
 
 from __future__ import annotations
@@ -66,7 +69,7 @@ def main() -> None:
 
     for name in sorted(queries):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
