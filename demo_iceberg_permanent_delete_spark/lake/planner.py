@@ -46,6 +46,10 @@ DEFAULT_BROADCAST_THRESHOLD = 10 * 1024 * 1024
 # straggler task unless salted or broadcast).
 SKEW_MULTIPLICITY = 64
 
+# salt count for the automatic skew fallback — each hot key scatters over
+# this many reducers; the build side's shuffle volume multiplies by it.
+SALT_FACTOR = 8
+
 
 def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
     """Size/row estimate for a (possibly predicate-scoped) scan of the
@@ -140,10 +144,13 @@ def plan_join(
     Catalyst's raw-file-size guess). When fresh ANALYZE stats cover the
     join key, the decision dict also carries the System-R output-row
     estimate and a ``skew_hint`` naming any side whose key multiplicity
-    exceeds :data:`SKEW_MULTIPLICITY` (feed it to operators/skew.py).
+    exceeds :data:`SKEW_MULTIPLICITY` — and when no broadcast fits, a
+    left-side hint escalates to the deterministic salted join
+    (operators/skew.py) provided the ``SALT_FACTOR``-amplified build-side
+    shuffle stays moderate.
 
     Returns ``(joined_df, decision)``; ``decision["strategy"]`` is one of
-    ``broadcast_left`` / ``broadcast_right`` / ``shuffle``.
+    ``broadcast_left`` / ``broadcast_right`` / ``salted`` / ``shuffle``.
     """
     keys = [on] if isinstance(on, str) else list(on)
     l_est = scan_estimate(left, left_predicate)
@@ -152,6 +159,20 @@ def plan_join(
 
     l_df = left.scan(left_predicate) if left_predicate else left.read()
     r_df = right.scan(right_predicate) if right_predicate else right.read()
+
+    # NDV-derived signals (fresh ANALYZE only): System-R output estimate
+    # and per-side key multiplicity as the skew signal.
+    est_rows = None
+    skew_hint: list[str] = []
+    key = keys[0] if len(keys) == 1 else None
+    if key is not None:
+        l_ndv = l_est["ndv"].get(key)
+        r_ndv = r_est["ndv"].get(key)
+        if l_ndv and r_ndv:
+            est_rows = int(l_est["rows"] * r_est["rows"] / max(l_ndv, r_ndv))
+        for side, est, ndv in (("left", l_est, l_ndv), ("right", r_est, r_ndv)):
+            if ndv and est["rows"] / ndv > SKEW_MULTIPLICITY:
+                skew_hint.append(side)
 
     # Only the streamed (non-broadcast) side may be outer-preserved: a
     # broadcast side can't be the row-preserving side of an outer join.
@@ -175,25 +196,31 @@ def plan_join(
         candidates.append(("broadcast_right", r_est["bytes"]))
     if candidates:
         strategy = min(candidates, key=lambda c: c[1])[0]
+    elif (
+        "left" in skew_hint
+        and how in ("inner", "left", "left_outer")
+        # salting explodes the build (right) side SALT_FACTOR×: worth it
+        # only while the replicated build still shuffles less than the
+        # skewed probe side it is protecting
+        and r_est["bytes"] * SALT_FACTOR <= l_est["bytes"]
+    ):
+        # neither side fits a broadcast and the big probe side hammers few
+        # keys — scatter its hot keys over SALT_FACTOR reducers
+        # (operators/skew.py; result-identical, deterministic salt)
+        strategy = "salted"
 
     if strategy == "broadcast_left":
         joined = F.broadcast(l_df).join(r_df, on=keys, how=how)
     elif strategy == "broadcast_right":
         joined = l_df.join(F.broadcast(r_df), on=keys, how=how)
+    elif strategy == "salted":
+        from demo_iceberg_permanent_delete_spark.operators.skew import (
+            salted_join,
+        )
+
+        joined = salted_join(l_df, r_df, keys, how, salts=SALT_FACTOR)
     else:
         joined = l_df.join(r_df, on=keys, how=how)
-
-    est_rows = None
-    skew_hint: list[str] = []
-    key = keys[0] if len(keys) == 1 else None
-    if key is not None:
-        l_ndv = l_est["ndv"].get(key)
-        r_ndv = r_est["ndv"].get(key)
-        if l_ndv and r_ndv:
-            est_rows = int(l_est["rows"] * r_est["rows"] / max(l_ndv, r_ndv))
-        for side, est, ndv in (("left", l_est, l_ndv), ("right", r_est, r_ndv)):
-            if ndv and est["rows"] / ndv > SKEW_MULTIPLICITY:
-                skew_hint.append(side)
 
     return joined, {
         "strategy": strategy,

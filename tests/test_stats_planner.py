@@ -101,6 +101,39 @@ def test_ndv_output_estimate_and_skew_hint(tables):
     assert decision["skew_hint"] == ["left"], decision
 
 
+def test_skew_hint_escalates_to_salted_join(spark, tmp_path):
+    """No broadcast fits + fresh NDV flags the probe side → the planner
+    picks the deterministic salted join and the result is identical."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    dim = cat.create_table("default.dim", "k bigint, name string")
+    dim.insert(
+        one_part(spark, [(i, f"dim-{i}") for i in range(50)], "k long, name string")
+    )
+    fact = cat.create_table("default.fact", "k bigint, amount bigint")
+    fact.insert(
+        spark.createDataFrame(
+            [(i % 50, i) for i in range(20_000)], "k long, amount long"
+        ).repartition(4)
+    )
+    dim.compute_table_stats()
+    fact.compute_table_stats()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined, decision = plan_join(fact, dim, on="k", broadcast_threshold=1)
+        assert decision["strategy"] == "salted", decision
+        assert "left" in decision["skew_hint"]
+        plain = fact.read().join(dim.read(), "k")
+        assert joined.count() == plain.count() == 20_000
+        # without the skew signal (stale stats) the same sizes shuffle
+        fact.insert(one_part(spark, [(0, 99_999)], "k long, amount long"))
+        joined2, decision2 = plan_join(fact, dim, on="k", broadcast_threshold=1)
+        assert decision2["strategy"] == "shuffle", decision2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_estimates_track_deletes_and_staleness(spark, tables):
     dim, fact = tables
     before = scan_estimate(fact)
