@@ -549,3 +549,142 @@ def compute_table_stats(table, columns: list[str] | None = None) -> dict[str, in
     }
     meta.commit()
     return {"analyzed_columns": len(cols), "row_count": row["__n"]}
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning — the piece Iceberg ships as the rewrite procedure's
+# binpack candidate selection. At 100 TB nobody rewrites the whole table;
+# a scheduler asks "which partitions have accumulated enough small files
+# or delete pressure to be worth compacting" and scopes rewrite_data_files
+# to those. Everything here is manifest-only: no data file is opened.
+# ---------------------------------------------------------------------------
+def _value_transform(field, value):
+    """Python twin of transforms.transform_column for MANIFEST STAT values
+    (JSON-roundtripped: timestamps/dates are isoformat strings). Returns
+    None when the value can't be transformed (file stays ungrouped)."""
+    if value is None:
+        return None
+    t = field.transform
+    if t == "identity":
+        return value
+    if t in ("year", "month", "day", "hour"):
+        s = str(value).replace("T", " ")
+        width = {"year": 4, "month": 7, "day": 10, "hour": 13}[t]
+        return s[:width] if len(s) >= width else None
+    if t == "truncate":
+        if isinstance(value, str):
+            return value[: field.arg]
+        if isinstance(value, int):
+            return value - (value % field.arg)
+        return None
+    return None  # bucket: grouped via the synthetic __part column instead
+
+
+def plan_compaction(
+    table,
+    *,
+    target_file_size_bytes: int = TARGET_FILE_SIZE_BYTES,
+    small_file_fraction: float = 0.5,
+    min_input_files: int = 4,
+    delete_ratio_threshold: float = 0.2,
+) -> dict[str, Any]:
+    """Select compaction candidates from manifests alone.
+
+    Files are grouped by their partition tuple — derivable from manifest
+    min/max stats whenever a file sits wholly inside one partition value
+    (writers range-cluster on transform values, lake/transforms.py, so
+    this is the common case; bucket transforms group via the synthetic
+    ``__part_<col>_bucket`` column's stats). A group is a candidate when
+    it holds ≥ ``min_input_files`` files smaller than
+    ``small_file_fraction × target`` — the small-file accumulation that
+    degrades scan planning and shuffle fan-in at scale. Identity/day
+    groups carry a ready-to-use ``where`` predicate for
+    ``rewrite_data_files(where=...)`` (whole-file semantics make a
+    straddling extra match harmless); other transforms report the file
+    list for manual scoping.
+
+    Also reports table-wide delete pressure (tombstone cardinality over
+    data records — exact, since DV record_count IS the deleted-row
+    count): past ``delete_ratio_threshold`` the recommendation is a
+    rewrite (MOR read-merge cost has outgrown its write savings).
+    """
+    snap = table.metadata.current_snapshot()
+    if snap is None:
+        return {"groups": [], "delete_pressure": None}
+    data = snap.data_files()
+    fields = table._partition_fields
+
+    def file_partition(e) -> tuple | None:
+        parts = []
+        for fld in fields:
+            if fld.transform == "bucket":
+                key = fld.part_column
+                lo, hi = e.min_values.get(key), e.max_values.get(key)
+                if lo is None or lo != hi:
+                    return None
+                parts.append((fld.spec, lo))
+                continue
+            lo = _value_transform(fld, e.min_values.get(fld.source))
+            hi = _value_transform(fld, e.max_values.get(fld.source))
+            if lo is None or lo != hi:
+                return None
+            parts.append((fld.spec, lo))
+        return tuple(parts)
+
+    groups: dict[tuple | None, list] = {}
+    small_cutoff = int(target_file_size_bytes * small_file_fraction)
+    for e in data:
+        if e.file_size_in_bytes < small_cutoff:
+            groups.setdefault(file_partition(e), []).append(e)
+
+    def where_for(partition: tuple | None) -> str | None:
+        if partition is None or len(fields) != 1:
+            return None
+        fld, value = fields[0], partition[0][1]
+        if fld.transform == "identity":
+            if isinstance(value, str):
+                return f"{fld.source} = '" + value.replace("'", "''") + "'"
+            if isinstance(value, (int, float)):
+                return f"{fld.source} = {value}"
+            return None
+        if fld.transform == "day" and isinstance(value, str):
+            d0 = dt.date.fromisoformat(value)
+            d1 = d0 + dt.timedelta(days=1)
+            return (
+                f"{fld.source} >= TIMESTAMP '{d0} 00:00:00' AND "
+                f"{fld.source} < TIMESTAMP '{d1} 00:00:00'"
+            )
+        return None
+
+    out_groups = []
+    for partition, entries in sorted(
+        groups.items(), key=lambda kv: (kv[0] is None, str(kv[0]))
+    ):
+        if len(entries) < min_input_files:
+            continue
+        out_groups.append(
+            {
+                "partition": dict(partition) if partition else None,
+                "file_count": len(entries),
+                "bytes": sum(e.file_size_in_bytes for e in entries),
+                "files": [e.file_path for e in entries],
+                "where": where_for(partition),
+            }
+        )
+
+    data_records = sum(e.record_count for e in data)
+    deleted = sum(
+        e.record_count
+        for e in snap.delete_files()
+        if e.content == CONTENT_POSITION_DELETES
+    )
+    ratio = (deleted / data_records) if data_records else 0.0
+    return {
+        "groups": out_groups,
+        "delete_pressure": {
+            "data_records": data_records,
+            "deleted_rows": deleted,
+            "ratio": round(ratio, 6),
+            "recommend_rewrite": ratio >= delete_ratio_threshold,
+        },
+    }

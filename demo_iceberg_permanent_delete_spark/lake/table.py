@@ -2131,6 +2131,11 @@ class LakeTable:
 
         return maintenance.compute_table_stats(self, columns)
 
+    def plan_compaction(self, **kwargs) -> dict:
+        from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+        return maintenance.plan_compaction(self, **kwargs)
+
     def rewrite_manifests(self, *, min_count_to_rewrite: int = 2) -> dict[str, int]:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 

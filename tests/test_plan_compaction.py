@@ -1,0 +1,110 @@
+"""Compaction planning (lake/maintenance.plan_compaction): manifest-only
+candidate selection feeding scoped rewrite_data_files — Iceberg's binpack
+candidate selection re-expressed over the JSON-manifest lake."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from tests.conftest import one_part
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+
+
+def test_small_file_groups_and_scoped_rewrite(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.days", "ts timestamp, v bigint", partition_by=["days(ts)"]
+    )
+    # day 1: five tiny files (the small-file problem); day 2: one file
+    for i in range(5):
+        t.insert(
+            one_part(
+                spark,
+                [(dt.datetime(2024, 6, 5, 10, 0, i), i)],
+                "ts timestamp, v bigint",
+            )
+        )
+    t.insert(
+        one_part(
+            spark,
+            [(dt.datetime(2024, 6, 6, 10, 0, 0), 99)],
+            "ts timestamp, v bigint",
+        )
+    )
+    plan = t.plan_compaction(min_input_files=4)
+    assert len(plan["groups"]) == 1
+    g = plan["groups"][0]
+    assert g["partition"] == {"days(ts)": "2024-06-05"}
+    assert g["file_count"] == 5
+    assert g["where"] is not None and "2024-06-05" in g["where"]
+    # the emitted predicate drives a scoped rewrite: 5 small files -> 1,
+    # the other day's file untouched
+    before = {e.file_path for e in t.metadata.current_snapshot().data_files()}
+    stats = t.rewrite_data_files(where=g["where"])
+    assert stats["rewritten_data_files_count"] == 5
+    after = t.metadata.current_snapshot().data_files()
+    assert len(after) == 2
+    untouched = [e for e in after if e.file_path in before]
+    assert len(untouched) == 1  # day-2 file carried over
+    assert t.read().count() == 6
+    # post-compaction the plan is clean
+    assert t.plan_compaction(min_input_files=4)["groups"] == []
+
+
+def test_identity_partition_where_and_quoting(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.ident", "label string, v bigint", partition_by=["label"]
+    )
+    for i in range(4):
+        t.insert(
+            one_part(spark, [("it's-a", i)], "label string, v bigint")
+        )
+    plan = t.plan_compaction(min_input_files=3)
+    [g] = plan["groups"]
+    assert g["where"] == "label = 'it''s-a'"
+    stats = t.rewrite_data_files(where=g["where"])
+    assert stats["rewritten_data_files_count"] == 4
+    assert t.read().count() == 4
+
+
+def test_delete_pressure_recommendation(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.mor",
+        "k bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(one_part(spark, [(i, f"v{i}") for i in range(100)], "k bigint, v string"))
+    p0 = t.plan_compaction()
+    assert p0["delete_pressure"]["recommend_rewrite"] is False
+    t.delete("k < 30")
+    p1 = t.plan_compaction()
+    dp = p1["delete_pressure"]
+    # exact: DV record_count is the deleted-row cardinality
+    assert dp["deleted_rows"] == 30 and dp["data_records"] == 100
+    assert dp["ratio"] == 0.3 and dp["recommend_rewrite"] is True
+    t.rewrite_data_files()
+    assert t.plan_compaction()["delete_pressure"]["recommend_rewrite"] is False
+
+
+def test_ungrouped_files_and_unpartitioned(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.flat", "k bigint, v string")
+    for lo in (0, 100, 200, 300):
+        t.insert(
+            one_part(
+                spark,
+                [(lo + i, f"v{i}") for i in range(5)],
+                "k bigint, v string",
+            )
+        )
+    plan = t.plan_compaction(min_input_files=4)
+    # unpartitioned: all files group under the empty partition tuple
+    [g] = plan["groups"]
+    assert g["partition"] is None or g["partition"] == {}
+    assert g["file_count"] == 4
