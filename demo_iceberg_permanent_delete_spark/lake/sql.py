@@ -29,6 +29,9 @@ extension. Covered statements, with the reference call sites:
 - CALL demo.system.remove_orphan_files   cleanup_utils.py:26-47
 - CALL demo.system.rewrite_data_files    :421-433
 - CALL demo.system.rewrite_position_delete_files  :436-447
+- CALL demo.system.plan_compaction       (extension — manifest-only
+  small-file/delete-pressure candidate selection; one row per partition
+  group with a ready `where` for rewrite_data_files)
 - CALL demo.system.rollback_to_snapshot  (extension — Iceberg's standard
   maintenance procedure; the reference recovers state via time travel only)
 - CALL demo.system.create_changelog_view (extension — Iceberg's CDC
@@ -45,6 +48,7 @@ Everything else falls through to ``spark.sql`` untouched.
 from __future__ import annotations
 
 import datetime as dt
+import json
 import re
 from typing import Any
 
@@ -488,6 +492,28 @@ class LakeEngine:
             return _one_row_df(self.spark, stats)
         if proc == "rewrite_position_delete_files":
             return _one_row_df(self.spark, t.rewrite_position_delete_files())
+        if proc == "plan_compaction":
+            plan = t.plan_compaction()
+            dp = plan["delete_pressure"] or {}
+            rows = [
+                (
+                    json.dumps(g["partition"]),
+                    g["file_count"],
+                    g["bytes"],
+                    g["where"],
+                    float(dp.get("ratio", 0.0)),
+                    bool(dp.get("recommend_rewrite", False)),
+                )
+                for g in plan["groups"]
+            ] or [
+                (None, 0, 0, None, float(dp.get("ratio", 0.0)),
+                 bool(dp.get("recommend_rewrite", False)))
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "partition string, file_count int, bytes long, where string, "
+                "delete_ratio double, recommend_rewrite boolean",
+            )
         if proc == "compute_table_stats":
             cols = args.get("columns")
             if isinstance(cols, str):

@@ -91,6 +91,20 @@ def test_delete_pressure_recommendation(spark, tmp_path):
     assert t.plan_compaction()["delete_pressure"]["recommend_rewrite"] is False
 
 
+def test_sql_call_plan_compaction(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql("CREATE TABLE default.t (k bigint, v string) USING iceberg")
+    for i in range(4):
+        eng.sql(f"INSERT INTO default.t VALUES ({i}, 'v{i}')")
+    rows = eng.sql("CALL demo.system.plan_compaction('default.t')").collect()
+    [g] = rows
+    assert g["file_count"] == 4 and g["recommend_rewrite"] is False
+    assert g["delete_ratio"] == 0.0
+
+
 def test_ungrouped_files_and_unpartitioned(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
     cat.create_namespace("default")
