@@ -91,6 +91,48 @@ def test_delete_pressure_recommendation(spark, tmp_path):
     assert t.plan_compaction()["delete_pressure"]["recommend_rewrite"] is False
 
 
+def test_value_transform_matches_spark_transforms(spark):
+    """plan_compaction's Python twin of transforms.transform_column must
+    agree with the Spark expression on manifest-stat representations
+    (JSON-roundtripped: timestamps/dates arrive as isoformat strings)."""
+    from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+        _value_transform,
+    )
+    from demo_iceberg_permanent_delete_spark.lake.transforms import (
+        parse_partition_by,
+        transform_column,
+    )
+
+    ts = [
+        dt.datetime(2024, 6, 5, 23, 59, 59),
+        dt.datetime(1999, 12, 31, 0, 0, 1),
+        dt.datetime(2024, 2, 29, 12, 30, 0),
+    ]
+    strs = ["hello world", "ab", "x" * 40, "naïve-ütf"]
+    ints = [-17, -1, 0, 1, 7, 99, 12345]
+    cases = [
+        ("days(ts)", "ts timestamp", [(t,) for t in ts], lambda v: v.isoformat()),
+        ("hours(ts)", "ts timestamp", [(t,) for t in ts], lambda v: v.isoformat()),
+        ("months(ts)", "ts timestamp", [(t,) for t in ts], lambda v: v.isoformat()),
+        ("truncate(4, s)", "s string", [(s,) for s in strs], str),
+        ("truncate(10, k)", "k bigint", [(i,) for i in ints], lambda v: v),
+        ("k", "k bigint", [(i,) for i in ints], lambda v: v),
+    ]
+    for spec, ddl, rows, stat_repr in cases:
+        [fld] = parse_partition_by([spec])
+        df = one_part(spark, rows, ddl)
+        col = df.schema.fields[0]
+        got = [
+            r[0]
+            for r in df.select(
+                transform_column(fld, col.dataType).cast("string")
+            ).collect()
+        ]
+        for (value,), spark_val in zip(rows, got):
+            mine = _value_transform(fld, stat_repr(value))
+            assert str(mine) == str(spark_val), (spec, value, mine, spark_val)
+
+
 def test_sql_call_plan_compaction(spark, tmp_path):
     from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
 
