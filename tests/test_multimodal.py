@@ -125,3 +125,62 @@ def test_real_decode_features_end_to_end(spark):
             assert 0.0 <= r["f2"] <= 255.0
         else:
             assert r["f1"] > 0 and r["f2"] >= 0.0
+
+
+def test_resize_bmp_nearest_neighbor_exact():
+    import struct
+
+    from demo_iceberg_permanent_delete_spark.operators.multimodal import (
+        decode_bmp,
+        resize_bmp,
+    )
+
+    # Hand-built 4x4 gradient: pixel (y, x) = value 16*y + x in every
+    # channel; nearest-neighbor 4->2 with half-pixel centers picks source
+    # indices floor((d + 0.5) * 4 / 2) = {1, 3}.
+    width = height = 4
+    row_padded = (width * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(height):
+        for x in range(width):
+            pix.extend([16 * y + x] * 3)
+        pix.extend(b"\x00" * (row_padded - width * 3))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    blob = header + bytes(pix)
+
+    small = resize_bmp(blob, 2, 2)
+    d = decode_bmp(small)
+    assert (d["width"], d["height"]) == (2, 2)
+    # selected values: rows {1,3} x cols {1,3} -> 17, 19, 49, 51
+    assert d["mean_r"] == (17 + 19 + 49 + 51) / 4
+    # upscale: every source pixel replicated, mean of all 16 values
+    big = decode_bmp(resize_bmp(blob, 8, 8))
+    assert (big["width"], big["height"]) == (8, 8)
+    assert big["mean_g"] == sum(16 * y + x for y in range(4) for x in range(4)) / 16
+    # 1x1 picks the center pixel floor(0.5*4) = index 2 -> value 16*2+2
+    one = decode_bmp(resize_bmp(blob, 1, 1))
+    assert one["mean_b"] == 34.0
+    with pytest.raises(ValueError, match="invalid target"):
+        resize_bmp(blob, 0, 2)
+    with pytest.raises(ValueError, match="not a BMP"):
+        resize_bmp(b"nope", 2, 2)
+
+
+def test_media_resize_operator_round_trips(spark):
+    from demo_iceberg_permanent_delete_spark.operators.multimodal import (
+        decode_bmp,
+        media_resize,
+    )
+
+    rows = media_resize(spark, SF_SMOKE, out_w=4, out_h=2).collect()
+    assert rows and all(r["doc_id"] % 3 == 0 for r in rows)
+    for r in rows:
+        assert (r["in_w"], r["in_h"]) == (8, 8)
+        assert (r["out_w"], r["out_h"]) == (4, 2)
+        # output blob is itself a valid decodable BMP of the right size
+        d = decode_bmp(bytes(r["resized"]))
+        assert (d["width"], d["height"]) == (4, 2)
+        assert abs(d["mean_r"] - r["out_mean_r"]) < 1e-9
+        assert r["out_bytes"] == len(bytes(r["resized"]))
