@@ -237,6 +237,61 @@ def synthesize_wav(payload: bytes, sample_rate: int = 8000) -> bytes:
     )
 
 
+def resample_wav(blob: bytes, out_rate: int) -> bytes:
+    """Nearest-sample resample of a 16-bit PCM mono WAV to ``out_rate``,
+    re-encoded as the same real format — the audio twin of
+    :func:`resize_bmp` (one numpy gather over precomputed source indices;
+    a learned audio encoder does its own band-limited resampling, this is
+    the cheap rate-normalization stage before it). Duration is preserved
+    to within one sample period."""
+    import struct
+
+    import numpy as np
+
+    if out_rate <= 0:
+        raise ValueError(f"invalid target rate {out_rate}")
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, in_rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits}, ch={channels})"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    n_in = len(samples)
+    n_out = max(1, round(n_in * out_rate / in_rate)) if n_in else 0
+    if n_in:
+        idx = np.minimum(
+            ((np.arange(n_out) + 0.5) * n_in / n_out).astype(np.int64), n_in - 1
+        )
+        out = samples[idx].astype("<i2").tobytes()
+    else:
+        out = b""
+    fmt_body = struct.pack("<HHIIHH", 1, 1, out_rate, out_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(out))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt_body))
+        + fmt_body
+        + b"data"
+        + struct.pack("<I", len(out))
+        + out
+    )
+
+
 def decode_wav(blob: bytes) -> dict:
     """Parse a 16-bit PCM WAV: rate, duration, RMS amplitude. Walks RIFF
     chunks properly (fmt may not be adjacent to data); raises ValueError

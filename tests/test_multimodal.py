@@ -184,3 +184,30 @@ def test_media_resize_operator_round_trips(spark):
         assert (d["width"], d["height"]) == (4, 2)
         assert abs(d["mean_r"] - r["out_mean_r"]) < 1e-9
         assert r["out_bytes"] == len(bytes(r["resized"]))
+
+
+def test_resample_wav_rate_and_duration():
+    from demo_iceberg_permanent_delete_spark.operators.multimodal import (
+        decode_wav,
+        resample_wav,
+        synthesize_wav,
+    )
+
+    src = synthesize_wav(bytes(range(200)), sample_rate=8000)  # 25 ms
+    down = decode_wav(resample_wav(src, 4000))
+    assert down["sample_rate"] == 4000 and down["n_samples"] == 100
+    assert abs(down["duration_s"] - 0.025) < 1 / 4000
+    up = decode_wav(resample_wav(src, 16000))
+    assert up["sample_rate"] == 16000 and up["n_samples"] == 400
+    assert abs(up["duration_s"] - 0.025) < 1 / 16000
+    # constant signal survives resampling exactly (values are gathered,
+    # never interpolated)
+    flat = synthesize_wav(bytes([200] * 64), sample_rate=8000)
+    r = decode_wav(resample_wav(flat, 3000))
+    assert r["rms"] == decode_wav(flat)["rms"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid target"):
+        resample_wav(src, 0)
+    with _pytest.raises(ValueError, match="not a WAV"):
+        resample_wav(b"junk", 4000)
