@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -48,8 +49,23 @@ CONTENT_EQUALITY_DELETES = 2  # (col=value) delete rows; read path anti-joins
 # queries filter content IN (1,2) (iceberg_pii_deletion_demo.py:210,215,451).
 
 
+_NOW_LOCK = threading.Lock()
+_LAST_NOW_MS = 0
+
+
 def now_ms() -> int:
-    return time.time_ns() // 1_000_000
+    """Wall-clock ms, strictly monotonic within the process: two commits
+    in the same millisecond would otherwise share a created_at instant
+    and collapse into one dense_rank ordinal in
+    summarize_files_deterministic (its oracle pins one row per commit).
+    Bumping by 1 ms keeps values plausible and totally ordered."""
+    global _LAST_NOW_MS
+    with _NOW_LOCK:
+        t = time.time_ns() // 1_000_000
+        if t <= _LAST_NOW_MS:
+            t = _LAST_NOW_MS + 1
+        _LAST_NOW_MS = t
+        return t
 
 
 def new_snapshot_id() -> int:

@@ -57,10 +57,14 @@ def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
 
     Returns ``{"rows", "bytes", "ndv", "stats_fresh"}`` where ``rows`` is
     the live-row estimate (data records minus position-delete
-    cardinality, floored at 0), ``bytes`` scales the live fraction by the
-    candidate files' byte total, and ``ndv`` is the ANALYZE column→NDV
-    map when the recorded statistics are tied to the current snapshot
-    (stale stats are ignored, matching the `.statistics` staleness flag).
+    cardinality, floored at 0; predicate-scoped estimates prorate the
+    table-wide tombstone count by the candidates' row share, since
+    bin-packed delete files with truncated UUID path stats can't be
+    attributed per-file from manifests), ``bytes`` scales the live
+    fraction by the candidate files' byte total, and ``ndv`` is the
+    ANALYZE column→NDV map when the recorded statistics are tied to the
+    current snapshot (stale stats are ignored, matching the
+    `.statistics` staleness flag).
     """
     snap = table.metadata.current_snapshot()
     if snap is None:
@@ -79,19 +83,23 @@ def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
         )
     total_rows = sum(e.record_count for e in data)
     total_bytes = sum(e.file_size_in_bytes for e in data)
-    cand_paths = {e.file_path for e in data}
-    # Position deletes target specific files; count only tombstones whose
-    # target survived pruning when we know the target (DV entries carry it
-    # in min/max of file_path; conservatively count all otherwise).
-    deleted = 0
-    for e in snap.delete_files():
-        if e.content != CONTENT_POSITION_DELETES:
-            continue
-        lo = e.min_values.get("file_path")
-        hi = e.max_values.get("file_path")
-        if lo is not None and lo == hi and lo not in cand_paths:
-            continue  # single-target delete file aimed at a pruned file
-        deleted += e.record_count
+    deleted = sum(
+        e.record_count
+        for e in snap.delete_files()
+        if e.content == CONTENT_POSITION_DELETES
+    )
+    if predicate is not None:
+        # Manifests can't attribute tombstones to candidate files (delete
+        # files are bin-packed across targets and path stats are
+        # truncated UUIDs — no usable range), so prorate the table-wide
+        # tombstone count by the candidates' row share (uniform-deletes
+        # assumption, the standard selectivity estimate). Without this, a
+        # narrow predicate minus ALL table deletes collapses to 0 rows
+        # and flips plan_join to a catastrophic broadcast.
+        all_rows = sum(
+            e.record_count for e in snap.data_files()
+        )
+        deleted = round(deleted * total_rows / all_rows) if all_rows else 0
     live_rows = max(0, total_rows - deleted)
     live_frac = (live_rows / total_rows) if total_rows else 0.0
     stats = table.metadata.statistics or {}
@@ -112,7 +120,14 @@ def _broadcast_threshold(spark, override: int | None) -> int:
     raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     mult = 1
     low = raw.strip().lower()
-    for suffix, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("b", 1)):
+    # Spark's byteString conf parser accepts both spellings: 1k/1kb,
+    # 1m/1mb, 1g/1gb, 1t/1tb, plain bytes, or a trailing 'b'. Longest
+    # suffix first so '10mb' doesn't strip only the 'b'.
+    for suffix, m in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
         if low.endswith(suffix):
             low = low[: -len(suffix)]
             mult = m

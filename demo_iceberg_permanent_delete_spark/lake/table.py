@@ -453,10 +453,14 @@ class LakeTable:
         if target_file_size_bytes is not None:
             kwargs["target_file_size_bytes"] = target_file_size_bytes
         if use_dv:
+            # Checkpoint the DV frame (tiny: one row per TARGET file)
+            # before writing — the bin-pack resize pass below may write
+            # twice, and without this each write re-runs the full
+            # delete-matching scan over the candidate data files.
             dv = matches.groupBy("file_path").agg(
                 F.array_sort(F.collect_list("pos")).alias("positions"),
                 F.count(F.lit(1)).cast("long").alias("cardinality"),
-            )
+            ).localCheckpoint(eager=True)
             # Always bin-pack DV output: a small delete lands in ONE file
             # regardless of the groupBy's hash partitioning (deterministic
             # file inventory), a huge one splits at the compaction target —

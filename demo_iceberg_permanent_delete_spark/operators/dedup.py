@@ -556,7 +556,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame, id_col: str = "doc_
                 parent[x], x = r, parent[x]
             return r
 
-        for e in edges.select("src", "dst").collect():
+        # collect from the CHECKPOINTED bi, not `edges` — edges' lineage
+        # is the full minhash/LSH pipeline and a second action would
+        # recompute it from scratch; the reversed duplicates are harmless
+        # to union-find
+        for e in bi.collect():
             parent.setdefault(e["src"], e["src"])
             parent.setdefault(e["dst"], e["dst"])
             ra, rb = find(e["src"]), find(e["dst"])
@@ -566,9 +570,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, id_col: str = "doc_
         for v in parent:
             r = find(v)
             comp_min[r] = min(comp_min.get(r, v), v)
-        id_type = dict(zip(nodes.schema.names, nodes.schema.fields))[
-            id_col
-        ].dataType.simpleString()
+        id_type = nodes.schema[id_col].dataType.simpleString()
         label_df = F.broadcast(
             nodes.sparkSession.createDataFrame(
                 [(v, comp_min[find(v)]) for v in parent],

@@ -198,6 +198,10 @@ def resize_bmp(blob: bytes, out_w: int, out_h: int) -> bytes:
     grid = np.frombuffer(
         blob, dtype=np.uint8, count=row_padded * in_h, offset=data_offset
     ).reshape(in_h, row_padded)[:, : width * 3].reshape(in_h, width, 3)
+    if height < 0:
+        # top-down BMP: normalize to the bottom-up storage the (positive
+        # out_h) output header declares, else the image mirrors vertically
+        grid = grid[::-1]
     ys = np.minimum(((np.arange(out_h) + 0.5) * in_h / out_h).astype(np.int64), in_h - 1)
     xs = np.minimum(((np.arange(out_w) + 0.5) * width / out_w).astype(np.int64), width - 1)
     out = grid[ys][:, xs]  # (out_h, out_w, 3) gather

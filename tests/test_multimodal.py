@@ -211,3 +211,26 @@ def test_resample_wav_rate_and_duration():
         resample_wav(src, 0)
     with _pytest.raises(ValueError, match="not a WAV"):
         resample_wav(b"junk", 4000)
+
+
+def test_resize_bmp_top_down_input_keeps_orientation():
+    import struct
+
+    from demo_iceberg_permanent_delete_spark.operators.multimodal import (
+        resize_bmp,
+    )
+
+    # 1x2 top-down BMP (negative height): top row value 10, bottom 200.
+    width, height = 1, 2
+    row_padded = (width * 3 + 3) & ~3
+    pix = bytearray()
+    for v in (10, 200):  # stored top-first in a top-down BMP
+        pix.extend([v] * 3)
+        pix.extend(b"\x00" * (row_padded - 3))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    out = resize_bmp(header + bytes(pix), 1, 2)
+    # output is bottom-up: first stored row must be the BOTTOM (200),
+    # i.e. the image is not mirrored
+    assert out[54] == 200 and out[54 + row_padded] == 10

@@ -167,3 +167,53 @@ def test_predicate_scopes_the_estimate(spark, tmp_path):
     assert full["rows"] == 4_000
     assert one["rows"] == 1_000
     assert 0 < one["bytes"] < full["bytes"]
+
+
+def test_scoped_estimate_prorates_deletes(spark, tmp_path):
+    """A narrow predicate must not have the TABLE-wIDE tombstone count
+    subtracted wholesale (that collapses the estimate to 0 rows and flips
+    plan_join to a catastrophic broadcast); deletes prorate by the
+    candidates' row share."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.days",
+        "day bigint, v bigint",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    for d in range(4):
+        t.insert(
+            one_part(spark, [(d, i) for i in range(1000)], "day long, v long")
+        )
+    t.delete("day = 3")  # 1000 tombstones, none in day 2
+    est = scan_estimate(t, "day = 2")
+    # prorated: 1000 candidate rows minus 1000 * (1000/4000) = 750
+    assert est["rows"] == 750
+    assert est["bytes"] > 0
+    # unscoped stays exact
+    assert scan_estimate(t)["rows"] == 3000
+
+
+def test_broadcast_threshold_parses_spark_suffixes(spark):
+    from demo_iceberg_permanent_delete_spark.lake.planner import (
+        DEFAULT_BROADCAST_THRESHOLD,
+        _broadcast_threshold,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for raw, want in (
+            ("1g", 1024**3),
+            ("10mb", 10 * 1024**2),
+            ("512k", 512 * 1024),
+            ("2048b", 2048),
+            ("1048576", 1048576),
+            # Spark validates the conf value at set(), so unparseable
+            # strings can't reach the parser through a real session; the
+            # fallback stays as defense-in-depth only.
+            ("-1", DEFAULT_BROADCAST_THRESHOLD),
+        ):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert _broadcast_threshold(spark, None) == want, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
