@@ -176,18 +176,28 @@ def plan_join(
     r_df = right.scan(right_predicate) if right_predicate else right.read()
 
     # NDV-derived signals (fresh ANALYZE only): System-R output estimate
-    # and per-side key multiplicity as the skew signal.
+    # and per-side key multiplicity as the skew signal. Composite keys
+    # take the classic independence estimate — NDV(tuple) ≈ Π ndv_i,
+    # capped at the side's row count (a tuple can't have more distinct
+    # values than rows).
+    def _tuple_ndv(est) -> int | None:
+        ndvs = [est["ndv"].get(k) for k in keys]
+        if not all(ndvs):
+            return None
+        prod = 1
+        for n in ndvs:
+            prod *= n
+        return min(prod, est["rows"]) if est["rows"] else prod
+
     est_rows = None
     skew_hint: list[str] = []
-    key = keys[0] if len(keys) == 1 else None
-    if key is not None:
-        l_ndv = l_est["ndv"].get(key)
-        r_ndv = r_est["ndv"].get(key)
-        if l_ndv and r_ndv:
-            est_rows = int(l_est["rows"] * r_est["rows"] / max(l_ndv, r_ndv))
-        for side, est, ndv in (("left", l_est, l_ndv), ("right", r_est, r_ndv)):
-            if ndv and est["rows"] / ndv > SKEW_MULTIPLICITY:
-                skew_hint.append(side)
+    l_ndv = _tuple_ndv(l_est)
+    r_ndv = _tuple_ndv(r_est)
+    if l_ndv and r_ndv:
+        est_rows = int(l_est["rows"] * r_est["rows"] / max(l_ndv, r_ndv))
+    for side, est, ndv in (("left", l_est, l_ndv), ("right", r_est, r_ndv)):
+        if ndv and est["rows"] / ndv > SKEW_MULTIPLICITY:
+            skew_hint.append(side)
 
     # Only the streamed (non-broadcast) side may be outer-preserved: a
     # broadcast side can't be the row-preserving side of an outer join.

@@ -217,3 +217,37 @@ def test_broadcast_threshold_parses_spark_suffixes(spark):
             assert _broadcast_threshold(spark, None) == want, raw
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_composite_key_ndv_estimate(spark, tmp_path):
+    """Multi-key joins use the independence estimate NDV(tuple) ~ prod of
+    per-column NDVs, capped at the side's row count."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    left = cat.create_table("default.l", "a bigint, b bigint, v bigint")
+    # 20 x 5 = 100 distinct (a, b) pairs over 2000 rows
+    left.insert(
+        one_part(
+            spark,
+            [(i % 20, i % 5, i) for i in range(2_000)],
+            "a long, b long, v long",
+        )
+    )
+    right = cat.create_table("default.r", "a bigint, b bigint, w bigint")
+    right.insert(
+        one_part(
+            spark,
+            [(a, b, a * 10 + b) for a in range(20) for b in range(5)],
+            "a long, b long, w long",
+        )
+    )
+    left.compute_table_stats()
+    right.compute_table_stats()
+    joined, decision = plan_join(left, right, on=["a", "b"])
+    actual = joined.count()
+    assert actual == 2_000
+    est = decision["est_output_rows"]
+    # exact containment: 2000 * 100 / max(100, 100) = 2000 (HLL few-% err)
+    assert est is not None and abs(est - actual) / actual < 0.1, (est, actual)
+    # left multiplicity 2000/100 = 20 < 64: no skew flag
+    assert decision["skew_hint"] == []
