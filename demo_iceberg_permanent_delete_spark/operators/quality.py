@@ -238,8 +238,20 @@ def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count, one distinct-cnt collect, one broadcast join back, one
     # (doc_id)-keyed sum.
     tok_rows = tokenized.select("doc_id", F.explode("toks").alias("t"))
-    freq = tok_rows.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    total = freq.agg(F.sum("cnt").cast("long")).first()[0]
+    # freq is vocabulary-sized (sub-linear in corpus size), and it feeds
+    # BOTH the driver-side nll table and the final per-token join — persist
+    # it so the scan→tokenize→explode→count pipeline runs exactly once
+    # instead of once per downstream action (was 3 full corpus passes).
+    freq = (
+        tok_rows.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    # One action covers both `total` and the distinct-cnt list: the
+    # count-of-counts histogram has ≤ √(2·total) rows (distinct values of
+    # a partition of `total`), so collecting it is driver-safe at any SF.
+    cnt_hist = freq.groupBy("cnt").agg(F.count(F.lit(1)).alias("n")).collect()
+    total = sum(r["cnt"] * r["n"] for r in cnt_hist)
 
     def _nll_q(cnt: int) -> int:
         import math
@@ -248,9 +260,8 @@ def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         fl = math.floor(y)
         return int(fl) + (1 if y - fl >= 0.5 else 0)
 
-    distinct_cnts = [r[0] for r in freq.select("cnt").distinct().collect()]
     nll_table = spark.createDataFrame(
-        [(c, _nll_q(c)) for c in distinct_cnts], "cnt long, nll_q long"
+        [(r["cnt"], _nll_q(r["cnt"])) for r in cnt_hist], "cnt long, nll_q long"
     )
     doc_nll = (
         tok_rows.join(freq, "t")

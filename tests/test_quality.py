@@ -93,3 +93,30 @@ def test_mean_nll_orders_rare_above_common(spark):
     assert all(v is not None and v > 0 for v in rows.values())
     # spread exists: not all documents share one likelihood
     assert len({round(v, 6) for v in rows.values()}) > 10
+
+
+def test_quality_filters_single_build_action(spark, monkeypatch):
+    """Building the query must cost exactly ONE driver action (the
+    count-of-counts histogram collect), and the returned plan must read
+    the token-frequency table from cache — regression guard for the
+    round-3 defect where the uncached `freq` replayed the full corpus
+    tokenize pipeline once per action (3 corpus passes per run)."""
+    # pyspark.sql.DataFrame is the abstract base in Spark 4; concrete
+    # sessions produce classic.DataFrame, so patch the concrete class.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from demo_iceberg_permanent_delete_spark.operators.quality import quality_filters
+    from tests.conftest import SF_ORACLE
+
+    actions: list[str] = []
+    orig_collect, orig_first = DataFrame.collect, DataFrame.first
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: (actions.append("collect"), orig_collect(self))[1]
+    )
+    monkeypatch.setattr(
+        DataFrame, "first", lambda self: (actions.append("first"), orig_first(self))[1]
+    )
+    df = quality_filters(spark, SF_ORACLE)
+    assert actions == ["collect"], f"expected 1 build action, saw {actions}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "freq join must read the cached table"
