@@ -631,7 +631,27 @@ class LakeEngine:
                         views.add(view)
         for name, views in needed.items():
             t = self.catalog.load_table(name)
-            t.read().createOrReplaceTempView(name.replace(".", "__"))
+            df = t.read()
+            # Stats-injected registration (the loop Iceberg closes by
+            # reporting table stats to Catalyst's CBO): Catalyst sizes the
+            # view by raw parquet bytes, which overstates a MOR table
+            # whose tombstones mask most rows and understates nothing —
+            # so a side that truly fits a broadcast can miss it. The
+            # manifest-truth live-byte estimate (lake/planner.py
+            # scan_estimate) decides here; an attached broadcast hint on
+            # a non-joined or outer-preserved relation is ignored by
+            # Spark, so hinting is safe for every statement shape.
+            from demo_iceberg_permanent_delete_spark.lake.planner import (
+                _broadcast_threshold,
+                scan_estimate,
+            )
+
+            est = scan_estimate(t)
+            if 0 < est["bytes"] <= _broadcast_threshold(self.spark, None):
+                from pyspark.sql import functions as F
+
+                df = F.broadcast(df)
+            df.createOrReplaceTempView(name.replace(".", "__"))
             if views:
                 t.register_metadata_views(
                     prefix=name.replace(".", "__"), views=sorted(views)

@@ -20,7 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_iceberg_permanent_delete_spark.lake import Catalog
+from demo_iceberg_permanent_delete_spark.lake import Catalog, plan_join
 from demo_iceberg_permanent_delete_spark.registry import query
 from demo_iceberg_permanent_delete_spark.sources.tables import load_table
 
@@ -439,19 +439,32 @@ def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lake_schema_evolution",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-           o_orderdate, o_orderpriority, CAST(NULL AS VARCHAR) AS o_note
-    FROM orders WHERE o_orderkey % 10 = 0
-    UNION ALL
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-           o_orderdate, o_orderpriority, 'backfill' AS o_note
-    FROM orders WHERE o_orderkey % 10 = 5
+    WITH evolved AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, CAST(NULL AS VARCHAR) AS o_note
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, 'backfill' AS o_note
+      FROM orders WHERE o_orderkey % 10 = 5
+    ),
+    dim AS (
+      SELECT c_custkey AS o_custkey, c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT e.*, d.c_mktsegment
+    FROM evolved e JOIN dim d USING (o_custkey)
     """,
 )
 def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALTER TABLE ADD COLUMN then append: pre-evolution files null-fill the
     new column at read (declared-schema scans), post-evolution rows carry
-    values — no file rewrite anywhere."""
+    values — no file rewrite anywhere. The evolved table is then joined to
+    a customer-segment dimension lake table through the stats-driven
+    planner (lake/planner.plan_join): the manifest-truth byte estimate
+    picks the broadcast side — the decision Iceberg feeds Catalyst via
+    reported stats (reference docker-compose.yml:23-30 wires the Iceberg
+    extensions for exactly this), made here from this layer's manifests."""
     warehouse = tempfile.mkdtemp(prefix="lakeq-")
     cat = Catalog(spark, warehouse)
     cat.create_namespace("default")
@@ -465,7 +478,17 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_note", F.lit("backfill")
             )
         )
-        return t.read().localCheckpoint(eager=True)
+        dim = cat.create_table(
+            "default.cust_dim", "o_custkey bigint, c_mktsegment string"
+        )
+        dim.insert(
+            load_table(spark, sf_dir, "customer")
+            .filter("c_custkey % 3 = 0")
+            .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+        )
+        joined, decision = plan_join(t, dim, on="o_custkey")
+        assert decision["strategy"] == "broadcast_right", decision
+        return joined.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 

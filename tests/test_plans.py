@@ -100,3 +100,65 @@ def test_ivf_assignment_broadcasts_centroids_no_cartesian(spark):
     plan = explain_str(ivf_topk(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_lake_schema_evolution_join_is_stats_broadcast(spark, tmp_path):
+    """The driver-visible lake_schema_evolution join must carry the
+    stats-CHOSEN broadcast: with Catalyst's own byte heuristic disabled
+    (autoBroadcastJoinThreshold=-1) only the planner's manifest-truth
+    estimate can produce a BroadcastHashJoin (lake/planner.plan_join, the
+    production call site wired in operators/lake_queries.py)."""
+    from demo_iceberg_permanent_delete_spark.lake import Catalog, plan_join
+    from demo_iceberg_permanent_delete_spark.plans import explain_str
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        cat.create_namespace("default")
+        fact = cat.create_table("default.fact", "k bigint, v bigint")
+        fact.insert(spark.range(5000).selectExpr("id AS k", "id * 2 AS v"))
+        dim = cat.create_table("default.dim", "k bigint, name string")
+        dim.insert(
+            spark.range(50).selectExpr("id AS k", "concat('n', id) AS name")
+        )
+        joined, decision = plan_join(fact, dim, on="k")
+        assert decision["strategy"] == "broadcast_right", decision
+        plan = explain_str(joined)
+        assert "BroadcastHashJoin" in plan, plan
+        assert joined.count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sql_facade_select_injects_stats_broadcast(spark, tmp_path):
+    """Any facade SELECT over lake tables gets the manifest-informed
+    broadcast hint at view registration (lake/sql.py _select): with the
+    session heuristic disabled, a two-lake-table join must still plan a
+    BroadcastHashJoin — the loop Iceberg closes by reporting stats to
+    Catalyst's CBO."""
+    from demo_iceberg_permanent_delete_spark.lake import LakeEngine
+    from demo_iceberg_permanent_delete_spark.plans import explain_str
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        eng = LakeEngine(spark, str(tmp_path / "wh"))
+        eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+        eng.sql("CREATE TABLE default.fact (k bigint, v bigint) USING iceberg")
+        eng.sql("CREATE TABLE default.dim (k bigint, name string) USING iceberg")
+        eng.table("default.fact").insert(
+            spark.range(5000).selectExpr("id AS k", "id * 2 AS v")
+        )
+        eng.table("default.dim").insert(
+            spark.range(50).selectExpr("id AS k", "concat('n', id) AS name")
+        )
+        df = eng.sql(
+            "SELECT f.k, f.v, d.name FROM default.fact f "
+            "JOIN default.dim d ON f.k = d.k"
+        )
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert df.count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
