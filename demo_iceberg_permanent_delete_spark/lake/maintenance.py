@@ -32,6 +32,7 @@ from demo_iceberg_permanent_delete_spark.lake.datafiles import (
 from demo_iceberg_permanent_delete_spark.lake.errors import UnsafeOperationError
 from demo_iceberg_permanent_delete_spark.lake.metadata import (
     CONTENT_DATA,
+    CONTENT_EQUALITY_DELETES,
     CONTENT_POSITION_DELETES,
     now_ms,
 )
@@ -636,6 +637,11 @@ def plan_compaction(
     for e in data:
         if e.file_size_in_bytes < small_cutoff:
             groups.setdefault(file_partition(e), []).append(e)
+    # Files whose partition can't be derived (stats straddle values, stats
+    # missing) must NOT binpack with each other — they may span unrelated
+    # partitions and compacting them as one group would interleave
+    # partitions and destroy write clustering. Report them separately.
+    unattributed = groups.pop(None, []) if fields else []
 
     def where_for(partition: tuple | None) -> str | None:
         if partition is None or len(fields) != 1:
@@ -678,13 +684,105 @@ def plan_compaction(
         for e in snap.delete_files()
         if e.content == CONTENT_POSITION_DELETES
     )
+    # Equality deletes (content=2) mask an UNKNOWABLE number of data rows
+    # from manifests alone (the delete file's record_count is its key-row
+    # count, not the affected-row count), so they can't enter `ratio` —
+    # but their mere presence is read-amplification (every scan re-runs
+    # the anti-join) and ANY count recommends the rewrite that applies
+    # them physically.
+    eq_delete_files = sum(
+        1 for e in snap.delete_files() if e.content == CONTENT_EQUALITY_DELETES
+    )
     ratio = (deleted / data_records) if data_records else 0.0
     return {
         "groups": out_groups,
+        "ungrouped": {
+            "file_count": len(unattributed),
+            "bytes": sum(e.file_size_in_bytes for e in unattributed),
+            "files": [e.file_path for e in unattributed],
+        }
+        if unattributed
+        else None,
         "delete_pressure": {
             "data_records": data_records,
             "deleted_rows": deleted,
             "ratio": round(ratio, 6),
-            "recommend_rewrite": ratio >= delete_ratio_threshold,
+            "eq_delete_files": eq_delete_files,
+            "recommend_rewrite": ratio >= delete_ratio_threshold
+            or eq_delete_files > 0,
         },
     }
+
+
+def compact(
+    table,
+    *,
+    target_file_size_bytes: int = TARGET_FILE_SIZE_BYTES,
+    small_file_fraction: float = 0.5,
+    min_input_files: int = 4,
+    delete_ratio_threshold: float = 0.2,
+) -> dict[str, Any]:
+    """Close the maintenance loop: :func:`plan_compaction` →
+    :func:`rewrite_data_files` per emitted group — Iceberg's rewrite-job
+    orchestration (plan file groups, rewrite each, commit) in miniature.
+
+    Strategy: when table-wide delete pressure recommends a rewrite
+    (position-delete ratio past threshold, or ANY equality-delete file —
+    the rewrite is what applies those physically), one full
+    ``rewrite_data_files`` handles everything including the small-file
+    groups. Otherwise each candidate group with a derivable ``where`` is
+    rewritten in its own scoped commit (partition-local I/O — at 100 TB
+    this compacts the hot partitions without touching the cold ones);
+    groups without a usable predicate and unattributable files are
+    reported, never binpacked across partitions. After scoped rewrites,
+    surviving position-delete files are consolidated
+    (``rewrite_position_delete_files``) so tombstones pointing at
+    rewritten paths don't linger.
+    """
+    plan = plan_compaction(
+        table,
+        target_file_size_bytes=target_file_size_bytes,
+        small_file_fraction=small_file_fraction,
+        min_input_files=min_input_files,
+        delete_ratio_threshold=delete_ratio_threshold,
+    )
+    dp = plan["delete_pressure"] or {}
+    summary: dict[str, Any] = {
+        "groups_planned": len(plan["groups"]),
+        "groups_compacted": 0,
+        "groups_skipped": 0,
+        "full_rewrite": False,
+        "rewritten_data_files_count": 0,
+        "added_data_files_count": 0,
+        "ungrouped_files": (plan["ungrouped"] or {}).get("file_count", 0),
+    }
+    if dp.get("recommend_rewrite"):
+        stats = rewrite_data_files(
+            table, target_file_size_bytes=target_file_size_bytes
+        )
+        summary["full_rewrite"] = True
+        summary["rewritten_data_files_count"] = stats[
+            "rewritten_data_files_count"
+        ]
+        summary["added_data_files_count"] = stats["added_data_files_count"]
+        return summary
+    for g in plan["groups"]:
+        if g["where"] is None:
+            summary["groups_skipped"] += 1
+            continue
+        stats = rewrite_data_files(
+            table,
+            where=g["where"],
+            target_file_size_bytes=target_file_size_bytes,
+        )
+        summary["groups_compacted"] += 1
+        summary["rewritten_data_files_count"] += stats[
+            "rewritten_data_files_count"
+        ]
+        summary["added_data_files_count"] += stats["added_data_files_count"]
+    snap = table.metadata.current_snapshot()
+    if summary["groups_compacted"] and snap is not None and any(
+        e.content == CONTENT_POSITION_DELETES for e in snap.delete_files()
+    ):
+        rewrite_position_delete_files(table)
+    return summary

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from demo_iceberg_permanent_delete_spark.lake.metadata import (
+    CONTENT_EQUALITY_DELETES,
     CONTENT_POSITION_DELETES,
 )
 
@@ -55,7 +56,8 @@ def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
     """Size/row estimate for a (possibly predicate-scoped) scan of the
     current snapshot, from manifests alone — no data read.
 
-    Returns ``{"rows", "bytes", "ndv", "stats_fresh"}`` where ``rows`` is
+    Returns ``{"rows", "bytes", "ndv", "stats_fresh", "eq_delete_files",
+    "rows_exact_upper_bound"}`` where ``rows`` is
     the live-row estimate (data records minus position-delete
     cardinality, floored at 0; predicate-scoped estimates prorate the
     table-wide tombstone count by the candidates' row share, since
@@ -68,7 +70,14 @@ def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
     """
     snap = table.metadata.current_snapshot()
     if snap is None:
-        return {"rows": 0, "bytes": 0, "ndv": {}, "stats_fresh": False}
+        return {
+            "rows": 0,
+            "bytes": 0,
+            "ndv": {},
+            "stats_fresh": False,
+            "eq_delete_files": 0,
+            "rows_exact_upper_bound": False,
+        }
     data = snap.data_files()
     if predicate is not None:
         from demo_iceberg_permanent_delete_spark.lake.pruning import (
@@ -104,6 +113,16 @@ def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
     live_frac = (live_rows / total_rows) if total_rows else 0.0
     stats = table.metadata.statistics or {}
     fresh = stats.get("snapshot_id") == snap.snapshot_id
+    # Equality deletes (content=2) mask an unknowable number of data rows
+    # (the delete file's record_count is its KEY-row count), so they
+    # cannot be subtracted; their presence is surfaced so callers know
+    # `rows`/`bytes` are upper bounds. Overestimating is the safe
+    # direction here — it under-broadcasts, never over-broadcasts.
+    eq_delete_files = sum(
+        1
+        for e in snap.delete_files()
+        if e.content == CONTENT_EQUALITY_DELETES
+    )
     return {
         "rows": live_rows,
         "bytes": int(total_bytes * live_frac),
@@ -111,6 +130,8 @@ def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
         if fresh
         else {},
         "stats_fresh": fresh,
+        "eq_delete_files": eq_delete_files,
+        "rows_exact_upper_bound": eq_delete_files > 0,
     }
 
 

@@ -32,6 +32,10 @@ extension. Covered statements, with the reference call sites:
 - CALL demo.system.plan_compaction       (extension — manifest-only
   small-file/delete-pressure candidate selection; one row per partition
   group with a ready `where` for rewrite_data_files)
+- CALL demo.system.compact               (extension — executes the
+  plan_compaction output: full rewrite under delete pressure, else one
+  scoped rewrite per candidate group — Iceberg's rewrite-job
+  orchestration in miniature)
 - CALL demo.system.rollback_to_snapshot  (extension — Iceberg's standard
   maintenance procedure; the reference recovers state via time travel only)
 - CALL demo.system.create_changelog_view (extension — Iceberg's CDC
@@ -492,6 +496,15 @@ class LakeEngine:
             return _one_row_df(self.spark, stats)
         if proc == "rewrite_position_delete_files":
             return _one_row_df(self.spark, t.rewrite_position_delete_files())
+        if proc == "compact":
+            options = args.get("options", {})
+            summary = t.compact(
+                target_file_size_bytes=int(
+                    options.get("target-file-size-bytes", 134217728)
+                ),
+                min_input_files=int(options.get("min-input-files", 4)),
+            )
+            return _one_row_df(self.spark, summary)
         if proc == "plan_compaction":
             plan = t.plan_compaction()
             dp = plan["delete_pressure"] or {}

@@ -2140,6 +2140,11 @@ class LakeTable:
 
         return maintenance.plan_compaction(self, **kwargs)
 
+    def compact(self, **kwargs) -> dict:
+        from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+        return maintenance.compact(self, **kwargs)
+
     def rewrite_manifests(self, *, min_count_to_rewrite: int = 2) -> dict[str, int]:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 

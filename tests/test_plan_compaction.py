@@ -164,3 +164,127 @@ def test_ungrouped_files_and_unpartitioned(spark, tmp_path):
     [g] = plan["groups"]
     assert g["partition"] is None or g["partition"] == {}
     assert g["file_count"] == 4
+
+
+def test_compact_executes_plan_per_partition(spark, tmp_path):
+    """The closed maintenance loop: fragmented multi-partition table → one
+    compact() call → each partition at one file, untouched partitions
+    untouched, per-group scoped commits (never cross-partition binpack)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.frag", "label string, v bigint", partition_by=["label"]
+    )
+    for label, n in (("a", 5), ("b", 4), ("c", 1)):
+        for i in range(n):
+            t.insert(one_part(spark, [(label, i)], "label string, v bigint"))
+    before_c = [
+        e
+        for e in t.metadata.current_snapshot().data_files()
+        if e.min_values.get("label") == "c"
+    ]
+    summary = t.compact(min_input_files=4)
+    assert summary["full_rewrite"] is False
+    assert summary["groups_compacted"] == 2  # a and b; c below min_input
+    assert summary["rewritten_data_files_count"] == 9
+    after = t.metadata.current_snapshot().data_files()
+    by_label: dict[str, int] = {}
+    for e in after:
+        by_label[e.min_values.get("label")] = by_label.get(
+            e.min_values.get("label"), 0
+        ) + 1
+    assert by_label == {"a": 1, "b": 1, "c": 1}
+    # the c file was carried over, not rewritten
+    assert before_c[0].file_path in {e.file_path for e in after}
+    assert t.read().count() == 10
+    # idempotent: a second call finds nothing
+    again = t.compact(min_input_files=4)
+    assert again["groups_compacted"] == 0 and again["full_rewrite"] is False
+
+
+def test_compact_full_rewrite_purges_delete_files(spark, tmp_path):
+    """Under delete pressure compact() escalates to one full rewrite that
+    makes MOR tombstones physical (zero delete files survive)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.morc",
+        "k bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(one_part(spark, [(i, f"v{i}") for i in range(100)], "k bigint, v string"))
+    t.delete("k < 30")
+    summary = t.compact()
+    assert summary["full_rewrite"] is True
+    assert not t.metadata.current_snapshot().delete_files()
+    assert t.read().count() == 70
+
+
+def test_eq_delete_pressure_recommends_rewrite(spark, tmp_path):
+    """Equality deletes mask an unknowable row count, but their presence
+    alone must surface as pressure (read-path anti-join amplification) and
+    compact() must apply them physically."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.eq", "k bigint, flag string")
+    t.insert(
+        one_part(
+            spark,
+            [(i, "R" if i % 2 else "N") for i in range(50)],
+            "k bigint, flag string",
+        )
+    )
+    t.equality_delete(spark.createDataFrame([("R",)], "flag string"))
+    dp = t.plan_compaction()["delete_pressure"]
+    assert dp["eq_delete_files"] == 1 and dp["recommend_rewrite"] is True
+    from demo_iceberg_permanent_delete_spark.lake import scan_estimate
+
+    est = scan_estimate(t)
+    assert est["eq_delete_files"] == 1 and est["rows_exact_upper_bound"] is True
+    assert est["rows"] == 50  # upper bound: eq-deletes not subtracted
+    summary = t.compact()
+    assert summary["full_rewrite"] is True
+    assert not t.metadata.current_snapshot().delete_files()
+    assert t.read().count() == 25
+
+
+def test_unattributable_files_reported_separately(spark, tmp_path):
+    """Files whose partition can't be derived from stats (value-straddling
+    files) land in `ungrouped`, never in a compactable group — a scheduler
+    binpacking them would interleave partitions."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.strad", "label string, v bigint", partition_by=["label"]
+    )
+    # 4 files straddling two label values: partition underivable
+    for i in range(4):
+        t.insert(
+            one_part(
+                spark, [("a", i), ("b", i)], "label string, v bigint"
+            )
+        )
+    plan = t.plan_compaction(min_input_files=2)
+    assert plan["groups"] == []
+    assert plan["ungrouped"]["file_count"] == 4
+    summary = t.compact(min_input_files=2)
+    assert summary["groups_compacted"] == 0
+    assert summary["ungrouped_files"] == 4
+
+
+def test_sql_call_compact(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql(
+        "CREATE TABLE default.t (k bigint, v string) USING iceberg "
+        "PARTITIONED BY (k)"
+    )
+    for i in range(4):
+        eng.sql(f"INSERT INTO default.t VALUES (7, 'v{i}')")
+    [row] = eng.sql("CALL demo.system.compact('default.t')").collect()
+    assert row["groups_compacted"] == 1 and row["rewritten_data_files_count"] == 4
+    assert (
+        len(eng.table("default.t").metadata.current_snapshot().data_files()) == 1
+    )
