@@ -530,26 +530,113 @@ def compute_table_stats(table, columns: list[str] | None = None) -> dict[str, in
     if bad:
         raise ValueError(f"unknown columns for ANALYZE: {bad}")
     df = table.read()
+    row = df.agg(*_stats_aggs(cols, dict(df.dtypes))).first()
+    meta.statistics = {
+        "snapshot_id": snap.snapshot_id,
+        "computed_at_ms": now_ms(),
+        "row_count": row["__n"],
+        "columns": _stats_columns(row, cols),
+    }
+    meta.commit()
+    return {"analyzed_columns": len(cols), "row_count": row["__n"]}
+
+
+def _stats_aggs(
+    cols: list[str],
+    dtypes: dict[str, str],
+    old_sketches: dict[str, bytes] | None = None,
+):
+    """Aggregate expressions for one stats pass: row count plus, per
+    column, the DataSketches-HLL sketch (unioned with ``old_sketches``
+    when merging an append batch into existing stats), its NDV estimate,
+    and the exact null count. All in ONE aggregation — map-side partial
+    sketches, one Exchange of sketch bytes.
+
+    hll_sketch_agg accepts only int/bigint/string/binary; every other
+    type is canonicalized via a string cast (injective for Spark's
+    double/date/timestamp renderings, so distinctness is preserved). The
+    canonicalization must stay bit-identical between ANALYZE and append
+    merges — a column-type change commits a new snapshot and stales the
+    stats before it could mix representations."""
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for c in cols:
-        aggs.append(F.approx_count_distinct(c).cast("long").alias(f"__ndv_{c}"))
+        inp = F.col(c)
+        if dtypes.get(c) not in ("int", "bigint", "string", "binary"):
+            inp = inp.cast("string")
+        sk = F.hll_sketch_agg(inp)
+        if old_sketches is not None:
+            # hll_sketch_agg over an all-null batch yields NULL — keep the
+            # prior sketch rather than null-propagating through the union
+            sk = F.coalesce(
+                F.hll_union(sk, F.lit(old_sketches[c])),
+                F.lit(old_sketches[c]),
+            )
+        aggs.append(sk.alias(f"__sk_{c}"))
+        aggs.append(F.hll_sketch_estimate(sk).cast("long").alias(f"__ndv_{c}"))
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"__nulls_{c}")
         )
-    row = df.agg(*aggs).first()
-    meta.statistics = {
-        "snapshot_id": snap.snapshot_id,
+    return aggs
+
+
+def _stats_columns(row, cols: list[str], old=None) -> dict[str, Any]:
+    import base64
+
+    out = {}
+    for c in cols:
+        out[c] = {
+            "ndv": int(row[f"__ndv_{c}"] or 0),
+            "null_count": int(row[f"__nulls_{c}"] or 0)
+            + (int(old[c]["null_count"]) if old else 0),
+            "sketch": base64.b64encode(bytes(row[f"__sk_{c}"])).decode()
+            if row[f"__sk_{c}"] is not None
+            else None,
+        }
+    return out
+
+
+def prepare_append_stats(table, new_entries) -> dict[str, Any] | None:
+    """Incremental ANALYZE across appends (Iceberg's Puffin-style partial
+    stats): when the table's statistics are fresh for the CURRENT (parent)
+    snapshot and carry sketches, aggregate the freshly-written data files
+    — batch-proportional work, never a table scan — unioning each
+    column's HLL sketch with the stored one. Returns a statistics dict
+    missing only ``snapshot_id`` (the caller stamps the new snapshot's id
+    inside the same atomic commit), or None when merging isn't sound
+    (no stats, stale stats, sketchless legacy stats, or a schema-mapped
+    write the raw files can't answer)."""
+    import base64
+
+    meta = table.metadata
+    stats = meta.statistics
+    snap = meta.current_snapshot()
+    if (
+        not stats
+        or not stats.get("columns")
+        or snap is None
+        or stats.get("snapshot_id") != snap.snapshot_id
+    ):
+        return None
+    cols = list(stats["columns"])
+    old_sketches = {}
+    for c, cs in stats["columns"].items():
+        if not cs.get("sketch"):
+            return None
+        old_sketches[c] = base64.b64decode(cs["sketch"])
+    paths = [e.file_path for e in new_entries]
+    if not paths:
+        return {**stats}
+    df = table.spark.read.parquet(*paths)
+    if any(c not in df.columns for c in cols):
+        return None
+    row = df.agg(*_stats_aggs(cols, dict(df.dtypes), old_sketches)).first()
+    return {
         "computed_at_ms": now_ms(),
-        "row_count": row["__n"],
-        "columns": {
-            c: {"ndv": row[f"__ndv_{c}"], "null_count": row[f"__nulls_{c}"]}
-            for c in cols
-        },
+        "row_count": int(stats["row_count"]) + int(row["__n"]),
+        "columns": _stats_columns(row, cols, old=stats["columns"]),
     }
-    meta.commit()
-    return {"analyzed_columns": len(cols), "row_count": row["__n"]}
 
 
 # ---------------------------------------------------------------------------

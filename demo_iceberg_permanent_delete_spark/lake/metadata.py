@@ -58,7 +58,15 @@ def now_ms() -> int:
     in the same millisecond would otherwise share a created_at instant
     and collapse into one dense_rank ordinal in
     summarize_files_deterministic (its oracle pins one row per commit).
-    Bumping by 1 ms keeps values plausible and totally ordered."""
+    Bumping by 1 ms keeps values plausible and totally ordered.
+
+    Monotonicity is PROCESS-LOCAL (module global under a lock). Two
+    writer *processes* committing to one warehouse inside the same
+    millisecond can still share a created_at — the CAS commit protocol
+    keeps the metadata consistent (lake/metadata.commit), but any
+    consumer ordering snapshots by created_at alone (e.g.
+    summarize_files_deterministic's dense_rank) must run in the
+    single-writer-process regime, or tie-break on snapshot_id."""
     global _LAST_NOW_MS
     with _NOW_LOCK:
         t = time.time_ns() // 1_000_000

@@ -1129,6 +1129,19 @@ class LakeTable:
             self._cluster_for_write(df),
             target_file_size_bytes=self._write_target_size(),
         )
+        # Incremental ANALYZE (Puffin-style): when stats are fresh for the
+        # parent snapshot, union each column's HLL sketch with the new
+        # batch's — batch-proportional, committed atomically WITH the
+        # append so `.statistics` never goes stale across appends. Branch
+        # writes skip it (their rows aren't visible from main, whose
+        # stats these are).
+        stats_update = None
+        stats_base_snapshot = None
+        if branch is None:
+            from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+            stats_base_snapshot = self.metadata.statistics.get("snapshot_id")
+            stats_update = maintenance.prepare_append_stats(self, new_entries)
         last_err: CommitConflictError | None = None
         for _attempt in range(5):
             if extra_properties:
@@ -1154,6 +1167,21 @@ class LakeTable:
                 self.metadata.refs[branch]["snapshot_id"] = snapshot.snapshot_id
             for e in new_entries:
                 e.added_snapshot_id = snapshot.snapshot_id
+            # Apply only while the loaded statistics are STILL the ones the
+            # batch sketches were unioned against (a rebase after another
+            # writer's stats-merging commit must not overwrite — drop the
+            # update and let stats go stale instead of losing their rows).
+            if (
+                stats_update is not None
+                and branch is None
+                and self.metadata.statistics.get("snapshot_id")
+                == stats_base_snapshot
+                == snapshot.parent_id
+            ):
+                self.metadata.statistics = {
+                    **stats_update,
+                    "snapshot_id": snapshot.snapshot_id,
+                }
             try:
                 self.metadata.commit()
                 return snapshot

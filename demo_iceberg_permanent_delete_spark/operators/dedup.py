@@ -481,9 +481,12 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ROUNDS = 15
 
 # Edge-count gate for the driver union-find fast path: the capped-LSH edge
-# set is O(duplicate docs × bands), not O(corpus); 500k edges ≈ 8 MB of
-# (long, long) pairs — comfortably driver-sized. Past the gate the
-# distributed hash-min + pointer-jumping loop runs instead.
+# set is O(duplicate docs × bands), not O(corpus). 500k edges arrive as
+# 1M (src, dst) pairs (both orientations); via Arrow/toPandas that is two
+# int64 numpy columns ≈ 16 MB — comfortably driver-sized (the earlier
+# .collect() materialized 1M pyspark Rows at ~100+ bytes each, an
+# order-of-magnitude more). Past the gate the distributed hash-min +
+# pointer-jumping loop runs instead.
 _CC_LOCAL_MAX_EDGES = 500_000
 
 _DUCK_SIG_CTES = f"""
@@ -570,11 +573,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame, id_col: str = "doc_
         # collect from the CHECKPOINTED bi, not `edges` — edges' lineage
         # is the full minhash/LSH pipeline and a second action would
         # recompute it from scratch; the reversed duplicates are harmless
-        # to union-find
-        for e in bi.collect():
-            parent.setdefault(e["src"], e["src"])
-            parent.setdefault(e["dst"], e["dst"])
-            ra, rb = find(e["src"]), find(e["dst"])
+        # to union-find. Arrow transfer (toPandas) keeps the driver copy
+        # at two flat int64 arrays instead of a million Row objects.
+        bi_pd = bi.toPandas()
+        for a, b in zip(bi_pd["src"].to_numpy(), bi_pd["dst"].to_numpy()):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         comp_min: dict = {}

@@ -126,16 +126,32 @@ def test_skew_hint_escalates_to_salted_join(spark, tmp_path):
         assert "left" in decision["skew_hint"]
         plain = fact.read().join(dim.read(), "k")
         assert joined.count() == plain.count() == 20_000
-        # without the skew signal (stale stats) the same sizes shuffle
+        # appends sketch-merge into the stats now, so the skew signal
+        # SURVIVES an insert; a delete (unsubtractable from a sketch)
+        # stales them, and without the skew signal the same sizes shuffle
         fact.insert(one_part(spark, [(0, 99_999)], "k long, amount long"))
+        _, decision_ins = plan_join(fact, dim, on="k", broadcast_threshold=1)
+        assert decision_ins["strategy"] == "salted", decision_ins
+        fact.delete("amount = 99999")
         joined2, decision2 = plan_join(fact, dim, on="k", broadcast_threshold=1)
         assert decision2["strategy"] == "shuffle", decision2
+        assert decision2["stats_fresh"] == (False, True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_estimates_track_deletes_and_staleness(spark, tables):
-    dim, fact = tables
+def test_estimates_track_deletes_and_staleness(spark, tmp_path):
+    # Own table (NOT the module-scoped `tables` fixture): this test flips
+    # MOR mode and deletes 4k rows — mutating the shared fixture made
+    # every later test order-dependent.
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    fact = cat.create_table("default.fact_mut", "k bigint, amount bigint")
+    fact.insert(
+        spark.createDataFrame(
+            [(i % 50, i) for i in range(20_000)], "k long, amount long"
+        ).repartition(4)
+    )
     before = scan_estimate(fact)
     assert before["rows"] == 20_000
     assert before["bytes"] > 0

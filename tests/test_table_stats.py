@@ -37,16 +37,64 @@ def test_compute_and_view(spark, table):
     assert not rows["k"]["stale"]
     assert rows["k"]["snapshot_id"] == table.metadata.current_snapshot_id
 
-    # stats go stale when the snapshot moves, fresh again on recompute
+    # appends MERGE into the stats (sketch union, batch-proportional) —
+    # they stay fresh without re-ANALYZE; see test_append_merges below
     table.insert(one_part(spark, [(999, "new", 1.0)], DDL))
+    rows = {r["column_name"]: r for r in table.meta("statistics").collect()}
+    assert not rows["k"]["stale"] and rows["k"]["row_count"] == 201
+
+    # non-append commits DO invalidate (deleted rows can't leave a sketch)
+    table.delete("k = 999")
     assert all(r["stale"] for r in table.meta("statistics").collect())
     table.compute_table_stats(["k"])
     rows = {r["column_name"]: r for r in table.meta("statistics").collect()}
     assert set(rows) == {"k"} and not rows["k"]["stale"]
-    assert rows["k"]["row_count"] == 201
+    assert rows["k"]["row_count"] == 200
 
     with pytest.raises(ValueError, match="unknown columns"):
         table.compute_table_stats(["ghost"])
+
+
+def test_append_merges_stats_without_reanalyze(spark, table):
+    """Verdict r3 item 5: NDV must survive an append — per-batch HLL
+    sketches union into the stored Puffin-style sketch inside the SAME
+    commit, so `.statistics` stays fresh and the planner keeps its NDV."""
+    from demo_iceberg_permanent_delete_spark.lake import scan_estimate
+
+    table.compute_table_stats()
+    # 100 brand-new keys, 3 new categories, 10 more nulls in v
+    rows = [
+        (1000 + i, f"newcat{i % 3}", None if i < 10 else float(i))
+        for i in range(100)
+    ]
+    table.insert(one_part(spark, rows, DDL))
+
+    est = scan_estimate(table)
+    assert est["stats_fresh"] is True, "append must not stale the stats"
+    assert est["ndv"], "NDV map must survive the append"
+    # truth: k has 300 distinct, cat 10, v 270; HLL tolerance ±5%
+    assert abs(est["ndv"]["k"] - 300) <= 15
+    assert est["ndv"]["cat"] == 10
+    stats = {r["column_name"]: r for r in table.meta("statistics").collect()}
+    assert stats["k"]["row_count"] == 300
+    assert stats["v"]["null_count"] == 30
+    assert not stats["k"]["stale"]
+
+    # and again — merging is repeatable across consecutive appends
+    table.insert(one_part(spark, [(5000, "zzz", 0.5)], DDL))
+    stats = {r["column_name"]: r for r in table.meta("statistics").collect()}
+    assert not stats["k"]["stale"] and stats["k"]["row_count"] == 301
+    assert stats["cat"]["ndv"] == 11
+
+
+def test_branch_append_leaves_main_stats_untouched(spark, table):
+    table.compute_table_stats()
+    table.create_branch("audit")
+    table.insert(one_part(spark, [(777, "br", 1.0)], DDL), branch="audit")
+    stats = {r["column_name"]: r for r in table.meta("statistics").collect()}
+    # main stats still fresh AND unchanged: branch rows aren't main-visible
+    assert not stats["k"]["stale"]
+    assert stats["k"]["row_count"] == 200
 
 
 def test_sql_analyze_and_statistics_relation(spark, table):
