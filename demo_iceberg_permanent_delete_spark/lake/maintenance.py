@@ -282,6 +282,9 @@ def rewrite_data_files(
     # (kept files still need their tombstones; tombstones for rewritten
     # paths go inert). Full rewrite removes all delete files.
     carried_deletes = list(prior_deletes) if where is not None else []
+    stats_were_fresh = (
+        meta.statistics.get("snapshot_id") == meta.current_snapshot_id
+    )
     snapshot = meta.add_snapshot(
         "replace",
         kept + carried_deletes + new_entries,
@@ -293,6 +296,16 @@ def rewrite_data_files(
     )
     for e in new_entries:
         e.added_snapshot_id = snapshot.snapshot_id
+    # A rewrite never changes the LIVE row set (stats are computed over
+    # the delete-merged read; applying tombstones physically is a no-op
+    # for that view) — carry ANALYZE stats forward instead of staling
+    # them on every compaction. At 100 TB maintenance churns constantly;
+    # planner-grade NDV must survive it.
+    if stats_were_fresh:
+        meta.statistics = {
+            **meta.statistics,
+            "snapshot_id": snapshot.snapshot_id,
+        }
     meta.commit()
     return {
         "rewritten_data_files_count": len(prior_data),
@@ -368,6 +381,9 @@ def add_files(table, source: str, *, pattern: str = "*.parquet") -> dict[str, in
         return {"added_files_count": 0, "added_records_count": 0}
     meta = table.metadata
     base = list(snap_cur.manifest) if snap_cur else []
+    # Migration is an append: sketch-merge the registered files into any
+    # fresh ANALYZE stats, same as insert (batch-proportional).
+    stats_update = prepare_append_stats(table, entries)
     snapshot = meta.add_snapshot(
         "append",
         base + entries,
@@ -375,6 +391,8 @@ def add_files(table, source: str, *, pattern: str = "*.parquet") -> dict[str, in
     )
     for e in entries:
         e.added_snapshot_id = snapshot.snapshot_id
+    if stats_update is not None:
+        meta.statistics = {**stats_update, "snapshot_id": snapshot.snapshot_id}
     meta.commit()
     return {
         "added_files_count": len(entries),
@@ -451,6 +469,9 @@ def rewrite_position_delete_files(table) -> dict[str, int]:
     new_entries = table._write_position_deletes(
         live_dels, target_file_size_bytes=TARGET_FILE_SIZE_BYTES
     )
+    stats_were_fresh = (
+        meta.statistics.get("snapshot_id") == meta.current_snapshot_id
+    )
     snapshot = meta.add_snapshot(
         "replace",
         snap.data_files() + eq_entries + new_entries,
@@ -461,6 +482,12 @@ def rewrite_position_delete_files(table) -> dict[str, int]:
     )
     for e in new_entries:
         e.added_snapshot_id = snapshot.snapshot_id
+    # Tombstone consolidation is live-row-preserving — stats stay valid.
+    if stats_were_fresh:
+        meta.statistics = {
+            **meta.statistics,
+            "snapshot_id": snapshot.snapshot_id,
+        }
     meta.commit()
     return {
         "rewritten_delete_files_count": len(delete_entries),

@@ -116,3 +116,68 @@ def test_sql_analyze_and_statistics_relation(spark, table):
         "CALL demo.system.compute_table_stats(table => 'default.stats')"
     ).collect()
     assert out[0]["analyzed_columns"] == 3
+
+
+def test_row_preserving_maintenance_keeps_stats_fresh(spark, tmp_path):
+    """Compaction and tombstone consolidation never change the LIVE row
+    set (stats are computed over the delete-merged read), so ANALYZE
+    stats must survive them — at 100 TB maintenance churns constantly and
+    planner-grade NDV must not die on every rewrite."""
+    from demo_iceberg_permanent_delete_spark.lake import Catalog, scan_estimate
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.maint",
+        DDL,
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    for lo in (0, 100):
+        t.insert(
+            one_part(
+                spark,
+                [(lo + i, f"cat{i % 7}", float(i)) for i in range(100)],
+                DDL,
+            )
+        )
+    t.compute_table_stats()
+    ndv_before = scan_estimate(t)["ndv"]
+
+    # binpack compaction: stats carried forward, not staled
+    t.rewrite_data_files()
+    est = scan_estimate(t)
+    assert est["stats_fresh"] is True
+    assert est["ndv"] == ndv_before
+
+    # MOR delete stales (rows left the live set)…
+    t.delete("k < 10")
+    assert scan_estimate(t)["stats_fresh"] is False
+    t.compute_table_stats()
+    # …then consolidation of the tombstones preserves again
+    t.rewrite_position_delete_files()
+    assert scan_estimate(t)["stats_fresh"] is True
+
+
+def test_add_files_sketch_merges_stats(spark, tmp_path):
+    """The migration procedure is an append: registered external files
+    sketch-merge into fresh stats exactly like insert."""
+    from demo_iceberg_permanent_delete_spark.lake import Catalog, scan_estimate
+
+    ext = str(tmp_path / "external")
+    one_part(
+        spark, [(1000 + i, f"ext{i % 5}", float(i)) for i in range(50)], DDL
+    ).write.parquet(ext)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.mig", DDL)
+    t.insert(
+        one_part(spark, [(i, f"cat{i % 7}", float(i)) for i in range(200)], DDL)
+    )
+    t.compute_table_stats()
+    t.add_files(ext)
+    est = scan_estimate(t)
+    assert est["stats_fresh"] is True
+    # 200 + 50 rows, 7 + 5 distinct cats
+    stats = {r["column_name"]: r for r in t.meta("statistics").collect()}
+    assert stats["k"]["row_count"] == 250
+    assert stats["cat"]["ndv"] == 12
