@@ -191,6 +191,7 @@ def rewrite_data_files(
     target_file_size_bytes: int = TARGET_FILE_SIZE_BYTES,
     sort_order: str | list[str] | None = None,
     where: str | None = None,
+    files: list[str] | None = None,
 ) -> dict[str, int]:
     """M4 — compact: read the current snapshot WITH position deletes applied,
     write fresh ~128 MiB files, commit a snapshot referencing only the new
@@ -214,6 +215,13 @@ def rewrite_data_files(
     ``rewrite_position_delete_files``, matching Iceberg's dangling-delete
     behavior after a partial rewrite. At 100 TB this is the difference
     between compacting one hot partition and re-writing the whole table.
+
+    ``files`` scopes to an EXPLICIT file list (Iceberg's file-group
+    selection inside the rewrite job): only those files are rewritten,
+    everything else is carried over. This is what ``compact()`` uses so
+    already-target-sized neighbors in the same partition are never
+    re-written, and it needs no derivable predicate — unpartitioned and
+    multi-field-partitioned groups compact just as well.
     """
     meta = table.metadata
     snap = meta.current_snapshot()
@@ -224,7 +232,15 @@ def rewrite_data_files(
     if not rewrite_all and not prior_deletes:
         return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
     kept: list = []
-    if where is not None:
+    scoped = where is not None or files is not None
+    if files is not None:
+        want = set(files)
+        cand = [e for e in prior_data if e.file_path in want]
+        kept = [e for e in prior_data if e.file_path not in want]
+        if not cand:
+            return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
+        prior_data = cand
+    elif where is not None:
         from demo_iceberg_permanent_delete_spark.lake.pruning import (
             candidate_files,
         )
@@ -238,7 +254,7 @@ def rewrite_data_files(
             return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
         prior_data = cand
 
-    if where is None:
+    if not scoped:
         merged = table.read()  # delete-merge applied
     else:
         df = table._data_reader().parquet(*[e.file_path for e in prior_data])
@@ -281,7 +297,7 @@ def rewrite_data_files(
     # Scoped rewrite carries untouched files AND the delete files over
     # (kept files still need their tombstones; tombstones for rewritten
     # paths go inert). Full rewrite removes all delete files.
-    carried_deletes = list(prior_deletes) if where is not None else []
+    carried_deletes = list(prior_deletes) if scoped else []
     stats_were_fresh = (
         meta.statistics.get("snapshot_id") == meta.current_snapshot_id
     )
@@ -725,7 +741,7 @@ def plan_compaction(
     """
     snap = table.metadata.current_snapshot()
     if snap is None:
-        return {"groups": [], "delete_pressure": None}
+        return {"groups": [], "ungrouped": None, "delete_pressure": None}
     data = snap.data_files()
     fields = table._partition_fields
 
@@ -844,14 +860,16 @@ def compact(
     (position-delete ratio past threshold, or ANY equality-delete file —
     the rewrite is what applies those physically), one full
     ``rewrite_data_files`` handles everything including the small-file
-    groups. Otherwise each candidate group with a derivable ``where`` is
-    rewritten in its own scoped commit (partition-local I/O — at 100 TB
-    this compacts the hot partitions without touching the cold ones);
-    groups without a usable predicate and unattributable files are
-    reported, never binpacked across partitions. After scoped rewrites,
-    surviving position-delete files are consolidated
-    (``rewrite_position_delete_files``) so tombstones pointing at
-    rewritten paths don't linger.
+    groups. Otherwise each candidate group is rewritten in its own
+    file-scoped commit (``rewrite_data_files(files=...)`` — exactly the
+    planned small files, so already-target-sized neighbors are never
+    re-written, and unpartitioned / multi-field-partitioned groups
+    compact without needing a derivable predicate; partition-local I/O,
+    so at 100 TB the hot partitions compact without touching the cold
+    ones). Unattributable files are reported, never binpacked across
+    partitions. After scoped rewrites, surviving position-delete files
+    are consolidated (``rewrite_position_delete_files``) so tombstones
+    pointing at rewritten paths don't linger.
     """
     plan = plan_compaction(
         table,
@@ -868,7 +886,7 @@ def compact(
         "full_rewrite": False,
         "rewritten_data_files_count": 0,
         "added_data_files_count": 0,
-        "ungrouped_files": (plan["ungrouped"] or {}).get("file_count", 0),
+        "ungrouped_files": (plan.get("ungrouped") or {}).get("file_count", 0),
     }
     if dp.get("recommend_rewrite"):
         stats = rewrite_data_files(
@@ -881,12 +899,9 @@ def compact(
         summary["added_data_files_count"] = stats["added_data_files_count"]
         return summary
     for g in plan["groups"]:
-        if g["where"] is None:
-            summary["groups_skipped"] += 1
-            continue
         stats = rewrite_data_files(
             table,
-            where=g["where"],
+            files=g["files"],
             target_file_size_bytes=target_file_size_bytes,
         )
         summary["groups_compacted"] += 1

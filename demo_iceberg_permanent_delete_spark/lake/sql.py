@@ -508,24 +508,34 @@ class LakeEngine:
         if proc == "plan_compaction":
             plan = t.plan_compaction()
             dp = plan["delete_pressure"] or {}
+            tail = (
+                float(dp.get("ratio", 0.0)),
+                int(dp.get("eq_delete_files", 0)),
+                bool(dp.get("recommend_rewrite", False)),
+            )
             rows = [
                 (
                     json.dumps(g["partition"]),
                     g["file_count"],
                     g["bytes"],
                     g["where"],
-                    float(dp.get("ratio", 0.0)),
-                    bool(dp.get("recommend_rewrite", False)),
+                    *tail,
                 )
                 for g in plan["groups"]
-            ] or [
-                (None, 0, 0, None, float(dp.get("ratio", 0.0)),
-                 bool(dp.get("recommend_rewrite", False)))
             ]
+            # partition-unattributable files surface as their own row so
+            # SQL callers see them too (they are never a rewrite group)
+            ug = plan.get("ungrouped")
+            if ug:
+                rows.append(
+                    ("__ungrouped__", ug["file_count"], ug["bytes"], None, *tail)
+                )
+            rows = rows or [(None, 0, 0, None, *tail)]
             return self.spark.createDataFrame(
                 rows,
                 "partition string, file_count int, bytes long, where string, "
-                "delete_ratio double, recommend_rewrite boolean",
+                "delete_ratio double, eq_delete_files int, "
+                "recommend_rewrite boolean",
             )
         if proc == "compute_table_stats":
             cols = args.get("columns")

@@ -344,9 +344,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     components ≤1e6 ⇒ 64-term dot ≤6.4e13, far below 2^63), and
     sqrt/mul/div are IEEE correctly-rounded, so the cosine is bit-identical
     to the DuckDB oracle's. Scale shape: pairs exist only inside a label
-    block (IVF-style blocking), each block is one task; a block whose pair
-    count outgrows one executor is sub-blocked by the same scheme row-wise
-    (M @ M_chunk.T) before this would OOM — no all-pairs join anywhere."""
+    block (IVF-style blocking), each block is one task, and the GEMM runs
+    row-chunked (``mat[i0:i1] @ mat.T``) so the Gram working set is
+    O(chunk · n) rather than n² — no all-pairs join anywhere."""
     import numpy as np
     import pandas as pd
 
@@ -357,26 +357,40 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = emb.select("vec_id", "label", qvec.alias("v"))
 
+    # Row-chunked GEMM: the Gram working set is O(chunk · n), never n²,
+    # so a hot label block degrades gracefully instead of OOMing one
+    # task. (The PAIR output is inherently O(n²) for a pathological
+    # block — that is the semantics; the bound here is peak memory.)
+    gemm_chunk = 4096
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         vids = pdf["vec_id"].to_numpy()
         lab = pdf["label"].iloc[0]
         mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
-        gram = mat @ mat.T
-        nrm = np.sqrt(np.diag(gram).astype(np.float64))
-        iu, ju = np.triu_indices(len(vids), k=1)
-        va, vb = vids[iu], vids[ju]
-        swap = va > vb
-        va2 = np.where(swap, vb, va)
-        vb2 = np.where(swap, va, vb)
-        cos = gram[iu, ju].astype(np.float64) / (nrm[iu] * nrm[ju])
-        return pd.DataFrame(
-            {
-                "vec_a": va2,
-                "vec_b": vb2,
-                "label": np.full(len(va2), lab, dtype=np.int32),
-                "cosine": cos,
-            }
-        )
+        n = len(vids)
+        self_dot = np.einsum("ij,ij->i", mat, mat)  # exact int64
+        nrm = np.sqrt(self_dot.astype(np.float64))
+        outs = []
+        for i0 in range(0, n, gemm_chunk):
+            i1 = min(i0 + gemm_chunk, n)
+            gram = mat[i0:i1] @ mat.T  # (chunk, n) exact int64
+            # pairs (i0+r, j) with j > i0+r — strict upper triangle of
+            # the full matrix restricted to this row chunk
+            r, j = np.triu_indices(i1 - i0, k=i0 + 1, m=n)
+            va, vb = vids[i0 + r], vids[j]
+            swap = va > vb
+            cos = gram[r, j].astype(np.float64) / (nrm[i0 + r] * nrm[j])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.where(swap, vb, va),
+                        "vec_b": np.where(swap, va, vb),
+                        "label": np.full(len(va), lab, dtype=np.int32),
+                        "cosine": cos,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     pairs = q.groupBy("label").applyInPandas(
         block_pairs, "vec_a long, vec_b long, label int, cosine double"
@@ -576,8 +590,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame, id_col: str = "doc_
         # to union-find. Arrow transfer (toPandas) keeps the driver copy
         # at two flat int64 arrays instead of a million Row objects.
         bi_pd = bi.toPandas()
-        for a, b in zip(bi_pd["src"].to_numpy(), bi_pd["dst"].to_numpy()):
-            a, b = int(a), int(b)
+        # .tolist() converts to native Python values (int for int64,
+        # str for string ids) — the id_col contract is any orderable
+        # type, so no int() coercion here
+        for a, b in zip(bi_pd["src"].tolist(), bi_pd["dst"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)

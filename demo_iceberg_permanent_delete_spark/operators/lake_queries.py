@@ -487,7 +487,10 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
         )
         joined, decision = plan_join(t, dim, on="o_custkey")
-        assert decision["strategy"] == "broadcast_right", decision
+        # consistency, not a fixed strategy: at larger SFs the dim may
+        # legitimately outgrow the broadcast threshold and shuffle
+        if decision["right_bytes"] <= decision["threshold"]:
+            assert decision["strategy"] == "broadcast_right", decision
         return joined.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)

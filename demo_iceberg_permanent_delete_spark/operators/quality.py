@@ -242,6 +242,10 @@ def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH the driver-side nll table and the final per-token join — persist
     # it so the scan→tokenize→explode→count pipeline runs exactly once
     # instead of once per downstream action (was 3 full corpus passes).
+    # Deliberately NOT unpersisted: the returned (lazy) DataFrame reads
+    # the cache at collect time, and Spark LRU-evicts the vocabulary-
+    # sized entry under memory pressure — an explicit unpersist here
+    # would re-trigger the full corpus pass it exists to prevent.
     freq = (
         tok_rows.groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -9,20 +9,16 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb
-from pyspark.sql import SparkSession
 
 import __spark_entry__ as em
+from demo_iceberg_permanent_delete_spark.session import get_spark
 
 name = sys.argv[1]
 n_timed = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
-spark = (
-    SparkSession.builder.master("local[32]")
-    .appName("one-query")
-    .config("spark.sql.shuffle.partitions", "32")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-)
+# the TUNED session (same as bench.py) so timings here are comparable to
+# BENCH_r*.json entries — a bare builder drops Arrow/AQE/timestamp confs
+spark = get_spark(app_name="one-query")
 spark.sparkContext.setLogLevel("ERROR")
 
 qs, oracles = em.queries(), em.oracle_sql()

@@ -77,3 +77,24 @@ def test_cluster_membership_covers_lsh_edges(spark):
     cl = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, SF_ORACLE).collect()}
     for e in edges:
         assert cl[e["src"]] == cl[e["dst"]]
+
+
+def test_connected_components_string_ids_fast_path(spark):
+    """The id_col contract is any orderable type: string doc ids must work
+    through the driver union-find fast path (regression: an int() coercion
+    broke non-integer ids under the edge gate)."""
+    from demo_iceberg_permanent_delete_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], "doc_id string"
+    )
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d")], "src string, dst string"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}

@@ -288,3 +288,84 @@ def test_sql_call_compact(spark, tmp_path):
     assert (
         len(eng.table("default.t").metadata.current_snapshot().data_files()) == 1
     )
+
+
+def test_compact_on_empty_table_is_noop(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.empty", "k bigint, v string")
+    summary = t.compact()
+    assert summary["groups_compacted"] == 0 and summary["full_rewrite"] is False
+    assert summary["ungrouped_files"] == 0
+
+
+def test_compact_unpartitioned_table(spark, tmp_path):
+    """File-scoped selection needs no derivable predicate: unpartitioned
+    fragmented tables compact too (the simplest and most common layout)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.flat2", "k bigint, v string")
+    for lo in (0, 100, 200, 300, 400):
+        t.insert(
+            one_part(spark, [(lo + i, f"v{i}") for i in range(5)], "k bigint, v string")
+        )
+    summary = t.compact(min_input_files=4)
+    assert summary["groups_compacted"] == 1
+    assert summary["rewritten_data_files_count"] == 5
+    assert len(t.metadata.current_snapshot().data_files()) == 1
+    assert t.read().count() == 25
+
+
+def test_compact_skips_target_sized_neighbors(spark, tmp_path):
+    """The planned group is a FILE list: an already-target-sized file in
+    the same partition must not be re-written by compact()."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.mix", "label string, v bigint", partition_by=["label"]
+    )
+    # one "big" file (not small by the tiny threshold) + 4 tiny ones, same partition
+    t.insert(
+        one_part(
+            spark, [("a", i) for i in range(2000)], "label string, v bigint"
+        )
+    )
+    big = {e.file_path for e in t.metadata.current_snapshot().data_files()}
+    for i in range(4):
+        t.insert(one_part(spark, [("a", 10_000 + i)], "label string, v bigint"))
+    # threshold chosen so only the 4 single-row files count as small
+    small_target = 4096
+    plan = t.plan_compaction(
+        target_file_size_bytes=small_target * 2, min_input_files=4
+    )
+    [g] = plan["groups"]
+    assert g["file_count"] == 4 and not (set(g["files"]) & big)
+    summary = t.compact(
+        target_file_size_bytes=small_target * 2, min_input_files=4
+    )
+    assert summary["rewritten_data_files_count"] == 4
+    after = {e.file_path for e in t.metadata.current_snapshot().data_files()}
+    assert big <= after, "the target-sized neighbor must be carried over untouched"
+    assert t.read().count() == 2004
+
+
+def test_sql_plan_compaction_surfaces_eq_deletes_and_ungrouped(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql(
+        "CREATE TABLE default.s (label string, v bigint) USING iceberg "
+        "PARTITIONED BY (label)"
+    )
+    t = eng.table("default.s")
+    # straddling files -> ungrouped; eq delete -> eq_delete_files visible
+    for i in range(2):
+        t.insert(one_part(spark, [("a", i), ("b", i)], "label string, v bigint"))
+    t.equality_delete(spark.createDataFrame([("a",)], "label string"))
+    rows = eng.sql("CALL demo.system.plan_compaction('default.s')").collect()
+    by_part = {r["partition"]: r for r in rows}
+    assert "__ungrouped__" in by_part
+    assert by_part["__ungrouped__"]["file_count"] == 2
+    assert all(r["eq_delete_files"] == 1 for r in rows)
+    assert all(r["recommend_rewrite"] for r in rows)
