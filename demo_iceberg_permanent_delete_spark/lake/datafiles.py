@@ -150,7 +150,25 @@ def write_data_files(
         total = sum(os.path.getsize(p) for p in parts)
         want = max(1, ceil(total / target_file_size_bytes))
         if want != len(parts):
-            _write(df.repartition(want))
+            # Resize by repacking the files just WRITTEN — never by
+            # re-running the input plan: ``df`` may be an arbitrary DAG
+            # (a delete-merged scan, a join) whose recomputation doubles
+            # the dominant cost of a rewrite. Reading back local columnar
+            # parquet is a fraction of that, and at cluster scale the
+            # first write's task outputs already sit near the target
+            # (maxPartitionBytes-sized scan splits), so this pass rarely
+            # fires at all.
+            repack = os.path.join(target_dir, f"_tmp-{uuid.uuid4().hex}")
+            w = (
+                df.sparkSession.read.parquet(scratch)
+                .repartition(want)
+                .write.mode("overwrite")
+            )
+            for k, v in (write_options or {}).items():
+                w = w.option(k, v)
+            w.parquet(repack)
+            shutil.rmtree(scratch, ignore_errors=True)
+            scratch = repack
             parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
 
     entries: list[ManifestEntry] = []
