@@ -95,3 +95,33 @@ def test_insert_extra_properties_survive_conflict_retry(spark, warehouse):
     final = warehouse.load_table("default.cc")
     assert final.read().count() == 3
     assert final.properties["streaming.last-committed-batch-id"] == "7"
+
+
+def test_concurrent_stats_merge_drops_rather_than_corrupts(spark, warehouse):
+    """Incremental-ANALYZE rebase guard: writer B's batch sketches were
+    unioned against the stats BEFORE writer A's stats-merging commit, so
+    after B's CAS rebase they would silently lose A's rows — B must DROP
+    its stats update (stale stats, never wrong stats)."""
+    from tests.conftest import one_part
+
+    base = warehouse.load_table("default.cc")
+    base.compute_table_stats()
+    a = warehouse.load_table("default.cc")
+    b = warehouse.load_table("default.cc")
+    # both handles observe fresh stats at version N; A commits first and
+    # merges its batch into the stats
+    a.insert(one_part(spark, [(100 + i, "from-a") for i in range(10)], DDL))
+    stats_a = warehouse.load_table("default.cc").metadata.statistics
+    assert stats_a["row_count"] == 11
+    # B's insert CAS-fails, rebases onto A's commit — its pre-computed
+    # union lacks A's rows, so the guard must refuse to stamp it
+    b.insert(one_part(spark, [(200 + i, "from-b") for i in range(5)], DDL))
+    final = warehouse.load_table("default.cc")
+    assert final.read().count() == 16  # both appends landed
+    stats = final.metadata.statistics
+    # stats survive as A's merge (stale w.r.t. B's snapshot), NOT a
+    # corrupted union missing A's contribution
+    assert stats["row_count"] == 11
+    assert stats["snapshot_id"] != final.metadata.current_snapshot_id
+    est_rows = {r["column_name"]: r for r in final.meta("statistics").collect()}
+    assert all(r["stale"] for r in est_rows.values())
