@@ -118,9 +118,15 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
                 t.rollback_to_snapshot(sid)
                 model = dict(states[sid])
                 ops.append(f"rollback {sid}")
-        elif choice < 0.82:  # compaction: visible state must not change
+        elif choice < 0.78:  # compaction: visible state must not change
             t.rewrite_data_files()
             ops.append("rewrite")
+        elif choice < 0.82:  # planned compaction loop: no visible change
+            t.compact(
+                min_input_files=rnd.randint(2, 4),
+                target_file_size_bytes=rnd.choice([4096, 134217728]),
+            )
+            ops.append("compact")
         elif choice < 0.90:  # tombstone consolidation: no visible change
             t.rewrite_position_delete_files()
             ops.append("consolidate")
