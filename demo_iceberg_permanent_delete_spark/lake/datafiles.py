@@ -160,7 +160,10 @@ def write_data_files(
             # fires at all.
             repack = os.path.join(target_dir, f"_tmp-{uuid.uuid4().hex}")
             w = (
-                df.sparkSession.read.parquet(scratch)
+                # explicit schema: skips the footer-inference job a bare
+                # read.parquet would run per resize (one per small commit)
+                df.sparkSession.read.schema(df.schema)
+                .parquet(scratch)
                 .repartition(want)
                 .write.mode("overwrite")
             )
