@@ -773,10 +773,7 @@ def plan_compaction(
     # partitions and destroy write clustering. Report them separately.
     unattributed = groups.pop(None, []) if fields else []
 
-    def where_for(partition: tuple | None) -> str | None:
-        if partition is None or len(fields) != 1:
-            return None
-        fld, value = fields[0], partition[0][1]
+    def field_predicate(fld, value) -> str | None:
         if fld.transform == "identity":
             if isinstance(value, str):
                 return f"{fld.source} = '" + value.replace("'", "''") + "'"
@@ -791,6 +788,21 @@ def plan_compaction(
                 f"{fld.source} < TIMESTAMP '{d1} 00:00:00'"
             )
         return None
+
+    def where_for(partition: tuple | None) -> str | None:
+        """Conjunction over every spec field, or None when any field's
+        transform can't be inverted to a predicate (bucket/truncate) —
+        compact() doesn't need the predicate (file-scoped rewrites), but
+        a human driving ``rewrite_data_files(where=...)`` by hand does."""
+        if partition is None or not fields:
+            return None
+        parts = [
+            field_predicate(fld, value)
+            for fld, (_, value) in zip(fields, partition)
+        ]
+        if any(p is None for p in parts):
+            return None
+        return " AND ".join(f"({p})" for p in parts) if len(parts) > 1 else parts[0]
 
     out_groups = []
     for partition, entries in sorted(

@@ -369,3 +369,37 @@ def test_sql_plan_compaction_surfaces_eq_deletes_and_ungrouped(spark, tmp_path):
     assert by_part["__ungrouped__"]["file_count"] == 2
     assert all(r["eq_delete_files"] == 1 for r in rows)
     assert all(r["recommend_rewrite"] for r in rows)
+
+
+def test_multi_field_partition_where_conjunction(spark, tmp_path):
+    """Multi-field identity/day specs emit a usable AND-conjunction
+    `where`; the emitted predicate drives a manual scoped rewrite."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.two",
+        "region string, ts timestamp, v bigint",
+        partition_by=["region", "days(ts)"],
+    )
+    for i in range(4):
+        t.insert(
+            one_part(
+                spark,
+                [("eu", dt.datetime(2024, 6, 5, 10, 0, i), i)],
+                "region string, ts timestamp, v bigint",
+            )
+        )
+    t.insert(
+        one_part(
+            spark,
+            [("us", dt.datetime(2024, 6, 5, 11, 0, 0), 99)],
+            "region string, ts timestamp, v bigint",
+        )
+    )
+    plan = t.plan_compaction(min_input_files=4)
+    [g] = plan["groups"]
+    assert g["where"] is not None
+    assert "region = 'eu'" in g["where"] and "2024-06-05" in g["where"]
+    stats = t.rewrite_data_files(where=g["where"])
+    assert stats["rewritten_data_files_count"] == 4
+    assert t.read().count() == 5
