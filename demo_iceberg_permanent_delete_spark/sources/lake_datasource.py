@@ -31,6 +31,11 @@ API, shipped in this container). All heavy work happens on EXECUTORS:
   change sets, metadata.change_set) — Iceberg's incremental append scan as
   a Structured Streaming source. Removed files and delete files are
   ignored (append-stream semantics, like Iceberg's default).
+- **CDC streaming read** (``option("mode", "cdc")``): the changelog as a
+  stream — each micro-batch emits exactly what ``LakeTable.changes()``
+  yields for its snapshot range (INSERT/DELETE rows with the Iceberg
+  changelog column triple), one executor task per touched file per
+  commit; differentially tested against the batch changelog.
 - **Batch write**: each task streams its Arrow batches into one parquet
   file and reports footer stats in its commit message; the driver commit
   registers all files in ONE snapshot (append, or overwrite for
@@ -115,6 +120,21 @@ def _read_data_file(
     dv_paths: Sequence[str] = (),
 ):
     """Executor-side MOR read of one data file → iterator of RecordBatch."""
+    yield from _conform(
+        _visible_table(path, pos_delete_paths, eq_deletes, dv_paths),
+        arrow_schema,
+        renames,
+    ).to_batches()
+
+
+def _visible_table(
+    path: str,
+    pos_delete_paths: Sequence[str] = (),
+    eq_deletes: Sequence[tuple[tuple[str, ...], tuple[str, ...]]] = (),
+    dv_paths: Sequence[str] = (),
+):
+    """Executor-side MOR read of one data file → visible pyarrow Table
+    (position/DV/equality deletes applied, NOT yet schema-conformed)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -156,7 +176,7 @@ def _read_data_file(
                 join_type="left anti",
             ).sort_by("__row")
             tbl = tbl.drop_columns(["__row"])
-    yield from _conform(tbl, arrow_schema, renames).to_batches()
+    return tbl
 
 
 @dataclass
@@ -194,11 +214,6 @@ class LakeBatchReader(DataSourceReader):
         return filters  # none handled exactly — Spark keeps them all
 
     def partitions(self) -> Sequence[InputPartition]:
-        from demo_iceberg_permanent_delete_spark.lake.metadata import (
-            CONTENT_EQUALITY_DELETES,
-            CONTENT_POSITION_DELETES,
-        )
-
         snap_id = self._options.get("snapshot-id")
         snap = (
             self._meta.snapshot_by_id(int(snap_id))
@@ -225,29 +240,11 @@ class LakeBatchReader(DataSourceReader):
         if not data_entries:
             return [LakeFilePartition(None)]
 
-        deletes = [e for e in snap.manifest if e.content != 0]
-        pos_paths = tuple(
-            e.file_path
-            for e in deletes
-            if e.content == CONTENT_POSITION_DELETES and not e.dv
-        )
-        dv_paths = tuple(
-            e.file_path
-            for e in deletes
-            if e.content == CONTENT_POSITION_DELETES and e.dv
-        )
-        snap_order = {s.snapshot_id: i for i, s in enumerate(self._meta.snapshots)}
-        parts = []
-        for e in data_entries:
-            data_seq = snap_order.get(e.added_snapshot_id, -1)
-            eq = tuple(
-                ((d.file_path,), tuple(d.equality_columns))
-                for d in deletes
-                if d.content == CONTENT_EQUALITY_DELETES
-                and snap_order.get(d.added_snapshot_id, -1) > data_seq
-            )
-            parts.append(LakeFilePartition(e.file_path, pos_paths, eq, dv_paths))
-        return parts
+        pos_paths, dv_paths, eq_for = _visibility(self._meta, snap)
+        return [
+            LakeFilePartition(e.file_path, pos_paths, eq_for(e), dv_paths)
+            for e in data_entries
+        ]
 
     def read(self, partition: LakeFilePartition) -> Iterator:
         if partition.file_path is None:
@@ -309,6 +306,67 @@ def _filter_to_sql(f) -> str | None:
 
 
 # -------------------------------------------------------- streaming read
+def _ancestry_chain(meta, start_id: int, end_id: int):
+    """Snapshots strictly after ``start_id`` up to ``end_id``, oldest
+    first; raises when the start offset left the ancestry (expired or
+    rolled back)."""
+    chain = []
+    cur = meta.snapshot_by_id(end_id)
+    while cur is not None and cur.snapshot_id != start_id:
+        chain.append(cur)
+        if cur.parent_id is None:
+            if start_id != -1:
+                raise RuntimeError(
+                    f"streaming offset {start_id} is no longer in the "
+                    "table's ancestry (expired or rolled back); restart "
+                    "the stream with a fresh checkpoint"
+                )
+            break
+        cur = meta._maybe_snapshot(cur.parent_id)
+        if cur is None and start_id != -1:
+            raise RuntimeError(
+                f"streaming offset {start_id} unreachable: an ancestor "
+                "snapshot was expired; restart with a fresh checkpoint"
+            )
+    chain.reverse()
+    return chain
+
+
+def _visibility(meta, snap):
+    """A snapshot's delete files split for the executor-side MOR read:
+    (row-layout position-delete paths, DV paths, eq_for(data_entry)) —
+    ``eq_for`` applies the Iceberg sequence rule (an equality delete only
+    masks data files committed strictly before it)."""
+    from demo_iceberg_permanent_delete_spark.lake.metadata import (
+        CONTENT_EQUALITY_DELETES,
+        CONTENT_POSITION_DELETES,
+    )
+
+    deletes = [e for e in snap.manifest if e.content != 0]
+    pos = tuple(
+        e.file_path
+        for e in deletes
+        if e.content == CONTENT_POSITION_DELETES and not e.dv
+    )
+    dv = tuple(
+        e.file_path
+        for e in deletes
+        if e.content == CONTENT_POSITION_DELETES and e.dv
+    )
+    order = {s.snapshot_id: i for i, s in enumerate(meta.snapshots)}
+
+    def eq_for(entry):
+        seq = order.get(entry.added_snapshot_id, -1)
+        return tuple(
+            ((d.file_path,), tuple(d.equality_columns))
+            for d in deletes
+            if d.content == CONTENT_EQUALITY_DELETES
+            and order.get(d.added_snapshot_id, -1) > seq
+        )
+
+    return pos, dv, eq_for
+
+
 class LakeStreamReader(DataSourceStreamReader):
     """Incremental append scan as a streaming source. Offset =
     {"snapshot_id": last-consumed main-ancestry snapshot, -1 = none}."""
@@ -343,27 +401,9 @@ class LakeStreamReader(DataSourceStreamReader):
         if end_id == -1 or start_id == end_id:
             return [LakeFilePartition(None)]
         meta = _load_meta(self._options)
-        chain = []
-        cur = meta.snapshot_by_id(end_id)
-        while cur is not None and cur.snapshot_id != start_id:
-            chain.append(cur)
-            if cur.parent_id is None:
-                if start_id != -1:
-                    raise RuntimeError(
-                        f"streaming offset {start_id} is no longer in the "
-                        "table's ancestry (expired or rolled back); restart "
-                        "the stream with a fresh checkpoint"
-                    )
-                break
-            cur = meta._maybe_snapshot(cur.parent_id)
-            if cur is None and start_id != -1:
-                raise RuntimeError(
-                    f"streaming offset {start_id} unreachable: an ancestor "
-                    "snapshot was expired; restart with a fresh checkpoint"
-                )
         parts = [
             LakeFilePartition(e.file_path)
-            for snap in reversed(chain)  # oldest commit first
+            for snap in _ancestry_chain(meta, start_id, end_id)
             for e in meta.change_set(snap.snapshot_id).added
             if e.content == 0
         ]
@@ -378,6 +418,273 @@ class LakeStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the table's own metadata
+
+
+# ------------------------------------------------------------ CDC stream
+_CDC_COLS_DDL = (
+    ", _change_type string, _change_ordinal int, _commit_snapshot_id bigint"
+)
+
+
+@dataclass
+class CdcPartition(InputPartition):
+    """One CDC work unit: a data file read under one of four emit modes.
+
+    kind = "insert" (rows of a file the commit added), "delete" (the
+    parent-VISIBLE rows of a file the commit removed), "masked" (rows a
+    commit's new position-delete/DV files tombstone), "eq" (parent-
+    visible rows matching a commit's new equality-delete keys)."""
+
+    kind: str = "noop"
+    file_path: str | None = None
+    # parent-visibility deletes (kinds "delete"/"eq")
+    pos_delete_paths: tuple = ()
+    eq_deletes: tuple = ()
+    dv_paths: tuple = ()
+    # the commit's freshly-added tombstone files (kind "masked")
+    mask_pos_paths: tuple = ()
+    mask_dv_paths: tuple = ()
+    # equality keys to MATCH, ((paths…), (key cols…)) (kind "eq")
+    eq_match: tuple = ()
+    change_type: str = "INSERT"
+    ordinal: int = 0
+    commit_id: int = 0
+
+
+class LakeCdcStreamReader(LakeStreamReader):
+    """Changelog (CDC) streaming source — ``mode => cdc``: each
+    micro-batch emits exactly the rows ``LakeTable.changes(start, end)``
+    would for its snapshot range, with the same Iceberg changelog column
+    triple (``_change_type`` INSERT/DELETE, ``_change_ordinal`` = commit
+    order within the batch's range, ``_commit_snapshot_id``) — Iceberg's
+    CDC read re-expressed as a Python DataSource stream (reference scope:
+    its catalog stack ships the Spark changelog procedure; the repo's
+    batch twin is ``create_changelog_view`` / ``LakeTable.changes``,
+    lake/table.py:643). Semantics mirror changes() per commit: replace
+    snapshots are skipped; added data files emit INSERTs (raw rows);
+    removed files emit their parent-visible rows as DELETEs; added
+    position-delete/DV files emit exactly the masked rows; added
+    equality-delete files emit the parent-visible matching rows (keys
+    compared by equality — all-null equality keys are not matched by
+    this reader). ``net_changes`` is a batch-only option.
+
+    Scale shape: one executor task per touched file, per commit — work is
+    bounded by each commit's delta exactly like the batch changelog; the
+    driver reads only tombstone-file path columns (metadata-proportional)
+    to schedule "masked" partitions.
+    """
+
+    def __init__(self, schema: StructType, options) -> None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        super().__init__(schema, options)
+        self._data_arrow_schema = to_arrow_schema(
+            StructType(schema.fields[:-3])
+        )
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        import pyarrow.parquet as pq
+
+        from demo_iceberg_permanent_delete_spark.lake.metadata import (
+            CONTENT_DATA,
+            CONTENT_EQUALITY_DELETES,
+            CONTENT_POSITION_DELETES,
+        )
+
+        start_id, end_id = start["snapshot_id"], end["snapshot_id"]
+        if end_id == -1 or start_id == end_id:
+            return [CdcPartition()]
+        meta = _load_meta(self._options)
+        parts: list[CdcPartition] = []
+        ordinal = 0
+        for snap in _ancestry_chain(meta, start_id, end_id):
+            if snap.operation == "replace":
+                continue
+            delta = meta.change_set(snap.snapshot_id)
+            parent = (
+                meta._maybe_snapshot(snap.parent_id)
+                if snap.parent_id is not None
+                else None
+            )
+            common = {"ordinal": ordinal, "commit_id": snap.snapshot_id}
+            emitted = False
+            for e in delta.added:
+                if e.content == CONTENT_DATA:
+                    parts.append(
+                        CdcPartition(
+                            kind="insert",
+                            file_path=e.file_path,
+                            change_type="INSERT",
+                            **common,
+                        )
+                    )
+                    emitted = True
+            if parent is not None:
+                pos, dv, eq_for = _visibility(meta, parent)
+                parent_by_path = {e.file_path: e for e in parent.manifest}
+                for p in delta.removed:
+                    ent = parent_by_path.get(p)
+                    if ent is None or ent.content != CONTENT_DATA:
+                        continue
+                    parts.append(
+                        CdcPartition(
+                            kind="delete",
+                            file_path=p,
+                            pos_delete_paths=pos,
+                            dv_paths=dv,
+                            eq_deletes=eq_for(ent),
+                            change_type="DELETE",
+                            **common,
+                        )
+                    )
+                    emitted = True
+                mask_pos = tuple(
+                    e.file_path
+                    for e in delta.added
+                    if e.content == CONTENT_POSITION_DELETES and not e.dv
+                )
+                mask_dv = tuple(
+                    e.file_path
+                    for e in delta.added
+                    if e.content == CONTENT_POSITION_DELETES and e.dv
+                )
+                if mask_pos or mask_dv:
+                    # referenced-path list is metadata-proportional (one
+                    # column of the tombstone files; DV layout is one row
+                    # per target file)
+                    refs: set[str] = set()
+                    for fp in mask_pos + mask_dv:
+                        refs.update(
+                            pq.read_table(fp, columns=["file_path"])
+                            .column("file_path")
+                            .to_pylist()
+                        )
+                    for rp in sorted(refs):
+                        parts.append(
+                            CdcPartition(
+                                kind="masked",
+                                file_path=rp,
+                                mask_pos_paths=mask_pos,
+                                mask_dv_paths=mask_dv,
+                                change_type="DELETE",
+                                **common,
+                            )
+                        )
+                    emitted = emitted or bool(refs)
+                eq_added = [
+                    e
+                    for e in delta.added
+                    if e.content == CONTENT_EQUALITY_DELETES
+                ]
+                if eq_added:
+                    eq_match = tuple(
+                        ((e.file_path,), tuple(e.equality_columns))
+                        for e in eq_added
+                    )
+                    for ent in parent.manifest:
+                        if ent.content != CONTENT_DATA:
+                            continue
+                        parts.append(
+                            CdcPartition(
+                                kind="eq",
+                                file_path=ent.file_path,
+                                pos_delete_paths=pos,
+                                dv_paths=dv,
+                                eq_deletes=eq_for(ent),
+                                eq_match=eq_match,
+                                change_type="DELETE",
+                                **common,
+                            )
+                        )
+                    emitted = True
+            if emitted:
+                ordinal += 1
+        return parts or [CdcPartition()]
+
+    def read(self, partition) -> Iterator:
+        if not isinstance(partition, CdcPartition) or partition.file_path is None:
+            return iter(())
+        return self._read_cdc(partition)
+
+    def _read_cdc(self, p: CdcPartition) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if p.kind in ("insert", "delete"):
+            tbl = _visible_table(
+                p.file_path, p.pos_delete_paths, p.eq_deletes, p.dv_paths
+            )
+        elif p.kind == "masked":
+            tbl = pq.read_table(p.file_path)
+            drops: list = []
+            if p.mask_pos_paths:
+                dels = pa.concat_tables(
+                    pq.read_table(f, columns=["file_path", "pos"])
+                    for f in p.mask_pos_paths
+                )
+                mine = dels.filter(
+                    pc.equal(dels.column("file_path"), p.file_path)
+                )
+                if mine.num_rows:
+                    drops.append(np.asarray(mine.column("pos")).astype("int64"))
+            if p.mask_dv_paths:
+                dvt = pa.concat_tables(
+                    pq.read_table(f, columns=["file_path", "positions"])
+                    for f in p.mask_dv_paths
+                )
+                mine = dvt.filter(
+                    pc.equal(dvt.column("file_path"), p.file_path)
+                )
+                for arr in mine.column("positions").to_pylist():
+                    if arr:
+                        drops.append(np.asarray(arr, dtype="int64"))
+            if not drops:
+                return
+            idx = np.unique(np.concatenate(drops))
+            idx = idx[idx < tbl.num_rows]
+            tbl = tbl.take(pa.array(idx))
+        elif p.kind == "eq":
+            tbl = _visible_table(
+                p.file_path, p.pos_delete_paths, p.eq_deletes, p.dv_paths
+            )
+            tbl2 = tbl.append_column(
+                "__row", pa.array(range(tbl.num_rows), pa.int64())
+            )
+            matched: set[int] = set()
+            for paths, key_cols in p.eq_match:
+                keys = pa.concat_tables(
+                    pq.read_table(f, columns=list(key_cols)) for f in paths
+                )
+                if not keys.num_rows:
+                    continue
+                j = tbl2.select(["__row", *key_cols]).join(
+                    keys.group_by(list(key_cols)).aggregate([]),
+                    keys=list(key_cols),
+                    join_type="inner",
+                )
+                matched.update(j.column("__row").to_pylist())
+            if not matched:
+                return
+            tbl = tbl.take(pa.array(sorted(matched)))
+        else:
+            return
+
+        out = _conform(tbl, self._data_arrow_schema, self._renames)
+        n = out.num_rows
+        if not n:
+            return
+        out = out.append_column(
+            "_change_type", pa.array([p.change_type] * n, pa.string())
+        )
+        out = out.append_column(
+            "_change_ordinal", pa.array([p.ordinal] * n, pa.int32())
+        )
+        out = out.append_column(
+            "_commit_snapshot_id", pa.array([p.commit_id] * n, pa.int64())
+        )
+        yield from out.to_batches()
 
 
 # ------------------------------------------------------------ batch write
@@ -488,13 +795,19 @@ class LakeDataSource(DataSource):
     def name(cls) -> str:
         return "lakehouse"
 
+    def _cdc(self) -> bool:
+        return (self.options.get("mode") or "").lower() in ("cdc", "changelog")
+
     def schema(self) -> str:
-        return _load_meta(self.options).schema_ddl
+        ddl = _load_meta(self.options).schema_ddl
+        return ddl + _CDC_COLS_DDL if self._cdc() else ddl
 
     def reader(self, schema: StructType) -> LakeBatchReader:
         return LakeBatchReader(schema, self.options)
 
     def streamReader(self, schema: StructType) -> LakeStreamReader:
+        if self._cdc():
+            return LakeCdcStreamReader(schema, self.options)
         return LakeStreamReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> LakeAppendWriter:

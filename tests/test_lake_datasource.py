@@ -184,3 +184,106 @@ def test_stream_read_incremental(registered, cat, tmp_path):
     run_batch()
     third = spark.read.parquet(out_dir).count()
     assert third == 4
+
+
+# ------------------------------------------------------------ CDC stream
+def _cdc_stream_rows(spark, t, out_dir, ckpt, starting="earliest"):
+    stream = (
+        spark.readStream.format("lakehouse")
+        .option("location", t.metadata.location)
+        .option("mode", "cdc")
+        .option("starting-offset", starting)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cdc_stream_matches_batch_changes(registered, cat, tmp_path):
+    """Differential check against the hash-checked batch changelog: after
+    a mixed DML sequence (append, MOR delete w/ DV, MOR row-tombstone
+    delete, COW delete, equality delete, compaction), one availableNow
+    CDC pass must emit exactly LakeTable.changes() — same rows, same
+    change types, same per-commit ordinals."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table(
+        "default.cdc1",
+        "id bigint, grp string, v bigint",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(
+        one_part(
+            spark,
+            [(i, f"g{i % 4}", i * 10) for i in range(40)],
+            "id bigint, grp string, v bigint",
+        )
+    )
+    t.delete("id < 5")  # MOR + deletion vectors (default layout)
+    t.set_properties({"write.delete.vector.enabled": "false"})
+    t.delete("id >= 35")  # MOR row-tombstone layout
+    t.insert(
+        one_part(
+            spark,
+            [(100 + i, "new", i) for i in range(6)],
+            "id bigint, grp string, v bigint",
+        )
+    )
+    t.equality_delete(spark.createDataFrame([("g2",)], "grp string"))
+    t.set_properties({"write.delete.mode": "copy-on-write"})
+    t.delete("v = 20")  # COW: removes+rewrites files
+    t.rewrite_data_files()  # replace snapshot: must emit NOTHING
+
+    got = _cdc_stream_rows(
+        spark, t, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    want = t.changes(None, None)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _canon(got.select(*want.columns)) == _canon(want)
+
+
+def test_cdc_stream_incremental_batches(registered, cat, tmp_path):
+    """Offsets resume across runs: each availableNow pass emits exactly
+    the NEW commits' changes (per-range ordinals, like changes() over
+    that range)."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table(
+        "default.cdc2",
+        "id bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(one_part(spark, [(i, f"v{i}") for i in range(10)], "id bigint, v string"))
+    s0 = t.metadata.current_snapshot_id
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    first = _cdc_stream_rows(spark, t, out, ck)
+    assert _canon(first.select(*t.changes(None, None).columns)) == _canon(
+        t.changes(None, None)
+    )
+
+    t.delete("id < 3")
+    t.insert(one_part(spark, [(50, "x")], "id bigint, v string"))
+    _cdc_stream_rows(spark, t, out, ck)
+    all_rows = spark.read.parquet(out)
+    # second pass contributed exactly changes(s0, current)
+    second = t.changes(s0, None)
+    assert all_rows.count() == t.changes(None, s0).count() + second.count()
+    got_second = all_rows.join(
+        all_rows.filter(F.col("_commit_snapshot_id") == s0),
+        ["_commit_snapshot_id"],
+        "left_anti",
+    )
+    assert _canon(got_second.select(*second.columns)) == _canon(second)
