@@ -121,26 +121,22 @@ def _read_data_file(
 ):
     """Executor-side MOR read of one data file → iterator of RecordBatch."""
     yield from _conform(
-        _visible_table(path, pos_delete_paths, eq_deletes, dv_paths),
+        _visible_table(path, pos_delete_paths, eq_deletes, dv_paths, renames),
         arrow_schema,
         renames,
     ).to_batches()
 
 
-def _visible_table(
-    path: str,
-    pos_delete_paths: Sequence[str] = (),
-    eq_deletes: Sequence[tuple[tuple[str, ...], tuple[str, ...]]] = (),
-    dv_paths: Sequence[str] = (),
+def _tombstone_positions(
+    path: str, pos_delete_paths: Sequence[str], dv_paths: Sequence[str]
 ):
-    """Executor-side MOR read of one data file → visible pyarrow Table
-    (position/DV/equality deletes applied, NOT yet schema-conformed)."""
+    """Positions tombstoned for ``path`` across row-layout position-delete
+    files and deletion-vector files → sorted unique int64 numpy array."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(path)
     drops: list = []
     if pos_delete_paths:
         dels = pa.concat_tables(
@@ -159,8 +155,74 @@ def _visible_table(
         for arr in mine.column("positions").to_pylist():
             if arr:
                 drops.append(np.asarray(arr, dtype="int64"))
-    if drops:
-        drop = np.concatenate(drops)
+    if not drops:
+        return np.empty(0, dtype="int64")
+    return np.unique(np.concatenate(drops))
+
+
+def _physical_name(column_names, name: str, renames) -> str | None:
+    """Resolve a current logical column to the file's physical column via
+    the rename chain (same contract as _conform); None when the file
+    predates the column entirely."""
+    if name in column_names:
+        return name
+    if renames:
+        for old in renames.get(name, ()):
+            if old in column_names:
+                return old
+    return None
+
+
+def _null_safe_key(tbl, key_cols, renames):
+    """(join-column names, augmented table) implementing eqNullSafe
+    equality on ``key_cols``: each key joins as (fill_null(col, zero),
+    is_null(col)) so NULL==NULL matches — Arrow joins otherwise never
+    match nulls, while the table read path and the batch changelog use
+    eqNullSafe (lake/table.py). Rename-aware on the data side: a file
+    written before RENAME COLUMN resolves through its physical name; a
+    file that predates the column contributes all-null keys."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    join_cols: list[str] = []
+    for i, c in enumerate(key_cols):
+        phys = _physical_name(tbl.column_names, c, renames)
+        col = (
+            tbl.column(phys)
+            if phys is not None
+            else pa.nulls(tbl.num_rows, type=pa.string())
+        )
+        try:
+            zero = pa.scalar(0).cast(col.type)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            try:
+                zero = pa.scalar("", type=col.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                zero = None
+        filled = pc.fill_null(col, zero) if zero is not None else col
+        v, n = f"__k{i}_v", f"__k{i}_n"
+        tbl = tbl.append_column(v, filled)
+        tbl = tbl.append_column(n, pc.is_null(col))
+        join_cols += [v, n]
+    return join_cols, tbl
+
+
+def _visible_table(
+    path: str,
+    pos_delete_paths: Sequence[str] = (),
+    eq_deletes: Sequence[tuple[tuple[str, ...], tuple[str, ...]]] = (),
+    dv_paths: Sequence[str] = (),
+    renames=None,
+):
+    """Executor-side MOR read of one data file → visible pyarrow Table
+    (position/DV/equality deletes applied, NOT yet schema-conformed)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    drop = _tombstone_positions(path, pos_delete_paths, dv_paths)
+    if drop.size:
         keep = np.ones(tbl.num_rows, dtype=bool)
         keep[drop[drop < tbl.num_rows]] = False
         tbl = tbl.filter(pa.array(keep))
@@ -169,13 +231,22 @@ def _visible_table(
             pq.read_table(p, columns=list(key_cols)) for p in paths
         )
         if keys.num_rows:
-            tbl = tbl.append_column("__row", pa.array(range(tbl.num_rows), pa.int64()))
-            tbl = tbl.join(
-                keys.group_by(list(key_cols)).aggregate([]),
-                keys=list(key_cols),
+            # both sides derive the same synthetic (__k{i}_v, __k{i}_n)
+            # column names, so the join keys line up directly
+            jcols, tbl_aug = _null_safe_key(tbl, key_cols, renames)
+            kcols, keys_aug = _null_safe_key(keys, key_cols, None)
+            tbl_aug = tbl_aug.append_column(
+                "__row", pa.array(range(tbl.num_rows), pa.int64())
+            )
+            kept = tbl_aug.select(["__row", *jcols]).join(
+                keys_aug.select(kcols).group_by(kcols).aggregate([]),
+                keys=jcols,
                 join_type="left anti",
-            ).sort_by("__row")
-            tbl = tbl.drop_columns(["__row"])
+            )
+            idx = pa.array(
+                sorted(kept.column("__row").to_pylist()), type=pa.int64()
+            )
+            tbl = tbl.take(idx)
     return tbl
 
 
@@ -607,50 +678,32 @@ class LakeCdcStreamReader(LakeStreamReader):
         return self._read_cdc(partition)
 
     def _read_cdc(self, p: CdcPartition) -> Iterator:
-        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         if p.kind in ("insert", "delete"):
             tbl = _visible_table(
-                p.file_path, p.pos_delete_paths, p.eq_deletes, p.dv_paths
+                p.file_path,
+                p.pos_delete_paths,
+                p.eq_deletes,
+                p.dv_paths,
+                self._renames,
             )
         elif p.kind == "masked":
             tbl = pq.read_table(p.file_path)
-            drops: list = []
-            if p.mask_pos_paths:
-                dels = pa.concat_tables(
-                    pq.read_table(f, columns=["file_path", "pos"])
-                    for f in p.mask_pos_paths
-                )
-                mine = dels.filter(
-                    pc.equal(dels.column("file_path"), p.file_path)
-                )
-                if mine.num_rows:
-                    drops.append(np.asarray(mine.column("pos")).astype("int64"))
-            if p.mask_dv_paths:
-                dvt = pa.concat_tables(
-                    pq.read_table(f, columns=["file_path", "positions"])
-                    for f in p.mask_dv_paths
-                )
-                mine = dvt.filter(
-                    pc.equal(dvt.column("file_path"), p.file_path)
-                )
-                for arr in mine.column("positions").to_pylist():
-                    if arr:
-                        drops.append(np.asarray(arr, dtype="int64"))
-            if not drops:
+            idx = _tombstone_positions(
+                p.file_path, p.mask_pos_paths, p.mask_dv_paths
+            )
+            if not idx.size:
                 return
-            idx = np.unique(np.concatenate(drops))
-            idx = idx[idx < tbl.num_rows]
-            tbl = tbl.take(pa.array(idx))
+            tbl = tbl.take(pa.array(idx[idx < tbl.num_rows]))
         elif p.kind == "eq":
             tbl = _visible_table(
-                p.file_path, p.pos_delete_paths, p.eq_deletes, p.dv_paths
-            )
-            tbl2 = tbl.append_column(
-                "__row", pa.array(range(tbl.num_rows), pa.int64())
+                p.file_path,
+                p.pos_delete_paths,
+                p.eq_deletes,
+                p.dv_paths,
+                self._renames,
             )
             matched: set[int] = set()
             for paths, key_cols in p.eq_match:
@@ -659,15 +712,22 @@ class LakeCdcStreamReader(LakeStreamReader):
                 )
                 if not keys.num_rows:
                     continue
-                j = tbl2.select(["__row", *key_cols]).join(
-                    keys.group_by(list(key_cols)).aggregate([]),
-                    keys=list(key_cols),
+                # null-safe, rename-aware semi-join — same key machinery
+                # as the anti-join in _visible_table, selection inverted
+                jcols, tbl_aug = _null_safe_key(tbl, key_cols, self._renames)
+                kcols, keys_aug = _null_safe_key(keys, key_cols, None)
+                tbl_aug = tbl_aug.append_column(
+                    "__row", pa.array(range(tbl.num_rows), pa.int64())
+                )
+                j = tbl_aug.select(["__row", *jcols]).join(
+                    keys_aug.select(kcols).group_by(kcols).aggregate([]),
+                    keys=jcols,
                     join_type="inner",
                 )
                 matched.update(j.column("__row").to_pylist())
             if not matched:
                 return
-            tbl = tbl.take(pa.array(sorted(matched)))
+            tbl = tbl.take(pa.array(sorted(matched), type=pa.int64()))
         else:
             return
 
@@ -803,6 +863,14 @@ class LakeDataSource(DataSource):
         return ddl + _CDC_COLS_DDL if self._cdc() else ddl
 
     def reader(self, schema: StructType) -> LakeBatchReader:
+        if self._cdc():
+            # without this, the batch reader would null-fill the CDC
+            # column triple and silently return current rows as "changes"
+            raise ValueError(
+                "mode=cdc is a STREAMING option (spark.readStream); for a "
+                "batch changelog use LakeTable.changes() or CALL "
+                "demo.system.create_changelog_view"
+            )
         return LakeBatchReader(schema, self.options)
 
     def streamReader(self, schema: StructType) -> LakeStreamReader:

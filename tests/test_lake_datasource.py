@@ -287,3 +287,80 @@ def test_cdc_stream_incremental_batches(registered, cat, tmp_path):
         "left_anti",
     )
     assert _canon(got_second.select(*second.columns)) == _canon(second)
+
+
+def test_cdc_and_batch_handle_null_equality_keys(registered, cat, tmp_path):
+    """eqNullSafe parity: an equality delete whose key is NULL must mask
+    NULL-key rows in the datasource batch read AND emit them as CDC
+    DELETEs — Arrow joins never match nulls, so the key machinery adds
+    (filled, is_null) companions."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table(
+        "default.nulleq",
+        "id bigint, grp string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(
+        one_part(
+            spark,
+            [(1, "a"), (2, None), (3, "b"), (4, None)],
+            "id bigint, grp string",
+        )
+    )
+    t.equality_delete(spark.createDataFrame([(None,)], "grp string"))
+    # table read, datasource batch read, and batch changelog all agree
+    want = {(1, "a"), (3, "b")}
+    assert {(r["id"], r["grp"]) for r in t.read().collect()} == want
+    assert {(r["id"], r["grp"]) for r in _read(spark, t).collect()} == want
+    got = _cdc_stream_rows(
+        spark, t, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    changes = t.changes(None, None)
+    assert _canon(got.select(*changes.columns)) == _canon(changes)
+    deleted = {
+        (r["id"], r["grp"])
+        for r in got.filter(F.col("_change_type") == "DELETE").collect()
+    }
+    assert deleted == {(2, None), (4, None)}
+
+
+def test_cdc_eq_delete_after_column_rename(registered, cat, tmp_path):
+    """Files written before RENAME COLUMN resolve equality keys through
+    their physical name — the raw-table select used to KeyError."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table(
+        "default.renameeq",
+        "id bigint, grp string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(
+        one_part(spark, [(1, "a"), (2, "b"), (3, "a")], "id bigint, grp string")
+    )
+    t.rename_column("grp", "segment")
+    t.equality_delete(spark.createDataFrame([("a",)], "segment string"))
+    want = {(2, "b")}
+    assert {(r["id"], r["segment"]) for r in t.read().collect()} == want
+    assert {(r["id"], r["segment"]) for r in _read(spark, t).collect()} == want
+    got = _cdc_stream_rows(
+        spark, t, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    changes = t.changes(None, None)
+    assert _canon(got.select(*changes.columns)) == _canon(changes)
+
+
+def test_batch_read_rejects_cdc_mode(registered, cat):
+    spark = registered
+    t = cat.create_table("default.nocdc", "id bigint")
+    t.insert(spark.range(3).selectExpr("id"))
+    with pytest.raises(Exception, match="STREAMING option"):
+        (
+            spark.read.format("lakehouse")
+            .option("location", t.metadata.location)
+            .option("mode", "cdc")
+            .load()
+            .collect()
+        )
