@@ -448,8 +448,29 @@ class LakeStreamReader(DataSourceStreamReader):
         self._arrow_schema = to_arrow_schema(schema)
         self._options = options
         self._renames = _load_meta(options).renames
+        start_ts = options.get("starting-timestamp")
         starting = (options.get("starting-offset") or "latest").lower()
-        if starting == "earliest":
+        if start_ts is not None:
+            # Iceberg's stream-from-timestamp: include every commit at or
+            # after the timestamp (epoch ms) ⇒ initial offset = the last
+            # main-ancestry snapshot committed strictly BEFORE it
+            meta = _load_meta(options)
+            self._initial = -1
+            cur = meta.current_snapshot()
+            chain = []
+            while cur is not None:
+                chain.append(cur)
+                cur = (
+                    meta._maybe_snapshot(cur.parent_id)
+                    if cur.parent_id is not None
+                    else None
+                )
+            for snap in reversed(chain):  # oldest → newest
+                if snap.committed_at_ms < int(start_ts):
+                    self._initial = snap.snapshot_id
+                else:
+                    break
+        elif starting == "earliest":
             self._initial = -1
         elif starting == "latest":
             meta = _load_meta(options)

@@ -364,3 +364,34 @@ def test_batch_read_rejects_cdc_mode(registered, cat):
             .load()
             .collect()
         )
+
+
+def test_stream_starting_timestamp(registered, cat, tmp_path):
+    """starting-timestamp (epoch ms) includes every commit at/after the
+    timestamp — Iceberg's stream-from-timestamp option."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table("default.ts0", "id bigint, v string")
+    t.insert(one_part(spark, [(1, "old")], "id bigint, v string"))
+    cutoff = t.metadata.current_snapshot().committed_at_ms + 1
+    t.insert(one_part(spark, [(2, "new")], "id bigint, v string"))
+    t.insert(one_part(spark, [(3, "newer")], "id bigint, v string"))
+
+    stream = (
+        spark.readStream.format("lakehouse")
+        .option("location", t.metadata.location)
+        .option("starting-timestamp", str(cutoff))
+        .load()
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(2, "new"), (3, "newer")}
