@@ -210,6 +210,7 @@ def _canon(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_cdc_stream_matches_batch_changes(registered, cat, tmp_path):
     """Differential check against the hash-checked batch changelog: after
     a mixed DML sequence (append, MOR delete w/ DV, MOR row-tombstone
@@ -254,6 +255,7 @@ def test_cdc_stream_matches_batch_changes(registered, cat, tmp_path):
     assert _canon(got.select(*want.columns)) == _canon(want)
 
 
+@pytest.mark.slow
 def test_cdc_stream_incremental_batches(registered, cat, tmp_path):
     """Offsets resume across runs: each availableNow pass emits exactly
     the NEW commits' changes (per-range ordinals, like changes() over
@@ -289,6 +291,7 @@ def test_cdc_stream_incremental_batches(registered, cat, tmp_path):
     assert _canon(got_second.select(*second.columns)) == _canon(second)
 
 
+@pytest.mark.slow
 def test_cdc_and_batch_handle_null_equality_keys(registered, cat, tmp_path):
     """eqNullSafe parity: an equality delete whose key is NULL must mask
     NULL-key rows in the datasource batch read AND emit them as CDC
