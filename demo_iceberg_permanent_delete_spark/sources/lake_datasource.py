@@ -61,6 +61,25 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
+# Parent directory of the installed package, captured at driver import
+# time: worker processes that received the module BY VALUE (see
+# register()) re-import the rest of the package from here when the
+# harness's Python path doesn't carry it.
+_PKG_PARENT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _ensure_importable() -> None:
+    import importlib
+    import sys as _sys
+
+    try:
+        importlib.import_module("demo_iceberg_permanent_delete_spark")
+    except ModuleNotFoundError:
+        _sys.path.insert(0, _PKG_PARENT)
+
+
 # --------------------------------------------------------------- helpers
 def _load_meta(options):
     """Resolve the table's TableMetadata from reader/writer options:
@@ -880,10 +899,12 @@ class LakeDataSource(DataSource):
         return (self.options.get("mode") or "").lower() in ("cdc", "changelog")
 
     def schema(self) -> str:
+        _ensure_importable()
         ddl = _load_meta(self.options).schema_ddl
         return ddl + _CDC_COLS_DDL if self._cdc() else ddl
 
     def reader(self, schema: StructType) -> LakeBatchReader:
+        _ensure_importable()
         if self._cdc():
             # without this, the batch reader would null-fill the CDC
             # column triple and silently return current rows as "changes"
@@ -895,11 +916,13 @@ class LakeDataSource(DataSource):
         return LakeBatchReader(schema, self.options)
 
     def streamReader(self, schema: StructType) -> LakeStreamReader:
+        _ensure_importable()
         if self._cdc():
             return LakeCdcStreamReader(schema, self.options)
         return LakeStreamReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> LakeAppendWriter:
+        _ensure_importable()
         return LakeAppendWriter(schema, self.options, overwrite)
 
 
@@ -907,4 +930,40 @@ def register(spark) -> None:
     # Python-source filter pushdown is opt-in (runtime-settable); the
     # reader's pushFilters hook requires it.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # The source's classes deserialize inside SEPARATE Python worker
+    # processes that do not inherit the driver's sys.path — a driver
+    # launched outside the repo root (the external harness) would hit
+    # ModuleNotFoundError on the first task. Two measures:
+    #
+    # 1. Ship the package zip via addPyFile — reaches the batch/stream
+    #    DATA workers (their setup_spark_files adds it to sys.path);
+    #    this is exactly how a user deploys to a real cluster.
+    # 2. Serialize THIS module by value (cloudpickle) and self-heal
+    #    sys.path in the DataSource entry methods — the driver-side
+    #    python_streaming_source_runner does NOT receive pyFiles in this
+    #    Spark build (verified empirically), so by-reference pickling of
+    #    the class would fail at read_command before any hook could run.
+    sc = spark.sparkContext
+    if not getattr(sc, "_lakehouse_pyfile_added", False):
+        import shutil as _sh
+        import sys as _sys
+        import tempfile as _tf
+
+        from pyspark import cloudpickle as _cp
+
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )  # …/demo_iceberg_permanent_delete_spark
+        zip_base = os.path.join(
+            _tf.mkdtemp(prefix="lakehouse-pyfile-"), "lakehouse_pkg"
+        )
+        archive = _sh.make_archive(
+            zip_base,
+            "zip",
+            root_dir=os.path.dirname(pkg_root),
+            base_dir=os.path.basename(pkg_root),
+        )
+        sc.addPyFile(archive)
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+        sc._lakehouse_pyfile_added = True
     spark.dataSource.register(LakeDataSource)

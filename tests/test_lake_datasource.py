@@ -398,3 +398,52 @@ def test_stream_starting_timestamp(registered, cat, tmp_path):
     q.awaitTermination(120)
     got = {(r["id"], r["v"]) for r in spark.read.parquet(out).collect()}
     assert got == {(2, "new"), (3, "newer")}
+
+
+@pytest.mark.slow
+def test_source_works_from_foreign_cwd(tmp_path):
+    """Harness portability: the DataSource's worker processes do not
+    inherit the driver's sys.path, and this Spark build's driver-side
+    python_streaming_source_runner receives no pyFiles — register() ships
+    the package by addPyFile (data workers) and serializes this module by
+    value with a sys.path self-heal (runner). A driver running from a
+    foreign cwd with only sys.path pointing at the repo must stream CDC
+    rows successfully."""
+    import subprocess
+    import sys as _sys
+
+    script = """
+import sys, tempfile
+sys.path.insert(0, "/root/repo")
+from demo_iceberg_permanent_delete_spark.session import get_spark
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+from demo_iceberg_permanent_delete_spark.sources.lake_datasource import register
+spark = get_spark(app_name="foreign-cwd", master="local[4]")
+spark.sparkContext.setLogLevel("ERROR")
+register(spark)
+cat = Catalog(spark, tempfile.mkdtemp())
+cat.create_namespace("default")
+t = cat.create_table("default.x", "id bigint")
+t.insert(spark.range(5).selectExpr("id"))
+out = tempfile.mkdtemp()
+q = (spark.readStream.format("lakehouse")
+    .option("location", t.metadata.location)
+    .option("mode", "cdc").option("starting-offset", "earliest").load()
+    .writeStream.format("parquet").option("path", out + "/o")
+    .option("checkpointLocation", out + "/c")
+    .trigger(availableNow=True).start())
+q.awaitTermination(90)
+n_stream = spark.read.parquet(out + "/o").count()
+n_batch = (spark.read.format("lakehouse")
+    .option("location", t.metadata.location).load().count())
+print("RESULT", n_stream, n_batch)
+"""
+    r = subprocess.run(
+        [_sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env={k: v for k, v in __import__("os").environ.items()},
+    )
+    assert "RESULT 5 5" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
