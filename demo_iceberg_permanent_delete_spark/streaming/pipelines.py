@@ -21,6 +21,7 @@ Scale notes (100 TB/day story):
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -390,6 +391,7 @@ def stream_into_lake(
     if mode == "upsert" and not merge_keys:
         raise ValueError("upsert mode needs merge_keys")
 
+    own_checkpoint = checkpoint is None
     checkpoint = checkpoint or os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "cp")
     import hashlib
 
@@ -438,6 +440,11 @@ def stream_into_lake(
     finally:
         if q.isActive:
             q.stop()
+        # a caller-provided checkpoint is the exactly-once resume token
+        # across runs — never delete it; the self-generated one is
+        # single-use by construction
+        if own_checkpoint:
+            shutil.rmtree(os.path.dirname(checkpoint), ignore_errors=True)
 
 
 def run_available_now(
@@ -484,4 +491,8 @@ def run_available_now(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", before)
+        # the memory-sink table is already materialized; the single-use
+        # checkpoint is dead weight (8 MB of state-store deltas per run
+        # that accumulate across repeated bench/test invocations)
+        shutil.rmtree(os.path.dirname(checkpoint), ignore_errors=True)
     return spark.table(name)
