@@ -114,13 +114,8 @@ def _conform(table, arrow_schema, renames=None):
 
     cols = []
     for fld in arrow_schema:
-        name = fld.name
-        if name not in table.column_names and renames:
-            for old in renames.get(name, ()):
-                if old in table.column_names:
-                    name = old
-                    break
-        if name in table.column_names:
+        name = _physical_name(table.column_names, fld.name, renames)
+        if name is not None:
             col = table.column(name)
             if col.type != fld.type:
                 col = col.cast(fld.type)
@@ -194,33 +189,32 @@ def _physical_name(column_names, name: str, renames) -> str | None:
 
 def _null_safe_key(tbl, key_cols, renames):
     """(join-column names, augmented table) implementing eqNullSafe
-    equality on ``key_cols``: each key joins as (fill_null(col, zero),
-    is_null(col)) so NULL==NULL matches — Arrow joins otherwise never
-    match nulls, while the table read path and the batch changelog use
-    eqNullSafe (lake/table.py). Rename-aware on the data side: a file
-    written before RENAME COLUMN resolves through its physical name; a
-    file that predates the column contributes all-null keys."""
+    equality on ``key_cols``: each key joins as its canonical STRING
+    representation plus an is_null flag, so NULL==NULL matches (Arrow
+    joins otherwise never match nulls, while the table read path and
+    the batch changelog use eqNullSafe — lake/table.py) and both join
+    sides always share one type regardless of the file's physical type
+    (an int32-era file joins an int64 key; a file that predates the
+    column entirely contributes all-null keys). Arrow's value→string
+    casts are injective per value; NaNs collapse to one key, which IS
+    Spark's eqNullSafe semantics (NaN == NaN). Rename-aware on the data
+    side via the physical-name chain. Binary keys are not canonicalized
+    and raise a clear error."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     join_cols: list[str] = []
     for i, c in enumerate(key_cols):
         phys = _physical_name(tbl.column_names, c, renames)
-        col = (
-            tbl.column(phys)
-            if phys is not None
-            else pa.nulls(tbl.num_rows, type=pa.string())
-        )
-        try:
-            zero = pa.scalar(0).cast(col.type)
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-            try:
-                zero = pa.scalar("", type=col.type)
-            except (pa.ArrowInvalid, pa.ArrowTypeError):
-                zero = None
-        filled = pc.fill_null(col, zero) if zero is not None else col
+        col = tbl.column(phys) if phys is not None else pa.nulls(tbl.num_rows)
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            raise NotImplementedError(
+                "binary equality-delete key columns are not supported by "
+                "the datasource read path"
+            )
+        canon = pc.cast(col, pa.string())
         v, n = f"__k{i}_v", f"__k{i}_n"
-        tbl = tbl.append_column(v, filled)
+        tbl = tbl.append_column(v, pc.fill_null(canon, ""))
         tbl = tbl.append_column(n, pc.is_null(col))
         join_cols += [v, n]
     return join_cols, tbl
@@ -466,14 +460,14 @@ class LakeStreamReader(DataSourceStreamReader):
 
         self._arrow_schema = to_arrow_schema(schema)
         self._options = options
-        self._renames = _load_meta(options).renames
+        meta = _load_meta(options)  # one load for renames + offset resolution
+        self._renames = meta.renames
         start_ts = options.get("starting-timestamp")
         starting = (options.get("starting-offset") or "latest").lower()
         if start_ts is not None:
             # Iceberg's stream-from-timestamp: include every commit at or
             # after the timestamp (epoch ms) ⇒ initial offset = the last
             # main-ancestry snapshot committed strictly BEFORE it
-            meta = _load_meta(options)
             self._initial = -1
             cur = meta.current_snapshot()
             chain = []
@@ -492,7 +486,6 @@ class LakeStreamReader(DataSourceStreamReader):
         elif starting == "earliest":
             self._initial = -1
         elif starting == "latest":
-            meta = _load_meta(options)
             self._initial = (
                 meta.current_snapshot_id if meta.current_snapshot_id is not None else -1
             )
@@ -575,9 +568,9 @@ class LakeCdcStreamReader(LakeStreamReader):
     snapshots are skipped; added data files emit INSERTs (raw rows);
     removed files emit their parent-visible rows as DELETEs; added
     position-delete/DV files emit exactly the masked rows; added
-    equality-delete files emit the parent-visible matching rows (keys
-    compared by equality — all-null equality keys are not matched by
-    this reader). ``net_changes`` is a batch-only option.
+    equality-delete files emit the parent-visible matching rows with
+    eqNullSafe key semantics (NULL keys match NULL values, same as the
+    batch changelog). ``net_changes`` is a batch-only option.
 
     Scale shape: one executor task per touched file, per commit — work is
     bounded by each commit's delta exactly like the batch changelog; the
@@ -589,6 +582,16 @@ class LakeCdcStreamReader(LakeStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         super().__init__(schema, options)
+        tail = [f.name for f in schema.fields[-3:]]
+        if tail != ["_change_type", "_change_ordinal", "_commit_snapshot_id"]:
+            # a user-supplied .schema(...) bypasses DataSource.schema();
+            # without this check fields[:-3] would chop real data columns
+            raise ValueError(
+                "cdc stream schema must end with the changelog column "
+                "triple (_change_type, _change_ordinal, "
+                "_commit_snapshot_id) — omit .schema() and let the "
+                "source derive it"
+            )
         self._data_arrow_schema = to_arrow_schema(
             StructType(schema.fields[:-3])
         )

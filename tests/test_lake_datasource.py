@@ -447,3 +447,52 @@ print("RESULT", n_stream, n_batch)
         env={k: v for k, v in __import__("os").environ.items()},
     )
     assert "RESULT 5 5" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
+
+
+def test_eq_delete_on_column_added_after_first_files(registered, cat):
+    """A non-string equality key on a column ADDED after the first files:
+    pre-ADD files contribute all-null keys of a different physical shape
+    — the canonical-string key join must neither crash (string/int64
+    join-type mismatch) nor diverge from the table read."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table(
+        "default.addedeq",
+        "id bigint",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(one_part(spark, [(1,), (2,)], "id bigint"))  # predates 'extra'
+    t.add_column("extra", "bigint")
+    t.insert(one_part(spark, [(3, 30), (4, None)], "id bigint, extra bigint"))
+    # delete extra=30 AND the NULLs (pre-ADD rows read as NULL extra)
+    t.equality_delete(spark.createDataFrame([(30,), (None,)], "extra bigint"))
+    want = {(r["id"], r["extra"]) for r in t.read().collect()}
+    got = {(r["id"], r["extra"]) for r in _read(spark, t).collect()}
+    assert got == want == set()  # every row matched a key
+
+
+def test_eq_delete_null_date_key(registered, cat):
+    """Date-typed NULL equality key: no integer- or string-zero exists
+    for date32, the old fill path silently skipped null matching."""
+    spark = registered
+    import datetime as dt
+
+    from tests.conftest import one_part
+
+    t = cat.create_table(
+        "default.dateeq",
+        "id bigint, d date",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(
+        one_part(
+            spark,
+            [(1, dt.date(2024, 6, 1)), (2, None), (3, dt.date(2024, 6, 2))],
+            "id bigint, d date",
+        )
+    )
+    t.equality_delete(spark.createDataFrame([(None,)], "d date"))
+    want = {(1, dt.date(2024, 6, 1)), (3, dt.date(2024, 6, 2))}
+    assert {(r["id"], r["d"]) for r in t.read().collect()} == want
+    assert {(r["id"], r["d"]) for r in _read(spark, t).collect()} == want
