@@ -1,0 +1,407 @@
+"""Per-scan predicate extraction from SELECT statements, for the facade's
+stats-injected broadcast hints (SURVEY.md §4; round-5 brief item 1).
+
+Iceberg reports PER-SCAN statistics to Catalyst: a fat table behind
+``WHERE day = X`` is sized by its pruned file set, not its raw bytes
+(the reference relies on exactly this via the SparkSessionCatalog
+extensions wiring, docker-compose.yml:26). The facade's view
+registration (lake/sql.py `_select`) previously estimated every table
+UNSCOPED, so a large table that a statement's WHERE shrinks below the
+broadcast threshold missed the hint. This module closes that gap: given
+the rewritten statement text and the referenced views' schemas, it
+returns, per view, the conjunction of WHERE predicates that provably
+apply to that view's scan — suitable for `scan_estimate(t, predicate)`.
+
+The extraction is deliberately conservative — a missed predicate only
+costs a missed broadcast (safe); a WRONG predicate could under-estimate
+a scan and broadcast something huge (an executor OOM at 100 TB). A
+conjunct is attributed to a view only when ALL of these hold:
+
+- the view is referenced exactly once in the whole statement (a second
+  reference may scan it unfiltered, and the hint attaches to the shared
+  registered view);
+- the conjunct sits in the WHERE of the SELECT scope whose FROM/JOIN
+  list introduces that reference, with subqueries masked out (so a
+  correlated or nested WHERE can never leak into the wrong scope);
+- every column it references resolves to that view — via an alias
+  declared in that scope's FROM/JOIN, or bare when the scope has no
+  derived/unknown FROM items and exactly one scope view carries the
+  column;
+- the view is not on the null-producing side of an outer join in that
+  scope (``WHERE r.x IS NULL`` on a LEFT JOIN's right side matches
+  null-EXTENDED rows — it does not filter r's scan at all). RIGHT and
+  FULL joins disqualify the whole scope rather than model preserved
+  sides;
+- the conjunct contains no subquery and no BETWEEN-AND mis-split (the
+  splitter is BETWEEN-aware).
+
+Structure detection (scopes, clauses, identifiers) runs on a masked
+copy of the statement — string-literal interiors and subquery bodies
+blanked, both length-preserving — while the predicate TEXT handed to
+the planner is always sliced from the original at the same offsets, so
+literal values survive intact. Downstream,
+`lake/pruning.py:candidate_files` is itself conservative (an
+unevaluable leaf keeps every file), so handing it any conjunct that
+truly applies to the scan can only shrink the estimate soundly.
+"""
+
+from __future__ import annotations
+
+import re
+
+# identifiers that are never column references inside a conjunct
+_NON_COLUMN = frozenset(
+    """and or not between in is null like ilike escape true false
+    date timestamp interval case when then else end exists distinct
+    cast as rlike regexp""".split()
+)
+# a word in alias position that is actually the next clause/keyword
+_NOT_ALIAS = frozenset(
+    """on using where group order having window limit qualify union
+    intersect except join inner left right full cross outer natural
+    anti semi lateral as values select""".split()
+)
+_JOIN_WORDS = frozenset(
+    "join inner left right full cross outer natural anti semi".split()
+)
+
+_SELECT_RE = re.compile(r"\bSELECT\b", re.I)
+_WHERE_RE = re.compile(
+    r"\bWHERE\b(?P<body>.*?)(?=\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b"
+    r"|\bWINDOW\b|\bLIMIT\b|\bQUALIFY\b|\bUNION\b|\bINTERSECT\b"
+    r"|\bEXCEPT\b|$)",
+    re.I | re.S,
+)
+_FROM_RE = re.compile(
+    r"\bFROM\b(?P<body>.*?)(?=\bWHERE\b|\bGROUP\s+BY\b|\bORDER\s+BY\b"
+    r"|\bHAVING\b|\bWINDOW\b|\bLIMIT\b|\bQUALIFY\b|\bUNION\b"
+    r"|\bINTERSECT\b|\bEXCEPT\b|$)",
+    re.I | re.S,
+)
+_WORD_RE = re.compile(r"[A-Za-z_]\w*")
+_QUALIFIED_RE = re.compile(r"\b([A-Za-z_]\w*)(\s*\.\s*)([A-Za-z_]\w*)")
+
+
+def _mask_strings(sql: str) -> str:
+    """Blank the interiors of single-quoted literals (length-preserving,
+    '' escapes handled) so keyword/identifier scans never match inside
+    strings."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _depths(sql: str) -> list[int]:
+    """Paren depth per character; '(' and ')' carry their OUTER depth so
+    a scope slice at depth d includes its own parens intact."""
+    depth, d = [], 0
+    for ch in sql:
+        if ch == "(":
+            depth.append(d)
+            d += 1
+        elif ch == ")":
+            d -= 1
+            depth.append(d)
+        else:
+            depth.append(d)
+    return depth
+
+
+def _mask_subqueries(text: str) -> str:
+    """Blank the interior of any parenthesized group containing SELECT
+    (keeping the parens, length-preserving), leaving IN-lists and
+    grouping parens alone."""
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == "(":
+            d, j = 1, i + 1
+            while j < n and d:
+                if text[j] == "(":
+                    d += 1
+                elif text[j] == ")":
+                    d -= 1
+                j += 1
+            inner = text[i + 1 : j - 1]
+            if _SELECT_RE.search(inner):
+                for k in range(i + 1, j - 1):
+                    out[k] = " "
+            # no recursion needed: a masked group hides everything inside;
+            # an unmasked group (no SELECT anywhere inside) has nothing
+            # left to mask either.
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _scopes(masked_sql: str) -> list[tuple[int, str]]:
+    """One (start-offset, subquery-masked text) per SELECT keyword: from
+    the SELECT to the point where paren depth drops below the SELECT's,
+    or the next same-depth SELECT (a UNION branch) — whichever first."""
+    depth = _depths(masked_sql)
+    starts = [
+        (m.start(), depth[m.start()]) for m in _SELECT_RE.finditer(masked_sql)
+    ]
+    scopes = []
+    for idx, (start, d) in enumerate(starts):
+        end = len(masked_sql)
+        for pos, sd in starts[idx + 1 :]:
+            if sd <= d:
+                end = pos
+                break
+        for j in range(start, end):
+            if depth[j] < d:
+                end = j
+                break
+        scopes.append((start, _mask_subqueries(masked_sql[start:end])))
+    return scopes
+
+
+def _parse_from(
+    from_body: str, known_views: set[str]
+) -> tuple[dict[str, str], bool, set[str]] | None:
+    """Parse one scope's FROM/JOIN list.
+
+    Returns ``(alias_map, has_unknown_item, null_producing_views)``
+    where alias_map maps alias→view for known lake views only, or None
+    when the scope uses shapes we refuse to model (RIGHT/FULL/NATURAL
+    joins, LATERAL, malformed text).
+    """
+    toks = re.findall(r"\w+|[(),]", from_body)
+    alias_map: dict[str, str] = {}
+    has_unknown = False
+    null_producing: set[str] = set()
+    i, n = 0, len(toks)
+    pending_left = False  # next item is the null side of a LEFT JOIN
+
+    def _skip_parens(i: int) -> int:
+        d = 0
+        while i < n:
+            if toks[i] == "(":
+                d += 1
+            elif toks[i] == ")":
+                d -= 1
+                if d == 0:
+                    return i + 1
+            i += 1
+        return i
+
+    first_item = True
+    while i < n:
+        t = toks[i]
+        low = t.lower()
+        if low in ("right", "full", "natural", "lateral"):
+            return None
+        if low == "left":
+            pending_left = True
+            i += 1
+            continue
+        if low in ("inner", "cross", "outer", "anti", "semi"):
+            i += 1
+            continue
+        if low == "join" or t == "," or first_item:
+            if t == ",":
+                pending_left = False
+            if not first_item:
+                i += 1
+            first_item = False
+            # item follows
+            if i < n and toks[i] == "(":
+                i = _skip_parens(i)
+                has_unknown = True
+                if i < n and toks[i].lower() == "as":
+                    i += 1
+                if (
+                    i < n
+                    and re.match(r"\w+$", toks[i])
+                    and toks[i].lower() not in _NOT_ALIAS
+                ):
+                    i += 1
+                pending_left = False
+                continue
+            if i >= n or not re.match(r"\w+$", toks[i]):
+                return None
+            name = toks[i]
+            i += 1
+            alias = name
+            if i < n and toks[i].lower() == "as":
+                i += 1
+            if (
+                i < n
+                and re.match(r"\w+$", toks[i])
+                and toks[i].lower() not in _NOT_ALIAS
+            ):
+                alias = toks[i]
+                i += 1
+            if name in known_views:
+                if alias in alias_map:
+                    return None  # alias collision — refuse
+                alias_map[alias] = name
+                if name != alias:
+                    if name in alias_map and alias_map[name] != name:
+                        return None
+                    alias_map.setdefault(name, name)
+                if pending_left:
+                    null_producing.add(name)
+            else:
+                has_unknown = True
+            pending_left = False
+            # skip the ON/USING condition up to the next separator
+            while (
+                i < n and toks[i].lower() not in _JOIN_WORDS and toks[i] != ","
+            ):
+                if toks[i] == "(":
+                    i = _skip_parens(i)
+                else:
+                    i += 1
+            continue
+        return None  # unparseable shape
+    return alias_map, has_unknown, null_producing
+
+
+def _split_conjuncts(where_body: str) -> list[tuple[int, int]]:
+    """Spans of top-level AND-separated conjuncts (BETWEEN-aware)."""
+    spans, cur_start = [], 0
+    depth, pending_between = 0, 0
+    for m in re.finditer(r"[()]|\b(?:AND|BETWEEN)\b", where_body, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0 and tok.upper() == "BETWEEN":
+            pending_between += 1
+        elif depth == 0:  # AND
+            if pending_between:
+                pending_between -= 1
+            else:
+                spans.append((cur_start, m.start()))
+                cur_start = m.end()
+    spans.append((cur_start, len(where_body)))
+    return spans
+
+
+def _attribute(
+    masked_conj: str,
+    alias_map: dict[str, str],
+    scope_views: set[str],
+    view_columns: dict[str, set[str]],
+    has_unknown: bool,
+) -> tuple[str, list[tuple[int, int]]] | None:
+    """Return (the single view this conjunct provably scopes, spans of
+    ``alias.``-qualifier prefixes to strip), or None."""
+    owners: set[str] = set()
+    qualified_spans: list[tuple[int, int]] = []
+    strip_spans: list[tuple[int, int, str]] = []
+    for m in _QUALIFIED_RE.finditer(masked_conj):
+        alias, col = m.group(1), m.group(3)
+        view = alias_map.get(alias)
+        if view is None or col not in view_columns.get(view, set()):
+            return None
+        owners.add(view)
+        qualified_spans.append(m.span())
+        strip_spans.append((m.start(), m.start(3), view))
+    for m in _WORD_RE.finditer(masked_conj):
+        if any(s <= m.start() < e for s, e in qualified_spans):
+            continue
+        word = m.group(0)
+        if word.lower() in _NON_COLUMN or word.isdigit():
+            continue
+        # function call — the NAME is not a column (its args still are)
+        if re.match(r"\s*\(", masked_conj[m.end() :]):
+            continue
+        if has_unknown:
+            return None  # a derived item could own this bare column
+        cands = [v for v in scope_views if word in view_columns.get(v, set())]
+        if len(cands) != 1:
+            return None
+        owners.add(cands[0])
+    if len(owners) != 1:
+        return None
+    view = next(iter(owners))
+    return view, [(s, e) for s, e, v in strip_spans if v == view]
+
+
+def extract_scan_predicates(
+    sql: str,
+    view_columns: dict[str, set[str]],
+    occurrences: dict[str, int],
+) -> dict[str, str]:
+    """Map view name → WHERE conjunction that provably scopes its scan.
+
+    ``sql`` is the facade-rewritten statement (lake tables already appear
+    as ``ns__table`` view identifiers); ``view_columns`` maps each
+    registered view to its column set; ``occurrences`` counts each
+    view's textual references across the WHOLE statement (subqueries
+    included — computed by the facade's rewrite pass, which sees text
+    this module masks away). Views referenced ≠ 1 time get no predicate.
+    """
+    masked = _mask_strings(sql)
+    known = set(view_columns)
+    out: dict[str, list[str]] = {}
+    seen_in_scopes: dict[str, int] = {}
+    for scope_start, scope in _scopes(masked):
+        fm = _FROM_RE.search(scope)
+        if not fm:
+            continue
+        parsed = _parse_from(fm.group("body"), known)
+        if parsed is None:
+            # unmodeled join shape — still count this scope's references
+            # so a second, extractable scope can't claim a shared view
+            for v in known:
+                if re.search(rf"(?<!\w){re.escape(v)}(?!\w)", fm.group("body")):
+                    seen_in_scopes[v] = seen_in_scopes.get(v, 0) + 1
+            continue
+        alias_map, has_unknown, null_side = parsed
+        scope_views = set(alias_map.values())
+        for v in scope_views:
+            seen_in_scopes[v] = seen_in_scopes.get(v, 0) + 1
+        wm = _WHERE_RE.search(scope)
+        if not wm:
+            continue
+        where_start = scope_start + wm.start("body")
+        body = wm.group("body")
+        for s, e in _split_conjuncts(body):
+            masked_conj = body[s:e]
+            if not masked_conj.strip():
+                continue
+            orig_conj = sql[where_start + s : where_start + e]
+            if _SELECT_RE.search(orig_conj):
+                continue  # subquery (blanked in masked text) — skip
+            res = _attribute(
+                masked_conj, alias_map, scope_views, view_columns, has_unknown
+            )
+            if res is None:
+                continue
+            view, strips = res
+            if view in null_side:
+                continue
+            # remove the `alias.` qualifier prefixes by span (positions
+            # are identical between masked and original text)
+            pieces, pos = [], 0
+            for ss, se in sorted(strips):
+                pieces.append(orig_conj[pos:ss])
+                pos = se
+            pieces.append(orig_conj[pos:])
+            out.setdefault(view, []).append("".join(pieces).strip())
+    return {
+        v: " AND ".join(conjs)
+        for v, conjs in out.items()
+        if occurrences.get(v, 0) == 1 and seen_in_scopes.get(v, 0) == 1
+    }

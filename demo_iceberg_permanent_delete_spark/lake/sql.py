@@ -643,6 +643,11 @@ class LakeEngine:
         # registering all of them per query would be pure waste.
         segments = re.split(r"('(?:[^']|'')*')", stmt)
         needed: dict[str, set[str]] = {}
+        # base-table reference counts across the WHOLE statement
+        # (subqueries included) — the predicate extractor refuses to
+        # scope a view referenced more than once, since the broadcast
+        # hint attaches to the single shared registered view
+        occurrences: dict[str, int] = {}
         for cand, name, view, target in candidates:
             pat = re.compile(r"(?<![\w.])" + re.escape(cand) + r"(?![\w.])")
             for i in range(0, len(segments), 2):
@@ -652,24 +657,52 @@ class LakeEngine:
                     views = needed.setdefault(name, set())
                     if view is not None:
                         views.add(view)
-        for name, views in needed.items():
-            t = self.catalog.load_table(name)
-            df = t.read()
-            # Stats-injected registration (the loop Iceberg closes by
-            # reporting table stats to Catalyst's CBO): Catalyst sizes the
-            # view by raw parquet bytes, which overstates a MOR table
-            # whose tombstones mask most rows and understates nothing —
-            # so a side that truly fits a broadcast can miss it. The
-            # manifest-truth live-byte estimate (lake/planner.py
-            # scan_estimate) decides here; an attached broadcast hint on
-            # a non-joined or outer-preserved relation is ignored by
-            # Spark, so hinting is safe for every statement shape.
-            from demo_iceberg_permanent_delete_spark.lake.planner import (
-                _broadcast_threshold,
-                scan_estimate,
-            )
+                    else:
+                        base = name.replace(".", "__")
+                        occurrences[base] = occurrences.get(base, 0) + n
+        # Stats-injected registration (the loop Iceberg closes by
+        # reporting table stats to Catalyst's CBO): Catalyst sizes the
+        # view by raw parquet bytes, which overstates a MOR table whose
+        # tombstones mask most rows — so a side that truly fits a
+        # broadcast can miss it. The manifest-truth live-byte estimate
+        # (lake/planner.py scan_estimate) decides here, SCOPED to the
+        # statement's own WHERE conjuncts where they provably apply to
+        # one scan (lake/scanscope.py — Iceberg's per-scan stats
+        # reporting, not just per-table). An attached broadcast hint on
+        # a non-joined or outer-preserved relation is ignored by Spark,
+        # so hinting is safe for every statement shape.
+        from demo_iceberg_permanent_delete_spark.lake.planner import (
+            _broadcast_threshold,
+            scan_estimate,
+        )
+        from demo_iceberg_permanent_delete_spark.lake.scanscope import (
+            extract_scan_predicates,
+        )
 
-            est = scan_estimate(t)
+        loaded = {
+            name: self.catalog.load_table(name) for name in needed
+        }
+        dfs = {name: t.read() for name, t in loaded.items()}
+        rewritten = "".join(segments)
+        try:
+            predicates = extract_scan_predicates(
+                rewritten,
+                {
+                    name.replace(".", "__"): set(df.columns)
+                    for name, df in dfs.items()
+                },
+                occurrences,
+            )
+        except Exception:  # extraction is best-effort, never fatal
+            predicates = {}
+        for name, views in needed.items():
+            t, df = loaded[name], dfs[name]
+            try:
+                est = scan_estimate(
+                    t, predicates.get(name.replace(".", "__"))
+                )
+            except Exception:
+                est = scan_estimate(t)
             if 0 < est["bytes"] <= _broadcast_threshold(self.spark, None):
                 from pyspark.sql import functions as F
 
@@ -679,7 +712,7 @@ class LakeEngine:
                 t.register_metadata_views(
                     prefix=name.replace(".", "__"), views=sorted(views)
                 )
-        return self.spark.sql("".join(segments))
+        return self.spark.sql(rewritten)
 
     # dispatch table (compiled once; DOTALL so VALUES lists span lines)
     _DISPATCH = [

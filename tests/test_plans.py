@@ -162,3 +162,68 @@ def test_sql_facade_select_injects_stats_broadcast(spark, tmp_path):
         assert df.count() == 50
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sql_facade_predicate_scoped_broadcast_hint(spark, tmp_path):
+    """Round-5 brief item 1: the facade passes the statement's own WHERE
+    into scan_estimate at view registration (lake/scanscope.py), so a
+    fat table whose PRUNED file set fits under the threshold gets the
+    broadcast hint — while the same table unfiltered does not. The
+    threshold is pinned strictly between the filtered and unfiltered
+    manifest estimates, so only predicate scoping can flip the decision
+    (Catalyst's own non-CBO filter stats keep the child's full
+    sizeInBytes, and both raw sides sit above the threshold)."""
+    from demo_iceberg_permanent_delete_spark.lake import LakeEngine
+    from demo_iceberg_permanent_delete_spark.lake.planner import scan_estimate
+    from demo_iceberg_permanent_delete_spark.plans import explain_str
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql(
+        "CREATE TABLE default.fat (k bigint, day string, payload string) "
+        "USING iceberg"
+    )
+    eng.sql("CREATE TABLE default.big (k bigint, note string) USING iceberg")
+    fat = eng.table("default.fat")
+    for d in range(8):
+        # one insert per day → one data file per day with tight day
+        # min/max in its manifest entry, so `day = 'dN'` prunes to 1 file
+        fat.insert(
+            spark.range(400).selectExpr(
+                "id AS k",
+                f"'d{d}' AS day",
+                "repeat(uuid(), 4) AS payload",
+            )
+        )
+    eng.table("default.big").insert(
+        spark.range(12000).selectExpr("id AS k", "repeat(uuid(), 4) AS note")
+    )
+
+    full = scan_estimate(fat)["bytes"]
+    pruned = scan_estimate(fat, "day = 'd3'")["bytes"]
+    assert 0 < pruned < full, (pruned, full)
+    threshold = (pruned + full) // 2
+    big = scan_estimate(eng.table("default.big"))["bytes"]
+    assert big > threshold, (big, threshold)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(threshold))
+    try:
+        filtered = eng.sql(
+            "SELECT b.k, b.note, f.payload FROM default.big b "
+            "JOIN default.fat f ON b.k = f.k WHERE f.day = 'd3'"
+        )
+        assert "BroadcastHashJoin" in explain_str(filtered), explain_str(
+            filtered
+        )
+        assert filtered.count() == 400
+
+        unfiltered = eng.sql(
+            "SELECT b.k, b.note, f.payload FROM default.big b "
+            "JOIN default.fat f ON b.k = f.k"
+        )
+        assert "BroadcastHashJoin" not in explain_str(unfiltered), explain_str(
+            unfiltered
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

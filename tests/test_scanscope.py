@@ -1,0 +1,149 @@
+"""Unit tests for the facade's per-scan predicate extractor
+(lake/scanscope.py) — pure string-level, no SparkSession.
+
+The safety property under test throughout: a conjunct is attributed to
+a view only when it provably scopes that view's single scan; everything
+ambiguous (shared bare columns, derived tables, outer-join null sides,
+multi-reference views, subqueries) must yield NO predicate rather than
+a wrong one — a wrong predicate under-estimates a scan and could
+broadcast something huge at 100 TB.
+"""
+
+from __future__ import annotations
+
+from demo_iceberg_permanent_delete_spark.lake.scanscope import (
+    extract_scan_predicates,
+)
+
+COLS = {
+    "default__fat": {"day", "amount", "k", "name"},
+    "default__dim": {"k", "label"},
+}
+
+
+def _x(sql, occ=None):
+    return extract_scan_predicates(
+        sql, COLS, occ or {"default__fat": 1, "default__dim": 1}
+    )
+
+
+def test_single_table_conjunction():
+    out = _x("SELECT * FROM default__fat WHERE day = '2024-01-02' AND amount > 5")
+    assert out == {"default__fat": "day = '2024-01-02' AND amount > 5"}
+
+
+def test_qualified_split_across_join_sides():
+    out = _x(
+        "SELECT f.k FROM default__fat f JOIN default__dim d ON f.k = d.k "
+        "WHERE f.day = 'a' AND d.label = 'x' AND f.amount BETWEEN 1 AND 9"
+    )
+    assert out["default__fat"] == "day = 'a' AND amount BETWEEN 1 AND 9"
+    assert out["default__dim"] == "label = 'x'"
+
+
+def test_bare_column_shared_by_both_sides_is_dropped():
+    out = _x(
+        "SELECT * FROM default__fat f JOIN default__dim d ON f.k = d.k "
+        "WHERE day = 'a' AND k = 5"
+    )
+    # k exists in both views — unattributable; day is fat-only
+    assert out == {"default__fat": "day = 'a'"}
+
+
+def test_left_join_null_side_gets_nothing():
+    out = _x(
+        "SELECT * FROM default__fat f LEFT JOIN default__dim d ON f.k = d.k "
+        "WHERE d.label IS NULL AND f.day = 'a'"
+    )
+    # IS NULL on the null-producing side matches null-EXTENDED rows; it
+    # must never scope dim's scan estimate
+    assert out == {"default__fat": "day = 'a'"}
+
+
+def test_right_and_full_join_scopes_refused():
+    assert (
+        _x(
+            "SELECT * FROM default__fat f RIGHT JOIN default__dim d "
+            "ON f.k = d.k WHERE f.day = 'a'"
+        )
+        == {}
+    )
+    assert (
+        _x(
+            "SELECT * FROM default__fat f FULL OUTER JOIN default__dim d "
+            "ON f.k = d.k WHERE f.day = 'a'"
+        )
+        == {}
+    )
+
+
+def test_multi_reference_view_gets_nothing():
+    out = _x(
+        "SELECT * FROM default__fat a JOIN default__fat b ON a.k = b.k "
+        "WHERE a.day = 'x'",
+        occ={"default__fat": 2},
+    )
+    assert out == {}
+    out = _x(
+        "SELECT k FROM default__fat WHERE day = 'a' "
+        "UNION ALL SELECT k FROM default__fat WHERE day = 'b'",
+        occ={"default__fat": 2},
+    )
+    assert out == {}
+
+
+def test_subquery_conjunct_skipped_but_siblings_kept():
+    out = _x(
+        "SELECT * FROM default__fat WHERE "
+        "k IN (SELECT k FROM default__dim) AND day = 'a'",
+        occ={"default__fat": 1, "default__dim": 1},
+    )
+    assert out == {"default__fat": "day = 'a'"}
+
+
+def test_cte_inner_scope_extracts_outer_bare_columns_refused():
+    out = _x(
+        "WITH c AS (SELECT k FROM default__fat WHERE day = 'a') "
+        "SELECT * FROM c JOIN default__dim d ON c.k = d.k "
+        "WHERE d.label = 'z' AND k = 1"
+    )
+    # inner scope scopes fat; outer scope has an unknown item (c) so the
+    # bare k is refused while the d-qualified conjunct is kept
+    assert out == {"default__fat": "day = 'a'", "default__dim": "label = 'z'"}
+
+
+def test_string_literals_survive_and_never_split():
+    out = _x(
+        "SELECT * FROM default__fat WHERE "
+        "name = 'a.b AND c''s' AND day = 'T 2024'"
+    )
+    assert out == {"default__fat": "name = 'a.b AND c''s' AND day = 'T 2024'"}
+
+
+def test_in_list_or_group_and_function_args():
+    out = _x(
+        "SELECT * FROM default__fat WHERE day IN ('a', 'b') "
+        "AND (amount > 2 OR amount < 0) AND length(name) > 3"
+    )
+    assert out == {
+        "default__fat": "day IN ('a', 'b') AND (amount > 2 OR amount < 0)"
+        " AND length(name) > 3"
+    }
+
+
+def test_comma_join_and_join_condition_in_where():
+    out = _x(
+        "SELECT * FROM default__fat f, default__dim d "
+        "WHERE f.k = d.k AND f.day = 'a'"
+    )
+    # the cross-table equality conjunct is dropped; the single-side one kept
+    assert out == {"default__fat": "day = 'a'"}
+
+
+def test_unknown_qualifier_refused():
+    out = _x("SELECT * FROM default__fat f WHERE z.day = 'a' AND f.amount > 1")
+    assert out == {"default__fat": "amount > 1"}
+
+
+def test_no_where_no_predicates():
+    assert _x("SELECT k FROM default__fat") == {}
