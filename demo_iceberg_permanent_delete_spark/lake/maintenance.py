@@ -826,16 +826,26 @@ def plan_compaction(
         for e in snap.delete_files()
         if e.content == CONTENT_POSITION_DELETES
     )
-    # Equality deletes (content=2) mask an UNKNOWABLE number of data rows
+    # Equality deletes (content=2) mask a number of data rows unknowable
     # from manifests alone (the delete file's record_count is its key-row
-    # count, not the affected-row count), so they can't enter `ratio` —
-    # but their mere presence is read-amplification (every scan re-runs
-    # the anti-join) and ANY count recommends the rewrite that applies
-    # them physically.
+    # count, not the affected-row count). With fresh ANALYZE statistics
+    # the masked total is exact (lake/planner.py
+    # eq_masked_rows_estimate) and enters `ratio`; either way their mere
+    # presence is read-amplification (every scan re-runs the anti-join)
+    # and ANY count recommends the rewrite that applies them physically.
     eq_delete_files = sum(
         1 for e in snap.delete_files() if e.content == CONTENT_EQUALITY_DELETES
     )
-    ratio = (deleted / data_records) if data_records else 0.0
+    eq_masked = None
+    if eq_delete_files:
+        from demo_iceberg_permanent_delete_spark.lake.planner import (
+            eq_masked_rows_estimate,
+        )
+
+        eq_masked = eq_masked_rows_estimate(table, snap)
+    ratio = (
+        ((deleted + (eq_masked or 0)) / data_records) if data_records else 0.0
+    )
     return {
         "groups": out_groups,
         "ungrouped": {
@@ -850,6 +860,7 @@ def plan_compaction(
             "deleted_rows": deleted,
             "ratio": round(ratio, 6),
             "eq_delete_files": eq_delete_files,
+            "eq_masked_rows_est": eq_masked,
             "recommend_rewrite": ratio >= delete_ratio_threshold
             or eq_delete_files > 0,
         },

@@ -52,6 +52,47 @@ SKEW_MULTIPLICITY = 64
 SALT_FACTOR = 8
 
 
+def eq_masked_rows_estimate(table, snap) -> int | None:
+    """Data rows masked by the snapshot's equality-delete files, derived
+    from fresh ANALYZE statistics (round-5 brief item 2); None when the
+    statistics are stale (callers keep the conservative upper-bound
+    behavior — never under-estimate a scan).
+
+    An eq-delete file's ``record_count`` is its KEY-row count, not the
+    affected-row count — from manifests alone the masked rows are
+    unknowable. The round-4 verdict proposed the System-R containment
+    estimate ``eq_rows × rows/NDV(key)``; in THIS engine that formula is
+    dominated by an exact derivation and can badly under-estimate, so we
+    use the exact one. Reason: statistics stay fresh only across appends
+    (the in-commit sketch union, lake/table.py) — any delete commit
+    stales them — so fresh stats always POST-date every live eq-delete
+    file, meaning ``statistics.row_count`` already counted the live rows
+    with those eq-deletes applied (plus exact append increments since).
+    The masked total is then exactly ``manifest_live − row_count``, while
+    NDV computed over post-delete rows no longer contains the deleted
+    keys at their true multiplicity (delete 50 single-row keys from a
+    table with 5 fat keys and the containment estimate masks the whole
+    table). Iceberg's real Puffin stats can pre-date the delete, where
+    the containment formula is the right tool; ours cannot.
+    """
+    stats = table.metadata.statistics or {}
+    if (
+        stats.get("snapshot_id") != snap.snapshot_id
+        or "row_count" not in stats
+    ):
+        return None
+    all_live = max(
+        0,
+        sum(e.record_count for e in snap.data_files())
+        - sum(
+            e.record_count
+            for e in snap.delete_files()
+            if e.content == CONTENT_POSITION_DELETES
+        ),
+    )
+    return min(all_live, max(0, all_live - int(stats["row_count"])))
+
+
 def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
     """Size/row estimate for a (possibly predicate-scoped) scan of the
     current snapshot, from manifests alone — no data read.
@@ -110,28 +151,54 @@ def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
         )
         deleted = round(deleted * total_rows / all_rows) if all_rows else 0
     live_rows = max(0, total_rows - deleted)
-    live_frac = (live_rows / total_rows) if total_rows else 0.0
     stats = table.metadata.statistics or {}
     fresh = stats.get("snapshot_id") == snap.snapshot_id
-    # Equality deletes (content=2) mask an unknowable number of data rows
-    # (the delete file's record_count is its KEY-row count), so they
-    # cannot be subtracted; their presence is surfaced so callers know
-    # `rows`/`bytes` are upper bounds. Overestimating is the safe
-    # direction here — it under-broadcasts, never over-broadcasts.
+    ndv_map = (
+        {c: s["ndv"] for c, s in stats.get("columns", {}).items()}
+        if fresh
+        else {}
+    )
+    # Equality deletes (content=2) mask a number of data rows unknowable
+    # from manifests alone (the delete file's record_count is its KEY-row
+    # count). With FRESH statistics the table-wide masked total is exact
+    # (eq_masked_rows_estimate — row_count counted live rows post-delete)
+    # and is subtracted, prorated by the candidates' live-row share when
+    # predicate-scoped (the same uniform assumption as the tombstone
+    # proration above); otherwise their presence is surfaced so callers
+    # know `rows`/`bytes` are upper bounds — over-estimating is the safe
+    # direction (it under-broadcasts, never over-broadcasts).
     eq_delete_files = sum(
         1
         for e in snap.delete_files()
         if e.content == CONTENT_EQUALITY_DELETES
     )
+    eq_masked = None
+    if eq_delete_files:
+        table_masked = eq_masked_rows_estimate(table, snap)
+        if table_masked is not None:
+            all_live = max(
+                0,
+                sum(e.record_count for e in snap.data_files())
+                - sum(
+                    e.record_count
+                    for e in snap.delete_files()
+                    if e.content == CONTENT_POSITION_DELETES
+                ),
+            )
+            frac = (table_masked / all_live) if all_live else 0.0
+            eq_masked = int(round(live_rows * frac))
+            live_rows = max(0, live_rows - eq_masked)
+    else:
+        eq_masked = 0
+    live_frac = (live_rows / total_rows) if total_rows else 0.0
     return {
         "rows": live_rows,
         "bytes": int(total_bytes * live_frac),
-        "ndv": {c: s["ndv"] for c, s in stats.get("columns", {}).items()}
-        if fresh
-        else {},
+        "ndv": ndv_map,
         "stats_fresh": fresh,
         "eq_delete_files": eq_delete_files,
-        "rows_exact_upper_bound": eq_delete_files > 0,
+        "eq_masked_rows_est": eq_masked,
+        "rows_exact_upper_bound": eq_delete_files > 0 and eq_masked is None,
     }
 
 

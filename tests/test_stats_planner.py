@@ -267,3 +267,88 @@ def test_composite_key_ndv_estimate(spark, tmp_path):
     assert est is not None and abs(est - actual) / actual < 0.1, (est, actual)
     # left multiplicity 2000/100 = 20 < 64: no skew flag
     assert decision["skew_hint"] == []
+
+
+def test_eq_delete_rows_shrink_fresh_estimate_and_flip_join(spark, tmp_path):
+    """Round-5 brief item 2: an eq-delete-heavy table's estimate must
+    account for the masked rows when statistics are fresh. Stats stay
+    fresh only across appends, so fresh stats always post-date the eq
+    delete — ANALYZE's row_count already counted live rows, making the
+    masked total EXACT (manifest_live − row_count) rather than the NDV
+    containment guess. The estimate must drop below the broadcast
+    threshold and flip plan_join to broadcast_right."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    heavy = cat.create_table("default.heavy", "grp bigint, pad string")
+    heavy.insert(
+        spark.createDataFrame(
+            [(i % 100, "x" * 200) for i in range(10_000)],
+            "grp long, pad string",
+        ).repartition(4)
+    )
+    # mask 95 of 100 groups → 9_500 of 10_000 rows
+    heavy.equality_delete(
+        spark.createDataFrame([(g,) for g in range(95)], "grp long")
+    )
+
+    # stale stats (none computed): conservative upper bound, no subtraction
+    stale = scan_estimate(heavy)
+    assert stale["rows"] == 10_000
+    assert stale["rows_exact_upper_bound"] is True
+    assert stale["eq_masked_rows_est"] is None
+
+    # fresh stats post-date the delete → exact masked total
+    heavy.compute_table_stats()
+    est = scan_estimate(heavy)
+    assert est["eq_masked_rows_est"] == 9_500
+    assert est["rows"] == 500
+    assert est["rows_exact_upper_bound"] is False
+    assert 0 < est["bytes"] < stale["bytes"] // 10
+
+    # an append keeps stats fresh and the estimate tracks the new rows
+    heavy.insert(
+        spark.createDataFrame([(200, "y")], "grp long, pad string")
+    )
+    est2 = scan_estimate(heavy)
+    assert est2["stats_fresh"] is True
+    assert est2["rows"] == 501
+
+    fact = cat.create_table("default.factx", "grp bigint, amount bigint")
+    fact.insert(
+        spark.createDataFrame(
+            [(i % 100, i) for i in range(20_000)], "grp long, amount long"
+        ).repartition(4)
+    )
+    # threshold strictly between the masked-aware estimate and the
+    # upper-bound estimate: only the eq-delete subtraction can flip it
+    threshold = (est2["bytes"] + stale["bytes"]) // 2
+    joined, decision = plan_join(
+        fact, heavy, on="grp", broadcast_threshold=threshold
+    )
+    assert decision["strategy"] == "broadcast_right", decision
+    assert has_broadcast_join(joined)
+    # 5 surviving groups × 200 fact rows × 100 heavy rows per group
+    assert joined.count() == 5 * 200 * 100
+
+
+def test_delete_pressure_ratio_includes_eq_masked_rows(spark, tmp_path):
+    """plan_compaction's delete_pressure folds the exact eq-masked total
+    into `ratio` when statistics are fresh (round-5 brief item 2)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.eqp", "k bigint, flag string")
+    t.insert(
+        one_part(
+            spark,
+            [(i, "R" if i % 2 else "N") for i in range(50)],
+            "k bigint, flag string",
+        )
+    )
+    t.equality_delete(spark.createDataFrame([("R",)], "flag string"))
+    dp = t.plan_compaction()["delete_pressure"]
+    assert dp["eq_masked_rows_est"] is None  # stale stats → unknowable
+    assert dp["ratio"] == 0.0
+    t.compute_table_stats()
+    dp = t.plan_compaction()["delete_pressure"]
+    assert dp["eq_masked_rows_est"] == 25
+    assert dp["ratio"] == 0.5
