@@ -67,14 +67,25 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     _warm_streaming(spark)
 
+    spread: dict[str, dict[str, float]] = {}
     for name in sorted(queries):
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 4)
+        # min/med/max of the 3 runs: a wide med/min or max/min ratio on
+        # an entry whose code did not change is machine noise (JIT/GC
+        # spikes, ambient load), not a regression — see BASELINE.md
+        # "Reading the spread fields".
+        spread[name] = {
+            "min": round(runs[0], 4),
+            "med": round(runs[len(runs) // 2], 4),
+            "max": round(runs[-1], 4),
+        }
 
     print(
         json.dumps(
@@ -84,9 +95,34 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "spread": spread,
+                "machine": _machine_state(),
             }
         )
     )
+
+
+def _machine_state() -> dict:
+    """Host-condition fingerprint recorded alongside the numbers, so a
+    recorded 'regression' whose spread and loadavg both scream ambient
+    drift doesn't need a same-machine A/B to exonerate (round-4 verdict
+    item 4). tmp_ckpt_dirs counts leftover streaming state-store
+    checkpoints in /tmp — ~790 of them degraded round-3's streaming
+    entries 3×, so a nonzero count flags debris from OTHER processes
+    (this repo cleans its own since c350260)."""
+    import glob
+
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = float("nan")
+    return {
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+        "loadavg_15m": round(load15, 2),
+        "cpus": os.cpu_count(),
+        "tmp_ckpt_dirs": len(glob.glob("/tmp/ckpt_*")),
+    }
 
 
 def _warm_streaming(spark) -> None:
