@@ -298,7 +298,12 @@ class TableMetadata:
         return meta
 
     @classmethod
-    def load(cls, location: str) -> TableMetadata:
+    def latest_version(cls, location: str) -> int:
+        """Highest committed metadata version at ``location`` — one
+        directory listing, no JSON parse. The cheap staleness probe for
+        caches keyed on the version (lake/sql.py's per-statement table
+        cache): a commit always writes v{N+1}.json atomically, so an
+        unchanged number proves the cached parse is current."""
         meta_dir = os.path.join(location, "metadata")
         versions = [
             int(f[1:-5])
@@ -307,7 +312,12 @@ class TableMetadata:
         ]
         if not versions:
             raise FileNotFoundError(f"no metadata versions under {meta_dir}")
-        latest = max(versions)
+        return max(versions)
+
+    @classmethod
+    def load(cls, location: str) -> TableMetadata:
+        meta_dir = os.path.join(location, "metadata")
+        latest = cls.latest_version(location)
         with open(os.path.join(meta_dir, f"v{latest}.json")) as fh:
             meta = cls.from_json(json.load(fh))
         meta.version = latest

@@ -79,6 +79,60 @@ class LakeEngine:
         self.spark = spark
         self.catalog = Catalog(spark, warehouse)
         self.catalog_name = catalog_name
+        # Per-statement metadata/estimate reuse (round-5 brief item 3):
+        # every SELECT previously re-parsed table metadata JSON, re-built
+        # the manifest-backed read DataFrame and re-estimated the scan —
+        # repeated driver-side work per statement that grows with
+        # manifest size (at 100 TB manifest scale, the dominant
+        # per-statement driver cost). Both caches key on the table's
+        # on-disk metadata VERSION, probed with one directory listing
+        # (TableMetadata.latest_version), so any commit — from this
+        # facade, a LakeTable handle, or another process — invalidates
+        # naturally; mutating statement handlers never use the cache.
+        #   name → (metadata_version, LakeTable, read() DataFrame)
+        self._table_cache: dict[str, tuple[int, LakeTable, DataFrame]] = {}
+        #   (name, metadata_version, predicate) → scan_estimate dict
+        self._estimate_cache: dict[tuple, dict] = {}
+
+    def _cached_table(self, name: str) -> tuple[LakeTable, DataFrame]:
+        """Version-checked cached (LakeTable, read DataFrame) for SELECT
+        paths. One registry read + one listdir when unchanged."""
+        from demo_iceberg_permanent_delete_spark.lake.metadata import (
+            TableMetadata,
+        )
+
+        reg = self.catalog._read_registry()
+        entry = reg["tables"].get(name)
+        cached = self._table_cache.get(name)
+        if entry is not None and cached is not None:
+            try:
+                latest = TableMetadata.latest_version(entry["location"])
+            except OSError:
+                latest = None
+            version, t, df = cached
+            if latest == version and t.metadata.location == entry["location"]:
+                return t, df
+        t = self.catalog.load_table(name)
+        df = t.read()
+        self._table_cache[name] = (t.metadata.version, t, df)
+        return t, df
+
+    def _cached_estimate(self, name: str, t: LakeTable, predicate):
+        from demo_iceberg_permanent_delete_spark.lake.planner import (
+            scan_estimate,
+        )
+
+        key = (name, t.metadata.version, predicate)
+        est = self._estimate_cache.get(key)
+        if est is None:
+            try:
+                est = scan_estimate(t, predicate)
+            except Exception:
+                est = scan_estimate(t)
+            if len(self._estimate_cache) >= 256:
+                self._estimate_cache.clear()
+            self._estimate_cache[key] = est
+        return est
 
     # ------------------------------------------------------------ helpers
     def _strip_catalog(self, name: str) -> str:
@@ -673,36 +727,31 @@ class LakeEngine:
         # so hinting is safe for every statement shape.
         from demo_iceberg_permanent_delete_spark.lake.planner import (
             _broadcast_threshold,
-            scan_estimate,
         )
         from demo_iceberg_permanent_delete_spark.lake.scanscope import (
             extract_scan_predicates,
         )
 
-        loaded = {
-            name: self.catalog.load_table(name) for name in needed
+        loaded: dict[str, tuple[LakeTable, DataFrame]] = {
+            name: self._cached_table(name) for name in needed
         }
-        dfs = {name: t.read() for name, t in loaded.items()}
         rewritten = "".join(segments)
         try:
             predicates = extract_scan_predicates(
                 rewritten,
                 {
                     name.replace(".", "__"): set(df.columns)
-                    for name, df in dfs.items()
+                    for name, (_, df) in loaded.items()
                 },
                 occurrences,
             )
         except Exception:  # extraction is best-effort, never fatal
             predicates = {}
         for name, views in needed.items():
-            t, df = loaded[name], dfs[name]
-            try:
-                est = scan_estimate(
-                    t, predicates.get(name.replace(".", "__"))
-                )
-            except Exception:
-                est = scan_estimate(t)
+            t, df = loaded[name]
+            est = self._cached_estimate(
+                name, t, predicates.get(name.replace(".", "__"))
+            )
             if 0 < est["bytes"] <= _broadcast_threshold(self.spark, None):
                 from pyspark.sql import functions as F
 

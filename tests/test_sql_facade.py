@@ -392,3 +392,60 @@ def test_show_and_describe_statements(engine):
 
     props = {r["key"]: r["value"] for r in engine.sql("SHOW TBLPROPERTIES demo.default.pii_data").collect()}
     assert props["write.delete.mode"] == "merge-on-read"
+
+
+def test_select_caches_metadata_until_commit(spark, tmp_path, monkeypatch):
+    """Round-5 brief item 3: N facade SELECTs against an unchanged table
+    parse its metadata ONCE (staleness probed by one directory listing,
+    TableMetadata.latest_version) and compute its scan estimate once per
+    distinct predicate; any commit invalidates both caches."""
+    from demo_iceberg_permanent_delete_spark.lake import metadata as md
+    from demo_iceberg_permanent_delete_spark.lake import planner as pl
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql("CREATE TABLE default.cachet (k bigint, v bigint) USING iceberg")
+    eng.table("default.cachet").insert(
+        spark.range(100).selectExpr("id AS k", "id AS v")
+    )
+
+    loads = {"n": 0}
+    real_load = md.TableMetadata.load.__func__
+
+    def spy_load(cls, location):
+        loads["n"] += 1
+        return real_load(cls, location)
+
+    monkeypatch.setattr(
+        md.TableMetadata, "load", classmethod(spy_load)
+    )
+    estimates = {"n": 0}
+    real_est = pl.scan_estimate
+
+    def spy_est(table, predicate=None):
+        estimates["n"] += 1
+        return real_est(table, predicate)
+
+    monkeypatch.setattr(pl, "scan_estimate", spy_est)
+
+    for _ in range(4):
+        assert eng.sql("SELECT count(*) AS n FROM default.cachet").collect()[
+            0
+        ]["n"] == 100
+    assert loads["n"] == 1, f"expected 1 metadata load, saw {loads['n']}"
+    assert estimates["n"] == 1, estimates["n"]
+
+    # distinct predicate → one more estimate, still no metadata reload
+    eng.sql("SELECT count(*) AS n FROM default.cachet WHERE k < 10").collect()
+    eng.sql("SELECT count(*) AS n FROM default.cachet WHERE k < 10").collect()
+    assert loads["n"] == 1
+    assert estimates["n"] == 2
+
+    # a commit bumps the on-disk version → both caches invalidate
+    eng.sql("INSERT INTO default.cachet VALUES (200, 200)")
+    row = eng.sql(
+        "SELECT count(*) AS n FROM default.cachet"
+    ).collect()[0]
+    assert row["n"] == 101
+    assert loads["n"] >= 2, "commit must invalidate the metadata cache"
+    assert estimates["n"] >= 3, "commit must invalidate the estimate cache"
