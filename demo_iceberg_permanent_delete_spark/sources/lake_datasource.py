@@ -187,7 +187,7 @@ def _physical_name(column_names, name: str, renames) -> str | None:
     return None
 
 
-def _null_safe_key(tbl, key_cols, renames):
+def _null_safe_key(tbl, key_cols, renames, binary_keys=frozenset()):
     """(join-column names, augmented table) implementing eqNullSafe
     equality on ``key_cols``: each key joins as its canonical STRING
     representation plus an is_null flag, so NULL==NULL matches (Arrow
@@ -197,9 +197,12 @@ def _null_safe_key(tbl, key_cols, renames):
     (an int32-era file joins an int64 key; a file that predates the
     column entirely contributes all-null keys). Arrow's value→string
     casts are injective per value; NaNs collapse to one key, which IS
-    Spark's eqNullSafe semantics (NaN == NaN). Rename-aware on the data
-    side via the physical-name chain. Binary keys are not canonicalized
-    and raise a clear error."""
+    Spark's eqNullSafe semantics (NaN == NaN). Binary keys (round-5
+    brief item 5) canonicalize to ``large_binary`` instead — a lossless
+    cast from binary/large_binary/fixed_size_binary, exact byte
+    equality like the batch ``changes()`` Spark join, with ``b''``
+    null-fill disambiguated by the same is_null flag. Rename-aware on
+    the data side via the physical-name chain."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -207,14 +210,23 @@ def _null_safe_key(tbl, key_cols, renames):
     for i, c in enumerate(key_cols):
         phys = _physical_name(tbl.column_names, c, renames)
         col = tbl.column(phys) if phys is not None else pa.nulls(tbl.num_rows)
-        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-            raise NotImplementedError(
-                "binary equality-delete key columns are not supported by "
-                "the datasource read path"
-            )
-        canon = pc.cast(col, pa.string())
+        if (
+            pa.types.is_binary(col.type)
+            or pa.types.is_large_binary(col.type)
+            or pa.types.is_fixed_size_binary(col.type)
+            # a file that predates a BINARY key contributes a null-typed
+            # column — `binary_keys` (derived from the delete-file side,
+            # which always carries its key columns) keeps both join
+            # sides on one canonical type
+            or (c in binary_keys and pa.types.is_null(col.type))
+        ):
+            canon = pc.cast(col, pa.large_binary())
+            fill: str | bytes = b""
+        else:
+            canon = pc.cast(col, pa.string())
+            fill = ""
         v, n = f"__k{i}_v", f"__k{i}_n"
-        tbl = tbl.append_column(v, pc.fill_null(canon, ""))
+        tbl = tbl.append_column(v, pc.fill_null(canon, fill))
         tbl = tbl.append_column(n, pc.is_null(col))
         join_cols += [v, n]
     return join_cols, tbl
@@ -246,8 +258,17 @@ def _visible_table(
         if keys.num_rows:
             # both sides derive the same synthetic (__k{i}_v, __k{i}_n)
             # column names, so the join keys line up directly
-            jcols, tbl_aug = _null_safe_key(tbl, key_cols, renames)
-            kcols, keys_aug = _null_safe_key(keys, key_cols, None)
+            binary_keys = frozenset(
+                c
+                for c in key_cols
+                if pa.types.is_binary(keys.schema.field(c).type)
+                or pa.types.is_large_binary(keys.schema.field(c).type)
+                or pa.types.is_fixed_size_binary(keys.schema.field(c).type)
+            )
+            jcols, tbl_aug = _null_safe_key(
+                tbl, key_cols, renames, binary_keys
+            )
+            kcols, keys_aug = _null_safe_key(keys, key_cols, None, binary_keys)
             tbl_aug = tbl_aug.append_column(
                 "__row", pa.array(range(tbl.num_rows), pa.int64())
             )

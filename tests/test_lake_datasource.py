@@ -496,3 +496,62 @@ def test_eq_delete_null_date_key(registered, cat):
     want = {(1, dt.date(2024, 6, 1)), (3, dt.date(2024, 6, 2))}
     assert {(r["id"], r["d"]) for r in t.read().collect()} == want
     assert {(r["id"], r["d"]) for r in _read(spark, t).collect()} == want
+
+
+def test_binary_equality_delete_key_batch_and_cdc(registered, cat, tmp_path):
+    """Round-5 brief item 5: equality deletes keyed on a BINARY column
+    round-trip through the datasource batch read and the CDC stream.
+    Binary keys canonicalize to large_binary on both join sides (exact
+    byte equality, matching the batch changes() Spark join), including
+    non-UTF8 bytes, NULL keys (eqNullSafe), and the sequence rule (a
+    same-key row appended AFTER the delete survives)."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table(
+        "default.bineq",
+        "id bigint, tok binary",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(
+        one_part(
+            spark,
+            [
+                (1, bytearray(b"\x00\xff\xfe")),  # non-UTF8
+                (2, bytearray(b"keep")),
+                (3, None),
+                (4, bytearray(b"")),  # empty bytes, distinct from NULL
+            ],
+            "id bigint, tok binary",
+        )
+    )
+    t.equality_delete(
+        spark.createDataFrame(
+            [(bytearray(b"\x00\xff\xfe"),), (None,)], "tok binary"
+        )
+    )
+    # sequence rule: appended after the delete → must survive
+    t.insert(
+        one_part(spark, [(5, bytearray(b"\x00\xff\xfe"))], "id bigint, tok binary")
+    )
+
+    want = {(2, b"keep"), (4, b""), (5, b"\x00\xff\xfe")}
+    assert {
+        (r["id"], bytes(r["tok"]) if r["tok"] is not None else None)
+        for r in t.read().collect()
+    } == want
+    assert {
+        (r["id"], bytes(r["tok"]) if r["tok"] is not None else None)
+        for r in _read(spark, t).collect()
+    } == want
+
+    got = _cdc_stream_rows(
+        spark, t, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    changes = t.changes(None, None)
+    assert _canon(got.select(*changes.columns)) == _canon(changes)
+    deleted = {
+        (r["id"], bytes(r["tok"]) if r["tok"] is not None else None)
+        for r in got.filter(F.col("_change_type") == "DELETE").collect()
+    }
+    assert deleted == {(1, b"\x00\xff\xfe"), (3, None)}
