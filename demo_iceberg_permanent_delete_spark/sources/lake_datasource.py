@@ -132,10 +132,20 @@ def _read_data_file(
     eq_deletes: Sequence[tuple[tuple[str, ...], tuple[str, ...]]] = (),
     renames=None,
     dv_paths: Sequence[str] = (),
+    row_groups: tuple[int, int] | None = None,
+    row_offset: int = 0,
 ):
     """Executor-side MOR read of one data file → iterator of RecordBatch."""
     yield from _conform(
-        _visible_table(path, pos_delete_paths, eq_deletes, dv_paths, renames),
+        _visible_table(
+            path,
+            pos_delete_paths,
+            eq_deletes,
+            dv_paths,
+            renames,
+            row_groups=row_groups,
+            row_offset=row_offset,
+        ),
         arrow_schema,
         renames,
     ).to_batches()
@@ -238,19 +248,37 @@ def _visible_table(
     eq_deletes: Sequence[tuple[tuple[str, ...], tuple[str, ...]]] = (),
     dv_paths: Sequence[str] = (),
     renames=None,
+    row_groups: tuple[int, int] | None = None,
+    row_offset: int = 0,
 ):
     """Executor-side MOR read of one data file → visible pyarrow Table
-    (position/DV/equality deletes applied, NOT yet schema-conformed)."""
+    (position/DV/equality deletes applied, NOT yet schema-conformed).
+
+    ``row_groups=(a, b)`` reads only parquet row groups [a, b) — a split
+    of an oversized file (round-5 brief item 6) — with ``row_offset``
+    the file-global position of the split's first row, so tombstone
+    positions (which are file-global, Iceberg position-delete
+    semantics) land on the right local rows."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(path)
+    if row_groups is None:
+        tbl = pq.read_table(path)
+    else:
+        tbl = pq.ParquetFile(path).read_row_groups(
+            list(range(row_groups[0], row_groups[1]))
+        )
     drop = _tombstone_positions(path, pos_delete_paths, dv_paths)
     if drop.size:
-        keep = np.ones(tbl.num_rows, dtype=bool)
-        keep[drop[drop < tbl.num_rows]] = False
-        tbl = tbl.filter(pa.array(keep))
+        local = (
+            drop[(drop >= row_offset) & (drop < row_offset + tbl.num_rows)]
+            - row_offset
+        )
+        if local.size:
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            keep[local] = False
+            tbl = tbl.filter(pa.array(keep))
     for paths, key_cols in eq_deletes:
         keys = pa.concat_tables(
             pq.read_table(p, columns=list(key_cols)) for p in paths
@@ -293,6 +321,42 @@ class LakeFilePartition(InputPartition):
     eq_deletes: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = ()
     # deletion-vector-layout position-delete files (content=1, dv=True)
     dv_paths: tuple[str, ...] = ()
+    # split of an oversized file: parquet row groups [a, b) plus the
+    # file-global position of the split's first row (None = whole file)
+    row_groups: tuple[int, int] | None = None
+    row_offset: int = 0
+
+
+# Files above this size are split into one input partition per ~this many
+# row-group bytes (Spark's spark.sql.files.maxPartitionBytes default).
+# Files WE write target ~128 MiB, so this only bites add_files-migrated
+# foreign parquet — which would otherwise pin a single task per huge file.
+DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _plan_row_group_splits(
+    path: str, target_bytes: int
+) -> list[tuple[int, int, int]]:
+    """Greedy packing of a file's row groups into splits of ~target
+    bytes → [(rg_start, rg_end, row_offset), …]. One footer read on the
+    driver, only for files already known (from the manifest) to be
+    oversized. A single giant row group can't be subdivided — the row
+    group is this reader's atomic unit — so such a file degrades to one
+    partition per row group."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    splits: list[tuple[int, int, int]] = []
+    start, start_offset, offset, acc = 0, 0, 0, 0
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        if acc and acc + rg.total_byte_size > target_bytes:
+            splits.append((start, i, start_offset))
+            start, start_offset, acc = i, offset, 0
+        acc += rg.total_byte_size
+        offset += rg.num_rows
+    splits.append((start, md.num_row_groups, start_offset))
+    return splits
 
 
 # ------------------------------------------------------------ batch read
@@ -346,10 +410,35 @@ class LakeBatchReader(DataSourceReader):
             return [LakeFilePartition(None)]
 
         pos_paths, dv_paths, eq_for = _visibility(self._meta, snap)
-        return [
-            LakeFilePartition(e.file_path, pos_paths, eq_for(e), dv_paths)
-            for e in data_entries
-        ]
+        split_bytes = int(
+            self._options.get("split-size", DEFAULT_SPLIT_BYTES)
+        )
+        parts: list[LakeFilePartition] = []
+        for e in data_entries:
+            if e.file_size_in_bytes <= split_bytes:
+                parts.append(
+                    LakeFilePartition(
+                        e.file_path, pos_paths, eq_for(e), dv_paths
+                    )
+                )
+                continue
+            # manifest says oversized (add_files-migrated foreign parquet
+            # — our own writer targets ~128 MiB): one footer read plans
+            # row-group splits so the file doesn't pin a single task
+            for a, b, offset in _plan_row_group_splits(
+                e.file_path, split_bytes
+            ):
+                parts.append(
+                    LakeFilePartition(
+                        e.file_path,
+                        pos_paths,
+                        eq_for(e),
+                        dv_paths,
+                        row_groups=(a, b),
+                        row_offset=offset,
+                    )
+                )
+        return parts
 
     def read(self, partition: LakeFilePartition) -> Iterator:
         if partition.file_path is None:
@@ -361,6 +450,8 @@ class LakeBatchReader(DataSourceReader):
             partition.eq_deletes,
             renames=self._meta.renames,
             dv_paths=partition.dv_paths,
+            row_groups=partition.row_groups,
+            row_offset=partition.row_offset,
         )
 
 
