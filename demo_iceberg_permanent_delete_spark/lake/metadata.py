@@ -250,6 +250,17 @@ class TableMetadata:
 
     def to_json(self) -> dict[str, Any]:
         return {
+            # Wire-format versioning (round-5 closure of the Avro-manifest
+            # item): the reference's Iceberg metadata stores manifests as
+            # Avro (file_summary_utils.py:51,62); this engine declares
+            # JSON/JSONL by design (SURVEY §1.2 — no avro library exists
+            # in the environment, and no reference query depends on the
+            # wire format). These two fields make the decision permanent
+            # AND migratable: a future Avro (or any other) manifest
+            # encoding bumps `manifest-format`, and readers dispatch on
+            # it instead of sniffing file contents.
+            "format-version": 1,
+            "manifest-format": "jsonl-delta/1",
             "name": self.name,
             "location": self.location,
             "schema_ddl": self.schema_ddl,
@@ -267,6 +278,16 @@ class TableMetadata:
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> TableMetadata:
+        # Refuse future wire formats instead of misreading them (legacy
+        # documents without the fields are format 1 by definition).
+        fv = d.get("format-version", 1)
+        mf = d.get("manifest-format", "jsonl-delta/1")
+        if fv != 1 or mf != "jsonl-delta/1":
+            raise ValueError(
+                f"unsupported table format: format-version={fv!r} "
+                f"manifest-format={mf!r} (this reader supports 1 / "
+                "jsonl-delta/1)"
+            )
         meta = cls(
             name=d["name"],
             location=d["location"],
