@@ -113,13 +113,15 @@ def _machine_state() -> dict:
     import glob
 
     try:
-        load1, load5, load15 = os.getloadavg()
+        load1, load5, load15 = (round(v, 2) for v in os.getloadavg())
     except OSError:
-        load1 = load5 = load15 = float("nan")
+        # None → JSON null; float('nan') would print the invalid token
+        # NaN and break strict parsers of the one-line contract
+        load1 = load5 = load15 = None
     return {
-        "loadavg_1m": round(load1, 2),
-        "loadavg_5m": round(load5, 2),
-        "loadavg_15m": round(load15, 2),
+        "loadavg_1m": load1,
+        "loadavg_5m": load5,
+        "loadavg_15m": load15,
         "cpus": os.cpu_count(),
         "tmp_ckpt_dirs": len(glob.glob("/tmp/ckpt_*")),
     }

@@ -81,7 +81,15 @@ def eq_masked_rows_estimate(table, snap) -> int | None:
         or "row_count" not in stats
     ):
         return None
-    all_live = max(
+    all_live = _snapshot_live_rows(snap)
+    return min(all_live, max(0, all_live - int(stats["row_count"])))
+
+
+def _snapshot_live_rows(snap) -> int:
+    """Table-wide manifest live rows: data records minus position-delete
+    cardinality (eq deletes excluded — their affected rows are not in
+    manifests)."""
+    return max(
         0,
         sum(e.record_count for e in snap.data_files())
         - sum(
@@ -90,7 +98,6 @@ def eq_masked_rows_estimate(table, snap) -> int | None:
             if e.content == CONTENT_POSITION_DELETES
         ),
     )
-    return min(all_live, max(0, all_live - int(stats["row_count"])))
 
 
 def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
@@ -117,6 +124,7 @@ def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
             "ndv": {},
             "stats_fresh": False,
             "eq_delete_files": 0,
+            "eq_masked_rows_est": 0,
             "rows_exact_upper_bound": False,
         }
     data = snap.data_files()
@@ -176,15 +184,7 @@ def scan_estimate(table, predicate: str | None = None) -> dict[str, Any]:
     if eq_delete_files:
         table_masked = eq_masked_rows_estimate(table, snap)
         if table_masked is not None:
-            all_live = max(
-                0,
-                sum(e.record_count for e in snap.data_files())
-                - sum(
-                    e.record_count
-                    for e in snap.delete_files()
-                    if e.content == CONTENT_POSITION_DELETES
-                ),
-            )
+            all_live = _snapshot_live_rows(snap)
             frac = (table_masked / all_live) if all_live else 0.0
             eq_masked = int(round(live_rows * frac))
             live_rows = max(0, live_rows - eq_masked)

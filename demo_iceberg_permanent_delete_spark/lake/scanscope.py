@@ -276,7 +276,21 @@ def _parse_from(
 
 
 def _split_conjuncts(where_body: str) -> list[tuple[int, int]]:
-    """Spans of top-level AND-separated conjuncts (BETWEEN-aware)."""
+    """Spans of top-level AND-separated conjuncts (BETWEEN-aware).
+
+    A top-level OR makes the ANDs around it non-conjunctive
+    (``a AND b OR c`` is ``(a AND b) OR c`` — neither a nor b is
+    required), so the whole body is returned as ONE span: it then either
+    attributes wholly to a single view (sound — the full disjunction
+    still scopes that scan) or is dropped. Splitting anyway would keep
+    `a` as a "required" filter and under-estimate the scan — the
+    broadcast-OOM hazard this module exists to prevent.
+    """
+    if any(
+        m.group(0).upper() == "OR"
+        for m in _or_depth_scan(where_body)
+    ):
+        return [(0, len(where_body))]
     spans, cur_start = [], 0
     depth, pending_between = 0, 0
     for m in re.finditer(r"[()]|\b(?:AND|BETWEEN)\b", where_body, re.I):
@@ -295,6 +309,19 @@ def _split_conjuncts(where_body: str) -> list[tuple[int, int]]:
                 cur_start = m.end()
     spans.append((cur_start, len(where_body)))
     return spans
+
+
+def _or_depth_scan(where_body: str):
+    """Yield OR tokens at paren depth 0 of the body."""
+    depth = 0
+    for m in re.finditer(r"[()]|\bOR\b", where_body, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            yield m
 
 
 def _attribute(

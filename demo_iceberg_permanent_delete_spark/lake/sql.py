@@ -96,25 +96,52 @@ class LakeEngine:
 
     def _cached_table(self, name: str) -> tuple[LakeTable, DataFrame]:
         """Version-checked cached (LakeTable, read DataFrame) for SELECT
-        paths. One registry read + one listdir when unchanged."""
+        paths. One registry read + one listdir + one stat when unchanged.
+
+        The version number alone is not table identity: DROP PURGE +
+        CREATE of the same name reuses the deterministic location and
+        can reach the same version — so the cache also pins the metadata
+        file's (inode, mtime_ns), which a rewrite can't reproduce."""
+        import os
+
         from demo_iceberg_permanent_delete_spark.lake.metadata import (
             TableMetadata,
         )
+
+        def _ident(location: str, version: int):
+            st = os.stat(
+                os.path.join(location, "metadata", f"v{version}.json")
+            )
+            return (st.st_ino, st.st_mtime_ns)
 
         reg = self.catalog._read_registry()
         entry = reg["tables"].get(name)
         cached = self._table_cache.get(name)
         if entry is not None and cached is not None:
+            version, ident, t, df = cached
             try:
                 latest = TableMetadata.latest_version(entry["location"])
+                cur_ident = _ident(entry["location"], latest)
             except OSError:
-                latest = None
-            version, t, df = cached
-            if latest == version and t.metadata.location == entry["location"]:
+                latest, cur_ident = None, None
+            if (
+                latest == version
+                and cur_ident == ident
+                and t.metadata.location == entry["location"]
+            ):
                 return t, df
         t = self.catalog.load_table(name)
         df = t.read()
-        self._table_cache[name] = (t.metadata.version, t, df)
+        try:
+            ident = _ident(t.metadata.location, t.metadata.version)
+        except OSError:
+            ident = None  # never matches → next SELECT reloads
+        self._table_cache[name] = (t.metadata.version, ident, t, df)
+        # drop the table's stale estimates with it (a same-version
+        # recreate would otherwise serve the old table's estimate)
+        self._estimate_cache = {
+            k: v for k, v in self._estimate_cache.items() if k[0] != name
+        }
         return t, df
 
     def _cached_estimate(self, name: str, t: LakeTable, predicate):

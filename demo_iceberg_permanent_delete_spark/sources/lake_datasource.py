@@ -152,30 +152,48 @@ def _read_data_file(
 
 
 def _tombstone_positions(
-    path: str, pos_delete_paths: Sequence[str], dv_paths: Sequence[str]
+    path: str,
+    pos_delete_paths: Sequence[str],
+    dv_paths: Sequence[str],
+    row_range: tuple[int, int] | None = None,
 ):
     """Positions tombstoned for ``path`` across row-layout position-delete
-    files and deletion-vector files → sorted unique int64 numpy array."""
+    files and deletion-vector files → sorted unique int64 numpy array
+    (file-global positions).
+
+    ``row_range=(lo, hi)`` scopes the row-layout read to positions in
+    [lo, hi) — split partitions of one oversized file each call this
+    (round-5 review finding), and the pushed parquet filter prunes
+    delete-file row groups instead of every split re-reading every
+    delete file in full. The filter is also EXACT (dataset-API
+    evaluation), so no post-filter is needed. DV entries are one row per
+    target file; their positions array is clamped by the caller."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     drops: list = []
     if pos_delete_paths:
-        dels = pa.concat_tables(
-            pq.read_table(p, columns=["file_path", "pos"]) for p in pos_delete_paths
+        filters: list[tuple] = [("file_path", "==", path)]
+        if row_range is not None:
+            filters += [("pos", ">=", row_range[0]), ("pos", "<", row_range[1])]
+        mine = pa.concat_tables(
+            pq.read_table(p, columns=["file_path", "pos"], filters=filters)
+            for p in pos_delete_paths
         )
-        mine = dels.filter(pc.equal(dels.column("file_path"), path))
         if mine.num_rows:
             drops.append(np.asarray(mine.column("pos")).astype("int64"))
     if dv_paths:
         # deletion-vector layout: one row per target data file with the
         # sorted positions array — filter to this file, concatenate arrays
-        dvt = pa.concat_tables(
-            pq.read_table(p, columns=["file_path", "positions"]) for p in dv_paths
+        mine = pa.concat_tables(
+            pq.read_table(
+                p,
+                columns=["file_path", "positions"],
+                filters=[("file_path", "==", path)],
+            )
+            for p in dv_paths
         )
-        mine = dvt.filter(pc.equal(dvt.column("file_path"), path))
         for arr in mine.column("positions").to_pylist():
             if arr:
                 drops.append(np.asarray(arr, dtype="int64"))
@@ -195,6 +213,22 @@ def _physical_name(column_names, name: str, renames) -> str | None:
             if old in column_names:
                 return old
     return None
+
+
+def _binary_key_set(keys_schema, key_cols) -> frozenset:
+    """Key columns whose DELETE-file type is binary-like — the delete
+    side always carries its keys, so it dictates the canonical join type
+    for both sides (a data file that predates the column contributes a
+    null-typed column and can't self-classify)."""
+    import pyarrow as pa
+
+    return frozenset(
+        c
+        for c in key_cols
+        if pa.types.is_binary(keys_schema.field(c).type)
+        or pa.types.is_large_binary(keys_schema.field(c).type)
+        or pa.types.is_fixed_size_binary(keys_schema.field(c).type)
+    )
 
 
 def _null_safe_key(tbl, key_cols, renames, binary_keys=frozenset()):
@@ -269,7 +303,14 @@ def _visible_table(
         tbl = pq.ParquetFile(path).read_row_groups(
             list(range(row_groups[0], row_groups[1]))
         )
-    drop = _tombstone_positions(path, pos_delete_paths, dv_paths)
+    drop = _tombstone_positions(
+        path,
+        pos_delete_paths,
+        dv_paths,
+        row_range=(row_offset, row_offset + tbl.num_rows)
+        if row_groups is not None
+        else None,
+    )
     if drop.size:
         local = (
             drop[(drop >= row_offset) & (drop < row_offset + tbl.num_rows)]
@@ -286,13 +327,7 @@ def _visible_table(
         if keys.num_rows:
             # both sides derive the same synthetic (__k{i}_v, __k{i}_n)
             # column names, so the join keys line up directly
-            binary_keys = frozenset(
-                c
-                for c in key_cols
-                if pa.types.is_binary(keys.schema.field(c).type)
-                or pa.types.is_large_binary(keys.schema.field(c).type)
-                or pa.types.is_fixed_size_binary(keys.schema.field(c).type)
-            )
+            binary_keys = _binary_key_set(keys.schema, key_cols)
             jcols, tbl_aug = _null_safe_key(
                 tbl, key_cols, renames, binary_keys
             )
@@ -869,8 +904,13 @@ class LakeCdcStreamReader(LakeStreamReader):
                     continue
                 # null-safe, rename-aware semi-join — same key machinery
                 # as the anti-join in _visible_table, selection inverted
-                jcols, tbl_aug = _null_safe_key(tbl, key_cols, self._renames)
-                kcols, keys_aug = _null_safe_key(keys, key_cols, None)
+                binary_keys = _binary_key_set(keys.schema, key_cols)
+                jcols, tbl_aug = _null_safe_key(
+                    tbl, key_cols, self._renames, binary_keys
+                )
+                kcols, keys_aug = _null_safe_key(
+                    keys, key_cols, None, binary_keys
+                )
                 tbl_aug = tbl_aug.append_column(
                     "__row", pa.array(range(tbl.num_rows), pa.int64())
                 )

@@ -629,3 +629,48 @@ def test_256mib_file_splits_by_default(registered, cat, tmp_path):
     df = _read(spark, t)
     assert df.rdd.getNumPartitions() >= 2, df.rdd.getNumPartitions()
     assert df.count() == n
+
+
+def test_binary_eq_key_on_column_added_after_first_files_cdc(registered, cat, tmp_path):
+    """Review finding (round 5): the CDC 'eq' semi-join must derive the
+    binary-key set like the batch anti-join does — a data file that
+    predates a BINARY key column contributes a null-typed column, and
+    without the delete-side type hint the string canonicalization joins
+    string vs large_binary and crashes."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table(
+        "default.bineqadd",
+        "id bigint",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(one_part(spark, [(1,), (2,)], "id bigint"))  # predates 'tok'
+    t.add_column("tok", "binary")
+    t.insert(
+        one_part(
+            spark,
+            [(3, bytearray(b"\x00\xff")), (4, None)],
+            "id bigint, tok binary",
+        )
+    )
+    t.equality_delete(
+        spark.createDataFrame(
+            [(bytearray(b"\x00\xff"),), (None,)], "tok binary"
+        )
+    )
+    # every row matched a key: 3 by bytes, 1/2/4 by eqNullSafe NULL
+    want = {(r["id"],) for r in t.read().select("id").collect()}
+    got = {(r["id"],) for r in _read(spark, t).select("id").collect()}
+    assert got == want == set()
+
+    cdc = _cdc_stream_rows(
+        spark, t, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    changes = t.changes(None, None)
+    assert _canon(cdc.select(*changes.columns)) == _canon(changes)
+    deleted = {
+        r["id"]
+        for r in cdc.filter(F.col("_change_type") == "DELETE").collect()
+    }
+    assert deleted == {1, 2, 3, 4}

@@ -147,3 +147,24 @@ def test_unknown_qualifier_refused():
 
 def test_no_where_no_predicates():
     assert _x("SELECT k FROM default__fat") == {}
+
+
+def test_top_level_or_never_splits_into_false_conjuncts():
+    """Review finding (round 5): `a AND b OR c` is `(a AND b) OR c` —
+    neither a nor b is required, so extracting `a` as a filter would
+    under-estimate the scan (the broadcast-OOM hazard). A top-level OR
+    makes the whole WHERE one unit: attributable only when it scopes a
+    single view."""
+    out = _x(
+        "SELECT * FROM default__fat f JOIN default__dim d ON f.k = d.k "
+        "WHERE f.name = 'x' AND f.day = 'd3' OR d.label = 'z'"
+    )
+    assert out == {}  # spans two views → nothing extractable
+    # single-view disjunction still extracts as a whole
+    out = _x(
+        "SELECT * FROM default__fat "
+        "WHERE name = 'x' AND day = 'd3' OR amount > 9"
+    )
+    assert out == {
+        "default__fat": "name = 'x' AND day = 'd3' OR amount > 9"
+    }

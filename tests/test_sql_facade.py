@@ -449,3 +449,26 @@ def test_select_caches_metadata_until_commit(spark, tmp_path, monkeypatch):
     assert row["n"] == 101
     assert loads["n"] >= 2, "commit must invalidate the metadata cache"
     assert estimates["n"] >= 3, "commit must invalidate the estimate cache"
+
+
+def test_drop_purge_recreate_same_name_not_served_from_cache(spark, tmp_path):
+    """Review finding (round 5): DROP PURGE + CREATE of the same name
+    reuses the deterministic location and can reach the same metadata
+    version — the SELECT cache must not serve the dropped table's
+    DataFrame (identity is pinned by the metadata file's inode/mtime)."""
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql("CREATE TABLE default.reborn (a bigint) USING iceberg")
+    eng.table("default.reborn").insert(spark.range(5).selectExpr("id AS a"))
+    assert eng.sql("SELECT count(*) AS n FROM default.reborn").collect()[0][
+        "n"
+    ] == 5
+
+    eng.sql("DROP TABLE default.reborn PURGE")
+    eng.sql("CREATE TABLE default.reborn (b string) USING iceberg")
+    eng.table("default.reborn").insert(
+        spark.createDataFrame([("x",), ("y",)], "b string")
+    )
+    df = eng.sql("SELECT b FROM default.reborn")
+    assert df.columns == ["b"]
+    assert {r["b"] for r in df.collect()} == {"x", "y"}
