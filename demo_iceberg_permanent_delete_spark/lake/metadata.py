@@ -320,12 +320,31 @@ class TableMetadata:
 
     @classmethod
     def latest_version(cls, location: str) -> int:
-        """Highest committed metadata version at ``location`` — one
-        directory listing, no JSON parse. The cheap staleness probe for
-        caches keyed on the version (lake/sql.py's per-statement table
-        cache): a commit always writes v{N+1}.json atomically, so an
-        unchanged number proves the cached parse is current."""
+        """Highest committed metadata version at ``location``, no JSON
+        parse. The cheap staleness probe for caches keyed on the version
+        (lake/sql.py's per-statement table cache): a commit always
+        writes v{N+1}.json atomically, so an unchanged number proves the
+        cached parse is current.
+
+        Fast path: ``version-hint.text`` (Iceberg HadoopTableOperations'
+        design) names a committed version as a FLOOR — the hint write
+        trails the CAS and can lag or go backwards under concurrency —
+        and existence probes walk forward to the true head: O(1 +
+        commits-since-hint) instead of listing a directory that grows
+        with every commit. Fallback (pre-hint tables, unreadable hint):
+        one directory listing."""
         meta_dir = os.path.join(location, "metadata")
+        try:
+            with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+                v = int(fh.read().strip())
+            if v >= 1 and os.path.exists(
+                os.path.join(meta_dir, f"v{v}.json")
+            ):
+                while os.path.exists(os.path.join(meta_dir, f"v{v + 1}.json")):
+                    v += 1
+                return v
+        except (OSError, ValueError):
+            pass
         versions = [
             int(f[1:-5])
             for f in os.listdir(meta_dir)
@@ -533,6 +552,26 @@ class TableMetadata:
             ) from None
         finally:
             os.unlink(tmp)
+        # Advisory version hint (Iceberg HadoopTableOperations'
+        # version-hint.text): lets readers find the head in O(1) instead
+        # of listing a metadata dir that grows with every commit.
+        # Written AFTER the CAS, so it can lag (a concurrent winner's
+        # hint may land later and go backwards) — readers treat it as a
+        # floor and probe forward (latest_version), never as truth.
+        hint_tmp = os.path.join(
+            self.metadata_dir, f".hint-tmp-{uuid.uuid4().hex}"
+        )
+        try:
+            with open(hint_tmp, "w") as fh:
+                fh.write(str(self.version))
+            os.replace(
+                hint_tmp, os.path.join(self.metadata_dir, "version-hint.text")
+            )
+        except OSError:
+            try:
+                os.unlink(hint_tmp)
+            except OSError:
+                pass
         return path
 
     # ----------------------------------------------------------- snapshots

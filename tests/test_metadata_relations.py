@@ -168,3 +168,42 @@ def test_metadata_document_carries_format_version(spark, tmp_path):
         TableMetadata.from_json({**doc, "format-version": 2})
     with pytest.raises(ValueError, match="unsupported table format"):
         TableMetadata.from_json({**doc, "manifest-format": "avro/2"})
+
+
+def test_version_hint_fast_path_and_recovery(spark, tmp_path):
+    """version-hint.text (Iceberg HadoopTableOperations' design): commits
+    write an advisory hint so readers find the head in O(1); the hint is
+    a FLOOR, not truth — a lagging hint probes forward, a missing or
+    garbage hint falls back to the directory listing."""
+    import os
+
+    from demo_iceberg_permanent_delete_spark.lake.metadata import (
+        TableMetadata,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.hint", "id bigint")
+    t.insert(spark.range(2).selectExpr("id"))
+    t.insert(spark.range(2).selectExpr("id"))
+
+    loc = t.metadata.location
+    hint_path = os.path.join(loc, "metadata", "version-hint.text")
+    with open(hint_path) as fh:
+        hinted = int(fh.read())
+    assert hinted == t.metadata.version
+    assert TableMetadata.latest_version(loc) == hinted
+
+    # lagging hint (a concurrent winner's write landing late) → forward probe
+    with open(hint_path, "w") as fh:
+        fh.write("1")
+    assert TableMetadata.latest_version(loc) == hinted
+
+    # garbage / missing hint → listing fallback
+    with open(hint_path, "w") as fh:
+        fh.write("not-a-number")
+    assert TableMetadata.latest_version(loc) == hinted
+    os.unlink(hint_path)
+    assert TableMetadata.latest_version(loc) == hinted
+    # loads still work end-to-end without a hint
+    assert cat.load_table("default.hint").read().count() == 4
