@@ -89,10 +89,12 @@ class LakeEngine:
         # (TableMetadata.latest_version), so any commit — from this
         # facade, a LakeTable handle, or another process — invalidates
         # naturally; mutating statement handlers never use the cache.
-        #   name → (metadata_version, LakeTable, read() DataFrame)
-        self._table_cache: dict[str, tuple[int, LakeTable, DataFrame]] = {}
+        #   name → (metadata_version, identity, LakeTable, read() DataFrame)
+        self._table_cache: dict[str, tuple] = {}
         #   (name, metadata_version, predicate) → scan_estimate dict
         self._estimate_cache: dict[tuple, dict] = {}
+        #   (name, metadata_version, predicate) → manifest-pruned scan df
+        self._scan_cache: dict[tuple, DataFrame] = {}
 
     def _cached_table(self, name: str) -> tuple[LakeTable, DataFrame]:
         """Version-checked cached (LakeTable, read DataFrame) for SELECT
@@ -137,12 +139,36 @@ class LakeEngine:
         except OSError:
             ident = None  # never matches → next SELECT reloads
         self._table_cache[name] = (t.metadata.version, ident, t, df)
-        # drop the table's stale estimates with it (a same-version
-        # recreate would otherwise serve the old table's estimate)
+        # drop the table's stale estimates/scans with it (a same-version
+        # recreate would otherwise serve the old table's)
         self._estimate_cache = {
             k: v for k, v in self._estimate_cache.items() if k[0] != name
         }
+        self._scan_cache = {
+            k: v for k, v in self._scan_cache.items() if k[0] != name
+        }
         return t, df
+
+    def _cached_scan(self, name: str, t: LakeTable, predicate: str):
+        """Manifest-pruned read for a statement whose WHERE provably
+        scopes this table's single scan (lake/scanscope.py): files whose
+        min/max stats cannot match are never opened — Iceberg's scan
+        planning, not just a broadcast hint. Sound on two layers: the
+        extractor only hands over conjuncts that constrain every row of
+        this scan, and candidate_files keeps any file it cannot prove
+        unmatchable (Spark still re-applies the full WHERE above the
+        view)."""
+        key = (name, t.metadata.version, predicate)
+        df = self._scan_cache.get(key)
+        if df is None:
+            try:
+                df = t.scan(predicate)
+            except Exception:
+                df = t.read()
+            if len(self._scan_cache) >= 64:
+                self._scan_cache.clear()
+            self._scan_cache[key] = df
+        return df
 
     def _cached_estimate(self, name: str, t: LakeTable, predicate):
         from demo_iceberg_permanent_delete_spark.lake.planner import (
@@ -776,9 +802,12 @@ class LakeEngine:
             predicates = {}
         for name, views in needed.items():
             t, df = loaded[name]
-            est = self._cached_estimate(
-                name, t, predicates.get(name.replace(".", "__"))
-            )
+            pred = predicates.get(name.replace(".", "__"))
+            est = self._cached_estimate(name, t, pred)
+            if pred is not None:
+                # register the manifest-pruned scan, not the full read —
+                # Spark re-applies the statement's WHERE above the view
+                df = self._cached_scan(name, t, pred)
             if 0 < est["bytes"] <= _broadcast_threshold(self.spark, None):
                 from pyspark.sql import functions as F
 

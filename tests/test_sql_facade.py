@@ -472,3 +472,41 @@ def test_drop_purge_recreate_same_name_not_served_from_cache(spark, tmp_path):
     df = eng.sql("SELECT b FROM default.reborn")
     assert df.columns == ["b"]
     assert {r["b"] for r in df.collect()} == {"x", "y"}
+
+
+def test_select_registers_manifest_pruned_scan(spark, tmp_path):
+    """A facade SELECT whose WHERE provably scopes one table's scan
+    registers the manifest-PRUNED read (Iceberg scan planning), so files
+    whose min/max can't match are never opened — visible as fewer input
+    files — while results stay identical to the full-scan equivalent."""
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql(
+        "CREATE TABLE default.days (day string, v bigint) USING iceberg"
+    )
+    t = eng.table("default.days")
+    for d in range(6):
+        t.insert(
+            spark.range(50).selectExpr(f"'d{d}' AS day", "id AS v")
+        )
+
+    filtered = eng.sql(
+        "SELECT sum(v) AS s FROM default.days WHERE day = 'd2'"
+    )
+    n_filtered = len(
+        {f for f in filtered.inputFiles() if f.endswith(".parquet")}
+    )
+    full = eng.sql("SELECT sum(v) AS s FROM default.days")
+    n_full = len({f for f in full.inputFiles() if f.endswith(".parquet")})
+    assert n_filtered < n_full, (n_filtered, n_full)
+    assert n_filtered >= 1
+    assert filtered.collect()[0]["s"] == sum(range(50))
+    assert full.collect()[0]["s"] == 6 * sum(range(50))
+
+    # MOR deletes still apply on the pruned scan
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.delete("day = 'd2' AND v < 10")
+    filtered2 = eng.sql(
+        "SELECT sum(v) AS s FROM default.days WHERE day = 'd2'"
+    )
+    assert filtered2.collect()[0]["s"] == sum(range(10, 50))
