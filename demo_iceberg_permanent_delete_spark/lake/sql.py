@@ -95,6 +95,11 @@ class LakeEngine:
         self._estimate_cache: dict[tuple, dict] = {}
         #   (name, metadata_version, predicate) → manifest-pruned scan df
         self._scan_cache: dict[tuple, DataFrame] = {}
+        #   (name, metadata_version, view) already registered this session
+        #   — each metadata view pays a driver-side build (manifest walk,
+        #   createDataFrame), and e.g. the file-summary analytics hits the
+        #   same views in consecutive statements
+        self._meta_view_reg: set[tuple] = set()
 
     def _cached_table(self, name: str) -> tuple[LakeTable, DataFrame]:
         """Version-checked cached (LakeTable, read DataFrame) for SELECT
@@ -146,6 +151,9 @@ class LakeEngine:
         }
         self._scan_cache = {
             k: v for k, v in self._scan_cache.items() if k[0] != name
+        }
+        self._meta_view_reg = {
+            k for k in self._meta_view_reg if k[0] != name
         }
         return t, df
 
@@ -813,9 +821,23 @@ class LakeEngine:
 
                 df = F.broadcast(df)
             df.createOrReplaceTempView(name.replace(".", "__"))
-            if views:
+            # Engine-instance-scoped skip: like the base views (which are
+            # overwritten unconditionally), the temp-view namespace is
+            # assumed owned by this facade within its session.
+            fresh_views = sorted(
+                v
+                for v in views
+                if (name, t.metadata.version, v) not in self._meta_view_reg
+                or not self.spark.catalog.tableExists(
+                    f"{name.replace('.', '__')}__{v}"
+                )
+            )
+            if fresh_views:
                 t.register_metadata_views(
-                    prefix=name.replace(".", "__"), views=sorted(views)
+                    prefix=name.replace(".", "__"), views=fresh_views
+                )
+                self._meta_view_reg.update(
+                    (name, t.metadata.version, v) for v in fresh_views
                 )
         return self.spark.sql(rewritten)
 

@@ -510,3 +510,33 @@ def test_select_registers_manifest_pruned_scan(spark, tmp_path):
         "SELECT sum(v) AS s FROM default.days WHERE day = 'd2'"
     )
     assert filtered2.collect()[0]["s"] == sum(range(10, 50))
+
+
+def test_metadata_views_register_once_per_version(spark, tmp_path, monkeypatch):
+    """Metadata views pay a driver-side build (manifest walk +
+    createDataFrame) per registration; consecutive statements against an
+    unchanged table reuse the registered view, and a commit re-registers."""
+    from demo_iceberg_permanent_delete_spark.lake.table import LakeTable
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql("CREATE TABLE default.mv (id bigint) USING iceberg")
+    eng.table("default.mv").insert(spark.range(4).selectExpr("id"))
+
+    calls = {"n": 0}
+    real = LakeTable.register_metadata_views
+
+    def spy(self, prefix=None, views=None):
+        calls["n"] += 1
+        return real(self, prefix=prefix, views=views)
+
+    monkeypatch.setattr(LakeTable, "register_metadata_views", spy)
+    q = "SELECT count(*) AS n FROM demo.default.mv.files"
+    assert eng.sql(q).collect()[0]["n"] >= 1
+    eng.sql(q).collect()
+    eng.sql(q).collect()
+    assert calls["n"] == 1, calls["n"]
+    eng.sql("INSERT INTO default.mv VALUES (99)")
+    files_after = eng.sql(q).collect()[0]["n"]
+    assert calls["n"] == 2, calls["n"]
+    assert files_after >= 2
