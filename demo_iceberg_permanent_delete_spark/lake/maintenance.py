@@ -170,7 +170,10 @@ def remove_orphan_files(
     }
     meta_dir = table.metadata.metadata_dir
     for name in sorted(os.listdir(meta_dir)):
-        if not name.startswith("manifest-"):
+        # .hint-tmp-*: a commit killed between writing the version-hint
+        # temp and its os.replace leaves one behind (metadata.commit);
+        # aged ones are orphans like any other debris.
+        if not (name.startswith("manifest-") or name.startswith(".hint-tmp-")):
             continue
         path = os.path.join(meta_dir, name)
         if path in live_manifests:

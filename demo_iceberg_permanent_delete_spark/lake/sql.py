@@ -67,6 +67,15 @@ def _one_row_df(spark: SparkSession, data: dict[str, Any]) -> DataFrame:
     return spark.createDataFrame([tuple(data.values())], list(data.keys()))
 
 
+def _store(cache: dict, key, val, cap: int) -> None:
+    """Bounded insert with FIFO single-entry eviction (dicts preserve
+    insertion order) — wholesale clear() would evict hot tables' entries
+    and trigger a thundering rebuild."""
+    while len(cache) >= cap:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
+
+
 class LakeEngine:
     """``engine.sql(text)`` — the reference's spark.sql replacement.
 
@@ -161,21 +170,22 @@ class LakeEngine:
         """Manifest-pruned read for a statement whose WHERE provably
         scopes this table's single scan (lake/scanscope.py): files whose
         min/max stats cannot match are never opened — Iceberg's scan
-        planning, not just a broadcast hint. Sound on two layers: the
-        extractor only hands over conjuncts that constrain every row of
-        this scan, and candidate_files keeps any file it cannot prove
-        unmatchable (Spark still re-applies the full WHERE above the
-        view)."""
+        planning, not just a broadcast hint. ``prune_only`` returns the
+        candidate-file SUPERSET without re-applying the predicate: the
+        statement's own WHERE above the view is the single evaluation,
+        so a non-deterministic conjunct (rand()) is never drawn twice,
+        and the only layer that must be sound is the conservative pruner
+        (unevaluable leaves keep every file)."""
         key = (name, t.metadata.version, predicate)
         df = self._scan_cache.get(key)
         if df is None:
             try:
-                df = t.scan(predicate)
+                df = t.scan(predicate, prune_only=True)
             except Exception:
-                df = t.read()
-            if len(self._scan_cache) >= 64:
-                self._scan_cache.clear()
-            self._scan_cache[key] = df
+                # fallback is never cached: a transient scan failure must
+                # not pin the unpruned full read for the whole version
+                return t.read()
+            _store(self._scan_cache, key, df, cap=64)
         return df
 
     def _cached_estimate(self, name: str, t: LakeTable, predicate):
@@ -189,10 +199,10 @@ class LakeEngine:
             try:
                 est = scan_estimate(t, predicate)
             except Exception:
-                est = scan_estimate(t)
-            if len(self._estimate_cache) >= 256:
-                self._estimate_cache.clear()
-            self._estimate_cache[key] = est
+                # fallback is never cached: a transient failure must not
+                # pin the unscoped estimate for the rest of the version
+                return scan_estimate(t)
+            _store(self._estimate_cache, key, est, cap=256)
         return est
 
     # ------------------------------------------------------------ helpers

@@ -535,12 +535,23 @@ class LakeTable:
             out = out.join(dels, on=cond, how="left_anti")
         return out.drop("__dataseq")
 
-    def scan(self, predicate: str | Column | None = None) -> DataFrame:
+    def scan(
+        self,
+        predicate: str | Column | None = None,
+        *,
+        prune_only: bool = False,
+    ) -> DataFrame:
         """Predicate-pushed read: manifest min/max stats prune whole files
         before Spark opens them (SURVEY.md §4 — the Iceberg-manifest
         emulation; at 100 TB this skips the file *open*, which parquet
         row-group stats cannot). Sound: falls back to all files whenever
-        the predicate isn't a provably-prunable string."""
+        the predicate isn't a provably-prunable string.
+
+        ``prune_only=True`` skips the final row filter and returns the
+        candidate-file SUPERSET (pruning is conservative) — for callers
+        that re-apply the predicate themselves, like the SQL facade's
+        view registration, where applying it here too would evaluate a
+        non-deterministic predicate (rand()) twice and change results."""
         if predicate is None:
             return self.read()
         snap = self.metadata.current_snapshot()
@@ -566,7 +577,7 @@ class LakeTable:
             df = self._apply_delete_files(
                 self._with_position(df), delete_files, entries
             ).select(*df.columns)
-        return df.filter(self._as_column(predicate))
+        return df if prune_only else df.filter(self._as_column(predicate))
 
     def deleted_rows(self) -> DataFrame:
         """M6 audit companion (reference examine_delete_files,

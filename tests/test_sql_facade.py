@@ -540,3 +540,42 @@ def test_metadata_views_register_once_per_version(spark, tmp_path, monkeypatch):
     files_after = eng.sql(q).collect()[0]["n"]
     assert calls["n"] == 2, calls["n"]
     assert files_after >= 2
+
+
+def test_nondeterministic_where_is_evaluated_exactly_once(spark, tmp_path):
+    """Review finding (round 5, second pass): registering t.scan(pred)
+    WITH its final row filter would draw a non-deterministic predicate
+    (rand()) twice — once inside the view, once in the statement's WHERE
+    — halving the expected selectivity. The facade registers the
+    prune-only superset, so rand() < 0.5 over 4000 rows must keep ~2000
+    (double application would keep ~1000; P(>1600) under double
+    application is astronomically small)."""
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS default")
+    eng.sql("CREATE TABLE default.nd (v bigint) USING iceberg")
+    eng.table("default.nd").insert(spark.range(4000).selectExpr("id AS v"))
+    n = eng.sql(
+        "SELECT count(*) AS n FROM default.nd WHERE rand() < 0.5"
+    ).collect()[0]["n"]
+    assert 1600 < n < 2400, n
+
+
+def test_scan_prune_only_returns_candidate_superset(spark, tmp_path):
+    """scan(pred, prune_only=True) prunes files but never filters rows:
+    rows from surviving files that don't match the predicate remain."""
+    from demo_iceberg_permanent_delete_spark.lake import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.po", "day string, v bigint")
+    for d in range(3):
+        # one file per day so the v-range stats never sub-split a day
+        t.insert(
+            spark.range(10).coalesce(1).selectExpr(f"'d{d}' AS day", "id AS v")
+        )
+    pruned = t.scan("day = 'd1' AND v < 5", prune_only=True)
+    # file-level: only d1's file survives; row-level: v >= 5 rows remain
+    assert pruned.count() == 10
+    assert {r["day"] for r in pruned.collect()} == {"d1"}
+    filtered = t.scan("day = 'd1' AND v < 5")
+    assert filtered.count() == 5
