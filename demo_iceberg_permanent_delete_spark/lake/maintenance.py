@@ -170,15 +170,24 @@ def remove_orphan_files(
     }
     meta_dir = table.metadata.metadata_dir
     for name in sorted(os.listdir(meta_dir)):
-        # .hint-tmp-*: a commit killed between writing the version-hint
-        # temp and its os.replace leaves one behind (metadata.commit);
-        # aged ones are orphans like any other debris.
-        if not (name.startswith("manifest-") or name.startswith(".hint-tmp-")):
+        # Crash debris is an orphan class of its own: every atomic write
+        # in metadata.py stages through a `.tmp-<uuid>`-suffixed name
+        # (header CAS, manifest delta, `.hint-tmp-` for the version
+        # hint); a process killed before the rename/unlink leaves it
+        # behind forever, and nothing else ever references it.
+        is_debris = ".tmp-" in name or name.startswith(".hint-tmp-")
+        if not (name.startswith("manifest-") or is_debris):
             continue
         path = os.path.join(meta_dir, name)
         if path in live_manifests:
             continue
-        if os.path.getmtime(path) * 1000 < cutoff_ms:
+        try:
+            mtime_ms = os.path.getmtime(path) * 1000
+        except OSError:
+            # TOCTOU with a concurrent commit: its hint/header temp can
+            # be renamed away between our listdir and this stat
+            continue
+        if mtime_ms < cutoff_ms:
             orphans.append(path)
     if not dry_run:
         for path in orphans:

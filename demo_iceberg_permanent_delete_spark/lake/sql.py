@@ -166,7 +166,9 @@ class LakeEngine:
         }
         return t, df
 
-    def _cached_scan(self, name: str, t: LakeTable, predicate: str):
+    def _cached_scan(
+        self, name: str, t: LakeTable, predicate: str, fallback: DataFrame
+    ):
         """Manifest-pruned read for a statement whose WHERE provably
         scopes this table's single scan (lake/scanscope.py): files whose
         min/max stats cannot match are never opened — Iceberg's scan
@@ -182,9 +184,11 @@ class LakeEngine:
             try:
                 df = t.scan(predicate, prune_only=True)
             except Exception:
-                # fallback is never cached: a transient scan failure must
-                # not pin the unpruned full read for the whole version
-                return t.read()
+                # never cache a failure under the predicate key (a
+                # transient error must not pin the unpruned read for the
+                # version) — the caller's already-cached full read is the
+                # free safe answer
+                return fallback
             _store(self._scan_cache, key, df, cap=64)
         return df
 
@@ -196,12 +200,17 @@ class LakeEngine:
         key = (name, t.metadata.version, predicate)
         est = self._estimate_cache.get(key)
         if est is None:
-            try:
-                est = scan_estimate(t, predicate)
-            except Exception:
-                # fallback is never cached: a transient failure must not
-                # pin the unscoped estimate for the rest of the version
-                return scan_estimate(t)
+            if predicate is None:
+                est = scan_estimate(t)
+            else:
+                try:
+                    est = scan_estimate(t, predicate)
+                except Exception:
+                    # the SCOPED result is never cached from a failure (a
+                    # transient error must not pin it for the version) —
+                    # but the unscoped fallback is version-deterministic,
+                    # so serve it from its own (…, None) cache slot
+                    return self._cached_estimate(name, t, None)
             _store(self._estimate_cache, key, est, cap=256)
         return est
 
@@ -825,7 +834,7 @@ class LakeEngine:
             if pred is not None:
                 # register the manifest-pruned scan, not the full read —
                 # Spark re-applies the statement's WHERE above the view
-                df = self._cached_scan(name, t, pred)
+                df = self._cached_scan(name, t, pred, fallback=df)
             if 0 < est["bytes"] <= _broadcast_threshold(self.spark, None):
                 from pyspark.sql import functions as F
 
