@@ -652,19 +652,41 @@ class LakeStreamReader(DataSourceStreamReader):
         if end_id == -1 or start_id == end_id:
             return [LakeFilePartition(None)]
         meta = _load_meta(self._options)
-        parts = [
-            LakeFilePartition(e.file_path)
-            for snap in _ancestry_chain(meta, start_id, end_id)
-            for e in meta.change_set(snap.snapshot_id).added
-            if e.content == 0
-        ]
+        split_bytes = int(
+            self._options.get("split-size", DEFAULT_SPLIT_BYTES)
+        )
+        parts: list[LakeFilePartition] = []
+        for snap in _ancestry_chain(meta, start_id, end_id):
+            for e in meta.change_set(snap.snapshot_id).added:
+                if e.content != 0:
+                    continue
+                if e.file_size_in_bytes <= split_bytes:
+                    parts.append(LakeFilePartition(e.file_path))
+                    continue
+                # same split policy as the batch reader: an oversized
+                # add_files-migrated file would otherwise pin one task
+                # for the whole micro-batch
+                for a, b, offset in _plan_row_group_splits(
+                    e.file_path, split_bytes
+                ):
+                    parts.append(
+                        LakeFilePartition(
+                            e.file_path,
+                            row_groups=(a, b),
+                            row_offset=offset,
+                        )
+                    )
         return parts or [LakeFilePartition(None)]
 
     def read(self, partition: LakeFilePartition) -> Iterator:
         if partition.file_path is None:
             return iter(())
         return _read_data_file(
-            partition.file_path, self._arrow_schema, renames=self._renames
+            partition.file_path,
+            self._arrow_schema,
+            renames=self._renames,
+            row_groups=partition.row_groups,
+            row_offset=partition.row_offset,
         )
 
     def commit(self, end: dict) -> None:

@@ -674,3 +674,46 @@ def test_binary_eq_key_on_column_added_after_first_files_cdc(registered, cat, tm
         for r in cdc.filter(F.col("_change_type") == "DELETE").collect()
     }
     assert deleted == {1, 2, 3, 4}
+
+
+def test_stream_read_splits_oversized_file(registered, cat, tmp_path):
+    """The streaming batch reader applies the same row-group split policy
+    as the batch reader: an oversized add_files-migrated file streams as
+    multiple tasks, rows exactly-once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = registered
+    t = cat.create_table("default.dssplit", "id bigint, v string")
+    src = tmp_path / "foreign"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(600), pa.int64()),
+                "v": pa.array([f"v{i}" for i in range(600)]),
+            }
+        ),
+        str(src / "big.parquet"),
+        row_group_size=60,
+    )
+    t.add_files(str(src))
+
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("lakehouse")
+        .option("location", t.metadata.location)
+        .option("starting-offset", "earliest")
+        .option("split-size", "2048")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(i, f"v{i}") for i in range(600)}
