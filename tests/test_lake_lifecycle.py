@@ -315,3 +315,31 @@ def test_parquet_bloom_filter_property_reaches_writer(spark, catalog):
     # compaction preserves the property's effect
     bloomy.rewrite_data_files()
     assert size(bloomy) > size(plain) + 1024
+
+
+def test_orphan_gc_collects_crash_debris_in_metadata_dir(spark, pii_table):
+    """Round-5 review: every staged atomic write in metadata.py
+    (v{N}.json.tmp-*, manifest *.tmp-*, .hint-tmp-*) can be stranded by
+    a kill before its rename — aged debris must be GC'd, while the live
+    version-hint.text and committed headers stay untouched."""
+    meta_dir = pii_table.metadata.metadata_dir
+    debris = [
+        os.path.join(meta_dir, "v99.json.tmp-deadbeef"),
+        os.path.join(meta_dir, "manifest-123.json.tmp-deadbeef"),
+        os.path.join(meta_dir, ".hint-tmp-deadbeef"),
+    ]
+    for p in debris:
+        with open(p, "w") as fh:
+            fh.write("stranded")
+
+    removed = pii_table.remove_orphan_files(
+        older_than=now_ms() + 10_000, enforce_safety=False
+    )
+    for p in debris:
+        assert p in removed and not os.path.exists(p), p
+    # live metadata untouched
+    assert os.path.exists(os.path.join(meta_dir, "version-hint.text"))
+    assert os.path.exists(
+        pii_table.metadata.metadata_file(pii_table.metadata.version)
+    )
+    assert pii_table.read().count() > 0
