@@ -215,6 +215,39 @@ def _physical_name(column_names, name: str, renames) -> str | None:
     return None
 
 
+def _take_positions(path: str, idx):
+    """Rows of ``path`` at file-global positions ``idx``, reading ONLY
+    the row groups that contain them (None when idx is empty). The
+    footer's per-group row counts map global positions to (group, local
+    index); selected groups concatenate in order, so local indices are
+    rebased onto the concatenated table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not idx.size:
+        return None
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    rg_rows = np.array(
+        [md.row_group(i).num_rows for i in range(md.num_row_groups)],
+        dtype=np.int64,
+    )
+    starts = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(rg_rows)])
+    idx = idx[idx < starts[-1]]
+    if not idx.size:
+        return None
+    owner = np.searchsorted(starts, idx, side="right") - 1
+    gsel = np.unique(owner)
+    tbl = pf.read_row_groups(gsel.tolist())
+    new_starts = np.concatenate(
+        [np.zeros(1, dtype=np.int64), np.cumsum(rg_rows[gsel])]
+    )
+    gpos = np.searchsorted(gsel, owner)
+    local = idx - starts[owner] + new_starts[gpos]
+    return tbl.take(pa.array(local, type=pa.int64()))
+
+
 def _binary_key_set(keys_schema, key_cols) -> frozenset:
     """Key columns whose DELETE-file type is binary-like — the delete
     side always carries its keys, so it dictates the canonical join type
@@ -722,6 +755,10 @@ class CdcPartition(InputPartition):
     change_type: str = "INSERT"
     ordinal: int = 0
     commit_id: int = 0
+    # split of an oversized file (same policy as the batch reader):
+    # row groups [a, b) + the file-global position of the first row
+    row_groups: tuple | None = None
+    row_offset: int = 0
 
 
 class LakeCdcStreamReader(LakeStreamReader):
@@ -778,6 +815,23 @@ class LakeCdcStreamReader(LakeStreamReader):
         if end_id == -1 or start_id == end_id:
             return [CdcPartition()]
         meta = _load_meta(self._options)
+        split_bytes = int(
+            self._options.get("split-size", DEFAULT_SPLIT_BYTES)
+        )
+
+        def _splits(entry):
+            """Same split policy as the batch reader — an oversized
+            (add_files-migrated) file would otherwise be materialized as
+            ONE Arrow table on one executor."""
+            if entry.file_size_in_bytes <= split_bytes:
+                return [(None, 0)]
+            return [
+                ((a, b), off)
+                for a, b, off in _plan_row_group_splits(
+                    entry.file_path, split_bytes
+                )
+            ]
+
         parts: list[CdcPartition] = []
         ordinal = 0
         for snap in _ancestry_chain(meta, start_id, end_id):
@@ -793,14 +847,17 @@ class LakeCdcStreamReader(LakeStreamReader):
             emitted = False
             for e in delta.added:
                 if e.content == CONTENT_DATA:
-                    parts.append(
-                        CdcPartition(
-                            kind="insert",
-                            file_path=e.file_path,
-                            change_type="INSERT",
-                            **common,
+                    for rg, off in _splits(e):
+                        parts.append(
+                            CdcPartition(
+                                kind="insert",
+                                file_path=e.file_path,
+                                change_type="INSERT",
+                                row_groups=rg,
+                                row_offset=off,
+                                **common,
+                            )
                         )
-                    )
                     emitted = True
             if parent is not None:
                 pos, dv, eq_for = _visibility(meta, parent)
@@ -809,17 +866,20 @@ class LakeCdcStreamReader(LakeStreamReader):
                     ent = parent_by_path.get(p)
                     if ent is None or ent.content != CONTENT_DATA:
                         continue
-                    parts.append(
-                        CdcPartition(
-                            kind="delete",
-                            file_path=p,
-                            pos_delete_paths=pos,
-                            dv_paths=dv,
-                            eq_deletes=eq_for(ent),
-                            change_type="DELETE",
-                            **common,
+                    for rg, off in _splits(ent):
+                        parts.append(
+                            CdcPartition(
+                                kind="delete",
+                                file_path=p,
+                                pos_delete_paths=pos,
+                                dv_paths=dv,
+                                eq_deletes=eq_for(ent),
+                                change_type="DELETE",
+                                row_groups=rg,
+                                row_offset=off,
+                                **common,
+                            )
                         )
-                    )
                     emitted = True
                 mask_pos = tuple(
                     e.file_path
@@ -867,18 +927,21 @@ class LakeCdcStreamReader(LakeStreamReader):
                     for ent in parent.manifest:
                         if ent.content != CONTENT_DATA:
                             continue
-                        parts.append(
-                            CdcPartition(
-                                kind="eq",
-                                file_path=ent.file_path,
-                                pos_delete_paths=pos,
-                                dv_paths=dv,
-                                eq_deletes=eq_for(ent),
-                                eq_match=eq_match,
-                                change_type="DELETE",
-                                **common,
+                        for rg, off in _splits(ent):
+                            parts.append(
+                                CdcPartition(
+                                    kind="eq",
+                                    file_path=ent.file_path,
+                                    pos_delete_paths=pos,
+                                    dv_paths=dv,
+                                    eq_deletes=eq_for(ent),
+                                    eq_match=eq_match,
+                                    change_type="DELETE",
+                                    row_groups=rg,
+                                    row_offset=off,
+                                    **common,
+                                )
                             )
-                        )
                     emitted = True
             if emitted:
                 ordinal += 1
@@ -900,15 +963,22 @@ class LakeCdcStreamReader(LakeStreamReader):
                 p.eq_deletes,
                 p.dv_paths,
                 self._renames,
+                row_groups=p.row_groups,
+                row_offset=p.row_offset,
             )
         elif p.kind == "masked":
-            tbl = pq.read_table(p.file_path)
-            idx = _tombstone_positions(
-                p.file_path, p.mask_pos_paths, p.mask_dv_paths
+            # tombstoned rows are usually a sliver of the file — read the
+            # positions first, then ONLY the row groups containing them
+            # (a whole-file read of an add_files-migrated multi-GiB file
+            # would materialize one giant Arrow table for a few rows)
+            tbl = _take_positions(
+                p.file_path,
+                _tombstone_positions(
+                    p.file_path, p.mask_pos_paths, p.mask_dv_paths
+                ),
             )
-            if not idx.size:
+            if tbl is None:
                 return
-            tbl = tbl.take(pa.array(idx[idx < tbl.num_rows]))
         elif p.kind == "eq":
             tbl = _visible_table(
                 p.file_path,
@@ -916,6 +986,8 @@ class LakeCdcStreamReader(LakeStreamReader):
                 p.eq_deletes,
                 p.dv_paths,
                 self._renames,
+                row_groups=p.row_groups,
+                row_offset=p.row_offset,
             )
             matched: set[int] = set()
             for paths, key_cols in p.eq_match:

@@ -717,3 +717,56 @@ def test_stream_read_splits_oversized_file(registered, cat, tmp_path):
     q.awaitTermination(120)
     got = {(r["id"], r["v"]) for r in spark.read.parquet(out_dir).collect()}
     assert got == {(i, f"v{i}") for i in range(600)}
+
+
+def test_cdc_stream_with_split_files_matches_batch_changes(registered, cat, tmp_path):
+    """CDC partitions split oversized files like the batch reader (and
+    the masked kind reads only the row groups containing tombstones);
+    the split stream must stay identical to the batch changes()."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = registered
+    t = cat.create_table(
+        "default.cdcsplit",
+        "id bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    src = tmp_path / "foreign"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(500), pa.int64()),
+                "v": pa.array([f"v{i}" for i in range(500)]),
+            }
+        ),
+        str(src / "big.parquet"),
+        row_group_size=50,
+    )
+    t.add_files(str(src))                     # insert kind over split file
+    t.delete("id % 83 = 1")                   # masked kind (MOR tombstones)
+    t.equality_delete(
+        spark.createDataFrame([("v7",), ("v450",)], "v string")
+    )                                         # eq kind over split file
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.format("lakehouse")
+        .option("location", t.metadata.location)
+        .option("mode", "cdc")
+        .option("starting-offset", "earliest")
+        .option("split-size", "2048")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    changes = t.changes(None, None)
+    assert _canon(got.select(*changes.columns)) == _canon(changes)
