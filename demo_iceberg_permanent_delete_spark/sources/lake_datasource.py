@@ -402,17 +402,44 @@ class LakeFilePartition(InputPartition):
 DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
 
 
+def _file_splits(entry, split_bytes: int) -> list:
+    """Shared split policy for every reader (batch, append stream, CDC):
+    a file at or under the threshold is one whole-file unit [(None, 0)];
+    an oversized one (add_files-migrated foreign parquet — own writes
+    target the threshold) fans out to one ((rg_start, rg_end),
+    row_offset) unit per ~split_bytes of row groups."""
+    if entry.file_size_in_bytes <= split_bytes:
+        return [(None, 0)]
+    return [
+        ((a, b), off)
+        for a, b, off in _plan_row_group_splits(entry.file_path, split_bytes)
+    ]
+
+
+# plain-dict memo, NOT functools.lru_cache: lru_cache wrappers pickle BY
+# REFERENCE (qualified-name reduce), which breaks the by-value module
+# shipping that the foreign-cwd streaming runner depends on (register()
+# uses cloudpickle.register_pickle_by_value — see that docstring)
+_SPLIT_MEMO: dict[tuple, tuple] = {}
+
+
 def _plan_row_group_splits(
     path: str, target_bytes: int
-) -> list[tuple[int, int, int]]:
+) -> tuple[tuple[int, int, int], ...]:
     """Greedy packing of a file's row groups into splits of ~target
     bytes → [(rg_start, rg_end, row_offset), …]. One footer read on the
     driver, only for files already known (from the manifest) to be
     oversized. A single giant row group can't be subdivided — the row
     group is this reader's atomic unit — so such a file degrades to one
-    partition per row group."""
+    partition per row group. Memoized: data files are immutable (uuid
+    paths, never rewritten in place), and the CDC planner may consult
+    the same oversized file once per commit per kind."""
     import pyarrow.parquet as pq
 
+    key = (path, target_bytes)
+    cached = _SPLIT_MEMO.get(key)
+    if cached is not None:
+        return cached
     md = pq.ParquetFile(path).metadata
     splits: list[tuple[int, int, int]] = []
     start, start_offset, offset, acc = 0, 0, 0, 0
@@ -424,7 +451,10 @@ def _plan_row_group_splits(
         acc += rg.total_byte_size
         offset += rg.num_rows
     splits.append((start, md.num_row_groups, start_offset))
-    return splits
+    while len(_SPLIT_MEMO) >= 256:
+        _SPLIT_MEMO.pop(next(iter(_SPLIT_MEMO)))
+    _SPLIT_MEMO[key] = tuple(splits)
+    return _SPLIT_MEMO[key]
 
 
 # ------------------------------------------------------------ batch read
@@ -483,26 +513,14 @@ class LakeBatchReader(DataSourceReader):
         )
         parts: list[LakeFilePartition] = []
         for e in data_entries:
-            if e.file_size_in_bytes <= split_bytes:
-                parts.append(
-                    LakeFilePartition(
-                        e.file_path, pos_paths, eq_for(e), dv_paths
-                    )
-                )
-                continue
-            # manifest says oversized (add_files-migrated foreign parquet
-            # — our own writer targets ~128 MiB): one footer read plans
-            # row-group splits so the file doesn't pin a single task
-            for a, b, offset in _plan_row_group_splits(
-                e.file_path, split_bytes
-            ):
+            for rg, offset in _file_splits(e, split_bytes):
                 parts.append(
                     LakeFilePartition(
                         e.file_path,
                         pos_paths,
                         eq_for(e),
                         dv_paths,
-                        row_groups=(a, b),
+                        row_groups=rg,
                         row_offset=offset,
                     )
                 )
@@ -690,23 +708,21 @@ class LakeStreamReader(DataSourceStreamReader):
         )
         parts: list[LakeFilePartition] = []
         for snap in _ancestry_chain(meta, start_id, end_id):
+            # replace snapshots (compaction, rewrites) rewrite EXISTING
+            # rows into new files — emitting their change set would
+            # re-stream the whole table as fresh appends after every
+            # rewrite_data_files (round-5 review finding; Iceberg's
+            # incremental scan skips replace commits the same way, and
+            # the CDC twin below already does)
+            if snap.operation == "replace":
+                continue
             for e in meta.change_set(snap.snapshot_id).added:
                 if e.content != 0:
                     continue
-                if e.file_size_in_bytes <= split_bytes:
-                    parts.append(LakeFilePartition(e.file_path))
-                    continue
-                # same split policy as the batch reader: an oversized
-                # add_files-migrated file would otherwise pin one task
-                # for the whole micro-batch
-                for a, b, offset in _plan_row_group_splits(
-                    e.file_path, split_bytes
-                ):
+                for rg, offset in _file_splits(e, split_bytes):
                     parts.append(
                         LakeFilePartition(
-                            e.file_path,
-                            row_groups=(a, b),
-                            row_offset=offset,
+                            e.file_path, row_groups=rg, row_offset=offset
                         )
                     )
         return parts or [LakeFilePartition(None)]
@@ -778,10 +794,16 @@ class LakeCdcStreamReader(LakeStreamReader):
     eqNullSafe key semantics (NULL keys match NULL values, same as the
     batch changelog). ``net_changes`` is a batch-only option.
 
-    Scale shape: one executor task per touched file, per commit — work is
-    bounded by each commit's delta exactly like the batch changelog; the
-    driver reads only tombstone-file path columns (metadata-proportional)
-    to schedule "masked" partitions.
+    Scale shape: one executor task per touched file per commit (several
+    for an oversized add_files-migrated file — row-group splits, same
+    policy as the batch reader) — work is bounded by each commit's delta
+    exactly like the batch changelog. Driver planning reads tombstone
+    -file path columns (metadata-proportional) to schedule "masked"
+    partitions, plus one memoized footer per oversized file for split
+    boundaries. Known trade-off: each split of a file under an
+    eq-delete commit re-reads the (typically small) equality-key files
+    for its own anti-/semi-join; position-delete reads are range-pruned
+    per split instead.
     """
 
     def __init__(self, schema: StructType, options) -> None:
@@ -819,19 +841,6 @@ class LakeCdcStreamReader(LakeStreamReader):
             self._options.get("split-size", DEFAULT_SPLIT_BYTES)
         )
 
-        def _splits(entry):
-            """Same split policy as the batch reader — an oversized
-            (add_files-migrated) file would otherwise be materialized as
-            ONE Arrow table on one executor."""
-            if entry.file_size_in_bytes <= split_bytes:
-                return [(None, 0)]
-            return [
-                ((a, b), off)
-                for a, b, off in _plan_row_group_splits(
-                    entry.file_path, split_bytes
-                )
-            ]
-
         parts: list[CdcPartition] = []
         ordinal = 0
         for snap in _ancestry_chain(meta, start_id, end_id):
@@ -847,7 +856,7 @@ class LakeCdcStreamReader(LakeStreamReader):
             emitted = False
             for e in delta.added:
                 if e.content == CONTENT_DATA:
-                    for rg, off in _splits(e):
+                    for rg, off in _file_splits(e, split_bytes):
                         parts.append(
                             CdcPartition(
                                 kind="insert",
@@ -866,7 +875,7 @@ class LakeCdcStreamReader(LakeStreamReader):
                     ent = parent_by_path.get(p)
                     if ent is None or ent.content != CONTENT_DATA:
                         continue
-                    for rg, off in _splits(ent):
+                    for rg, off in _file_splits(ent, split_bytes):
                         parts.append(
                             CdcPartition(
                                 kind="delete",
@@ -903,16 +912,24 @@ class LakeCdcStreamReader(LakeStreamReader):
                             .to_pylist()
                         )
                     for rp in sorted(refs):
-                        parts.append(
-                            CdcPartition(
-                                kind="masked",
-                                file_path=rp,
-                                mask_pos_paths=mask_pos,
-                                mask_dv_paths=mask_dv,
-                                change_type="DELETE",
-                                **common,
+                        ent = parent_by_path.get(rp)
+                        for rg, off in (
+                            _file_splits(ent, split_bytes)
+                            if ent is not None
+                            else [(None, 0)]
+                        ):
+                            parts.append(
+                                CdcPartition(
+                                    kind="masked",
+                                    file_path=rp,
+                                    mask_pos_paths=mask_pos,
+                                    mask_dv_paths=mask_dv,
+                                    change_type="DELETE",
+                                    row_groups=rg,
+                                    row_offset=off,
+                                    **common,
+                                )
                             )
-                        )
                     emitted = emitted or bool(refs)
                 eq_added = [
                     e
@@ -927,7 +944,7 @@ class LakeCdcStreamReader(LakeStreamReader):
                     for ent in parent.manifest:
                         if ent.content != CONTENT_DATA:
                             continue
-                        for rg, off in _splits(ent):
+                        for rg, off in _file_splits(ent, split_bytes):
                             parts.append(
                                 CdcPartition(
                                     kind="eq",
@@ -970,13 +987,27 @@ class LakeCdcStreamReader(LakeStreamReader):
             # tombstoned rows are usually a sliver of the file — read the
             # positions first, then ONLY the row groups containing them
             # (a whole-file read of an add_files-migrated multi-GiB file
-            # would materialize one giant Arrow table for a few rows)
-            tbl = _take_positions(
-                p.file_path,
-                _tombstone_positions(
-                    p.file_path, p.mask_pos_paths, p.mask_dv_paths
-                ),
+            # would materialize one giant Arrow table for a few rows).
+            # Split partitions additionally clamp to their own row range:
+            # a tombstone-HEAVY commit over an oversized file then bounds
+            # each task at ~split-size of touched groups.
+            rng = None
+            if p.row_groups is not None:
+                md = pq.ParquetFile(p.file_path).metadata
+                n = sum(
+                    md.row_group(i).num_rows
+                    for i in range(p.row_groups[0], p.row_groups[1])
+                )
+                rng = (p.row_offset, p.row_offset + n)
+            idx = _tombstone_positions(
+                p.file_path, p.mask_pos_paths, p.mask_dv_paths, row_range=rng
             )
+            if rng is not None:
+                # the row_range filter only scopes the row-layout read;
+                # DV position arrays arrive unclamped — drop out-of-range
+                # positions or splits would emit each other's rows
+                idx = idx[(idx >= rng[0]) & (idx < rng[1])]
+            tbl = _take_positions(p.file_path, idx)
             if tbl is None:
                 return
         elif p.kind == "eq":

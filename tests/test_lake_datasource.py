@@ -715,7 +715,9 @@ def test_stream_read_splits_oversized_file(registered, cat, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    got = {(r["id"], r["v"]) for r in spark.read.parquet(out_dir).collect()}
+    sink = spark.read.parquet(out_dir)
+    assert sink.count() == 600  # exactly-once: no overlap between splits
+    got = {(r["id"], r["v"]) for r in sink.collect()}
     assert got == {(i, f"v{i}") for i in range(600)}
 
 
@@ -770,3 +772,42 @@ def test_cdc_stream_with_split_files_matches_batch_changes(registered, cat, tmp_
     got = spark.read.parquet(out)
     changes = t.changes(None, None)
     assert _canon(got.select(*changes.columns)) == _canon(changes)
+
+
+def test_append_stream_skips_replace_snapshots(registered, cat, tmp_path):
+    """Review finding (round 5, fourth pass): a replace snapshot
+    (compaction/rewrite) rewrites EXISTING rows into new files — the
+    append stream must not re-emit them as fresh appends (Iceberg's
+    incremental scan skips replace commits the same way)."""
+    spark = registered
+    t = cat.create_table("default.dsreplace", "id bigint")
+    t.insert(spark.range(5).selectExpr("id"))
+    t.insert(spark.range(5, 10).selectExpr("id"))
+
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_batch():
+        stream = (
+            spark.readStream.format("lakehouse")
+            .option("location", t.metadata.location)
+            .option("starting-offset", "earliest")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    assert spark.read.parquet(out_dir).count() == 10
+
+    t.rewrite_data_files()  # replace snapshot: same rows, new files
+    t.insert(spark.range(10, 12).selectExpr("id"))
+    run_batch()
+    sink = spark.read.parquet(out_dir)
+    assert sink.count() == 12, "replace snapshot must not re-emit rows"
+    assert {r["id"] for r in sink.collect()} == set(range(12))
