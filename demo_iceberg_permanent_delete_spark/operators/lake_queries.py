@@ -491,6 +491,33 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # legitimately outgrow the broadcast threshold and shuffle
         if decision["right_bytes"] <= decision["threshold"]:
             assert decision["strategy"] == "broadcast_right", decision
+
+        # Facade per-scan pruning, driver-visible (X39/X41): a SQL
+        # statement whose WHERE provably scopes this table registers the
+        # manifest-PRUNED scan (lake/scanscope.py → scan(prune_only)).
+        # `o_note IS NULL` prunes the post-evolution files via their
+        # recorded null_count=0 while pre-evolution files (no o_note
+        # stats) are conservatively kept — so the scan must read strictly
+        # fewer files than the table holds, and its count must equal the
+        # manifest-derived pre-evolution row total.
+        from demo_iceberg_permanent_delete_spark.lake import LakeEngine
+
+        eng = LakeEngine(spark, warehouse)
+        pruned = eng.sql(
+            "SELECT o_orderkey FROM default.orders_evolve "
+            "WHERE o_note IS NULL"
+        )
+        data_files = t.metadata.current_snapshot().data_files()
+        n_scan = len(
+            {f for f in pruned.inputFiles() if f.endswith(".parquet")}
+        )
+        assert 0 < n_scan < len(data_files), (n_scan, len(data_files))
+        expected = sum(
+            e.record_count
+            for e in data_files
+            if "o_note" not in e.null_counts
+        )
+        assert pruned.count() == expected, (pruned.count(), expected)
         return joined.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
