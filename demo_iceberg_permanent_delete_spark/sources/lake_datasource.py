@@ -215,19 +215,20 @@ def _physical_name(column_names, name: str, renames) -> str | None:
     return None
 
 
-def _take_positions(path: str, idx):
+def _take_positions(path: str, idx, pf=None):
     """Rows of ``path`` at file-global positions ``idx``, reading ONLY
     the row groups that contain them (None when idx is empty). The
     footer's per-group row counts map global positions to (group, local
     index); selected groups concatenate in order, so local indices are
-    rebased onto the concatenated table."""
+    rebased onto the concatenated table. ``pf`` reuses a caller's open
+    ParquetFile (one footer parse per task, not two)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if not idx.size:
         return None
-    pf = pq.ParquetFile(path)
+    pf = pf or pq.ParquetFile(path)
     md = pf.metadata
     rg_rows = np.array(
         [md.row_group(i).num_rows for i in range(md.num_row_groups)],
@@ -412,7 +413,9 @@ def _file_splits(entry, split_bytes: int) -> list:
         return [(None, 0)]
     return [
         ((a, b), off)
-        for a, b, off in _plan_row_group_splits(entry.file_path, split_bytes)
+        for a, b, off in _plan_row_group_splits(
+            entry.file_path, split_bytes, entry.file_size_in_bytes
+        )
     ]
 
 
@@ -424,7 +427,7 @@ _SPLIT_MEMO: dict[tuple, tuple] = {}
 
 
 def _plan_row_group_splits(
-    path: str, target_bytes: int
+    path: str, target_bytes: int, file_size: int | None = None
 ) -> tuple[tuple[int, int, int], ...]:
     """Greedy packing of a file's row groups into splits of ~target
     bytes → [(rg_start, rg_end, row_offset), …]. One footer read on the
@@ -436,7 +439,11 @@ def _plan_row_group_splits(
     the same oversized file once per commit per kind."""
     import pyarrow.parquet as pq
 
-    key = (path, target_bytes)
+    # file_size (from the manifest) keys the memo so a foreign path
+    # recreated with different content within one process can't serve
+    # stale splits — the same identity concern the facade cache solves
+    # with inode/mtime
+    key = (path, target_bytes, file_size)
     cached = _SPLIT_MEMO.get(key)
     if cached is not None:
         return cached
@@ -706,6 +713,17 @@ class LakeStreamReader(DataSourceStreamReader):
         split_bytes = int(
             self._options.get("split-size", DEFAULT_SPLIT_BYTES)
         )
+        opts = self._options
+        skip_delete = (
+            str(opts.get("streaming-skip-delete-snapshots", "false")).lower()
+            == "true"
+        )
+        skip_overwrite = (
+            str(
+                opts.get("streaming-skip-overwrite-snapshots", "false")
+            ).lower()
+            == "true"
+        )
         parts: list[LakeFilePartition] = []
         for snap in _ancestry_chain(meta, start_id, end_id):
             # replace snapshots (compaction, rewrites) rewrite EXISTING
@@ -716,9 +734,30 @@ class LakeStreamReader(DataSourceStreamReader):
             # the CDC twin below already does)
             if snap.operation == "replace":
                 continue
-            for e in meta.change_set(snap.snapshot_id).added:
-                if e.content != 0:
+            added_data = [
+                e
+                for e in meta.change_set(snap.snapshot_id).added
+                if e.content == 0
+            ]
+            if snap.operation in ("delete", "overwrite") and added_data:
+                # COW delete / overwrite: the commit's added files hold
+                # REWRITTEN SURVIVOR rows, not appends — emitting them
+                # would near-duplicate the sink. Iceberg's streaming
+                # source throws on exactly these, with opt-in skip knobs
+                # of the same names. (A MOR delete adds only delete
+                # files, so it passes through with nothing to emit.)
+                if (snap.operation == "delete" and skip_delete) or (
+                    snap.operation == "overwrite" and skip_overwrite
+                ):
                     continue
+                raise ValueError(
+                    f"append stream cannot read a {snap.operation} "
+                    f"snapshot ({snap.snapshot_id}): its data files hold "
+                    "rewritten rows, not appends; set option "
+                    f"streaming-skip-{snap.operation}-snapshots=true to "
+                    "skip it"
+                )
+            for e in added_data:
                 for rg, offset in _file_splits(e, split_bytes):
                     parts.append(
                         LakeFilePartition(
@@ -992,8 +1031,9 @@ class LakeCdcStreamReader(LakeStreamReader):
             # a tombstone-HEAVY commit over an oversized file then bounds
             # each task at ~split-size of touched groups.
             rng = None
+            pf = pq.ParquetFile(p.file_path)
             if p.row_groups is not None:
-                md = pq.ParquetFile(p.file_path).metadata
+                md = pf.metadata
                 n = sum(
                     md.row_group(i).num_rows
                     for i in range(p.row_groups[0], p.row_groups[1])
@@ -1007,7 +1047,7 @@ class LakeCdcStreamReader(LakeStreamReader):
                 # DV position arrays arrive unclamped — drop out-of-range
                 # positions or splits would emit each other's rows
                 idx = idx[(idx >= rng[0]) & (idx < rng[1])]
-            tbl = _take_positions(p.file_path, idx)
+            tbl = _take_positions(p.file_path, idx, pf=pf)
             if tbl is None:
                 return
         elif p.kind == "eq":

@@ -811,3 +811,85 @@ def test_append_stream_skips_replace_snapshots(registered, cat, tmp_path):
     sink = spark.read.parquet(out_dir)
     assert sink.count() == 12, "replace snapshot must not re-emit rows"
     assert {r["id"] for r in sink.collect()} == set(range(12))
+
+
+def test_append_stream_rejects_cow_delete_unless_skipped(registered, cat, tmp_path):
+    """Review finding (round 5, fifth pass): a COW delete commit's added
+    files hold rewritten SURVIVOR rows — emitting them would
+    near-duplicate the sink. The append stream raises (Iceberg's
+    streaming source behavior) unless streaming-skip-delete-snapshots is
+    set, in which case the snapshot is skipped without duplication. A
+    MOR delete (delete files only) passes through silently."""
+    spark = registered
+    t = cat.create_table(
+        "default.dscow",
+        "id bigint",
+        properties={"write.delete.mode": "copy-on-write"},
+    )
+    # ONE file so the delete partially matches it and rewrites survivors
+    # (a wholly-matched file is dropped without rewrite — nothing to emit)
+    t.insert(spark.range(10).coalesce(1).selectExpr("id"))
+
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_batch(**opts):
+        reader = (
+            spark.readStream.format("lakehouse")
+            .option("location", t.metadata.location)
+            .option("starting-offset", "earliest")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    assert spark.read.parquet(out_dir).count() == 10
+
+    t.delete("id < 3")  # COW: rewrites survivors into new files
+    t.insert(spark.range(10, 12).selectExpr("id"))
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="delete.*snapshot|snapshot.*delete"):
+        run_batch()
+
+    run_batch(**{"streaming-skip-delete-snapshots": "true"})
+    sink = spark.read.parquet(out_dir)
+    # 10 initial + the 2 fresh appends; rewritten survivors NOT re-emitted
+    assert sink.count() == 12, sink.count()
+
+
+def test_append_stream_passes_mor_delete_silently(registered, cat, tmp_path):
+    """A MOR delete adds only delete files — the append stream has
+    nothing to emit and must not raise."""
+    spark = registered
+    t = cat.create_table(
+        "default.dsmor",
+        "id bigint",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(spark.range(10).selectExpr("id"))
+    t.delete("id < 3")
+    t.insert(spark.range(10, 12).selectExpr("id"))
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("location", t.metadata.location)
+        .option("starting-offset", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append semantics: raw added rows, deletes ignored (Iceberg default)
+    assert spark.read.parquet(out_dir).count() == 12
