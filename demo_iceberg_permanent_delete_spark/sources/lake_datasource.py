@@ -439,11 +439,17 @@ def _plan_row_group_splits(
     the same oversized file once per commit per kind."""
     import pyarrow.parquet as pq
 
-    # file_size (from the manifest) keys the memo so a foreign path
-    # recreated with different content within one process can't serve
-    # stale splits — the same identity concern the facade cache solves
-    # with inode/mtime
-    key = (path, target_bytes, file_size)
+    # identity = manifest size + the file's (inode, mtime_ns): a foreign
+    # path recreated or rewritten in place within one process (even at
+    # the same byte size) can't serve stale split boundaries — same
+    # scheme as the facade's metadata cache. One stat per call; the
+    # saved work is the footer open+parse.
+    try:
+        st = os.stat(path)
+        ident = (st.st_ino, st.st_mtime_ns)
+    except OSError:
+        ident = None
+    key = (path, target_bytes, file_size, ident)
     cached = _SPLIT_MEMO.get(key)
     if cached is not None:
         return cached
@@ -713,17 +719,13 @@ class LakeStreamReader(DataSourceStreamReader):
         split_bytes = int(
             self._options.get("split-size", DEFAULT_SPLIT_BYTES)
         )
-        opts = self._options
-        skip_delete = (
-            str(opts.get("streaming-skip-delete-snapshots", "false")).lower()
-            == "true"
-        )
-        skip_overwrite = (
-            str(
-                opts.get("streaming-skip-overwrite-snapshots", "false")
+        skip = {
+            op: str(
+                self._options.get(f"streaming-skip-{op}-snapshots", "false")
             ).lower()
             == "true"
-        )
+            for op in ("delete", "overwrite")
+        }
         parts: list[LakeFilePartition] = []
         for snap in _ancestry_chain(meta, start_id, end_id):
             # replace snapshots (compaction, rewrites) rewrite EXISTING
@@ -746,9 +748,7 @@ class LakeStreamReader(DataSourceStreamReader):
                 # source throws on exactly these, with opt-in skip knobs
                 # of the same names. (A MOR delete adds only delete
                 # files, so it passes through with nothing to emit.)
-                if (snap.operation == "delete" and skip_delete) or (
-                    snap.operation == "overwrite" and skip_overwrite
-                ):
+                if skip[snap.operation]:
                     continue
                 raise ValueError(
                     f"append stream cannot read a {snap.operation} "

@@ -855,7 +855,6 @@ def test_append_stream_rejects_cow_delete_unless_skipped(registered, cat, tmp_pa
 
     t.delete("id < 3")  # COW: rewrites survivors into new files
     t.insert(spark.range(10, 12).selectExpr("id"))
-    import pyspark.errors
 
     with pytest.raises(Exception, match="delete.*snapshot|snapshot.*delete"):
         run_batch()
