@@ -2,11 +2,16 @@
 """Benchmark harness (driver contract).
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints the
+compact contract line as the LAST line of stdout::
 
     {"metric": "total_query_wall", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
+
+A separate earlier ``{"detail": "spread_machine", ...}`` line carries the
+per-entry {min,med,max} spread and host fingerprint; it is deliberately NOT
+part of the contract line so diagnostic growth can never truncate the
+headline out of the driver's tail capture again (BENCH_r05 parsed:null).
 
 Each query is timed end-to-end (plan + execute) against the ``noop``
 sink, which fully materializes the result on executors without any
@@ -87,6 +92,18 @@ def main() -> None:
             "max": round(runs[-1], 4),
         }
 
+    # Two lines, compact value line LAST: the driver tail-captures stdout
+    # and parses the final JSON line, and round 5 proved the spread/machine
+    # fields grow past that window when folded into one line (BENCH_r05
+    # recorded parsed:null with total_query_wall truncated away — round-5
+    # verdict item 1). The diagnostic {spread, machine} object goes on its
+    # own EARLIER line so it stays recoverable from the raw log without
+    # ever displacing the headline number.
+    print(
+        json.dumps(
+            {"detail": "spread_machine", "spread": spread, "machine": _machine_state()}
+        )
+    )
     print(
         json.dumps(
             {
@@ -95,8 +112,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
-                "spread": spread,
-                "machine": _machine_state(),
             }
         )
     )
