@@ -663,14 +663,53 @@ def _visibility(meta, snap):
 
 
 class LakeStreamReader(DataSourceStreamReader):
-    """Incremental append scan as a streaming source. Offset =
-    {"snapshot_id": last-consumed main-ancestry snapshot, -1 = none}."""
+    """Incremental append scan as a streaming source.
+
+    Offset = {"snapshot_id": S} (all main-ancestry commits through S
+    consumed; -1 = none) or — under admission control — {"snapshot_id": S,
+    "pos": p}: commits through S's parent consumed plus the first ``p``
+    file-splits of S, in the deterministic order ``partitions`` emits them.
+    Iceberg's SparkMicroBatchStream uses the same (snapshotId, position)
+    offset shape for its ``streaming-max-files-per-micro-batch`` /
+    ``streaming-max-rows-per-micro-batch`` read limits; this mirrors those
+    option names. Without the options, offsets stay the bare legacy form so
+    existing checkpoints keep working.
+
+    Admission control lives in ``latestOffset`` (an offset range, once
+    logged, must be planned exactly — capping inside ``partitions`` would
+    silently drop the remainder): it advances the bounded end from the
+    reader's tracked position. The Python DataSource API has no
+    SupportsAdmissionControl (the JVM API hands ``latestOffset`` the start
+    offset; the Python one does not), so the tracker is instance state,
+    seeded by whichever of ``initialOffset``/``partitions``/``commit`` the
+    engine calls first.
+
+    Blind spot, deliberate: a ``latestOffset`` call that arrives before the
+    tracker is seeded returns the HEAD (unbounded). That happens exactly
+    twice in MicroBatchExecution's protocol: (a) the first micro-batch of a
+    fresh query — traced: latestOffset precedes initialOffset — and (b) the
+    first micro-batch after a restart whose last batch committed. In both,
+    the checkpointed/initial start is unknowable in-process, and returning
+    any offset that could sit BEHIND it would regress the engine's offset
+    log — a regressed log re-plans already-committed ranges, i.e. silent
+    duplication, strictly worse than one oversized batch. Every subsequent
+    batch is capped. Mitigations for the big-backlog first batch: the
+    default ``starting-offset`` is "latest" (empty batch 0), and
+    ``starting-offset``/``starting-timestamp`` bound an explicit catch-up;
+    a continuous stream over live commits — the steady state the caps
+    protect — is bounded throughout. ``Trigger.AvailableNow`` captures a
+    single ``latestOffset`` per run, so each availableNow run advances at
+    most one capped chunk; use a continuous trigger (or repeated runs) to
+    drain a backlog under caps."""
+
+    _divisible = True  # admission may stop mid-snapshot (CDC overrides)
 
     def __init__(self, schema: StructType, options) -> None:
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
         self._options = options
+        self._pos: dict | None = None  # last end offset this reader saw
         meta = _load_meta(options)  # one load for renames + offset resolution
         self._renames = meta.renames
         start_ts = options.get("starting-timestamp")
@@ -703,67 +742,176 @@ class LakeStreamReader(DataSourceStreamReader):
         else:
             self._initial = int(starting)
 
+    @staticmethod
+    def _off(snapshot_id: int, pos: int | None = None) -> dict:
+        """Normalized offset dict — the engine compares offsets as JSON
+        strings, so fully-consumed snapshots must always serialize to the
+        bare legacy form (never a null/0 "pos" variant)."""
+        if pos is None:
+            return {"snapshot_id": snapshot_id}
+        return {"snapshot_id": snapshot_id, "pos": pos}
+
+    def _opt_pos_int(self, name: str) -> int | None:
+        v = self._options.get(name)
+        if v is None:
+            return None
+        n = int(v)
+        if n <= 0:
+            raise ValueError(f"option {name} must be a positive integer, got {v!r}")
+        return n
+
+    def _append_units(self, meta, snap) -> list:
+        """One snapshot's append work units in the deterministic order
+        ``partitions`` emits them: [(entry, row_groups, row_offset,
+        n_rows), …]. Offsets' ``pos`` indexes into this list, so admission
+        planning and batch planning MUST share it."""
+        # replace snapshots (compaction, rewrites) rewrite EXISTING
+        # rows into new files — emitting their change set would
+        # re-stream the whole table as fresh appends after every
+        # rewrite_data_files (round-5 review finding; Iceberg's
+        # incremental scan skips replace commits the same way, and
+        # the CDC twin does too)
+        if snap.operation == "replace":
+            return []
+        added_data = [
+            e
+            for e in meta.change_set(snap.snapshot_id).added
+            if e.content == 0
+        ]
+        if snap.operation in ("delete", "overwrite") and added_data:
+            # COW delete / overwrite: the commit's added files hold
+            # REWRITTEN SURVIVOR rows, not appends — emitting them
+            # would near-duplicate the sink. Iceberg's streaming
+            # source throws on exactly these, with opt-in skip knobs
+            # of the same names. (A MOR delete adds only delete
+            # files, so it passes through with nothing to emit.)
+            skip = (
+                str(
+                    self._options.get(
+                        f"streaming-skip-{snap.operation}-snapshots", "false"
+                    )
+                ).lower()
+                == "true"
+            )
+            if skip:
+                return []
+            raise ValueError(
+                f"append stream cannot read a {snap.operation} "
+                f"snapshot ({snap.snapshot_id}): its data files hold "
+                "rewritten rows, not appends; set option "
+                f"streaming-skip-{snap.operation}-snapshots=true to "
+                "skip it"
+            )
+        split_bytes = int(self._options.get("split-size", DEFAULT_SPLIT_BYTES))
+        units = []
+        for e in added_data:
+            splits = _file_splits(e, split_bytes)
+            row_starts = [off for _, off in splits] + [e.record_count]
+            for i, (rg, off) in enumerate(splits):
+                units.append((e, rg, off, row_starts[i + 1] - off))
+        return units
+
+    def _admission_units(self, meta, snap) -> list[int]:
+        """Per-unit row counts for admission accounting; index-aligned
+        with ``_append_units`` so a mid-snapshot stop position is valid
+        for ``partitions``."""
+        return [n for *_rest, n in self._append_units(meta, snap)]
+
     def initialOffset(self) -> dict:
-        return {"snapshot_id": self._initial}
+        self._pos = self._off(self._initial)
+        return self._off(self._initial)
 
     def latestOffset(self) -> dict:
         meta = _load_meta(self._options)  # reload: see concurrent commits
         cur = meta.current_snapshot_id
-        return {"snapshot_id": cur if cur is not None else -1}
+        head = cur if cur is not None else -1
+        max_files = self._opt_pos_int("streaming-max-files-per-micro-batch")
+        max_rows = self._opt_pos_int("streaming-max-rows-per-micro-batch")
+        if (max_files is None and max_rows is None) or head == -1:
+            self._pos = self._off(head)
+            return self._off(head)
+        if self._pos is None:
+            # Unseeded tracker (fresh query's first latestOffset, or a
+            # restart whose last batch committed): the engine never hands a
+            # Python stream reader the start position, and the only end
+            # safe against every possible checkpoint is the head — a
+            # bounded guess that lands BEHIND the checkpoint would regress
+            # the offset log into silent re-emission. One unbounded batch;
+            # initialOffset/partitions seed the tracker during it, so every
+            # subsequent batch is capped. See the class docstring.
+            self._pos = self._off(head)
+            return self._off(head)
+        start_id = self._pos["snapshot_id"]
+        start_pos = self._pos.get("pos")
+        if start_id == head and start_pos is None:
+            return dict(self._pos)
+        work = []
+        if start_pos is not None:
+            work.append((meta.snapshot_by_id(start_id), start_pos))
+        work.extend((s, 0) for s in _ancestry_chain(meta, start_id, head))
+        budget_files = max_files if max_files is not None else float("inf")
+        budget_rows = max_rows if max_rows is not None else float("inf")
+        admitted = 0  # ≥1 unit per batch even when one unit exceeds a cap
+        end = dict(self._pos)
+        for snap, skip_n in work:
+            units = self._admission_units(meta, snap)
+            if not self._divisible:
+                # snapshot-atomic (CDC): a commit's change set is admitted
+                # whole or not at all
+                cost_files, cost_rows = len(units), sum(units)
+                if admitted and (
+                    budget_files < cost_files or budget_rows < cost_rows
+                ):
+                    break
+                budget_files -= cost_files
+                budget_rows -= cost_rows
+                admitted += cost_files
+                end = self._off(snap.snapshot_id)
+                continue
+            take, stopped = skip_n, False
+            for n_rows in units[skip_n:]:
+                if admitted and (budget_files < 1 or budget_rows < n_rows):
+                    stopped = True
+                    break
+                budget_files -= 1
+                budget_rows -= n_rows
+                admitted += 1
+                take += 1
+            if take >= len(units):
+                end = self._off(snap.snapshot_id)
+            elif take > skip_n or skip_n > 0:
+                end = self._off(snap.snapshot_id, take)
+            if stopped:
+                break
+        self._pos = dict(end)
+        return end
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # engine-driven position (checkpoint replay after a crash mid-batch
+        # lands here without a prior latestOffset) — track it so admission
+        # control resumes from the truth
+        self._pos = dict(end)
         start_id, end_id = start["snapshot_id"], end["snapshot_id"]
-        if end_id == -1 or start_id == end_id:
+        start_pos, end_pos = start.get("pos"), end.get("pos")
+        if end_id == -1 or (start_id == end_id and start_pos == end_pos):
             return [LakeFilePartition(None)]
         meta = _load_meta(self._options)
-        split_bytes = int(
-            self._options.get("split-size", DEFAULT_SPLIT_BYTES)
-        )
-        skip = {
-            op: str(
-                self._options.get(f"streaming-skip-{op}-snapshots", "false")
-            ).lower()
-            == "true"
-            for op in ("delete", "overwrite")
-        }
+        work = []
+        if start_pos is not None:
+            work.append((meta.snapshot_by_id(start_id), start_pos))
+        if start_id != end_id:
+            work.extend((s, 0) for s in _ancestry_chain(meta, start_id, end_id))
         parts: list[LakeFilePartition] = []
-        for snap in _ancestry_chain(meta, start_id, end_id):
-            # replace snapshots (compaction, rewrites) rewrite EXISTING
-            # rows into new files — emitting their change set would
-            # re-stream the whole table as fresh appends after every
-            # rewrite_data_files (round-5 review finding; Iceberg's
-            # incremental scan skips replace commits the same way, and
-            # the CDC twin below already does)
-            if snap.operation == "replace":
-                continue
-            added_data = [
-                e
-                for e in meta.change_set(snap.snapshot_id).added
-                if e.content == 0
-            ]
-            if snap.operation in ("delete", "overwrite") and added_data:
-                # COW delete / overwrite: the commit's added files hold
-                # REWRITTEN SURVIVOR rows, not appends — emitting them
-                # would near-duplicate the sink. Iceberg's streaming
-                # source throws on exactly these, with opt-in skip knobs
-                # of the same names. (A MOR delete adds only delete
-                # files, so it passes through with nothing to emit.)
-                if skip[snap.operation]:
-                    continue
-                raise ValueError(
-                    f"append stream cannot read a {snap.operation} "
-                    f"snapshot ({snap.snapshot_id}): its data files hold "
-                    "rewritten rows, not appends; set option "
-                    f"streaming-skip-{snap.operation}-snapshots=true to "
-                    "skip it"
-                )
-            for e in added_data:
-                for rg, offset in _file_splits(e, split_bytes):
-                    parts.append(
-                        LakeFilePartition(
-                            e.file_path, row_groups=rg, row_offset=offset
-                        )
+        for snap, skip_n in work:
+            units = self._append_units(meta, snap)
+            if snap.snapshot_id == end_id and end_pos is not None:
+                units = units[:end_pos]
+            for e, rg, offset, _n in units[skip_n:]:
+                parts.append(
+                    LakeFilePartition(
+                        e.file_path, row_groups=rg, row_offset=offset
                     )
+                )
         return parts or [LakeFilePartition(None)]
 
     def read(self, partition: LakeFilePartition) -> Iterator:
@@ -778,7 +926,9 @@ class LakeStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the table's own metadata
+        # offsets are durable in the table's own metadata; tracking the
+        # committed end keeps admission control aligned with the engine
+        self._pos = dict(end)
 
 
 # ------------------------------------------------------------ CDC stream
@@ -845,6 +995,34 @@ class LakeCdcStreamReader(LakeStreamReader):
     per split instead.
     """
 
+    # a commit's change set is one atomic CDC unit: admission control
+    # (streaming-max-files/rows-per-micro-batch) stops only at snapshot
+    # boundaries, so CDC offsets never carry a mid-snapshot "pos"
+    _divisible = False
+
+    def _admission_units(self, meta, snap) -> list[int]:
+        """Approximate per-commit CDC cost: one unit per changed manifest
+        entry (added or removed file) weighted by its record_count. The
+        masked/eq kinds can fan out to more parent files than this counts —
+        the caps are a planning bound for batch sizing, not an exact row
+        budget (Iceberg's read limits are soft the same way)."""
+        if snap.operation == "replace":
+            return []
+        delta = meta.change_set(snap.snapshot_id)
+        units = [e.record_count for e in delta.added]
+        parent = (
+            meta._maybe_snapshot(snap.parent_id)
+            if snap.parent_id is not None
+            else None
+        )
+        by_path = (
+            {e.file_path: e for e in parent.manifest} if parent is not None else {}
+        )
+        units += [
+            by_path[p].record_count for p in delta.removed if p in by_path
+        ]
+        return units
+
     def __init__(self, schema: StructType, options) -> None:
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -872,6 +1050,7 @@ class LakeCdcStreamReader(LakeStreamReader):
             CONTENT_POSITION_DELETES,
         )
 
+        self._pos = dict(end)  # keep admission control replay-aligned
         start_id, end_id = start["snapshot_id"], end["snapshot_id"]
         if end_id == -1 or start_id == end_id:
             return [CdcPartition()]

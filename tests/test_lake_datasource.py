@@ -892,3 +892,243 @@ def test_append_stream_passes_mor_delete_silently(registered, cat, tmp_path):
     q.awaitTermination(120)
     # append semantics: raw added rows, deletes ignored (Iceberg default)
     assert spark.read.parquet(out_dir).count() == 12
+
+
+# ----------------------------------------------- streaming admission control
+def _mk_reader(t, **extra):
+    from pyspark.sql.types import StructType
+
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        LakeStreamReader,
+    )
+
+    opts = {"location": t.metadata.location, "starting-offset": "earliest"}
+    opts.update(extra)
+    return LakeStreamReader(StructType.fromDDL("id bigint, v string"), opts)
+
+
+def _drain(reader, start=None, max_batches=50):
+    """Drive the reader the way MicroBatchExecution does: latestOffset →
+    partitions → read → commit, until the offset stops advancing. Returns
+    [(end_offset, real_partition_count, ids)] per micro-batch."""
+    off = start if start is not None else reader.initialOffset()
+    batches = []
+    for _ in range(max_batches):
+        end = reader.latestOffset()
+        if end == off:
+            break
+        parts = [
+            p for p in reader.partitions(off, end) if p.file_path is not None
+        ]
+        ids = []
+        for p in parts:
+            for rb in reader.read(p):
+                ids.extend(rb.column("id").to_pylist())
+        reader.commit(end)
+        batches.append((end, len(parts), ids))
+        off = end
+    else:
+        raise AssertionError("stream did not drain within max_batches")
+    return batches
+
+
+def _seed_nine_files(spark, cat, name):
+    """3 commits x 3 single-split files x 3 rows = 9 units, 27 rows."""
+    t = cat.create_table(name, "id bigint, v string")
+    for c in range(3):
+        rows = [(c * 9 + i, f"v{c * 9 + i}") for i in range(9)]
+        t.insert(
+            spark.createDataFrame(rows, "id long, v string").repartition(3)
+        )
+    return t
+
+
+def test_stream_admission_max_files(registered, cat):
+    """streaming-max-files-per-micro-batch bounds every planned batch at
+    the cap, offsets stop mid-snapshot, and the union is exactly-once."""
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.adm1")
+    reader = _mk_reader(t, **{"streaming-max-files-per-micro-batch": "2"})
+    batches = _drain(reader)
+    assert [n for _, n, _ in batches] == [2, 2, 2, 2, 1]
+    assert any("pos" in end for end, _, _ in batches)  # mid-snapshot stops
+    assert "pos" not in batches[-1][0]  # final offset is the bare form
+    all_ids = [i for _, _, ids in batches for i in ids]
+    assert sorted(all_ids) == list(range(27))  # exactly-once
+    # fully drained: one more poll plans nothing
+    assert reader.latestOffset() == batches[-1][0]
+
+
+def test_stream_admission_max_rows(registered, cat):
+    """streaming-max-rows-per-micro-batch: batches stop before exceeding
+    the row cap, but a single over-cap unit is still admitted (progress
+    guarantee), so the stream always drains."""
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.adm2")
+    # 3-row files, cap 4: one file per batch (two files = 6 > 4)
+    batches = _drain(
+        _mk_reader(t, **{"streaming-max-rows-per-micro-batch": "4"})
+    )
+    assert [n for _, n, _ in batches] == [1] * 9
+    assert all(len(ids) <= 4 for _, _, ids in batches)
+    assert sorted(i for _, _, ids in batches for i in ids) == list(range(27))
+    # cap below any single unit: still one unit per batch, never stuck
+    t2 = _seed_nine_files(spark, cat, "default.adm3")
+    batches2 = _drain(
+        _mk_reader(t2, **{"streaming-max-rows-per-micro-batch": "1"})
+    )
+    assert [n for _, n, _ in batches2] == [1] * 9
+
+
+def test_stream_admission_resume_mid_commit(registered, cat):
+    """Crash replay: a fresh reader asked to re-plan a logged mid-snapshot
+    offset range emits exactly that range, and its admission tracker
+    resumes bounded from the replayed end."""
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.adm4")
+    opts = {"streaming-max-files-per-micro-batch": "2"}
+    reader_a = _mk_reader(t, **opts)
+    off0 = reader_a.initialOffset()
+    end1 = reader_a.latestOffset()
+    assert end1.get("pos") == 2  # stopped inside the first commit
+    ids1 = []
+    for p in reader_a.partitions(off0, end1):
+        if p.file_path is not None:
+            for rb in reader_a.read(p):
+                ids1.extend(rb.column("id").to_pylist())
+    # crash before commit: the engine replays [off0, end1] on a NEW reader
+    # (no initialOffset call on restart) before asking for new offsets
+    reader_b = _mk_reader(t, **opts)
+    ids1_replay = []
+    parts = [
+        p for p in reader_b.partitions(off0, end1) if p.file_path is not None
+    ]
+    for p in parts:
+        for rb in reader_b.read(p):
+            ids1_replay.extend(rb.column("id").to_pylist())
+    assert sorted(ids1_replay) == sorted(ids1) and len(parts) == 2
+    reader_b.commit(end1)
+    # the tracker was seeded by partitions(): the next batch is bounded
+    rest = _drain(reader_b, start=end1)
+    assert [n for _, n, _ in rest] == [2, 2, 2, 1]
+    assert sorted(ids1 + [i for _, _, ids in rest for i in ids]) == list(
+        range(27)
+    )
+
+
+def test_stream_admission_restart_after_commit_is_unbounded_once(
+    registered, cat
+):
+    """Restart whose last batch committed: the Python API never reveals the
+    checkpointed start, so the first latestOffset must return the head
+    (bounding it could regress behind the checkpoint); subsequent batches
+    are bounded again. Documented blind spot, pinned here."""
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.adm5")
+    reader = _mk_reader(t, **{"streaming-max-files-per-micro-batch": "2"})
+    head = t.metadata.current_snapshot_id
+    assert reader.latestOffset() == {"snapshot_id": head}
+
+
+def test_cdc_stream_admission_is_snapshot_atomic(registered, cat):
+    """CDC admission stops only at commit boundaries: with a 1-file cap
+    and 2-file commits, each batch is one WHOLE commit (a commit's change
+    set is one atomic changelog unit) and offsets never carry pos."""
+    from pyspark.sql.types import StructType
+
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        LakeCdcStreamReader,
+    )
+
+    spark = registered
+    t = cat.create_table("default.adm6", "id bigint, v string")
+    for c in range(3):
+        rows = [(c * 4 + i, f"v{c * 4 + i}") for i in range(4)]
+        t.insert(
+            spark.createDataFrame(rows, "id long, v string").repartition(2)
+        )
+    schema = StructType.fromDDL(
+        "id bigint, v string, _change_type string, _change_ordinal int,"
+        " _commit_snapshot_id bigint"
+    )
+    reader = LakeCdcStreamReader(
+        schema,
+        {
+            "location": t.metadata.location,
+            "starting-offset": "earliest",
+            "mode": "cdc",
+            "streaming-max-files-per-micro-batch": "1",
+        },
+    )
+    off = reader.initialOffset()
+    seen, commits_per_batch = [], []
+    for _ in range(10):
+        end = reader.latestOffset()
+        if end == off:
+            break
+        assert "pos" not in end
+        parts = [
+            p for p in reader.partitions(off, end) if p.file_path is not None
+        ]
+        commit_ids = set()
+        for p in parts:
+            commit_ids.add(p.commit_id)
+            for rb in reader.read(p):
+                seen.extend(rb.column("id").to_pylist())
+        commits_per_batch.append(len(commit_ids))
+        reader.commit(end)
+        off = end
+    assert commits_per_batch == [1, 1, 1]
+    assert sorted(seen) == list(range(12))
+
+
+@pytest.mark.slow
+def test_stream_admission_end_to_end(registered, cat, tmp_path):
+    """Real engine run: a continuous-trigger stream under a row cap drains
+    commits that land while it runs in >=2 bounded micro-batches,
+    exactly-once. (The FIRST batch of a fresh query is unbounded by design
+    — MicroBatchExecution calls latestOffset before the reader can learn
+    its start; see the LakeStreamReader docstring — so the capped backlog
+    here arrives after the stream starts, the steady state the caps
+    protect.)"""
+    import time
+
+    spark = registered
+    t = cat.create_table("default.adm7", "id bigint, v string")
+    t.insert(spark.createDataFrame([(99, "pre")], "id long, v string"))
+    batch_counts = []
+
+    def sink(df, _bid):
+        n = df.count()
+        if n:
+            batch_counts.append(n)
+
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("location", t.metadata.location)
+        .option("starting-offset", "earliest")
+        .option("streaming-max-rows-per-micro-batch", "7")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while sum(batch_counts) < 1 and time.time() < deadline:
+            time.sleep(0.2)  # batch 0 (the 1-row pre-commit) done
+        for c in range(3):  # 27-row backlog lands while the stream runs
+            rows = [(c * 9 + i, f"v{c * 9 + i}") for i in range(9)]
+            t.insert(
+                spark.createDataFrame(rows, "id long, v string").repartition(3)
+            )
+        while sum(batch_counts) < 28 and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    assert sum(batch_counts) == 28  # exactly-once
+    assert len(batch_counts) >= 3
+    # 3-row units under a 7-row cap: at most 2 files per batch after the
+    # 1-row batch 0
+    assert all(n <= 7 for n in batch_counts)
