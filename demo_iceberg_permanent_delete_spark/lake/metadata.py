@@ -131,6 +131,41 @@ class ManifestDelta:
     base: bool = False  # True: `added` IS the full set; stop the walk here
 
 
+def summarize_delta(delta: ManifestDelta) -> dict[str, Any]:
+    """Header-borne bounds summary of a delta's ADDED DATA entries, stored
+    as Snapshot.delta_bounds — Iceberg's manifest-list partition_summaries
+    role. Per-column min/max (and summed null counts) fold only over
+    columns that EVERY added data entry carries with comparable values; a
+    column any entry lacks is omitted, i.e. unknown, i.e. unprunable —
+    the same sound-by-omission rule the per-file pruner uses."""
+    data = [e for e in delta.added if e.content == CONTENT_DATA]
+    out: dict[str, Any] = {
+        "removes": len(delta.removed),
+        "data_only": len(data) == len(delta.added),
+        "record_count": sum(e.record_count for e in data),
+        "min_values": {},
+        "max_values": {},
+        "null_counts": {},
+    }
+    if not data:
+        return out
+    for col in set(data[0].min_values) & set(data[0].max_values):
+        try:
+            los = [e.min_values[col] for e in data]
+            his = [e.max_values[col] for e in data]
+            if any(v is None for v in los + his):
+                continue
+            out["min_values"][col] = min(los)
+            out["max_values"][col] = max(his)
+        except (KeyError, TypeError):
+            continue  # absent in some entry / uncomparable mix → unknown
+    for col in set(data[0].null_counts):
+        counts = [e.null_counts.get(col) for e in data]
+        if all(isinstance(c, int) for c in counts):
+            out["null_counts"][col] = sum(counts)
+    return out
+
+
 @dataclass
 class Snapshot:
     """Snapshot HEADER. The file set lives in the per-snapshot delta
@@ -144,6 +179,14 @@ class Snapshot:
     summary: dict[str, Any] = field(default_factory=dict)
     manifest_file: str | None = None  # delta JSONL path (set at add time)
     base: bool = False  # delta IS the full set — ancestry walks stop here
+    # Header-borne summary of the delta file's ADDED DATA entries — the
+    # role of Iceberg's manifest-list partition_summaries: scoped scan
+    # planning consults these to skip whole delta files without opening
+    # them (TableMetadata.scoped_manifest). {"removes": int, "data_only":
+    # bool, "record_count": int, "min_values"/"max_values"/"null_counts":
+    # per-column folds over columns EVERY added data entry carries}.
+    # None = unknown (pre-upgrade snapshot) → never skipped.
+    delta_bounds: dict[str, Any] | None = None
     _resolve: Callable[[Snapshot], list[ManifestEntry]] | None = field(
         default=None, repr=False, compare=False
     )
@@ -174,6 +217,7 @@ class Snapshot:
             "summary": self.summary,
             "manifest_file": self.manifest_file,
             "base": self.base,
+            "delta_bounds": self.delta_bounds,
         }
 
     @classmethod
@@ -187,6 +231,7 @@ class Snapshot:
             manifest_file=d.get("manifest_file"),
             # legacy inline-manifest snapshots are self-contained
             base=d.get("base", "manifest" in d),
+            delta_bounds=d.get("delta_bounds"),
         )
 
 
@@ -239,6 +284,9 @@ class TableMetadata:
     _written_deltas: set[int] = field(
         default_factory=set, repr=False, compare=False
     )
+    # observability: delta manifest files actually opened from disk by
+    # this instance (scoped_manifest tests and planning diagnostics)
+    delta_file_reads: int = field(default=0, repr=False, compare=False)
 
     # ------------------------------------------------------------------ io
     @property
@@ -375,6 +423,7 @@ class TableMetadata:
                 f"({snap.manifest_file})"
             )
         delta = ManifestDelta()
+        self.delta_file_reads += 1
         with open(snap.manifest_file) as fh:
             for line in fh:
                 if not line.strip():
@@ -420,6 +469,92 @@ class TableMetadata:
         out = list(files.values())
         self._full_cache[snap.snapshot_id] = out
         return out
+
+    def scoped_manifest(
+        self,
+        snap: Snapshot,
+        predicate: str | None,
+        partition_fields: list | None = None,
+        aliases: dict[str, list[str]] | None = None,
+    ) -> list[ManifestEntry]:
+        """Manifest-LEVEL pruning: resolve the file set for a scan scoped
+        by ``predicate``, skipping — without opening — whole delta manifest
+        files whose header-recorded bounds (Snapshot.delta_bounds, the
+        manifest-list partition_summaries role) prove no added data file
+        can match. At millions of files this bounds scoped planning by the
+        touched deltas instead of O(live files) (round-5 verdict item 3).
+
+        Returns a SUPERSET of the matching data files (callers re-apply
+        the predicate and run the per-file pruner) plus ALL delete files —
+        a sound drop-in for ``snap.manifest`` in predicate-scoped reads:
+
+        - only pure-APPEND deltas skip (``removes == 0``): a skipped
+          delta's own entries are simply absent, and later removals of
+          absent paths are no-ops, so membership of everything else is
+          unchanged;
+        - only DATA-ONLY deltas skip: skipping a delta that added
+          position/equality delete files would resurrect deleted rows;
+        - the skip test runs the same ``candidate_files`` evaluator as the
+          per-file pass, on a synthetic entry carrying the folded bounds —
+          BETWEEN masking, bucket-transform projection and rename aliases
+          all apply identically;
+        - a base delta may skip under the same rules (fold order puts the
+          base first, so the set it would seed is empty either way);
+        - snapshots without recorded bounds (pre-upgrade) never skip.
+
+        Not cached and never written to ``_full_cache`` — the result is
+        predicate-relative; when the full set is already resolved the
+        cached copy is returned instead (no reads left to save)."""
+        if not predicate or not isinstance(predicate, str):
+            return snap.manifest
+        if snap.snapshot_id in self._full_cache:
+            return self._full_cache[snap.snapshot_id]
+        from demo_iceberg_permanent_delete_spark.lake.pruning import (
+            candidate_files,
+        )
+
+        chain: list[Snapshot] = []
+        cur: Snapshot | None = snap
+        while cur is not None:
+            chain.append(cur)
+            if cur.base or cur.parent_id is None:
+                break
+            cur = self._maybe_snapshot(cur.parent_id)
+            if cur is None:
+                raise KeyError(
+                    f"snapshot chain for {snap.snapshot_id} references an "
+                    "expired ancestor with no materialized base"
+                )
+        files: dict[str, ManifestEntry] = {}
+        for s in reversed(chain):
+            b = s.delta_bounds
+            if (
+                b is not None
+                and not b.get("removes")
+                and b.get("data_only")
+                and s.snapshot_id not in self._deltas  # in-memory: free
+            ):
+                synth = ManifestEntry(
+                    file_path="",
+                    content=CONTENT_DATA,
+                    record_count=b.get("record_count", 0),
+                    file_size_in_bytes=0,
+                    min_values=b.get("min_values") or {},
+                    max_values=b.get("max_values") or {},
+                    null_counts=b.get("null_counts") or {},
+                )
+                if not candidate_files(
+                    [synth], predicate, partition_fields, aliases=aliases
+                ):
+                    continue  # whole delta provably out of scope: skip
+            delta = self.delta_of(s.snapshot_id)
+            if delta.base:
+                files = {}
+            for path in delta.removed:
+                files.pop(path, None)
+            for e in delta.added:
+                files[e.file_path] = e
+        return list(files.values())
 
     def _maybe_snapshot(self, snapshot_id: int) -> Snapshot | None:
         for s in self.snapshots:
@@ -482,6 +617,10 @@ class TableMetadata:
         self._deltas[s.snapshot_id] = ManifestDelta(added=full, base=True)
         self._full_cache[s.snapshot_id] = full
         s.base = True
+        # folded manifests get fresh bounds too (rewrite_manifests path):
+        # a scoped scan can skip even the base when its whole fold is out
+        # of scope and it carries no delete files
+        s.delta_bounds = summarize_delta(self._deltas[s.snapshot_id])
         s.manifest_file = os.path.join(
             self.metadata_dir,
             f"manifest-{s.snapshot_id}-base-v{self.version + 1}.json",
@@ -640,6 +779,7 @@ class TableMetadata:
         snap.manifest_file = os.path.join(
             self.metadata_dir, f"manifest-{snap.snapshot_id}.json"
         )
+        snap.delta_bounds = summarize_delta(delta)
         snap._resolve = self.resolve_manifest
         self._deltas[snap.snapshot_id] = delta
         self._full_cache[snap.snapshot_id] = list(manifest)

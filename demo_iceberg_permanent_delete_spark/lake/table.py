@@ -557,22 +557,35 @@ class LakeTable:
         snap = self.metadata.current_snapshot()
         if snap is None:
             return self.empty_frame()
+        from demo_iceberg_permanent_delete_spark.lake.metadata import CONTENT_DATA
         from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
 
+        # manifest-LEVEL pruning first: whole delta manifest files whose
+        # header-recorded bounds can't match are never even opened
+        # (metadata.scoped_manifest — superset of matching data files plus
+        # ALL delete files), then the per-file pruner narrows within the
+        # deltas that were read
+        scoped = self.metadata.scoped_manifest(
+            snap,
+            predicate if isinstance(predicate, str) else None,
+            self._partition_fields,
+            aliases=self.metadata.renames,
+        )
+        data_entries = [e for e in scoped if e.content == CONTENT_DATA]
         entries = (
             candidate_files(
-                snap.data_files(),
+                data_entries,
                 predicate,
                 self._partition_fields,
                 aliases=self.metadata.renames,
             )
             if isinstance(predicate, str)
-            else snap.data_files()
+            else data_entries
         )
         if not entries:
             return self.empty_frame()
         df = self._data_reader().parquet(*[e.file_path for e in entries])
-        delete_files = snap.delete_files()
+        delete_files = [e for e in scoped if e.content != CONTENT_DATA]
         if delete_files:
             df = self._apply_delete_files(
                 self._with_position(df), delete_files, entries
@@ -981,12 +994,19 @@ class LakeTable:
         ``prune_for`` applies manifest min/max file pruning for a string
         predicate (the rows of skipped files provably cannot match)."""
         snap = snap or self.metadata.current_snapshot()
-        if snap is None or not snap.data_files():
+        if snap is None:
             return self.empty_frame().withColumns(
                 {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
             )
-        data_entries = snap.data_files()
-        if prune_for is not None:
+        from demo_iceberg_permanent_delete_spark.lake.metadata import CONTENT_DATA
+
+        # manifest-level skip first (whole out-of-scope delta files are
+        # never opened), per-file pruning within what was read
+        scoped = self.metadata.scoped_manifest(
+            snap, prune_for, self._partition_fields, aliases=self.metadata.renames
+        )
+        data_entries = [e for e in scoped if e.content == CONTENT_DATA]
+        if prune_for is not None and data_entries:
             from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
 
             data_entries = candidate_files(
@@ -995,13 +1015,13 @@ class LakeTable:
                 self._partition_fields,
                 aliases=self.metadata.renames,
             )
-            if not data_entries:
-                return self.empty_frame().withColumns(
-                    {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
-                )
+        if not data_entries:
+            return self.empty_frame().withColumns(
+                {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
+            )
         df = self._data_reader().parquet(*[e.file_path for e in data_entries])
         with_pos = self._with_position(df)
-        delete_files = snap.delete_files()
+        delete_files = [e for e in scoped if e.content != CONTENT_DATA]
         if not delete_files:
             return with_pos
         return self._apply_delete_files(with_pos, delete_files, data_entries)

@@ -502,25 +502,32 @@ class LakeBatchReader(DataSourceReader):
         )
         if snap is None:
             return [LakeFilePartition(None)]
-        data_entries = snap.data_files()
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            parse_partition_by,
+        )
+
+        part_fields = parse_partition_by(self._meta.partition_by)
+        # manifest-level skip first (out-of-scope delta files never
+        # opened; keeps all delete files), then per-file pruning
+        scoped = self._meta.scoped_manifest(
+            snap, self._predicate, part_fields, aliases=self._meta.renames
+        )
+        data_entries = [e for e in scoped if e.content == 0]
         if self._predicate:
             from demo_iceberg_permanent_delete_spark.lake.pruning import (
                 candidate_files,
-            )
-            from demo_iceberg_permanent_delete_spark.lake.transforms import (
-                parse_partition_by,
             )
 
             data_entries = candidate_files(
                 data_entries,
                 self._predicate,
-                parse_partition_by(self._meta.partition_by),
+                part_fields,
                 aliases=self._meta.renames,
             )
         if not data_entries:
             return [LakeFilePartition(None)]
 
-        pos_paths, dv_paths, eq_for = _visibility(self._meta, snap)
+        pos_paths, dv_paths, eq_for = _visibility(self._meta, snap, entries=scoped)
         split_bytes = int(
             self._options.get("split-size", DEFAULT_SPLIT_BYTES)
         )
@@ -627,17 +634,24 @@ def _ancestry_chain(meta, start_id: int, end_id: int):
     return chain
 
 
-def _visibility(meta, snap):
+def _visibility(meta, snap, entries=None):
     """A snapshot's delete files split for the executor-side MOR read:
     (row-layout position-delete paths, DV paths, eq_for(data_entry)) —
     ``eq_for`` applies the Iceberg sequence rule (an equality delete only
-    masks data files committed strictly before it)."""
+    masks data files committed strictly before it). ``entries`` supplies a
+    pre-resolved manifest (e.g. metadata.scoped_manifest, which keeps ALL
+    delete files) so callers that already resolved don't force a second
+    full resolution."""
     from demo_iceberg_permanent_delete_spark.lake.metadata import (
         CONTENT_EQUALITY_DELETES,
         CONTENT_POSITION_DELETES,
     )
 
-    deletes = [e for e in snap.manifest if e.content != 0]
+    deletes = [
+        e
+        for e in (entries if entries is not None else snap.manifest)
+        if e.content != 0
+    ]
     pos = tuple(
         e.file_path
         for e in deletes
