@@ -252,3 +252,77 @@ def test_extracted_predicate_is_implied_by_where():
         assert violated == 0, (where, pred)
 
     prop()
+
+
+# ------------------------------------------------ inner-join ON conjuncts
+def test_inner_join_on_literal_conjunct_extracted():
+    # an INNER join's ON conjuncts are WHERE-equivalent: the literal leg
+    # scopes dim's scan, the two-sided equi leg attributes to nobody
+    out = _x(
+        "SELECT f.k FROM default__fat f JOIN default__dim d "
+        "ON f.k = d.k AND d.label = 'x' WHERE f.day = 'a'"
+    )
+    assert out["default__dim"] == "label = 'x'"
+    assert out["default__fat"] == "day = 'a'"
+
+
+def test_inner_join_on_combines_with_where_conjuncts():
+    out = _x(
+        "SELECT * FROM default__fat f INNER JOIN default__dim d "
+        "ON f.k = d.k AND f.day = '2024-01-02' "
+        "WHERE f.amount > 5"
+    )
+    assert out["default__fat"] == "day = '2024-01-02' AND amount > 5"
+
+
+def test_left_join_on_conjunct_refused():
+    # a LEFT join's ON condition does NOT filter the preserved side, and
+    # the null side is refused wholesale
+    out = _x(
+        "SELECT * FROM default__fat f LEFT JOIN default__dim d "
+        "ON f.k = d.k AND d.label = 'x' AND f.day = 'a'"
+    )
+    assert out == {}
+
+
+def test_semi_and_anti_join_on_conjuncts_refused():
+    # ANTI join ON conjuncts EXCLUDE matches — treating one as a scan
+    # filter would be wrong, not just unsound-estimate; SEMI is refused
+    # for symmetry (its ON is an EXISTS condition, not a scan filter)
+    for kind in ("LEFT SEMI", "LEFT ANTI", "SEMI", "ANTI"):
+        out = _x(
+            f"SELECT f.k FROM default__fat f {kind} JOIN default__dim d "
+            "ON f.k = d.k AND f.day = 'a'"
+        )
+        assert "default__fat" not in out, kind
+
+
+def test_on_conjunct_with_subquery_skipped():
+    out = _x(
+        "SELECT f.k FROM default__fat f JOIN default__dim d "
+        "ON f.k = d.k AND d.k IN (SELECT k FROM default__dim) "
+        "WHERE f.day = 'a'",
+        occ={"default__fat": 1, "default__dim": 2},
+    )
+    # dim referenced twice → nothing for dim either way; fat keeps WHERE
+    assert out == {"default__fat": "day = 'a'"}
+
+
+def test_inner_on_with_derived_right_side():
+    # the derived side is unknown: bare columns refuse, but a qualified
+    # literal conjunct on the known side still extracts (inner ON is
+    # WHERE-equivalent regardless of what the other side is)
+    out = _x(
+        "SELECT f.k FROM default__fat f JOIN (SELECT 1 AS k) x "
+        "ON f.k = x.k AND f.day = 'a'"
+    )
+    assert out.get("default__fat") == "day = 'a'"
+
+
+def test_inner_on_parenthesized_condition_conservative():
+    # a fully parenthesized ON body is one span; mixed owners → dropped
+    out = _x(
+        "SELECT f.k FROM default__fat f JOIN default__dim d "
+        "ON (f.k = d.k AND d.label = 'x')"
+    )
+    assert out == {}
