@@ -374,40 +374,28 @@ class TableMetadata:
         writes v{N+1}.json atomically, so an unchanged number proves the
         cached parse is current.
 
-        Fast path: ``version-hint.text`` (Iceberg HadoopTableOperations'
-        design) names a committed version as a FLOOR — the hint write
-        trails the CAS and can lag or go backwards under concurrency —
-        and existence probes walk forward to the true head: O(1 +
-        commits-since-hint) instead of listing a directory that grows
-        with every commit. Fallback (pre-hint tables, unreadable hint):
-        one directory listing."""
-        meta_dir = os.path.join(location, "metadata")
-        try:
-            with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-                v = int(fh.read().strip())
-            if v >= 1 and os.path.exists(
-                os.path.join(meta_dir, f"v{v}.json")
-            ):
-                while os.path.exists(os.path.join(meta_dir, f"v{v + 1}.json")):
-                    v += 1
-                return v
-        except (OSError, ValueError):
-            pass
-        versions = [
-            int(f[1:-5])
-            for f in os.listdir(meta_dir)
-            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
-        ]
-        if not versions:
-            raise FileNotFoundError(f"no metadata versions under {meta_dir}")
-        return max(versions)
+        Delegates to the active CatalogService (catalog_service.py — the
+        control-plane seam): the default filesystem backend uses
+        ``version-hint.text`` as a floor with forward existence probes,
+        O(1 + commits-since-hint) instead of listing a directory that
+        grows with every commit; a service/object-store backend answers
+        from its own head record."""
+        from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
+            get_service,
+        )
+
+        return get_service().latest_version(location)
 
     @classmethod
     def load(cls, location: str) -> TableMetadata:
-        meta_dir = os.path.join(location, "metadata")
+        from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
+            get_service,
+        )
+
         latest = cls.latest_version(location)
-        with open(os.path.join(meta_dir, f"v{latest}.json")) as fh:
-            meta = cls.from_json(json.load(fh))
+        meta = cls.from_json(
+            json.loads(get_service().read_document(location, latest))
+        )
         meta.version = latest
         return meta
 
@@ -657,16 +645,20 @@ class TableMetadata:
         """Atomically persist the next metadata version: unwritten delta
         manifests first (each O(delta)), then the header file.
 
-        The header lands via hard-link (compare-and-swap): linking the temp
-        file to ``v{N}.json`` fails with EEXIST if any other writer claimed
-        version N first — optimistic concurrency instead of the silent
-        last-writer-wins an ``os.replace`` would give. On conflict the
-        in-memory state is rolled back and CommitConflictError raised;
-        append paths rebase onto the new head and retry (table.py), the
-        read-modify-write paths surface it (Iceberg's conflict model, the
-        job the reference delegated to its REST catalog)."""
-        from demo_iceberg_permanent_delete_spark.lake.errors import (
-            CommitConflictError,
+        The header claim goes through the active CatalogService
+        (catalog_service.py): the default filesystem backend hard-links
+        the temp file to ``v{N}.json`` — EEXIST if any other writer
+        claimed version N first, optimistic concurrency instead of the
+        silent last-writer-wins an ``os.replace`` would give — and then
+        writes the advisory version hint; a service backend does one
+        conditional PUT. On conflict the in-memory state is rolled back
+        and CommitConflictError raised; append paths rebase onto the new
+        head and retry (table.py), the read-modify-write paths surface
+        it (Iceberg's conflict model, the job the reference delegated to
+        its REST catalog). Delta manifests are data-plane and always
+        land on shared storage regardless of the control-plane backend."""
+        from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
+            get_service,
         )
 
         self.version += 1
@@ -678,39 +670,13 @@ class TableMetadata:
                 self._written_deltas.add(sid)
         path = self.metadata_file(self.version)
         self.metadata_log.append({"metadata_file": path, "timestamp_ms": now_ms()})
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(self.to_json(), fh, indent=1, default=str)
+        document = json.dumps(self.to_json(), indent=1, default=str)
         try:
-            os.link(tmp, path)  # atomic claim of version N
-        except FileExistsError:
+            get_service().claim_version(self.location, self.version, document)
+        except Exception:
             self.metadata_log.pop()
             self.version -= 1
-            raise CommitConflictError(
-                f"metadata version {path} was committed by another writer"
-            ) from None
-        finally:
-            os.unlink(tmp)
-        # Advisory version hint (Iceberg HadoopTableOperations'
-        # version-hint.text): lets readers find the head in O(1) instead
-        # of listing a metadata dir that grows with every commit.
-        # Written AFTER the CAS, so it can lag (a concurrent winner's
-        # hint may land later and go backwards) — readers treat it as a
-        # floor and probe forward (latest_version), never as truth.
-        hint_tmp = os.path.join(
-            self.metadata_dir, f".hint-tmp-{uuid.uuid4().hex}"
-        )
-        try:
-            with open(hint_tmp, "w") as fh:
-                fh.write(str(self.version))
-            os.replace(
-                hint_tmp, os.path.join(self.metadata_dir, "version-hint.text")
-            )
-        except OSError:
-            try:
-                os.unlink(hint_tmp)
-            except OSError:
-                pass
+            raise
         return path
 
     # ----------------------------------------------------------- snapshots
