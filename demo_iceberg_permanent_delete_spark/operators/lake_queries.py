@@ -552,10 +552,33 @@ def lake_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.insert(li.filter("l_orderkey % 10 = 5"))
         result = t.read().localCheckpoint(eager=True)
 
-        # physical purge: compaction applies the equality deletes and drops
-        # the delete file; the batch-1 'R' rows are gone from raw parquet
-        t.rewrite_data_files()
+        # X36 driver-visible (round-5 verdict item 6): the compaction
+        # planner must flag the live eq-delete file as delete pressure
+        # (ANY eq file recommends the rewrite that applies it physically
+        # — its read cost is a per-scan anti-join), and compact() — not a
+        # bare rewrite call — must orchestrate that as one full rewrite.
+        # The exact masked-row figure (stats-fresh path, X40) stays
+        # pytest-pinned in test_stats_planner.py; an ANALYZE here would
+        # add a table scan to this entry for an assertion the suite
+        # already owns.
+        from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+            compact,
+            plan_compaction,
+        )
+
+        dp = plan_compaction(t)["delete_pressure"]
+        assert dp["eq_delete_files"] == 1 and dp["recommend_rewrite"], dp
+        # physical purge: the delete-pressure-triggered full rewrite
+        # applies the equality deletes and drops the delete file; the
+        # batch-1 'R' rows are gone from raw parquet
+        summary = compact(t)
+        assert summary["full_rewrite"], summary
         assert not t.metadata.current_snapshot().delete_files()
+        live = sum(
+            e.record_count
+            for e in t.metadata.current_snapshot().data_files()
+        )
+        assert live == result.count(), (live, "manifest rows ≠ visible rows")
         raw = t.read(apply_deletes=False)
         assert (
             raw.filter("l_orderkey % 10 = 0 AND l_returnflag = 'R'").count() == 0
