@@ -37,7 +37,7 @@ import threading
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Any, Callable, Sequence
 
 # content codes, mirroring the Iceberg codes the reference decodes
 # (file_summary_utils.py:143-148 and iceberg_pii_deletion_demo.py:204-216)
@@ -131,13 +131,27 @@ class ManifestDelta:
     base: bool = False  # True: `added` IS the full set; stop the walk here
 
 
-def summarize_delta(delta: ManifestDelta) -> dict[str, Any]:
+_DELTA_BOUNDS_MAX_COLS = 32
+
+
+def summarize_delta(
+    delta: ManifestDelta, priority_cols: Sequence[str] = ()
+) -> dict[str, Any]:
     """Header-borne bounds summary of a delta's ADDED DATA entries, stored
     as Snapshot.delta_bounds — Iceberg's manifest-list partition_summaries
     role. Per-column min/max (and summed null counts) fold only over
     columns that EVERY added data entry carries with comparable values; a
     column any entry lacks is omitted, i.e. unknown, i.e. unprunable —
-    the same sound-by-omission rule the per-file pruner uses."""
+    the same sound-by-omission rule the per-file pruner uses.
+
+    At most ``_DELTA_BOUNDS_MAX_COLS`` columns are summarized — the
+    summary lives in the ROOT metadata document once per snapshot, and an
+    unbounded fold on a wide table would grow the control-plane document
+    O(snapshots x columns) (round-6 review finding; Iceberg scopes its
+    partition_summaries to partition fields for the same reason).
+    ``priority_cols`` (partition/transform source columns and their
+    synthetic ``__part_…`` stats) fold first; the rest in sorted order.
+    Dropped columns merely don't prune at the manifest level — sound."""
     data = [e for e in delta.added if e.content == CONTENT_DATA]
     out: dict[str, Any] = {
         "removes": len(delta.removed),
@@ -149,7 +163,11 @@ def summarize_delta(delta: ManifestDelta) -> dict[str, Any]:
     }
     if not data:
         return out
-    for col in set(data[0].min_values) & set(data[0].max_values):
+    shared = set(data[0].min_values) & set(data[0].max_values)
+    pri = [c for c in priority_cols if c in shared]
+    pri += sorted(c for c in shared if c.startswith("__part_") and c not in pri)
+    cols = pri + sorted(shared - set(pri))
+    for col in cols[:_DELTA_BOUNDS_MAX_COLS]:
         try:
             los = [e.min_values[col] for e in data]
             his = [e.max_values[col] for e in data]
@@ -159,7 +177,7 @@ def summarize_delta(delta: ManifestDelta) -> dict[str, Any]:
             out["max_values"][col] = max(his)
         except (KeyError, TypeError):
             continue  # absent in some entry / uncomparable mix → unknown
-    for col in set(data[0].null_counts):
+    for col in sorted(set(data[0].null_counts))[:_DELTA_BOUNDS_MAX_COLS]:
         counts = [e.null_counts.get(col) for e in data]
         if all(isinstance(c, int) for c in counts):
             out["null_counts"][col] = sum(counts)
@@ -289,12 +307,26 @@ class TableMetadata:
     delta_file_reads: int = field(default=0, repr=False, compare=False)
 
     # ------------------------------------------------------------------ io
+    # Path layout lives in ONE module (catalog_service — round-6 review
+    # finding: a second copy here would silently desynchronize hint
+    # probing and GC from the CAS). These names are LOGICAL document
+    # names: under a non-filesystem control-plane backend they identify
+    # versions in metadata_log / .metadata_log_entries without asserting
+    # a file exists at that path.
     @property
     def metadata_dir(self) -> str:
-        return os.path.join(self.location, "metadata")
+        from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
+            _meta_dir,
+        )
+
+        return _meta_dir(self.location)
 
     def metadata_file(self, version: int) -> str:
-        return os.path.join(self.metadata_dir, f"v{version}.json")
+        from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
+            _doc_path,
+        )
+
+        return _doc_path(self.location, version)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -400,6 +432,18 @@ class TableMetadata:
         return meta
 
     # ------------------------------------------------------- delta storage
+    def _bounds_priority(self) -> list[str]:
+        """Partition/transform source columns, folded first into delta
+        bounds — they answer partition-scoped predicates, the common case
+        the 32-column summary cap must never crowd out."""
+        import re as _re
+
+        out = []
+        for spec in self.partition_by:
+            m = _re.match(r"\s*\w+\(\s*(?:\d+\s*,\s*)?(\w+)\s*\)", spec)
+            out.append(m.group(1) if m else spec.strip())
+        return out
+
     def delta_of(self, snapshot_id: int) -> ManifestDelta:
         """The snapshot's change set, from memory or its JSONL file."""
         if snapshot_id in self._deltas:
@@ -608,7 +652,9 @@ class TableMetadata:
         # folded manifests get fresh bounds too (rewrite_manifests path):
         # a scoped scan can skip even the base when its whole fold is out
         # of scope and it carries no delete files
-        s.delta_bounds = summarize_delta(self._deltas[s.snapshot_id])
+        s.delta_bounds = summarize_delta(
+            self._deltas[s.snapshot_id], self._bounds_priority()
+        )
         s.manifest_file = os.path.join(
             self.metadata_dir,
             f"manifest-{s.snapshot_id}-base-v{self.version + 1}.json",
@@ -719,20 +765,30 @@ class TableMetadata:
             parent = None
         else:
             parent = self.snapshot_by_id(parent_snapshot_id)
-        parent_files = {e.file_path for e in parent.manifest} if parent else set()
+        parent_by_path = (
+            {e.file_path: e for e in parent.manifest} if parent else {}
+        )
         new_by_path = {e.file_path: e for e in manifest}
         delta = ManifestDelta(
-            added=[e for p, e in new_by_path.items() if p not in parent_files],
-            removed=[p for p in parent_files if p not in new_by_path],
+            added=[
+                e for p, e in new_by_path.items() if p not in parent_by_path
+            ],
+            removed=[p for p in parent_by_path if p not in new_by_path],
             base=parent is None,
         )
-        # Header-borne stats: let metadata views and size gates run from
-        # headers alone, no manifest resolution (Iceberg's summary map).
+        # Header-borne stats: let metadata views, size gates AND streaming
+        # admission control run from headers alone, no manifest resolution
+        # (Iceberg's summary map; the record counts feed the CDC stream's
+        # per-poll cost, lake_datasource._admission_cost).
         stats = {
             "total-files": len(manifest),
             "total-bytes": sum(e.file_size_in_bytes for e in manifest),
             "added-entries": len(delta.added),
             "removed-entries": len(delta.removed),
+            "added-records": sum(e.record_count for e in delta.added),
+            "removed-records": sum(
+                parent_by_path[p].record_count for p in delta.removed
+            ),
         }
         snap = Snapshot(
             snapshot_id=new_snapshot_id(),
@@ -745,7 +801,7 @@ class TableMetadata:
         snap.manifest_file = os.path.join(
             self.metadata_dir, f"manifest-{snap.snapshot_id}.json"
         )
-        snap.delta_bounds = summarize_delta(delta)
+        snap.delta_bounds = summarize_delta(delta, self._bounds_priority())
         snap._resolve = self.resolve_manifest
         self._deltas[snap.snapshot_id] = delta
         self._full_cache[snap.snapshot_id] = list(manifest)

@@ -682,9 +682,12 @@ class LakeStreamReader(DataSourceStreamReader):
     Offset = {"snapshot_id": S} (all main-ancestry commits through S
     consumed; -1 = none) or — under admission control — {"snapshot_id": S,
     "pos": p}: commits through S's parent consumed plus the first ``p``
-    file-splits of S, in the deterministic order ``partitions`` emits them.
-    Iceberg's SparkMicroBatchStream uses the same (snapshotId, position)
-    offset shape for its ``streaming-max-files-per-micro-batch`` /
+    added data FILES of S, in manifest order. ``pos`` counts whole files —
+    never row-group splits — so a checkpointed offset means the same rows
+    under any ``split-size``; oversized files fan out to splits within the
+    batch that admits them. Iceberg's SparkMicroBatchStream uses the same
+    (snapshotId, position) offset shape for its
+    ``streaming-max-files-per-micro-batch`` /
     ``streaming-max-rows-per-micro-batch`` read limits; this mirrors those
     option names. Without the options, offsets stay the bare legacy form so
     existing checkpoints keep working.
@@ -724,7 +727,9 @@ class LakeStreamReader(DataSourceStreamReader):
         self._arrow_schema = to_arrow_schema(schema)
         self._options = options
         self._pos: dict | None = None  # last end offset this reader saw
-        meta = _load_meta(options)  # one load for renames + offset resolution
+        self._meta = None
+        self._meta_ident = None
+        meta = self._meta_fresh()  # one load for renames + offset resolution
         self._renames = meta.renames
         start_ts = options.get("starting-timestamp")
         starting = (options.get("starting-offset") or "latest").lower()
@@ -756,6 +761,39 @@ class LakeStreamReader(DataSourceStreamReader):
         else:
             self._initial = int(starting)
 
+    def _meta_fresh(self):
+        """Table metadata, reloaded only when the committed version moved.
+        ``latestOffset`` runs once per trigger; a full header parse per
+        poll — with delta-file re-reads into a fresh instance's empty
+        caches — is O(table metadata) work for a usually-unchanged answer
+        (round-6 review finding). Staleness probe = the O(1) version-hint
+        head read; identity guard = (inode, mtime_ns) of the version
+        document against DROP PURGE + CREATE reaching the same version
+        number (the facade cache's scheme). Backends without a filesystem
+        document (in-memory catalog service) fail the stat and always
+        reload — correct, just uncached."""
+        meta = self._meta
+        if meta is not None:
+            try:
+                from demo_iceberg_permanent_delete_spark.lake.metadata import (
+                    TableMetadata,
+                )
+
+                if TableMetadata.latest_version(meta.location) == meta.version:
+                    st = os.stat(meta.metadata_file(meta.version))
+                    if (st.st_ino, st.st_mtime_ns) == self._meta_ident:
+                        return meta
+            except OSError:
+                pass
+        meta = _load_meta(self._options)
+        self._meta = meta
+        try:
+            st = os.stat(meta.metadata_file(meta.version))
+            self._meta_ident = (st.st_ino, st.st_mtime_ns)
+        except OSError:
+            self._meta_ident = None
+        return meta
+
     @staticmethod
     def _off(snapshot_id: int, pos: int | None = None) -> dict:
         """Normalized offset dict — the engine compares offsets as JSON
@@ -775,10 +813,17 @@ class LakeStreamReader(DataSourceStreamReader):
         return n
 
     def _append_units(self, meta, snap) -> list:
-        """One snapshot's append work units in the deterministic order
-        ``partitions`` emits them: [(entry, row_groups, row_offset,
-        n_rows), …]. Offsets' ``pos`` indexes into this list, so admission
-        planning and batch planning MUST share it."""
+        """One snapshot's append work units — one per added data FILE, in
+        manifest order: [(entry, n_rows), …]. Offsets' ``pos`` indexes
+        into this list, so admission planning and batch planning MUST
+        share it. Units are whole files, never row-group splits, for two
+        reasons (round-6 review finding): a checkpointed ``pos`` must
+        mean the same rows under ANY ``split-size`` — a split index would
+        silently mis-replay a logged range after a restart that changed
+        the option — and admission planning must not pay footer reads.
+        ``partitions`` fans each admitted oversized file out to its
+        row-group splits WITHIN the batch (Iceberg's read limits use the
+        same file-position offsets for the same reason)."""
         # replace snapshots (compaction, rewrites) rewrite EXISTING
         # rows into new files — emitting their change set would
         # re-stream the whole table as fresh appends after every
@@ -816,27 +861,26 @@ class LakeStreamReader(DataSourceStreamReader):
                 f"streaming-skip-{snap.operation}-snapshots=true to "
                 "skip it"
             )
-        split_bytes = int(self._options.get("split-size", DEFAULT_SPLIT_BYTES))
-        units = []
-        for e in added_data:
-            splits = _file_splits(e, split_bytes)
-            row_starts = [off for _, off in splits] + [e.record_count]
-            for i, (rg, off) in enumerate(splits):
-                units.append((e, rg, off, row_starts[i + 1] - off))
-        return units
+        return [(e, e.record_count) for e in added_data]
 
     def _admission_units(self, meta, snap) -> list[int]:
         """Per-unit row counts for admission accounting; index-aligned
         with ``_append_units`` so a mid-snapshot stop position is valid
         for ``partitions``."""
-        return [n for *_rest, n in self._append_units(meta, snap)]
+        return [n for _e, n in self._append_units(meta, snap)]
+
+    def _admission_cost(self, meta, snap) -> tuple[int, int]:
+        """(files, rows) cost of admitting this snapshot WHOLE — the only
+        granularity a non-divisible reader (CDC) needs."""
+        units = self._admission_units(meta, snap)
+        return len(units), sum(units)
 
     def initialOffset(self) -> dict:
         self._pos = self._off(self._initial)
         return self._off(self._initial)
 
     def latestOffset(self) -> dict:
-        meta = _load_meta(self._options)  # reload: see concurrent commits
+        meta = self._meta_fresh()  # sees concurrent commits, cached by version
         cur = meta.current_snapshot_id
         head = cur if cur is not None else -1
         max_files = self._opt_pos_int("streaming-max-files-per-micro-batch")
@@ -868,11 +912,10 @@ class LakeStreamReader(DataSourceStreamReader):
         admitted = 0  # ≥1 unit per batch even when one unit exceeds a cap
         end = dict(self._pos)
         for snap, skip_n in work:
-            units = self._admission_units(meta, snap)
             if not self._divisible:
                 # snapshot-atomic (CDC): a commit's change set is admitted
                 # whole or not at all
-                cost_files, cost_rows = len(units), sum(units)
+                cost_files, cost_rows = self._admission_cost(meta, snap)
                 if admitted and (
                     budget_files < cost_files or budget_rows < cost_rows
                 ):
@@ -882,6 +925,7 @@ class LakeStreamReader(DataSourceStreamReader):
                 admitted += cost_files
                 end = self._off(snap.snapshot_id)
                 continue
+            units = self._admission_units(meta, snap)
             take, stopped = skip_n, False
             for n_rows in units[skip_n:]:
                 if admitted and (budget_files < 1 or budget_rows < n_rows):
@@ -909,23 +953,27 @@ class LakeStreamReader(DataSourceStreamReader):
         start_pos, end_pos = start.get("pos"), end.get("pos")
         if end_id == -1 or (start_id == end_id and start_pos == end_pos):
             return [LakeFilePartition(None)]
-        meta = _load_meta(self._options)
+        meta = self._meta_fresh()
         work = []
         if start_pos is not None:
             work.append((meta.snapshot_by_id(start_id), start_pos))
         if start_id != end_id:
             work.extend((s, 0) for s in _ancestry_chain(meta, start_id, end_id))
+        split_bytes = int(self._options.get("split-size", DEFAULT_SPLIT_BYTES))
         parts: list[LakeFilePartition] = []
         for snap, skip_n in work:
             units = self._append_units(meta, snap)
             if snap.snapshot_id == end_id and end_pos is not None:
                 units = units[:end_pos]
-            for e, rg, offset, _n in units[skip_n:]:
-                parts.append(
-                    LakeFilePartition(
-                        e.file_path, row_groups=rg, row_offset=offset
+            for e, _n in units[skip_n:]:
+                # offsets admit whole files; oversized files fan out to
+                # row-group splits here, WITHIN the batch
+                for rg, offset in _file_splits(e, split_bytes):
+                    parts.append(
+                        LakeFilePartition(
+                            e.file_path, row_groups=rg, row_offset=offset
+                        )
                     )
-                )
         return parts or [LakeFilePartition(None)]
 
     def read(self, partition: LakeFilePartition) -> Iterator:
@@ -1014,28 +1062,32 @@ class LakeCdcStreamReader(LakeStreamReader):
     # boundaries, so CDC offsets never carry a mid-snapshot "pos"
     _divisible = False
 
-    def _admission_units(self, meta, snap) -> list[int]:
-        """Approximate per-commit CDC cost: one unit per changed manifest
-        entry (added or removed file) weighted by its record_count. The
-        masked/eq kinds can fan out to more parent files than this counts —
-        the caps are a planning bound for batch sizing, not an exact row
-        budget (Iceberg's read limits are soft the same way)."""
+    def _admission_cost(self, meta, snap) -> tuple[int, int]:
+        """Approximate per-commit CDC admission cost: changed manifest
+        entries (added + removed files) weighted by record count, read
+        from the commit's HEADER summary — no manifest or delta-file
+        resolution on the per-poll admission path (round-6 review
+        finding: the first cut folded the parent's full manifest per
+        commit per poll to weight an explicitly approximate bound).
+        Pre-round-6 commits without the record fields fall back to the
+        delta's own change set (added records only). The masked/eq kinds
+        can fan out to more parent files than this counts — the caps are
+        a planning bound for batch sizing, not an exact row budget
+        (Iceberg's read limits are soft the same way)."""
         if snap.operation == "replace":
-            return []
+            return 0, 0
+        s = snap.summary or {}
+        if "added-records" in s and "removed-records" in s:
+            return (
+                int(s.get("added-entries", 0))
+                + int(s.get("removed-entries", 0)),
+                int(s["added-records"]) + int(s["removed-records"]),
+            )
         delta = meta.change_set(snap.snapshot_id)
-        units = [e.record_count for e in delta.added]
-        parent = (
-            meta._maybe_snapshot(snap.parent_id)
-            if snap.parent_id is not None
-            else None
+        return (
+            len(delta.added) + len(delta.removed),
+            sum(e.record_count for e in delta.added),
         )
-        by_path = (
-            {e.file_path: e for e in parent.manifest} if parent is not None else {}
-        )
-        units += [
-            by_path[p].record_count for p in delta.removed if p in by_path
-        ]
-        return units
 
     def __init__(self, schema: StructType, options) -> None:
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -1068,7 +1120,7 @@ class LakeCdcStreamReader(LakeStreamReader):
         start_id, end_id = start["snapshot_id"], end["snapshot_id"]
         if end_id == -1 or start_id == end_id:
             return [CdcPartition()]
-        meta = _load_meta(self._options)
+        meta = self._meta_fresh()
         split_bytes = int(
             self._options.get("split-size", DEFAULT_SPLIT_BYTES)
         )

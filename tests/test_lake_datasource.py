@@ -1132,3 +1132,64 @@ def test_stream_admission_end_to_end(registered, cat, tmp_path):
     # 3-row units under a 7-row cap: at most 2 files per batch after the
     # 1-row batch 0
     assert all(n <= 7 for n in batch_counts)
+
+
+def test_stream_admission_pos_is_split_size_independent(
+    registered, cat, tmp_path
+):
+    """A checkpointed mid-snapshot offset counts whole FILES, so replaying
+    a logged range under a DIFFERENT split-size emits exactly the same
+    rows (round-6 review finding: a split-indexed pos would silently
+    mis-replay after a restart that changed the option)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = registered
+    t = cat.create_table("default.adm8", "id bigint, v string")
+    src = tmp_path / "foreign"
+    src.mkdir()
+    for f in range(3):  # 3 oversized files, 200 rows / 4 row groups each
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(f * 200, f * 200 + 200), pa.int64()),
+                    "v": pa.array([f"v{i}" for i in range(200)]),
+                }
+            ),
+            str(src / f"big{f}.parquet"),
+            row_group_size=50,
+        )
+    t.add_files(str(src))
+
+    def rows_of(reader, parts):
+        out = []
+        for p in parts:
+            if p.file_path is not None:
+                for rb in reader.read(p):
+                    out.extend(rb.column("id").to_pylist())
+        return sorted(out)
+
+    opts = {
+        "streaming-max-files-per-micro-batch": "2",
+        "split-size": "2048",  # forces multiple row-group splits per file
+    }
+    reader_a = _mk_reader(t, **opts)
+    off0 = reader_a.initialOffset()
+    end1 = reader_a.latestOffset()
+    assert end1.get("pos") == 2  # two whole FILES, not two splits
+    parts_a = reader_a.partitions(off0, end1)
+    assert len(parts_a) > 2  # oversized files fanned out within the batch
+    ids_a = rows_of(reader_a, parts_a)
+    assert ids_a == list(range(400))
+    # crash; restart WITHOUT the split-size option (default 128 MiB —
+    # each file is one split now): the replayed range must be identical
+    reader_b = _mk_reader(
+        t, **{"streaming-max-files-per-micro-batch": "2"}
+    )
+    parts_b = reader_b.partitions(off0, end1)
+    assert rows_of(reader_b, parts_b) == ids_a
+    reader_b.commit(end1)
+    rest = _drain(reader_b, start=end1)
+    assert sorted(
+        ids_a + [i for _, _, ids in rest for i in ids]
+    ) == list(range(600))

@@ -216,3 +216,32 @@ def registered_cat(spark, tmp_path):
     c = Catalog(spark, str(tmp_path / "wh"))
     c.create_namespace("default")
     return c, spark
+
+
+def test_summarize_delta_caps_columns_with_priority_first():
+    wide = ManifestEntry(
+        file_path="w",
+        content=0,
+        record_count=5,
+        file_size_in_bytes=10,
+        min_values={f"c{i:03d}": i for i in range(60)} | {"zz_part": 1},
+        max_values={f"c{i:03d}": i for i in range(60)} | {"zz_part": 2},
+    )
+    s = summarize_delta(ManifestDelta(added=[wide]), priority_cols=["zz_part"])
+    assert len(s["min_values"]) == 32  # root-document growth is bounded
+    assert "zz_part" in s["min_values"]  # priority column never crowded out
+    assert "c000" in s["min_values"] and "c059" not in s["min_values"]
+
+
+def test_commit_summary_carries_record_counts(registered_cat):
+    """added-records/removed-records in the snapshot header: the CDC
+    stream's admission cost reads these instead of resolving the parent
+    manifest per poll (round-6 review finding)."""
+    from tests.conftest import one_part
+
+    cat, spark = registered_cat
+    t = cat.create_table("default.mb7", "id bigint, v bigint")
+    t.insert(one_part(spark, [(i, i) for i in range(10)], "id long, v long"))
+    t.delete("v < 3")  # COW: removes the one file, rewrites 7 survivors
+    s = cat.load_table("default.mb7").metadata.current_snapshot().summary
+    assert s["added-records"] == 7 and s["removed-records"] == 10
