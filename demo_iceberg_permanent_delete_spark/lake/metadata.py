@@ -167,7 +167,13 @@ def summarize_delta(
     pri = [c for c in priority_cols if c in shared]
     pri += sorted(c for c in shared if c.startswith("__part_") and c not in pri)
     cols = pri + sorted(shared - set(pri))
-    for col in cols[:_DELTA_BOUNDS_MAX_COLS]:
+    for col in cols:
+        # the cap counts SUCCESSFUL folds only — a column that fails the
+        # fold (absent in some entry, None, uncomparable mix) must not
+        # consume a slot, or a delta mixing evolved/foreign files would
+        # crowd out every summarizable column (round-6 review finding)
+        if len(out["min_values"]) >= _DELTA_BOUNDS_MAX_COLS:
+            break
         try:
             los = [e.min_values[col] for e in data]
             his = [e.max_values[col] for e in data]
@@ -177,7 +183,14 @@ def summarize_delta(
             out["max_values"][col] = max(his)
         except (KeyError, TypeError):
             continue  # absent in some entry / uncomparable mix → unknown
-    for col in sorted(set(data[0].null_counts))[:_DELTA_BOUNDS_MAX_COLS]:
+    # same priority order as min/max (a partition column's null count must
+    # never be crowded out either — IS [NOT] NULL pruning reads it)
+    null_shared = set(data[0].null_counts)
+    null_cols = [c for c in cols if c in null_shared]
+    null_cols += sorted(null_shared - set(null_cols))
+    for col in null_cols:
+        if len(out["null_counts"]) >= _DELTA_BOUNDS_MAX_COLS:
+            break
         counts = [e.null_counts.get(col) for e in data]
         if all(isinstance(c, int) for c in counts):
             out["null_counts"][col] = sum(counts)
@@ -433,15 +446,27 @@ class TableMetadata:
 
     # ------------------------------------------------------- delta storage
     def _bounds_priority(self) -> list[str]:
-        """Partition/transform source columns, folded first into delta
-        bounds — they answer partition-scoped predicates, the common case
-        the 32-column summary cap must never crowd out."""
-        import re as _re
+        """Partition/transform source columns (and their synthetic
+        ``__part_…`` stats columns), folded first into delta bounds —
+        they answer partition-scoped predicates, the common case the
+        32-column summary cap must never crowd out. Parsed by the ONE
+        spec parser (transforms.parse_partition_by — round-6 review
+        finding: an ad-hoc regex here would drift from the validator
+        that admits specs at CREATE/ALTER time)."""
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            parse_partition_by,
+        )
 
-        out = []
-        for spec in self.partition_by:
-            m = _re.match(r"\s*\w+\(\s*(?:\d+\s*,\s*)?(\w+)\s*\)", spec)
-            out.append(m.group(1) if m else spec.strip())
+        try:
+            fields = parse_partition_by(self.partition_by)
+        except ValueError:
+            return []
+        out: list[str] = []
+        for f in fields:
+            out.append(f.source)
+            pc = f.part_column
+            if pc:
+                out.append(pc)
         return out
 
     def delta_of(self, snapshot_id: int) -> ManifestDelta:

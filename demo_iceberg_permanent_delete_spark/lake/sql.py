@@ -125,9 +125,14 @@ class LakeEngine:
         )
 
         def _ident(location: str, version: int):
-            st = os.stat(
-                os.path.join(location, "metadata", f"v{version}.json")
+            # path layout lives in catalog_service only (round-6 review
+            # finding: a hand-built copy here would desynchronize the
+            # staleness probe from the CAS if the layout ever moved)
+            from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
+                _doc_path,
             )
+
+            st = os.stat(_doc_path(location, version))
             return (st.st_ino, st.st_mtime_ns)
 
         reg = self.catalog._read_registry()

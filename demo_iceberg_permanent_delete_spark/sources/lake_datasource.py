@@ -761,6 +761,16 @@ class LakeStreamReader(DataSourceStreamReader):
         else:
             self._initial = int(starting)
 
+    def __getstate__(self):
+        """Executors only ever call read(); the driver-side metadata
+        cache (snapshot list + resolved manifests, O(table files) after
+        CDC planning) must not ship with every task's pickled reader
+        (round-6 review finding)."""
+        state = dict(self.__dict__)
+        state["_meta"] = None
+        state["_meta_ident"] = None
+        return state
+
     def _meta_fresh(self):
         """Table metadata, reloaded only when the committed version moved.
         ``latestOffset`` runs once per trigger; a full header parse per

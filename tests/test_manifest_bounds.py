@@ -245,3 +245,45 @@ def test_commit_summary_carries_record_counts(registered_cat):
     t.delete("v < 3")  # COW: removes the one file, rewrites 7 survivors
     s = cat.load_table("default.mb7").metadata.current_snapshot().summary
     assert s["added-records"] == 7 and s["removed-records"] == 10
+
+
+def test_bounds_cap_counts_only_successful_folds():
+    """A delta mixing evolved/foreign files: columns that fail the fold
+    (absent in some entry) must not consume cap slots (round-6 review
+    finding — the first cut capped BEFORE folding, and 32 unfoldable
+    names crowded out every summarizable column)."""
+    rich = ManifestEntry(
+        file_path="rich",
+        content=0,
+        record_count=5,
+        file_size_in_bytes=10,
+        min_values={f"a{i:03d}": i for i in range(40)} | {"zz": 1},
+        max_values={f"a{i:03d}": i for i in range(40)} | {"zz": 2},
+    )
+    poor = ManifestEntry(
+        file_path="poor",
+        content=0,
+        record_count=5,
+        file_size_in_bytes=10,
+        min_values={"zz": 5},
+        max_values={"zz": 6},
+    )
+    s = summarize_delta(ManifestDelta(added=[rich, poor]))
+    # the a* columns are absent in `poor` (shared-set rule drops them);
+    # zz folds and must not be crowded out by 40 unfoldable names
+    assert s["min_values"] == {"zz": 1} and s["max_values"] == {"zz": 6}
+    # null-count priority order: partition column first even when it
+    # sorts last
+    nulls_rich = ManifestEntry(
+        file_path="n1",
+        content=0,
+        record_count=5,
+        file_size_in_bytes=10,
+        min_values={f"a{i:03d}": i for i in range(40)} | {"zz": 1},
+        max_values={f"a{i:03d}": i for i in range(40)} | {"zz": 2},
+        null_counts={f"a{i:03d}": 0 for i in range(40)} | {"zz": 3},
+    )
+    s2 = summarize_delta(
+        ManifestDelta(added=[nulls_rich]), priority_cols=["zz"]
+    )
+    assert "zz" in s2["null_counts"] and s2["null_counts"]["zz"] == 3
