@@ -183,10 +183,14 @@ def summarize_delta(
             out["max_values"][col] = max(his)
         except (KeyError, TypeError):
             continue  # absent in some entry / uncomparable mix → unknown
-    # same priority order as min/max (a partition column's null count must
-    # never be crowded out either — IS [NOT] NULL pruning reads it)
+    # same priority rule as min/max (a partition column's null count must
+    # never be crowded out either — IS [NOT] NULL pruning reads it).
+    # Seeded from priority_cols DIRECTLY, not through `cols`: an all-NULL
+    # partition column has null stats but no min/max, so it never enters
+    # `shared`/`cols` (round-6 review finding).
     null_shared = set(data[0].null_counts)
-    null_cols = [c for c in cols if c in null_shared]
+    null_cols = [c for c in priority_cols if c in null_shared]
+    null_cols += [c for c in cols if c in null_shared and c not in null_cols]
     null_cols += sorted(null_shared - set(null_cols))
     for col in null_cols:
         if len(out["null_counts"]) >= _DELTA_BOUNDS_MAX_COLS:
@@ -457,16 +461,19 @@ class TableMetadata:
             parse_partition_by,
         )
 
-        try:
-            fields = parse_partition_by(self.partition_by)
-        except ValueError:
-            return []
         out: list[str] = []
-        for f in fields:
-            out.append(f.source)
-            pc = f.part_column
-            if pc:
-                out.append(pc)
+        # per-spec: one unparseable legacy spec must not drop priority for
+        # the valid fields beside it (round-6 review finding)
+        for spec in self.partition_by:
+            try:
+                fields = parse_partition_by([spec])
+            except ValueError:
+                continue
+            for f in fields:
+                out.append(f.source)
+                pc = f.part_column
+                if pc:
+                    out.append(pc)
         return out
 
     def delta_of(self, snapshot_id: int) -> ManifestDelta:

@@ -478,7 +478,17 @@ class LakeBatchReader(DataSourceReader):
         self._arrow_schema = to_arrow_schema(schema)
         self._options = options
         self._meta = _load_meta(options)
+        self._renames = self._meta.renames  # all read() needs of _meta
         self._predicate: str | None = None
+
+    def __getstate__(self):
+        """Executors only call read(); partitions() fills _meta's
+        delta/manifest caches with O(table files) of resolved entries,
+        which must not ship inside every task's pickled reader (round-6
+        review finding — same fix as the stream reader)."""
+        state = dict(self.__dict__)
+        state["_meta"] = None
+        return state
 
     def pushFilters(self, filters):
         """Translate simple filters into a pruning predicate; report ALL
@@ -554,7 +564,7 @@ class LakeBatchReader(DataSourceReader):
             self._arrow_schema,
             partition.pos_delete_paths,
             partition.eq_deletes,
-            renames=self._meta.renames,
+            renames=self._renames,
             dv_paths=partition.dv_paths,
             row_groups=partition.row_groups,
             row_offset=partition.row_offset,

@@ -287,3 +287,19 @@ def test_bounds_cap_counts_only_successful_folds():
         ManifestDelta(added=[nulls_rich]), priority_cols=["zz"]
     )
     assert "zz" in s2["null_counts"] and s2["null_counts"]["zz"] == 3
+    # all-NULL partition column: null stats but NO min/max (footer
+    # has_min_max false) — null priority must come from priority_cols
+    # directly, not via the min/max shared set
+    all_null = ManifestEntry(
+        file_path="n2",
+        content=0,
+        record_count=5,
+        file_size_in_bytes=10,
+        min_values={f"a{i:03d}": i for i in range(40)},
+        max_values={f"a{i:03d}": i for i in range(40)},
+        null_counts={f"a{i:03d}": 0 for i in range(40)} | {"zz": 5},
+    )
+    s3 = summarize_delta(
+        ManifestDelta(added=[all_null]), priority_cols=["zz"]
+    )
+    assert s3["null_counts"].get("zz") == 5
