@@ -303,3 +303,128 @@ def test_bounds_cap_counts_only_successful_folds():
         ManifestDelta(added=[all_null]), priority_cols=["zz"]
     )
     assert s3["null_counts"].get("zz") == 5
+
+
+# ------------------------------------------------ property: skip soundness
+def test_scoped_manifest_soundness_property():
+    """Hypothesis: for random delta chains (appends with random/missing
+    bounds, removes, delete files, base folds) and random predicates on
+    one column, scoped_manifest must (a) keep every data file the
+    per-file pruner would keep, (b) keep EVERY delete file, (c) never
+    invent entries — pure metadata level, no Spark session."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings, strategies as st
+
+    from demo_iceberg_permanent_delete_spark.lake.metadata import (
+        TableMetadata,
+    )
+    from demo_iceberg_permanent_delete_spark.lake.pruning import (
+        candidate_files,
+    )
+
+    file_st = st.tuples(
+        st.integers(-50, 50),  # lo
+        st.integers(0, 30),  # extent (hi = lo + extent)
+        st.sampled_from(["stats", "no_stats", "null_count"]),
+    )
+    op_st = st.one_of(
+        st.tuples(st.just("append"), st.lists(file_st, min_size=1, max_size=4)),
+        st.tuples(st.just("remove_some"), st.integers(0, 3)),
+        st.tuples(st.just("add_delete_file"), st.none()),
+        st.tuples(st.just("fold_base"), st.none()),
+    )
+    pred_st = st.one_of(
+        st.tuples(st.sampled_from(["<", "<=", "=", ">", ">="]), st.integers(-60, 60)).map(
+            lambda t: f"v {t[0]} {t[1]}"
+        ),
+        st.tuples(st.integers(-60, 60), st.integers(0, 40)).map(
+            lambda t: f"v BETWEEN {t[0]} AND {t[0] + t[1]}"
+        ),
+        st.just("v IS NULL"),
+        st.just("v IS NOT NULL"),
+    )
+
+    counter = iter(range(10**9))
+
+    @settings(max_examples=40, deadline=None)
+    @given(ops=st.lists(op_st, min_size=1, max_size=6), pred=pred_st)
+    def run(ops, pred):
+        loc = tempfile.mkdtemp(prefix="mbprop-")
+        try:
+            meta = TableMetadata(
+                name="default.prop",
+                location=loc,
+                schema_ddl="id bigint, v bigint",
+                properties={},
+            )
+            current: list[ManifestEntry] = []
+            for kind, arg in ops:
+                if kind == "append":
+                    added = []
+                    for lo, ext, mode in arg:
+                        n = next(counter)
+                        e = ManifestEntry(
+                            file_path=f"{loc}/data/f{n}.parquet",
+                            content=0,
+                            record_count=10,
+                            file_size_in_bytes=100,
+                            min_values={} if mode == "no_stats" else {"v": lo},
+                            max_values={} if mode == "no_stats" else {"v": lo + ext},
+                            null_counts={"v": 10 if mode == "null_count" else 0}
+                            if mode != "no_stats"
+                            else {},
+                        )
+                        added.append(e)
+                    current = current + added
+                    meta.add_snapshot("append", list(current))
+                elif kind == "remove_some":
+                    if not current:
+                        continue
+                    survivors = current[arg:]
+                    if len(survivors) == len(current):
+                        continue
+                    current = survivors
+                    meta.add_snapshot("delete", list(current))
+                elif kind == "add_delete_file":
+                    n = next(counter)
+                    d = ManifestEntry(
+                        file_path=f"{loc}/data/del{n}.parquet",
+                        content=1,
+                        record_count=3,
+                        file_size_in_bytes=50,
+                    )
+                    current = current + [d]
+                    meta.add_snapshot("delete", list(current))
+                elif kind == "fold_base":
+                    if meta.current_snapshot_id is None:
+                        continue
+                    meta.materialize_base(meta.current_snapshot_id)
+            if meta.current_snapshot_id is None:
+                return
+            meta.commit()
+
+            fresh = TableMetadata.load(loc)
+            snap = fresh.current_snapshot()
+            full = snap.manifest
+            fresh2 = TableMetadata.load(loc)  # empty caches for the scoped walk
+            scoped = fresh2.scoped_manifest(
+                fresh2.current_snapshot(), pred
+            )
+            full_paths = {e.file_path for e in full}
+            scoped_paths = {e.file_path for e in scoped}
+            matching = {
+                e.file_path
+                for e in candidate_files(
+                    [e for e in full if e.content == 0], pred
+                )
+            }
+            deletes = {e.file_path for e in full if e.content != 0}
+            assert matching <= scoped_paths, (pred, matching - scoped_paths)
+            assert deletes <= scoped_paths, (pred, deletes - scoped_paths)
+            assert scoped_paths <= full_paths, (pred, scoped_paths - full_paths)
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+
+    run()
