@@ -462,19 +462,16 @@ class TableMetadata:
         )
 
         out: list[str] = []
-        # per-spec: one unparseable legacy spec must not drop priority for
+        # lenient: one unparseable legacy spec must not drop priority for
         # the valid fields beside it (round-6 review finding)
-        for spec in self.partition_by:
-            try:
-                fields = parse_partition_by([spec])
-            except ValueError:
-                continue
-            for f in fields:
-                out.append(f.source)
-                pc = f.part_column
-                if pc:
-                    out.append(pc)
-        return out
+        for f in parse_partition_by(self.partition_by, lenient=True):
+            out.append(f.source)
+            pc = f.part_column
+            if pc:
+                out.append(pc)
+        # 'v' and 'bucket(8, v)' both contribute source 'v' — dedup so
+        # summarize_delta never re-folds a column per duplicate
+        return list(dict.fromkeys(out))
 
     def delta_of(self, snapshot_id: int) -> ManifestDelta:
         """The snapshot's change set, from memory or its JSONL file."""

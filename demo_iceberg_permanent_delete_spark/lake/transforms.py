@@ -75,13 +75,24 @@ class PartitionField:
         return None
 
 
-def parse_partition_by(specs: list[str]) -> list[PartitionField]:
+def parse_partition_by(
+    specs: list[str], lenient: bool = False
+) -> list[PartitionField]:
     """Parse PARTITIONED BY items. Plain column names (the pre-transform
-    format) parse as identity, so existing tables load unchanged."""
+    format) parse as identity, so existing tables load unchanged.
+
+    ``lenient=True`` skips unparseable specs instead of raising — for
+    consumers that only PRUNE or PRIORITIZE on partition fields, where
+    dropping an unknown transform is sound (no pruning on it) and one
+    bad legacy spec must not disable the valid fields beside it. Scan
+    and write paths stay strict: specs are validated at CREATE/ALTER,
+    so an unparseable one there is corruption worth failing loudly on."""
     fields: list[PartitionField] = []
     for spec in specs:
         m = _SPEC_RE.match(spec)
         if not m:
+            if lenient:
+                continue
             raise ValueError(f"unsupported partition transform: {spec!r}")
         if m.group("fn"):
             unit = m.group("fn").lower()

@@ -490,6 +490,15 @@ class LakeBatchReader(DataSourceReader):
         state["_meta"] = None
         return state
 
+    def _meta_or_load(self):
+        """Planning normally runs in the worker that constructed the
+        reader, but a copy unpickled elsewhere (a protocol that splits
+        pushdown from planning, or a test round-trip) has _meta stripped
+        by __getstate__ — reload instead of crashing on None."""
+        if self._meta is None:
+            self._meta = _load_meta(self._options)
+        return self._meta
+
     def pushFilters(self, filters):
         """Translate simple filters into a pruning predicate; report ALL
         filters unsupported so Spark re-applies them (file skipping via
@@ -504,11 +513,12 @@ class LakeBatchReader(DataSourceReader):
         return filters  # none handled exactly — Spark keeps them all
 
     def partitions(self) -> Sequence[InputPartition]:
+        meta = self._meta_or_load()
         snap_id = self._options.get("snapshot-id")
         snap = (
-            self._meta.snapshot_by_id(int(snap_id))
+            meta.snapshot_by_id(int(snap_id))
             if snap_id
-            else self._meta.current_snapshot()
+            else meta.current_snapshot()
         )
         if snap is None:
             return [LakeFilePartition(None)]
@@ -516,11 +526,11 @@ class LakeBatchReader(DataSourceReader):
             parse_partition_by,
         )
 
-        part_fields = parse_partition_by(self._meta.partition_by)
+        part_fields = parse_partition_by(meta.partition_by)
         # manifest-level skip first (out-of-scope delta files never
         # opened; keeps all delete files), then per-file pruning
-        scoped = self._meta.scoped_manifest(
-            snap, self._predicate, part_fields, aliases=self._meta.renames
+        scoped = meta.scoped_manifest(
+            snap, self._predicate, part_fields, aliases=meta.renames
         )
         data_entries = [e for e in scoped if e.content == 0]
         if self._predicate:
@@ -532,12 +542,12 @@ class LakeBatchReader(DataSourceReader):
                 data_entries,
                 self._predicate,
                 part_fields,
-                aliases=self._meta.renames,
+                aliases=meta.renames,
             )
         if not data_entries:
             return [LakeFilePartition(None)]
 
-        pos_paths, dv_paths, eq_for = _visibility(self._meta, snap, entries=scoped)
+        pos_paths, dv_paths, eq_for = _visibility(meta, snap, entries=scoped)
         split_bytes = int(
             self._options.get("split-size", DEFAULT_SPLIT_BYTES)
         )
