@@ -64,6 +64,22 @@ def _doc_path(location: str, version: int) -> str:
     return os.path.join(_meta_dir(location), f"v{version}.json")
 
 
+def doc_identity(location: str, version: int) -> tuple[int, int] | None:
+    """(inode, mtime_ns) identity of a committed version document, or None
+    when the backend has no filesystem document. Identity distinguishes a
+    DROP PURGE + CREATE that reaches the same version number from the
+    cached original; None means staleness is unknowable, so callers must
+    treat it as never-matching (reload). One scheme, one module: the SQL
+    facade's statement cache and the stream readers' poll cache both key
+    on this (round-6 review finding — two hand-rolled probes would
+    drift)."""
+    try:
+        st = os.stat(_doc_path(location, version))
+    except OSError:
+        return None
+    return (st.st_ino, st.st_mtime_ns)
+
+
 class FileCatalogService:
     """Single-filesystem head management: hard-link CAS + version hint.
 

@@ -179,8 +179,12 @@ def summarize_delta(
             his = [e.max_values[col] for e in data]
             if any(v is None for v in los + his):
                 continue
-            out["min_values"][col] = min(los)
-            out["max_values"][col] = max(his)
+            # fold BOTH before assigning either: a max() TypeError after
+            # min_values was written would leave a half-folded column that
+            # eats a cap slot yet can never prune (round-6 review finding)
+            mn, mx = min(los), max(his)
+            out["min_values"][col] = mn
+            out["max_values"][col] = mx
         except (KeyError, TypeError):
             continue  # absent in some entry / uncomparable mix → unknown
     # same priority rule as min/max (a partition column's null count must
@@ -436,16 +440,19 @@ class TableMetadata:
         return get_service().latest_version(location)
 
     @classmethod
-    def load(cls, location: str) -> TableMetadata:
+    def load(cls, location: str, version: int | None = None) -> TableMetadata:
+        """Load the table's metadata document — the head by default, or a
+        PINNED ``version`` (readers that captured a version before being
+        pickled reload exactly it, not whatever committed meanwhile)."""
         from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
             get_service,
         )
 
-        latest = cls.latest_version(location)
+        v = version if version is not None else cls.latest_version(location)
         meta = cls.from_json(
-            json.loads(get_service().read_document(location, latest))
+            json.loads(get_service().read_document(location, v))
         )
-        meta.version = latest
+        meta.version = v
         return meta
 
     # ------------------------------------------------------- delta storage

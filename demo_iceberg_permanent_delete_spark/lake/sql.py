@@ -124,16 +124,12 @@ class LakeEngine:
             TableMetadata,
         )
 
-        def _ident(location: str, version: int):
-            # path layout lives in catalog_service only (round-6 review
-            # finding: a hand-built copy here would desynchronize the
-            # staleness probe from the CAS if the layout ever moved)
-            from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
-                _doc_path,
-            )
-
-            st = os.stat(_doc_path(location, version))
-            return (st.st_ino, st.st_mtime_ns)
+        # identity scheme + path layout live in catalog_service only
+        # (round-6 review findings: hand-rolled copies of either would
+        # desynchronize the staleness probe from the CAS)
+        from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
+            doc_identity,
+        )
 
         reg = self.catalog._read_registry()
         entry = reg["tables"].get(name)
@@ -142,21 +138,23 @@ class LakeEngine:
             version, ident, t, df = cached
             try:
                 latest = TableMetadata.latest_version(entry["location"])
-                cur_ident = _ident(entry["location"], latest)
             except OSError:
-                latest, cur_ident = None, None
+                latest = None
+            cur_ident = (
+                doc_identity(entry["location"], latest)
+                if latest is not None
+                else None
+            )
             if (
                 latest == version
+                and ident is not None  # None = unknowable → never matches
                 and cur_ident == ident
                 and t.metadata.location == entry["location"]
             ):
                 return t, df
         t = self.catalog.load_table(name)
         df = t.read()
-        try:
-            ident = _ident(t.metadata.location, t.metadata.version)
-        except OSError:
-            ident = None  # never matches → next SELECT reloads
+        ident = doc_identity(t.metadata.location, t.metadata.version)
         self._table_cache[name] = (t.metadata.version, ident, t, df)
         # drop the table's stale estimates/scans with it (a same-version
         # recreate would otherwise serve the old table's)

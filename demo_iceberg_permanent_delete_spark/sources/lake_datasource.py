@@ -479,6 +479,12 @@ class LakeBatchReader(DataSourceReader):
         self._options = options
         self._meta = _load_meta(options)
         self._renames = self._meta.renames  # all read() needs of _meta
+        # the version this reader PLANS against, pinned at construction:
+        # an unpickled copy must reload exactly it, not whatever committed
+        # meanwhile (round-6 review finding — a later version would plan a
+        # snapshot the query never selected, with renames out of sync
+        # with the _renames captured above)
+        self._pinned = (self._meta.location, self._meta.version)
         self._predicate: str | None = None
 
     def __getstate__(self):
@@ -494,9 +500,14 @@ class LakeBatchReader(DataSourceReader):
         """Planning normally runs in the worker that constructed the
         reader, but a copy unpickled elsewhere (a protocol that splits
         pushdown from planning, or a test round-trip) has _meta stripped
-        by __getstate__ — reload instead of crashing on None."""
+        by __getstate__ — reload the PINNED version instead of crashing
+        on None (and never the head: see __init__)."""
         if self._meta is None:
-            self._meta = _load_meta(self._options)
+            from demo_iceberg_permanent_delete_spark.lake.metadata import (
+                TableMetadata,
+            )
+
+            self._meta = TableMetadata.load(*self._pinned)
         return self._meta
 
     def pushFilters(self, filters):
@@ -526,7 +537,11 @@ class LakeBatchReader(DataSourceReader):
             parse_partition_by,
         )
 
-        part_fields = parse_partition_by(meta.partition_by)
+        # lenient: partitions() only PRUNES on these fields, and an
+        # unparseable legacy spec must not fail the whole read (round-6
+        # review finding — the strict call regressed unpredicated reads
+        # of such tables, which used to skip parsing entirely)
+        part_fields = parse_partition_by(meta.partition_by, lenient=True)
         # manifest-level skip first (out-of-scope delta files never
         # opened; keeps all delete files), then per-file pruning
         scoped = meta.scoped_manifest(
@@ -802,26 +817,26 @@ class LakeStreamReader(DataSourceStreamReader):
         number (the facade cache's scheme). Backends without a filesystem
         document (in-memory catalog service) fail the stat and always
         reload — correct, just uncached."""
-        meta = self._meta
-        if meta is not None:
-            try:
-                from demo_iceberg_permanent_delete_spark.lake.metadata import (
-                    TableMetadata,
-                )
+        from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
+            doc_identity,
+        )
+        from demo_iceberg_permanent_delete_spark.lake.metadata import (
+            TableMetadata,
+        )
 
-                if TableMetadata.latest_version(meta.location) == meta.version:
-                    st = os.stat(meta.metadata_file(meta.version))
-                    if (st.st_ino, st.st_mtime_ns) == self._meta_ident:
-                        return meta
+        meta = self._meta
+        if meta is not None and self._meta_ident is not None:
+            try:
+                latest = TableMetadata.latest_version(meta.location)
             except OSError:
-                pass
+                latest = None
+            if latest == meta.version and (
+                doc_identity(meta.location, meta.version) == self._meta_ident
+            ):
+                return meta
         meta = _load_meta(self._options)
         self._meta = meta
-        try:
-            st = os.stat(meta.metadata_file(meta.version))
-            self._meta_ident = (st.st_ino, st.st_mtime_ns)
-        except OSError:
-            self._meta_ident = None
+        self._meta_ident = doc_identity(meta.location, meta.version)
         return meta
 
     @staticmethod
@@ -899,12 +914,6 @@ class LakeStreamReader(DataSourceStreamReader):
         for ``partitions``."""
         return [n for _e, n in self._append_units(meta, snap)]
 
-    def _admission_cost(self, meta, snap) -> tuple[int, int]:
-        """(files, rows) cost of admitting this snapshot WHOLE — the only
-        granularity a non-divisible reader (CDC) needs."""
-        units = self._admission_units(meta, snap)
-        return len(units), sum(units)
-
     def initialOffset(self) -> dict:
         self._pos = self._off(self._initial)
         return self._off(self._initial)
@@ -944,7 +953,8 @@ class LakeStreamReader(DataSourceStreamReader):
         for snap, skip_n in work:
             if not self._divisible:
                 # snapshot-atomic (CDC): a commit's change set is admitted
-                # whole or not at all
+                # whole or not at all; a non-divisible reader must define
+                # _admission_cost(meta, snap) -> (files, rows)
                 cost_files, cost_rows = self._admission_cost(meta, snap)
                 if admitted and (
                     budget_files < cost_files or budget_rows < cost_rows
