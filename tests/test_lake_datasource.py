@@ -1193,3 +1193,34 @@ def test_stream_admission_pos_is_split_size_independent(
     assert sorted(
         ids_a + [i for _, _, ids in rest for i in ids]
     ) == list(range(600))
+
+
+def test_batch_reader_unpickled_copy_plans_pinned_version(registered, cat):
+    """A reader copy that lost its planner cache to __getstate__ must
+    reload the version it was CONSTRUCTED against, not the head — a
+    later commit would otherwise leak into a query that never selected
+    it, with renames out of sync (round-6 review finding)."""
+    import pickle
+
+    from pyspark.sql.types import StructType
+
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        LakeBatchReader,
+    )
+
+    spark = registered
+    t = cat.create_table("default.pin1", "id bigint, v string")
+    t.insert(spark.createDataFrame([(1, "a")], "id long, v string"))
+    reader = LakeBatchReader(
+        StructType.fromDDL("id bigint, v string"),
+        {"location": t.metadata.location},
+    )
+    assert reader.__getstate__()["_meta"] is None  # cache never ships
+    clone = pickle.loads(pickle.dumps(reader))
+    t.insert(spark.createDataFrame([(2, "b")], "id long, v string"))  # after pin
+    parts = [p for p in clone.partitions() if p.file_path is not None]
+    ids = []
+    for p in parts:
+        for rb in clone.read(p):
+            ids.extend(rb.column("id").to_pylist())
+    assert ids == [1]  # the pinned pre-commit snapshot, not the head

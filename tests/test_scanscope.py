@@ -326,3 +326,80 @@ def test_inner_on_parenthesized_condition_conservative():
         "ON (f.k = d.k AND d.label = 'x')"
     )
     assert out == {}
+
+
+def test_inner_on_extraction_preserves_join_results_property():
+    """Hypothesis + DuckDB differential for the ON path: replacing each
+    view's scan with (SELECT * FROM view WHERE extracted-P) must leave an
+    inner join's result multiset IDENTICAL — the exact substitution the
+    facade's pruned registration performs. Covers random AND/OR/NOT
+    trees mixing both sides' columns in ON position, null-bearing
+    grids."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    leaves = st.sampled_from(
+        [
+            "f.k = d.k",
+            "f.k > 2",
+            "d.a > 3",
+            "d.a = 5",
+            "d.b = 'x'",
+            "d.c BETWEEN 2 AND 5",
+            "d.b IS NULL",
+            "d.b IS NOT NULL",
+            "d.a IN (1, 2, 3)",
+        ]
+    )
+
+    def combine(children):
+        a, b = children
+        return st.sampled_from(
+            [
+                f"{a} AND {b}",
+                f"{a} OR {b}",
+                f"{a} AND NOT ({b})",
+                f"({a} OR {b}) AND {a}",
+            ]
+        )
+
+    exprs = st.recursive(
+        leaves, lambda e: st.tuples(e, e).flatmap(combine), max_leaves=5
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE default__f AS "
+        "SELECT unnest([0,1,2,3,4,5,NULL]) AS k"
+    )
+    con.execute(
+        "CREATE TABLE default__d AS SELECT * FROM ("
+        "SELECT unnest([0,1,2,3,4,5,6,NULL]) AS k) "
+        "CROSS JOIN (SELECT unnest([1,3,5,NULL]) AS a) "
+        "CROSS JOIN (SELECT unnest(['x','y',NULL]) AS b) "
+        "CROSS JOIN (SELECT unnest([2,4,NULL]) AS c)"
+    )
+    cols = {"default__f": {"k"}, "default__d": {"k", "a", "b", "c"}}
+
+    @settings(max_examples=200, deadline=None)
+    @given(on=exprs)
+    def prop(on):
+        sql = (
+            "SELECT f.k, d.a, d.b, d.c FROM default__f f "
+            f"JOIN default__d d ON {on}"
+        )
+        out = extract_scan_predicates(
+            sql, cols, {"default__f": 1, "default__d": 1}
+        )
+        if not out:
+            return
+        pruned = sql
+        for view, pred in out.items():
+            pruned = pruned.replace(
+                view, f"(SELECT * FROM {view} WHERE {pred})", 1
+            )
+        want = sorted(map(tuple, con.execute(sql).fetchall()), key=repr)
+        got = sorted(map(tuple, con.execute(pruned).fetchall()), key=repr)
+        assert got == want, (on, out)
+
+    prop()
