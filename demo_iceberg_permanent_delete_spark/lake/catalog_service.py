@@ -55,6 +55,14 @@ class CatalogService(Protocol):
         """The committed metadata document text for ``version``."""
         ...
 
+    def doc_identity(self, location: str, version: int):
+        """Opaque identity of the COMMITTED document at ``version`` —
+        distinguishes a DROP + recreate that reaches the same version
+        number from the original. None = unknowable (callers treat as
+        never-matching). Comparable across calls only within one
+        backend."""
+        ...
+
 
 def _meta_dir(location: str) -> str:
     return os.path.join(location, "metadata")
@@ -64,20 +72,17 @@ def _doc_path(location: str, version: int) -> str:
     return os.path.join(_meta_dir(location), f"v{version}.json")
 
 
-def doc_identity(location: str, version: int) -> tuple[int, int] | None:
-    """(inode, mtime_ns) identity of a committed version document, or None
-    when the backend has no filesystem document. Identity distinguishes a
-    DROP PURGE + CREATE that reaches the same version number from the
-    cached original; None means staleness is unknowable, so callers must
-    treat it as never-matching (reload). One scheme, one module: the SQL
-    facade's statement cache and the stream readers' poll cache both key
-    on this (round-6 review finding — two hand-rolled probes would
-    drift)."""
-    try:
-        st = os.stat(_doc_path(location, version))
-    except OSError:
-        return None
-    return (st.st_ino, st.st_mtime_ns)
+def doc_identity(location: str, version: int):
+    """Identity of a committed version document under the ACTIVE backend,
+    or None when unknowable (callers must treat None as never-matching —
+    reload). One scheme, one seam: the SQL facade's statement cache and
+    the stream readers' poll cache both key on this (round-6 review
+    findings — hand-rolled filesystem stats would both drift from the
+    CAS layout and defeat or, worse, falsely satisfy the caches under a
+    non-filesystem backend that shares a location with stale FS
+    residue). Backends without the method degrade to never-cached."""
+    fn = getattr(get_service(), "doc_identity", None)
+    return fn(location, version) if fn is not None else None
 
 
 class FileCatalogService:
@@ -149,6 +154,15 @@ class FileCatalogService:
         with open(_doc_path(location, version)) as fh:
             return fh.read()
 
+    def doc_identity(self, location: str, version: int) -> tuple[int, int] | None:
+        """(inode, mtime_ns) of the version document — a recreate cannot
+        reproduce both, and the hard-link CAS never rewrites in place."""
+        try:
+            st = os.stat(_doc_path(location, version))
+        except OSError:
+            return None
+        return (st.st_ino, st.st_mtime_ns)
+
 
 class InMemoryCatalogService:
     """Process-local fake with the full contract — the shape of a real
@@ -160,6 +174,7 @@ class InMemoryCatalogService:
 
     def __init__(self) -> None:
         self._docs: dict[str, dict[int, str]] = {}
+        self._tokens: dict[tuple[str, int], str] = {}
         self._lock = threading.Lock()
 
     def claim_version(self, location: str, version: int, document: str) -> None:
@@ -175,6 +190,10 @@ class InMemoryCatalogService:
                     "committed by another writer"
                 )
             table[version] = document
+            # per-claim identity token: a clear() + re-claim of the same
+            # version is a DIFFERENT table state and must not satisfy
+            # identity-guarded caches
+            self._tokens[(location, version)] = uuid.uuid4().hex
 
     def latest_version(self, location: str) -> int:
         with self._lock:
@@ -194,9 +213,14 @@ class InMemoryCatalogService:
                     f"{_doc_path(location, version)} not committed"
                 ) from None
 
+    def doc_identity(self, location: str, version: int) -> str | None:
+        with self._lock:
+            return self._tokens.get((location, version))
+
     def clear(self) -> None:
         with self._lock:
             self._docs.clear()
+            self._tokens.clear()
 
 
 _SERVICE: CatalogService = FileCatalogService()

@@ -117,9 +117,7 @@ class LakeEngine:
         The version number alone is not table identity: DROP PURGE +
         CREATE of the same name reuses the deterministic location and
         can reach the same version — so the cache also pins the metadata
-        file's (inode, mtime_ns), which a rewrite can't reproduce."""
-        import os
-
+        file's identity token, which a rewrite can't reproduce."""
         from demo_iceberg_permanent_delete_spark.lake.metadata import (
             TableMetadata,
         )

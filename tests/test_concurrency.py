@@ -148,3 +148,23 @@ def test_concurrent_stats_merge_drops_rather_than_corrupts(spark, warehouse):
     assert stats["snapshot_id"] != final.metadata.current_snapshot_id
     est_rows = {r["column_name"]: r for r in final.meta("statistics").collect()}
     assert all(r["stale"] for r in est_rows.values())
+
+
+def test_in_memory_identity_tokens_guard_recreates():
+    """Identity lives on the service seam: the in-memory backend issues a
+    per-claim token, so identity-guarded caches WORK under it (non-None,
+    stable) and a clear() + re-claim of the same version — the in-memory
+    analog of DROP PURGE + CREATE — never satisfies a stale cache."""
+    from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
+        InMemoryCatalogService,
+    )
+
+    svc = InMemoryCatalogService()
+    svc.claim_version("/loc", 1, "{}")
+    tok = svc.doc_identity("/loc", 1)
+    assert tok is not None
+    assert svc.doc_identity("/loc", 1) == tok  # stable across probes
+    svc.clear()
+    svc.claim_version("/loc", 1, "{}")
+    assert svc.doc_identity("/loc", 1) != tok  # recreate = new identity
+    assert svc.doc_identity("/loc", 9) is None  # uncommitted = unknowable
