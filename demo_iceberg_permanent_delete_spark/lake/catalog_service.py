@@ -26,6 +26,11 @@ The contract is deliberately tiny (the whole point of the seam):
 - ``latest_version(location)``: highest committed version;
   ``FileNotFoundError`` when the table has none.
 - ``read_document(location, version)``: the committed document text.
+- ``doc_identity(location, version)``: opaque identity of the committed
+  document (None = unknowable). OPTIONAL but load-bearing for caching: a
+  backend without it runs correct-but-never-cached — the SQL facade's
+  statement cache and the stream readers' poll cache reload on every
+  statement/trigger.
 
 Swap the active backend with ``set_service`` (e.g. an object-store
 implementation backed by S3 conditional-PUT / DynamoDB, or a REST

@@ -812,11 +812,12 @@ class LakeStreamReader(DataSourceStreamReader):
         poll — with delta-file re-reads into a fresh instance's empty
         caches — is O(table metadata) work for a usually-unchanged answer
         (round-6 review finding). Staleness probe = the O(1) version-hint
-        head read; identity guard = (inode, mtime_ns) of the version
-        document against DROP PURGE + CREATE reaching the same version
-        number (the facade cache's scheme). Backends without a filesystem
-        document (in-memory catalog service) fail the stat and always
-        reload — correct, just uncached."""
+        head read; identity guard = catalog_service.doc_identity (the
+        ACTIVE backend's document identity — filesystem (inode, mtime_ns)
+        or the in-memory backend's per-claim token) against DROP PURGE +
+        CREATE reaching the same version number, the facade cache's
+        scheme. A backend without doc_identity returns None and the
+        reader reloads every poll — correct, just uncached."""
         from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
             doc_identity,
         )

@@ -168,3 +168,32 @@ def test_in_memory_identity_tokens_guard_recreates():
     svc.claim_version("/loc", 1, "{}")
     assert svc.doc_identity("/loc", 1) != tok  # recreate = new identity
     assert svc.doc_identity("/loc", 9) is None  # uncommitted = unknowable
+
+
+def test_module_level_doc_identity_delegates_to_active_service():
+    """The integration path both caches actually use: the module-level
+    doc_identity() must route through get_service() — a broken shim
+    would silently disable identity caching (or stat the filesystem
+    under a non-FS backend, the exact false-hit bug it exists to
+    prevent)."""
+    from demo_iceberg_permanent_delete_spark.lake.catalog_service import (
+        InMemoryCatalogService,
+        doc_identity,
+        set_service,
+    )
+
+    svc = InMemoryCatalogService()
+    prev = set_service(svc)
+    try:
+        svc.claim_version("/loc2", 3, "{}")
+        assert doc_identity("/loc2", 3) == svc.doc_identity("/loc2", 3)
+        assert doc_identity("/loc2", 3) is not None
+        assert doc_identity("/loc2", 4) is None
+
+        class ThreeMethodBackend:  # legacy contract, no doc_identity
+            pass
+
+        set_service(ThreeMethodBackend())
+        assert doc_identity("/loc2", 3) is None  # degrade: never-cached
+    finally:
+        set_service(prev)
