@@ -1224,3 +1224,39 @@ def test_batch_reader_unpickled_copy_plans_pinned_version(registered, cat):
         for rb in clone.read(p):
             ids.extend(rb.column("id").to_pylist())
     assert ids == [1]  # the pinned pre-commit snapshot, not the head
+
+
+def test_stream_admission_composes_with_skip_and_replace(registered, cat):
+    """Admission control over a history mixing appends, a skipped COW
+    delete and a compaction replace: pass-through snapshots cost no
+    budget, advance the offset, and the capped stream still emits each
+    appended row exactly once."""
+    from tests.conftest import one_part
+
+    spark = registered
+    t = cat.create_table("default.adm9", "id bigint, v string")
+    t.insert(one_part(spark, [(i, "a") for i in range(4)], "id long, v string"))
+    t.insert(one_part(spark, [(i, "b") for i in range(4, 8)], "id long, v string"))
+    t.delete("id = 0")  # COW: rewrites batch-1 survivors in a delete snapshot
+    t.insert(one_part(spark, [(8, "c")], "id long, v string"))
+    t.rewrite_data_files()  # replace snapshot: must pass through silently
+    t.insert(one_part(spark, [(9, "d")], "id long, v string"))
+
+    reader = _mk_reader(
+        t,
+        **{
+            "streaming-max-files-per-micro-batch": "1",
+            "streaming-skip-delete-snapshots": "true",
+        },
+    )
+    batches = _drain(reader)
+    # one appended FILE per batch; skipped/replace snapshots ride along
+    assert all(n <= 1 for _, n, _ in batches)
+    ids = sorted(i for _, _, ids in batches for i in ids)
+    # append semantics with the COW delete skipped: raw appended rows
+    # only, each exactly once (the rewritten survivors never re-emit)
+    assert ids == list(range(10))
+    # final offset rests at the head, bare form
+    assert batches[-1][0] == {
+        "snapshot_id": t.metadata.current_snapshot_id
+    }
