@@ -1260,3 +1260,72 @@ def test_stream_admission_composes_with_skip_and_replace(registered, cat):
     assert batches[-1][0] == {
         "snapshot_id": t.metadata.current_snapshot_id
     }
+
+
+def test_cdc_admission_capped_batches_match_batch_changes(registered, cat):
+    """Capped CDC: driving the reader with a 1-file cap yields one COMMIT
+    per micro-batch whose rows equal changes(parent, commit) exactly —
+    ordinals restart per batch, same as per-range availableNow runs."""
+    from pyspark.sql.types import StructType
+
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        LakeCdcStreamReader,
+    )
+    from tests.conftest import one_part
+
+    spark = registered
+    t = cat.create_table(
+        "default.adm10",
+        "id bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(one_part(spark, [(i, "a") for i in range(6)], "id long, v string"))
+    t.delete("id < 2")  # MOR: masked-rows CDC kind
+    t.insert(one_part(spark, [(9, "b")], "id long, v string"))
+    snaps = [s.snapshot_id for s in t.metadata.snapshots]
+
+    schema = StructType.fromDDL(
+        "id bigint, v string, _change_type string, _change_ordinal int,"
+        " _commit_snapshot_id bigint"
+    )
+    reader = LakeCdcStreamReader(
+        schema,
+        {
+            "location": t.metadata.location,
+            "starting-offset": "earliest",
+            "mode": "cdc",
+            "streaming-max-files-per-micro-batch": "1",
+        },
+    )
+    off = reader.initialOffset()
+    prev = None
+    batch_no = 0
+    for _ in range(10):
+        end = reader.latestOffset()
+        if end == off:
+            break
+        rows = []
+        for p in reader.partitions(off, end):
+            if p.file_path is not None:
+                for rb in reader.read(p):
+                    for i in range(rb.num_rows):
+                        rows.append(
+                            tuple(
+                                rb.column(c)[i].as_py()
+                                for c in (
+                                    "id",
+                                    "v",
+                                    "_change_type",
+                                    "_change_ordinal",
+                                    "_commit_snapshot_id",
+                                )
+                            )
+                        )
+        want = sorted(
+            tuple(r) for r in t.changes(prev, end["snapshot_id"]).collect()
+        )
+        assert sorted(rows) == want, f"batch {batch_no}"
+        reader.commit(end)
+        prev, off = end["snapshot_id"], end
+        batch_no += 1
+    assert batch_no == 3 and prev == snaps[-1]
