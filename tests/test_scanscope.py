@@ -367,23 +367,29 @@ def test_inner_on_extraction_preserves_join_results_property():
         leaves, lambda e: st.tuples(e, e).flatmap(combine), max_leaves=5
     )
 
-    con = duckdb.connect()
-    con.execute(
-        "CREATE TABLE default__f AS "
-        "SELECT unnest([0,1,2,3,4,5,NULL]) AS k"
-    )
-    con.execute(
-        "CREATE TABLE default__d AS SELECT * FROM ("
-        "SELECT unnest([0,1,2,3,4,5,6,NULL]) AS k) "
-        "CROSS JOIN (SELECT unnest([1,3,5,NULL]) AS a) "
-        "CROSS JOIN (SELECT unnest(['x','y',NULL]) AS b) "
-        "CROSS JOIN (SELECT unnest([2,4,NULL]) AS c)"
-    )
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute(
+            "CREATE TABLE default__f AS "
+            "SELECT unnest([0,1,2,3,4,5,NULL]) AS k"
+        )
+        c.execute(
+            "CREATE TABLE default__d AS SELECT * FROM ("
+            "SELECT unnest([0,1,2,3,4,5,6,NULL]) AS k) "
+            "CROSS JOIN (SELECT unnest([1,3,5,NULL]) AS a) "
+            "CROSS JOIN (SELECT unnest(['x','y',NULL]) AS b) "
+            "CROSS JOIN (SELECT unnest([2,4,NULL]) AS c)"
+        )
+        return c
+
+    state = {"con": fresh_con()}
     cols = {"default__f": {"k"}, "default__d": {"k", "a", "b", "c"}}
 
     @settings(max_examples=200, deadline=None)
     @given(on=exprs)
     def prop(on):
+        from hypothesis import assume
+
         sql = (
             "SELECT f.k, d.a, d.b, d.c FROM default__f f "
             f"JOIN default__d d ON {on}"
@@ -398,8 +404,19 @@ def test_inner_on_extraction_preserves_join_results_property():
             pruned = pruned.replace(
                 view, f"(SELECT * FROM {view} WHERE {pred})", 1
             )
-        want = sorted(map(tuple, con.execute(sql).fetchall()), key=repr)
-        got = sorted(map(tuple, con.execute(pruned).fetchall()), key=repr)
+        try:
+            want = sorted(
+                map(tuple, state["con"].execute(sql).fetchall()), key=repr
+            )
+            got = sorted(
+                map(tuple, state["con"].execute(pruned).fetchall()), key=repr
+            )
+        except duckdb.InternalException:
+            # duckdb 1.0.0 optimizer bug on duplicated BETWEEN disjuncts
+            # (same skip as the WHERE property test); the crash poisons
+            # the connection — rebuild and discard the example
+            state["con"] = fresh_con()
+            assume(False)
         assert got == want, (on, out)
 
     prop()
