@@ -564,11 +564,21 @@ class LakeTable:
         # header-recorded bounds can't match are never even opened
         # (metadata.scoped_manifest — superset of matching data files plus
         # ALL delete files), then the per-file pruner narrows within the
-        # deltas that were read
+        # deltas that were read. Lenient spec parse, hoisted once: this is
+        # a pruning-only consumer — an unknown legacy transform must not
+        # fail a read that plain read() serves (round-6 review finding),
+        # it just doesn't prune.
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            parse_partition_by,
+        )
+
+        part_fields = parse_partition_by(
+            self.metadata.partition_by, lenient=True
+        )
         scoped = self.metadata.scoped_manifest(
             snap,
             predicate if isinstance(predicate, str) else None,
-            self._partition_fields,
+            part_fields,
             aliases=self.metadata.renames,
         )
         data_entries = [e for e in scoped if e.content == CONTENT_DATA]
@@ -576,7 +586,7 @@ class LakeTable:
             candidate_files(
                 data_entries,
                 predicate,
-                self._partition_fields,
+                part_fields,
                 aliases=self.metadata.renames,
             )
             if isinstance(predicate, str)
@@ -1001,9 +1011,17 @@ class LakeTable:
         from demo_iceberg_permanent_delete_spark.lake.metadata import CONTENT_DATA
 
         # manifest-level skip first (whole out-of-scope delta files are
-        # never opened), per-file pruning within what was read
+        # never opened), per-file pruning within what was read. Lenient
+        # spec parse, hoisted once — pruning-only consumer (see scan())
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            parse_partition_by,
+        )
+
+        part_fields = parse_partition_by(
+            self.metadata.partition_by, lenient=True
+        )
         scoped = self.metadata.scoped_manifest(
-            snap, prune_for, self._partition_fields, aliases=self.metadata.renames
+            snap, prune_for, part_fields, aliases=self.metadata.renames
         )
         data_entries = [e for e in scoped if e.content == CONTENT_DATA]
         if prune_for is not None and data_entries:
@@ -1012,7 +1030,7 @@ class LakeTable:
             data_entries = candidate_files(
                 data_entries,
                 prune_for,
-                self._partition_fields,
+                part_fields,
                 aliases=self.metadata.renames,
             )
         if not data_entries:

@@ -966,7 +966,19 @@ class LakeStreamReader(DataSourceStreamReader):
                 admitted += cost_files
                 end = self._off(snap.snapshot_id)
                 continue
-            units = self._admission_units(meta, snap)
+            if admitted and budget_files < 1:
+                break  # batch full: don't even resolve the next delta
+            try:
+                units = self._admission_units(meta, snap)
+            except ValueError:
+                # an unskipped COW delete/overwrite just past a full batch
+                # boundary must not withhold the completed batch (round-6
+                # review finding): return what was admitted; the NEXT poll
+                # reaches this snapshot with admitted == 0 and re-raises —
+                # the same point the uncapped stream errors at
+                if admitted:
+                    break
+                raise
             take, stopped = skip_n, False
             for n_rows in units[skip_n:]:
                 if admitted and (budget_files < 1 or budget_rows < n_rows):

@@ -1329,3 +1329,29 @@ def test_cdc_admission_capped_batches_match_batch_changes(registered, cat):
         prev, off = end["snapshot_id"], end
         batch_no += 1
     assert batch_no == 3 and prev == snaps[-1]
+
+
+def test_stream_admission_returns_full_batch_before_cow_error(
+    registered, cat
+):
+    """An unskipped COW delete sitting just past a full batch boundary
+    must not withhold the completed batch: the capped poll returns the
+    admitted files; only the NEXT poll — which must actually consume the
+    COW snapshot — raises (the same point the uncapped stream errors
+    at)."""
+    from tests.conftest import one_part
+
+    spark = registered
+    t = cat.create_table("default.adm11", "id bigint, v string")
+    rows = [(i, f"v{i}") for i in range(9)]
+    t.insert(spark.createDataFrame(rows, "id long, v string").repartition(3))
+    t.delete("id = 0")  # COW delete right after a 3-file append
+
+    reader = _mk_reader(t, **{"streaming-max-files-per-micro-batch": "3"})
+    off0 = reader.initialOffset()
+    end1 = reader.latestOffset()  # exactly fills the cap with the append
+    parts = [p for p in reader.partitions(off0, end1) if p.file_path]
+    assert len(parts) == 3
+    reader.commit(end1)
+    with pytest.raises(ValueError, match="delete"):
+        reader.latestOffset()  # now the COW snapshot must be consumed

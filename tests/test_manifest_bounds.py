@@ -428,3 +428,22 @@ def test_scoped_manifest_soundness_property():
             shutil.rmtree(loc, ignore_errors=True)
 
     run()
+
+
+def test_scan_paths_tolerate_unknown_partition_spec(registered_cat):
+    """Pruning-only consumers parse the partition spec leniently: a table
+    carrying a transform this reader doesn't know (newer/foreign writer)
+    stays READABLE — scan (string and Column predicates) and
+    read_with_positions just don't prune on it — while the write path
+    stays strict (clustering on an unknown transform would be wrong)."""
+    cat, spark = registered_cat
+    t = cat.create_table("default.mb8", "id bigint, v bigint")
+    t.insert(spark.createDataFrame([(i, i) for i in range(10)], "id long, v long"))
+    t.metadata.partition_by.append("mystery_transform(v, 7)")
+    t.metadata.commit()
+    t2 = cat.load_table("default.mb8")
+    assert sorted(r["v"] for r in t2.scan("v <= 5").collect()) == list(range(6))
+    assert t2.scan(F.col("v") <= 5).count() == 6
+    assert t2.read_with_positions().count() == 10
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        t2.insert(spark.createDataFrame([(99, 99)], "id long, v long"))
