@@ -167,6 +167,10 @@ def remove_orphan_files(
     # than the cutoff is an orphan too, exactly like Iceberg's.
     live_manifests = {
         s.manifest_file for s in table.metadata.snapshots if s.manifest_file
+    } | {
+        sh["manifest_file"]
+        for s in table.metadata.snapshots
+        for sh in (s.shards or [])
     }
     meta_dir = table.metadata.metadata_dir
     for name in sorted(os.listdir(meta_dir)):

@@ -1875,7 +1875,14 @@ class LakeTable:
         (spark.read.json over the JSONL manifests) — the metadata path that
         scales past driver memory. Unwritten in-memory deltas (pre-commit)
         don't occur here: views always run on committed state."""
-        files = sorted({s.manifest_file for s in snapshots if s.manifest_file})
+        files = sorted(
+            {s.manifest_file for s in snapshots if s.manifest_file}
+            | {
+                sh["manifest_file"]
+                for s in snapshots
+                for sh in (s.shards or [])
+            }
+        )
         return self.spark.read.schema(self._MANIFEST_ROW_SCHEMA).json(files)
 
     def _entries_estimate(self) -> int | None:
@@ -2022,6 +2029,20 @@ class LakeTable:
         )
         rows = []
         for s in self.metadata.snapshots:
+            if s.shards is not None:
+                # partition-sharded fold: one row per shard manifest, like
+                # Iceberg's several-manifests-per-snapshot listing
+                for sh in s.shards:
+                    rows.append(
+                        (
+                            sh["manifest_file"],
+                            int(sh.get("bytes", 0)),
+                            s.snapshot_id,
+                            int(sh.get("entries", 0)),
+                            0,
+                        )
+                    )
+                continue
             if "total-files" in s.summary:
                 total = int(s.summary["total-files"])
                 added = int(s.summary.get("added-entries", 0))
