@@ -533,12 +533,22 @@ class TableMetadata:
         # summarize_delta never re-folds a column per duplicate
         return list(dict.fromkeys(out))
 
-    def _read_shard(self, path: str) -> list[ManifestEntry]:
+    def _read_shard(
+        self, path: str, snapshot_id: int | None = None
+    ) -> list[ManifestEntry]:
         """Entries of one shard manifest file (add rows only; shard files
         are written by the sharded fold and never carry removes/base
         markers). Cached per path; counts one delta_file_read per open."""
         if path in self._shard_cache:
             return self._shard_cache[path]
+        if not os.path.exists(path):
+            # mirror the single-file path's named error: a stale reader
+            # racing remove_orphan_files gets a diagnosable message, not
+            # a bare open() failure (round-7 ADVICE)
+            raise FileNotFoundError(
+                f"shard manifest for snapshot {snapshot_id} not found "
+                f"({path}); expired and GC'd under this stale reader?"
+            )
         entries: list[ManifestEntry] = []
         self.delta_file_reads += 1
         with open(path) as fh:
@@ -561,7 +571,9 @@ class TableMetadata:
         if snap.shards is not None:
             added: list[ManifestEntry] = []
             for sh in snap.shards:
-                added.extend(self._read_shard(sh["manifest_file"]))
+                added.extend(
+                    self._read_shard(sh["manifest_file"], snapshot_id)
+                )
             delta = ManifestDelta(added=added, base=True)
             self._deltas[snapshot_id] = delta
             return delta
@@ -709,7 +721,9 @@ class TableMetadata:
                         )
                     ):
                         continue  # shard provably out of scope: unopened
-                    for e in self._read_shard(sh["manifest_file"]):
+                    for e in self._read_shard(
+                        sh["manifest_file"], s.snapshot_id
+                    ):
                         files[e.file_path] = e
                 continue
             delta = self.delta_of(s.snapshot_id)
@@ -836,21 +850,28 @@ class TableMetadata:
         sharding buys nothing (unpartitioned table, or fewer than two
         distinct partition groups among the data files).
 
-        The group key is the tuple of per-partition-field stat values
-        where an entry's min == max (identity fields read the source
-        column's stats; transform fields the synthetic ``__part_…``
-        column, so bucket/day grouping works too). Entries without a
-        constant key go to a catch-all shard; delete files to a dedicated
-        shard whose bounds are data_only=False and therefore never skip.
-        Groups are capped at ``_MAX_FOLD_SHARDS`` by merging neighbors in
-        key order — merged shards just have wider (still sound) bounds."""
+        The group key is the tuple of per-partition-field TRANSFORMED stat
+        values where transform(min) == transform(max): bucket fields read
+        the synthetic ``__part_…`` column's stats, every other transform
+        (identity / year / month / day / hour / truncate) is applied
+        planner-side to the source column's min/max
+        (transforms.transform_value) — so a day(ts) file whose timestamps
+        all fall inside one day groups on that day even though min != max
+        (raw min==max grouping left such tables permanently unsharded —
+        round-7 ADVICE). Entries without a constant key go to a catch-all
+        shard; delete files to a dedicated shard whose bounds are
+        data_only=False and therefore never skip. Partition-value groups
+        are capped at ``_MAX_FOLD_SHARDS`` by merging neighbors in key
+        order — merged shards just have wider (still sound) bounds; the
+        catch-all and delete shards ride on top of the cap (≤ cap+2
+        files total), by design."""
         from demo_iceberg_permanent_delete_spark.lake.transforms import (
             parse_partition_by,
+            transform_value,
         )
 
         fields = parse_partition_by(self.partition_by, lenient=True)
-        stat_cols = [f.part_column or f.source for f in fields]
-        if not stat_cols:
+        if not fields:
             return None
         data = [e for e in entries if e.content == CONTENT_DATA]
         deletes = [e for e in entries if e.content != CONTENT_DATA]
@@ -858,13 +879,23 @@ class TableMetadata:
         loose: list[ManifestEntry] = []
         for e in data:
             key = []
-            for c in stat_cols:
-                lo = (e.min_values or {}).get(c)
-                hi = (e.max_values or {}).get(c)
-                if lo is None or hi is None or lo != hi:
+            for f in fields:
+                pc = f.part_column
+                if pc is not None and (
+                    pc in (e.min_values or {}) and pc in (e.max_values or {})
+                ):
+                    lo, hi = e.min_values[pc], e.max_values[pc]
+                    k = lo if (lo is not None and lo == hi) else None
+                else:
+                    lo = (e.min_values or {}).get(f.source)
+                    hi = (e.max_values or {}).get(f.source)
+                    klo = transform_value(f, lo)
+                    khi = transform_value(f, hi)
+                    k = klo if (klo is not None and klo == khi) else None
+                if k is None:
                     key = None
                     break
-                key.append(lo)
+                key.append(k)
             if key is None:
                 loose.append(e)
             else:

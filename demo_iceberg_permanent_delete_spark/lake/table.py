@@ -1731,7 +1731,12 @@ class LakeTable:
                 s.snapshot_id,
                 s.parent_id,
                 s.operation,
+                # sharded (compacted) heads have manifest_file=None and N
+                # shard files; surface the first shard — a file that
+                # EXISTS — rather than a placeholder path that never does
+                # (round-7 ADVICE). file_summary keeps one row/snapshot.
                 s.manifest_file
+                or (s.shards[0]["manifest_file"] if s.shards else None)
                 or os.path.join(
                     self.metadata.metadata_dir, f"snap-{s.snapshot_id}.json"
                 ),

@@ -34,6 +34,7 @@ itself uses murmur3; any hash works as long as both sides share it.)
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 import zlib
 from dataclasses import dataclass
@@ -110,6 +111,61 @@ def parse_partition_by(
         else:
             fields.append(PartitionField(spec, m.group("col"), "identity"))
     return fields
+
+
+def transform_value(field: PartitionField, value: Any) -> Any | None:
+    """Planner-side transform of one STAT value (a manifest min/max) to its
+    partition-key representation — the grouping key the sharded
+    rewrite_manifests fold uses (metadata._shard_groups: two stats land in
+    one shard iff transform(min) == transform(max)). Temporal stats arrive
+    as isoformat strings (datafiles._jsonable). None = not transformable
+    soundly; the caller treats the entry's key as unknown.
+
+    Only equivalence matters (same partition ⇔ equal key) — the key never
+    leaves the planner, so it need not match transform_column's clustering
+    encoding byte-for-byte."""
+    t = field.transform
+    if value is None:
+        return None
+    if t == "identity":
+        return value
+    if t in ("year", "month", "day", "hour"):
+        if isinstance(value, str):
+            try:
+                d = _dt.datetime.fromisoformat(value)
+            except ValueError:
+                return None
+        elif isinstance(value, _dt.datetime):
+            d = value
+        elif isinstance(value, _dt.date):
+            d = _dt.datetime(value.year, value.month, value.day)
+        else:
+            return None
+        if d.tzinfo is not None:
+            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if t == "year":
+            return d.year
+        if t == "month":
+            return f"{d.year:04d}-{d.month:02d}"
+        if t == "day":
+            return d.strftime("%Y-%m-%d")
+        return d.strftime("%Y-%m-%d %H")
+    if t == "truncate":
+        if isinstance(value, str):
+            return value[: field.arg]
+        if isinstance(value, int) and not isinstance(value, bool):
+            # Python % already matches Iceberg's v - (((v % W) + W) % W)
+            # for positive W (sign of the divisor)
+            return value - (value % field.arg)
+        return None
+    if t == "bucket":
+        # grouping normally reads the synthetic __part_ column's stats;
+        # this raw-value path is the fallback when those are absent, and
+        # bucket_of is exact on the canonical string form
+        if isinstance(value, (int, str)) and not isinstance(value, bool):
+            return bucket_of(value, field.arg)
+        return None
+    return None
 
 
 def bucket_of(value: Any, n: int) -> int:
