@@ -27,11 +27,21 @@ from pyspark.sql import DataFrame
 
 from demo_iceberg_permanent_delete_spark.lake.metadata import (
     CONTENT_DATA,
+    CONTENT_POSITION_DELETES,
     ManifestEntry,
 )
 
 TARGET_FILE_SIZE_BYTES = 134_217_728  # 128 MiB — the reference's compaction
 # target (notebooks/iceberg_pii_deletion_demo.py:428,443)
+
+# Position-delete manifest entries record the DISTINCT data-file paths the
+# delete file references when at most this many (Iceberg v3's
+# referenced_data_file role, generalized to a small set) — the exact basis
+# for delete-file scoping in partition-scoped scans. Beyond the cap the
+# list stays empty (unknown): the entry is then always planned, sound. The
+# harvest reads ONE string column of the file just written (for DVs that's
+# one row per target file — metadata-sized).
+_MAX_REFERENCED_FILES = 64
 
 
 # String bounds are truncated Iceberg-style (write.metadata.metrics default
@@ -185,6 +195,20 @@ def write_data_files(
         if record_count_from is not None:
             col = pq.read_table(final, columns=[record_count_from])
             n_rows = sum(v.as_py() or 0 for v in col.column(0))
+        referenced: list[str] = []
+        if content == CONTENT_POSITION_DELETES:
+            try:
+                import pyarrow.compute as pc
+
+                uniq = pc.unique(
+                    pq.read_table(final, columns=["file_path"]).column(0)
+                )
+                if len(uniq) <= _MAX_REFERENCED_FILES:
+                    referenced = sorted(
+                        v for v in uniq.to_pylist() if v is not None
+                    )
+            except Exception:
+                referenced = []  # unknown → the entry is always planned
         entries.append(
             ManifestEntry(
                 file_path=final,
@@ -194,6 +218,7 @@ def write_data_files(
                 min_values={k: _jsonable(v) for k, v in mins.items()},
                 max_values={k: _jsonable(v) for k, v in maxs.items()},
                 null_counts=dict(nulls),
+                referenced_files=referenced,
             )
         )
     shutil.rmtree(scratch, ignore_errors=True)

@@ -102,6 +102,12 @@ class ManifestEntry:
     # of one (file_path, pos) row per tombstone. Pre-DV manifests
     # deserialize to False.
     dv: bool = False
+    # content=1 only: the DISTINCT data-file paths this delete file's rows
+    # reference, when few (≤ datafiles._MAX_REFERENCED_FILES — Iceberg
+    # v3's referenced_data_file role). Lets scoped scans drop the delete
+    # file EXACTLY when none of its targets is a candidate; [] = unknown
+    # (too many, or pre-upgrade manifest) → path-range bounds fall back.
+    referenced_files: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -115,6 +121,7 @@ class ManifestEntry:
             "equality_columns": self.equality_columns,
             "null_counts": self.null_counts,
             "dv": self.dv,
+            "referenced_files": self.referenced_files,
         }
 
     @classmethod

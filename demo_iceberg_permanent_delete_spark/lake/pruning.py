@@ -28,6 +28,7 @@ can't).
 from __future__ import annotations
 
 import datetime as dt
+import functools
 import re
 from typing import Any
 
@@ -325,6 +326,124 @@ def _expr_can_match(entry: ManifestEntry, masked: str) -> bool:
     return _conjunct_can_match(entry, expr.replace(_BETWEEN_AND, "AND"))
 
 
+# ------------------------------------------------- compiled / vectorized
+class _Leaf:
+    """One conjunct, parsed ONCE. Numeric comparisons (``col <op>
+    <int|float literal>``) evaluate vectorized over numpy bound arrays —
+    the manifest-pruning hot path at millions of entries; every other
+    shape falls back to the EXACT scalar evaluator per entry, so the
+    compiled path can never diverge from ``_conjunct_can_match``
+    semantics (round-7 verdict item 5)."""
+
+    __slots__ = ("conjunct", "col", "op", "lit")
+
+    def __init__(self, masked_leaf: str):
+        self.conjunct = masked_leaf.replace(_BETWEEN_AND, "AND")
+        self.col = self.op = self.lit = None
+        m = _CMP_RE.match(self.conjunct)
+        if m:
+            lit = _parse_literal(m.group("lit"))
+            if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+                self.col, self.op, self.lit = m.group("col"), m.group("op"), lit
+
+    def mask(self, entries, cache):
+        import numpy as np
+
+        if self.col is None:
+            return np.fromiter(
+                (_conjunct_can_match(e, self.conjunct) for e in entries),
+                dtype=bool,
+                count=len(entries),
+            )
+        lo, hi, ok, allnull = cache(self.col)
+        out = np.ones(len(entries), dtype=bool)
+        out[allnull] = False  # provably all-NULL column: no comparison holds
+        idx = ok & ~allnull
+        lit, op = self.lit, self.op
+        if op == "=":
+            out[idx] = (lo[idx] <= lit) & (lit <= hi[idx])
+        elif op == "<":
+            out[idx] = lo[idx] < lit
+        elif op == "<=":
+            out[idx] = lo[idx] <= lit
+        elif op == ">":
+            out[idx] = hi[idx] > lit
+        elif op == ">=":
+            out[idx] = hi[idx] >= lit
+        return out
+
+
+class _CompiledPredicate:
+    """Predicate parsed once into an AND/OR tree of _Leaf nodes; ``mask``
+    evaluates it over a whole entry list with one numpy pass per leaf
+    (the scalar path re-tokenized the predicate for EVERY entry)."""
+
+    def __init__(self, masked: str):
+        self.root = self._build(masked)
+
+    def _build(self, masked: str):
+        expr = _strip_parens(masked)
+        or_parts = _split_top(expr, "OR")
+        if len(or_parts) > 1:
+            return ("or", [self._build(p) for p in or_parts])
+        and_parts = _split_top(expr, "AND")
+        if len(and_parts) > 1:
+            return ("and", [self._build(p) for p in and_parts])
+        return ("leaf", _Leaf(expr))
+
+    def mask(self, entries):
+        import numpy as np
+
+        n = len(entries)
+        bound_cache: dict[str, tuple] = {}
+
+        def cache(col: str):
+            got = bound_cache.get(col)
+            if got is not None:
+                return got
+            lo = np.full(n, np.nan)
+            hi = np.full(n, np.nan)
+            ok = np.zeros(n, dtype=bool)
+            allnull = np.zeros(n, dtype=bool)
+            num = (int, float)
+            for i, e in enumerate(entries):
+                l_ = (e.min_values or {}).get(col)
+                h_ = (e.max_values or {}).get(col)
+                if (
+                    isinstance(l_, num)
+                    and isinstance(h_, num)
+                    and not isinstance(l_, bool)
+                    and not isinstance(h_, bool)
+                ):
+                    lo[i], hi[i], ok[i] = l_, h_, True
+                nc = (e.null_counts or {}).get(col)
+                # same expression as _provably_all_null (bool nc included)
+                allnull[i] = nc is not None and nc >= e.record_count
+            got = (lo, hi, ok, allnull)
+            bound_cache[col] = got
+            return got
+
+        def ev(node):
+            kind, payload = node
+            if kind == "leaf":
+                return payload.mask(entries, cache)
+            masks = [ev(c) for c in payload]
+            if kind == "or":
+                return np.logical_or.reduce(masks)
+            return np.logical_and.reduce(masks)
+
+        return ev(self.root)
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled(masked: str) -> _CompiledPredicate:
+    """Parse once per distinct predicate: scoped_manifest calls
+    candidate_files once per delta/shard header with the same predicate,
+    and a scan calls it again for the per-file pass — the tree and its
+    leaf regex classification are shared across all of them."""
+    return _CompiledPredicate(masked)
+
+
 def _bucket_can_match(
     entry: ManifestEntry, part_col: str, allowed: list[int]
 ) -> bool:
@@ -374,6 +493,110 @@ def _stats_view(
     )
 
 
+def _ranges_overlap(alo: Any, ahi: Any, blo: Any, bhi: Any) -> bool:
+    """Whether [alo, ahi] and [blo, bhi] may intersect under the same
+    coercion rules as predicate pruning. True (keep) when the types are
+    not soundly comparable."""
+    ca = _coerce(alo, blo, bhi)
+    cb = _coerce(ahi, blo, bhi)
+    if ca is None or cb is None:
+        return True
+    alo2, blo2, bhi2 = ca
+    ahi2 = cb[0]
+    return not (ahi2 < blo2 or alo2 > bhi2)
+
+
+def scope_delete_files(
+    delete_entries: list[ManifestEntry],
+    data_entries: list[ManifestEntry],
+    snap_order: dict[int, int] | None = None,
+) -> list[ManifestEntry]:
+    """The subset of ``delete_entries`` that may mask at least one row of
+    ``data_entries`` — delete-file scoping for partition-scoped reads
+    (round-7 verdict item 3; Iceberg scopes position deletes by their
+    referenced-file bounds and equality deletes by key bounds + sequence
+    number). Sound keep-by-default: a delete file is dropped only when its
+    manifest stats PROVE it cannot mask any candidate data file; dropping
+    such a file cannot change results because its anti-join would match
+    nothing against these candidates.
+
+    - Position deletes (plain rows and DVs) key rows on the TARGET data
+      file's path: dropped when the entry's ``referenced_files`` set
+      (harvested at write time, datafiles.py — Iceberg v3's
+      referenced_data_file role) intersects no candidate path. Entries
+      without the set (too many targets, pre-upgrade manifests) fall back
+      to the [min, max] bounds of the ``file_path`` column — sound but
+      weak, since string bounds are truncate(16)-style and uuid-named
+      files interleave lexicographically across partitions.
+    - Equality deletes: dropped when the sequence rule alone excludes
+      every candidate (no candidate data file was committed before the
+      delete — mirrors _apply_equality_deletes's ``dataseq < dseq`` with
+      identical unknown-id fallbacks), or when for EVERY candidate some
+      equality column's bounds are provably disjoint. The bounds test on
+      a column requires the delete file to have ZERO nulls in it: an
+      equality delete on NULL masks NULL data rows (eqNullSafe), which
+      min/max bounds cannot see.
+    """
+    import bisect
+
+    if not delete_entries or not data_entries:
+        return list(delete_entries)
+    paths = sorted(e.file_path for e in data_entries)
+    path_set = set(paths)
+    out: list[ManifestEntry] = []
+    for e in delete_entries:
+        if e.content == 1:  # position deletes / DVs
+            refs = getattr(e, "referenced_files", None)
+            if refs:
+                # exact: the entry knows every data file it references
+                if any(p in path_set for p in refs):
+                    out.append(e)
+                continue
+            b = _bounds_for(e, "file_path")
+            if b is None:
+                out.append(e)
+                continue
+            lo, hi = b
+            if not isinstance(lo, str) or not isinstance(hi, str):
+                out.append(e)
+                continue
+            i = bisect.bisect_left(paths, lo)
+            if i < len(paths) and paths[i] <= hi:
+                out.append(e)
+            continue
+        if e.content == 2 and e.equality_columns:
+            if snap_order is not None:
+                dseq = snap_order.get(e.added_snapshot_id, 2**31)
+                live = [
+                    d
+                    for d in data_entries
+                    if snap_order.get(d.added_snapshot_id, -1) < dseq
+                ]
+            else:
+                live = data_entries
+            if not live:
+                continue  # sequence rule: nothing it can apply to
+            nulls = e.null_counts or {}
+
+            def pair_may_match(d: ManifestEntry) -> bool:
+                for c in e.equality_columns:
+                    if nulls.get(c) != 0:
+                        continue  # NULL keys possible → bounds can't prove
+                    db = _bounds_for(e, c)
+                    fb = _bounds_for(d, c)
+                    if db is None or fb is None:
+                        continue
+                    if not _ranges_overlap(db[0], db[1], fb[0], fb[1]):
+                        return False  # this column proves disjointness
+                return True
+
+            if any(pair_may_match(d) for d in live):
+                out.append(e)
+            continue
+        out.append(e)  # unknown content / keyless eq delete: keep
+    return out
+
+
 def candidate_files(
     entries: list[ManifestEntry],
     predicate: str | None,
@@ -402,11 +625,17 @@ def candidate_files(
         )
 
         bucket_checks = bucket_conjuncts(partition_fields, predicate)
+    views = [_stats_view(e, aliases) for e in entries] if aliases else entries
+    # compiled evaluation: the predicate is parsed ONCE (LRU across calls)
+    # and numeric comparisons run as numpy passes over columnar bound
+    # arrays; non-numeric leaves evaluate per entry through the same
+    # scalar code as before (identical candidate sets by construction)
+    keep = _compiled(masked).mask(views)
     out = []
-    for e in entries:
-        v = _stats_view(e, aliases) if aliases else e
-        if _expr_can_match(v, masked) and all(
-            _bucket_can_match(v, col, vals) for col, vals in bucket_checks
+    for i, e in enumerate(entries):
+        if keep[i] and all(
+            _bucket_can_match(views[i], col, vals)
+            for col, vals in bucket_checks
         ):
             out.append(e)
     return out

@@ -121,6 +121,8 @@ class LakeTable:
     def __init__(self, spark: SparkSession, metadata: TableMetadata):
         self.spark = spark
         self.metadata = metadata
+        # diagnostics of the last delete-file scoping pass (_scope_deletes)
+        self.last_delete_scope: dict[str, int] = {"planned": 0, "skipped": 0}
 
     # ------------------------------------------------------------ basics
     @property
@@ -595,12 +597,43 @@ class LakeTable:
         if not entries:
             return self.empty_frame()
         df = self._data_reader().parquet(*[e.file_path for e in entries])
-        delete_files = [e for e in scoped if e.content != CONTENT_DATA]
+        delete_files = self._scope_deletes(
+            [e for e in scoped if e.content != CONTENT_DATA], entries
+        )
         if delete_files:
             df = self._apply_delete_files(
                 self._with_position(df), delete_files, entries
             ).select(*df.columns)
         return df if prune_only else df.filter(self._as_column(predicate))
+
+    def _scope_deletes(
+        self,
+        delete_files: list[ManifestEntry],
+        data_entries: list[ManifestEntry],
+    ) -> list[ManifestEntry]:
+        """Drop delete files that provably cannot mask any candidate data
+        file (pruning.scope_delete_files: position deletes by referenced-
+        path bounds, equality deletes by key bounds + the sequence rule) —
+        a partition-scoped scan of a MOR-heavy table then plans O(relevant)
+        delete files instead of every live one (round-7 verdict item 3).
+        Records {planned, skipped} in ``last_delete_scope`` for tests and
+        planning diagnostics."""
+        from demo_iceberg_permanent_delete_spark.lake.pruning import (
+            scope_delete_files,
+        )
+
+        if not delete_files:
+            self.last_delete_scope = {"planned": 0, "skipped": 0}
+            return delete_files
+        snap_order = {
+            s.snapshot_id: i for i, s in enumerate(self.metadata.snapshots)
+        }
+        kept = scope_delete_files(delete_files, data_entries, snap_order)
+        self.last_delete_scope = {
+            "planned": len(kept),
+            "skipped": len(delete_files) - len(kept),
+        }
+        return kept
 
     def deleted_rows(self) -> DataFrame:
         """M6 audit companion (reference examine_delete_files,
@@ -1039,7 +1072,9 @@ class LakeTable:
             )
         df = self._data_reader().parquet(*[e.file_path for e in data_entries])
         with_pos = self._with_position(df)
-        delete_files = [e for e in scoped if e.content != CONTENT_DATA]
+        delete_files = self._scope_deletes(
+            [e for e in scoped if e.content != CONTENT_DATA], data_entries
+        )
         if not delete_files:
             return with_pos
         return self._apply_delete_files(with_pos, delete_files, data_entries)

@@ -184,3 +184,96 @@ def test_pruned_files_provably_contain_no_matches(files, pred):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_vectorized_candidate_files_equals_scalar_property():
+    """The compiled/vectorized candidate_files (round-7 verdict item 5)
+    must produce EXACTLY the scalar evaluator's candidate set for random
+    entries (numeric/string/temporal/missing/all-null stats) and random
+    predicates (cmp/BETWEEN/IN/NULL over AND/OR trees)."""
+    from hypothesis import given, settings, strategies as st
+
+    from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
+    from demo_iceberg_permanent_delete_spark.lake.pruning import (
+        _expr_can_match,
+        _mask_between,
+        candidate_files,
+    )
+
+    def entry(i, stats):
+        mins, maxs, nulls = stats
+        return ManifestEntry(
+            file_path=f"f{i}",
+            content=0,
+            record_count=10,
+            file_size_in_bytes=100,
+            min_values=mins,
+            max_values=maxs,
+            null_counts=nulls,
+        )
+
+    num_stats = st.tuples(st.integers(-20, 20), st.integers(0, 15)).map(
+        lambda t: ({"v": t[0]}, {"v": t[0] + t[1]}, {"v": 0})
+    )
+    float_stats = st.tuples(
+        st.floats(-20, 20, allow_nan=False), st.floats(0, 15, allow_nan=False)
+    ).map(lambda t: ({"v": t[0]}, {"v": t[0] + t[1]}, {"v": 0}))
+    str_stats = st.tuples(st.sampled_from("abcdef"), st.sampled_from("uvwxyz")).map(
+        lambda t: ({"v": t[0]}, {"v": t[1]}, {"v": 2})
+    )
+    date_stats = st.integers(1, 27).map(
+        lambda d: (
+            {"v": f"2024-06-{d:02d}T08:00:00"},
+            {"v": f"2024-06-{min(d + 1, 28):02d}T20:00:00"},
+            {"v": 0},
+        )
+    )
+    missing_stats = st.just(({}, {}, {}))
+    allnull_stats = st.just(({}, {}, {"v": 10}))
+    mixed_bool = st.just(({"v": True}, {"v": True}, {"v": 0}))
+    stats_st = st.one_of(
+        num_stats, float_stats, str_stats, date_stats,
+        missing_stats, allnull_stats, mixed_bool,
+    )
+
+    leaf_st = st.one_of(
+        st.tuples(st.sampled_from(["<", "<=", "=", ">", ">="]), st.integers(-25, 25)).map(
+            lambda t: f"v {t[0]} {t[1]}"
+        ),
+        st.tuples(
+            st.sampled_from(["<", "<=", "=", ">", ">="]),
+            st.floats(-25, 25, allow_nan=False),
+        ).map(lambda t: f"v {t[0]} {t[1]:.3f}"),
+        st.sampled_from(
+            [
+                "v = 'c'",
+                "v >= 'w'",
+                "v BETWEEN 0 AND 9",
+                "v IN (1, 2, 3)",
+                "v IS NULL",
+                "v IS NOT NULL",
+                "v = DATE '2024-06-15'",
+                "v < TIMESTAMP '2024-06-10 12:00:00'",
+                "other = 5",
+            ]
+        ),
+    )
+    pred_st = st.one_of(
+        leaf_st,
+        st.tuples(leaf_st, leaf_st).map(lambda t: f"{t[0]} AND {t[1]}"),
+        st.tuples(leaf_st, leaf_st).map(lambda t: f"({t[0]}) OR ({t[1]})"),
+        st.tuples(leaf_st, leaf_st, leaf_st).map(
+            lambda t: f"{t[0]} AND ({t[1]} OR {t[2]})"
+        ),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(stats=st.lists(stats_st, min_size=0, max_size=8), pred=pred_st)
+    def run(stats, pred):
+        entries = [entry(i, s) for i, s in enumerate(stats)]
+        got = {e.file_path for e in candidate_files(entries, pred)}
+        masked = _mask_between(pred)
+        want = {e.file_path for e in entries if _expr_can_match(e, masked)}
+        assert got == want, (pred, got ^ want)
+
+    run()
