@@ -176,12 +176,21 @@ def _scopes(masked_sql: str) -> list[tuple[int, str]]:
 def _parse_from(
     from_body: str, known_views: set[str]
 ) -> (
-    tuple[dict[str, str], bool, set[str], list[tuple[int, int, bool]]] | None
+    tuple[
+        dict[str, str],
+        bool,
+        set[str],
+        list[tuple[int, int, bool]],
+        dict[str, int],
+    ]
+    | None
 ):
     """Parse one scope's FROM/JOIN list.
 
     Returns ``(alias_map, has_unknown_item, null_producing_views,
-    on_spans)`` — on_spans are (start, end, is_inner) character spans of
+    on_spans, ref_counts)`` — ref_counts counts known-view references one
+    per FROM item (two aliases of one view = 2); on_spans are (start,
+    end, is_inner) character spans of
     each ON condition within ``from_body`` (is_inner = a plain/INNER
     join: its ON conjuncts are WHERE-equivalent; LEFT/SEMI/ANTI ON
     conjuncts are NOT scan filters for the preserved side and are marked
@@ -193,6 +202,9 @@ def _parse_from(
         for m in re.finditer(r"\w+|[(),]", from_body)
     ]
     alias_map: dict[str, str] = {}
+    ref_counts: dict[str, int] = {}  # one per FROM item, not per view —
+    # `FROM c x JOIN c y` references c TWICE (a filter attributed through
+    # either alias would wrongly scope the other consumer's rows)
     has_unknown = False
     null_producing: set[str] = set()
     on_spans: list[tuple[int, int, bool]] = []
@@ -267,6 +279,7 @@ def _parse_from(
                     if alias in alias_map:
                         return None  # alias collision — refuse
                     alias_map[alias] = name
+                    ref_counts[name] = ref_counts.get(name, 0) + 1
                     if name != alias:
                         if name in alias_map and alias_map[name] != name:
                             return None
@@ -298,7 +311,7 @@ def _parse_from(
                 on_spans.append((on_start, on_end, is_inner))
             continue
         return None  # unparseable shape
-    return alias_map, has_unknown, null_producing, on_spans
+    return alias_map, has_unknown, null_producing, on_spans, ref_counts
 
 
 def _split_conjuncts(where_body: str) -> list[tuple[int, int]]:
@@ -391,6 +404,104 @@ def _attribute(
     return view, [(s, e) for s, e, v in strip_spans if v == view]
 
 
+_WITH_RE = re.compile(r"^\s*WITH\b", re.I)
+_CTE_HEAD_RE = re.compile(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", re.I)
+_CTE_BODY_RE = re.compile(
+    r"^\s*SELECT\s+(?P<cols>.*?)\s+FROM\s+(?P<view>[A-Za-z_]\w*)"
+    r"(?P<rest>\s.*)?$",
+    re.I | re.S,
+)
+_CTE_REST_STOP_RE = re.compile(
+    r"[(),]|\b(?:GROUP|ORDER|HAVING|WINDOW|LIMIT|QUALIFY|UNION|INTERSECT"
+    r"|EXCEPT|JOIN|LATERAL|AS)\b",
+    re.I,
+)
+
+
+def _parse_ctes(
+    masked: str, view_columns: dict[str, set[str]]
+) -> dict[str, tuple[str, set[str]]]:
+    """PASS-THROUGH CTEs of a ``WITH`` prologue: name → (underlying
+    registered view, projected column set). A CTE qualifies only when its
+    body is ``SELECT * | <bare column list> FROM <single known view>
+    [WHERE …]`` — no renames (AS), computed columns, DISTINCT, joins,
+    GROUP/ORDER/LIMIT/set-ops (round-6 verdict item 5's refusal list): a
+    WHERE conjunct on such a CTE's column provably filters the underlying
+    scan (the body's own WHERE just conjoins). Chained pass-through CTEs
+    resolve transitively. Anything else — including a CTE shadowing a
+    real view name — contributes nothing (sound: only a missed hint)."""
+    if not _WITH_RE.match(masked):
+        return {}
+    depth = _depths(masked)
+    out: dict[str, tuple[str, set[str]]] = {}
+    pos = _WITH_RE.match(masked).end()
+    while True:
+        hm = _CTE_HEAD_RE.match(masked, pos)
+        if not hm:
+            break
+        name, open_paren = hm.group(1), hm.end() - 1
+        d = depth[open_paren]
+        close = None
+        for j in range(open_paren + 1, len(masked)):
+            if masked[j] == ")" and depth[j] == d:
+                close = j
+                break
+        if close is None:
+            return {}
+        body = _mask_subqueries(masked[open_paren + 1 : close])
+        bm = _CTE_BODY_RE.match(body)
+        if bm and name not in view_columns and name not in out:
+            src = bm.group("view")
+            resolved = out.get(src)
+            src_view, src_cols = (
+                resolved
+                if resolved
+                else (src, view_columns.get(src, set()))
+            )
+            rest = (bm.group("rest") or "").strip()
+            rest_ok = rest == "" or (
+                re.match(r"^WHERE\b", rest, re.I)
+                and not _unsupported_in_rest(rest[5:])
+            )
+            cols_txt = bm.group("cols").strip()
+            if src_view in view_columns and rest_ok:
+                if cols_txt == "*":
+                    out[name] = (src_view, set(src_cols))
+                else:
+                    cols = [c.strip() for c in cols_txt.split(",")]
+                    if all(
+                        re.fullmatch(r"[A-Za-z_]\w*", c)
+                        and c.lower() not in _NON_COLUMN
+                        and c in src_cols
+                        for c in cols
+                    ):
+                        out[name] = (src_view, set(cols))
+        pos = close + 1
+        cm = re.match(r"\s*,", masked[pos:])
+        if not cm:
+            break
+        pos += cm.end()
+    return out
+
+
+def _unsupported_in_rest(rest: str) -> bool:
+    """Depth-0 clause keywords after the body's WHERE that would change
+    the CTE's row set beyond a plain filter (LIMIT, set-ops, …)."""
+    d = 0
+    for m in _CTE_REST_STOP_RE.finditer(rest):
+        t = m.group(0)
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif t in (",",):
+            if d == 0:
+                return True
+        elif d == 0 and t.upper() not in ("AS",):
+            return True
+    return False
+
+
 def extract_scan_predicates(
     sql: str,
     view_columns: dict[str, set[str]],
@@ -406,6 +517,16 @@ def extract_scan_predicates(
     this module masks away). Views referenced ≠ 1 time get no predicate.
     """
     masked = _mask_strings(sql)
+    # pass-through CTEs act as aliases of their underlying view for
+    # attribution: a main-scope WHERE on the CTE's (projected) columns
+    # scopes the underlying scan (round-6 verdict item 5). They join the
+    # known-view set with their PROJECTED column sets so a conjunct on a
+    # non-projected column can never attribute through them.
+    cte_map = _parse_ctes(masked, view_columns)
+    local_columns = dict(view_columns)
+    for cte, (_v, cols) in cte_map.items():
+        local_columns[cte] = cols
+    view_columns = local_columns
     known = set(view_columns)
     out: dict[str, list[str]] = {}
     seen_in_scopes: dict[str, int] = {}
@@ -421,10 +542,10 @@ def extract_scan_predicates(
                 if re.search(rf"(?<!\w){re.escape(v)}(?!\w)", fm.group("body")):
                     seen_in_scopes[v] = seen_in_scopes.get(v, 0) + 1
             continue
-        alias_map, has_unknown, null_side, on_spans = parsed
+        alias_map, has_unknown, null_side, on_spans, ref_counts = parsed
         scope_views = set(alias_map.values())
-        for v in scope_views:
-            seen_in_scopes[v] = seen_in_scopes.get(v, 0) + 1
+        for v, n in ref_counts.items():
+            seen_in_scopes[v] = seen_in_scopes.get(v, 0) + n
 
         def _harvest(body: str, abs_start: int) -> None:
             """Attribute one predicate body's conjuncts (a WHERE body, or
@@ -470,6 +591,14 @@ def extract_scan_predicates(
         if not wm:
             continue
         _harvest(wm.group("body"), scope_start + wm.start("body"))
+    # fold pass-through-CTE conjuncts onto the underlying view. Gates:
+    # the CTE itself is consumed by exactly one scope (a second reference
+    # may scan it unfiltered), and the underlying view keeps its own
+    # occurrence gates below (its single reference is the CTE body's).
+    for cte, (v, _cols) in cte_map.items():
+        conjs = out.pop(cte, None)
+        if conjs and seen_in_scopes.get(cte, 0) == 1:
+            out.setdefault(v, []).extend(conjs)
     return {
         v: " AND ".join(conjs)
         for v, conjs in out.items()

@@ -1019,13 +1019,27 @@ def test_stream_admission_resume_mid_commit(registered, cat):
 def test_stream_admission_restart_after_commit_is_unbounded_once(
     registered, cat
 ):
-    """Restart whose last batch committed: the Python API never reveals the
-    checkpointed start, so the first latestOffset must return the head
-    (bounding it could regress behind the checkpoint); subsequent batches
-    are bounded again. Documented blind spot, pinned here."""
+    """Restart whose last batch committed, NO starting pin: the Python API
+    never reveals the checkpointed start, so the first latestOffset must
+    return the head (bounding it could regress behind the checkpoint);
+    subsequent batches are bounded again. Documented blind spot, pinned
+    here. (With an explicit starting pin the first poll is bounded from
+    the pin instead — test_pinned_capped_stream_bounds_batch_zero.)"""
+    from pyspark.sql.types import StructType
+
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        LakeStreamReader,
+    )
+
     spark = registered
     t = _seed_nine_files(spark, cat, "default.adm5")
-    reader = _mk_reader(t, **{"streaming-max-files-per-micro-batch": "2"})
+    reader = LakeStreamReader(
+        StructType.fromDDL("id bigint, v string"),
+        {
+            "location": t.metadata.location,
+            "streaming-max-files-per-micro-batch": "2",
+        },
+    )
     head = t.metadata.current_snapshot_id
     assert reader.latestOffset() == {"snapshot_id": head}
 
@@ -1355,3 +1369,128 @@ def test_stream_admission_returns_full_batch_before_cow_error(
     reader.commit(end1)
     with pytest.raises(ValueError, match="delete"):
         reader.latestOffset()  # now the COW snapshot must be consumed
+
+
+# --------------------------------- starting pins bound a capped batch 0
+# (round-7 verdict item 4: stream-from-timestamp / start-snapshot-id)
+def test_pinned_capped_stream_bounds_batch_zero(registered, cat):
+    """Fresh-query protocol (latestOffset BEFORE initialOffset): with an
+    explicit starting pin + caps, the UNSEEDED first latestOffset is
+    admission-capped from the pin instead of returning the head
+    unbounded — and the drained union stays exactly-once."""
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.pin1")
+    reader = _mk_reader(t, **{"streaming-max-files-per-micro-batch": "2"})
+    end0 = reader.latestOffset()  # NO initialOffset first — unseeded
+    assert end0.get("pos") == 2  # capped inside commit 1, not the head
+    off0 = reader.initialOffset()
+    parts = [p for p in reader.partitions(off0, end0) if p.file_path]
+    assert len(parts) == 2
+    ids = []
+    for p in parts:
+        for rb in reader.read(p):
+            ids.extend(rb.column("id").to_pylist())
+    reader.commit(end0)
+    batches = _drain(reader, start=end0)
+    all_ids = ids + [i for _, _, b in batches for i in b]
+    assert sorted(all_ids) == list(range(27))
+    assert all(n <= 2 for _, n, _ in batches)
+
+
+def test_start_snapshot_id_pin_streams_only_after_pin(registered, cat):
+    """starting-offset=<snapshot-id>: a fresh capped query streams only
+    the commits AFTER the pinned snapshot, bounded from batch 0."""
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.pin2")
+    first_commit = t.metadata.snapshots[0].snapshot_id
+    reader = _mk_reader(
+        t,
+        **{
+            "starting-offset": str(first_commit),
+            "streaming-max-files-per-micro-batch": "2",
+        },
+    )
+    end0 = reader.latestOffset()  # unseeded, pinned → capped from the pin
+    assert end0 != {"snapshot_id": t.metadata.current_snapshot_id}
+    parts = [
+        p
+        for p in reader.partitions({"snapshot_id": first_commit}, end0)
+        if p.file_path
+    ]
+    assert len(parts) == 2
+    reader.commit(end0)
+    batches = _drain(reader, start=end0)
+    ids = []
+    for p in parts:
+        for rb in reader.read(p):
+            ids.extend(rb.column("id").to_pylist())
+    ids += [i for _, _, b in batches for i in b]
+    assert sorted(ids) == list(range(9, 27))  # commits 2+3 only
+
+
+def test_starting_timestamp_pin_bounds_batch_zero(registered, cat):
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.pin3")
+    snaps = t.metadata.snapshots
+    ts_between = snaps[1].committed_at_ms  # commits 2+3 are >= this
+    reader = _mk_reader(
+        t,
+        **{
+            "starting-timestamp": str(ts_between),
+            "streaming-max-files-per-micro-batch": "100",
+        },
+    )
+    end0 = reader.latestOffset()  # unseeded, capped (loosely) from the pin
+    start0 = reader.initialOffset()
+    assert start0 == {"snapshot_id": snaps[0].snapshot_id}
+    ids = []
+    for p in reader.partitions(start0, end0):
+        if p.file_path:
+            for rb in reader.read(p):
+                ids.extend(rb.column("id").to_pylist())
+    assert sorted(ids) == list(range(9, 27))
+
+
+def test_restart_with_stale_pin_fails_loudly_not_duplicates(registered, cat):
+    """Restart-after-commit with a kept pin the checkpoint has passed:
+    the engine hands partitions() the checkpointed start and the reader's
+    stale pin-seeded end — planning that regressed range would silently
+    re-emit, so it must raise naming the pin instead."""
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.pin4")
+    checkpointed = {"snapshot_id": t.metadata.snapshots[1].snapshot_id}
+    # fresh process after restart: new reader, unseeded tracker, pin kept
+    reader = _mk_reader(t, **{"streaming-max-files-per-micro-batch": "2"})
+    stale_end = reader.latestOffset()  # pin-seeded guess: inside commit 1
+    with pytest.raises(ValueError, match="starting-offset"):
+        reader.partitions(checkpointed, stale_end)
+
+
+def test_restart_replay_ignores_pin(registered, cat):
+    """Crash replay (partitions() called with the LOGGED range before any
+    latestOffset) seeds the tracker from the truth: the pin plays no part
+    and subsequent polls continue capped from the replayed end."""
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.pin5")
+    logged_start = {"snapshot_id": t.metadata.snapshots[0].snapshot_id}
+    logged_end = {"snapshot_id": t.metadata.snapshots[1].snapshot_id}
+    reader = _mk_reader(t, **{"streaming-max-files-per-micro-batch": "2"})
+    parts = [p for p in reader.partitions(logged_start, logged_end) if p.file_path]
+    assert len(parts) == 3  # the logged range, exactly — not the pin's
+    reader.commit(logged_end)
+    end = reader.latestOffset()  # resumes capped from the replayed end
+    assert end["snapshot_id"] == t.metadata.snapshots[2].snapshot_id
+    assert end.get("pos") == 2
+
+
+def test_invalid_pins_fail_loudly(registered, cat):
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.pin6")
+    from demo_iceberg_permanent_delete_spark.lake.errors import (
+        SnapshotNotFoundError,
+    )
+
+    with pytest.raises(SnapshotNotFoundError):
+        _mk_reader(t, **{"starting-offset": "123456789"})
+    with pytest.raises(ValueError, match="future"):
+        _mk_reader(t, **{"starting-timestamp": str(2**50)})

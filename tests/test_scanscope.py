@@ -420,3 +420,212 @@ def test_inner_on_extraction_preserves_join_results_property():
         assert got == want, (on, out)
 
     prop()
+
+
+# ------------------------- pass-through CTE bodies (round-7 verdict item 6)
+def test_cte_pass_through_star_filters_underlying_scan():
+    out = _x(
+        "WITH c AS (SELECT * FROM default__fat) "
+        "SELECT k FROM c WHERE c.day = 'a' AND amount > 5"
+    )
+    assert out == {"default__fat": "day = 'a' AND amount > 5"}
+
+
+def test_cte_pass_through_projection_limits_columns():
+    out = _x(
+        "WITH c AS (SELECT k, day FROM default__fat) "
+        "SELECT k FROM c WHERE day = 'a'"
+    )
+    assert out == {"default__fat": "day = 'a'"}
+    # a conjunct on a NON-projected column must not attribute through it
+    out2 = _x(
+        "WITH c AS (SELECT k FROM default__fat) "
+        "SELECT k FROM c WHERE amount > 5"
+    )
+    assert out2 == {}
+
+
+def test_cte_body_where_conjoins_with_outer_filter():
+    out = _x(
+        "WITH c AS (SELECT * FROM default__fat WHERE day = 'a') "
+        "SELECT k FROM c WHERE amount > 5"
+    )
+    assert out == {"default__fat": "day = 'a' AND amount > 5"}
+
+
+def test_cte_chained_pass_through_resolves_transitively():
+    out = _x(
+        "WITH a AS (SELECT * FROM default__fat), "
+        "b AS (SELECT k, day FROM a) "
+        "SELECT k FROM b WHERE day = 'a'"
+    )
+    assert out == {"default__fat": "day = 'a'"}
+
+
+def test_cte_refusals_contribute_nothing():
+    # renamed column
+    assert (
+        _x(
+            "WITH c AS (SELECT k AS kk FROM default__fat) "
+            "SELECT kk FROM c WHERE kk = 1"
+        )
+        == {}
+    )
+    # computed column
+    assert (
+        _x(
+            "WITH c AS (SELECT amount + 1 AS a2, day FROM default__fat) "
+            "SELECT a2 FROM c WHERE day = 'a'"
+        )
+        == {}
+    )
+    # DISTINCT body
+    assert (
+        _x(
+            "WITH c AS (SELECT DISTINCT day FROM default__fat) "
+            "SELECT day FROM c WHERE day = 'a'"
+        )
+        == {}
+    )
+    # multi-table body
+    assert (
+        _x(
+            "WITH c AS (SELECT f.k FROM default__fat f, default__dim d) "
+            "SELECT k FROM c WHERE k = 1"
+        )
+        == {}
+    )
+    # GROUP BY body (k survives as a name but the rows are aggregated)
+    assert (
+        _x(
+            "WITH c AS (SELECT k FROM default__fat GROUP BY k) "
+            "SELECT k FROM c WHERE k = 1"
+        )
+        == {}
+    )
+    # LIMIT body: a filter above a LIMIT does not scope the scan below it
+    assert (
+        _x(
+            "WITH c AS (SELECT k FROM default__fat LIMIT 10) "
+            "SELECT k FROM c WHERE k = 1"
+        )
+        == {}
+    )
+    # UNION body
+    assert (
+        _x(
+            "WITH c AS (SELECT k FROM default__fat UNION ALL "
+            "SELECT k FROM default__dim) SELECT k FROM c WHERE k = 1"
+        )
+        == {}
+    )
+
+
+def test_cte_referenced_twice_gets_nothing_from_outer_where():
+    out = _x(
+        "WITH c AS (SELECT * FROM default__fat WHERE day = 'a') "
+        "SELECT x.k FROM c x JOIN c y ON x.k = y.k WHERE x.amount > 5"
+    )
+    # the body's own WHERE still scopes the (single) underlying scan;
+    # the outer conjunct must NOT (a second consumer scans c unfiltered)
+    assert out == {"default__fat": "day = 'a'"}
+
+
+def test_cte_over_view_referenced_elsewhere_is_dropped():
+    out = _x(
+        "WITH c AS (SELECT * FROM default__fat) "
+        "SELECT c.k FROM c JOIN default__fat f ON c.k = f.k "
+        "WHERE c.day = 'a'",
+        occ={"default__fat": 2, "default__dim": 1},
+    )
+    assert out == {}
+
+
+def test_cte_shadowing_known_view_is_ignored():
+    out = _x(
+        "WITH default__dim AS (SELECT k, day FROM default__fat) "
+        "SELECT k FROM default__dim WHERE day = 'a'",
+        occ={"default__fat": 1, "default__dim": 1},
+    )
+    # the CTE shadows a registered view name — attribution through it
+    # could scope the WRONG table's scan, so nothing is extracted for
+    # the shadowed name; (the real dim is never scanned here anyway)
+    assert "default__fat" not in out
+
+
+def test_cte_pass_through_extraction_is_implied_property():
+    """Hypothesis extension of THE soundness property to pass-through
+    CTEs (round-7 verdict item 6): for ``WITH c AS (SELECT <proj> FROM t
+    [WHERE wb]) SELECT * FROM c WHERE wo``, a row of t contributes to the
+    result iff (wb AND wo) holds, so whatever predicate the extractor
+    attributes to t must be implied by that conjunction under
+    three-valued logic — verified against DuckDB on a null-bearing
+    grid."""
+    import duckdb
+    from hypothesis import assume, given, settings, strategies as st
+
+    ALL_LEAVES = {
+        "a": ["a > 3", "a < 7", "a = 5", "a IN (1, 2, 3)"],
+        "b": ["b = 'x'", "b IS NULL", "b IS NOT NULL"],
+        "c": ["c BETWEEN 2 AND 5", "c >= 4"],
+    }
+
+    def exprs_over(cols):
+        leaves = st.sampled_from([l for c in cols for l in ALL_LEAVES[c]])
+
+        def combine(children):
+            x, y = children
+            return st.sampled_from(
+                [f"{x} AND {y}", f"({x} OR {y})", f"NOT ({x})"]
+            )
+
+        return st.recursive(
+            leaves, lambda e: st.tuples(e, e).flatmap(combine), max_leaves=4
+        )
+
+    proj_st = st.sampled_from(["*", "a, b, c", "a, c"])
+
+    def fresh_con():
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM ("
+            "SELECT unnest([0,1,2,3,4,5,6,7,8,NULL]) AS a) "
+            "CROSS JOIN (SELECT unnest(['x','y','',NULL]) AS b) "
+            "CROSS JOIN (SELECT unnest([1,3,5,7,NULL]) AS c)"
+        )
+        return con
+
+    state = {"con": fresh_con()}
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        proj = data.draw(proj_st)
+        proj_cols = (
+            ["a", "b", "c"] if proj in ("*", "a, b, c")
+            else [c.strip() for c in proj.split(",")]
+        )
+        wb = data.draw(st.none() | exprs_over(["a", "b", "c"]))
+        wo = data.draw(exprs_over(proj_cols))
+        body = f"SELECT {proj} FROM default__t" + (
+            f" WHERE {wb}" if wb else ""
+        )
+        sql = f"WITH c AS ({body}) SELECT * FROM c WHERE {wo}"
+        out = extract_scan_predicates(
+            sql, {"default__t": {"a", "b", "c"}}, {"default__t": 1}
+        )
+        if not out:
+            return
+        pred = out["default__t"]
+        full = f"({wb}) AND ({wo})" if wb else f"({wo})"
+        try:
+            violated = state["con"].execute(
+                f"SELECT count(*) FROM t WHERE {full} "
+                f"AND NOT COALESCE(({pred}), FALSE)"
+            ).fetchone()[0]
+        except duckdb.InternalException:
+            state["con"] = fresh_con()
+            assume(False)
+        assert violated == 0, (sql, pred)
+
+    prop()
