@@ -110,8 +110,17 @@ class FileCatalogService:
         os.makedirs(meta_dir, exist_ok=True)
         path = _doc_path(location, version)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            fh.write(document)
+        try:
+            with open(tmp, "w") as fh:
+                fh.write(document)
+        except OSError:
+            # a failed write (disk full, fs error) must not leak the
+            # partially-written temp until orphan GC finds it (ADVICE r6)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         try:
             os.link(tmp, path)  # atomic claim of version N
         except FileExistsError:

@@ -970,6 +970,19 @@ class LakeStreamReader(DataSourceStreamReader):
                 self._pos = self._off(self._initial)
                 # fall through to the capped advance below
             else:
+                import warnings
+
+                # surface the documented blind spot instead of silently
+                # planning a possibly-huge batch 0 (ADVICE r6): the user
+                # asked for caps, and this one range cannot honor them
+                warnings.warn(
+                    "lakehouse stream: streaming-max-*-per-micro-batch "
+                    "caps cannot bound the FIRST micro-batch of an "
+                    "unpinned query (the Python DataSource API hides the "
+                    "checkpointed start); set starting-offset or "
+                    "starting-timestamp to bound batch 0",
+                    stacklevel=2,
+                )
                 self._pos = self._off(head)
                 return self._off(head)
         start_id = self._pos["snapshot_id"]
