@@ -42,6 +42,10 @@ TARGET_FILE_SIZE_BYTES = 134_217_728  # 128 MiB — the reference's compaction
 # harvest reads ONE string column of the file just written (for DVs that's
 # one row per target file — metadata-sized).
 _MAX_REFERENCED_FILES = 64
+# …and the harvest itself is skipped when the delete file's physical row
+# count exceeds this (plain tombstone layouts can run to millions of rows;
+# DV files — one row per target file — never come close)
+_REFERENCED_HARVEST_MAX_ROWS = 100_000
 
 
 # String bounds are truncated Iceberg-style (write.metadata.metrics default
@@ -192,22 +196,40 @@ def write_data_files(
         if n_rows == 0:
             os.remove(final)
             continue
-        if record_count_from is not None:
-            col = pq.read_table(final, columns=[record_count_from])
-            n_rows = sum(v.as_py() or 0 for v in col.column(0))
+        # one combined read-back for delete files: DV cardinality sums and
+        # the referenced-path harvest share a single pq.read_table (review
+        # catch: two separate reads of the just-written file). The harvest
+        # is skipped for row-heavy plain tombstone files — reading a
+        # multi-million-row string column back on the write path costs
+        # real time and DV files (one row per TARGET file) are the layout
+        # that matters; a skipped harvest just leaves the entry always
+        # planned (sound).
         referenced: list[str] = []
-        if content == CONTENT_POSITION_DELETES:
+        want_refs = (
+            content == CONTENT_POSITION_DELETES
+            and n_rows <= _REFERENCED_HARVEST_MAX_ROWS
+        )
+        read_cols = ([record_count_from] if record_count_from else []) + (
+            ["file_path"] if want_refs else []
+        )
+        if read_cols:
             try:
-                import pyarrow.compute as pc
-
-                uniq = pc.unique(
-                    pq.read_table(final, columns=["file_path"]).column(0)
-                )
-                if len(uniq) <= _MAX_REFERENCED_FILES:
-                    referenced = sorted(
-                        v for v in uniq.to_pylist() if v is not None
+                tbl = pq.read_table(final, columns=read_cols)
+                if record_count_from is not None:
+                    n_rows = sum(
+                        v.as_py() or 0 for v in tbl.column(record_count_from)
                     )
+                if want_refs:
+                    import pyarrow.compute as pc
+
+                    uniq = pc.unique(tbl.column("file_path"))
+                    if len(uniq) <= _MAX_REFERENCED_FILES:
+                        referenced = sorted(
+                            v for v in uniq.to_pylist() if v is not None
+                        )
             except Exception:
+                if record_count_from is not None:
+                    raise  # the DV record count is semantic, not advisory
                 referenced = []  # unknown → the entry is always planned
         entries.append(
             ManifestEntry(

@@ -343,7 +343,17 @@ class _Leaf:
         m = _CMP_RE.match(self.conjunct)
         if m:
             lit = _parse_literal(m.group("lit"))
-            if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+            # ints beyond 2^53 are not exactly representable in the
+            # float64 arrays the vector path compares in — a strict </>
+            # there would diverge from the exact scalar evaluator and
+            # wrongly prune (review catch: v < 2**53+1 vs min 2**53
+            # collapsed to 2**53 < 2**53). Such literals (epoch-nanos,
+            # snowflake ids) take the scalar leaf instead.
+            if (
+                isinstance(lit, (int, float))
+                and not isinstance(lit, bool)
+                and not (isinstance(lit, int) and abs(lit) >= 2**53)
+            ):
                 self.col, self.op, self.lit = m.group("col"), m.group("op"), lit
 
     def mask(self, entries, cache):
@@ -355,7 +365,7 @@ class _Leaf:
                 dtype=bool,
                 count=len(entries),
             )
-        lo, hi, ok, allnull = cache(self.col)
+        lo, hi, ok, allnull, bigint = cache(self.col)
         out = np.ones(len(entries), dtype=bool)
         out[allnull] = False  # provably all-NULL column: no comparison holds
         idx = ok & ~allnull
@@ -370,6 +380,11 @@ class _Leaf:
             out[idx] = hi[idx] > lit
         elif op == ">=":
             out[idx] = hi[idx] >= lit
+        # int bounds beyond 2^53 can't ride the float64 arrays exactly;
+        # evaluate those few entries through the scalar leaf so the
+        # candidate set stays IDENTICAL to the scalar evaluator's
+        for i in np.flatnonzero(bigint & ~allnull):
+            out[i] = _conjunct_can_match(entries[i], self.conjunct)
         return out
 
 
@@ -405,6 +420,7 @@ class _CompiledPredicate:
             hi = np.full(n, np.nan)
             ok = np.zeros(n, dtype=bool)
             allnull = np.zeros(n, dtype=bool)
+            bigint = np.zeros(n, dtype=bool)
             num = (int, float)
             for i, e in enumerate(entries):
                 l_ = (e.min_values or {}).get(col)
@@ -415,11 +431,21 @@ class _CompiledPredicate:
                     and not isinstance(l_, bool)
                     and not isinstance(h_, bool)
                 ):
-                    lo[i], hi[i], ok[i] = l_, h_, True
+                    # int bounds beyond 2^53 don't survive the float64
+                    # cast exactly (epoch-nanos, snowflake ids) — flag
+                    # them for per-entry scalar evaluation instead
+                    # (review catch: a strict </> on the rounded value
+                    # wrongly pruned)
+                    if (isinstance(l_, int) and abs(l_) >= 2**53) or (
+                        isinstance(h_, int) and abs(h_) >= 2**53
+                    ):
+                        bigint[i] = True
+                    else:
+                        lo[i], hi[i], ok[i] = l_, h_, True
                 nc = (e.null_counts or {}).get(col)
                 # same expression as _provably_all_null (bool nc included)
                 allnull[i] = nc is not None and nc >= e.record_count
-            got = (lo, hi, ok, allnull)
+            got = (lo, hi, ok, allnull, bigint)
             bound_cache[col] = got
             return got
 

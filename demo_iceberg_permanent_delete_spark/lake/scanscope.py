@@ -412,17 +412,21 @@ _CTE_BODY_RE = re.compile(
     re.I | re.S,
 )
 _CTE_REST_STOP_RE = re.compile(
-    r"[(),]|\b(?:GROUP|ORDER|HAVING|WINDOW|LIMIT|QUALIFY|UNION|INTERSECT"
-    r"|EXCEPT|JOIN|LATERAL|AS)\b",
+    r"[(),]|\b(?:GROUP|ORDER|HAVING|WINDOW|LIMIT|OFFSET|FETCH|QUALIFY"
+    r"|UNION|INTERSECT|EXCEPT|JOIN|LATERAL|AS)\b",
     re.I,
 )
 
 
 def _parse_ctes(
     masked: str, view_columns: dict[str, set[str]]
-) -> dict[str, tuple[str, set[str]]]:
+) -> dict[str, tuple[str, set[str], tuple[str, ...]]]:
     """PASS-THROUGH CTEs of a ``WITH`` prologue: name → (underlying
-    registered view, projected column set). A CTE qualifies only when its
+    registered view, projected column set, chain of CTE names crossed —
+    the fold gate must verify EVERY link is consumed exactly once, not
+    just the tail: in ``WITH a AS (… FROM t), b AS (… FROM a) … FROM b
+    JOIN a``, a is consumed twice and filtering t's scan through b would
+    drop a-side rows). A CTE qualifies only when its
     body is ``SELECT * | <bare column list> FROM <single known view>
     [WHERE …]`` — no renames (AS), computed columns, DISTINCT, joins,
     GROUP/ORDER/LIMIT/set-ops (round-6 verdict item 5's refusal list): a
@@ -453,11 +457,12 @@ def _parse_ctes(
         if bm and name not in view_columns and name not in out:
             src = bm.group("view")
             resolved = out.get(src)
-            src_view, src_cols = (
+            src_view, src_cols, src_chain = (
                 resolved
                 if resolved
-                else (src, view_columns.get(src, set()))
+                else (src, view_columns.get(src, set()), ())
             )
+            chain = src_chain + (name,)
             rest = (bm.group("rest") or "").strip()
             rest_ok = rest == "" or (
                 re.match(r"^WHERE\b", rest, re.I)
@@ -466,7 +471,7 @@ def _parse_ctes(
             cols_txt = bm.group("cols").strip()
             if src_view in view_columns and rest_ok:
                 if cols_txt == "*":
-                    out[name] = (src_view, set(src_cols))
+                    out[name] = (src_view, set(src_cols), chain)
                 else:
                     cols = [c.strip() for c in cols_txt.split(",")]
                     if all(
@@ -475,7 +480,7 @@ def _parse_ctes(
                         and c in src_cols
                         for c in cols
                     ):
-                        out[name] = (src_view, set(cols))
+                        out[name] = (src_view, set(cols), chain)
         pos = close + 1
         cm = re.match(r"\s*,", masked[pos:])
         if not cm:
@@ -524,7 +529,7 @@ def extract_scan_predicates(
     # non-projected column can never attribute through them.
     cte_map = _parse_ctes(masked, view_columns)
     local_columns = dict(view_columns)
-    for cte, (_v, cols) in cte_map.items():
+    for cte, (_v, cols, _chain) in cte_map.items():
         local_columns[cte] = cols
     view_columns = local_columns
     known = set(view_columns)
@@ -592,12 +597,15 @@ def extract_scan_predicates(
             continue
         _harvest(wm.group("body"), scope_start + wm.start("body"))
     # fold pass-through-CTE conjuncts onto the underlying view. Gates:
-    # the CTE itself is consumed by exactly one scope (a second reference
-    # may scan it unfiltered), and the underlying view keeps its own
-    # occurrence gates below (its single reference is the CTE body's).
-    for cte, (v, _cols) in cte_map.items():
+    # EVERY link of the CTE chain is consumed exactly once — the tail by
+    # the filtering scope, each intermediate by the next body; a second
+    # reference to ANY link scans it unfiltered (review catch: `FROM b
+    # JOIN a` passed when only b was gated). The underlying view keeps
+    # its own occurrence gates below (its single reference is the first
+    # body's).
+    for cte, (v, _cols, chain) in cte_map.items():
         conjs = out.pop(cte, None)
-        if conjs and seen_in_scopes.get(cte, 0) == 1:
+        if conjs and all(seen_in_scopes.get(l, 0) == 1 for l in chain):
             out.setdefault(v, []).extend(conjs)
     return {
         v: " AND ".join(conjs)

@@ -556,6 +556,9 @@ class LakeTable:
         non-deterministic predicate (rand()) twice and change results."""
         if predicate is None:
             return self.read()
+        # reset so an early return (no snapshot / everything pruned) never
+        # leaves a PREVIOUS scan's counts in the diagnostic (review catch)
+        self.last_delete_scope = {"planned": 0, "skipped": 0}
         snap = self.metadata.current_snapshot()
         if snap is None:
             return self.empty_frame()
@@ -1036,6 +1039,7 @@ class LakeTable:
         """Merged read that keeps (__fp, __pos) — the DML planning input.
         ``prune_for`` applies manifest min/max file pruning for a string
         predicate (the rows of skipped files provably cannot match)."""
+        self.last_delete_scope = {"planned": 0, "skipped": 0}
         snap = snap or self.metadata.current_snapshot()
         if snap is None:
             return self.empty_frame().withColumns(

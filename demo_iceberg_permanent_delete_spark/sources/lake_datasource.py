@@ -1049,7 +1049,11 @@ class LakeStreamReader(DataSourceStreamReader):
         pin its checkpoint has already moved past (latestOffset's
         pin-seeded batch-0 guess): planning the range would silently
         re-emit committed rows, and the bare ancestry error it used to
-        raise blamed snapshot expiry instead of the pin."""
+        raise blamed snapshot expiry instead of the pin. Callers gate on
+        ``self._pinned`` — unpinned readers can never produce a
+        regressed range (head-seeded, monotone tracker), and blaming an
+        option the user never set would mislead (review catch: a
+        dropped-and-recreated-empty table hit the -1 branch unpinned)."""
         start_id, end_id = start["snapshot_id"], end["snapshot_id"]
         behind = False
         if start_id == end_id:
@@ -1075,7 +1079,7 @@ class LakeStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         start_id, end_id = start["snapshot_id"], end["snapshot_id"]
         start_pos, end_pos = start.get("pos"), end.get("pos")
-        if end_id == -1 and start_id != -1:
+        if self._pinned and end_id == -1 and start_id != -1:
             self._check_not_regressed(self._meta_fresh(), start, end)
         # engine-driven position (checkpoint replay after a crash mid-batch
         # lands here without a prior latestOffset) — track it so admission
@@ -1084,7 +1088,8 @@ class LakeStreamReader(DataSourceStreamReader):
         if end_id == -1 or (start_id == end_id and start_pos == end_pos):
             return [LakeFilePartition(None)]
         meta = self._meta_fresh()
-        self._check_not_regressed(meta, start, end)
+        if self._pinned:
+            self._check_not_regressed(meta, start, end)
         work = []
         if start_pos is not None:
             work.append((meta.snapshot_by_id(start_id), start_pos))
@@ -1248,13 +1253,14 @@ class LakeCdcStreamReader(LakeStreamReader):
         )
 
         start_id, end_id = start["snapshot_id"], end["snapshot_id"]
-        if end_id == -1 and start_id != -1:
+        if self._pinned and end_id == -1 and start_id != -1:
             self._check_not_regressed(self._meta_fresh(), start, end)
         self._pos = dict(end)  # keep admission control replay-aligned
         if end_id == -1 or start_id == end_id:
             return [CdcPartition()]
         meta = self._meta_fresh()
-        self._check_not_regressed(meta, start, end)
+        if self._pinned:
+            self._check_not_regressed(meta, start, end)
         split_bytes = int(
             self._options.get("split-size", DEFAULT_SPLIT_BYTES)
         )

@@ -215,6 +215,10 @@ def test_vectorized_candidate_files_equals_scalar_property():
     num_stats = st.tuples(st.integers(-20, 20), st.integers(0, 15)).map(
         lambda t: ({"v": t[0]}, {"v": t[0] + t[1]}, {"v": 0})
     )
+    # straddle the float64-exactness boundary (round-8 review catch)
+    bigint_stats = st.tuples(
+        st.integers(2**53 - 2, 2**53 + 40), st.integers(0, 5)
+    ).map(lambda t: ({"v": t[0]}, {"v": t[0] + t[1]}, {"v": 0}))
     float_stats = st.tuples(
         st.floats(-20, 20, allow_nan=False), st.floats(0, 15, allow_nan=False)
     ).map(lambda t: ({"v": t[0]}, {"v": t[0] + t[1]}, {"v": 0}))
@@ -232,7 +236,7 @@ def test_vectorized_candidate_files_equals_scalar_property():
     allnull_stats = st.just(({}, {}, {"v": 10}))
     mixed_bool = st.just(({"v": True}, {"v": True}, {"v": 0}))
     stats_st = st.one_of(
-        num_stats, float_stats, str_stats, date_stats,
+        num_stats, bigint_stats, float_stats, str_stats, date_stats,
         missing_stats, allnull_stats, mixed_bool,
     )
 
@@ -240,6 +244,10 @@ def test_vectorized_candidate_files_equals_scalar_property():
         st.tuples(st.sampled_from(["<", "<=", "=", ">", ">="]), st.integers(-25, 25)).map(
             lambda t: f"v {t[0]} {t[1]}"
         ),
+        st.tuples(
+            st.sampled_from(["<", "<=", "=", ">", ">="]),
+            st.integers(2**53 - 2, 2**53 + 40),
+        ).map(lambda t: f"v {t[0]} {t[1]}"),
         st.tuples(
             st.sampled_from(["<", "<=", "=", ">", ">="]),
             st.floats(-25, 25, allow_nan=False),
@@ -277,3 +285,37 @@ def test_vectorized_candidate_files_equals_scalar_property():
         assert got == want, (pred, got ^ want)
 
     run()
+
+
+def test_vectorized_pruning_exact_beyond_float53():
+    """Int bounds/literals past 2^53 (epoch-nanos, snowflake ids) must be
+    compared exactly, not through the float64 arrays — a strict </> on
+    the rounded value wrongly pruned (round-8 review catch)."""
+    from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
+    from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
+
+    def e(path, lo, hi):
+        return ManifestEntry(
+            file_path=path,
+            content=0,
+            record_count=10,
+            file_size_in_bytes=1,
+            min_values={"v": lo},
+            max_values={"v": hi},
+            null_counts={"v": 0},
+        )
+
+    big = 2**53
+    ent = [e("a", big, big), e("b", big + 10, big + 20), e("c", 0, 5)]
+    # big literal: 'v < 2^53+1' keeps a (2^53 < 2^53+1), drops b, drops c? no: 0<lit keeps c
+    got = {x.file_path for x in candidate_files(ent, f"v < {big + 1}")}
+    assert got == {"a", "c"}
+    got2 = {x.file_path for x in candidate_files(ent, f"v = {big + 15}")}
+    assert got2 == {"b"}
+    # small literal against big bounds: exact pruning still applies
+    got3 = {x.file_path for x in candidate_files(ent, "v < 5")}
+    assert got3 == {"c"}
+    nano = 1_700_000_000_000_000_000
+    ent2 = [e("t1", nano, nano), e("t2", nano + 1, nano + 5)]
+    got4 = {x.file_path for x in candidate_files(ent2, f"v < {nano + 1}")}
+    assert got4 == {"t1"}

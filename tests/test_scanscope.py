@@ -629,3 +629,43 @@ def test_cte_pass_through_extraction_is_implied_property():
         assert violated == 0, (sql, pred)
 
     prop()
+
+
+def test_cte_chain_with_extra_intermediate_consumption_refused():
+    """Round-8 review catch: in WITH a AS (… FROM t), b AS (… FROM a) …
+    FROM b JOIN a, the intermediate a is consumed TWICE — folding b's
+    outer filter onto t would drop a-side join rows. Every chain link
+    must be consumed exactly once."""
+    out = _x(
+        "WITH a AS (SELECT * FROM default__fat), "
+        "b AS (SELECT * FROM a) "
+        "SELECT b.k FROM b JOIN a x ON b.k = x.k WHERE b.day = 'z'"
+    )
+    assert out == {}
+    # same via a set-op consumer of the intermediate
+    out2 = _x(
+        "WITH a AS (SELECT * FROM default__fat), "
+        "b AS (SELECT k, day FROM a) "
+        "SELECT k FROM b WHERE day = 'z' UNION ALL SELECT k FROM a"
+    )
+    assert out2 == {}
+
+
+def test_cte_offset_and_fetch_bodies_refused():
+    """Round-8 review catch: a filter above an OFFSET/FETCH changes which
+    rows the OFFSET skips — such bodies are not pass-through."""
+    assert (
+        _x(
+            "WITH c AS (SELECT k, day FROM default__fat WHERE k > 0 OFFSET 5) "
+            "SELECT k FROM c WHERE day = 'x'"
+        )
+        == {}
+    )
+    assert (
+        _x(
+            "WITH c AS (SELECT k, day FROM default__fat "
+            "WHERE k > 0 FETCH FIRST 5 ROWS ONLY) "
+            "SELECT k FROM c WHERE day = 'x'"
+        )
+        == {}
+    )
