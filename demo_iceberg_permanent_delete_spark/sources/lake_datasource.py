@@ -562,7 +562,7 @@ class LakeBatchReader(DataSourceReader):
         if not data_entries:
             return [LakeFilePartition(None)]
 
-        pos_paths, dv_paths, eq_for = _visibility(meta, snap, entries=scoped)
+        pos_for, dv_for, eq_for = _visibility(meta, snap, entries=scoped)
         split_bytes = int(
             self._options.get("split-size", DEFAULT_SPLIT_BYTES)
         )
@@ -572,9 +572,9 @@ class LakeBatchReader(DataSourceReader):
                 parts.append(
                     LakeFilePartition(
                         e.file_path,
-                        pos_paths,
+                        pos_for(e),
                         eq_for(e),
-                        dv_paths,
+                        dv_for(e),
                         row_groups=rg,
                         row_offset=offset,
                     )
@@ -670,13 +670,19 @@ def _ancestry_chain(meta, start_id: int, end_id: int):
 
 
 def _visibility(meta, snap, entries=None):
-    """A snapshot's delete files split for the executor-side MOR read:
-    (row-layout position-delete paths, DV paths, eq_for(data_entry)) —
+    """A snapshot's delete files split for the executor-side MOR read, as
+    PER-DATA-FILE resolvers: (pos_for(entry), dv_for(entry),
+    eq_for(entry)). A position-delete/DV file ships to a task only when
+    its ``referenced_files`` set (recorded at write time) contains the
+    task's data file — or when the set is unknown (too many targets,
+    pre-upgrade manifest), in which case it ships to every task as
+    before. At 100 TB this turns "every task opens every delete file"
+    into "every task opens the delete files that reference ITS file".
     ``eq_for`` applies the Iceberg sequence rule (an equality delete only
-    masks data files committed strictly before it). ``entries`` supplies a
-    pre-resolved manifest (e.g. metadata.scoped_manifest, which keeps ALL
-    delete files) so callers that already resolved don't force a second
-    full resolution."""
+    masks data files committed strictly before it). ``entries`` supplies
+    a pre-resolved manifest (e.g. metadata.scoped_manifest, which keeps
+    ALL delete files) so callers that already resolved don't force a
+    second full resolution."""
     from demo_iceberg_permanent_delete_spark.lake.metadata import (
         CONTENT_EQUALITY_DELETES,
         CONTENT_POSITION_DELETES,
@@ -687,16 +693,27 @@ def _visibility(meta, snap, entries=None):
         for e in (entries if entries is not None else snap.manifest)
         if e.content != 0
     ]
-    pos = tuple(
-        e.file_path
+    pos_all = [
+        (e.file_path, frozenset(getattr(e, "referenced_files", ()) or ()))
         for e in deletes
         if e.content == CONTENT_POSITION_DELETES and not e.dv
-    )
-    dv = tuple(
-        e.file_path
+    ]
+    dv_all = [
+        (e.file_path, frozenset(getattr(e, "referenced_files", ()) or ()))
         for e in deletes
         if e.content == CONTENT_POSITION_DELETES and e.dv
-    )
+    ]
+
+    def pos_for(entry):
+        return tuple(
+            p for p, refs in pos_all if not refs or entry.file_path in refs
+        )
+
+    def dv_for(entry):
+        return tuple(
+            p for p, refs in dv_all if not refs or entry.file_path in refs
+        )
+
     order = {s.snapshot_id: i for i, s in enumerate(meta.snapshots)}
 
     def eq_for(entry):
@@ -708,7 +725,7 @@ def _visibility(meta, snap, entries=None):
             and order.get(d.added_snapshot_id, -1) > seq
         )
 
-    return pos, dv, eq_for
+    return pos_for, dv_for, eq_for
 
 
 class LakeStreamReader(DataSourceStreamReader):
@@ -1293,7 +1310,7 @@ class LakeCdcStreamReader(LakeStreamReader):
                         )
                     emitted = True
             if parent is not None:
-                pos, dv, eq_for = _visibility(meta, parent)
+                pos_for, dv_for, eq_for = _visibility(meta, parent)
                 parent_by_path = {e.file_path: e for e in parent.manifest}
                 for p in delta.removed:
                     ent = parent_by_path.get(p)
@@ -1304,8 +1321,8 @@ class LakeCdcStreamReader(LakeStreamReader):
                             CdcPartition(
                                 kind="delete",
                                 file_path=p,
-                                pos_delete_paths=pos,
-                                dv_paths=dv,
+                                pos_delete_paths=pos_for(ent),
+                                dv_paths=dv_for(ent),
                                 eq_deletes=eq_for(ent),
                                 change_type="DELETE",
                                 row_groups=rg,
@@ -1373,8 +1390,8 @@ class LakeCdcStreamReader(LakeStreamReader):
                                 CdcPartition(
                                     kind="eq",
                                     file_path=ent.file_path,
-                                    pos_delete_paths=pos,
-                                    dv_paths=dv,
+                                    pos_delete_paths=pos_for(ent),
+                                    dv_paths=dv_for(ent),
                                     eq_deletes=eq_for(ent),
                                     eq_match=eq_match,
                                     change_type="DELETE",

@@ -179,3 +179,49 @@ def test_scope_delete_files_unit():
     # unknown delete snapshot id masks everything (2**31 fallback) → kept
     e_unknown = eq(999, ["k"], {"k": "c"}, {"k": "c"}, {"k": 0})
     assert scope_delete_files([e_unknown], [df_early], order)
+
+
+def test_datasource_tasks_ship_only_referencing_delete_files(cat):
+    """The lakehouse batch reader plans delete files PER TASK: a data
+    file's partition carries only the position-delete/DV files whose
+    referenced_files set contains it (unknown sets still ship to every
+    task). At 100 TB this is 'each task opens its own tombstones', not
+    'every task opens every delete file'."""
+    from pyspark.sql.types import StructType
+
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        LakeBatchReader,
+        register,
+    )
+
+    c, spark = cat
+    register(spark)
+    t = _mor_partitioned(c, spark, "default.ds_tasks", dv=True)
+    reader = LakeBatchReader(
+        StructType.fromDDL("id bigint, d date, v string"),
+        {"location": t.metadata.location},
+    )
+    parts = [p for p in reader.partitions() if p.file_path is not None]
+    assert parts
+    deletes_by_entry = {}
+    for e in t.metadata.current_snapshot().delete_files():
+        assert e.referenced_files  # harvested at write time
+        for rp in e.referenced_files:
+            deletes_by_entry.setdefault(rp, set()).add(e.file_path)
+    total_deletes = len(t.metadata.current_snapshot().delete_files())
+    assert total_deletes == 3
+    for p in parts:
+        shipped = set(p.pos_delete_paths) | set(p.dv_paths)
+        assert shipped == deletes_by_entry.get(p.file_path, set())
+        assert len(shipped) < total_deletes  # strictly scoped per task
+    # and the merged read stays correct
+    got = sorted(
+        r["id"]
+        for r in spark.read.format("lakehouse")
+        .option("location", t.metadata.location)
+        .load()
+        .collect()
+    )
+    assert got == [
+        c * 100 + i for c in range(3) for i in range(20) if i != 5
+    ]
