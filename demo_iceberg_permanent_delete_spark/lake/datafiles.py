@@ -196,40 +196,35 @@ def write_data_files(
         if n_rows == 0:
             os.remove(final)
             continue
-        # one combined read-back for delete files: DV cardinality sums and
-        # the referenced-path harvest share a single pq.read_table (review
-        # catch: two separate reads of the just-written file). The harvest
-        # is skipped for row-heavy plain tombstone files — reading a
-        # multi-million-row string column back on the write path costs
-        # real time and DV files (one row per TARGET file) are the layout
-        # that matters; a skipped harvest just leaves the entry always
-        # planned (sound).
+        # referenced-path harvest (content=1 only): the DV record count is
+        # SEMANTIC and read unprotected (a failure must fail the write),
+        # while the harvest is advisory and degrades to [] on any error
+        # (review catch: one shared try made a harvest-only failure abort
+        # a DV write that used to succeed). Skipped for row-heavy plain
+        # tombstone files — reading a multi-million-row string column back
+        # on the write path costs real time; DV files (one row per TARGET
+        # file) are the layout that matters, and a skipped harvest just
+        # leaves the entry always planned (sound).
         referenced: list[str] = []
         want_refs = (
             content == CONTENT_POSITION_DELETES
             and n_rows <= _REFERENCED_HARVEST_MAX_ROWS
         )
-        read_cols = ([record_count_from] if record_count_from else []) + (
-            ["file_path"] if want_refs else []
-        )
-        if read_cols:
+        if record_count_from is not None:
+            col = pq.read_table(final, columns=[record_count_from])
+            n_rows = sum(v.as_py() or 0 for v in col.column(0))
+        if want_refs:
             try:
-                tbl = pq.read_table(final, columns=read_cols)
-                if record_count_from is not None:
-                    n_rows = sum(
-                        v.as_py() or 0 for v in tbl.column(record_count_from)
-                    )
-                if want_refs:
-                    import pyarrow.compute as pc
+                import pyarrow.compute as pc
 
-                    uniq = pc.unique(tbl.column("file_path"))
-                    if len(uniq) <= _MAX_REFERENCED_FILES:
-                        referenced = sorted(
-                            v for v in uniq.to_pylist() if v is not None
-                        )
+                uniq = pc.unique(
+                    pq.read_table(final, columns=["file_path"]).column(0)
+                )
+                if len(uniq) <= _MAX_REFERENCED_FILES:
+                    referenced = sorted(
+                        v for v in uniq.to_pylist() if v is not None
+                    )
             except Exception:
-                if record_count_from is not None:
-                    raise  # the DV record count is semantic, not advisory
                 referenced = []  # unknown → the entry is always planned
         entries.append(
             ManifestEntry(

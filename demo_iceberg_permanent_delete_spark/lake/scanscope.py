@@ -437,7 +437,7 @@ def _parse_ctes(
     if not _WITH_RE.match(masked):
         return {}
     depth = _depths(masked)
-    out: dict[str, tuple[str, set[str]]] = {}
+    out: dict[str, tuple[str, set[str], tuple[str, ...]]] = {}
     pos = _WITH_RE.match(masked).end()
     while True:
         hm = _CTE_HEAD_RE.match(masked, pos)

@@ -554,11 +554,12 @@ class LakeTable:
         that re-apply the predicate themselves, like the SQL facade's
         view registration, where applying it here too would evaluate a
         non-deterministic predicate (rand()) twice and change results."""
+        # reset FIRST so every early return (predicate-less delegation to
+        # read(), no snapshot, everything pruned) leaves honest counts,
+        # never a PREVIOUS scan's (review catches ×2)
+        self.last_delete_scope = {"planned": 0, "skipped": 0}
         if predicate is None:
             return self.read()
-        # reset so an early return (no snapshot / everything pruned) never
-        # leaves a PREVIOUS scan's counts in the diagnostic (review catch)
-        self.last_delete_scope = {"planned": 0, "skipped": 0}
         snap = self.metadata.current_snapshot()
         if snap is None:
             return self.empty_frame()

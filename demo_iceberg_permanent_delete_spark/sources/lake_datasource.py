@@ -568,13 +568,14 @@ class LakeBatchReader(DataSourceReader):
         )
         parts: list[LakeFilePartition] = []
         for e in data_entries:
+            pos, eq, dv = pos_for(e), eq_for(e), dv_for(e)
             for rg, offset in _file_splits(e, split_bytes):
                 parts.append(
                     LakeFilePartition(
                         e.file_path,
-                        pos_for(e),
-                        eq_for(e),
-                        dv_for(e),
+                        pos,
+                        eq,
+                        dv,
                         row_groups=rg,
                         row_offset=offset,
                     )
@@ -693,26 +694,33 @@ def _visibility(meta, snap, entries=None):
         for e in (entries if entries is not None else snap.manifest)
         if e.content != 0
     ]
-    pos_all = [
-        (e.file_path, frozenset(getattr(e, "referenced_files", ()) or ()))
-        for e in deletes
-        if e.content == CONTENT_POSITION_DELETES and not e.dv
-    ]
-    dv_all = [
-        (e.file_path, frozenset(getattr(e, "referenced_files", ()) or ()))
-        for e in deletes
-        if e.content == CONTENT_POSITION_DELETES and e.dv
-    ]
+    # index once: target path → referencing delete paths, plus the
+    # always-ship list for entries without a recorded set. Each pos_for/
+    # dv_for call is then O(result), not O(all delete files) per data
+    # file (review catch: the linear scan made planning
+    # O(data_files × delete_files))
+    def _index(dv_flag: bool):
+        always: list[str] = []
+        by_target: dict[str, list[str]] = {}
+        for e in deletes:
+            if e.content != CONTENT_POSITION_DELETES or e.dv != dv_flag:
+                continue
+            refs = getattr(e, "referenced_files", None) or ()
+            if refs:
+                for r in refs:
+                    by_target.setdefault(r, []).append(e.file_path)
+            else:
+                always.append(e.file_path)
+        return always, by_target
+
+    pos_always, pos_by_target = _index(False)
+    dv_always, dv_by_target = _index(True)
 
     def pos_for(entry):
-        return tuple(
-            p for p, refs in pos_all if not refs or entry.file_path in refs
-        )
+        return tuple(pos_always + pos_by_target.get(entry.file_path, []))
 
     def dv_for(entry):
-        return tuple(
-            p for p, refs in dv_all if not refs or entry.file_path in refs
-        )
+        return tuple(dv_always + dv_by_target.get(entry.file_path, []))
 
     order = {s.snapshot_id: i for i, s in enumerate(meta.snapshots)}
 
@@ -1061,16 +1069,15 @@ class LakeStreamReader(DataSourceStreamReader):
         return end
 
     def _check_not_regressed(self, meta, start: dict, end: dict) -> None:
-        """Fail loudly when ``end`` sits BEHIND ``start`` in the ancestry —
-        only reachable when a restarted query kept an explicit starting
-        pin its checkpoint has already moved past (latestOffset's
-        pin-seeded batch-0 guess): planning the range would silently
-        re-emit committed rows, and the bare ancestry error it used to
-        raise blamed snapshot expiry instead of the pin. Callers gate on
-        ``self._pinned`` — unpinned readers can never produce a
-        regressed range (head-seeded, monotone tracker), and blaming an
-        option the user never set would mislead (review catch: a
-        dropped-and-recreated-empty table hit the -1 branch unpinned)."""
+        """Fail loudly when ``end`` sits BEHIND ``start`` in the ancestry.
+        Two causes, distinguished by ``self._pinned`` (review catches):
+        a restarted query kept an explicit starting pin its checkpoint
+        has already moved past (latestOffset's pin-seeded batch-0 guess),
+        or — unpinned — the table at this location was dropped/recreated
+        or rolled back under the checkpoint. Both would otherwise lead to
+        silent re-emission (planning the regressed range directly, or an
+        empty batch that RESETS the committed offset so the recreated
+        table later streams from scratch as fresh appends)."""
         start_id, end_id = start["snapshot_id"], end["snapshot_id"]
         behind = False
         if start_id == end_id:
@@ -1086,17 +1093,25 @@ class LakeStreamReader(DataSourceStreamReader):
                     break
                 cur = meta._maybe_snapshot(cur.parent_id)
         if behind:
+            if self._pinned:
+                raise ValueError(
+                    f"offset range end {end} is behind the checkpointed "
+                    f"start {start}: this query restarted with a "
+                    "starting-offset/starting-timestamp pin its checkpoint "
+                    "has already passed — remove the option on restart "
+                    "(the checkpoint wins)"
+                )
             raise ValueError(
                 f"offset range end {end} is behind the checkpointed start "
-                f"{start}: this query restarted with a starting-offset/"
-                "starting-timestamp pin its checkpoint has already passed "
-                "— remove the option on restart (the checkpoint wins)"
+                f"{start}: the table at this location was dropped/"
+                "recreated or rolled back under this stream — restart "
+                "with a fresh checkpoint"
             )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         start_id, end_id = start["snapshot_id"], end["snapshot_id"]
         start_pos, end_pos = start.get("pos"), end.get("pos")
-        if self._pinned and end_id == -1 and start_id != -1:
+        if end_id == -1 and start_id != -1:
             self._check_not_regressed(self._meta_fresh(), start, end)
         # engine-driven position (checkpoint replay after a crash mid-batch
         # lands here without a prior latestOffset) — track it so admission
@@ -1105,8 +1120,7 @@ class LakeStreamReader(DataSourceStreamReader):
         if end_id == -1 or (start_id == end_id and start_pos == end_pos):
             return [LakeFilePartition(None)]
         meta = self._meta_fresh()
-        if self._pinned:
-            self._check_not_regressed(meta, start, end)
+        self._check_not_regressed(meta, start, end)
         work = []
         if start_pos is not None:
             work.append((meta.snapshot_by_id(start_id), start_pos))
@@ -1270,14 +1284,13 @@ class LakeCdcStreamReader(LakeStreamReader):
         )
 
         start_id, end_id = start["snapshot_id"], end["snapshot_id"]
-        if self._pinned and end_id == -1 and start_id != -1:
+        if end_id == -1 and start_id != -1:
             self._check_not_regressed(self._meta_fresh(), start, end)
         self._pos = dict(end)  # keep admission control replay-aligned
         if end_id == -1 or start_id == end_id:
             return [CdcPartition()]
         meta = self._meta_fresh()
-        if self._pinned:
-            self._check_not_regressed(meta, start, end)
+        self._check_not_regressed(meta, start, end)
         split_bytes = int(
             self._options.get("split-size", DEFAULT_SPLIT_BYTES)
         )
@@ -1316,14 +1329,15 @@ class LakeCdcStreamReader(LakeStreamReader):
                     ent = parent_by_path.get(p)
                     if ent is None or ent.content != CONTENT_DATA:
                         continue
+                    pos, dvp, eqd = pos_for(ent), dv_for(ent), eq_for(ent)
                     for rg, off in _file_splits(ent, split_bytes):
                         parts.append(
                             CdcPartition(
                                 kind="delete",
                                 file_path=p,
-                                pos_delete_paths=pos_for(ent),
-                                dv_paths=dv_for(ent),
-                                eq_deletes=eq_for(ent),
+                                pos_delete_paths=pos,
+                                dv_paths=dvp,
+                                eq_deletes=eqd,
                                 change_type="DELETE",
                                 row_groups=rg,
                                 row_offset=off,
@@ -1385,14 +1399,19 @@ class LakeCdcStreamReader(LakeStreamReader):
                     for ent in parent.manifest:
                         if ent.content != CONTENT_DATA:
                             continue
+                        pos, dvp, eqd = (
+                            pos_for(ent),
+                            dv_for(ent),
+                            eq_for(ent),
+                        )
                         for rg, off in _file_splits(ent, split_bytes):
                             parts.append(
                                 CdcPartition(
                                     kind="eq",
                                     file_path=ent.file_path,
-                                    pos_delete_paths=pos_for(ent),
-                                    dv_paths=dv_for(ent),
-                                    eq_deletes=eq_for(ent),
+                                    pos_delete_paths=pos,
+                                    dv_paths=dvp,
+                                    eq_deletes=eqd,
                                     eq_match=eq_match,
                                     change_type="DELETE",
                                     row_groups=rg,

@@ -1494,3 +1494,28 @@ def test_invalid_pins_fail_loudly(registered, cat):
         _mk_reader(t, **{"starting-offset": "123456789"})
     with pytest.raises(ValueError, match="future"):
         _mk_reader(t, **{"starting-timestamp": str(2**50)})
+
+
+def test_unpinned_regressed_range_fails_loudly_as_recreate(registered, cat):
+    """Round-8 review catch: an UNPINNED stream whose range regresses
+    (drop-and-recreate under the checkpoint) must fail naming the real
+    cause — a silent empty batch would reset the committed offset and
+    later re-emit the whole recreated table as fresh appends."""
+    from pyspark.sql.types import StructType
+
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        LakeStreamReader,
+    )
+
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.pin8")
+    reader = LakeStreamReader(
+        StructType.fromDDL("id bigint, v string"),
+        {"location": t.metadata.location},
+    )
+    head = {"snapshot_id": t.metadata.current_snapshot_id}
+    with pytest.raises(ValueError, match="recreated or rolled back"):
+        reader.partitions(head, {"snapshot_id": -1})
+    first = {"snapshot_id": t.metadata.snapshots[0].snapshot_id}
+    with pytest.raises(ValueError, match="recreated or rolled back"):
+        reader.partitions(head, first)
