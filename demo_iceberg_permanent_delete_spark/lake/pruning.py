@@ -327,34 +327,69 @@ def _expr_can_match(entry: ManifestEntry, masked: str) -> bool:
 
 
 # ------------------------------------------------- compiled / vectorized
-class _Leaf:
-    """One conjunct, parsed ONCE. Numeric comparisons (``col <op>
-    <int|float literal>``) evaluate vectorized over numpy bound arrays —
-    the manifest-pruning hot path at millions of entries; every other
-    shape falls back to the EXACT scalar evaluator per entry, so the
-    compiled path can never diverge from ``_conjunct_can_match``
-    semantics (round-7 verdict item 5)."""
+def _epoch(d: dt.datetime) -> float:
+    """Naive-UTC datetime → epoch seconds WITHOUT the local-timezone
+    assumption ``datetime.timestamp()`` makes on naive values."""
+    return (d - dt.datetime(1970, 1, 1)).total_seconds()
 
-    __slots__ = ("conjunct", "col", "op", "lit")
+
+def _np_cmp(op: str, lo, hi, lit):
+    """Vectorized bounds test for one comparison op (arrays lo/hi against
+    a scalar literal) — the same [min, max] satisfiability rules as the
+    scalar tail of ``_conjunct_can_match``."""
+    if op == "=":
+        return (lo <= lit) & (lit <= hi)
+    if op == "<":
+        return lo < lit
+    if op == "<=":
+        return lo <= lit
+    if op == ">":
+        return hi > lit
+    return hi >= lit  # ">="
+
+
+class _Leaf:
+    """One conjunct, parsed ONCE. Comparisons ``col <op> literal``
+    evaluate vectorized over numpy bound arrays — the manifest-pruning
+    hot path at millions of entries: numeric literals against float64
+    bound arrays, string/temporal literals against per-column epoch and
+    unicode arrays with the EXACT ``_coerce`` semantics (dt-parseable
+    literal: compare as datetimes where BOTH bounds parse, keep
+    otherwise; plain string literal: lexicographic where both bounds are
+    non-temporal strings, keep otherwise). Every other shape falls back
+    to the scalar evaluator per entry, so the compiled path can never
+    diverge from ``_conjunct_can_match`` (round-7 verdict item 5)."""
+
+    __slots__ = ("conjunct", "col", "op", "lit", "kind", "lit_epoch")
 
     def __init__(self, masked_leaf: str):
         self.conjunct = masked_leaf.replace(_BETWEEN_AND, "AND")
-        self.col = self.op = self.lit = None
+        self.col = self.op = self.lit = self.kind = self.lit_epoch = None
         m = _CMP_RE.match(self.conjunct)
-        if m:
-            lit = _parse_literal(m.group("lit"))
-            # ints beyond 2^53 are not exactly representable in the
-            # float64 arrays the vector path compares in — a strict </>
-            # there would diverge from the exact scalar evaluator and
-            # wrongly prune (review catch: v < 2**53+1 vs min 2**53
-            # collapsed to 2**53 < 2**53). Such literals (epoch-nanos,
-            # snowflake ids) take the scalar leaf instead.
-            if (
-                isinstance(lit, (int, float))
-                and not isinstance(lit, bool)
-                and not (isinstance(lit, int) and abs(lit) >= 2**53)
-            ):
-                self.col, self.op, self.lit = m.group("col"), m.group("op"), lit
+        if not m:
+            return
+        lit = _parse_literal(m.group("lit"))
+        # ints beyond 2^53 are not exactly representable in the float64
+        # arrays the vector path compares in — a strict </> there would
+        # diverge from the exact scalar evaluator and wrongly prune
+        # (review catch: v < 2**53+1 vs min 2**53 collapsed to
+        # 2**53 < 2**53). Such literals (epoch-nanos, snowflake ids)
+        # take the scalar leaf instead.
+        if (
+            isinstance(lit, (int, float))
+            and not isinstance(lit, bool)
+            and not (isinstance(lit, int) and abs(lit) >= 2**53)
+        ):
+            self.col, self.op, self.lit = m.group("col"), m.group("op"), lit
+            self.kind = "num"
+        elif isinstance(lit, str):
+            self.col, self.op, self.lit = m.group("col"), m.group("op"), lit
+            d = _to_dt(lit)
+            if d is not None:
+                self.kind = "dt"
+                self.lit_epoch = _epoch(d)
+            else:
+                self.kind = "str"
 
     def mask(self, entries, cache):
         import numpy as np
@@ -365,26 +400,33 @@ class _Leaf:
                 dtype=bool,
                 count=len(entries),
             )
-        lo, hi, ok, allnull, bigint = cache(self.col)
         out = np.ones(len(entries), dtype=bool)
-        out[allnull] = False  # provably all-NULL column: no comparison holds
-        idx = ok & ~allnull
-        lit, op = self.lit, self.op
-        if op == "=":
-            out[idx] = (lo[idx] <= lit) & (lit <= hi[idx])
-        elif op == "<":
-            out[idx] = lo[idx] < lit
-        elif op == "<=":
-            out[idx] = lo[idx] <= lit
-        elif op == ">":
-            out[idx] = hi[idx] > lit
-        elif op == ">=":
-            out[idx] = hi[idx] >= lit
-        # int bounds beyond 2^53 can't ride the float64 arrays exactly;
-        # evaluate those few entries through the scalar leaf so the
-        # candidate set stays IDENTICAL to the scalar evaluator's
-        for i in np.flatnonzero(bigint & ~allnull):
-            out[i] = _conjunct_can_match(entries[i], self.conjunct)
+        if self.kind == "num":
+            lo, hi, ok, allnull, bigint = cache(self.col, "num")
+            out[allnull] = False  # provably all-NULL: nothing compares
+            idx = ok & ~allnull
+            out[idx] = _np_cmp(self.op, lo[idx], hi[idx], self.lit)
+            # int bounds beyond 2^53 can't ride the float64 arrays
+            # exactly; those few entries go through the scalar leaf so
+            # the candidate set stays IDENTICAL to the scalar evaluator's
+            for i in np.flatnonzero(bigint & ~allnull):
+                out[i] = _conjunct_can_match(entries[i], self.conjunct)
+            return out
+        slo, shi, s_ok, dt_lo, dt_hi, dt_ok, any_dt, allnull = cache(
+            self.col, "str"
+        )
+        out[allnull] = False
+        if self.kind == "dt":
+            # _coerce: compare as datetimes only where BOTH bounds parse;
+            # a dt literal against anything else keeps the file
+            idx = dt_ok & ~allnull
+            out[idx] = _np_cmp(self.op, dt_lo[idx], dt_hi[idx], self.lit_epoch)
+        else:
+            # plain string literal: lexicographic only where both bounds
+            # are strings and NEITHER side is temporal (one-sided
+            # temporal → no sound ordering → keep)
+            idx = s_ok & ~any_dt & ~allnull
+            out[idx] = _np_cmp(self.op, slo[idx], shi[idx], self.lit)
         return out
 
 
@@ -410,43 +452,86 @@ class _CompiledPredicate:
         import numpy as np
 
         n = len(entries)
-        bound_cache: dict[str, tuple] = {}
+        bound_cache: dict[tuple[str, str], tuple] = {}
 
-        def cache(col: str):
-            got = bound_cache.get(col)
+        def _allnull(col: str):
+            got = bound_cache.get((col, "null"))
             if got is not None:
                 return got
-            lo = np.full(n, np.nan)
-            hi = np.full(n, np.nan)
-            ok = np.zeros(n, dtype=bool)
             allnull = np.zeros(n, dtype=bool)
-            bigint = np.zeros(n, dtype=bool)
-            num = (int, float)
             for i, e in enumerate(entries):
-                l_ = (e.min_values or {}).get(col)
-                h_ = (e.max_values or {}).get(col)
-                if (
-                    isinstance(l_, num)
-                    and isinstance(h_, num)
-                    and not isinstance(l_, bool)
-                    and not isinstance(h_, bool)
-                ):
-                    # int bounds beyond 2^53 don't survive the float64
-                    # cast exactly (epoch-nanos, snowflake ids) — flag
-                    # them for per-entry scalar evaluation instead
-                    # (review catch: a strict </> on the rounded value
-                    # wrongly pruned)
-                    if (isinstance(l_, int) and abs(l_) >= 2**53) or (
-                        isinstance(h_, int) and abs(h_) >= 2**53
-                    ):
-                        bigint[i] = True
-                    else:
-                        lo[i], hi[i], ok[i] = l_, h_, True
                 nc = (e.null_counts or {}).get(col)
                 # same expression as _provably_all_null (bool nc included)
                 allnull[i] = nc is not None and nc >= e.record_count
-            got = (lo, hi, ok, allnull, bigint)
-            bound_cache[col] = got
+            bound_cache[(col, "null")] = allnull
+            return allnull
+
+        def cache(col: str, mode: str):
+            got = bound_cache.get((col, mode))
+            if got is not None:
+                return got
+            allnull = _allnull(col)
+            num = (int, float)
+            if mode == "num":
+                lo = np.full(n, np.nan)
+                hi = np.full(n, np.nan)
+                ok = np.zeros(n, dtype=bool)
+                bigint = np.zeros(n, dtype=bool)
+                for i, e in enumerate(entries):
+                    l_ = (e.min_values or {}).get(col)
+                    h_ = (e.max_values or {}).get(col)
+                    if (
+                        isinstance(l_, num)
+                        and isinstance(h_, num)
+                        and not isinstance(l_, bool)
+                        and not isinstance(h_, bool)
+                    ):
+                        # int bounds beyond 2^53 don't survive the
+                        # float64 cast exactly (epoch-nanos, snowflake
+                        # ids) — flag them for per-entry scalar
+                        # evaluation instead (review catch: a strict
+                        # </> on the rounded value wrongly pruned)
+                        if (isinstance(l_, int) and abs(l_) >= 2**53) or (
+                            isinstance(h_, int) and abs(h_) >= 2**53
+                        ):
+                            bigint[i] = True
+                        else:
+                            lo[i], hi[i], ok[i] = l_, h_, True
+                got = (lo, hi, ok, allnull, bigint)
+            else:  # string/temporal bounds
+                s_lo = [""] * n
+                s_hi = [""] * n
+                s_ok = np.zeros(n, dtype=bool)
+                dt_lo = np.full(n, np.nan)
+                dt_hi = np.full(n, np.nan)
+                dt_ok = np.zeros(n, dtype=bool)
+                any_dt = np.zeros(n, dtype=bool)
+                for i, e in enumerate(entries):
+                    l_ = (e.min_values or {}).get(col)
+                    h_ = (e.max_values or {}).get(col)
+                    if isinstance(l_, str) and isinstance(h_, str):
+                        s_ok[i] = True
+                        s_lo[i], s_hi[i] = l_, h_
+                        dl, dh = _to_dt(l_), _to_dt(h_)
+                        if dl is not None and dh is not None:
+                            dt_lo[i] = _epoch(dl)
+                            dt_hi[i] = _epoch(dh)
+                            dt_ok[i] = True
+                        if dl is not None or dh is not None:
+                            any_dt[i] = True
+                # fixed-width unicode arrays: C-level lexicographic
+                # comparison, same code-point order as Python str
+                got = (
+                    np.array(s_lo, dtype=str),
+                    np.array(s_hi, dtype=str),
+                    s_ok,
+                    dt_lo,
+                    dt_hi,
+                    dt_ok,
+                    any_dt,
+                    allnull,
+                )
+            bound_cache[(col, mode)] = got
             return got
 
         def ev(node):
