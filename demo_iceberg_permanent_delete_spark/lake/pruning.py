@@ -360,11 +360,35 @@ class _Leaf:
     to the scalar evaluator per entry, so the compiled path can never
     diverge from ``_conjunct_can_match`` (round-7 verdict item 5)."""
 
-    __slots__ = ("conjunct", "col", "op", "lit", "kind", "lit_epoch")
+    __slots__ = (
+        "conjunct",
+        "col",
+        "op",
+        "lit",
+        "kind",
+        "lit_epoch",
+        "lit2",
+        "neg",
+    )
 
     def __init__(self, masked_leaf: str):
         self.conjunct = masked_leaf.replace(_BETWEEN_AND, "AND")
         self.col = self.op = self.lit = self.kind = self.lit_epoch = None
+        self.lit2 = self.neg = None
+        m = _NULL_RE.match(self.conjunct)
+        if m:
+            self.col = m.group("col")
+            self.kind = "null"
+            self.neg = bool(m.group("neg"))
+            return
+        m = _BETWEEN_RE.match(self.conjunct)
+        if m:
+            self._init_between(
+                m.group("col"),
+                _parse_literal(m.group("lo")),
+                _parse_literal(m.group("hi")),
+            )
+            return
         m = _CMP_RE.match(self.conjunct)
         if not m:
             return
@@ -391,6 +415,42 @@ class _Leaf:
             else:
                 self.kind = "str"
 
+    def _init_between(self, col, lo_lit, hi_lit) -> None:
+        """Classify a BETWEEN leaf. Mixed literal kinds (one temporal, one
+        not) make the scalar _coerce pair return None for EVERY entry —
+        constant keep, encoded as kind 'between_keep' (all-null is still
+        False, checked first like the scalar)."""
+        if lo_lit is None or hi_lit is None:
+            return  # non-literal bound → scalar fallback (always keeps)
+
+        def _cls(v):
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, (int, float)):
+                if isinstance(v, int) and abs(v) >= 2**53:
+                    return "big"
+                return "num"
+            if isinstance(v, str):
+                return "dt" if _to_dt(v) is not None else "str"
+            return None
+
+        k1, k2 = _cls(lo_lit), _cls(hi_lit)
+        if k1 is None or k2 is None or "big" in (k1, k2):
+            return  # scalar fallback (incl. the 2^53 exactness rule)
+        self.col = col
+        if k1 == k2 == "num":
+            self.kind = "between_num"
+            self.lit, self.lit2 = lo_lit, hi_lit
+        elif k1 == k2 == "dt":
+            self.kind = "between_dt"
+            self.lit = _epoch(_to_dt(lo_lit))
+            self.lit2 = _epoch(_to_dt(hi_lit))
+        elif k1 == k2 == "str":
+            self.kind = "between_str"
+            self.lit, self.lit2 = lo_lit, hi_lit
+        else:
+            self.kind = "between_keep"  # mixed kinds: scalar keeps all
+
     def mask(self, entries, cache):
         import numpy as np
 
@@ -401,6 +461,15 @@ class _Leaf:
                 count=len(entries),
             )
         out = np.ones(len(entries), dtype=bool)
+        if self.kind == "null":
+            # IS [NOT] NULL from the null-count stats; unknown nc → keep
+            # (same rule as the scalar branch, no all-null interplay)
+            nc_known, nc, rc = cache(self.col, "nullcnt")
+            if self.neg:  # IS NOT NULL needs a non-null row
+                out[nc_known] = nc[nc_known] < rc[nc_known]
+            else:  # IS NULL needs at least one null
+                out[nc_known] = nc[nc_known] > 0
+            return out
         if self.kind == "num":
             lo, hi, ok, allnull, bigint = cache(self.col, "num")
             out[allnull] = False  # provably all-NULL: nothing compares
@@ -409,6 +478,17 @@ class _Leaf:
             # int bounds beyond 2^53 can't ride the float64 arrays
             # exactly; those few entries go through the scalar leaf so
             # the candidate set stays IDENTICAL to the scalar evaluator's
+            for i in np.flatnonzero(bigint & ~allnull):
+                out[i] = _conjunct_can_match(entries[i], self.conjunct)
+            return out
+        if self.kind == "between_keep":
+            out[cache(self.col, "allnull")] = False  # all-null still prunes
+            return out
+        if self.kind == "between_num":
+            lo, hi, ok, allnull, bigint = cache(self.col, "num")
+            out[allnull] = False
+            idx = ok & ~allnull
+            out[idx] = ~((hi[idx] < self.lit) | (lo[idx] > self.lit2))
             for i in np.flatnonzero(bigint & ~allnull):
                 out[i] = _conjunct_can_match(entries[i], self.conjunct)
             return out
@@ -421,6 +501,12 @@ class _Leaf:
             # a dt literal against anything else keeps the file
             idx = dt_ok & ~allnull
             out[idx] = _np_cmp(self.op, dt_lo[idx], dt_hi[idx], self.lit_epoch)
+        elif self.kind == "between_dt":
+            idx = dt_ok & ~allnull
+            out[idx] = ~((dt_hi[idx] < self.lit) | (dt_lo[idx] > self.lit2))
+        elif self.kind == "between_str":
+            idx = s_ok & ~any_dt & ~allnull
+            out[idx] = ~((shi[idx] < self.lit) | (slo[idx] > self.lit2))
         else:
             # plain string literal: lexicographic only where both bounds
             # are strings and NEITHER side is temporal (one-sided
@@ -469,6 +555,20 @@ class _CompiledPredicate:
         def cache(col: str, mode: str):
             got = bound_cache.get((col, mode))
             if got is not None:
+                return got
+            if mode == "allnull":
+                return _allnull(col)
+            if mode == "nullcnt":
+                nc_known = np.zeros(n, dtype=bool)
+                nc = np.zeros(n)
+                rc = np.zeros(n)
+                for i, e in enumerate(entries):
+                    v = (e.null_counts or {}).get(col)
+                    # bool is accepted like the scalar branch (True > 0)
+                    if isinstance(v, (int, float)):
+                        nc_known[i], nc[i], rc[i] = True, v, e.record_count
+                got = (nc_known, nc, rc)
+                bound_cache[(col, mode)] = got
                 return got
             allnull = _allnull(col)
             num = (int, float)

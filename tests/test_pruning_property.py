@@ -257,6 +257,11 @@ def test_vectorized_candidate_files_equals_scalar_property():
                 "v = 'c'",
                 "v >= 'w'",
                 "v BETWEEN 0 AND 9",
+                "v BETWEEN -3 AND 2.5",
+                "v BETWEEN DATE '2024-06-05' AND DATE '2024-06-20'",
+                "v BETWEEN 'b' AND 'x'",
+                "v BETWEEN 3 AND DATE '2024-06-05'",  # mixed kinds: keep
+                f"v BETWEEN {2**53 - 1} AND {2**53 + 5}",  # bigint: scalar
                 "v IN (1, 2, 3)",
                 "v IS NULL",
                 "v IS NOT NULL",
