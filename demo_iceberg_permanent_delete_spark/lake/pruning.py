@@ -327,10 +327,34 @@ def _expr_can_match(entry: ManifestEntry, masked: str) -> bool:
 
 
 # ------------------------------------------------- compiled / vectorized
-def _epoch(d: dt.datetime) -> float:
-    """Naive-UTC datetime → epoch seconds WITHOUT the local-timezone
-    assumption ``datetime.timestamp()`` makes on naive values."""
-    return (d - dt.datetime(1970, 1, 1)).total_seconds()
+def _epoch_us(d: dt.datetime) -> int:
+    """Naive-UTC datetime → epoch MICROSECONDS as an exact int (datetime
+    resolution is µs, and years 1–9999 span ±3.2e17 µs — inside int64).
+    Float epoch-seconds would lose µs precision past |epoch| ≈ 2^33 s
+    (before ~1697 / after ~2242) and a strict </> on the collapsed
+    values wrongly pruned (review catch). Avoids ``.timestamp()``'s
+    local-timezone assumption on naive values."""
+    return (d - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+
+
+def _lit_kind(v) -> str | None:
+    """Classification shared by the CMP and BETWEEN vector leaves — ONE
+    source of truth for the exactness rules (review catch: the 2^53 rule
+    lived in three places). None = only the scalar evaluator may handle
+    it; 'big' = numeric but not float64-exact (scalar fallback)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        if isinstance(v, int) and abs(v) >= 2**53:
+            return "big"
+        return "num"
+    if isinstance(v, str):
+        # numpy fixed-width unicode strips trailing NULs, so a literal
+        # containing one can't ride the arrays (review catch)
+        if "\x00" in v:
+            return None
+        return "dt" if _to_dt(v) is not None else "str"
+    return None
 
 
 def _np_cmp(op: str, lo, hi, lit):
@@ -393,58 +417,34 @@ class _Leaf:
         if not m:
             return
         lit = _parse_literal(m.group("lit"))
-        # ints beyond 2^53 are not exactly representable in the float64
-        # arrays the vector path compares in — a strict </> there would
-        # diverge from the exact scalar evaluator and wrongly prune
-        # (review catch: v < 2**53+1 vs min 2**53 collapsed to
-        # 2**53 < 2**53). Such literals (epoch-nanos, snowflake ids)
-        # take the scalar leaf instead.
-        if (
-            isinstance(lit, (int, float))
-            and not isinstance(lit, bool)
-            and not (isinstance(lit, int) and abs(lit) >= 2**53)
-        ):
+        # exactness rules live in _lit_kind: 'big' ints (not float64-
+        # exact: epoch-nanos, snowflake ids) and NUL-bearing strings take
+        # the scalar leaf instead of the arrays (review catches)
+        k = _lit_kind(lit)
+        if k in ("num", "dt", "str"):
             self.col, self.op, self.lit = m.group("col"), m.group("op"), lit
-            self.kind = "num"
-        elif isinstance(lit, str):
-            self.col, self.op, self.lit = m.group("col"), m.group("op"), lit
-            d = _to_dt(lit)
-            if d is not None:
-                self.kind = "dt"
-                self.lit_epoch = _epoch(d)
-            else:
-                self.kind = "str"
+            self.kind = k
+            if k == "dt":
+                self.lit_epoch = _epoch_us(_to_dt(lit))
 
     def _init_between(self, col, lo_lit, hi_lit) -> None:
-        """Classify a BETWEEN leaf. Mixed literal kinds (one temporal, one
-        not) make the scalar _coerce pair return None for EVERY entry —
-        constant keep, encoded as kind 'between_keep' (all-null is still
-        False, checked first like the scalar)."""
+        """Classify a BETWEEN leaf. Mixed literal kinds (e.g. one
+        temporal, one not) make the scalar _coerce pair return None for
+        EVERY entry — constant keep, encoded as kind 'between_keep'
+        (all-null is still False, checked first like the scalar)."""
         if lo_lit is None or hi_lit is None:
             return  # non-literal bound → scalar fallback (always keeps)
-
-        def _cls(v):
-            if isinstance(v, bool):
-                return None
-            if isinstance(v, (int, float)):
-                if isinstance(v, int) and abs(v) >= 2**53:
-                    return "big"
-                return "num"
-            if isinstance(v, str):
-                return "dt" if _to_dt(v) is not None else "str"
-            return None
-
-        k1, k2 = _cls(lo_lit), _cls(hi_lit)
+        k1, k2 = _lit_kind(lo_lit), _lit_kind(hi_lit)
         if k1 is None or k2 is None or "big" in (k1, k2):
-            return  # scalar fallback (incl. the 2^53 exactness rule)
+            return  # scalar fallback (incl. the exactness rules)
         self.col = col
         if k1 == k2 == "num":
             self.kind = "between_num"
             self.lit, self.lit2 = lo_lit, hi_lit
         elif k1 == k2 == "dt":
             self.kind = "between_dt"
-            self.lit = _epoch(_to_dt(lo_lit))
-            self.lit2 = _epoch(_to_dt(hi_lit))
+            self.lit = _epoch_us(_to_dt(lo_lit))
+            self.lit2 = _epoch_us(_to_dt(hi_lit))
         elif k1 == k2 == "str":
             self.kind = "between_str"
             self.lit, self.lit2 = lo_lit, hi_lit
@@ -463,12 +463,15 @@ class _Leaf:
         out = np.ones(len(entries), dtype=bool)
         if self.kind == "null":
             # IS [NOT] NULL from the null-count stats; unknown nc → keep
-            # (same rule as the scalar branch, no all-null interplay)
-            nc_known, nc, rc = cache(self.col, "nullcnt")
+            # (same rule as the scalar branch, no all-null interplay);
+            # counts past 2^53 fall back to the scalar exact compare
+            nc_known, nc, rc, nc_big = cache(self.col, "nullcnt")
             if self.neg:  # IS NOT NULL needs a non-null row
                 out[nc_known] = nc[nc_known] < rc[nc_known]
             else:  # IS NULL needs at least one null
                 out[nc_known] = nc[nc_known] > 0
+            for i in np.flatnonzero(nc_big):
+                out[i] = _conjunct_can_match(entries[i], self.conjunct)
             return out
         if self.kind == "num":
             lo, hi, ok, allnull, bigint = cache(self.col, "num")
@@ -492,27 +495,34 @@ class _Leaf:
             for i in np.flatnonzero(bigint & ~allnull):
                 out[i] = _conjunct_can_match(entries[i], self.conjunct)
             return out
-        slo, shi, s_ok, dt_lo, dt_hi, dt_ok, any_dt, allnull = cache(
-            self.col, "str"
-        )
+        if self.kind in ("dt", "between_dt"):
+            # _coerce: compare as datetimes only where BOTH bounds parse
+            # (exact int64 epoch-µs — float seconds lose µs past ~2242,
+            # review catch); a dt literal vs anything else keeps the file
+            dt_lo, dt_hi, dt_ok, allnull = cache(self.col, "dt")
+            out[allnull] = False
+            idx = dt_ok & ~allnull
+            if self.kind == "dt":
+                out[idx] = _np_cmp(
+                    self.op, dt_lo[idx], dt_hi[idx], self.lit_epoch
+                )
+            else:
+                out[idx] = ~((dt_hi[idx] < self.lit) | (dt_lo[idx] > self.lit2))
+            return out
+        # plain string literal: lexicographic only where both bounds are
+        # strings and NEITHER side is temporal (one-sided temporal → no
+        # sound ordering → keep); bounds with NUL bytes can't ride the
+        # fixed-width arrays (trailing NULs strip — review catch) and go
+        # through the scalar leaf
+        slo, shi, s_ok, any_dt, s_nul, allnull = cache(self.col, "str")
         out[allnull] = False
-        if self.kind == "dt":
-            # _coerce: compare as datetimes only where BOTH bounds parse;
-            # a dt literal against anything else keeps the file
-            idx = dt_ok & ~allnull
-            out[idx] = _np_cmp(self.op, dt_lo[idx], dt_hi[idx], self.lit_epoch)
-        elif self.kind == "between_dt":
-            idx = dt_ok & ~allnull
-            out[idx] = ~((dt_hi[idx] < self.lit) | (dt_lo[idx] > self.lit2))
-        elif self.kind == "between_str":
-            idx = s_ok & ~any_dt & ~allnull
+        idx = s_ok & ~any_dt & ~allnull & ~s_nul
+        if self.kind == "between_str":
             out[idx] = ~((shi[idx] < self.lit) | (slo[idx] > self.lit2))
         else:
-            # plain string literal: lexicographic only where both bounds
-            # are strings and NEITHER side is temporal (one-sided
-            # temporal → no sound ordering → keep)
-            idx = s_ok & ~any_dt & ~allnull
             out[idx] = _np_cmp(self.op, slo[idx], shi[idx], self.lit)
+        for i in np.flatnonzero(s_nul & ~allnull):
+            out[i] = _conjunct_can_match(entries[i], self.conjunct)
         return out
 
 
@@ -562,12 +572,24 @@ class _CompiledPredicate:
                 nc_known = np.zeros(n, dtype=bool)
                 nc = np.zeros(n)
                 rc = np.zeros(n)
+                nc_big = np.zeros(n, dtype=bool)
                 for i, e in enumerate(entries):
                     v = (e.null_counts or {}).get(col)
                     # bool is accepted like the scalar branch (True > 0)
                     if isinstance(v, (int, float)):
-                        nc_known[i], nc[i], rc[i] = True, v, e.record_count
-                got = (nc_known, nc, rc)
+                        # counts past 2^53 aren't float64-exact — route
+                        # to the scalar compare like the value bounds
+                        if (isinstance(v, int) and abs(v) >= 2**53) or (
+                            e.record_count >= 2**53
+                        ):
+                            nc_big[i] = True
+                        else:
+                            nc_known[i], nc[i], rc[i] = (
+                                True,
+                                v,
+                                e.record_count,
+                            )
+                got = (nc_known, nc, rc, nc_big)
                 bound_cache[(col, mode)] = got
                 return got
             allnull = _allnull(col)
@@ -598,26 +620,36 @@ class _CompiledPredicate:
                         else:
                             lo[i], hi[i], ok[i] = l_, h_, True
                 got = (lo, hi, ok, allnull, bigint)
-            else:  # string/temporal bounds
+            elif mode == "dt":  # temporal leaves: epoch arrays only
+                dt_lo = np.zeros(n, dtype=np.int64)
+                dt_hi = np.zeros(n, dtype=np.int64)
+                dt_ok = np.zeros(n, dtype=bool)
+                for i, e in enumerate(entries):
+                    l_ = (e.min_values or {}).get(col)
+                    h_ = (e.max_values or {}).get(col)
+                    if isinstance(l_, str) and isinstance(h_, str):
+                        dl, dh = _to_dt(l_), _to_dt(h_)
+                        if dl is not None and dh is not None:
+                            dt_lo[i] = _epoch_us(dl)
+                            dt_hi[i] = _epoch_us(dh)
+                            dt_ok[i] = True
+                got = (dt_lo, dt_hi, dt_ok, allnull)
+            else:  # mode == "str": plain-string leaves
                 s_lo = [""] * n
                 s_hi = [""] * n
                 s_ok = np.zeros(n, dtype=bool)
-                dt_lo = np.full(n, np.nan)
-                dt_hi = np.full(n, np.nan)
-                dt_ok = np.zeros(n, dtype=bool)
                 any_dt = np.zeros(n, dtype=bool)
+                s_nul = np.zeros(n, dtype=bool)
                 for i, e in enumerate(entries):
                     l_ = (e.min_values or {}).get(col)
                     h_ = (e.max_values or {}).get(col)
                     if isinstance(l_, str) and isinstance(h_, str):
                         s_ok[i] = True
+                        if "\x00" in l_ or "\x00" in h_:
+                            s_nul[i] = True  # scalar fallback rows
+                            continue
                         s_lo[i], s_hi[i] = l_, h_
-                        dl, dh = _to_dt(l_), _to_dt(h_)
-                        if dl is not None and dh is not None:
-                            dt_lo[i] = _epoch(dl)
-                            dt_hi[i] = _epoch(dh)
-                            dt_ok[i] = True
-                        if dl is not None or dh is not None:
+                        if _to_dt(l_) is not None or _to_dt(h_) is not None:
                             any_dt[i] = True
                 # fixed-width unicode arrays: C-level lexicographic
                 # comparison, same code-point order as Python str
@@ -625,10 +657,8 @@ class _CompiledPredicate:
                     np.array(s_lo, dtype=str),
                     np.array(s_hi, dtype=str),
                     s_ok,
-                    dt_lo,
-                    dt_hi,
-                    dt_ok,
                     any_dt,
+                    s_nul,
                     allnull,
                 )
             bound_cache[(col, mode)] = got

@@ -324,3 +324,50 @@ def test_vectorized_pruning_exact_beyond_float53():
     ent2 = [e("t1", nano, nano), e("t2", nano + 1, nano + 5)]
     got4 = {x.file_path for x in candidate_files(ent2, f"v < {nano + 1}")}
     assert got4 == {"t1"}
+
+
+def test_vectorized_pruning_exact_edges_round8_review():
+    """Third review-pass catches: far-date µs precision (float epoch
+    seconds collapse past ~2242), NUL-padded string bounds (numpy
+    fixed-width unicode strips trailing NULs), huge null counts."""
+    from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
+    from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
+
+    def e(path, mins, maxs, nulls=None, rc=10):
+        return ManifestEntry(
+            file_path=path,
+            content=0,
+            record_count=rc,
+            file_size_in_bytes=1,
+            min_values=mins,
+            max_values=maxs,
+            null_counts=nulls or {},
+        )
+
+    # far-future timestamps: 1 µs below the literal must KEEP
+    far = e("far", {"v": "2300-01-01T00:00:00.000001"},
+           {"v": "2300-01-01T00:00:00.000001"})
+    got = candidate_files([far], "v < TIMESTAMP '2300-01-01 00:00:00.000002'")
+    assert [x.file_path for x in got] == ["far"]
+    assert not candidate_files(
+        [far], "v < TIMESTAMP '2300-01-01 00:00:00.000001'"
+    )
+    assert candidate_files(
+        [far],
+        "v BETWEEN TIMESTAMP '2300-01-01 00:00:00.000001' "
+        "AND TIMESTAMP '2300-01-01 00:00:00.000002'",
+    )
+
+    # NUL-bearing string bounds: 'a\x00' > 'a' in Python — must KEEP
+    nul = e("nul", {"v": "a\x00"}, {"v": "a\x00"})
+    assert candidate_files([nul], "v > 'a'")
+    assert candidate_files([nul], "v BETWEEN 'a' AND 'b'")
+    # NUL in the LITERAL routes the whole leaf to the scalar evaluator
+    plain = e("p", {"v": "a"}, {"v": "a"})
+    assert not candidate_files([plain], "v > 'a\x00'")
+
+    # null counts past 2^53 compare exactly (IS NOT NULL keeps: nc < rc)
+    big = e("big", {}, {}, nulls={"v": 2**53}, rc=2**53 + 1)
+    assert candidate_files([big], "v IS NOT NULL")
+    sat = e("sat", {}, {}, nulls={"v": 2**53}, rc=2**53)
+    assert not candidate_files([sat], "v IS NOT NULL")
