@@ -405,6 +405,21 @@ class _Leaf:
             self.kind = "null"
             self.neg = bool(m.group("neg"))
             return
+        m = _IN_RE.match(self.conjunct)
+        if m:
+            items = _split_in_items(m.group("items"))
+            if items is not None:
+                lits = [_parse_literal(x) for x in items]
+                # vectorize only the all-numeric IN list; any member the
+                # scalar would keep-all on (non-literal, string, bigint)
+                # routes the leaf to the scalar evaluator
+                if all(_lit_kind(v) == "num" for v in lits):
+                    self.col, self.kind, self.lit = (
+                        m.group("col"),
+                        "in_num",
+                        lits,
+                    )
+            return
         m = _BETWEEN_RE.match(self.conjunct)
         if m:
             self._init_between(
@@ -481,6 +496,17 @@ class _Leaf:
             # int bounds beyond 2^53 can't ride the float64 arrays
             # exactly; those few entries go through the scalar leaf so
             # the candidate set stays IDENTICAL to the scalar evaluator's
+            for i in np.flatnonzero(bigint & ~allnull):
+                out[i] = _conjunct_can_match(entries[i], self.conjunct)
+            return out
+        if self.kind == "in_num":
+            lo, hi, ok, allnull, bigint = cache(self.col, "num")
+            out[allnull] = False
+            idx = ok & ~allnull
+            hit = np.zeros(int(idx.sum()), dtype=bool)
+            for v in self.lit:  # a few members: one vector pass each
+                hit |= (lo[idx] <= v) & (v <= hi[idx])
+            out[idx] = hit
             for i in np.flatnonzero(bigint & ~allnull):
                 out[i] = _conjunct_can_match(entries[i], self.conjunct)
             return out

@@ -263,6 +263,9 @@ def test_vectorized_candidate_files_equals_scalar_property():
                 "v BETWEEN 3 AND DATE '2024-06-05'",  # mixed kinds: keep
                 f"v BETWEEN {2**53 - 1} AND {2**53 + 5}",  # bigint: scalar
                 "v IN (1, 2, 3)",
+                "v IN (-5, 2.5, 19)",
+                f"v IN (3, {2**53 + 1})",  # bigint member: scalar
+                "v IN (1, 'x')",  # mixed-kind members: scalar",
                 "v IS NULL",
                 "v IS NOT NULL",
                 "v = DATE '2024-06-15'",
