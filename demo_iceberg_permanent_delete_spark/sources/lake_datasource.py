@@ -1345,27 +1345,34 @@ class LakeCdcStreamReader(LakeStreamReader):
                             )
                         )
                     emitted = True
+                mask_entries = [
+                    e
+                    for e in delta.added
+                    if e.content == CONTENT_POSITION_DELETES
+                ]
                 mask_pos = tuple(
-                    e.file_path
-                    for e in delta.added
-                    if e.content == CONTENT_POSITION_DELETES and not e.dv
+                    e.file_path for e in mask_entries if not e.dv
                 )
-                mask_dv = tuple(
-                    e.file_path
-                    for e in delta.added
-                    if e.content == CONTENT_POSITION_DELETES and e.dv
-                )
+                mask_dv = tuple(e.file_path for e in mask_entries if e.dv)
                 if mask_pos or mask_dv:
-                    # referenced-path list is metadata-proportional (one
-                    # column of the tombstone files; DV layout is one row
-                    # per target file)
+                    # referenced targets straight from the manifest when
+                    # every tombstone entry recorded its set at write
+                    # time (referenced_files); only pre-upgrade / over-
+                    # cap entries fall back to re-reading the file's
+                    # path column (metadata-proportional for DVs)
                     refs: set[str] = set()
-                    for fp in mask_pos + mask_dv:
-                        refs.update(
-                            pq.read_table(fp, columns=["file_path"])
-                            .column("file_path")
-                            .to_pylist()
-                        )
+                    for e in mask_entries:
+                        known = getattr(e, "referenced_files", None)
+                        if known:
+                            refs.update(known)
+                        else:
+                            refs.update(
+                                pq.read_table(
+                                    e.file_path, columns=["file_path"]
+                                )
+                                .column("file_path")
+                                .to_pylist()
+                            )
                     for rp in sorted(refs):
                         ent = parent_by_path.get(rp)
                         for rg, off in (
