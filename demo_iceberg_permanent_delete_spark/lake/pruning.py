@@ -503,9 +503,10 @@ class _Leaf:
             lo, hi, ok, allnull, bigint = cache(self.col, "num")
             out[allnull] = False
             idx = ok & ~allnull
-            hit = np.zeros(int(idx.sum()), dtype=bool)
+            lo_i, hi_i = lo[idx], hi[idx]  # hoist the fancy-index copies
+            hit = np.zeros(len(lo_i), dtype=bool)
             for v in self.lit:  # a few members: one vector pass each
-                hit |= (lo[idx] <= v) & (v <= hi[idx])
+                hit |= (lo_i <= v) & (v <= hi_i)
             out[idx] = hit
             for i in np.flatnonzero(bigint & ~allnull):
                 out[i] = _conjunct_can_match(entries[i], self.conjunct)

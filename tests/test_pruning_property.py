@@ -265,7 +265,7 @@ def test_vectorized_candidate_files_equals_scalar_property():
                 "v IN (1, 2, 3)",
                 "v IN (-5, 2.5, 19)",
                 f"v IN (3, {2**53 + 1})",  # bigint member: scalar
-                "v IN (1, 'x')",  # mixed-kind members: scalar",
+                "v IN (1, 'x')",  # mixed-kind members: scalar
                 "v IS NULL",
                 "v IS NOT NULL",
                 "v = DATE '2024-06-15'",
