@@ -1519,3 +1519,37 @@ def test_unpinned_regressed_range_fails_loudly_as_recreate(registered, cat):
     first = {"snapshot_id": t.metadata.snapshots[0].snapshot_id}
     with pytest.raises(ValueError, match="recreated or rolled back"):
         reader.partitions(head, first)
+
+
+def test_cdc_regressed_range_fails_loudly_too(registered, cat):
+    """The CDC reader shares the regressed-range detection: both the
+    pinned (stale pin) and unpinned (recreated table) messages."""
+    from pyspark.sql.types import StructType
+
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        LakeCdcStreamReader,
+    )
+
+    spark = registered
+    t = _seed_nine_files(spark, cat, "default.pin9")
+    schema = StructType.fromDDL(
+        "id bigint, v string, _change_type string, _change_ordinal int,"
+        " _commit_snapshot_id bigint"
+    )
+    head = {"snapshot_id": t.metadata.current_snapshot_id}
+    first = {"snapshot_id": t.metadata.snapshots[0].snapshot_id}
+    unpinned = LakeCdcStreamReader(
+        schema, {"location": t.metadata.location, "mode": "cdc"}
+    )
+    with pytest.raises(ValueError, match="recreated or rolled back"):
+        unpinned.partitions(head, first)
+    pinned = LakeCdcStreamReader(
+        schema,
+        {
+            "location": t.metadata.location,
+            "mode": "cdc",
+            "starting-offset": "earliest",
+        },
+    )
+    with pytest.raises(ValueError, match="starting-offset"):
+        pinned.partitions(head, first)
