@@ -712,7 +712,15 @@ def prepare_append_stats(table, new_entries) -> dict[str, Any] | None:
 def _value_transform(field, value):
     """Python twin of transforms.transform_column for MANIFEST STAT values
     (JSON-roundtripped: timestamps/dates are isoformat strings). Returns
-    None when the value can't be transformed (file stays ungrouped)."""
+    None when the value can't be transformed (file stays ungrouped).
+
+    Deliberately distinct from transforms.transform_value (the sharded-
+    fold grouping key): THIS encoding is string prefixes of the isoformat
+    text because ``field_predicate`` below turns the group key back into
+    a WHERE range for the scoped rewrite — the prefix IS the predicate
+    bound. transform_value returns typed keys (ints, normalized-UTC day
+    strings) that never leave the planner and handle tz-aware stats;
+    reusing it here would break predicate construction."""
     if value is None:
         return None
     t = field.transform

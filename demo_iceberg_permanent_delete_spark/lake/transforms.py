@@ -123,7 +123,9 @@ def transform_value(field: PartitionField, value: Any) -> Any | None:
 
     Only equivalence matters (same partition ⇔ equal key) — the key never
     leaves the planner, so it need not match transform_column's clustering
-    encoding byte-for-byte."""
+    encoding byte-for-byte. (maintenance._value_transform is the separate
+    prefix-string twin whose encoding IS a predicate bound for scoped
+    compaction rewrites — see its docstring before consolidating.)"""
     t = field.transform
     if value is None:
         return None
