@@ -412,3 +412,63 @@ def test_metadata_views_emit_shard_rows(cat):
         .collect()
     }
     assert {sh["manifest_file"] for sh in head.shards} <= paths
+
+
+def test_sharded_fold_composes_with_compaction_and_delete_scoping(cat):
+    """Composition: a sharded fold feeds compact() (whose planning reads
+    the current snapshot through the shards), the compacted table folds
+    AGAIN, and scoped scans keep per-day delete scoping throughout."""
+    from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+        compact,
+        plan_compaction,
+    )
+
+    c, spark = cat
+    t = c.create_table(
+        "default.sf11",
+        "id bigint, d date, v string",
+        partition_by=["days(d)"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    # TWO inserts per day: the range-clustered writer emits one file per
+    # day per insert, so every day group accumulates 2 small files —
+    # real compaction candidates (a single-insert day compacts to itself)
+    for day in range(4):
+        for half in range(2):
+            rows = [
+                (day * 100 + half * 50 + i, dt.date(2024, 1, day + 1), "x")
+                for i in range(10)
+            ]
+            t.insert(spark.createDataFrame(rows, "id long, d date, v string"))
+    t.delete("id = 105")
+    before = sorted(r["id"] for r in t.read().collect())
+    rewrite_manifests(t)
+
+    # a scoped scan of an UNDELETED day plans zero delete files (the
+    # delete shard is opened — never skipped — but scoping then drops
+    # the other days' delete file exactly, via referenced_files)
+    t2 = c.load_table("default.sf11")
+    got = sorted(r["id"] for r in t2.scan("d = DATE '2024-01-03'").collect())
+    assert got == [200 + i for i in range(10)] + [250 + i for i in range(10)]
+    assert t2.last_delete_scope["planned"] == 0
+    assert t2.last_delete_scope["skipped"] == 1
+
+    # compaction over the sharded snapshot: plan + execute end-to-end
+    plan = plan_compaction(t2, min_input_files=2)
+    assert plan["groups"]  # every 2-file day is a candidate
+    compact(t2, min_input_files=2)
+    t3 = c.load_table("default.sf11")
+    assert sorted(r["id"] for r in t3.read().collect()) == before
+
+    # fold again after compaction — still shards, still reads right
+    rewrite_manifests(t3)
+    head = t3.metadata.current_snapshot()
+    t4 = c.load_table("default.sf11")
+    assert sorted(r["id"] for r in t4.read().collect()) == before
+    if head.shards is not None:
+        t5 = c.load_table("default.sf11")
+        got = sorted(
+            r["id"] for r in t5.scan("d = DATE '2024-01-01'").collect()
+        )
+        assert got == [i for i in range(10)] + [50 + i for i in range(10)]
+        assert t5.metadata.delta_file_reads <= len(head.shards)
