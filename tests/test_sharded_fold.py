@@ -472,3 +472,18 @@ def test_sharded_fold_composes_with_compaction_and_delete_scoping(cat):
         )
         assert got == [i for i in range(10)] + [50 + i for i in range(10)]
         assert t5.metadata.delta_file_reads <= len(head.shards)
+
+
+def test_changelog_unaffected_by_sharded_fold(cat):
+    """CDC must report per-commit changes, not the folded full set — the
+    SHARDED variant of test_changelog_unaffected_by_rewrite_manifests:
+    the folded head's change_set reconstructs vs its parent through the
+    shard files (delta_of unions them as a base)."""
+    c, spark = cat
+    t, s_pre = _four_day_table(c, spark, "default.sf12")  # pre-delete id
+    rewrite_manifests(t)
+    assert t.metadata.current_snapshot().shards is not None
+    t2 = c.load_table("default.sf12")
+    chg = t2.changes(start_snapshot_id=s_pre).collect()
+    # only the MOR delete commit's change: exactly the one tombstoned row
+    assert [(r["id"], r["_change_type"]) for r in chg] == [(105, "DELETE")]
