@@ -108,6 +108,21 @@ class ManifestEntry:
     # file EXACTLY when none of its targets is a candidate; [] = unknown
     # (too many, or pre-upgrade manifest) → path-range bounds fall back.
     referenced_files: list[str] = field(default_factory=list)
+    # Data sequence number (Iceberg v2): assigned once, at the commit that
+    # ADDED the entry, from the table's monotonic last_sequence_number —
+    # and persisted, so the equality-delete ordering rule ("a delete masks
+    # only rows from data files with a STRICTLY SMALLER sequence") survives
+    # snapshot expiry. None = pre-upgrade manifest → readers fall back to
+    # snapshot-list commit order via ``entry_sequence`` (sound for live
+    # adders; an EXPIRED adder degrades to the documented fail-closed
+    # extremes that this field exists to eliminate).
+    sequence_number: int | None = None
+    # First row id (Iceberg v3 row lineage): data entries only. The table
+    # reserves [first_row_id, first_row_id + record_count) at the commit
+    # that added the file; a row's _row_id is the file's first_row_id +
+    # its position unless the file materializes a _row_id column (rewrites
+    # carry ids forward that way). None = pre-upgrade file → _row_id NULL.
+    first_row_id: int | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -122,11 +137,37 @@ class ManifestEntry:
             "null_counts": self.null_counts,
             "dv": self.dv,
             "referenced_files": self.referenced_files,
+            "sequence_number": self.sequence_number,
+            "first_row_id": self.first_row_id,
         }
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> ManifestEntry:
         return cls(**d)
+
+
+def entry_sequence(
+    entry: ManifestEntry, snap_order: dict[int, int] | None
+) -> int:
+    """The entry's data sequence number under ONE rule shared by every
+    sequence consumer (equality-delete masking, delete-file scoping): the
+    persisted ``sequence_number`` when the manifest carries it, else the
+    adding snapshot's position in the live snapshot list (the pre-upgrade
+    ordering), else the fail-closed extreme for the entry's kind — an
+    unknown-adder DATA file is treated as older than every delete (-1, so
+    deletes still mask it) and an unknown-adder DELETE file as newer than
+    every data file (2**31, so it masks everything it could).
+
+    Mixing regimes stays sound because ``TableMetadata.from_json`` floors
+    ``last_sequence_number`` at len(snapshots) for pre-upgrade documents:
+    every persisted sequence a new commit assigns exceeds every list
+    ordinal a legacy entry can resolve to."""
+    if entry.sequence_number is not None:
+        return entry.sequence_number
+    unknown = -1 if entry.content == CONTENT_DATA else 2**31
+    if snap_order is None:
+        return unknown
+    return snap_order.get(entry.added_snapshot_id, unknown)
 
 
 @dataclass
@@ -274,6 +315,13 @@ class Snapshot:
     # path, "entries": int, "bytes": int, "bounds": summarize_delta
     # shape}]. None = unsharded snapshot (the common delta case).
     shards: list[dict[str, Any]] | None = None
+    # Iceberg v2/v3 ordering + lineage headers: the table-monotonic data
+    # sequence number this commit was assigned, and the first row id of
+    # the id range reserved for the data files it added. None on
+    # pre-upgrade snapshots (readers fall back per entry_sequence /
+    # read NULL _row_id).
+    sequence_number: int | None = None
+    first_row_id: int | None = None
     _resolve: Callable[[Snapshot], list[ManifestEntry]] | None = field(
         default=None, repr=False, compare=False
     )
@@ -306,6 +354,8 @@ class Snapshot:
             "base": self.base,
             "delta_bounds": self.delta_bounds,
             "shards": self.shards,
+            "sequence_number": self.sequence_number,
+            "first_row_id": self.first_row_id,
         }
 
     @classmethod
@@ -321,6 +371,8 @@ class Snapshot:
             base=d.get("base", "manifest" in d),
             delta_bounds=d.get("delta_bounds"),
             shards=d.get("shards"),
+            sequence_number=d.get("sequence_number"),
+            first_row_id=d.get("first_row_id"),
         )
 
 
@@ -362,6 +414,12 @@ class TableMetadata:
     # snapshot they were computed at; readers flag them stale when the
     # current snapshot has moved on.
     statistics: dict[str, Any] = field(default_factory=dict)
+    # Iceberg v2/v3 table counters: the last data sequence number any
+    # commit was assigned (monotonic, table-global — branch/WAP commits
+    # included), and the next row id available for assignment to added
+    # data files (v3 row lineage). Both only ever grow.
+    last_sequence_number: int = 0
+    next_row_id: int = 0
     version: int = 0
     # runtime caches (never serialized)
     _deltas: dict[int, ManifestDelta] = field(
@@ -433,6 +491,8 @@ class TableMetadata:
             "renames": self.renames,
             "retired_columns": self.retired_columns,
             "statistics": self.statistics,
+            "last_sequence_number": self.last_sequence_number,
+            "next_row_id": self.next_row_id,
             "version": self.version,
             "snapshots": [s.to_json() for s in self.snapshots],
         }
@@ -462,6 +522,14 @@ class TableMetadata:
             renames={k: list(v) for k, v in d.get("renames", {}).items()},
             retired_columns=list(d.get("retired_columns", [])),
             statistics=dict(d.get("statistics", {})),
+            # Pre-upgrade documents: floor at len(snapshots) so every
+            # sequence a NEW commit assigns exceeds every snapshot-list
+            # ordinal a legacy (sequence-less) entry can resolve to —
+            # the mixed-regime comparisons in entry_sequence stay sound.
+            last_sequence_number=d.get(
+                "last_sequence_number", len(d["snapshots"])
+            ),
+            next_row_id=d.get("next_row_id", 0),
             version=d.get("version", 0),
         )
         for raw, snap in zip(d["snapshots"], meta.snapshots):
@@ -1077,6 +1145,22 @@ class TableMetadata:
                 parent_by_path[p].record_count for p in delta.removed
             ),
         }
+        # Ordering + lineage assignment (Iceberg v2 sequence numbers, v3
+        # row-id ranges): the commit's sequence is table-monotonic; every
+        # entry this delta ADDS inherits it once and keeps it forever
+        # (re-added/rewritten-manifest entries keep their ORIGINAL
+        # sequence — the only-if-None guard). Added data files each
+        # reserve [next_row_id, next_row_id + record_count); files whose
+        # rows were carried from rewrites still get a range (their
+        # materialized _row_id column wins per row, NULLs inherit).
+        self.last_sequence_number += 1
+        first_row_id = self.next_row_id
+        for e in delta.added:
+            if e.sequence_number is None:
+                e.sequence_number = self.last_sequence_number
+            if e.content == CONTENT_DATA and e.first_row_id is None:
+                e.first_row_id = self.next_row_id
+                self.next_row_id += e.record_count
         snap = Snapshot(
             snapshot_id=new_snapshot_id(),
             committed_at_ms=now_ms(),
@@ -1084,6 +1168,8 @@ class TableMetadata:
             parent_id=parent.snapshot_id if parent else None,
             summary={**stats, **(summary or {})},
             base=delta.base,
+            sequence_number=self.last_sequence_number,
+            first_row_id=first_row_id,
         )
         snap.manifest_file = os.path.join(
             self.metadata_dir, f"manifest-{snap.snapshot_id}.json"

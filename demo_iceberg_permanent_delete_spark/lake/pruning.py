@@ -32,7 +32,10 @@ import functools
 import re
 from typing import Any
 
-from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
+from demo_iceberg_permanent_delete_spark.lake.metadata import (
+    ManifestEntry,
+    entry_sequence,
+)
 
 _CMP_RE = re.compile(
     r"^\s*(?P<col>[A-Za-z_][\w]*)\s*(?P<op>>=|<=|=|<|>)\s*(?P<lit>.+?)\s*$"
@@ -833,12 +836,12 @@ def scope_delete_files(
                 out.append(e)
             continue
         if e.content == 2 and e.equality_columns:
-            if snap_order is not None:
-                dseq = snap_order.get(e.added_snapshot_id, 2**31)
+            if snap_order is not None or e.sequence_number is not None:
+                dseq = entry_sequence(e, snap_order)
                 live = [
                     d
                     for d in data_entries
-                    if snap_order.get(d.added_snapshot_id, -1) < dseq
+                    if entry_sequence(d, snap_order) < dseq
                 ]
             else:
                 live = data_entries

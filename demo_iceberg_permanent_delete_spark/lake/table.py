@@ -41,6 +41,7 @@ from demo_iceberg_permanent_delete_spark.lake.metadata import (
     ManifestEntry,
     Snapshot,
     TableMetadata,
+    entry_sequence,
 )
 
 # A broadcast of the delete set is safe well past this size; beyond it we let
@@ -496,13 +497,16 @@ class LakeTable:
         data_entries: list[ManifestEntry],
     ) -> DataFrame:
         """Equality-delete merge. The per-row data sequence comes from a
-        broadcast (file_path → commit order) map — metadata-proportional,
-        never data-proportional."""
+        broadcast (file_path → sequence number) map — metadata-
+        proportional, never data-proportional. Sequences resolve through
+        metadata.entry_sequence: the PERSISTED per-entry sequence number
+        when the manifest carries one (survives snapshot expiry), else
+        the legacy snapshot-list commit order."""
         snap_order = {s.snapshot_id: i for i, s in enumerate(self.metadata.snapshots)}
         seq_df = F.broadcast(
             self.spark.createDataFrame(
                 [
-                    (e.file_path, snap_order.get(e.added_snapshot_id, -1))
+                    (e.file_path, entry_sequence(e, snap_order))
                     for e in data_entries
                 ],
                 "__fp string, __dataseq long",
@@ -524,7 +528,7 @@ class LakeTable:
                     .select(*[F.col(c).alias(f"__d_{c}") for c in cols])
                     .withColumn(
                         "__dseq",
-                        F.lit(snap_order.get(e.added_snapshot_id, 2**31)).cast("long"),
+                        F.lit(entry_sequence(e, snap_order)).cast("long"),
                     )
                 )
                 dels = d if dels is None else dels.unionByName(d)
@@ -1278,7 +1282,15 @@ class LakeTable:
                 last_err = err
                 # discard the staged in-memory snapshot, reload the new
                 # head, and rebase (the staged delta file on disk is an
-                # orphan; remove_orphan_files GCs it)
+                # orphan; remove_orphan_files GCs it). The failed
+                # attempt's sequence/row-id assignments were computed off
+                # the PRE-conflict counters — the winner consumed the same
+                # values, so clearing them makes the rebased add_snapshot
+                # assign fresh ones (the only-if-None guard exists for
+                # entries already COMMITTED somewhere, not these).
+                for e in new_entries:
+                    e.sequence_number = None
+                    e.first_row_id = None
                 self.refresh()
         raise last_err
 

@@ -687,6 +687,7 @@ def _visibility(meta, snap, entries=None):
     from demo_iceberg_permanent_delete_spark.lake.metadata import (
         CONTENT_EQUALITY_DELETES,
         CONTENT_POSITION_DELETES,
+        entry_sequence,
     )
 
     deletes = [
@@ -725,12 +726,12 @@ def _visibility(meta, snap, entries=None):
     order = {s.snapshot_id: i for i, s in enumerate(meta.snapshots)}
 
     def eq_for(entry):
-        seq = order.get(entry.added_snapshot_id, -1)
+        seq = entry_sequence(entry, order)
         return tuple(
             ((d.file_path,), tuple(d.equality_columns))
             for d in deletes
             if d.content == CONTENT_EQUALITY_DELETES
-            and order.get(d.added_snapshot_id, -1) > seq
+            and entry_sequence(d, order) > seq
         )
 
     return pos_for, dv_for, eq_for
