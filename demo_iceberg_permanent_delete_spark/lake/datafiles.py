@@ -112,6 +112,13 @@ def _footer_stats(
                 maxs[name] = hi
     for name in null_gaps:
         nulls.pop(name, None)
+    # materialized row-lineage columns are metadata, never predicate
+    # targets — keeping their bounds out of the manifest stops them
+    # crowding the delta_bounds 32-column summary cap
+    for name in ("_row_id", "_last_updated_sequence_number"):
+        mins.pop(name, None)
+        maxs.pop(name, None)
+        nulls.pop(name, None)
     for name, v in list(mins.items()):
         if isinstance(v, str):
             mins[name] = _truncate_lower(v)

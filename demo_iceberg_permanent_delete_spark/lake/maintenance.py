@@ -270,17 +270,24 @@ def rewrite_data_files(
             return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
         prior_data = cand
 
+    # lineage: compaction only MOVES rows — the fresh files materialize
+    # each row's _row_id/_last_updated_sequence_number so identity
+    # survives the rewrite (Iceberg v3 writer requirement)
+    lin = table._lineage_ok()
     if not scoped:
-        merged = table.read()  # delete-merge applied
+        merged = table.read(lineage=lin)  # delete-merge applied
     else:
-        df = table._data_reader().parquet(*[e.file_path for e in prior_data])
-        merged = (
-            table._apply_delete_files(
-                table._with_position(df), prior_deletes, prior_data
-            ).select(*df.columns)
-            if prior_deletes
-            else df
+        df = table._data_reader(lineage=lin).parquet(
+            *[e.file_path for e in prior_data]
         )
+        wp = table._with_position(df)
+        if lin:
+            wp = table._attach_lineage(wp, prior_data)
+        merged = (
+            table._apply_delete_files(wp, prior_deletes, prior_data)
+            if prior_deletes
+            else wp
+        ).select(*df.columns)
     if sort_order is not None:
         from math import ceil
 

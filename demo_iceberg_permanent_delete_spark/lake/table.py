@@ -49,6 +49,18 @@ from demo_iceberg_permanent_delete_spark.lake.metadata import (
 # large).
 _BROADCAST_DELETES_MAX_BYTES = 256 * 1024 * 1024
 
+# Row-lineage metadata columns (Iceberg v3): exposed by lineage reads and
+# MATERIALIZED physically by row-carrying rewrites (COW UPDATE/DELETE/MERGE,
+# MOR update copies, compaction) so a row keeps its identity across file
+# rewrites. A row without a materialized value inherits
+# first_row_id + position / the file's data sequence number.
+ROW_ID_COL = "_row_id"
+LAST_UPDATED_COL = "_last_updated_sequence_number"
+_LINEAGE_FIELDS = [
+    T.StructField(ROW_ID_COL, T.LongType()),
+    T.StructField(LAST_UPDATED_COL, T.LongType()),
+]
+
 # Metadata views (.files / .all_entries) below this many entries build as a
 # driver LocalRelation — measured faster than a distributed scan at demo
 # scale (no job scheduling); above it executors read the JSONL manifests so
@@ -278,7 +290,7 @@ class LakeTable:
         self.schema()  # validate the DDL parses before committing
         self.metadata.commit()
 
-    def _data_reader(self):
+    def _data_reader(self, *, lineage: bool = False):
         """Parquet reader pinned to the declared schema: by-name column
         resolution null-fills columns added after a file was written and
         drops columns removed since — the schema-evolution read contract.
@@ -288,11 +300,20 @@ class LakeTable:
         carries each renamed column's historical names (same type) and the
         result is projected back to the declared schema via coalesce — a
         pure projection that stays in codegen and keeps ``_metadata``
-        resolvable for the MOR position columns."""
+        resolvable for the MOR position columns.
+
+        ``lineage=True`` appends the two materialized row-lineage columns
+        (Iceberg v3: rewrites persist ``_row_id`` /
+        ``_last_updated_sequence_number`` physically so carried rows keep
+        their identity) to the read schema — files that never materialized
+        them null-fill, and ``_attach_lineage`` inherits per the spec."""
+        extra = list(_LINEAGE_FIELDS) if lineage else []
         renames = self.metadata.renames
         if not renames:
-            return self.spark.read.schema(self.schema())
-        return _ConformingReader(self)
+            return self.spark.read.schema(
+                T.StructType(list(self.schema().fields) + extra)
+            )
+        return _ConformingReader(self, extra_fields=extra)
 
     def set_properties(self, props: dict[str, str]) -> None:
         """ALTER TABLE SET TBLPROPERTIES (reference: iceberg_pii_deletion_demo.py:166-171).
@@ -311,11 +332,19 @@ class LakeTable:
         *,
         ref: str | None = None,
         as_of: dt.datetime | int | None = None,
+        lineage: bool = False,
     ) -> DataFrame:
         """Current-snapshot read, or time travel when ``snapshot_id``, a
         named ``ref`` (tag/branch — VERSION AS OF), or ``as_of`` (datetime
         or epoch-ms — Iceberg TIMESTAMP AS OF: the latest snapshot committed
         at or before that instant) is given.
+
+        ``lineage=True`` appends the Iceberg v3 row-lineage metadata
+        columns ``_row_id`` (stable row identity: survives COW/MOR
+        updates, compaction and file rewrites) and
+        ``_last_updated_sequence_number`` (the data sequence number of the
+        commit that last MODIFIED the row). NULL on rows from pre-upgrade
+        files — unknown, never invented.
 
         Raises SnapshotNotFoundError for expired/unknown snapshots — the
         post-condition the reference asserts after expire_snapshots
@@ -327,25 +356,55 @@ class LakeTable:
             snapshot_id = self.resolve_ref(ref)
         if as_of is not None:
             snapshot_id = self.snapshot_as_of(as_of)
+        if lineage:
+            self._lineage_guard()
         if snapshot_id is None:
             snap = self.metadata.current_snapshot()
             if snap is None:
-                return self.empty_frame()
+                base = self.empty_frame()
+                if lineage:
+                    base = base.withColumns(
+                        {
+                            ROW_ID_COL: F.lit(None).cast("long"),
+                            LAST_UPDATED_COL: F.lit(None).cast("long"),
+                        }
+                    )
+                return base
         else:
             snap = self.metadata.snapshot_by_id(snapshot_id)
-        return self._read_snapshot(snap, apply_deletes=apply_deletes)
+        return self._read_snapshot(
+            snap, apply_deletes=apply_deletes, lineage=lineage
+        )
 
-    def _read_snapshot(self, snap: Snapshot, apply_deletes: bool = True) -> DataFrame:
+    def _read_snapshot(
+        self,
+        snap: Snapshot,
+        apply_deletes: bool = True,
+        lineage: bool = False,
+    ) -> DataFrame:
         data_files = snap.data_files()
         if not data_files:
-            return self.empty_frame()
-        df = self._data_reader().parquet(*[e.file_path for e in data_files])
+            base = self.empty_frame()
+            if lineage:
+                base = base.withColumns(
+                    {
+                        ROW_ID_COL: F.lit(None).cast("long"),
+                        LAST_UPDATED_COL: F.lit(None).cast("long"),
+                    }
+                )
+            return base
+        df = self._data_reader(lineage=lineage).parquet(
+            *[e.file_path for e in data_files]
+        )
         delete_files = snap.delete_files() if apply_deletes else []
-        if not delete_files:
+        if not lineage and not delete_files:
             return df
-        return self._apply_delete_files(
-            self._with_position(df), delete_files, data_files
-        ).select(*df.columns)
+        out = self._with_position(df)
+        if lineage:
+            out = self._attach_lineage(out, data_files)
+        if delete_files:
+            out = self._apply_delete_files(out, delete_files, data_files)
+        return out.select(*df.columns)
 
     def _with_position(self, df: DataFrame) -> DataFrame:
         """Attach physical (file_path, pos) — stable per parquet file."""
@@ -354,6 +413,60 @@ class LakeTable:
             F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("__fp"),
             F.col("_metadata.row_index").alias("__pos"),
         )
+
+    def _attach_lineage(
+        self, with_pos: DataFrame, data_entries: list[ManifestEntry]
+    ) -> DataFrame:
+        """Resolve the row-lineage columns on a positioned frame that was
+        read with ``_data_reader(lineage=True)`` (so the MATERIALIZED
+        ``_row_id`` / ``_last_updated_sequence_number`` columns exist,
+        null-filled for files that never wrote them). Inheritance per the
+        Iceberg v3 rule: a NULL materialized value resolves to the file's
+        first_row_id + position / the file's data sequence number — via
+        one broadcast (file → first_row_id, sequence) map, metadata-
+        proportional, never data-proportional. Entries from pre-upgrade
+        manifests (no first_row_id / sequence) resolve to NULL — honest
+        unknown, not an invented id."""
+        rows = [
+            (e.file_path, e.first_row_id, e.sequence_number)
+            for e in data_entries
+        ]
+        lin = F.broadcast(
+            self.spark.createDataFrame(
+                rows, "__fp string, __frid long, __fseq long"
+            )
+        )
+        return (
+            with_pos.join(lin, on="__fp", how="left")
+            .withColumns(
+                {
+                    ROW_ID_COL: F.coalesce(
+                        F.col(ROW_ID_COL), F.col("__frid") + F.col("__pos")
+                    ),
+                    LAST_UPDATED_COL: F.coalesce(
+                        F.col(LAST_UPDATED_COL), F.col("__fseq")
+                    ),
+                }
+            )
+            .drop("__frid", "__fseq")
+        )
+
+    def _lineage_ok(self) -> bool:
+        """Whether lineage can ride on this table at all — a user schema
+        that claims the reserved column names can't carry it (rewrite
+        paths silently skip materialization; the public read() raises)."""
+        return not (
+            {ROW_ID_COL, LAST_UPDATED_COL}
+            & {f.name for f in self.schema().fields}
+        )
+
+    def _lineage_guard(self) -> None:
+        if not self._lineage_ok():
+            raise ValueError(
+                f"table {self.name} declares reserved row-lineage column "
+                f"names ({ROW_ID_COL!r}/{LAST_UPDATED_COL!r}); rename them "
+                "to read lineage"
+            )
 
     def _apply_delete_files(
         self,
@@ -1039,11 +1152,19 @@ class LakeTable:
         return int(ref["snapshot_id"])
 
     def read_with_positions(
-        self, snap: Snapshot | None = None, prune_for: str | None = None
+        self,
+        snap: Snapshot | None = None,
+        prune_for: str | None = None,
+        *,
+        lineage: bool = False,
     ) -> DataFrame:
         """Merged read that keeps (__fp, __pos) — the DML planning input.
         ``prune_for`` applies manifest min/max file pruning for a string
-        predicate (the rows of skipped files provably cannot match)."""
+        predicate (the rows of skipped files provably cannot match).
+        ``lineage=True`` additionally resolves ``_row_id`` /
+        ``_last_updated_sequence_number`` (see read()) — the row-carrying
+        rewrite paths read through this so the ids they MATERIALIZE into
+        replacement files are the ones the rows already had."""
         self.last_delete_scope = {"planned": 0, "skipped": 0}
         snap = snap or self.metadata.current_snapshot()
         if snap is None:
@@ -1076,11 +1197,23 @@ class LakeTable:
                 aliases=self.metadata.renames,
             )
         if not data_entries:
-            return self.empty_frame().withColumns(
+            empty = self.empty_frame().withColumns(
                 {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
             )
-        df = self._data_reader().parquet(*[e.file_path for e in data_entries])
+            if lineage:
+                empty = empty.withColumns(
+                    {
+                        ROW_ID_COL: F.lit(None).cast("long"),
+                        LAST_UPDATED_COL: F.lit(None).cast("long"),
+                    }
+                )
+            return empty
+        df = self._data_reader(lineage=lineage).parquet(
+            *[e.file_path for e in data_entries]
+        )
         with_pos = self._with_position(df)
+        if lineage:
+            with_pos = self._attach_lineage(with_pos, data_entries)
         delete_files = self._scope_deletes(
             [e for e in scoped if e.content != CONTENT_DATA], data_entries
         )
@@ -1354,10 +1487,13 @@ class LakeTable:
         if not affected:
             return None
         # DELETE keeps rows where the predicate is false OR null — a bare
-        # ~pred would also drop null-predicate rows.
-        survivors = self.read_with_positions().filter(F.col("__fp").isin(list(affected))).filter(
-            ~F.coalesce(pred, F.lit(False))
-        )
+        # ~pred would also drop null-predicate rows. lineage=True: the
+        # survivors are CARRIED rows — the replacement files materialize
+        # their _row_id/_last_updated_sequence_number so identity survives
+        # the rewrite (Iceberg v3 writer requirement).
+        survivors = self.read_with_positions(lineage=self._lineage_ok()).filter(
+            F.col("__fp").isin(list(affected))
+        ).filter(~F.coalesce(pred, F.lit(False)))
         cols = [c for c in survivors.columns if c not in ("__fp", "__pos")]
         new_entries = self._write_data(survivors.select(*cols))
         snap = self.metadata.current_snapshot()
@@ -1511,9 +1647,10 @@ class LakeTable:
 
         new_entries: list[ManifestEntry] = []
         rewritten = 0
+        lin = self._lineage_ok()
         if files_to_rewrite:
             rows = (
-                self.read_with_positions()
+                self.read_with_positions(lineage=lin)
                 .filter(F.col("__fp").isin(list(files_to_rewrite)))
                 .drop("__pos")
                 .alias("t")
@@ -1544,6 +1681,25 @@ class LakeTable:
                     else t_col
                 )
                 exprs.append(F.when(matched, m_val).otherwise(u_val).alias(c))
+            if lin:
+                # lineage: every surviving target row keeps its _row_id;
+                # rows an UPDATE arm modifies write NULL _last_updated_
+                # sequence_number (inherits this commit's sequence at read
+                # time), untouched rows carry their value forward
+                exprs.append(F.col(f"t.{ROW_ID_COL}").alias(ROW_ID_COL))
+                m_seq = (
+                    F.lit(None).cast("long")
+                    if when_matched == "update"
+                    else F.col(f"t.{LAST_UPDATED_COL}")
+                )
+                u_seq = (
+                    F.lit(None).cast("long")
+                    if by_source == "update"
+                    else F.col(f"t.{LAST_UPDATED_COL}")
+                )
+                exprs.append(
+                    F.when(matched, m_seq).otherwise(u_seq).alias(LAST_UPDATED_COL)
+                )
             out = merged.filter(keep).select(*exprs)
             new_entries += self._write_data(out)
             rewritten = len(files_to_rewrite)
@@ -1625,8 +1781,9 @@ class LakeTable:
     ) -> Snapshot | None:
         from pyspark import StorageLevel
 
+        lin = self._lineage_ok()
         matches = (
-            self.read_with_positions(prune_for=pred_str)
+            self.read_with_positions(prune_for=pred_str, lineage=lin)
             .filter(pred)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -1638,8 +1795,17 @@ class LakeTable:
             )
             if not pos_entries:
                 return None  # nothing matched — no commit (Iceberg behavior)
-            cols = [c for c in matches.columns if c not in ("__fp", "__pos")]
+            drop = {"__fp", "__pos"}
+            if lin:
+                drop |= {ROW_ID_COL, LAST_UPDATED_COL}
+            cols = [c for c in matches.columns if c not in drop]
+            # the appended file holds the UPDATED copies: each keeps its
+            # _row_id, and a NULL _last_updated_sequence_number inherits
+            # this commit's sequence at read time
             exprs = self._assignment_exprs(assignments, cols, gate=None)
+            if lin:
+                exprs.append(F.col(ROW_ID_COL))
+                exprs.append(F.lit(None).cast("long").alias(LAST_UPDATED_COL))
             new_entries = self._write_data(matches.select(*exprs))
         finally:
             matches.unpersist()
@@ -1664,14 +1830,30 @@ class LakeTable:
         affected = set(self._affected_files(pred, pred_str))
         if not affected:
             return None
-        rows = self.read_with_positions().filter(F.col("__fp").isin(list(affected)))
-        cols = [c for c in rows.columns if c not in ("__fp", "__pos")]
+        lin = self._lineage_ok()
+        rows = self.read_with_positions(lineage=lin).filter(
+            F.col("__fp").isin(list(affected))
+        )
+        drop = {"__fp", "__pos"}
+        if lin:  # handled by explicit lineage exprs below, not pass-through
+            drop |= {ROW_ID_COL, LAST_UPDATED_COL}
+        cols = [c for c in rows.columns if c not in drop]
         # SQL UPDATE evaluates the WHERE predicate and every SET expression
         # against the PRE-update row, so build all output columns in ONE
         # projection (chained withColumn would re-resolve the predicate and
         # later RHS against already-assigned columns — silently retaining
         # PII on multi-column nulling, and breaking column swaps).
+        # Lineage: every row keeps its _row_id; rows the gate MODIFIES
+        # write NULL _last_updated_sequence_number, which inherits this
+        # commit's sequence at read time (Iceberg v3 update semantics).
         exprs = self._assignment_exprs(assignments, cols, gate=pred)
+        if lin:
+            exprs.append(F.col(ROW_ID_COL))
+            exprs.append(
+                F.when(pred, F.lit(None).cast("long"))
+                .otherwise(F.col(LAST_UPDATED_COL))
+                .alias(LAST_UPDATED_COL)
+            )
         new_entries = self._write_data(rows.select(*exprs))
         snap = self.metadata.current_snapshot()
         kept = [e for e in snap.manifest if e.file_path not in affected]
@@ -2328,8 +2510,13 @@ class _ConformingReader:
     Pure projection: whole-stage codegen, ``_metadata`` stays resolvable
     for the MOR position columns."""
 
-    def __init__(self, table: LakeTable) -> None:
+    def __init__(
+        self,
+        table: LakeTable,
+        extra_fields: list[T.StructField] | None = None,
+    ) -> None:
         self._table = table
+        self._extra = list(extra_fields or [])
 
     def parquet(self, *paths: str) -> DataFrame:
         t = self._table
@@ -2340,6 +2527,8 @@ class _ConformingReader:
         for new, olds in renames.items():
             if new in dtypes:  # chain of a since-dropped column is inert
                 read_fields += [T.StructField(o, dtypes[new]) for o in olds]
+        # extra (lineage) fields are never renamed — read and pass through
+        read_fields += self._extra
         raw = t.spark.read.schema(T.StructType(read_fields)).parquet(*paths)
         return raw.select(
             *[
@@ -2349,5 +2538,6 @@ class _ConformingReader:
                 if f.name in renames
                 else F.col(f.name)
                 for f in declared.fields
-            ]
+            ],
+            *[F.col(f.name) for f in self._extra],
         )

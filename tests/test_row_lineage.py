@@ -1,0 +1,167 @@
+"""Row lineage (Iceberg v3): ``read(lineage=True)`` exposes ``_row_id``
+(stable row identity) and ``_last_updated_sequence_number`` (the data
+sequence of the commit that last modified the row). Appended files
+inherit ids from the manifest's per-file first_row_id; row-carrying
+rewrites (COW UPDATE/DELETE/MERGE, MOR update copies, compaction)
+MATERIALIZE the columns physically so identity survives file rewrites."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import one_part
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+    rewrite_data_files,
+)
+
+DDL = "k bigint, name string, v double"
+LIN = ["_row_id", "_last_updated_sequence_number"]
+
+
+def _table(spark, tmp_path, name="default.lin", ddl=DDL, props=None):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    return cat.create_table(name, ddl, properties=props or {})
+
+
+def _rows(spark, data):
+    return one_part(spark, data, DDL)
+
+
+def _lineage(t):
+    return {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in t.read(lineage=True).collect()
+    }
+
+
+def test_appends_assign_contiguous_ids_and_sequences(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.insert(_rows(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]))
+    t.insert(_rows(spark, [(4, "d", 4.0), (5, "e", 5.0)]))
+    lin = _lineage(t)
+    assert sorted(rid for rid, _ in lin.values()) == [0, 1, 2, 3, 4]
+    assert {seq for _, seq in (lin[1], lin[2], lin[3])} == {1}
+    assert {seq for _, seq in (lin[4], lin[5])} == {2}
+    assert t.metadata.next_row_id == 5
+    # plain read is untouched: no lineage columns
+    assert set(t.read().columns) == {"k", "name", "v"}
+
+
+def test_cow_update_preserves_ids_updated_row_bumps_sequence(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.insert(_rows(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]))
+    before = _lineage(t)
+    snap = t.update({"v": 99.0}, "k = 2")
+    after = _lineage(t)
+    # identity is stable across the whole-file rewrite
+    assert {k: rid for k, (rid, _) in after.items()} == {
+        k: rid for k, (rid, _) in before.items()
+    }
+    assert after[2][1] == snap.sequence_number
+    assert after[1][1] == before[1][1]
+    assert after[3][1] == before[3][1]
+    # the replacement file physically materializes both columns
+    import pyarrow.parquet as pq
+
+    new = [
+        e
+        for e in t.metadata.current_snapshot().data_files()
+        if e.added_snapshot_id == snap.snapshot_id
+    ]
+    assert new
+    names = {c.name for c in pq.read_schema(new[0].file_path)}
+    assert set(LIN) <= names
+
+
+def test_mor_update_copies_keep_id_and_bump_sequence(spark, tmp_path):
+    t = _table(
+        spark, tmp_path, props={"write.update.mode": "merge-on-read"}
+    )
+    t.insert(_rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    before = _lineage(t)
+    snap = t.update({"v": -1.0}, "k = 1")
+    after = _lineage(t)
+    assert after[1][0] == before[1][0]  # id survives the MOR copy
+    assert after[1][1] == snap.sequence_number
+    assert after[2] == before[2]
+
+
+def test_cow_delete_preserves_survivor_lineage(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.insert(_rows(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]))
+    before = _lineage(t)
+    t.delete("k = 2")
+    after = _lineage(t)
+    assert after == {1: before[1], 3: before[3]}
+
+
+def test_compaction_preserves_lineage(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.insert(_rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t.insert(_rows(spark, [(3, "c", 3.0)]))
+    t.update({"v": 7.0}, "k = 3")
+    before = _lineage(t)
+    rewrite_data_files(t)
+    after = _lineage(t)
+    assert after == before
+
+
+def test_merge_keeps_target_ids_and_assigns_fresh_insert_ids(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.insert(_rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    before = _lineage(t)
+    watermark = t.metadata.next_row_id
+    snap = t.merge(_rows(spark, [(2, "B", 20.0), (9, "i", 9.0)]), on=["k"])
+    after = _lineage(t)
+    assert after[1] == before[1]  # untouched row carried verbatim
+    assert after[2][0] == before[2][0]  # updated row keeps identity
+    assert after[2][1] == snap.sequence_number
+    assert after[9][0] >= watermark  # insert draws from the fresh range
+    rids = [rid for rid, _ in after.values()]
+    assert len(rids) == len(set(rids))
+
+
+def test_pre_upgrade_entries_read_null_lineage(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.insert(_rows(spark, [(1, "a", 1.0)]))
+    for e in t.metadata.current_snapshot().manifest:
+        e.first_row_id = None
+        e.sequence_number = None
+    rows = t.read(lineage=True).collect()
+    assert rows[0]["_row_id"] is None
+    assert rows[0]["_last_updated_sequence_number"] is None
+
+
+def test_reserved_name_guard_raises_but_dml_degrades(spark, tmp_path):
+    t = _table(
+        spark, tmp_path, name="default.clash", ddl="k bigint, _row_id bigint"
+    )
+    t.insert(one_part(spark, [(1, 10)], "k bigint, _row_id bigint"))
+    try:
+        t.read(lineage=True)
+        raise AssertionError("expected ValueError for reserved column")
+    except ValueError as err:
+        assert "_row_id" in str(err)
+    # DML on the clashing table still works (lineage silently skipped)
+    t.update({"k": 5}, "_row_id = 10")
+    assert [r["k"] for r in t.read().collect()] == [5]
+
+
+def test_time_travel_lineage(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s1 = t.insert(_rows(spark, [(1, "a", 1.0)]))
+    t.update({"v": 2.0}, "k = 1")
+    old = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in t.read(snapshot_id=s1.snapshot_id, lineage=True).collect()
+    }
+    assert old[1] == (0, s1.sequence_number)
+
+
+def test_lineage_on_empty_table(spark, tmp_path):
+    t = _table(spark, tmp_path, name="default.linempty")
+    df = t.read(lineage=True)
+    assert set(LIN) <= set(df.columns)
+    assert df.count() == 0
