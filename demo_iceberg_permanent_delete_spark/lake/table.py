@@ -100,6 +100,12 @@ METADATA_VIEWS = (
     "refs",
     "partitions",
     "statistics",
+    # engine extension, not an Iceberg metadata table: the table's rows
+    # PLUS the v3 row-lineage metadata columns (_row_id,
+    # _last_updated_sequence_number). Iceberg exposes those as hidden
+    # columns on the table itself; a facade over temp views can't hide
+    # columns from SELECT *, so lineage is an explicit relation instead.
+    "lineage",
 )
 
 
@@ -1889,6 +1895,7 @@ class LakeTable:
             "refs": self._refs_view,
             "partitions": self._partitions_view,
             "statistics": self._statistics_view,
+            "lineage": lambda: self.read(lineage=True),
         }.get(view)
         if builder is None:
             raise KeyError(f"unknown metadata view {view!r}")
@@ -1906,10 +1913,15 @@ class LakeTable:
         """Register `<prefix>__files` etc. so the reference-shaped SQL
         (file_summary_utils.py:45-105) runs via spark.sql. ``views`` limits
         registration to a subset (the SQL facade passes only the relations a
-        statement references — building all 13 per query would pay parquet
-        schema inference for relations never read)."""
+        statement references — building every view per query would pay
+        parquet schema inference for relations never read). The ``lineage``
+        relation is opt-in only: it is a full-table read, not a metadata
+        view, and it raises on tables whose schema claims the reserved
+        column names."""
         prefix = prefix or self.name.replace(".", "_")
-        for view in views if views is not None else METADATA_VIEWS:
+        if views is None:
+            views = [v for v in METADATA_VIEWS if v != "lineage"]
+        for view in views:
             self.meta(view).createOrReplaceTempView(f"{prefix}__{view}")
 
     def _statistics_view(self) -> DataFrame:

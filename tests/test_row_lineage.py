@@ -160,6 +160,28 @@ def test_time_travel_lineage(spark, tmp_path):
     assert old[1] == (0, s1.sequence_number)
 
 
+def test_sql_lineage_relation(spark, tmp_path):
+    """`<table>.lineage` through the SQL facade: the table's rows plus the
+    two lineage metadata columns (facade stand-in for Iceberg's hidden
+    ``SELECT _row_id FROM t`` columns)."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh_sql"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.lint (k BIGINT, v STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.lint VALUES (1, 'a'), (2, 'b')")
+    eng.sql("UPDATE demo.default.lint SET v = 'B' WHERE k = 2")
+    rows = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in eng.sql(
+            "SELECT k, _row_id, _last_updated_sequence_number "
+            "FROM demo.default.lint.lineage"
+        ).collect()
+    }
+    assert rows[1][0] != rows[2][0]
+    assert rows[2][1] > rows[1][1]  # the update bumped only k=2
+
+
 def test_lineage_on_empty_table(spark, tmp_path):
     t = _table(spark, tmp_path, name="default.linempty")
     df = t.read(lineage=True)
