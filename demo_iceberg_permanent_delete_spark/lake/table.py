@@ -368,14 +368,7 @@ class LakeTable:
             snap = self.metadata.current_snapshot()
             if snap is None:
                 base = self.empty_frame()
-                if lineage:
-                    base = base.withColumns(
-                        {
-                            ROW_ID_COL: F.lit(None).cast("long"),
-                            LAST_UPDATED_COL: F.lit(None).cast("long"),
-                        }
-                    )
-                return base
+                return self._null_lineage(base) if lineage else base
         else:
             snap = self.metadata.snapshot_by_id(snapshot_id)
         return self._read_snapshot(
@@ -391,14 +384,7 @@ class LakeTable:
         data_files = snap.data_files()
         if not data_files:
             base = self.empty_frame()
-            if lineage:
-                base = base.withColumns(
-                    {
-                        ROW_ID_COL: F.lit(None).cast("long"),
-                        LAST_UPDATED_COL: F.lit(None).cast("long"),
-                    }
-                )
-            return base
+            return self._null_lineage(base) if lineage else base
         df = self._data_reader(lineage=lineage).parquet(
             *[e.file_path for e in data_files]
         )
@@ -455,6 +441,16 @@ class LakeTable:
                 }
             )
             .drop("__frid", "__fseq")
+        )
+
+    @staticmethod
+    def _null_lineage(df: DataFrame) -> DataFrame:
+        """Empty-result shape: the lineage columns, all NULL."""
+        return df.withColumns(
+            {
+                f.name: F.lit(None).cast(f.dataType)
+                for f in _LINEAGE_FIELDS
+            }
         )
 
     def _lineage_ok(self) -> bool:
@@ -1206,14 +1202,7 @@ class LakeTable:
             empty = self.empty_frame().withColumns(
                 {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
             )
-            if lineage:
-                empty = empty.withColumns(
-                    {
-                        ROW_ID_COL: F.lit(None).cast("long"),
-                        LAST_UPDATED_COL: F.lit(None).cast("long"),
-                    }
-                )
-            return empty
+            return self._null_lineage(empty) if lineage else empty
         df = self._data_reader(lineage=lineage).parquet(
             *[e.file_path for e in data_entries]
         )

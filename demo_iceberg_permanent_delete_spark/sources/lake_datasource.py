@@ -839,10 +839,30 @@ class LakeStreamReader(DataSourceStreamReader):
             )
         else:
             # Iceberg's start-snapshot-id: fail loudly on an unknown pin
-            # now, not with a confusing ancestry error mid-stream
+            # now, not with a confusing ancestry error mid-stream. The
+            # enriched message covers the restart-after-expiry case: a
+            # restarted query re-constructs the reader with its original
+            # options, so an expired pin fails HERE even though the
+            # checkpoint never needs it (the Python DataSource API gives
+            # latestOffset no start offset to prefer) — tell the operator
+            # the fix instead of a bare not-found.
             self._initial = int(starting)
             if self._initial != -1:
-                meta.snapshot_by_id(self._initial)
+                from demo_iceberg_permanent_delete_spark.lake.errors import (
+                    SnapshotNotFoundError,
+                )
+
+                try:
+                    meta.snapshot_by_id(self._initial)
+                except SnapshotNotFoundError as err:
+                    raise SnapshotNotFoundError(
+                        f"{err} — starting-offset pins apply to FRESH "
+                        "queries only; if this is a restart whose "
+                        "checkpoint already passed the pin (or the pinned "
+                        "snapshot has been expired), remove the "
+                        "starting-offset/starting-timestamp option: the "
+                        "checkpoint wins"
+                    ) from None
 
     def __getstate__(self):
         """Executors only ever call read(); the driver-side metadata
@@ -1087,12 +1107,31 @@ class LakeStreamReader(DataSourceStreamReader):
         elif end_id == -1:
             behind = start_id != -1
         else:
-            cur = meta._maybe_snapshot(start_id)
-            while cur is not None and cur.parent_id is not None:
-                if cur.parent_id == end_id:
-                    behind = True
+            # Forward probe first: in the normal case end sits a few
+            # commits AHEAD of start, so walking end→parents hits start
+            # after O(batch distance) steps — the expensive start→root
+            # walk (O(snapshot history) when end is NOT an ancestor, i.e.
+            # every healthy batch) only runs when the forward probe
+            # failed, which is the about-to-raise path or an expired-
+            # start edge (review finding).
+            forward = False
+            cur = meta._maybe_snapshot(end_id)
+            while cur is not None:
+                if cur.snapshot_id == start_id:
+                    forward = True
                     break
-                cur = meta._maybe_snapshot(cur.parent_id)
+                cur = (
+                    meta._maybe_snapshot(cur.parent_id)
+                    if cur.parent_id is not None
+                    else None
+                )
+            if not forward:
+                cur = meta._maybe_snapshot(start_id)
+                while cur is not None and cur.parent_id is not None:
+                    if cur.parent_id == end_id:
+                        behind = True
+                        break
+                    cur = meta._maybe_snapshot(cur.parent_id)
         if behind:
             if self._pinned:
                 raise ValueError(

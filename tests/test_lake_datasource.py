@@ -1494,6 +1494,11 @@ def test_invalid_pins_fail_loudly(registered, cat):
         _mk_reader(t, **{"starting-offset": "123456789"})
     with pytest.raises(ValueError, match="future"):
         _mk_reader(t, **{"starting-timestamp": str(2**50)})
+    # the unknown-pin error must explain the restart-after-expiry case
+    # (a restarted query re-constructs the reader with its original
+    # options, so an EXPIRED pin fails at construction — review finding)
+    with pytest.raises(SnapshotNotFoundError, match="checkpoint wins"):
+        _mk_reader(t, **{"starting-offset": "123456789"})
 
 
 def test_unpinned_regressed_range_fails_loudly_as_recreate(registered, cat):
