@@ -187,3 +187,57 @@ def test_lineage_on_empty_table(spark, tmp_path):
     df = t.read(lineage=True)
     assert set(LIN) <= set(df.columns)
     assert df.count() == 0
+
+
+def test_lineage_survives_rename_column(spark, tmp_path):
+    """RENAME COLUMN routes reads through the conforming reader — the
+    lineage extra-fields path must ride along (old files resolve the
+    renamed column by its historical name AND keep their row ids)."""
+    t = _table(spark, tmp_path, name="default.linren")
+    t.insert(_rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    before = _lineage(t)
+    t.rename_column("name", "label")
+    rows = {
+        r["k"]: (r["label"], r["_row_id"], r["_last_updated_sequence_number"])
+        for r in t.read(lineage=True).collect()
+    }
+    assert rows[1][0] == "a" and rows[2][0] == "b"
+    assert {k: v[1] for k, v in rows.items()} == {
+        k: rid for k, (rid, _) in before.items()
+    }
+    # and a COW update through the renamed schema still carries ids
+    snap = t.update({"label": "B"}, "k = 2")
+    after = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in t.read(lineage=True).collect()
+    }
+    assert after[2][0] == before[2][0]
+    assert after[2][1] == snap.sequence_number
+    assert after[1] == before[1]
+
+
+def test_lineage_survives_sharded_fold(spark, tmp_path):
+    """rewrite_manifests on a partitioned table shards the fold; the
+    folded entries carry their original first_row_id/sequence, so a
+    lineage read after the fold is identical to before."""
+    from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+        rewrite_manifests,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "whs"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.linshard", DDL, partition_by=["name"]
+    )
+    for grp in ("a", "b", "c"):
+        t.insert(
+            one_part(
+                spark,
+                [(ord(grp), grp, 1.0), (ord(grp) + 100, grp, 2.0)],
+                DDL,
+            )
+        )
+    before = _lineage(t)
+    rewrite_manifests(t)
+    t.refresh()
+    assert _lineage(t) == before
