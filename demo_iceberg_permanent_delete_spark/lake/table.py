@@ -835,6 +835,8 @@ class LakeTable:
         start_snapshot_id: int | None = None,
         end_snapshot_id: int | None = None,
         net: bool = False,
+        *,
+        lineage: bool = False,
     ) -> DataFrame:
         """Iceberg changelog scan (the ``create_changelog_view`` procedure's
         row feed): every row-level change committed after
@@ -863,15 +865,29 @@ class LakeTable:
         Scale: all reads are bounded by the commit's *delta* — files the
         commit touched — so a changelog over a 100 TB table costs the
         changed data, not the table.
+
+        ``lineage=True`` adds the row-lineage columns (see read()): an
+        UPDATE's DELETE and INSERT rows then share one ``_row_id``, so a
+        changelog consumer can pair them into row-level updates instead
+        of value-matching — and ``net=True`` nets by IDENTITY, not by
+        value (two equal-valued rows with different ids no longer
+        collapse).
         """
+        if lineage:
+            self._lineage_guard()
         to_id = (
             end_snapshot_id
             if end_snapshot_id is not None
             else self.metadata.current_snapshot_id
         )
         cols = self.empty_frame().columns
+        if lineage:
+            cols = cols + [ROW_ID_COL, LAST_UPDATED_COL]
+        base_empty = self.empty_frame()
+        if lineage:
+            base_empty = self._null_lineage(base_empty)
         empty = (
-            self.empty_frame()
+            base_empty
             .select(
                 "*",
                 F.lit("").alias("_change_type"),
@@ -914,12 +930,21 @@ class LakeTable:
 
             added_data = [e for e in delta.added if e.content == CONTENT_DATA]
             if added_data:
-                inserts = self._data_reader().parquet(
+                ins = self._data_reader(lineage=lineage).parquet(
                     *[e.file_path for e in added_data]
-                ).select(*cols)
+                )
+                if lineage:
+                    ins = self._attach_lineage(
+                        self._with_position(ins), added_data
+                    )
+                inserts = ins.select(*cols)
 
+            parent_by_path = (
+                {e.file_path: e for e in parent.manifest}
+                if parent is not None
+                else {}
+            )
             if parent is not None and delta.removed:
-                parent_by_path = {e.file_path: e for e in parent.manifest}
                 removed_data = [
                     parent_by_path[p]
                     for p in delta.removed
@@ -927,14 +952,16 @@ class LakeTable:
                     and parent_by_path[p].content == CONTENT_DATA
                 ]
                 if removed_data:
-                    df = self._data_reader().parquet(
+                    df = self._data_reader(lineage=lineage).parquet(
                         *[e.file_path for e in removed_data]
                     )
                     pdels = parent.delete_files()
+                    if lineage or pdels:
+                        df = self._with_position(df)
+                    if lineage:
+                        df = self._attach_lineage(df, removed_data)
                     if pdels:
-                        df = self._apply_delete_files(
-                            self._with_position(df), pdels, removed_data
-                        )
+                        df = self._apply_delete_files(df, pdels, removed_data)
                     deletes = df.select(*cols)
 
             pos_added = [
@@ -951,10 +978,22 @@ class LakeTable:
                         <= _BROADCAST_DELETES_MAX_BYTES
                     ):
                         dels = F.broadcast(dels)
-                    masked = (
-                        self._with_position(
-                            self._data_reader().parquet(*ref_paths)
+                    wp = self._with_position(
+                        self._data_reader(lineage=lineage).parquet(*ref_paths)
+                    )
+                    if lineage:
+                        # the referenced files live in the PARENT manifest;
+                        # a path missing there resolves NULL lineage (sound)
+                        wp = self._attach_lineage(
+                            wp,
+                            [
+                                parent_by_path[p]
+                                for p in ref_paths
+                                if p in parent_by_path
+                            ],
                         )
+                    masked = (
+                        wp
                         .join(dels, on=["__fp", "__pos"], how="left_semi")
                         .select(*cols)
                     )
@@ -966,7 +1005,7 @@ class LakeTable:
                 e for e in delta.added if e.content == CONTENT_EQUALITY_DELETES
             ]
             if eq_added and parent is not None:
-                base = self._read_snapshot(parent).select(*cols)
+                base = self._read_snapshot(parent, lineage=lineage).select(*cols)
                 for e in eq_added:
                     keys = e.equality_columns
                     dvals = self.spark.read.parquet(e.file_path).select(

@@ -189,6 +189,47 @@ def test_lineage_on_empty_table(spark, tmp_path):
     assert df.count() == 0
 
 
+def test_changelog_lineage_pairs_update_rows(spark, tmp_path):
+    """changes(lineage=True): a COW UPDATE's DELETE and INSERT rows share
+    one _row_id, so consumers pair them into row-level updates."""
+    t = _table(spark, tmp_path, name="default.lincdc")
+    t.insert(_rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    first = t.metadata.current_snapshot_id
+    t.update({"v": 99.0}, "k = 2")
+    ch = t.changes(start_snapshot_id=first, lineage=True).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    # the updated row appears on both sides under ONE identity
+    upd_del = [r for r in by_type["DELETE"] if r["k"] == 2]
+    upd_ins = [r for r in by_type["INSERT"] if r["k"] == 2 and r["v"] == 99.0]
+    assert len(upd_del) == 1 and len(upd_ins) == 1
+    assert upd_del[0]["_row_id"] == upd_ins[0]["_row_id"]
+    # the carried row (k=1) nets away identity-wise
+    net = t.changes(start_snapshot_id=first, net=True, lineage=True).collect()
+    ks = sorted((r["k"], r["_change_type"]) for r in net)
+    assert ks == [(2, "DELETE"), (2, "INSERT")]
+
+
+def test_changelog_lineage_mor_delete(spark, tmp_path):
+    """MOR position-delete commits emit DELETE rows with the masked rows'
+    original _row_id (read through the parent's referenced files)."""
+    t = _table(
+        spark,
+        tmp_path,
+        name="default.linmor",
+        props={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(_rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    before = _lineage(t)
+    first = t.metadata.current_snapshot_id
+    t.delete("k = 1")
+    ch = t.changes(start_snapshot_id=first, lineage=True).collect()
+    assert len(ch) == 1
+    assert ch[0]["_change_type"] == "DELETE"
+    assert ch[0]["_row_id"] == before[1][0]
+
+
 def test_lineage_survives_rename_column(spark, tmp_path):
     """RENAME COLUMN routes reads through the conforming reader — the
     lineage extra-fields path must ride along (old files resolve the
