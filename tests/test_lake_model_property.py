@@ -32,8 +32,17 @@ N_SEEDS = 5
 N_STEPS = 14
 
 
-def _rows(table):
-    return sorted((r["k"], r["v"], r["s"]) for r in table.read().collect())
+def _rows_lin(table):
+    """One lineage read serves both checks: the visible (k, v, s) set for
+    the value model, and k -> (_row_id, _last_updated_sequence_number)
+    for the lineage invariants."""
+    rows = table.read(lineage=True).collect()
+    vals = sorted((r["k"], r["v"], r["s"]) for r in rows)
+    lin = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in rows
+    }
+    return vals, lin
 
 
 @pytest.mark.parametrize("seed", range(N_SEEDS))
@@ -47,18 +56,56 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
     next_k = 0
     # snapshot_id -> frozen model state, for rollback targets
     states: dict[int, dict[int, tuple[int, str]]] = {}
+    # lineage invariants (X54): k -> (_row_id, _last_updated_seq) as last
+    # observed; frozen per snapshot for rollback/time-travel; every row id
+    # ever seen (ids are assigned once and never reused)
+    lin_obs: dict[int, tuple[int, int]] = {}
+    lin_states: dict[int, dict[int, tuple[int, int]]] = {}
+    used_rids: set[int] = set()
 
-    def check(step, op):
-        got = _rows(t)
+    def check(step, op, *, changed: set[int] = frozenset(), new_seq=None):
+        nonlocal lin_obs
+        got, lin = _rows_lin(t)
         want = sorted((k, v, s) for k, (v, s) in model.items())
         assert got == want, (
             f"seed {seed} step {step} after {op}: engine != model\n"
             f"engine-only: {sorted(set(got) - set(want))[:5]}\n"
             f"model-only: {sorted(set(want) - set(got))[:5]}"
         )
+        rids = [rid for rid, _ in lin.values()]
+        assert len(rids) == len(set(rids)), (
+            f"seed {seed} step {step} after {op}: duplicate _row_id"
+        )
+        for k, (rid, seq) in lin.items():
+            assert rid is not None and seq is not None
+            if k in lin_obs:
+                prev_rid, prev_seq = lin_obs[k]
+                assert rid == prev_rid, (
+                    f"seed {seed} step {step} after {op}: k={k} _row_id "
+                    f"changed {prev_rid} -> {rid}"
+                )
+                if k in changed:
+                    assert seq == new_seq, (
+                        f"seed {seed} step {step} after {op}: k={k} "
+                        f"modified but seq {seq} != commit {new_seq}"
+                    )
+                else:
+                    assert seq == prev_seq, (
+                        f"seed {seed} step {step} after {op}: k={k} "
+                        f"untouched but seq {prev_seq} -> {seq}"
+                    )
+            else:
+                assert rid not in used_rids, (
+                    f"seed {seed} step {step} after {op}: fresh k={k} "
+                    f"reused _row_id {rid}"
+                )
+            used_rids.add(rid)
+        lin_obs = lin
 
     ops = []
     for step in range(N_STEPS):
+        changed: set[int] = set()
+        new_seq = None
         choice = rnd.random()
         if choice < 0.35 or not model:  # insert a small batch
             n = rnd.randint(1, 6)
@@ -96,7 +143,11 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
                 }
             )
             v = rnd.randint(0, 5)
-            t.update({"s": "redacted"}, f"v = {v}")
+            snap = t.update({"s": "redacted"}, f"v = {v}")
+            changed = {k for k, (mv, _) in model.items() if mv == v}
+            new_seq = snap.sequence_number if snap is not None else None
+            if snap is None:
+                changed = set()
             model = {
                 k: (mv, "redacted" if mv == v else s)
                 for k, (mv, s) in model.items()
@@ -117,6 +168,7 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
                 sid = rnd.choice(targets)
                 t.rollback_to_snapshot(sid)
                 model = dict(states[sid])
+                lin_obs = dict(lin_states[sid])
                 ops.append(f"rollback {sid}")
         elif choice < 0.78:  # compaction: visible state must not change
             t.rewrite_data_files()
@@ -140,7 +192,9 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
         cur = t.metadata.current_snapshot_id
         if cur is not None:
             states[cur] = dict(model)
-        check(step, ops[-1])
+        check(step, ops[-1], changed=changed, new_seq=new_seq)
+        if cur is not None:
+            lin_states[cur] = dict(lin_obs)
 
     # Time-travel closure: every still-retained snapshot must replay
     # exactly the state recorded when it was current — across rollbacks,
@@ -149,9 +203,15 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
     for sid, frozen in states.items():
         if sid not in live:
             continue
-        got = sorted(
-            (r["k"], r["v"], r["s"])
-            for r in t.read(snapshot_id=sid).collect()
-        )
+        rows = t.read(snapshot_id=sid, lineage=True).collect()
+        got = sorted((r["k"], r["v"], r["s"]) for r in rows)
         want = sorted((k, v, s) for k, (v, s) in frozen.items())
         assert got == want, f"seed {seed}: time travel to {sid} diverged"
+        # lineage must replay exactly as observed when sid was current
+        got_lin = {
+            r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+            for r in rows
+        }
+        assert got_lin == lin_states[sid], (
+            f"seed {seed}: time travel to {sid} lineage diverged"
+        )
