@@ -277,17 +277,22 @@ def rewrite_data_files(
     if not scoped:
         merged = table.read(lineage=lin)  # delete-merge applied
     else:
-        df = table._data_reader(lineage=lin).parquet(
-            *[e.file_path for e in prior_data]
+        wp = table._read_data_entries(
+            prior_data, lineage=lin, positions=bool(prior_deletes)
         )
-        wp = table._with_position(df)
+        out_cols = [f.name for f in table.schema().fields]
         if lin:
-            wp = table._attach_lineage(wp, prior_data)
+            from demo_iceberg_permanent_delete_spark.lake.table import (
+                LAST_UPDATED_COL,
+                ROW_ID_COL,
+            )
+
+            out_cols += [ROW_ID_COL, LAST_UPDATED_COL]
         merged = (
             table._apply_delete_files(wp, prior_deletes, prior_data)
             if prior_deletes
             else wp
-        ).select(*df.columns)
+        ).select(*out_cols)
     if sort_order is not None:
         from math import ceil
 

@@ -420,6 +420,16 @@ class TableMetadata:
     # data files (v3 row lineage). Both only ever grow.
     last_sequence_number: int = 0
     next_row_id: int = 0
+    # Iceberg v3 initial defaults (ADD COLUMN … DEFAULT): declared column
+    # name → {"value": JSON scalar, "added_seq": the table's
+    # last_sequence_number AT add time}. A data file whose sequence is ≤
+    # added_seq was committed before the column existed (the name-reuse
+    # guard forbids resurrecting retired physical names, so it cannot
+    # physically contain it) and reads the default; later files read
+    # their physical value — an explicit NULL stays NULL, exactly
+    # Iceberg's initial-default rule expressed through sequence numbers
+    # instead of per-file field-id presence.
+    column_defaults: dict[str, dict[str, Any]] = field(default_factory=dict)
     version: int = 0
     # runtime caches (never serialized)
     _deltas: dict[int, ManifestDelta] = field(
@@ -493,6 +503,7 @@ class TableMetadata:
             "statistics": self.statistics,
             "last_sequence_number": self.last_sequence_number,
             "next_row_id": self.next_row_id,
+            "column_defaults": self.column_defaults,
             "version": self.version,
             "snapshots": [s.to_json() for s in self.snapshots],
         }
@@ -530,6 +541,9 @@ class TableMetadata:
                 "last_sequence_number", len(d["snapshots"])
             ),
             next_row_id=d.get("next_row_id", 0),
+            column_defaults={
+                k: dict(v) for k, v in d.get("column_defaults", {}).items()
+            },
             version=d.get("version", 0),
         )
         for raw, snap in zip(d["snapshots"], meta.snapshots):

@@ -279,7 +279,22 @@ class LakeEngine:
 
     def _alter_add_column(self, m: re.Match) -> DataFrame:
         t = self.table(m.group("name"))
-        t.add_column(m.group("col"), m.group("type").strip())
+        raw = m.group("default")
+        default = None
+        if raw is not None:
+            # scalar literals only (string/number/boolean) — the v3
+            # initial-default surface; the value is cast to the column
+            # type at read time
+            if raw.startswith("'"):
+                default = raw[1:-1].replace("''", "'")
+            elif raw.upper() in ("TRUE", "FALSE"):
+                default = raw.upper() == "TRUE"
+            else:
+                try:
+                    default = int(raw)
+                except ValueError:
+                    default = float(raw)  # raises on junk — fail loudly
+        t.add_column(m.group("col"), m.group("type").strip(), default=default)
         return _one_row_df(
             self.spark, {"table": t.name, "status": f"added column {m.group('col')}"}
         )
@@ -941,7 +956,9 @@ class LakeEngine:
         (
             re.compile(
                 r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*"
-                r"(?P<col>\w+)\s+(?P<type>[\w<>(),. ]+?)\s*\)?$",
+                r"(?P<col>\w+)\s+(?P<type>[\w<>(),. ]+?)"
+                r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|[^\s)]+))?"
+                r"\s*\)?$",
                 re.I | re.S,
             ),
             _alter_add_column,

@@ -170,11 +170,22 @@ class LakeTable:
     def empty_frame(self) -> DataFrame:
         return self.spark.createDataFrame([], self.metadata.schema_ddl)
 
-    def add_column(self, name: str, type_ddl: str) -> None:
+    def add_column(
+        self, name: str, type_ddl: str, *, default: Any = None
+    ) -> None:
         """ALTER TABLE ADD COLUMN (schema evolution — extension; the
         reference mutates only table *properties*, SURVEY.md §1.4). Pure
         metadata: existing files simply lack the column and every read
-        null-fills it because scans pass the declared schema explicitly."""
+        null-fills it because scans pass the declared schema explicitly.
+
+        ``default`` (Iceberg v3 initial-default): rows written BEFORE the
+        column existed read this value instead of NULL; rows written
+        after read their physical value — an explicit NULL stays NULL.
+        Pure metadata too: the default and the current sequence-number
+        watermark land in the table header, and the read path splits the
+        scan by manifest sequence (``_read_data_entries``). The value
+        must be a JSON-encodable literal of the column's type (it is
+        cast to ``type_ddl`` at read time)."""
         if any(f.name == name for f in self.schema().fields):
             raise ValueError(f"column {name!r} already exists")
         if name in {h for hs in self.metadata.renames.values() for h in hs} or (
@@ -187,6 +198,17 @@ class LakeTable:
             )
         self.metadata.schema_ddl = f"{self.metadata.schema_ddl}, {name} {type_ddl}"
         self.schema()  # validate the DDL parses before committing
+        if default is not None:
+            if not isinstance(default, (int, float, str, bool)):
+                raise ValueError(
+                    "initial default must be a JSON scalar literal "
+                    f"(int/float/str/bool), got {type(default).__name__}"
+                )
+            self.metadata.column_defaults[name] = {
+                "value": default,
+                # files committed up TO this watermark predate the column
+                "added_seq": self.metadata.last_sequence_number,
+            }
         self.metadata.commit()
 
     def drop_column(self, name: str) -> None:
@@ -216,6 +238,7 @@ class LakeTable:
                 set(self.metadata.retired_columns) | retired
             )
         self.metadata.renames.pop(name, None)
+        self.metadata.column_defaults.pop(name, None)
         self.metadata.commit()
 
     # Iceberg's safe type promotions (spec: "Schema Evolution") — widening
@@ -293,6 +316,12 @@ class LakeTable:
             for f in fields
         )
         self.metadata.renames[new] = [old] + self.metadata.renames.pop(old, [])
+        if old in self.metadata.column_defaults:
+            # the initial default follows the DECLARED name (reads project
+            # it onto the conformed column, which the rename chain feeds)
+            self.metadata.column_defaults[new] = (
+                self.metadata.column_defaults.pop(old)
+            )
         self.schema()  # validate the DDL parses before committing
         self.metadata.commit()
 
@@ -385,18 +414,16 @@ class LakeTable:
         if not data_files:
             base = self.empty_frame()
             return self._null_lineage(base) if lineage else base
-        df = self._data_reader(lineage=lineage).parquet(
-            *[e.file_path for e in data_files]
-        )
         delete_files = snap.delete_files() if apply_deletes else []
-        if not lineage and not delete_files:
-            return df
-        out = self._with_position(df)
+        out = self._read_data_entries(
+            data_files, lineage=lineage, positions=bool(delete_files)
+        )
+        cols = [f.name for f in self.schema().fields]
         if lineage:
-            out = self._attach_lineage(out, data_files)
+            cols += [ROW_ID_COL, LAST_UPDATED_COL]
         if delete_files:
             out = self._apply_delete_files(out, delete_files, data_files)
-        return out.select(*df.columns)
+        return out.select(*cols)
 
     def _with_position(self, df: DataFrame) -> DataFrame:
         """Attach physical (file_path, pos) — stable per parquet file."""
@@ -405,6 +432,70 @@ class LakeTable:
             F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("__fp"),
             F.col("_metadata.row_index").alias("__pos"),
         )
+
+    def _read_data_entries(
+        self,
+        entries: list[ManifestEntry],
+        *,
+        lineage: bool = False,
+        positions: bool = False,
+    ) -> DataFrame:
+        """THE manifest-listed data-file read — every scan funnels here so
+        the cross-cutting read semantics compose uniformly:
+
+        - schema conformance (declared schema, rename-chain coalesce);
+        - ``positions``: physical (__fp, __pos) for delete merging / DML
+          (``lineage`` implies it);
+        - initial column defaults (Iceberg v3 ADD COLUMN … DEFAULT):
+          entries whose sequence predates the column's add read the
+          default — implemented as a PLAN split, one parquet scan per
+          distinct pre-add column set with a literal projection, unioned
+          by name: no join, no per-row conditional, and a table with no
+          defaults takes the single-scan path unchanged;
+        - ``lineage``: the _row_id/_last_updated_sequence_number columns,
+          resolved per _attach_lineage.
+        """
+        positions = positions or lineage
+        defaults = self.metadata.column_defaults
+        declared = {f.name: f.dataType for f in self.schema().fields}
+        live_defaults = {c: d for c, d in defaults.items() if c in declared}
+
+        def _missing(e: ManifestEntry) -> frozenset[str]:
+            # None sequence = pre-upgrade manifest = predates any default
+            return frozenset(
+                c
+                for c, d in live_defaults.items()
+                if e.sequence_number is None
+                or e.sequence_number <= d["added_seq"]
+            )
+
+        groups: dict[frozenset[str], list[str]] = {}
+        if live_defaults:
+            for e in entries:
+                groups.setdefault(_missing(e), []).append(e.file_path)
+        else:
+            groups[frozenset()] = [e.file_path for e in entries]
+
+        parts: list[DataFrame] = []
+        for missing, paths in groups.items():
+            df = self._data_reader(lineage=lineage).parquet(*paths)
+            if positions:
+                # before the union: _metadata resolves only on the scan
+                df = self._with_position(df)
+            if missing:
+                df = df.withColumns(
+                    {
+                        c: F.lit(live_defaults[c]["value"]).cast(declared[c])
+                        for c in missing
+                    }
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if lineage:
+            out = self._attach_lineage(out, entries)
+        return out
 
     def _attach_lineage(
         self, with_pos: DataFrame, data_entries: list[ManifestEntry]
@@ -719,14 +810,14 @@ class LakeTable:
         )
         if not entries:
             return self.empty_frame()
-        df = self._data_reader().parquet(*[e.file_path for e in entries])
         delete_files = self._scope_deletes(
             [e for e in scoped if e.content != CONTENT_DATA], entries
         )
+        df = self._read_data_entries(entries, positions=bool(delete_files))
+        cols = [f.name for f in self.schema().fields]
         if delete_files:
-            df = self._apply_delete_files(
-                self._with_position(df), delete_files, entries
-            ).select(*df.columns)
+            df = self._apply_delete_files(df, delete_files, entries)
+        df = df.select(*cols)
         return df if prune_only else df.filter(self._as_column(predicate))
 
     def _scope_deletes(
@@ -773,12 +864,12 @@ class LakeTable:
         ]
         if snap is None or not pos_files or not snap.data_files():
             return self.empty_frame()
-        df = self._data_reader().parquet(*[e.file_path for e in snap.data_files()])
+        df = self._read_data_entries(snap.data_files(), positions=True)
         dels = self._pos_delete_rows(pos_files)
         if _delete_set_size_estimate(pos_files) <= _BROADCAST_DELETES_MAX_BYTES:
             dels = F.broadcast(dels)
         return (
-            self._with_position(df)
+            df
             .join(dels, on=["__fp", "__pos"], how="left_semi")
             .drop("__fp", "__pos")
         )
@@ -820,15 +911,15 @@ class LakeTable:
             raise ValueError(
                 f"incremental read supports append-only ranges; found {bad}"
             )
-        files = [
-            e.file_path
+        added = [
+            e
             for s in segment
             for e in s.manifest
             if e.content == CONTENT_DATA and e.added_snapshot_id == s.snapshot_id
         ]
-        if not files:
+        if not added:
             return self.empty_frame()
-        return self._data_reader().parquet(*files)
+        return self._read_data_entries(added)
 
     def changes(
         self,
@@ -930,14 +1021,9 @@ class LakeTable:
 
             added_data = [e for e in delta.added if e.content == CONTENT_DATA]
             if added_data:
-                ins = self._data_reader(lineage=lineage).parquet(
-                    *[e.file_path for e in added_data]
-                )
-                if lineage:
-                    ins = self._attach_lineage(
-                        self._with_position(ins), added_data
-                    )
-                inserts = ins.select(*cols)
+                inserts = self._read_data_entries(
+                    added_data, lineage=lineage
+                ).select(*cols)
 
             parent_by_path = (
                 {e.file_path: e for e in parent.manifest}
@@ -952,14 +1038,12 @@ class LakeTable:
                     and parent_by_path[p].content == CONTENT_DATA
                 ]
                 if removed_data:
-                    df = self._data_reader(lineage=lineage).parquet(
-                        *[e.file_path for e in removed_data]
-                    )
                     pdels = parent.delete_files()
-                    if lineage or pdels:
-                        df = self._with_position(df)
-                    if lineage:
-                        df = self._attach_lineage(df, removed_data)
+                    df = self._read_data_entries(
+                        removed_data,
+                        lineage=lineage,
+                        positions=bool(pdels),
+                    )
                     if pdels:
                         df = self._apply_delete_files(df, pdels, removed_data)
                     deletes = df.select(*cols)
@@ -978,22 +1062,26 @@ class LakeTable:
                         <= _BROADCAST_DELETES_MAX_BYTES
                     ):
                         dels = F.broadcast(dels)
-                    wp = self._with_position(
-                        self._data_reader(lineage=lineage).parquet(*ref_paths)
-                    )
-                    if lineage:
-                        # the referenced files live in the PARENT manifest;
-                        # a path missing there resolves NULL lineage (sound)
-                        wp = self._attach_lineage(
-                            wp,
-                            [
-                                parent_by_path[p]
-                                for p in ref_paths
-                                if p in parent_by_path
-                            ],
+                    # the referenced files live in the PARENT manifest; a
+                    # path missing there (cannot normally happen) reads as
+                    # a bare sequence-less entry: NULL lineage, pre-add
+                    # defaults era — the pre-upgrade fallbacks
+                    ref_entries = [
+                        parent_by_path.get(
+                            p,
+                            ManifestEntry(
+                                file_path=p,
+                                content=CONTENT_DATA,
+                                record_count=0,
+                                file_size_in_bytes=0,
+                            ),
                         )
+                        for p in ref_paths
+                    ]
                     masked = (
-                        wp
+                        self._read_data_entries(
+                            ref_entries, lineage=lineage, positions=True
+                        )
                         .join(dels, on=["__fp", "__pos"], how="left_semi")
                         .select(*cols)
                     )
@@ -1242,12 +1330,9 @@ class LakeTable:
                 {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
             )
             return self._null_lineage(empty) if lineage else empty
-        df = self._data_reader(lineage=lineage).parquet(
-            *[e.file_path for e in data_entries]
+        with_pos = self._read_data_entries(
+            data_entries, lineage=lineage, positions=True
         )
-        with_pos = self._with_position(df)
-        if lineage:
-            with_pos = self._attach_lineage(with_pos, data_entries)
         delete_files = self._scope_deletes(
             [e for e in scoped if e.content != CONTENT_DATA], data_entries
         )
@@ -2074,7 +2159,7 @@ class LakeTable:
         if snap is None or not snap.data_files():
             return self.spark.createDataFrame([], self._PARTITIONS_STRUCT)
         fields = self._partition_fields
-        df = self._data_reader().parquet(*[e.file_path for e in snap.data_files()])
+        df = self._read_data_entries(snap.data_files())
         types = {f.name: f.dataType for f in df.schema.fields}
         kvs: list[Column] = []
         for fld in fields:

