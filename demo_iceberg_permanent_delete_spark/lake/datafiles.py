@@ -47,6 +47,11 @@ _MAX_REFERENCED_FILES = 64
 # DV files — one row per target file — never come close)
 _REFERENCED_HARVEST_MAX_ROWS = 100_000
 
+# Physical column-name harvest cap: above this many top-level columns the
+# manifest entry records None (unknown) and initial-default resolution
+# falls back to the sequence-watermark rule.
+_COLUMNS_HARVEST_MAX = 64
+
 
 # String bounds are truncated Iceberg-style (write.metadata.metrics default
 # truncate(16)): a raw text column's min/max can be kilobytes per file, and
@@ -233,6 +238,15 @@ def write_data_files(
                     )
             except Exception:
                 referenced = []  # unknown → the entry is always planned
+        # physical column-name harvest (initial-default resolution uses
+        # presence, like Iceberg's field ids): footer-only, capped so a
+        # very wide schema doesn't bloat every manifest row — None falls
+        # back to the sequence-watermark rule
+        try:
+            names = [f.name for f in pq.read_schema(final)]
+            phys_cols = names if len(names) <= _COLUMNS_HARVEST_MAX else None
+        except Exception:
+            phys_cols = None
         entries.append(
             ManifestEntry(
                 file_path=final,
@@ -243,6 +257,7 @@ def write_data_files(
                 max_values={k: _jsonable(v) for k, v in maxs.items()},
                 null_counts=dict(nulls),
                 referenced_files=referenced,
+                columns=phys_cols,
             )
         )
     shutil.rmtree(scratch, ignore_errors=True)

@@ -123,6 +123,14 @@ class ManifestEntry:
     # its position unless the file materializes a _row_id column (rewrites
     # carry ids forward that way). None = pre-upgrade file → _row_id NULL.
     first_row_id: int | None = None
+    # The file's PHYSICAL top-level column names, harvested from the
+    # parquet footer at write time (≤ _COLUMNS_HARVEST_MAX; None =
+    # unknown: pre-upgrade manifest, too-wide schema, or a foreign file).
+    # Initial-default resolution uses this as Iceberg uses field-id
+    # presence — exact even for writers racing an ADD COLUMN … DEFAULT,
+    # whose files commit with a post-watermark sequence yet physically
+    # lack the column; the sequence-watermark rule is the fallback.
+    columns: list[str] | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -139,6 +147,7 @@ class ManifestEntry:
             "referenced_files": self.referenced_files,
             "sequence_number": self.sequence_number,
             "first_row_id": self.first_row_id,
+            "columns": self.columns,
         }
 
     @classmethod

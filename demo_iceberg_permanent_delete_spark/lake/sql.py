@@ -284,16 +284,25 @@ class LakeEngine:
         if raw is not None:
             # scalar literals only (string/number/boolean) — the v3
             # initial-default surface; the value is cast to the column
-            # type at read time
+            # type at read time. DEFAULT NULL = no initial default (the
+            # engine's null-fill is already that behavior).
             if raw.startswith("'"):
                 default = raw[1:-1].replace("''", "'")
+            elif raw.upper() == "NULL":
+                default = None
             elif raw.upper() in ("TRUE", "FALSE"):
                 default = raw.upper() == "TRUE"
             else:
                 try:
                     default = int(raw)
                 except ValueError:
-                    default = float(raw)  # raises on junk — fail loudly
+                    try:
+                        default = float(raw)
+                    except ValueError:
+                        raise ValueError(
+                            f"unsupported DEFAULT literal {raw!r}: use a "
+                            "quoted string, a number, TRUE/FALSE, or NULL"
+                        ) from None
         t.add_column(m.group("col"), m.group("type").strip(), default=default)
         return _one_row_df(
             self.spark, {"table": t.name, "status": f"added column {m.group('col')}"}

@@ -196,14 +196,19 @@ class LakeTable:
                 "COLUMN history or DROP COLUMN tombstone); reusing it would "
                 "leak old files' values through by-name parquet resolution"
             )
-        self.metadata.schema_ddl = f"{self.metadata.schema_ddl}, {name} {type_ddl}"
-        self.schema()  # validate the DDL parses before committing
+        if default is not None and not isinstance(
+            default, (int, float, str, bool)
+        ):
+            # validate BEFORE mutating schema_ddl: a caught rejection must
+            # not leave a phantom column for the next commit to persist
+            raise ValueError(
+                "initial default must be a JSON scalar literal "
+                f"(int/float/str/bool), got {type(default).__name__}"
+            )
+        candidate = f"{self.metadata.schema_ddl}, {name} {type_ddl}"
+        T._parse_datatype_string(candidate)  # same phantom-column rule
+        self.metadata.schema_ddl = candidate
         if default is not None:
-            if not isinstance(default, (int, float, str, bool)):
-                raise ValueError(
-                    "initial default must be a JSON scalar literal "
-                    f"(int/float/str/bool), got {type(default).__name__}"
-                )
             self.metadata.column_defaults[name] = {
                 "value": default,
                 # files committed up TO this watermark predate the column
@@ -459,15 +464,29 @@ class LakeTable:
         defaults = self.metadata.column_defaults
         declared = {f.name: f.dataType for f in self.schema().fields}
         live_defaults = {c: d for c, d in defaults.items() if c in declared}
+        # rename-aware physical names per defaulted column: a pre-rename
+        # file carries the OLD physical name — it HAS the column
+        phys_names = {
+            c: {c, *self.metadata.renames.get(c, [])} for c in live_defaults
+        }
 
         def _missing(e: ManifestEntry) -> frozenset[str]:
-            # None sequence = pre-upgrade manifest = predates any default
-            return frozenset(
-                c
-                for c, d in live_defaults.items()
-                if e.sequence_number is None
-                or e.sequence_number <= d["added_seq"]
-            )
+            # Presence first (exact — Iceberg's field-id rule: covers a
+            # writer racing the ADD COLUMN, whose file commits with a
+            # post-watermark sequence yet physically lacks the column);
+            # sequence-watermark fallback when the harvest is unknown
+            # (None sequence = pre-upgrade = predates any default).
+            out = []
+            for c, d in live_defaults.items():
+                if e.columns is not None:
+                    if not (phys_names[c] & set(e.columns)):
+                        out.append(c)
+                elif (
+                    e.sequence_number is None
+                    or e.sequence_number <= d["added_seq"]
+                ):
+                    out.append(c)
+            return frozenset(out)
 
         groups: dict[frozenset[str], list[str]] = {}
         if live_defaults:

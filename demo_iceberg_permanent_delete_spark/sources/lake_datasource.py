@@ -138,8 +138,10 @@ def _read_data_file(
 ):
     """Executor-side MOR read of one data file → iterator of RecordBatch.
     ``defaults``: (column, value) pairs for initial defaults (v3 ADD
-    COLUMN … DEFAULT) this file PREDATES — the driver decided by manifest
-    sequence, the task just overwrites the null-filled column."""
+    COLUMN … DEFAULT) this file PREDATES — driver-decided; injected into
+    the raw table BEFORE the equality-delete merge (deletes keyed on the
+    defaulted column must see the read value) and overwritten after
+    conformance for uniformity."""
     tbl = _apply_defaults(
         _conform(
             _visible_table(
@@ -150,6 +152,7 @@ def _read_data_file(
                 renames,
                 row_groups=row_groups,
                 row_offset=row_offset,
+                defaults_typed=_typed_defaults(arrow_schema, defaults),
             ),
             arrow_schema,
             renames,
@@ -157,6 +160,17 @@ def _read_data_file(
         defaults,
     )
     yield from tbl.to_batches()
+
+
+def _typed_defaults(arrow_schema, defaults):
+    """(col, value) pairs -> (col, value, arrow type) for the columns the
+    conformed schema declares (others can't be projected anyway)."""
+    typed = []
+    for c, v in defaults:
+        i = arrow_schema.get_field_index(c)
+        if i >= 0:
+            typed.append((c, v, arrow_schema.field(i).type))
+    return tuple(typed)
 
 
 def _apply_defaults(tbl, defaults: Sequence[tuple[str, object]]):
@@ -347,6 +361,7 @@ def _visible_table(
     renames=None,
     row_groups: tuple[int, int] | None = None,
     row_offset: int = 0,
+    defaults_typed: Sequence[tuple[str, object, object]] = (),
 ):
     """Executor-side MOR read of one data file → visible pyarrow Table
     (position/DV/equality deletes applied, NOT yet schema-conformed).
@@ -355,7 +370,13 @@ def _visible_table(
     of an oversized file (round-5 brief item 6) — with ``row_offset``
     the file-global position of the split's first row, so tombstone
     positions (which are file-global, Iceberg position-delete
-    semantics) land on the right local rows."""
+    semantics) land on the right local rows.
+
+    ``defaults_typed`` [(col, value, arrow type)]: initial defaults this
+    file predates, injected BEFORE the equality-delete merge — a delete
+    keyed on the defaulted column must mask rows whose READ value is the
+    default, exactly like the table-side path (review finding: applying
+    them only after the merge let pre-add rows dodge the delete)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -366,6 +387,17 @@ def _visible_table(
         tbl = pq.ParquetFile(path).read_row_groups(
             list(range(row_groups[0], row_groups[1]))
         )
+    for c, v, typ in defaults_typed:
+        if c not in tbl.column_names:
+            try:
+                arr = pa.array([v] * tbl.num_rows, type=typ)
+            except (
+                pa.ArrowInvalid,
+                pa.ArrowTypeError,
+                pa.ArrowNotImplementedError,
+            ):
+                arr = pa.array([v] * tbl.num_rows).cast(typ)
+            tbl = tbl.append_column(pa.field(c, typ), arr)
     drop = _tombstone_positions(
         path,
         pos_delete_paths,
@@ -437,13 +469,24 @@ DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
 
 def _defaults_for(meta, entry) -> tuple[tuple[str, object], ...]:
     """Initial defaults (v3 ADD COLUMN … DEFAULT) that apply to this
-    entry's rows: columns whose add-watermark the entry's sequence does
-    not exceed (None sequence = pre-upgrade = predates every default).
-    Driver-side, metadata-proportional; the executor task just overwrites
-    the null-filled column."""
+    entry's rows — the SAME rule as table._read_data_entries: physical
+    column presence when the write-time harvest is known (exact, covers
+    writers racing the ADD COLUMN), else the sequence-watermark fallback
+    (None sequence / None entry = pre-add era). Driver-side,
+    metadata-proportional; the executor task just overwrites the
+    null-filled column."""
     out = []
     for c, d in getattr(meta, "column_defaults", {}).items():
-        if entry.sequence_number is None or entry.sequence_number <= d["added_seq"]:
+        phys = {c, *meta.renames.get(c, [])}
+        if entry is None:
+            out.append((c, d["value"]))
+        elif entry.columns is not None:
+            if not (phys & set(entry.columns)):
+                out.append((c, d["value"]))
+        elif (
+            entry.sequence_number is None
+            or entry.sequence_number <= d["added_seq"]
+        ):
             out.append((c, d["value"]))
     return tuple(out)
 
@@ -1484,11 +1527,7 @@ class LakeCdcStreamReader(LakeStreamReader):
                                     change_type="DELETE",
                                     row_groups=rg,
                                     row_offset=off,
-                                    defaults=(
-                                        _defaults_for(meta, ent)
-                                        if ent is not None
-                                        else ()
-                                    ),
+                                    defaults=_defaults_for(meta, ent),
                                     **common,
                                 )
                             )
@@ -1550,6 +1589,9 @@ class LakeCdcStreamReader(LakeStreamReader):
                 self._renames,
                 row_groups=p.row_groups,
                 row_offset=p.row_offset,
+                defaults_typed=_typed_defaults(
+                    self._data_arrow_schema, p.defaults
+                ),
             )
         elif p.kind == "masked":
             # tombstoned rows are usually a sliver of the file — read the
@@ -1580,6 +1622,9 @@ class LakeCdcStreamReader(LakeStreamReader):
             if tbl is None:
                 return
         elif p.kind == "eq":
+            # defaults injected BEFORE the eq_match semi-join below: the
+            # emitted DELETE rows for a delete keyed on the defaulted
+            # column must include pre-add rows whose read value matches
             tbl = _visible_table(
                 p.file_path,
                 p.pos_delete_paths,
@@ -1588,6 +1633,9 @@ class LakeCdcStreamReader(LakeStreamReader):
                 self._renames,
                 row_groups=p.row_groups,
                 row_offset=p.row_offset,
+                defaults_typed=_typed_defaults(
+                    self._data_arrow_schema, p.defaults
+                ),
             )
             matched: set[int] = set()
             for paths, key_cols in p.eq_match:

@@ -45,11 +45,11 @@ def test_default_survives_reload_and_time_travel(spark, tmp_path):
     t.refresh()
     assert t.metadata.column_defaults["score"]["value"] == 7
     assert {r["k"]: r["score"] for r in t.read().collect()} == {1: 7}
-    # time travel BEFORE the add has no such column at all
-    assert "score" not in t.read(snapshot_id=s1.snapshot_id).columns or True
-    # (schema is table-global in this engine; the default still applies)
-    got = {r["k"]: r["score"] for r in t.read(snapshot_id=s1.snapshot_id).collect()}
-    assert got == {1: 7}
+    # schema is table-global in this engine: time travel BEFORE the add
+    # still projects the column, and the default applies to the old rows
+    old = t.read(snapshot_id=s1.snapshot_id)
+    assert "score" in old.columns
+    assert {r["k"]: r["score"] for r in old.collect()} == {1: 7}
 
 
 def test_string_default_and_where_filtering(spark, tmp_path):
@@ -147,5 +147,66 @@ def test_datasource_batch_read_applies_defaults(spark, tmp_path):
 
 def test_non_scalar_default_rejected(spark, tmp_path):
     t = _table(spark, tmp_path, name="default.dflt7")
+    ddl_before = t.metadata.schema_ddl
     with pytest.raises(ValueError, match="scalar"):
         t.add_column("xs", "array<bigint>", default=[1, 2])
+    # a caught rejection must not leave a phantom column behind
+    # (review finding: validation used to run after the DDL mutation)
+    assert t.metadata.schema_ddl == ddl_before
+
+
+def test_equality_delete_sees_defaults_on_both_read_paths(spark, tmp_path):
+    """Review finding: the DataSource applied equality deletes against
+    physical values BEFORE defaults, so a delete keyed on the defaulted
+    column missed pre-add rows that table.read() masks."""
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        register,
+    )
+
+    register(spark)
+    t = _table(spark, tmp_path, name="default.dflt8")
+    t.insert(_rows(spark, [(1, "a"), (2, "b")]))
+    t.add_column("score", "bigint", default=7)
+    t.insert(_rows(spark, [(3, "c", 7), (4, "d", 8)], DDL + ", score bigint"))
+    t.equality_delete(
+        one_part(spark, [(7,)], "score bigint"), equality_columns=["score"]
+    )
+    want = {4}  # rows 1,2 read score=7 via the default; row 3 physically 7
+    assert {r["k"] for r in t.read().collect()} == want
+    ds = (
+        spark.read.format("lakehouse")
+        .option("location", t.metadata.location)
+        .load()
+    )
+    assert {r["k"] for r in ds.collect()} == want
+
+
+def test_post_add_writer_omitting_column_reads_default(spark, tmp_path):
+    """Presence rule (review finding): a file committed AFTER the add but
+    physically lacking the column (a writer racing the ADD COLUMN, or an
+    API insert with the old frame shape) still reads the default —
+    Iceberg's field-id-presence semantics, via the write-time column
+    harvest; the sequence watermark alone would say NULL."""
+    t = _table(spark, tmp_path, name="default.dflt9")
+    t.insert(_rows(spark, [(1, "a")]))
+    t.add_column("score", "bigint", default=7)
+    t.insert(_rows(spark, [(2, "b")]))  # old shape: no score column
+    got = {r["k"]: r["score"] for r in t.read().collect()}
+    assert got == {1: 7, 2: 7}
+
+
+def test_sql_default_null_means_no_default(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh_sqln"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.n (k BIGINT) USING iceberg")
+    eng.sql("INSERT INTO demo.default.n VALUES (1)")
+    eng.sql("ALTER TABLE demo.default.n ADD COLUMN score BIGINT DEFAULT NULL")
+    t = eng.table("demo.default.n")
+    assert "score" not in t.metadata.column_defaults
+    assert [r["score"] for r in t.read().collect()] == [None]
+    with pytest.raises(ValueError, match="DEFAULT literal"):
+        eng.sql(
+            "ALTER TABLE demo.default.n ADD COLUMN bad BIGINT DEFAULT junk"
+        )
