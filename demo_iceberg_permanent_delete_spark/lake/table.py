@@ -2239,6 +2239,7 @@ class LakeTable:
             T.StructField("record_count", T.LongType()),
             T.StructField("file_size_in_bytes", T.LongType()),
             T.StructField("added_snapshot_id", T.LongType()),
+            T.StructField("sequence_number", T.LongType()),
         ]
     )
 
@@ -2479,6 +2480,7 @@ class LakeTable:
             [
                 T.StructField("status", T.IntegerType()),
                 T.StructField("snapshot_id", T.LongType()),
+                T.StructField("sequence_number", T.LongType()),
                 T.StructField("data_file", self._FILE_STRUCT),
             ]
         )
@@ -2495,6 +2497,7 @@ class LakeTable:
                         (
                             status,
                             s.snapshot_id,
+                            e.sequence_number,
                             (e.content, e.file_path, "parquet", e.record_count, e.file_size_in_bytes),
                         )
                     )
@@ -2506,6 +2509,7 @@ class LakeTable:
                                 (
                                     2,
                                     s.snapshot_id,
+                                    e.sequence_number,
                                     (
                                         e.content,
                                         e.file_path,
@@ -2536,6 +2540,7 @@ class LakeTable:
             "record_count",
             "file_size_in_bytes",
             "added_snapshot_id",
+            "sequence_number",
         )
         rems = ev.filter(F.col("kind") == "remove").select(
             "view_snapshot_id",
@@ -2556,6 +2561,7 @@ class LakeTable:
             .cast("int")
             .alias("status"),
             F.col("view_snapshot_id").alias("snapshot_id"),
+            F.col("sequence_number"),
             F.struct(
                 F.col("content"),
                 F.col("file_path"),

@@ -80,6 +80,13 @@ def test_entries_is_current_snapshot_slice_of_all_entries(spark, tmp_path):
     ) == sorted((r["status"], r["data_file"]["file_path"]) for r in all_cur)
     # the current snapshot added the delete file → at least one added entry
     assert any(r["status"] == 1 for r in entries)
+    # Iceberg's .entries carries the per-entry data sequence number: the
+    # entries this commit ADDED bear a strictly higher sequence than the
+    # carried-forward ones
+    added_seq = {r["sequence_number"] for r in entries if r["status"] == 1}
+    carried_seq = {r["sequence_number"] for r in entries if r["status"] == 0}
+    assert added_seq and None not in added_seq
+    assert all(a > c for a in added_seq for c in carried_seq)
 
 
 def test_manifests_is_current_ancestry_of_all_manifests(spark, tmp_path):
