@@ -64,11 +64,27 @@ def expire_snapshots(
     recent ancestors of the current snapshot are kept even when older than
     the cutoff — the rollback-window guarantee age-based expiry alone
     can't give.
+
+    Refs carrying ``max_ref_age_ms`` (Iceberg's ref retention property)
+    are REMOVED first when their referenced snapshot is older than that
+    age — an aged-out tag/branch stops protecting its snapshot, which
+    then expires under the normal rules. Ageless refs protect forever.
     """
     cutoff_ms = _to_ms(older_than)
     meta = table.metadata
-    # the current snapshot and every ref'd (tag/branch) snapshot survive —
-    # Iceberg's retention rule: expiry never breaks a named ref
+    # ref retention first: an aged-out ref no longer protects
+    now = now_ms()
+    aged_out = [
+        name
+        for name, r in meta.refs.items()
+        if r.get("max_ref_age_ms") is not None
+        and now - meta.snapshot_by_id(int(r["snapshot_id"])).committed_at_ms
+        > int(r["max_ref_age_ms"])
+    ]
+    for name in aged_out:
+        del meta.refs[name]
+    # the current snapshot and every SURVIVING ref'd (tag/branch) snapshot
+    # survive — Iceberg's retention rule: expiry never breaks a named ref
     protected = {meta.current_snapshot_id} | {
         int(r["snapshot_id"]) for r in meta.refs.values()
     }
@@ -90,7 +106,13 @@ def expire_snapshots(
         if s.committed_at_ms < cutoff_ms and s.snapshot_id not in protected
     ]
     if not expired:
-        return {"expired_snapshots": 0, "deleted_files": 0}
+        if aged_out:  # ref removal alone still needs to commit
+            meta.commit()
+        return {
+            "expired_snapshots": 0,
+            "deleted_files": 0,
+            "removed_refs": len(aged_out),
+        }
     expired_ids = {s.snapshot_id for s in expired}
     survivors = [s for s in meta.snapshots if s.snapshot_id not in expired_ids]
 
@@ -115,7 +137,11 @@ def expire_snapshots(
         if path and os.path.exists(path):
             os.remove(path)
             deleted += 1
-    return {"expired_snapshots": len(expired), "deleted_files": deleted}
+    return {
+        "expired_snapshots": len(expired),
+        "deleted_files": deleted,
+        "removed_refs": len(aged_out),
+    }
 
 
 def remove_orphan_files(

@@ -1175,21 +1175,48 @@ class LakeTable:
     # (fast_forward). Both protect their snapshot from expire_snapshots —
     # the Iceberg retention rule that makes tags useful for audits.
 
-    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
-        self._create_ref(name, snapshot_id, "tag")
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        *,
+        max_ref_age_ms: int | None = None,
+    ) -> None:
+        self._create_ref(name, snapshot_id, "tag", max_ref_age_ms)
 
-    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
-        self._create_ref(name, snapshot_id, "branch")
+    def create_branch(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        *,
+        max_ref_age_ms: int | None = None,
+    ) -> None:
+        self._create_ref(name, snapshot_id, "branch", max_ref_age_ms)
 
-    def _create_ref(self, name: str, snapshot_id: int | None, kind: str) -> None:
+    def _create_ref(
+        self,
+        name: str,
+        snapshot_id: int | None,
+        kind: str,
+        max_ref_age_ms: int | None = None,
+    ) -> None:
+        """``max_ref_age_ms`` (Iceberg's ref property of the same name):
+        expire_snapshots REMOVES the ref — and with it its protection —
+        once the referenced snapshot is older than this; None = the ref
+        never ages out (the default, and the pre-upgrade behavior)."""
         if name in self.metadata.refs or name == "main":
             raise ValueError(f"ref {name!r} already exists")
         if snapshot_id is None:
             snapshot_id = self.metadata.current_snapshot_id
         if snapshot_id is None:
             raise ValueError("table has no snapshot to reference")
+        if max_ref_age_ms is not None and max_ref_age_ms <= 0:
+            raise ValueError("max_ref_age_ms must be positive")
         self.metadata.snapshot_by_id(snapshot_id)  # raises if unknown
-        self.metadata.refs[name] = {"snapshot_id": snapshot_id, "type": kind}
+        ref: dict[str, Any] = {"snapshot_id": snapshot_id, "type": kind}
+        if max_ref_age_ms is not None:
+            ref["max_ref_age_ms"] = int(max_ref_age_ms)
+        self.metadata.refs[name] = ref
         self.metadata.commit()
 
     def drop_ref(self, name: str) -> None:
@@ -2208,12 +2235,18 @@ class LakeTable:
                 T.StructField("name", T.StringType()),
                 T.StructField("type", T.StringType()),
                 T.StructField("snapshot_id", T.LongType()),
+                T.StructField("max_reference_age_in_ms", T.LongType()),
             ]
         )
         rows = [
-            ("main", "BRANCH", self.metadata.current_snapshot_id),
+            ("main", "BRANCH", self.metadata.current_snapshot_id, None),
         ] + [
-            (name, r["type"].upper(), int(r["snapshot_id"]))
+            (
+                name,
+                r["type"].upper(),
+                int(r["snapshot_id"]),
+                r.get("max_ref_age_ms"),
+            )
             for name, r in sorted(self.metadata.refs.items())
         ]
         return self.spark.createDataFrame(rows, schema)

@@ -210,3 +210,78 @@ def test_sql_default_null_means_no_default(spark, tmp_path):
         eng.sql(
             "ALTER TABLE demo.default.n ADD COLUMN bad BIGINT DEFAULT junk"
         )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_randomized_defaults_composition(spark, tmp_path, seed):
+    """Randomized interleaving of inserts (pre-add shape, post-add shape,
+    post-add shape omitting the defaulted column), a mid-sequence ADD
+    COLUMN ... DEFAULT, deletes and compaction — engine read vs a plain
+    dict model after every step."""
+    import random
+
+    from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+        rewrite_data_files,
+    )
+
+    rnd = random.Random(4200 + seed)
+    cat = Catalog(spark, str(tmp_path / f"whr{seed}"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.rdflt", DDL)
+
+    model: dict[int, tuple[str, int | None]] = {}  # k -> (name, score)
+    next_k = 0
+    added = False
+    add_step = rnd.randint(1, 4)
+
+    def check(step, op):
+        got = sorted(
+            (r["k"], r["name"], r["score"] if added else None)
+            for r in t.read().collect()
+        )
+        want = sorted((k, n, s if added else None) for k, (n, s) in model.items())
+        assert got == want, f"seed {seed} step {step} after {op}"
+
+    for step in range(10):
+        if step == add_step:
+            t.add_column("score", "bigint", default=7)
+            added = True
+            # every existing row now reads the default
+            model = {k: (n, 7) for k, (n, _) in model.items()}
+            check(step, "add_column")
+            continue
+        choice = rnd.random()
+        if choice < 0.5 or not model:
+            n = rnd.randint(1, 3)
+            ks = list(range(next_k, next_k + n))
+            next_k += n
+            if not added or rnd.random() < 0.4:
+                # old shape (pre-add, or a post-add writer omitting the
+                # column — the presence rule fills the default either way:
+                # pre-add rows read it once it exists, omitting post-add
+                # rows read it immediately)
+                t.insert(_rows(spark, [(k, f"n{k}") for k in ks]))
+                for k in ks:
+                    model[k] = (f"n{k}", 7)
+                op = f"insert_old{n}"
+            else:
+                vals = [(k, f"n{k}", rnd.choice([None, k])) for k in ks]
+                t.insert(_rows(spark, vals, DDL + ", score bigint"))
+                for k, nm, s in vals:
+                    model[k] = (nm, s)
+                op = f"insert_new{n}"
+        elif choice < 0.75:
+            k = rnd.choice(list(model))
+            t.delete(f"k = {k}")
+            del model[k]
+            op = f"delete {k}"
+        else:
+            rewrite_data_files(t)
+            op = "rewrite"
+        if not added:
+            # the default column doesn't exist yet — compare 2-col shape
+            got = sorted((r["k"], r["name"]) for r in t.read().collect())
+            want = sorted((k, n) for k, (n, _) in model.items())
+            assert got == want, f"seed {seed} step {step} after {op}"
+        else:
+            check(step, op)

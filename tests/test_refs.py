@@ -153,3 +153,57 @@ def test_timestamp_as_of_travel(table):
     # only one selector at a time
     with pytest.raises(ValueError, match="only one of"):
         table.read(snapshot_id=first.snapshot_id, as_of=mid)
+
+
+def test_max_ref_age_aged_out_ref_stops_protecting(table):
+    """Iceberg's max_ref_age_ms: expire_snapshots removes a ref whose
+    referenced snapshot is older than the age, and the snapshot then
+    expires under the normal rules; ageless refs protect forever."""
+    from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+        expire_snapshots,
+    )
+
+    first = table.metadata.snapshots[0].snapshot_id
+    # the fixture's snapshots were committed milliseconds ago, so a 1 ms
+    # age is already exceeded while a huge age is not
+    table.create_tag("ephemeral", first, max_ref_age_ms=1)
+    table.create_branch("forever", first)  # ageless — protects
+    import time
+
+    time.sleep(0.01)
+    stats = expire_snapshots(table, dt.datetime(2100, 1, 1), retain_last=1)
+    assert stats["removed_refs"] == 1
+    assert "ephemeral" not in table.metadata.refs
+    # the ageless ref still protects the snapshot
+    assert stats["expired_snapshots"] == 0
+    assert table.read(ref="forever").count() == 2
+    table.refresh()
+    assert "ephemeral" not in table.metadata.refs  # removal committed
+
+    # drop the ageless ref: now the snapshot expires
+    table.drop_ref("forever")
+    stats = expire_snapshots(table, dt.datetime(2100, 1, 1), retain_last=1)
+    assert stats["expired_snapshots"] == 1
+    with pytest.raises(SnapshotNotFoundError):
+        table.read(snapshot_id=first)
+
+
+def test_max_ref_age_unexpired_ref_still_protects(table):
+    from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+        expire_snapshots,
+    )
+
+    first = table.metadata.snapshots[0].snapshot_id
+    table.create_tag("fresh", first, max_ref_age_ms=10**12)
+    stats = expire_snapshots(table, dt.datetime(2100, 1, 1), retain_last=1)
+    assert stats["removed_refs"] == 0
+    assert stats["expired_snapshots"] == 0
+    assert table.read(ref="fresh").count() == 2
+    # the age rides the .refs view (Iceberg's max_reference_age_in_ms)
+    ages = {
+        r["name"]: r["max_reference_age_in_ms"]
+        for r in table.meta("refs").collect()
+    }
+    assert ages["fresh"] == 10**12 and ages["main"] is None
+    with pytest.raises(ValueError, match="positive"):
+        table.create_tag("bad", first, max_ref_age_ms=0)
