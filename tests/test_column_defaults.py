@@ -285,3 +285,34 @@ def test_randomized_defaults_composition(spark, tmp_path, seed):
             assert got == want, f"seed {seed} step {step} after {op}"
         else:
             check(step, op)
+
+
+def test_streaming_read_applies_defaults(spark, tmp_path):
+    """The incremental-append streaming source ships per-task defaults:
+    a file appended BEFORE the ADD COLUMN ... DEFAULT streams the default
+    when read after it."""
+    from pyspark.sql.types import StructType
+
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        LakeStreamReader,
+    )
+
+    t = _table(spark, tmp_path, name="default.dflt10")
+    t.insert(_rows(spark, [(1, "a")]))
+    t.add_column("score", "bigint", default=13)
+    t.insert(_rows(spark, [(2, "b", 20)], DDL + ", score bigint"))
+    reader = LakeStreamReader(
+        StructType.fromDDL("k bigint, name string, score bigint"),
+        {"location": t.metadata.location, "starting-offset": "earliest"},
+    )
+    off, end = reader.initialOffset(), reader.latestOffset()
+    got = {}
+    for p in reader.partitions(off, end):
+        if p.file_path is None:
+            continue
+        for rb in reader.read(p):
+            for k, s in zip(
+                rb.column("k").to_pylist(), rb.column("score").to_pylist()
+            ):
+                got[k] = s
+    assert got == {1: 13, 2: 20}

@@ -282,3 +282,39 @@ def test_lineage_survives_sharded_fold(spark, tmp_path):
     rewrite_manifests(t)
     t.refresh()
     assert _lineage(t) == before
+
+
+def test_wap_publish_and_cherrypick_preserve_lineage(spark, tmp_path):
+    """WAP staging and both publish paths keep row identity: staged rows
+    draw fresh ids at the branch commit and carry them to main unchanged;
+    a cherry-pick onto a diverged main replays the SAME entries."""
+    t = _table(spark, tmp_path, name="default.linwap")
+    t.insert(_rows(spark, [(1, "a", 1.0)]))
+    before = _lineage(t)
+
+    # fast-forward publish
+    t.create_branch("audit")
+    staged = t.insert(_rows(spark, [(2, "b", 2.0)]), branch="audit")
+    staged_lin = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in t.read(ref="audit", lineage=True).collect()
+    }
+    assert staged_lin[1] == before[1]
+    assert staged_lin[2][0] not in {rid for rid, _ in before.values()}
+    assert staged_lin[2][1] == staged.sequence_number
+    t.fast_forward("main", staged.snapshot_id)
+    assert _lineage(t) == staged_lin
+
+    # cherry-pick publish onto a DIVERGED main
+    t.create_branch("audit2")
+    staged2 = t.insert(_rows(spark, [(3, "c", 3.0)]), branch="audit2")
+    t.insert(_rows(spark, [(4, "d", 4.0)]))  # main diverges
+    staged2_lin = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in t.read(ref="audit2", lineage=True).collect()
+    }
+    t.cherrypick_snapshot(staged2.snapshot_id)
+    after = _lineage(t)
+    assert after[3] == staged2_lin[3]  # replayed entry keeps its identity
+    rids = [rid for rid, _ in after.values()]
+    assert len(rids) == len(set(rids))
