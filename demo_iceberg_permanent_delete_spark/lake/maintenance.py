@@ -123,8 +123,14 @@ def expire_snapshots(
     spark = table.spark
     surv_paths = [(e.file_path,) for s in survivors for e in s.manifest]
     exp_paths = [(e.file_path,) for s in expired for e in s.manifest]
-    surv_df = spark.createDataFrame(surv_paths or [("",)], "file_path string").distinct()
-    exp_df = spark.createDataFrame(exp_paths or [("",)], "file_path string").distinct()
+    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
+
+    surv_df = _local_frame(
+        spark, surv_paths or [("",)], "file_path string"
+    ).distinct()
+    exp_df = _local_frame(
+        spark, exp_paths or [("",)], "file_path string"
+    ).distinct()
     doomed = [r["file_path"] for r in exp_df.join(surv_df, "file_path", "left_anti").collect()]
 
     # Drops headers + expired delta files; survivors whose ancestry crossed
@@ -173,7 +179,10 @@ def remove_orphan_files(
     table.refresh()
     spark = table.spark
     listing = list_files(spark, os.path.join(table.location, "data"), suffix=".parquet")
-    referenced = spark.createDataFrame(
+    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
+
+    referenced = _local_frame(
+        spark,
         [(p,) for p in table.metadata.all_referenced_files()] or [("",)],
         "file_path string",
     )
@@ -527,8 +536,12 @@ def rewrite_position_delete_files(table) -> dict[str, int]:
         return {"rewritten_delete_files_count": 0, "added_delete_files_count": 0}
 
     spark = table.spark
-    live_data = spark.createDataFrame(
-        [(e.file_path,) for e in snap.data_files()] or [("",)], "file_path string"
+    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
+
+    live_data = _local_frame(
+        spark,
+        [(e.file_path,) for e in snap.data_files()] or [("",)],
+        "file_path string",
     )
     dels = table._pos_delete_rows(delete_entries).select(
         F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
