@@ -316,3 +316,50 @@ def test_streaming_read_applies_defaults(spark, tmp_path):
             ):
                 got[k] = s
     assert got == {1: 13, 2: 20}
+
+
+def test_cdc_stream_applies_defaults(spark, tmp_path):
+    """The CDC streaming source ships per-task defaults too: INSERT events
+    replayed from pre-add commits and DELETE (masked) events over pre-add
+    files both show the default, matching the batch changelog."""
+    from pyspark.sql.types import StructType
+
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        LakeCdcStreamReader,
+    )
+
+    t = _table(
+        spark,
+        tmp_path,
+        name="default.dfltcdc",
+        props={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(_rows(spark, [(1, "a"), (2, "b")]))
+    t.add_column("score", "bigint", default=17)
+    t.delete("k = 1")  # masked DELETE over a pre-add file
+    schema = StructType.fromDDL(
+        "k bigint, name string, score bigint, _change_type string,"
+        " _change_ordinal int, _commit_snapshot_id bigint"
+    )
+    reader = LakeCdcStreamReader(
+        schema,
+        {
+            "location": t.metadata.location,
+            "starting-offset": "earliest",
+            "mode": "cdc",
+        },
+    )
+    off, end = reader.initialOffset(), reader.latestOffset()
+    events = []
+    for p in reader.partitions(off, end):
+        if getattr(p, "file_path", None) is None:
+            continue
+        for rb in reader.read(p):
+            for k, s, ct in zip(
+                rb.column("k").to_pylist(),
+                rb.column("score").to_pylist(),
+                rb.column("_change_type").to_pylist(),
+            ):
+                events.append((k, s, ct))
+    assert (1, 17, "INSERT") in events and (2, 17, "INSERT") in events
+    assert (1, 17, "DELETE") in events  # the masked row shows the default
