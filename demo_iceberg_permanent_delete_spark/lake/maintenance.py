@@ -30,6 +30,7 @@ from demo_iceberg_permanent_delete_spark.lake.datafiles import (
     write_data_files,
 )
 from demo_iceberg_permanent_delete_spark.lake.errors import UnsafeOperationError
+from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
 from demo_iceberg_permanent_delete_spark.lake.metadata import (
     CONTENT_DATA,
     CONTENT_EQUALITY_DELETES,
@@ -49,6 +50,23 @@ def _to_ms(ts: dt.datetime | int) -> int:
             ts = ts.replace(tzinfo=dt.timezone.utc)
         return int(ts.timestamp() * 1000)
     return int(ts)
+
+
+def _commit_or_refresh(table) -> None:
+    """Commit a staged maintenance mutation; on a CAS conflict, reload the
+    head FIRST so the in-memory view (refs deleted, snapshots removed)
+    matches persisted truth before the conflict surfaces — a caller that
+    catches and retries then recomputes from reality instead of silently
+    skipping work it believes already happened (review finding)."""
+    from demo_iceberg_permanent_delete_spark.lake.errors import (
+        CommitConflictError,
+    )
+
+    try:
+        table.metadata.commit()
+    except CommitConflictError:
+        table.refresh()
+        raise
 
 
 def expire_snapshots(
@@ -107,7 +125,7 @@ def expire_snapshots(
     ]
     if not expired:
         if aged_out:  # ref removal alone still needs to commit
-            meta.commit()
+            _commit_or_refresh(table)
         return {
             "expired_snapshots": 0,
             "deleted_files": 0,
@@ -123,8 +141,6 @@ def expire_snapshots(
     spark = table.spark
     surv_paths = [(e.file_path,) for s in survivors for e in s.manifest]
     exp_paths = [(e.file_path,) for s in expired for e in s.manifest]
-    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
-
     surv_df = _local_frame(
         spark, surv_paths or [("",)], "file_path string"
     ).distinct()
@@ -136,7 +152,7 @@ def expire_snapshots(
     # Drops headers + expired delta files; survivors whose ancestry crossed
     # an expired snapshot get a materialized base delta first.
     meta.remove_snapshots(expired_ids)
-    meta.commit()
+    _commit_or_refresh(table)
 
     deleted = 0
     for path in doomed:
@@ -179,8 +195,6 @@ def remove_orphan_files(
     table.refresh()
     spark = table.spark
     listing = list_files(spark, os.path.join(table.location, "data"), suffix=".parquet")
-    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
-
     referenced = _local_frame(
         spark,
         [(p,) for p in table.metadata.all_referenced_files()] or [("",)],
@@ -536,8 +550,6 @@ def rewrite_position_delete_files(table) -> dict[str, int]:
         return {"rewritten_delete_files_count": 0, "added_delete_files_count": 0}
 
     spark = table.spark
-    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
-
     live_data = _local_frame(
         spark,
         [(e.file_path,) for e in snap.data_files()] or [("",)],

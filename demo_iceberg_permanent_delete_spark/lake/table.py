@@ -141,7 +141,7 @@ def _local_frame(spark: SparkSession, rows: list, ddl: str) -> DataFrame:
     NULL under the explicit schema."""
     import pandas as pd
 
-    schema = T._parse_datatype_string(ddl)
+    schema = T.StructType.fromDDL(ddl)
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(

@@ -37,18 +37,22 @@ def one_part(spark, rows, ddl):
     (measured ~4.3 s even for 100 rows); a pandas frame ships as ONE
     Arrow batch (~0.1 s) with the same single-file, ordered result.
     """
-    import pandas as pd
-
-    schema = spark.createDataFrame([], ddl).schema if isinstance(ddl, str) else ddl
-    rows = list(rows)
-    if not rows:
-        return spark.createDataFrame([], schema)
-    pdf = pd.DataFrame(rows, columns=schema.names)
     # The Arrow path still slices the frame into defaultParallelism
     # partitions, but they are JVM-side Arrow batches — coalesce(1) over
     # them is a cheap local concat (~0.1 s), not 32 sequential Python
-    # worker evaluations.
-    return spark.createDataFrame(pdf, schema).coalesce(1)
+    # worker evaluations. The trick itself lives in the library
+    # (table._local_frame — the production broadcast-dimension builder).
+    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
+
+    rows = list(rows)
+    if isinstance(ddl, str):
+        return _local_frame(spark, rows, ddl).coalesce(1)
+    if not rows:
+        return spark.createDataFrame([], ddl)
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=ddl.names)
+    return spark.createDataFrame(pdf, ddl).coalesce(1)
 
 
 @pytest.fixture(scope="session")
