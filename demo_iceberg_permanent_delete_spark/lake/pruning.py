@@ -814,6 +814,21 @@ def scope_delete_files(
         return list(delete_entries)
     paths = sorted(e.file_path for e in data_entries)
     path_set = set(paths)
+    # hoisted once — the eq-delete branch used to recompute per-candidate
+    # sequences and bounds PER DELETE FILE, an O(deletes × candidates ×
+    # key columns) rescan of identical values (review-style constant
+    # factor; at 100 TB planning both factors reach the thousands)
+    cand_seqs: list[int] | None = None
+    min_cand_seq = -1
+    cand_bounds: dict[str, list] = {}
+
+    def _cand_bounds(col: str) -> list:
+        got = cand_bounds.get(col)
+        if got is None:
+            got = [_bounds_for(d, col) for d in data_entries]
+            cand_bounds[col] = got
+        return got
+
     out: list[ManifestEntry] = []
     for e in delete_entries:
         if e.content == 1:  # position deletes / DVs
@@ -837,31 +852,39 @@ def scope_delete_files(
             continue
         if e.content == 2 and e.equality_columns:
             if snap_order is not None or e.sequence_number is not None:
+                if cand_seqs is None:
+                    cand_seqs = [
+                        entry_sequence(d, snap_order) for d in data_entries
+                    ]
+                    min_cand_seq = min(cand_seqs)
                 dseq = entry_sequence(e, snap_order)
-                live = [
-                    d
-                    for d in data_entries
-                    if entry_sequence(d, snap_order) < dseq
+                if dseq <= min_cand_seq:
+                    continue  # sequence rule: nothing it can apply to
+                live_idx = [
+                    i for i, s in enumerate(cand_seqs) if s < dseq
                 ]
             else:
-                live = data_entries
-            if not live:
-                continue  # sequence rule: nothing it can apply to
+                live_idx = range(len(data_entries))
             nulls = e.null_counts or {}
+            # per-key-column delete bounds, resolved once per delete file
+            key_bounds = [
+                (c, _bounds_for(e, c))
+                for c in e.equality_columns
+                if nulls.get(c) == 0  # NULL keys → bounds can't prove
+            ]
 
-            def pair_may_match(d: ManifestEntry) -> bool:
-                for c in e.equality_columns:
-                    if nulls.get(c) != 0:
-                        continue  # NULL keys possible → bounds can't prove
-                    db = _bounds_for(e, c)
-                    fb = _bounds_for(d, c)
-                    if db is None or fb is None:
+            def pair_may_match(i: int) -> bool:
+                for c, db in key_bounds:
+                    if db is None:
+                        continue
+                    fb = _cand_bounds(c)[i]
+                    if fb is None:
                         continue
                     if not _ranges_overlap(db[0], db[1], fb[0], fb[1]):
                         return False  # this column proves disjointness
                 return True
 
-            if any(pair_may_match(d) for d in live):
+            if any(pair_may_match(i) for i in live_idx):
                 out.append(e)
             continue
         out.append(e)  # unknown content / keyless eq delete: keep
