@@ -308,6 +308,46 @@ class LakeEngine:
             self.spark, {"table": t.name, "status": f"added column {m.group('col')}"}
         )
 
+    def _alter_create_ref(self, m: re.Match) -> DataFrame:
+        """Iceberg SQL extensions: ``ALTER TABLE t CREATE TAG|BRANCH name
+        [AS OF VERSION snapshot_id] [RETAIN n DAYS|HOURS|MINUTES]`` —
+        RETAIN maps to the ref's max_ref_age_ms (expire_snapshots removes
+        aged-out refs)."""
+        t = self.table(m.group("name"))
+        kind = m.group("kind").lower()
+        snap_id = int(m.group("version")) if m.group("version") else None
+        age_ms = None
+        if m.group("retain"):
+            per_unit = {
+                "day": 86_400_000,
+                "hour": 3_600_000,
+                "minute": 60_000,
+            }[m.group("unit").lower().rstrip("s")]
+            age_ms = int(m.group("retain")) * per_unit
+        fn = t.create_tag if kind == "tag" else t.create_branch
+        fn(m.group("ref"), snap_id, max_ref_age_ms=age_ms)
+        return _one_row_df(
+            self.spark,
+            {"table": t.name, "status": f"created {kind} {m.group('ref')}"},
+        )
+
+    def _alter_drop_ref(self, m: re.Match) -> DataFrame:
+        """``ALTER TABLE t DROP TAG|BRANCH name`` — rejects a kind
+        mismatch (dropping a branch with DROP TAG is a user error, not a
+        silent removal)."""
+        t = self.table(m.group("name"))
+        kind = m.group("kind").lower()
+        ref = t.metadata.refs.get(m.group("ref"))
+        if ref is not None and ref["type"] != kind:
+            raise ValueError(
+                f"ref {m.group('ref')!r} is a {ref['type']}, not a {kind}"
+            )
+        t.drop_ref(m.group("ref"))
+        return _one_row_df(
+            self.spark,
+            {"table": t.name, "status": f"dropped {kind} {m.group('ref')}"},
+        )
+
     def _alter_drop_column(self, m: re.Match) -> DataFrame:
         t = self.table(m.group("name"))
         t.drop_column(m.group("col"))
@@ -971,6 +1011,25 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _alter_add_column,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+CREATE\s+"
+                r"(?P<kind>TAG|BRANCH)\s+(?P<ref>\w+)"
+                r"(?:\s+AS\s+OF\s+VERSION\s+(?P<version>\d+))?"
+                r"(?:\s+RETAIN\s+(?P<retain>\d+)\s+"
+                r"(?P<unit>DAYS?|HOURS?|MINUTES?))?$",
+                re.I | re.S,
+            ),
+            _alter_create_ref,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+"
+                r"(?P<kind>TAG|BRANCH)\s+(?P<ref>\w+)$",
+                re.I | re.S,
+            ),
+            _alter_drop_ref,
         ),
         (
             re.compile(

@@ -207,3 +207,43 @@ def test_max_ref_age_unexpired_ref_still_protects(table):
     assert ages["fresh"] == 10**12 and ages["main"] is None
     with pytest.raises(ValueError, match="positive"):
         table.create_tag("bad", first, max_ref_age_ms=0)
+
+
+def test_sql_create_and_drop_tag_branch(spark, tmp_path):
+    """Iceberg SQL extensions: ALTER TABLE ... CREATE TAG|BRANCH
+    [AS OF VERSION n] [RETAIN n DAYS], DROP TAG|BRANCH."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh_refs"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.r (k BIGINT) USING iceberg")
+    eng.sql("INSERT INTO demo.default.r VALUES (1)")
+    eng.sql("INSERT INTO demo.default.r VALUES (2)")
+    t = eng.table("demo.default.r")
+    first = t.metadata.snapshots[0].snapshot_id
+
+    eng.sql(
+        f"ALTER TABLE demo.default.r CREATE TAG v1 AS OF VERSION {first} "
+        "RETAIN 7 DAYS"
+    )
+    eng.sql("ALTER TABLE demo.default.r CREATE BRANCH audit")
+    t.refresh()
+    assert t.metadata.refs["v1"] == {
+        "snapshot_id": first,
+        "type": "tag",
+        "max_ref_age_ms": 7 * 86_400_000,
+    }
+    assert t.metadata.refs["audit"]["type"] == "branch"
+    # named time travel through the SQL surface still works
+    got = eng.sql(
+        "SELECT k FROM demo.default.r VERSION AS OF 'v1'"
+    ).collect()
+    assert [r["k"] for r in got] == [1]
+
+    # kind mismatch is a user error, not a silent removal
+    with pytest.raises(ValueError, match="is a branch"):
+        eng.sql("ALTER TABLE demo.default.r DROP TAG audit")
+    eng.sql("ALTER TABLE demo.default.r DROP BRANCH audit")
+    eng.sql("ALTER TABLE demo.default.r DROP TAG v1")
+    t.refresh()
+    assert t.metadata.refs == {}
