@@ -634,6 +634,8 @@ class LakeEngine:
         proc = m.group("proc").lower()
         positional = {
             "rollback_to_snapshot": ["table", "snapshot_id"],
+            "rollback_to_timestamp": ["table", "timestamp"],
+            "set_current_snapshot": ["table", "snapshot_id"],
             "create_changelog_view": ["table", "changelog_view"],
             "cherrypick_snapshot": ["table", "snapshot_id"],
             "fast_forward": ["table", "branch", "to"],
@@ -654,8 +656,22 @@ class LakeEngine:
                 net=bool(args.get("net_changes", False)),
             ).createOrReplaceTempView(view)
             return _one_row_df(self.spark, {"changelog_view": view})
-        if proc == "rollback_to_snapshot":
+        if proc in ("rollback_to_snapshot", "set_current_snapshot"):
+            # set_current_snapshot is Iceberg's unconditional form of the
+            # same pointer move; this engine's rollback_to_snapshot
+            # already validates the id, which covers both contracts
             t.rollback_to_snapshot(int(args["snapshot_id"]))
+            return _one_row_df(
+                self.spark,
+                {
+                    "previous_snapshot_id": t.metadata.snapshots[-1].snapshot_id,
+                    "current_snapshot_id": t.metadata.current_snapshot_id,
+                },
+            )
+        if proc == "rollback_to_timestamp":
+            # Iceberg's procedure: move to the latest snapshot committed
+            # at or before the timestamp
+            t.rollback_to_snapshot(t.snapshot_as_of(args["timestamp"]))
             return _one_row_df(
                 self.spark,
                 {

@@ -247,3 +247,35 @@ def test_sql_create_and_drop_tag_branch(spark, tmp_path):
     eng.sql("ALTER TABLE demo.default.r DROP TAG v1")
     t.refresh()
     assert t.metadata.refs == {}
+
+
+def test_call_rollback_to_timestamp_and_set_current_snapshot(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh_rb"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.rb (k BIGINT) USING iceberg")
+    eng.sql("INSERT INTO demo.default.rb VALUES (1)")
+    t = eng.table("demo.default.rb")
+    first = t.metadata.snapshots[0]
+    import datetime as dt
+
+    cut = dt.datetime.fromtimestamp(
+        (first.committed_at_ms + 1) / 1000, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    eng.sql("INSERT INTO demo.default.rb VALUES (2)")
+    assert eng.sql("SELECT k FROM demo.default.rb").count() == 2
+    row = eng.sql(
+        "CALL demo.system.rollback_to_timestamp('demo.default.rb', "
+        f"TIMESTAMP '{cut}')"
+    ).collect()[0]
+    assert row["current_snapshot_id"] == first.snapshot_id
+    assert eng.sql("SELECT k FROM demo.default.rb").count() == 1
+    # set_current_snapshot moves the pointer forward again
+    t.refresh()
+    head = t.metadata.snapshots[-1].snapshot_id
+    eng.sql(
+        "CALL demo.system.set_current_snapshot("
+        f"table => 'demo.default.rb', snapshot_id => {head})"
+    )
+    assert eng.sql("SELECT k FROM demo.default.rb").count() == 2
