@@ -452,13 +452,20 @@ def add_files(table, source: str, *, pattern: str = "*.parquet") -> dict[str, in
         n_rows, mins, maxs, nulls = _footer_stats(p)
         if n_rows == 0:
             continue
-        file_cols = set(pq.ParquetFile(p).schema_arrow.names)
-        missing = table_cols - file_cols
+        file_cols = list(pq.ParquetFile(p).schema_arrow.names)
+        # columns carrying an initial default may be absent — that is the
+        # exact case the default covers (the read fills it by presence)
+        defaulted = set(getattr(table.metadata, "column_defaults", {}))
+        missing = table_cols - set(file_cols) - defaulted
         if missing:
             raise ValueError(
                 f"{p} is missing table columns {sorted(missing)}; "
                 "add_files requires schema-compatible files"
             )
+        from demo_iceberg_permanent_delete_spark.lake.datafiles import (
+            _COLUMNS_HARVEST_MAX,
+        )
+
         entries.append(
             ManifestEntry(
                 file_path=p,
@@ -468,6 +475,13 @@ def add_files(table, source: str, *, pattern: str = "*.parquet") -> dict[str, in
                 min_values={k: _jsonable(v) for k, v in mins.items()},
                 max_values={k: _jsonable(v) for k, v in maxs.items()},
                 null_counts=dict(nulls),
+                # physical-presence harvest, same rule as write_data_files:
+                # initial-default resolution needs it for imported files
+                columns=(
+                    file_cols
+                    if len(file_cols) <= _COLUMNS_HARVEST_MAX
+                    else None
+                ),
             )
         )
     if not entries:

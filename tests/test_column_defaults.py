@@ -363,3 +363,50 @@ def test_cdc_stream_applies_defaults(spark, tmp_path):
                 events.append((k, s, ct))
     assert (1, 17, "INSERT") in events and (2, 17, "INSERT") in events
     assert (1, 17, "DELETE") in events  # the masked row shows the default
+
+
+def test_add_files_import_missing_defaulted_column(spark, tmp_path):
+    """add_files accepts a foreign file lacking a DEFAULTed column (that
+    is exactly the case the default covers) and its rows read the default
+    by physical presence, despite the post-add sequence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = _table(spark, tmp_path, name="default.dfltadd")
+    t.insert(_rows(spark, [(1, "a")]))
+    t.add_column("score", "bigint", default=31)
+    foreign = tmp_path / "ext"
+    foreign.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array([9], pa.int64()), "name": pa.array(["x"])}),
+        str(foreign / "f.parquet"),
+    )
+    stats = t.add_files(str(foreign))
+    assert stats["added_files_count"] == 1
+    got = {r["k"]: r["score"] for r in t.read().collect()}
+    assert got == {1: 31, 9: 31}
+
+
+def test_defaults_survive_sharded_fold(spark, tmp_path):
+    """rewrite_manifests on a partitioned table (sharded fold) preserves
+    the per-entry column harvest, so defaults keep resolving after the
+    fold and through scoped scans of the folded shards."""
+    from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+        rewrite_manifests,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "whf"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.dfltshard", DDL, partition_by=["name"])
+    for grp in ("a", "b", "c"):
+        t.insert(_rows(spark, [(ord(grp), grp)]))
+    t.add_column("score", "bigint", default=23)
+    t.insert(
+        _rows(spark, [(1000, "a", 5)], DDL + ", score bigint")
+    )
+    before = {r["k"]: r["score"] for r in t.read().collect()}
+    rewrite_manifests(t)
+    t.refresh()
+    assert {r["k"]: r["score"] for r in t.read().collect()} == before
+    got = {r["k"]: r["score"] for r in t.scan("name = 'a'").collect()}
+    assert got == {ord("a"): 23, 1000: 5}
