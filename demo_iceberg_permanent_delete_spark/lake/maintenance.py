@@ -92,13 +92,16 @@ def expire_snapshots(
     meta = table.metadata
     # ref retention first: an aged-out ref no longer protects
     now = now_ms()
-    aged_out = [
-        name
-        for name, r in meta.refs.items()
-        if r.get("max_ref_age_ms") is not None
-        and now - meta.snapshot_by_id(int(r["snapshot_id"])).committed_at_ms
-        > int(r["max_ref_age_ms"])
-    ]
+    aged_out = []
+    for name, r in meta.refs.items():
+        if r.get("max_ref_age_ms") is None:
+            continue
+        # resolve defensively: a dangling ref (corrupt or hand-edited
+        # metadata) no longer protects anything — treat it as removable
+        # rather than aborting the whole maintenance pass
+        snap = meta._maybe_snapshot(int(r["snapshot_id"]))
+        if snap is None or now - snap.committed_at_ms > int(r["max_ref_age_ms"]):
+            aged_out.append(name)
     for name in aged_out:
         del meta.refs[name]
     # the current snapshot and every SURVIVING ref'd (tag/branch) snapshot

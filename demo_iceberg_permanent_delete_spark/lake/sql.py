@@ -660,22 +660,30 @@ class LakeEngine:
             # set_current_snapshot is Iceberg's unconditional form of the
             # same pointer move; this engine's rollback_to_snapshot
             # already validates the id, which covers both contracts
+            previous = t.metadata.current_snapshot_id
             t.rollback_to_snapshot(int(args["snapshot_id"]))
             return _one_row_df(
                 self.spark,
                 {
-                    "previous_snapshot_id": t.metadata.snapshots[-1].snapshot_id,
+                    "previous_snapshot_id": previous,
                     "current_snapshot_id": t.metadata.current_snapshot_id,
                 },
             )
         if proc == "rollback_to_timestamp":
-            # Iceberg's procedure: move to the latest snapshot committed
-            # at or before the timestamp
-            t.rollback_to_snapshot(t.snapshot_as_of(args["timestamp"]))
+            # Iceberg's rollbackToTime boundary is STRICTLY before the
+            # timestamp (RollbackToTimestampProcedure -> rollbackToTime);
+            # snapshot_as_of is at-or-before, so back the cutoff off 1 ms
+            ts = args["timestamp"]
+            if isinstance(ts, dt.datetime):
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=dt.timezone.utc)
+                ts = int(ts.timestamp() * 1000)
+            previous = t.metadata.current_snapshot_id
+            t.rollback_to_snapshot(t.snapshot_as_of(int(ts) - 1))
             return _one_row_df(
                 self.spark,
                 {
-                    "previous_snapshot_id": t.metadata.snapshots[-1].snapshot_id,
+                    "previous_snapshot_id": previous,
                     "current_snapshot_id": t.metadata.current_snapshot_id,
                 },
             )

@@ -188,6 +188,24 @@ def test_max_ref_age_aged_out_ref_stops_protecting(table):
         table.read(snapshot_id=first)
 
 
+def test_dangling_aged_ref_is_removed_not_fatal(table):
+    """A ref whose snapshot id no longer resolves (corrupt / hand-edited
+    metadata) must not abort the whole expire_snapshots pass: an aged
+    dangling ref protects nothing and is simply removed (ADVICE r8)."""
+    from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+        expire_snapshots,
+    )
+
+    table.metadata.refs["ghost"] = {
+        "snapshot_id": 999_999_999,
+        "type": "tag",
+        "max_ref_age_ms": 1,
+    }
+    stats = expire_snapshots(table, dt.datetime(2100, 1, 1), retain_last=1)
+    assert "ghost" not in table.metadata.refs
+    assert stats["removed_refs"] == 1
+
+
 def test_max_ref_age_unexpired_ref_still_protects(table):
     from demo_iceberg_permanent_delete_spark.lake.maintenance import (
         expire_snapshots,
@@ -279,3 +297,51 @@ def test_call_rollback_to_timestamp_and_set_current_snapshot(spark, tmp_path):
         f"table => 'demo.default.rb', snapshot_id => {head})"
     )
     assert eng.sql("SELECT k FROM demo.default.rb").count() == 2
+
+
+def test_rollback_reports_true_previous_and_strict_time_boundary(
+    spark, tmp_path
+):
+    """ADVICE r8: (a) previous_snapshot_id is the pointer BEFORE the move,
+    even when the current snapshot is not the list tail (second rollback);
+    (b) rollback_to_timestamp uses Iceberg's strictly-before boundary — a
+    timestamp exactly equal to a snapshot's commit time lands one earlier."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh_rb2"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.rb2 (k BIGINT) USING iceberg")
+    for k in (1, 2, 3):
+        eng.sql(f"INSERT INTO demo.default.rb2 VALUES ({k})")
+    t = eng.table("demo.default.rb2")
+    s1, s2, s3 = [s.snapshot_id for s in t.metadata.snapshots]
+
+    row = eng.sql(
+        f"CALL demo.system.rollback_to_snapshot('demo.default.rb2', {s2})"
+    ).collect()[0]
+    assert row["previous_snapshot_id"] == s3
+    assert row["current_snapshot_id"] == s2
+    # second rollback: current (s2) is NOT the snapshot-list tail
+    row = eng.sql(
+        f"CALL demo.system.rollback_to_snapshot('demo.default.rb2', {s1})"
+    ).collect()[0]
+    assert row["previous_snapshot_id"] == s2
+    assert row["current_snapshot_id"] == s1
+
+    # strict boundary: ts == s2's commit time resolves to s1, not s2
+    t.refresh()
+    eng.sql(
+        f"CALL demo.system.set_current_snapshot('demo.default.rb2', {s3})"
+    )
+    import datetime as dt
+
+    s2_ms = t.metadata.snapshot_by_id(s2).committed_at_ms
+    cut = dt.datetime.fromtimestamp(
+        s2_ms / 1000, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    row = eng.sql(
+        "CALL demo.system.rollback_to_timestamp('demo.default.rb2', "
+        f"TIMESTAMP '{cut}')"
+    ).collect()[0]
+    assert row["previous_snapshot_id"] == s3
+    assert row["current_snapshot_id"] == s1

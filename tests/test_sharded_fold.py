@@ -227,6 +227,58 @@ def test_truncate_transform_shards(cat):
     assert t2.metadata.delta_file_reads < len(head.shards)
 
 
+def test_shard_cap_bound_is_cap_plus_two(cat):
+    """_MAX_FOLD_SHARDS caps the partition-value groups; the catch-all and
+    delete shards ride ON TOP (≤ cap+2 files total, by design — round-8
+    carried item). Unit-level: feed _shard_groups 3× the cap in distinct
+    identity keys plus a loose (no-stats) entry and a delete entry."""
+    from demo_iceberg_permanent_delete_spark.lake.metadata import (
+        CONTENT_DATA,
+        CONTENT_POSITION_DELETES,
+    )
+
+    c, spark = cat
+    t = c.create_table(
+        "default.sfcap", "id bigint, k bigint", partition_by=["k"]
+    )
+    meta = t.metadata
+    cap = meta._MAX_FOLD_SHARDS
+    entries = [
+        ManifestEntry(
+            file_path=f"/x/data-{k}.parquet",
+            content=CONTENT_DATA,
+            record_count=1,
+            file_size_in_bytes=10,
+            min_values={"k": k},
+            max_values={"k": k},
+        )
+        for k in range(cap * 3)
+    ]
+    # a data entry with no stats lands in the catch-all shard
+    entries.append(
+        ManifestEntry(
+            file_path="/x/loose.parquet",
+            content=CONTENT_DATA,
+            record_count=1,
+            file_size_in_bytes=10,
+        )
+    )
+    entries.append(
+        ManifestEntry(
+            file_path="/x/del.parquet",
+            content=CONTENT_POSITION_DELETES,
+            record_count=1,
+            file_size_in_bytes=10,
+        )
+    )
+    groups = meta._shard_groups(entries)
+    assert groups is not None
+    assert len(groups) == cap + 2  # cap merged groups + catch-all + deletes
+    assert sum(len(g) for g in groups) == len(entries)
+    # without loose/delete entries the bound is exactly the cap
+    assert len(meta._shard_groups(entries[: cap * 3])) == cap
+
+
 def test_unpartitioned_fold_stays_single_file(cat):
     c, spark = cat
     t = c.create_table("default.sf7", "id bigint, v bigint")
