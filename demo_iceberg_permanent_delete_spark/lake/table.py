@@ -1733,6 +1733,88 @@ class LakeTable:
         self.metadata.commit()
         return snapshot
 
+    def upsert(
+        self,
+        df: DataFrame,
+        on: list[str],
+        *,
+        extra_properties: dict[str, str] | None = None,
+    ) -> Snapshot:
+        """Equality-delete upsert — Iceberg's Flink-writer upsert commit:
+        ONE snapshot carrying an equality-delete file on the key columns
+        ``on`` plus the batch's data files. Older rows with the same keys
+        are masked at read time by the sequence rule (a delete masks only
+        data files with a STRICTLY SMALLER sequence number; this commit's
+        own data files share its sequence, so the new rows survive their
+        own delete). No table-side read, join, or rewrite happens at write
+        time — the cost is O(batch) regardless of table size, which is
+        what makes per-micro-batch streaming upserts viable at 100 TB;
+        ``rewrite_data_files`` folds the accumulated eq-deletes later.
+
+        The caller is responsible for at-most-one-row-per-key within
+        ``df`` (the streaming sink dedups); duplicate keys inside one
+        batch would BOTH survive, same as Iceberg's upsert writer.
+
+        ``extra_properties`` commit atomically with the snapshot and are
+        re-applied on every CAS-conflict rebase, like :meth:`insert` —
+        the streaming marker depends on this. An upsert never conflicts
+        semantically with a concurrent append (both are add-only), so
+        rebase-and-retry is sound.
+        """
+        from demo_iceberg_permanent_delete_spark.lake.errors import (
+            CommitConflictError,
+        )
+
+        table_cols = {f.name for f in self.schema().fields}
+        missing = [c for c in on if c not in table_cols]
+        if missing:
+            raise ValueError(f"upsert key columns not in table schema: {missing}")
+        data_entries = self._write_data(
+            self._cluster_for_write(df),
+            target_file_size_bytes=self._write_target_size(),
+        )
+        delete_entries: list[ManifestEntry] = []
+        if self.metadata.current_snapshot() is not None:
+            # nothing below to mask on an empty table — skip the delete
+            # file entirely (first-batch fast path)
+            delete_entries = write_data_files(
+                df.select(*on).distinct(),
+                self.data_dir,
+                content=CONTENT_EQUALITY_DELETES,
+                prefix="eqdelete",
+            )
+            for e in delete_entries:
+                e.equality_columns = list(on)
+        new_entries = delete_entries + data_entries
+        last_err: CommitConflictError | None = None
+        for _attempt in range(5):
+            if extra_properties:
+                self.metadata.properties.update(extra_properties)
+            snap = self.metadata.current_snapshot()
+            base = list(snap.manifest) if snap else []
+            snapshot = self.metadata.add_snapshot(
+                "overwrite",
+                base + new_entries,
+                summary={
+                    "added-files": len(data_entries),
+                    "added-equality-delete-files": len(delete_entries),
+                },
+            )
+            for e in new_entries:
+                e.added_snapshot_id = snapshot.snapshot_id
+            try:
+                self.metadata.commit()
+                return snapshot
+            except CommitConflictError as err:
+                last_err = err
+                # same rebase rule as insert(): the failed attempt's
+                # sequence/row-id assignments were consumed by the winner
+                for e in new_entries:
+                    e.sequence_number = None
+                    e.first_row_id = None
+                self.refresh()
+        raise last_err
+
     def merge(
         self,
         source: DataFrame,
