@@ -392,6 +392,9 @@ def lake_rewrite_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
+_UPDATE_PRED = "l_returnflag = 'N' AND l_linenumber = 1"
+
+
 @query(
     "lake_incremental_read",
     oracle=f"""
@@ -405,15 +408,35 @@ def lake_rewrite_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT 'changelog', 'DELETE', 2, * FROM lineitem
     WHERE (({_SUBSET}) OR l_orderkey % 10 = 5)
       AND COALESCE(l_returnflag = 'R', FALSE)
+    UNION ALL
+    SELECT 'lineage_update', 'UPDATE_PRE', 3, * FROM lineitem
+    WHERE l_orderkey % 100 = 0 AND {_UPDATE_PRED}
+    UNION ALL
+    SELECT 'lineage_update', 'UPDATE_POST', 3,
+      l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      l_quantity + 1000 AS l_quantity, l_extendedprice, l_discount, l_tax,
+      l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0 AND {_UPDATE_PRED}
     """,
 )
 def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental/CDC reads, both Iceberg surfaces in one hash-checked
+    """Incremental/CDC reads, the Iceberg surfaces in one hash-checked
     entry: (a) the incremental append scan — reading the range after the
     first snapshot returns exactly the second batch, manifest-only
     planning; (b) the changelog scan (create_changelog_view parity) over
     insert → insert → MOR delete, emitting INSERT rows per append ordinal
-    and DELETE rows for exactly the position-deleted rows."""
+    and DELETE rows for exactly the position-deleted rows; (c) row-lineage
+    changelog pairing (X54, hash-checked per the round-8 verdict): a MOR
+    UPDATE's DELETE and INSERT changelog rows are joined 1:1 on ``_row_id``
+    via ``changes(lineage=True)`` — the pairing itself is the assertion
+    (a value-matching consumer could not distinguish which old row became
+    which new row; identity can) — and the paired old/new images are
+    emitted as UPDATE_PRE/UPDATE_POST feeds the oracle reproduces from
+    plain SQL. The lineage feed runs on a dedicated 1/100-of-lineitem
+    table — the semantics are table-size-independent and the changelog
+    lineage read re-reads every referenced file, so a small table keeps
+    the entry's bench cost at the pre-extension level."""
     t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
     try:
         snap1 = t.metadata.current_snapshot_id
@@ -431,7 +454,45 @@ def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_commit_snapshot_id")
             .select(F.lit("changelog").alias("feed"), "*")
         )
-        return inc.unionByName(chg).localCheckpoint(eager=True)
+        # (c) MOR update on the small lineage table, then pair its
+        # changelog rows by row identity
+        cat2 = Catalog(spark, warehouse)
+        t2 = cat2.create_table(
+            "default.lineitem_upd",
+            _LINEITEM_DDL,
+            properties={"write.update.mode": "merge-on-read"},
+        )
+        t2.insert(li.filter("l_orderkey % 100 = 0"))
+        pre_update_head = t2.metadata.current_snapshot_id
+        t2.update({"l_quantity": F.col("l_quantity") + 1000}, _UPDATE_PRED)
+        data_cols = [c.strip().split()[0] for c in _LINEITEM_DDL.split(",")]
+        upd = t2.changes(
+            start_snapshot_id=pre_update_head, lineage=True
+        ).localCheckpoint(eager=True)
+        pre = upd.filter(F.col("_change_type") == "DELETE").select(
+            "_row_id", *data_cols
+        )
+        post = upd.filter(F.col("_change_type") == "INSERT").select(
+            "_row_id", *data_cols
+        )
+        pairs = pre.alias("d").join(
+            post.alias("i"), on="_row_id", how="inner"
+        ).localCheckpoint(eager=True)
+        n_pre, n_post, n_pairs = pre.count(), post.count(), pairs.count()
+        assert 0 < n_pairs == n_pre == n_post, (
+            f"lineage pairing must be a bijection: {n_pre=} {n_post=} {n_pairs=}"
+        )
+
+        def _feed(side: str, kind: str) -> DataFrame:
+            return pairs.select(
+                F.lit("lineage_update").alias("feed"),
+                F.lit(kind).alias("_change_type"),
+                F.lit(3).alias("_change_ordinal"),
+                *[F.col(f"{side}.{c}").alias(c) for c in data_cols],
+            )
+
+        paired = _feed("d", "UPDATE_PRE").unionByName(_feed("i", "UPDATE_POST"))
+        return inc.unionByName(chg).unionByName(paired).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 
@@ -441,12 +502,19 @@ def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH evolved AS (
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-             o_orderdate, o_orderpriority, CAST(NULL AS VARCHAR) AS o_note
+             o_orderdate, o_orderpriority, CAST(NULL AS VARCHAR) AS o_note,
+             'web' AS o_channel
       FROM orders WHERE o_orderkey % 10 = 0
       UNION ALL
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-             o_orderdate, o_orderpriority, 'backfill' AS o_note
+             o_orderdate, o_orderpriority, 'backfill' AS o_note,
+             'web' AS o_channel
       FROM orders WHERE o_orderkey % 10 = 5
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, CAST(NULL AS VARCHAR) AS o_note,
+             'app' AS o_channel
+      FROM orders WHERE o_orderkey % 10 = 7
     ),
     dim AS (
       SELECT c_custkey AS o_custkey, c_mktsegment
@@ -459,12 +527,17 @@ def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALTER TABLE ADD COLUMN then append: pre-evolution files null-fill the
     new column at read (declared-schema scans), post-evolution rows carry
-    values — no file rewrite anywhere. The evolved table is then joined to
-    a customer-segment dimension lake table through the stats-driven
-    planner (lake/planner.plan_join): the manifest-truth byte estimate
-    picks the broadcast side — the decision Iceberg feeds Catalyst via
-    reported stats (reference docker-compose.yml:23-30 wires the Iceberg
-    extensions for exactly this), made here from this layer's manifests."""
+    values — no file rewrite anywhere. A second ADD COLUMN carries an
+    INITIAL DEFAULT (X55, hash-checked per the round-8 verdict): every row
+    written before the add reads the default ('web') across BOTH earlier
+    eras with zero rewrites, while the post-add batch carries its physical
+    value ('app') — the era boundary rides the hashed output. The evolved
+    table is then joined to a customer-segment dimension lake table through
+    the stats-driven planner (lake/planner.plan_join): the manifest-truth
+    byte estimate picks the broadcast side — the decision Iceberg feeds
+    Catalyst via reported stats (reference docker-compose.yml:23-30 wires
+    the Iceberg extensions for exactly this), made here from this layer's
+    manifests."""
     warehouse = tempfile.mkdtemp(prefix="lakeq-")
     cat = Catalog(spark, warehouse)
     cat.create_namespace("default")
@@ -478,6 +551,20 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_note", F.lit("backfill")
             )
         )
+        t.add_column("o_channel", "string", default="web")
+        t.insert(
+            orders.filter("o_orderkey % 10 = 7")
+            .withColumn("o_note", F.lit(None).cast("string"))
+            .withColumn("o_channel", F.lit("app"))
+        )
+        # the defaulted column is metadata-resolved, not rewritten: files
+        # from both pre-add eras carry no physical o_channel at all
+        no_chan = [
+            e
+            for e in t.metadata.current_snapshot().data_files()
+            if "o_channel" not in e.min_values
+        ]
+        assert no_chan, "pre-add files must not physically carry o_channel"
         dim = cat.create_table(
             "default.cust_dim", "o_custkey bigint, c_mktsegment string"
         )
@@ -495,11 +582,11 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Facade per-scan pruning, driver-visible (X39/X41): a SQL
         # statement whose WHERE provably scopes this table registers the
         # manifest-PRUNED scan (lake/scanscope.py → scan(prune_only)).
-        # `o_note IS NULL` prunes the post-evolution files via their
-        # recorded null_count=0 while pre-evolution files (no o_note
-        # stats) are conservatively kept — so the scan must read strictly
-        # fewer files than the table holds, and its count must equal the
-        # manifest-derived pre-evolution row total.
+        # `o_note IS NULL` prunes the era-2 files via their recorded
+        # null_count=0 while era-1 files (no o_note stats) and era-3
+        # files (all-null o_note) are conservatively kept — so the scan
+        # must read strictly fewer files than the table holds, and its
+        # count must equal the manifest-derived null-note row total.
         from demo_iceberg_permanent_delete_spark.lake import LakeEngine
 
         eng = LakeEngine(spark, warehouse)
@@ -514,8 +601,9 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert 0 < n_scan < len(data_files), (n_scan, len(data_files))
         expected = sum(
             e.record_count
-            for e in data_files
             if "o_note" not in e.null_counts
+            else e.null_counts["o_note"]
+            for e in data_files
         )
         assert pruned.count() == expected, (pruned.count(), expected)
         return joined.localCheckpoint(eager=True)
