@@ -35,7 +35,12 @@ API, shipped in this container). All heavy work happens on EXECUTORS:
   stream — each micro-batch emits exactly what ``LakeTable.changes()``
   yields for its snapshot range (INSERT/DELETE rows with the Iceberg
   changelog column triple), one executor task per touched file per
-  commit; differentially tested against the batch changelog.
+  commit; differentially tested against the batch changelog. With
+  ``option("lineage", "true")`` each row additionally carries
+  ``_row_id``/``_last_updated_sequence_number`` resolved by the v3
+  inheritance rule (executor-side twin of ``changes(lineage=True)``):
+  file-global positions ride the delete merge so an UPDATE's DELETE and
+  INSERT rows pair by row identity straight off the stream.
 - **Batch write**: each task streams its Arrow batches into one parquet
   file and reports footer stats in its commit message; the driver commit
   registers all files in ONE snapshot (append, or overwrite for
@@ -81,6 +86,10 @@ def _ensure_importable() -> None:
 
 
 # --------------------------------------------------------------- helpers
+def _truthy(v) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
+
+
 def _load_meta(options):
     """Resolve the table's TableMetadata from reader/writer options:
     ``location`` (table root) or ``warehouse`` + ``table`` (catalog
@@ -192,6 +201,38 @@ def _apply_defaults(tbl, defaults: Sequence[tuple[str, object]]):
             arr = pa.array([v] * tbl.num_rows).cast(fld.type)
         tbl = tbl.set_column(i, fld, arr)
     return tbl
+
+
+def _resolve_lineage(tbl, first_row_id, file_sequence):
+    """(_row_id, _last_updated_sequence_number) int64 arrays for a raw
+    (pre-conform) table carrying ``__gpos`` file-global positions —
+    executor-side twin of lake/table.py _attach_lineage: the file's
+    MATERIALIZED lineage column value wins per row (rewrites carry ids
+    forward that way), a NULL inherits first_row_id + position / the
+    file's data sequence number, and a pre-upgrade file (both None)
+    resolves to honest NULL. The reserved column names are never
+    renamed, so no rename-chain lookup applies."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    gpos = tbl.column("__gpos")
+
+    def _mat(name):
+        if name in tbl.column_names:
+            return pc.cast(tbl.column(name), pa.int64())
+        return pa.nulls(n, pa.int64())
+
+    if first_row_id is None:
+        inherit_rid = pa.nulls(n, pa.int64())
+    else:
+        inherit_rid = pc.add(gpos, pa.scalar(first_row_id, pa.int64()))
+    rid = pc.coalesce(_mat("_row_id"), inherit_rid)
+    seq = pc.coalesce(
+        _mat("_last_updated_sequence_number"),
+        pa.scalar(file_sequence, pa.int64()),
+    )
+    return rid, seq
 
 
 def _tombstone_positions(
@@ -362,6 +403,7 @@ def _visible_table(
     row_groups: tuple[int, int] | None = None,
     row_offset: int = 0,
     defaults_typed: Sequence[tuple[str, object, object]] = (),
+    with_positions: bool = False,
 ):
     """Executor-side MOR read of one data file → visible pyarrow Table
     (position/DV/equality deletes applied, NOT yet schema-conformed).
@@ -376,7 +418,13 @@ def _visible_table(
     file predates, injected BEFORE the equality-delete merge — a delete
     keyed on the defaulted column must mask rows whose READ value is the
     default, exactly like the table-side path (review finding: applying
-    them only after the merge let pre-add rows dodge the delete)."""
+    them only after the merge let pre-add rows dodge the delete).
+
+    ``with_positions``: append a ``__gpos`` int64 column holding each
+    row's FILE-GLOBAL position before any delete filtering — the
+    surviving rows then carry the positions row-lineage inheritance
+    needs (_row_id = first_row_id + position; lake/table.py
+    _attach_lineage is the table-side twin)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -386,6 +434,13 @@ def _visible_table(
     else:
         tbl = pq.ParquetFile(path).read_row_groups(
             list(range(row_groups[0], row_groups[1]))
+        )
+    if with_positions:
+        tbl = tbl.append_column(
+            "__gpos",
+            pa.array(
+                np.arange(row_offset, row_offset + tbl.num_rows), pa.int64()
+            ),
         )
     for c, v, typ in defaults_typed:
         if c not in tbl.column_names:
@@ -1329,6 +1384,14 @@ class CdcPartition(InputPartition):
     row_offset: int = 0
     # initial defaults this file predates (see LakeFilePartition)
     defaults: tuple = ()
+    # row lineage (option lineage=true): emit _row_id /
+    # _last_updated_sequence_number resolved by the Iceberg v3
+    # inheritance rule — the file's materialized column value when
+    # present, else first_row_id + position / the file's data sequence
+    # (both None for pre-upgrade manifests → honest NULL)
+    lineage: bool = False
+    first_row_id: int | None = None
+    file_sequence: int | None = None
 
 
 class LakeCdcStreamReader(LakeStreamReader):
@@ -1396,18 +1459,26 @@ class LakeCdcStreamReader(LakeStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         super().__init__(schema, options)
-        tail = [f.name for f in schema.fields[-3:]]
-        if tail != ["_change_type", "_change_ordinal", "_commit_snapshot_id"]:
+        self._lineage = _truthy(options.get("lineage"))
+        expect = ["_change_type", "_change_ordinal", "_commit_snapshot_id"]
+        if self._lineage:
+            expect = [
+                "_row_id",
+                "_last_updated_sequence_number",
+            ] + expect
+        n = len(expect)
+        tail = [f.name for f in schema.fields[-n:]]
+        if tail != expect:
             # a user-supplied .schema(...) bypasses DataSource.schema();
-            # without this check fields[:-3] would chop real data columns
+            # without this check fields[:-n] would chop real data columns
             raise ValueError(
-                "cdc stream schema must end with the changelog column "
-                "triple (_change_type, _change_ordinal, "
-                "_commit_snapshot_id) — omit .schema() and let the "
-                "source derive it"
+                "cdc stream schema must end with the "
+                f"{'lineage + ' if self._lineage else ''}changelog "
+                f"columns {expect} — omit .schema() and let the source "
+                "derive it"
             )
         self._data_arrow_schema = to_arrow_schema(
-            StructType(schema.fields[:-3])
+            StructType(schema.fields[:-n])
         )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -1442,7 +1513,11 @@ class LakeCdcStreamReader(LakeStreamReader):
                 if snap.parent_id is not None
                 else None
             )
-            common = {"ordinal": ordinal, "commit_id": snap.snapshot_id}
+            common = {
+                "ordinal": ordinal,
+                "commit_id": snap.snapshot_id,
+                "lineage": self._lineage,
+            }
             emitted = False
             for e in delta.added:
                 if e.content == CONTENT_DATA:
@@ -1455,6 +1530,8 @@ class LakeCdcStreamReader(LakeStreamReader):
                                 row_groups=rg,
                                 row_offset=off,
                                 defaults=_defaults_for(meta, e),
+                                first_row_id=e.first_row_id,
+                                file_sequence=e.sequence_number,
                                 **common,
                             )
                         )
@@ -1479,6 +1556,8 @@ class LakeCdcStreamReader(LakeStreamReader):
                                 row_groups=rg,
                                 row_offset=off,
                                 defaults=_defaults_for(meta, ent),
+                                first_row_id=ent.first_row_id,
+                                file_sequence=ent.sequence_number,
                                 **common,
                             )
                         )
@@ -1528,6 +1607,12 @@ class LakeCdcStreamReader(LakeStreamReader):
                                     row_groups=rg,
                                     row_offset=off,
                                     defaults=_defaults_for(meta, ent),
+                                    first_row_id=getattr(
+                                        ent, "first_row_id", None
+                                    ),
+                                    file_sequence=getattr(
+                                        ent, "sequence_number", None
+                                    ),
                                     **common,
                                 )
                             )
@@ -1563,6 +1648,8 @@ class LakeCdcStreamReader(LakeStreamReader):
                                     row_groups=rg,
                                     row_offset=off,
                                     defaults=_defaults_for(meta, ent),
+                                    first_row_id=ent.first_row_id,
+                                    file_sequence=ent.sequence_number,
                                     **common,
                                 )
                             )
@@ -1592,6 +1679,7 @@ class LakeCdcStreamReader(LakeStreamReader):
                 defaults_typed=_typed_defaults(
                     self._data_arrow_schema, p.defaults
                 ),
+                with_positions=p.lineage,
             )
         elif p.kind == "masked":
             # tombstoned rows are usually a sliver of the file — read the
@@ -1618,9 +1706,17 @@ class LakeCdcStreamReader(LakeStreamReader):
                 # DV position arrays arrive unclamped — drop out-of-range
                 # positions or splits would emit each other's rows
                 idx = idx[(idx >= rng[0]) & (idx < rng[1])]
+            # clamp to the file's true length FIRST so the emitted rows
+            # stay 1:1 with idx (the lineage __gpos pairing needs that;
+            # _take_positions clamps internally with the same rule)
+            idx = idx[idx < pf.metadata.num_rows]
             tbl = _take_positions(p.file_path, idx, pf=pf)
             if tbl is None:
                 return
+            if p.lineage:
+                tbl = tbl.append_column(
+                    "__gpos", pa.array(idx, type=pa.int64())
+                )
         elif p.kind == "eq":
             # defaults injected BEFORE the eq_match semi-join below: the
             # emitted DELETE rows for a delete keyed on the defaulted
@@ -1636,6 +1732,7 @@ class LakeCdcStreamReader(LakeStreamReader):
                 defaults_typed=_typed_defaults(
                     self._data_arrow_schema, p.defaults
                 ),
+                with_positions=p.lineage,
             )
             matched: set[int] = set()
             for paths, key_cols in p.eq_match:
@@ -1674,6 +1771,12 @@ class LakeCdcStreamReader(LakeStreamReader):
         n = out.num_rows
         if not n:
             return
+        if p.lineage:
+            rid, seq = _resolve_lineage(
+                tbl, p.first_row_id, p.file_sequence
+            )
+            out = out.append_column("_row_id", rid)
+            out = out.append_column("_last_updated_sequence_number", seq)
         out = out.append_column(
             "_change_type", pa.array([p.change_type] * n, pa.string())
         )
@@ -1799,8 +1902,21 @@ class LakeDataSource(DataSource):
 
     def schema(self) -> str:
         _ensure_importable()
-        ddl = _load_meta(self.options).schema_ddl
-        return ddl + _CDC_COLS_DDL if self._cdc() else ddl
+        meta = _load_meta(self.options)
+        ddl = meta.schema_ddl
+        if not self._cdc():
+            return ddl
+        if _truthy(self.options.get("lineage")):
+            declared = {f.split()[0] for f in ddl.split(",")}
+            if {"_row_id", "_last_updated_sequence_number"} & declared:
+                # same rule as LakeTable._lineage_guard: a user schema
+                # claiming the reserved names cannot carry lineage
+                raise ValueError(
+                    "table declares reserved row-lineage column names; "
+                    "rename them to stream CDC with lineage=true"
+                )
+            ddl += ", _row_id bigint, _last_updated_sequence_number bigint"
+        return ddl + _CDC_COLS_DDL
 
     def reader(self, schema: StructType) -> LakeBatchReader:
         _ensure_importable()

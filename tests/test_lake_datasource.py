@@ -1558,3 +1558,132 @@ def test_cdc_regressed_range_fails_loudly_too(registered, cat):
     )
     with pytest.raises(ValueError, match="starting-offset"):
         pinned.partitions(head, first)
+
+
+# ----------------------------------------------------- CDC row lineage
+def _cdc_lineage_rows(spark, t, out_dir, ckpt):
+    stream = (
+        spark.readStream.format("lakehouse")
+        .option("location", t.metadata.location)
+        .option("mode", "cdc")
+        .option("lineage", "true")
+        .option("starting-offset", "earliest")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir)
+
+
+@pytest.mark.slow
+def test_cdc_stream_lineage_matches_batch_changes(registered, cat, tmp_path):
+    """X54 boundary closed (round-8 verdict item 3): streaming CDC with
+    lineage=true must equal the batch changes(lineage=True) — same rows,
+    same _row_id / _last_updated_sequence_number — across the existing
+    mixed-DML matrix (append, MOR delete w/ DV, MOR row-tombstone delete,
+    MOR update, equality delete, COW delete, compaction)."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table(
+        "default.cdclin",
+        "id bigint, grp string, v bigint",
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    t.insert(
+        one_part(
+            spark,
+            [(i, f"g{i % 4}", i * 10) for i in range(40)],
+            "id bigint, grp string, v bigint",
+        )
+    )
+    t.delete("id < 5")  # MOR + deletion vectors (default layout)
+    t.set_properties({"write.delete.vector.enabled": "false"})
+    t.delete("id >= 35")  # MOR row-tombstone layout
+    upd_snap = t.update({"v": F.col("v") + 1}, "id = 10")  # MOR update
+    t.insert(
+        one_part(
+            spark,
+            [(100 + i, "new", i) for i in range(6)],
+            "id bigint, grp string, v bigint",
+        )
+    )
+    t.equality_delete(spark.createDataFrame([("g2",)], "grp string"))
+    t.set_properties({"write.delete.mode": "copy-on-write"})
+    t.delete("v = 20")  # COW: removes+rewrites files
+    t.rewrite_data_files()  # replace snapshot: must emit NOTHING
+
+    got = _cdc_lineage_rows(
+        spark, t, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    want = t.changes(None, None, lineage=True)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _canon(got.select(*want.columns)) == _canon(want)
+    # lineage is resolved, not null-filled: every row of an engine-written
+    # table carries an id, and the MOR update's DELETE/INSERT rows pair
+    # 1:1 on _row_id
+    assert got.filter(F.col("_row_id").isNull()).count() == 0
+    upd = got.filter(
+        (F.col("id") == 10)
+        & (F.col("_commit_snapshot_id") == upd_snap.snapshot_id)
+    )
+    pre = upd.filter(F.col("_change_type") == "DELETE").select("_row_id", "v")
+    post = upd.filter(F.col("_change_type") == "INSERT").select("_row_id", "v")
+    pairs = pre.alias("d").join(post.alias("i"), on="_row_id")
+    assert pairs.count() == pre.count() == post.count() >= 1
+    row = pairs.select(
+        F.col("d.v").alias("old"), F.col("i.v").alias("new")
+    ).collect()
+    assert all(r["new"] == r["old"] + 1 for r in row)
+
+
+@pytest.mark.slow
+def test_cdc_lineage_incremental_and_default_schema_guard(
+    registered, cat, tmp_path
+):
+    """Offsets resume with lineage on (each pass ≡ changes(range,
+    lineage=True)); a user .schema() without the lineage pair fails
+    loudly; a table claiming the reserved names is rejected."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table(
+        "default.cdclin2",
+        "id bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(one_part(spark, [(i, f"v{i}") for i in range(8)], "id bigint, v string"))
+    s0 = t.metadata.current_snapshot_id
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    first = _cdc_lineage_rows(spark, t, out, ck)
+    want0 = t.changes(None, None, lineage=True)
+    assert _canon(first.select(*want0.columns)) == _canon(want0)
+
+    t.delete("id < 3")
+    t.insert(one_part(spark, [(50, "x")], "id bigint, v string"))
+    _cdc_lineage_rows(spark, t, out, ck)
+    all_rows = spark.read.parquet(out)
+    second = t.changes(s0, None, lineage=True)
+    assert all_rows.count() == want0.count() + second.count()
+    got_second = all_rows.filter(F.col("_commit_snapshot_id") != s0)
+    assert _canon(got_second.select(*second.columns)) == _canon(second)
+
+    # reserved-name guard (schema derivation refuses, same as the table)
+    bad = cat.create_table("default.ridclaim", "id bigint, _row_id bigint")
+    with pytest.raises(Exception, match="reserved row-lineage"):
+        (
+            spark.readStream.format("lakehouse")
+            .option("location", bad.metadata.location)
+            .option("mode", "cdc")
+            .option("lineage", "true")
+            .load()
+        )
