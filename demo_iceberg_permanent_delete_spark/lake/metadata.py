@@ -439,6 +439,14 @@ class TableMetadata:
     # Iceberg's initial-default rule expressed through sequence numbers
     # instead of per-file field-id presence.
     column_defaults: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # Iceberg v3 write defaults (ADD COLUMN … DEFAULT sets it alongside
+    # the initial default; ALTER COLUMN … SET DEFAULT changes ONLY it):
+    # declared column name → JSON scalar physically written whenever an
+    # incoming write omits the column. Purely a WRITE-side rule — reads
+    # never consult it (the value is materialized into the data files),
+    # which is exactly the Iceberg split: initial-default governs
+    # pre-add files at read time, write-default governs new writes.
+    write_defaults: dict[str, Any] = field(default_factory=dict)
     version: int = 0
     # runtime caches (never serialized)
     _deltas: dict[int, ManifestDelta] = field(
@@ -513,6 +521,7 @@ class TableMetadata:
             "last_sequence_number": self.last_sequence_number,
             "next_row_id": self.next_row_id,
             "column_defaults": self.column_defaults,
+            "write_defaults": self.write_defaults,
             "version": self.version,
             "snapshots": [s.to_json() for s in self.snapshots],
         }
@@ -553,6 +562,7 @@ class TableMetadata:
             column_defaults={
                 k: dict(v) for k, v in d.get("column_defaults", {}).items()
             },
+            write_defaults=dict(d.get("write_defaults", {})),
             version=d.get("version", 0),
         )
         for raw, snap in zip(d["snapshots"], meta.snapshots):

@@ -280,32 +280,29 @@ class LakeEngine:
     def _alter_add_column(self, m: re.Match) -> DataFrame:
         t = self.table(m.group("name"))
         raw = m.group("default")
-        default = None
-        if raw is not None:
-            # scalar literals only (string/number/boolean) — the v3
-            # initial-default surface; the value is cast to the column
-            # type at read time. DEFAULT NULL = no initial default (the
-            # engine's null-fill is already that behavior).
-            if raw.startswith("'"):
-                default = raw[1:-1].replace("''", "'")
-            elif raw.upper() == "NULL":
-                default = None
-            elif raw.upper() in ("TRUE", "FALSE"):
-                default = raw.upper() == "TRUE"
-            else:
-                try:
-                    default = int(raw)
-                except ValueError:
-                    try:
-                        default = float(raw)
-                    except ValueError:
-                        raise ValueError(
-                            f"unsupported DEFAULT literal {raw!r}: use a "
-                            "quoted string, a number, TRUE/FALSE, or NULL"
-                        ) from None
+        default = None if raw is None else _parse_default_literal(raw)
         t.add_column(m.group("col"), m.group("type").strip(), default=default)
         return _one_row_df(
             self.spark, {"table": t.name, "status": f"added column {m.group('col')}"}
+        )
+
+    def _alter_column_default(self, m: re.Match) -> DataFrame:
+        """ALTER COLUMN … SET DEFAULT lit / DROP DEFAULT (Iceberg v3):
+        moves the WRITE default only — the initial default set at ADD
+        COLUMN is immutable per the spec."""
+        t = self.table(m.group("name"))
+        raw = m.group("default")
+        value = None if raw is None else _parse_default_literal(raw)
+        t.set_default(m.group("col"), value)
+        return _one_row_df(
+            self.spark,
+            {
+                "table": t.name,
+                "status": (
+                    f"column {m.group('col')} write default "
+                    + ("cleared" if value is None else repr(value))
+                ),
+            },
         )
 
     def _alter_create_ref(self, m: re.Match) -> DataFrame:
@@ -478,11 +475,20 @@ class LakeEngine:
         t = self.table(m.group("name"))
         df = self._select(m.group("query").strip())
         fields = t.schema().fields
-        missing = [f.name for f in fields if f.name not in df.columns]
+        missing = [
+            f.name
+            for f in fields
+            if f.name not in df.columns
+            and f.name not in t.metadata.write_defaults
+        ]
         if missing:
             raise ValueError(f"INSERT SELECT is missing columns {missing}")
         aligned = df.select(
-            *[df[f.name].cast(f.dataType).alias(f.name) for f in fields]
+            *[
+                df[f.name].cast(f.dataType).alias(f.name)
+                for f in fields
+                if f.name in df.columns
+            ]
         )
         snap = t.insert(aligned)
         return _one_row_df(
@@ -495,6 +501,17 @@ class LakeEngine:
         # DATE('2023-01-01') (reference :107-109) → standard DATE literal.
         values = re.sub(r"DATE\('([^']*)'\)", r"DATE '\1'", m.group("values"), flags=re.I)
         fields = t.schema().fields
+        listed = m.group("cols")
+        if listed:
+            # INSERT INTO t (a, b) VALUES …: omitted columns get the
+            # write-default physically (insert() materializes it) or
+            # read as NULL when none is set
+            names = [c.strip() for c in listed.split(",")]
+            by_name = {f.name: f for f in fields}
+            unknown = [c for c in names if c not in by_name]
+            if unknown:
+                raise ValueError(f"INSERT column list names unknown columns {unknown}")
+            fields = [by_name[c] for c in names]
         cols = ", ".join(f.name for f in fields)
         raw = self.spark.sql(f"SELECT * FROM (VALUES {values}) AS v({cols})")
         aligned = raw.select(
@@ -1081,6 +1098,15 @@ class LakeEngine:
         ),
         (
             re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ALTER\s+COLUMN\s+"
+                r"(?P<col>\w+)\s+(?:SET\s+DEFAULT\s+(?P<default>.+)|"
+                r"DROP\s+DEFAULT)$",
+                re.I | re.S,
+            ),
+            _alter_column_default,
+        ),
+        (
+            re.compile(
                 r"ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
                 r"(?:\s+FOR\s+COLUMNS\s+(?P<cols>[\w,\s]+))?$",
                 re.I | re.S,
@@ -1089,7 +1115,8 @@ class LakeEngine:
         ),
         (
             re.compile(
-                r"INSERT\s+INTO\s+(?P<name>[\w.]+)\s+VALUES\s+(?P<values>.+)$",
+                r"INSERT\s+INTO\s+(?P<name>[\w.]+)\s*"
+                r"(?:\((?P<cols>[\w,\s]+)\)\s*)?VALUES\s+(?P<values>.+)$",
                 re.I | re.S,
             ),
             _insert_values,
@@ -1184,6 +1211,28 @@ def _split_top_level(text: str) -> list[str]:
 def _parse_kv_props(text: str) -> list[tuple[str, str]]:
     """'k' = 'v', 'k2' = 'v2'  (reference :167-170)."""
     return re.findall(r"'([^']+)'\s*=\s*'([^']*)'", text)
+
+
+def _parse_default_literal(raw: str) -> Any:
+    """Scalar DEFAULT literal (string/number/boolean/NULL) — shared by
+    ADD COLUMN … DEFAULT and ALTER COLUMN … SET DEFAULT."""
+    raw = raw.strip()
+    if raw.startswith("'"):
+        return raw[1:-1].replace("''", "'")
+    if raw.upper() == "NULL":
+        return None
+    if raw.upper() in ("TRUE", "FALSE"):
+        return raw.upper() == "TRUE"
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return float(raw)
+        except ValueError:
+            raise ValueError(
+                f"unsupported DEFAULT literal {raw!r}: use a quoted "
+                "string, a number, TRUE/FALSE, or NULL"
+            ) from None
 
 
 def _parse_literal(text: str) -> Any:

@@ -231,7 +231,63 @@ class LakeTable:
                 # files committed up TO this watermark predate the column
                 "added_seq": self.metadata.last_sequence_number,
             }
+            # Iceberg v3: ADD COLUMN … DEFAULT sets the write-default
+            # alongside the initial default (SET DEFAULT later moves
+            # only the write side)
+            self.metadata.write_defaults[name] = default
         self.metadata.commit()
+
+    def set_default(self, name: str, value: Any) -> None:
+        """ALTER TABLE … ALTER COLUMN ``name`` SET DEFAULT ``value``
+        (Iceberg v3): changes the WRITE default only — future writes that
+        omit the column physically get ``value``; the initial default
+        (what pre-add rows read) is immutable after ADD COLUMN, per the
+        spec. ``value=None`` clears it (DROP DEFAULT)."""
+        if not any(f.name == name for f in self.schema().fields):
+            raise ValueError(f"no such column {name!r}")
+        if value is None:
+            self.metadata.write_defaults.pop(name, None)
+        elif not isinstance(value, (int, float, str, bool)):
+            raise ValueError(
+                "write default must be a JSON scalar literal "
+                f"(int/float/str/bool), got {type(value).__name__}"
+            )
+        else:
+            self.metadata.write_defaults[name] = value
+        self.metadata.commit()
+
+    def _apply_write_defaults(self, df: DataFrame) -> DataFrame:
+        """Materialize write-defaults into an incoming batch: each
+        declared column carrying a write-default that the batch OMITS is
+        added as the literal, cast to the declared type — the value lands
+        physically in the data files (Iceberg writer behavior), so reads
+        never consult the write side. A column the batch carries is
+        untouched (explicit NULL stays NULL)."""
+        wd = self.metadata.write_defaults
+        initials = self.metadata.column_defaults
+        if not wd and not initials:
+            return df
+        declared = {f.name: f.dataType for f in self.schema().fields}
+        missing: dict[str, Any] = {}
+        for c in declared:
+            if c in df.columns:
+                continue
+            if c in wd:
+                missing[c] = wd[c]
+            elif c in initials:
+                # a column with an INITIAL default must land physically
+                # even when the write default was dropped: the read
+                # path's presence rule treats a physically-absent column
+                # as pre-add (racing-writer coverage) and would
+                # resurrect the initial default for these new rows —
+                # explicit NULL is what SQL's dropped-default INSERT
+                # means
+                missing[c] = None
+        if not missing:
+            return df
+        return df.withColumns(
+            {c: F.lit(v).cast(declared[c]) for c, v in missing.items()}
+        )
 
     def drop_column(self, name: str) -> None:
         """ALTER TABLE DROP COLUMN — metadata-only: files keep the physical
@@ -261,6 +317,7 @@ class LakeTable:
             )
         self.metadata.renames.pop(name, None)
         self.metadata.column_defaults.pop(name, None)
+        self.metadata.write_defaults.pop(name, None)
         self.metadata.commit()
 
     # Iceberg's safe type promotions (spec: "Schema Evolution") — widening
@@ -343,6 +400,10 @@ class LakeTable:
             # it onto the conformed column, which the rename chain feeds)
             self.metadata.column_defaults[new] = (
                 self.metadata.column_defaults.pop(old)
+            )
+        if old in self.metadata.write_defaults:
+            self.metadata.write_defaults[new] = (
+                self.metadata.write_defaults.pop(old)
             )
         self.schema()  # validate the DDL parses before committing
         self.metadata.commit()
@@ -1535,7 +1596,7 @@ class LakeTable:
         # rebases and retries on a CAS conflict — an append never conflicts
         # semantically with another writer (Iceberg's fast-append retry).
         new_entries = self._write_data(
-            self._cluster_for_write(df),
+            self._cluster_for_write(self._apply_write_defaults(df)),
             target_file_size_bytes=self._write_target_size(),
         )
         # Incremental ANALYZE (Puffin-style): when stats are fresh for the
@@ -1611,7 +1672,9 @@ class LakeTable:
         raise last_err
 
     def overwrite(self, df: DataFrame) -> Snapshot:
-        new_entries = self._write_data(self._cluster_for_write(df))
+        new_entries = self._write_data(
+            self._cluster_for_write(self._apply_write_defaults(df))
+        )
         snapshot = self.metadata.add_snapshot(
             "overwrite", new_entries, summary={"added-files": len(new_entries)}
         )
@@ -1769,6 +1832,7 @@ class LakeTable:
         missing = [c for c in on if c not in table_cols]
         if missing:
             raise ValueError(f"upsert key columns not in table schema: {missing}")
+        df = self._apply_write_defaults(df)
         data_entries = self._write_data(
             self._cluster_for_write(df),
             target_file_size_bytes=self._write_target_size(),
