@@ -132,16 +132,20 @@ def _parse_sort_order(order: str) -> list[Column]:
     ]
 
 
-def _local_frame(spark: SparkSession, rows: list, ddl: str) -> DataFrame:
-    """Tiny driver-known dimension (a broadcast map, a seq lookup) as ONE
-    Arrow batch: a plain-list createDataFrame slices into
+def _local_frame(
+    spark: SparkSession, rows: list, ddl: str | T.StructType
+) -> DataFrame:
+    """Driver-known rows (a broadcast map, a seq lookup, a metadata view)
+    as ONE Arrow batch: a plain-list createDataFrame slices into
     defaultParallelism Python-worker partitions — 32 worker roundtrips to
-    build a 10-row broadcast (measured ~2.2× slower per build); the
-    pandas path ships JVM-side Arrow batches. None values roundtrip to
-    NULL under the explicit schema."""
+    build a 10-row broadcast (measured ~2.2× slower per build), and a
+    measurable driver stall at 100k-entry metadata views; the pandas path
+    ships JVM-side Arrow batches. None values roundtrip to NULL under the
+    explicit schema. Flat (non-nested) schemas only — struct columns
+    should be projected with ``F.struct`` over a flat frame."""
     import pandas as pd
 
-    schema = T.StructType.fromDDL(ddl)
+    schema = T.StructType.fromDDL(ddl) if isinstance(ddl, str) else ddl
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(
@@ -2497,7 +2501,8 @@ class LakeTable:
                 (e.content, e.file_path, "parquet", e.record_count, e.file_size_in_bytes)
                 for e in snap.manifest
             ]
-            return self.spark.createDataFrame(rows, self._FILE_STRUCT)
+            # one Arrow batch, not a 32-slice plain-list build (ADVICE r8)
+            return _local_frame(self.spark, rows, self._FILE_STRUCT)
         rows_df = self._manifest_rows(self._ancestry(snap))
         adds = rows_df.filter(F.col("kind") == "add")
         rems = rows_df.filter(F.col("kind") == "remove").select("file_path")
@@ -2673,21 +2678,12 @@ class LakeTable:
         joined to a broadcast (snapshot, ancestor) table — the driver ships
         only headers (VERDICT r1 scale fix #2). Below the threshold the
         LocalRelation build wins (no job scheduling, no shuffle)."""
-        schema = T.StructType(
-            [
-                T.StructField("status", T.IntegerType()),
-                T.StructField("snapshot_id", T.LongType()),
-                T.StructField("sequence_number", T.LongType()),
-                T.StructField("data_file", self._FILE_STRUCT),
-            ]
-        )
         est = self._entries_estimate()
         if est is None or est <= _META_LOCAL_MAX_ENTRIES:
             by_id = {s.snapshot_id: s for s in self.metadata.snapshots}
             rows = []
             for s in self.metadata.snapshots:
                 parent = by_id.get(s.parent_id) if s.parent_id is not None else None
-                parent_paths = parent.file_paths() if parent else set()
                 for e in s.manifest:
                     status = 1 if e.added_snapshot_id == s.snapshot_id else 0
                     rows.append(
@@ -2695,7 +2691,10 @@ class LakeTable:
                             status,
                             s.snapshot_id,
                             e.sequence_number,
-                            (e.content, e.file_path, "parquet", e.record_count, e.file_size_in_bytes),
+                            e.content,
+                            e.file_path,
+                            e.record_count,
+                            e.file_size_in_bytes,
                         )
                     )
                 if parent:
@@ -2707,16 +2706,36 @@ class LakeTable:
                                     2,
                                     s.snapshot_id,
                                     e.sequence_number,
-                                    (
-                                        e.content,
-                                        e.file_path,
-                                        "parquet",
-                                        e.record_count,
-                                        e.file_size_in_bytes,
-                                    ),
+                                    e.content,
+                                    e.file_path,
+                                    e.record_count,
+                                    e.file_size_in_bytes,
                                 )
                             )
-            return self.spark.createDataFrame(rows, schema)
+            # flat Arrow batch + struct projection (nested tuples would
+            # force the sliced plain-list build — ADVICE r8); Catalyst's
+            # ConvertToLocalRelation folds the Project back into a
+            # LocalRelation, so downstream summary SQL keeps the no-job
+            # plan the docstring above relies on
+            flat = _local_frame(
+                self.spark,
+                rows,
+                "status int, snapshot_id long, sequence_number long, "
+                "content int, file_path string, record_count long, "
+                "file_size_in_bytes long",
+            )
+            return flat.select(
+                "status",
+                "snapshot_id",
+                "sequence_number",
+                F.struct(
+                    F.col("content"),
+                    F.col("file_path"),
+                    F.lit("parquet").alias("file_format"),
+                    F.col("record_count"),
+                    F.col("file_size_in_bytes"),
+                ).alias("data_file"),
+            )
 
         # distributed path: ancestry pairs are O(snapshots × depth) header
         # rows — tiny next to the O(snapshots × files) output
