@@ -611,13 +611,24 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
+_UPSERT_SLICE = "l_orderkey % 100 = 50 AND l_linenumber = 1"
+
+
 @query(
     "lake_eq_delete",
     oracle=f"""
-    SELECT * FROM lineitem
-    WHERE {_SUBSET} AND NOT COALESCE(l_returnflag = 'R', FALSE)
+    WITH cur AS (
+      SELECT * FROM lineitem
+      WHERE {_SUBSET} AND NOT COALESCE(l_returnflag = 'R', FALSE)
+      UNION ALL
+      SELECT * FROM lineitem WHERE l_orderkey % 10 = 5
+    )
+    SELECT * FROM cur WHERE NOT ({_UPSERT_SLICE})
     UNION ALL
-    SELECT * FROM lineitem WHERE l_orderkey % 10 = 5
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           l_quantity + 500 AS l_quantity, l_extendedprice, l_discount,
+           l_tax, l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem WHERE {_UPSERT_SLICE}
     """,
 )
 def lake_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,8 +637,12 @@ def lake_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete key l_returnflag='R' via an equality-delete file (no data scan
     at write), then append a second batch whose 'R' rows must SURVIVE (the
     delete applies only to files committed before it — sequence rule).
-    rewrite_data_files then purges the delete file and makes the erasure
-    physical."""
+    An equality-delete UPSERT (X56, the Flink-writer commit: one eq-delete
+    file on the keys + the batch's data files in one add-only snapshot)
+    then replaces one key slice — including re-inserting slice rows the
+    first eq-delete had masked — which the oracle reproduces as a plain
+    key-exclusion union. rewrite_data_files then purges every delete file
+    and makes the erasure physical."""
     t, warehouse = _fresh_table(spark, sf_dir, {})
     try:
         t.equality_delete(
@@ -638,6 +653,12 @@ def lake_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), "equality delete must add a content=2 file"
         li = load_table(spark, sf_dir, "lineitem")
         t.insert(li.filter("l_orderkey % 10 = 5"))
+        t.upsert(
+            li.filter(_UPSERT_SLICE).withColumn(
+                "l_quantity", F.col("l_quantity") + 500
+            ),
+            on=["l_orderkey", "l_linenumber"],
+        )
         result = t.read().localCheckpoint(eager=True)
 
         # X36 driver-visible (round-5 verdict item 6): the compaction
@@ -655,7 +676,8 @@ def lake_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         dp = plan_compaction(t)["delete_pressure"]
-        assert dp["eq_delete_files"] == 1 and dp["recommend_rewrite"], dp
+        # the original key delete plus the upsert's eq-delete file
+        assert dp["eq_delete_files"] == 2 and dp["recommend_rewrite"], dp
         # physical purge: the delete-pressure-triggered full rewrite
         # applies the equality deletes and drops the delete file; the
         # batch-1 'R' rows are gone from raw parquet
@@ -668,8 +690,14 @@ def lake_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assert live == result.count(), (live, "manifest rows ≠ visible rows")
         raw = t.read(apply_deletes=False)
+        # the upsert slice legitimately re-inserted its 'R' rows AFTER
+        # the key delete — exclude it from the erasure check
         assert (
-            raw.filter("l_orderkey % 10 = 0 AND l_returnflag = 'R'").count() == 0
+            raw.filter(
+                f"l_orderkey % 10 = 0 AND l_returnflag = 'R' "
+                f"AND NOT ({_UPSERT_SLICE})"
+            ).count()
+            == 0
         ), "post-rewrite raw files must not contain the eq-deleted rows"
         assert raw.filter("l_orderkey % 10 = 5 AND l_returnflag = 'R'").count() > 0
         return result
