@@ -228,6 +228,8 @@ class LakeTable:
             )
         candidate = f"{self.metadata.schema_ddl}, {name} {type_ddl}"
         T._parse_datatype_string(candidate)  # same phantom-column rule
+        if default is not None:
+            self._check_default_casts(name, default, type_ddl)
         self.metadata.schema_ddl = candidate
         if default is not None:
             self.metadata.column_defaults[name] = {
@@ -247,7 +249,10 @@ class LakeTable:
         omit the column physically get ``value``; the initial default
         (what pre-add rows read) is immutable after ADD COLUMN, per the
         spec. ``value=None`` clears it (DROP DEFAULT)."""
-        if not any(f.name == name for f in self.schema().fields):
+        fld = next(
+            (f for f in self.schema().fields if f.name == name), None
+        )
+        if fld is None:
             raise ValueError(f"no such column {name!r}")
         if value is None:
             self.metadata.write_defaults.pop(name, None)
@@ -257,8 +262,31 @@ class LakeTable:
                 f"(int/float/str/bool), got {type(value).__name__}"
             )
         else:
+            self._check_default_casts(name, value, fld.dataType)
             self.metadata.write_defaults[name] = value
         self.metadata.commit()
+
+    def _check_default_casts(
+        self, name: str, value: Any, dtype: str | T.DataType
+    ) -> None:
+        """Reject a DEFAULT literal that does not cast to the column's
+        declared type AT DDL TIME — otherwise every later write would
+        silently materialize NULL where the user expected their default
+        (review finding: cast('oops' AS bigint) is NULL, not an error)."""
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        # try_cast: NULL on failure even under ANSI mode (a plain cast
+        # would throw a SparkNumberFormatException instead)
+        got = (
+            self.spark.range(1)
+            .select(F.lit(value).try_cast(dtype))
+            .first()[0]
+        )
+        if got is None:
+            raise ValueError(
+                f"default {value!r} does not cast to column {name!r}'s "
+                f"type {dtype.simpleString()}"
+            )
 
     def _apply_write_defaults(self, df: DataFrame) -> DataFrame:
         """Materialize write-defaults into an incoming batch: each
@@ -1592,13 +1620,8 @@ class LakeTable:
         the snapshot — re-applied on every rebase attempt, so they survive
         a CAS conflict retry (the streaming sink's batch-id bookkeeping
         depends on this)."""
-        from demo_iceberg_permanent_delete_spark.lake.errors import (
-            CommitConflictError,
-        )
-
         # Data files are written exactly once; only the metadata commit
-        # rebases and retries on a CAS conflict — an append never conflicts
-        # semantically with another writer (Iceberg's fast-append retry).
+        # rebases and retries on a CAS conflict (_commit_retry).
         new_entries = self._write_data(
             self._cluster_for_write(self._apply_write_defaults(df)),
             target_file_size_bytes=self._write_target_size(),
@@ -1616,10 +1639,8 @@ class LakeTable:
 
             stats_base_snapshot = self.metadata.statistics.get("snapshot_id")
             stats_update = maintenance.prepare_append_stats(self, new_entries)
-        last_err: CommitConflictError | None = None
-        for _attempt in range(5):
-            if extra_properties:
-                self.metadata.properties.update(extra_properties)
+
+        def attempt() -> Snapshot:
             if branch is not None:
                 ref = self.metadata.refs.get(branch)
                 if ref is None or ref["type"] != "branch":
@@ -1639,8 +1660,6 @@ class LakeTable:
             )
             if branch is not None:
                 self.metadata.refs[branch]["snapshot_id"] = snapshot.snapshot_id
-            for e in new_entries:
-                e.added_snapshot_id = snapshot.snapshot_id
             # Apply only while the loaded statistics are STILL the ones the
             # batch sketches were unioned against (a rebase after another
             # writer's stats-merging commit must not overwrite — drop the
@@ -1656,19 +1675,49 @@ class LakeTable:
                     **stats_update,
                     "snapshot_id": snapshot.snapshot_id,
                 }
+            return snapshot
+
+        return self._commit_retry(attempt, new_entries, extra_properties)
+
+    def _commit_retry(
+        self,
+        attempt,
+        new_entries: list[ManifestEntry],
+        extra_properties: dict[str, str] | None = None,
+    ) -> Snapshot:
+        """Shared CAS rebase-and-retry for ADD-ONLY commits (insert,
+        upsert): ``attempt`` stages one snapshot from CURRENT metadata and
+        returns it; ``new_entries`` is the live list of entries the
+        attempt adds (it may grow inside ``attempt`` — upsert's rebase
+        writes its delete file late). Data files are written exactly once
+        by the caller; only the metadata commit rebases — add-only
+        commits never conflict semantically with other writers (Iceberg's
+        fast-append retry). ``extra_properties`` are re-applied on every
+        attempt so they survive a rebase.
+
+        On conflict: discard the staged in-memory snapshot, reload the new
+        head, and rebase (the staged delta file on disk is an orphan;
+        remove_orphan_files GCs it). The failed attempt's sequence/row-id
+        assignments were computed off the PRE-conflict counters — the
+        winner consumed the same values, so clearing them makes the
+        rebased add_snapshot assign fresh ones (the only-if-None guard
+        exists for entries already COMMITTED somewhere, not these)."""
+        from demo_iceberg_permanent_delete_spark.lake.errors import (
+            CommitConflictError,
+        )
+
+        last_err: CommitConflictError | None = None
+        for _attempt in range(5):
+            if extra_properties:
+                self.metadata.properties.update(extra_properties)
+            snapshot = attempt()
+            for e in new_entries:
+                e.added_snapshot_id = snapshot.snapshot_id
             try:
                 self.metadata.commit()
                 return snapshot
             except CommitConflictError as err:
                 last_err = err
-                # discard the staged in-memory snapshot, reload the new
-                # head, and rebase (the staged delta file on disk is an
-                # orphan; remove_orphan_files GCs it). The failed
-                # attempt's sequence/row-id assignments were computed off
-                # the PRE-conflict counters — the winner consumed the same
-                # values, so clearing them makes the rebased add_snapshot
-                # assign fresh ones (the only-if-None guard exists for
-                # entries already COMMITTED somewhere, not these).
                 for e in new_entries:
                     e.sequence_number = None
                     e.first_row_id = None
@@ -1828,10 +1877,6 @@ class LakeTable:
         semantically with a concurrent append (both are add-only), so
         rebase-and-retry is sound.
         """
-        from demo_iceberg_permanent_delete_spark.lake.errors import (
-            CommitConflictError,
-        )
-
         table_cols = {f.name for f in self.schema().fields}
         missing = [c for c in on if c not in table_cols]
         if missing:
@@ -1841,26 +1886,30 @@ class LakeTable:
             self._cluster_for_write(df),
             target_file_size_bytes=self._write_target_size(),
         )
+        keys_df = df.select(*on).distinct()
         delete_entries: list[ManifestEntry] = []
-        if self.metadata.current_snapshot() is not None:
-            # nothing below to mask on an empty table — skip the delete
-            # file entirely (first-batch fast path)
-            delete_entries = write_data_files(
-                df.select(*on).distinct(),
-                self.data_dir,
-                content=CONTENT_EQUALITY_DELETES,
-                prefix="eqdelete",
-            )
-            for e in delete_entries:
-                e.equality_columns = list(on)
-        new_entries = delete_entries + data_entries
-        last_err: CommitConflictError | None = None
-        for _attempt in range(5):
-            if extra_properties:
-                self.metadata.properties.update(extra_properties)
+        new_entries: list[ManifestEntry] = list(data_entries)
+
+        def attempt() -> Snapshot:
             snap = self.metadata.current_snapshot()
             base = list(snap.manifest) if snap else []
-            snapshot = self.metadata.add_snapshot(
+            if base and not delete_entries:
+                # nothing below to mask on an empty table — the delete
+                # file is skipped (first-batch fast path). Decided PER
+                # ATTEMPT: a CAS rebase can land this commit on a
+                # now-non-empty parent, where skipping would let stale
+                # duplicate keys survive (review finding).
+                written = write_data_files(
+                    keys_df,
+                    self.data_dir,
+                    content=CONTENT_EQUALITY_DELETES,
+                    prefix="eqdelete",
+                )
+                for e in written:
+                    e.equality_columns = list(on)
+                delete_entries.extend(written)
+                new_entries[:0] = written  # same list _commit_retry stamps
+            return self.metadata.add_snapshot(
                 "overwrite",
                 base + new_entries,
                 summary={
@@ -1868,20 +1917,8 @@ class LakeTable:
                     "added-equality-delete-files": len(delete_entries),
                 },
             )
-            for e in new_entries:
-                e.added_snapshot_id = snapshot.snapshot_id
-            try:
-                self.metadata.commit()
-                return snapshot
-            except CommitConflictError as err:
-                last_err = err
-                # same rebase rule as insert(): the failed attempt's
-                # sequence/row-id assignments were consumed by the winner
-                for e in new_entries:
-                    e.sequence_number = None
-                    e.first_row_id = None
-                self.refresh()
-        raise last_err
+
+        return self._commit_retry(attempt, new_entries, extra_properties)
 
     def merge(
         self,

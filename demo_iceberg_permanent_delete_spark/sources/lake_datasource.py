@@ -90,6 +90,65 @@ def _truthy(v) -> bool:
     return str(v).lower() in ("true", "1", "yes")
 
 
+def _ddl_fields(ddl: str) -> list[tuple[str, str]]:
+    """(name, type-string) pairs from a schema DDL, split on TOP-LEVEL
+    commas only (decimal(10,2) / array<struct<…>> stay whole) — a
+    session-free parse for contexts where StructType.fromDDL can't run
+    (the DataSource planning worker has no SparkSession)."""
+    out, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    fields = []
+    for part in out:
+        name, _, type_str = part.strip().partition(" ")
+        fields.append((name, type_str.strip()))
+    return fields
+
+
+def _arrow_type_for_ddl(type_str: str):
+    """Arrow type for a SCALAR Spark DDL type string; None when the type
+    is not a supported default-bearing scalar (the caller then leaves the
+    column to the read path's declared-schema null-fill)."""
+    import re as _re
+
+    import pyarrow as pa
+
+    t = type_str.strip().lower()
+    m = _re.match(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", t)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    return {
+        "boolean": pa.bool_(),
+        "tinyint": pa.int8(),
+        "byte": pa.int8(),
+        "smallint": pa.int16(),
+        "short": pa.int16(),
+        "int": pa.int32(),
+        "integer": pa.int32(),
+        "bigint": pa.int64(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "real": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "varchar": pa.string(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+        "binary": pa.binary(),
+    }.get(t)
+
+
 def _load_meta(options):
     """Resolve the table's TableMetadata from reader/writer options:
     ``location`` (table root) or ``warehouse`` + ``table`` (catalog
@@ -1798,6 +1857,9 @@ class LakeWriteMessage(WriterCommitMessage):
     min_values: dict = field(default_factory=dict)
     max_values: dict = field(default_factory=dict)
     null_counts: dict = field(default_factory=dict)
+    # physical column-name harvest (same cap/None rule as
+    # datafiles.write_data_files) — initial-default resolution uses it
+    columns: list | None = None
 
 
 class LakeAppendWriter(DataSourceArrowWriter):
@@ -1806,9 +1868,35 @@ class LakeAppendWriter(DataSourceArrowWriter):
         self._options = options
         self._overwrite = overwrite
         self._data_dir = os.path.join(meta.location, "data")
+        # Write defaults (X57), same rule as LakeTable._apply_write_defaults
+        # so df.write.format("lakehouse") and t.insert(df) write identical
+        # files (review finding): declared columns the incoming frame
+        # OMITS get the write-default materialized; initially-defaulted
+        # columns with no write default get explicit NULL so the read
+        # path's presence rule can't resurrect the initial default.
+        # Planned here (metadata-proportional), applied per batch on
+        # executors. Types resolve through the session-free DDL→arrow map
+        # (this runs in the DataSource planning worker — no SparkSession,
+        # so StructType.fromDDL is unavailable); defaults are scalar-only
+        # by construction, so the scalar map covers every valid entry.
+        declared = _ddl_fields(meta.schema_ddl)
+        present = set(schema.fieldNames())
+        fill = []
+        for name, type_str in declared:
+            if name in present:
+                continue
+            typ = _arrow_type_for_ddl(type_str)
+            if typ is None:
+                continue  # non-scalar column: read-side null-fill covers it
+            if name in meta.write_defaults:
+                fill.append((name, meta.write_defaults[name], typ))
+            elif name in meta.column_defaults:
+                fill.append((name, None, typ))
+        self._fill = tuple(fill)
 
     def write(self, iterator) -> LakeWriteMessage:
         """One parquet file per non-empty task (executor-side)."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from demo_iceberg_permanent_delete_spark.lake.datafiles import (
@@ -1822,6 +1910,23 @@ class LakeAppendWriter(DataSourceArrowWriter):
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
+            if self._fill:
+                arrays = batch.columns
+                fields = list(batch.schema)
+                for c, v, typ in self._fill:
+                    try:
+                        arr = pa.array([v] * batch.num_rows, type=typ)
+                    except (
+                        pa.ArrowInvalid,
+                        pa.ArrowTypeError,
+                        pa.ArrowNotImplementedError,
+                    ):
+                        arr = pa.array([v] * batch.num_rows).cast(typ)
+                    arrays = arrays + [arr]
+                    fields.append(pa.field(c, typ))
+                batch = pa.RecordBatch.from_arrays(
+                    arrays, schema=pa.schema(fields)
+                )
             if writer is None:
                 writer = pq.ParquetWriter(path, batch.schema)
             writer.write_batch(batch)
@@ -1829,7 +1934,16 @@ class LakeAppendWriter(DataSourceArrowWriter):
         if writer is None:
             return LakeWriteMessage()
         writer.close()
+        from demo_iceberg_permanent_delete_spark.lake.datafiles import (
+            _COLUMNS_HARVEST_MAX,
+        )
+
         n_rows, mins, maxs, nulls = _footer_stats(path)
+        try:
+            names = [f.name for f in pq.read_schema(path)]
+            phys_cols = names if len(names) <= _COLUMNS_HARVEST_MAX else None
+        except Exception:
+            phys_cols = None
         return LakeWriteMessage(
             file_path=path,
             record_count=n_rows,
@@ -1837,6 +1951,7 @@ class LakeAppendWriter(DataSourceArrowWriter):
             min_values={k: _jsonable(v) for k, v in mins.items()},
             max_values={k: _jsonable(v) for k, v in maxs.items()},
             null_counts=dict(nulls),
+            columns=phys_cols,
         )
 
     def commit(self, messages) -> None:
@@ -1855,6 +1970,7 @@ class LakeAppendWriter(DataSourceArrowWriter):
                 min_values=m.min_values,
                 max_values=m.max_values,
                 null_counts=m.null_counts,
+                columns=m.columns,
             )
             for m in messages
             if m is not None and m.file_path

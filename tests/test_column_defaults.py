@@ -426,15 +426,14 @@ def test_omitted_column_insert_writes_the_write_default(spark, tmp_path):
     )
     got = {r["k"]: r["score"] for r in t.read().collect()}
     assert got == {1: 7, 2: 7, 3: 30, 4: None}
-    # physically written, not metadata-resolved: the omitted-column
-    # file carries score in its footer stats
+    # physically written, not metadata-resolved: EVERY file (both the
+    # omitted-column insert and the explicit one are post-add) carries
+    # score physically — deleting _apply_write_defaults would leave the
+    # first insert's files without it (and the X55 presence rule would
+    # then resurrect the initial default, masking the regression at the
+    # value level, which is why this checks the files themselves)
     files = t.metadata.current_snapshot().data_files()
-    with_score = [e for e in files if "score" in (e.columns or [])]
-    assert with_score and all(
-        e.null_counts.get("score") == e.record_count
-        for e in files
-        if e.columns is not None and "score" not in e.columns
-    ) is True or True  # the second clause documents era-1 files, if any
+    assert files and all("score" in (e.columns or []) for e in files)
 
 
 def test_initial_and_write_defaults_diverge_after_set_default(
@@ -537,3 +536,51 @@ def test_sql_facade_set_default_and_insert_column_list(spark, tmp_path):
     assert got[4] is None
     with pytest.raises(ValueError, match="unknown columns"):
         eng.sql("INSERT INTO demo.default.wd (k, nope) VALUES (9, 'x')")
+
+
+def test_default_literal_must_cast_to_column_type(spark, tmp_path):
+    """Review finding (r9): a DEFAULT literal that does not cast to the
+    declared type is rejected AT DDL TIME — otherwise every later write
+    would silently materialize NULL where the user expected a value."""
+    t = _table(spark, tmp_path)
+    t.add_column("score", "bigint")
+    with pytest.raises(ValueError, match="does not cast"):
+        t.set_default("score", "oops")
+    with pytest.raises(ValueError, match="does not cast"):
+        t.add_column("rank", "bigint", default="nope")
+    # the rejected ADD COLUMN must not leave a phantom column behind
+    assert "rank" not in {f.name for f in t.schema().fields}
+    # numeric-into-string and int-into-double are fine
+    t.set_default("score", 3)
+    t.add_column("label", "string", default=42)
+    t.add_column("ratio", "double", default=1)
+
+
+def test_datasource_write_applies_write_defaults(spark, tmp_path):
+    """Review finding (r9): df.write.format('lakehouse') must materialize
+    write defaults exactly like t.insert(df) — and explicit NULL for an
+    initially-defaulted column whose write default was dropped, so the
+    presence rule can't resurrect the initial default."""
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        register,
+    )
+
+    register(spark)
+    t = _table(spark, tmp_path)
+    t.add_column("score", "bigint", default=7)
+    loc = t.metadata.location
+    one_part(spark, [(1, "a")], DDL).write.format("lakehouse").option(
+        "location", loc
+    ).mode("append").save()
+    t.refresh()
+    assert {(r["k"], r["score"]) for r in t.read().collect()} == {(1, 7)}
+    # dropped write default → explicit NULL lands physically
+    t.set_default("score", None)
+    one_part(spark, [(2, "b")], DDL).write.format("lakehouse").option(
+        "location", loc
+    ).mode("append").save()
+    t.refresh()
+    got = {r["k"]: r["score"] for r in t.read().collect()}
+    assert got == {1: 7, 2: None}
+    files = t.metadata.current_snapshot().data_files()
+    assert files and all("score" in (e.columns or []) for e in files)

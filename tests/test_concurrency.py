@@ -197,3 +197,27 @@ def test_module_level_doc_identity_delegates_to_active_service():
         assert doc_identity("/loc2", 3) is None  # degrade: never-cached
     finally:
         set_service(prev)
+
+
+def test_upsert_rebase_onto_empty_table_race_writes_delete_file(
+    spark, warehouse
+):
+    """Review finding (r9): upsert's skip-the-delete-file fast path must
+    be re-decided per CAS attempt. Handle b loads the table EMPTY (no
+    delete file needed), a concurrent insert of the same key wins the
+    race, and b's rebased commit must write the eq-delete file — or a's
+    stale duplicate would survive alongside b's row."""
+    cat = warehouse
+    cat.create_table("default.race", DDL)
+    a = cat.load_table("default.race")
+    b = cat.load_table("default.race")  # both see the EMPTY table
+    a.insert(spark.createDataFrame([(1, "stale"), (2, "keep")], DDL))
+    # b's first attempt stages no delete file (its loaded head is empty),
+    # CAS-fails against a's commit, rebases, and must mask key 1
+    snap = b.upsert(spark.createDataFrame([(1, "fresh")], DDL), on=["k"])
+    assert any(e.content == 2 for e in snap.manifest), (
+        "rebased upsert must carry an equality-delete file"
+    )
+    final = cat.load_table("default.race")
+    rows = sorted((r["k"], r["v"]) for r in final.read().collect())
+    assert rows == [(1, "fresh"), (2, "keep")]
