@@ -447,6 +447,11 @@ class TableMetadata:
     # which is exactly the Iceberg split: initial-default governs
     # pre-add files at read time, write-default governs new writes.
     write_defaults: dict[str, Any] = field(default_factory=dict)
+    # Iceberg identifier fields (schema identifier-field-ids, by name
+    # since we own the format): the table-declared row-identity key —
+    # upsert() and the streaming upsert sink default their merge keys
+    # from it, exactly how Flink's upsert writer consumes it.
+    identifier_fields: list[str] = field(default_factory=list)
     version: int = 0
     # runtime caches (never serialized)
     _deltas: dict[int, ManifestDelta] = field(
@@ -522,6 +527,7 @@ class TableMetadata:
             "next_row_id": self.next_row_id,
             "column_defaults": self.column_defaults,
             "write_defaults": self.write_defaults,
+            "identifier_fields": self.identifier_fields,
             "version": self.version,
             "snapshots": [s.to_json() for s in self.snapshots],
         }
@@ -563,6 +569,7 @@ class TableMetadata:
                 k: dict(v) for k, v in d.get("column_defaults", {}).items()
             },
             write_defaults=dict(d.get("write_defaults", {})),
+            identifier_fields=list(d.get("identifier_fields", [])),
             version=d.get("version", 0),
         )
         for raw, snap in zip(d["snapshots"], meta.snapshots):

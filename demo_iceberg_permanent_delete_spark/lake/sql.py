@@ -286,6 +286,25 @@ class LakeEngine:
             self.spark, {"table": t.name, "status": f"added column {m.group('col')}"}
         )
 
+    def _alter_identifier_fields(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE … SET IDENTIFIER FIELDS a, b / DROP IDENTIFIER
+        FIELDS (Iceberg grammar): declares / clears the table's
+        row-identity key, which upsert surfaces default their merge keys
+        from."""
+        t = self.table(m.group("name"))
+        raw = m.group("fields")
+        fields = (
+            [c.strip() for c in raw.split(",")] if raw is not None else []
+        )
+        t.set_identifier_fields(fields)
+        return _one_row_df(
+            self.spark,
+            {
+                "table": t.name,
+                "identifier_fields": ", ".join(fields),
+            },
+        )
+
     def _alter_column_default(self, m: re.Match) -> DataFrame:
         """ALTER COLUMN … SET DEFAULT lit / DROP DEFAULT (Iceberg v3):
         moves the WRITE default only — the initial default set at ADD
@@ -459,6 +478,10 @@ class LakeEngine:
         rows = [(f.name, f.dataType.simpleString()) for f in t.schema().fields]
         if t.metadata.partition_by:
             rows.append(("# Partition spec", ", ".join(t.metadata.partition_by)))
+        if t.metadata.identifier_fields:
+            rows.append(
+                ("# Identifier fields", ", ".join(t.metadata.identifier_fields))
+            )
         return self.spark.createDataFrame(rows, "col_name string, data_type string")
 
     def _show_tblproperties(self, m: re.Match) -> DataFrame:
@@ -1104,6 +1127,15 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _alter_column_default,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+"
+                r"(?:SET\s+IDENTIFIER\s+FIELDS\s+(?P<fields>[\w,\s]+)|"
+                r"DROP\s+IDENTIFIER\s+FIELDS)$",
+                re.I | re.S,
+            ),
+            _alter_identifier_fields,
         ),
         (
             re.compile(

@@ -288,6 +288,33 @@ class LakeTable:
                 f"type {dtype.simpleString()}"
             )
 
+    def set_identifier_fields(self, fields: list[str] | None) -> None:
+        """ALTER TABLE … SET IDENTIFIER FIELDS (Iceberg's schema
+        identifier-field-ids, by name since we own the format): declares
+        the table's row-identity key. :meth:`upsert` and the streaming
+        upsert sink default their merge keys from it — exactly how
+        Flink's upsert writer consumes identifier fields. ``None`` or
+        ``[]`` clears it (DROP IDENTIFIER FIELDS)."""
+        fields = list(fields or [])
+        declared = {f.name for f in self.schema().fields}
+        missing = [c for c in fields if c not in declared]
+        if missing:
+            raise ValueError(
+                f"identifier fields not in table schema: {missing}"
+            )
+        self.metadata.identifier_fields = fields
+        self.metadata.commit()
+
+    def _upsert_keys(self, on: list[str] | None) -> list[str]:
+        if on:
+            return list(on)
+        if self.metadata.identifier_fields:
+            return list(self.metadata.identifier_fields)
+        raise ValueError(
+            "upsert needs key columns: pass on=[...] or declare them "
+            "once with SET IDENTIFIER FIELDS"
+        )
+
     def _apply_write_defaults(self, df: DataFrame) -> DataFrame:
         """Materialize write-defaults into an incoming batch: each
         declared column carrying a write-default that the batch OMITS is
@@ -329,6 +356,14 @@ class LakeTable:
             raise ValueError(f"no such column {name!r}")
         if not fields:
             raise ValueError("cannot drop the last column")
+        if name in self.metadata.identifier_fields:
+            # Iceberg refuses to delete an identifier field: silently
+            # weakening the declared row identity would corrupt every
+            # consumer defaulting its upsert keys from it
+            raise ValueError(
+                f"column {name!r} is an identifier field; run "
+                "SET IDENTIFIER FIELDS without it first"
+            )
         self.metadata.schema_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in fields
         )
@@ -437,6 +472,9 @@ class LakeTable:
             self.metadata.write_defaults[new] = (
                 self.metadata.write_defaults.pop(old)
             )
+        self.metadata.identifier_fields = [
+            new if c == old else c for c in self.metadata.identifier_fields
+        ]
         self.schema()  # validate the DDL parses before committing
         self.metadata.commit()
 
@@ -1852,7 +1890,7 @@ class LakeTable:
     def upsert(
         self,
         df: DataFrame,
-        on: list[str],
+        on: list[str] | None = None,
         *,
         extra_properties: dict[str, str] | None = None,
     ) -> Snapshot:
@@ -1877,6 +1915,7 @@ class LakeTable:
         semantically with a concurrent append (both are add-only), so
         rebase-and-retry is sound.
         """
+        on = self._upsert_keys(on)
         table_cols = {f.name for f in self.schema().fields}
         missing = [c for c in on if c not in table_cols]
         if missing:

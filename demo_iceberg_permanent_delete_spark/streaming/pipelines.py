@@ -402,7 +402,15 @@ def stream_into_lake(
             f"mode must be 'append', 'upsert' or 'upsert-eq', got {mode!r}"
         )
     if mode in ("upsert", "upsert-eq") and not merge_keys:
-        raise ValueError(f"{mode} mode needs merge_keys")
+        # the table's declared row identity (SET IDENTIFIER FIELDS) is
+        # the default merge key — Flink's upsert writer reads it the
+        # same way
+        merge_keys = list(table.metadata.identifier_fields)
+        if not merge_keys:
+            raise ValueError(
+                f"{mode} mode needs merge_keys (or SET IDENTIFIER FIELDS "
+                "on the table)"
+            )
 
     own_checkpoint = checkpoint is None
     checkpoint = checkpoint or os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "cp")

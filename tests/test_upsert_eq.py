@@ -244,3 +244,84 @@ def test_upsert_eq_changes_feed(spark, tmp_path):
         ).collect()
     )
     assert rows == [("DELETE", 2, "b"), ("INSERT", 2, "B")]
+
+
+# ---------------------------------------------------- identifier fields
+def test_identifier_fields_default_upsert_keys(spark, tmp_path):
+    """SET IDENTIFIER FIELDS declares the row-identity key; upsert() and
+    the streaming sink default their merge keys from it (Flink's upsert
+    writer reads identifier fields the same way)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.idf", "k bigint, v string")
+    with pytest.raises(ValueError, match="IDENTIFIER FIELDS"):
+        t.upsert(one_part(spark, [(1, "a")], "k long, v string"))
+    t.set_identifier_fields(["k"])
+    t.upsert(one_part(spark, [(1, "a"), (2, "b")], "k long, v string"))
+    t.upsert(one_part(spark, [(2, "B")], "k long, v string"))
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, "a"),
+        (2, "B"),
+    ]
+    # rename carries the declaration; dropping an identifier field is
+    # refused (Iceberg's rule — silent identity weakening corrupts
+    # consumers defaulting their keys from it). Fold + expire the
+    # eq-delete history first: renaming a retained equality key is
+    # separately refused.
+    import datetime as dt
+
+    t.rewrite_data_files()
+    t.expire_snapshots(older_than=dt.datetime(2100, 1, 1), retain_last=1)
+    t.rename_column("k", "id")
+    assert t.metadata.identifier_fields == ["id"]
+    with pytest.raises(ValueError, match="identifier field"):
+        t.drop_column("id")
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.set_identifier_fields(["nope"])
+    # reload persistence
+    assert (
+        Catalog(spark, str(tmp_path / "wh"))
+        .load_table("default.idf")
+        .metadata.identifier_fields
+        == ["id"]
+    )
+
+
+def test_sql_identifier_fields_and_streaming_default_keys(spark, tmp_path):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh_sql"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql(f"CREATE TABLE demo.default.sidf ({DDL}) USING iceberg")
+    eng.sql("ALTER TABLE demo.default.sidf SET IDENTIFIER FIELDS event_id")
+    t = eng.table("demo.default.sidf")
+    assert t.metadata.identifier_fields == ["event_id"]
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in eng.sql("DESCRIBE TABLE demo.default.sidf").collect()
+    }
+    assert desc["# Identifier fields"] == "event_id"
+
+    # streaming upsert-eq with NO merge_keys: the identifier fields rule
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events_file(spark, os.path.join(src, "b0"), BATCHES[0], 1000)
+    _write_events_file(spark, os.path.join(src, "b1"), BATCHES[1], 2000)
+    stream_into_lake(
+        read_event_stream(spark, os.path.join(src, "*", "*.parquet"), 1),
+        t,
+        mode="upsert-eq",
+        order_col="ts",
+        checkpoint=str(tmp_path / "ck"),
+    )
+    t = eng.table("demo.default.sidf")
+    assert {r["event_id"]: r["value"] for r in t.read().collect()} == {
+        1: 1.0,
+        2: 20.0,
+        3: 3.0,
+        4: 4.0,
+    }
+
+    eng.sql("ALTER TABLE demo.default.sidf DROP IDENTIFIER FIELDS")
+    t.refresh()
+    assert t.metadata.identifier_fields == []
