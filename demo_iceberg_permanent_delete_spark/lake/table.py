@@ -89,6 +89,9 @@ METADATA_VIEWS = (
     "files",
     "data_files",
     "delete_files",
+    "all_files",
+    "all_data_files",
+    "all_delete_files",
     "position_deletes",
     "history",
     "snapshots",
@@ -2287,6 +2290,15 @@ class LakeTable:
             "files": self._files_view,
             "data_files": self._data_files_view,
             "delete_files": self._delete_files_view,
+            "all_files": self._all_files_view,
+            "all_data_files": lambda: self._all_files_view().filter(
+                F.col("content") == CONTENT_DATA
+            ),
+            "all_delete_files": lambda: self._all_files_view().filter(
+                F.col("content").isin(
+                    CONTENT_POSITION_DELETES, CONTENT_EQUALITY_DELETES
+                )
+            ),
             "position_deletes": self._position_deletes_view,
             "history": self._history_view,
             "snapshots": self._snapshots_view,
@@ -2591,6 +2603,41 @@ class LakeTable:
                 "record_count",
                 "file_size_in_bytes",
             )
+        )
+
+    def _all_files_view(self) -> DataFrame:
+        """Iceberg's ``.all_files``: every file referenced by ANY valid
+        (retained) snapshot, deduplicated by path — the time-travel-wide
+        twin of ``.files``; ``.all_data_files`` / ``.all_delete_files``
+        are its content-filtered forms, all three Iceberg metadata
+        tables. Same two physical strategies as ``.files``: Arrow-batch
+        LocalRelation below the entry threshold, executor JSONL scan
+        above — deduplicated by path either way (a base fold written by
+        rewrite_manifests re-lists every live file as an "add" row, so
+        paths are NOT unique across manifests)."""
+        est = self._entries_estimate()
+        if est is None or est <= _META_LOCAL_MAX_ENTRIES:
+            by_path = {
+                e.file_path: e
+                for snap in self.metadata.snapshots
+                for e in snap.manifest
+            }
+            rows = [
+                (e.content, e.file_path, "parquet", e.record_count, e.file_size_in_bytes)
+                for e in by_path.values()
+            ]
+            return _local_frame(self.spark, rows, self._FILE_STRUCT)
+        rows_df = self._manifest_rows(self.metadata.snapshots)
+        return (
+            rows_df.filter(F.col("kind") == "add")
+            .select(
+                "content",
+                "file_path",
+                F.lit("parquet").alias("file_format"),
+                "record_count",
+                "file_size_in_bytes",
+            )
+            .dropDuplicates(["file_path"])
         )
 
     def _data_files_view(self) -> DataFrame:

@@ -214,3 +214,43 @@ def test_version_hint_fast_path_and_recovery(spark, tmp_path):
     assert TableMetadata.latest_version(loc) == hinted
     # loads still work end-to-end without a hint
     assert cat.load_table("default.hint").read().count() == 4
+
+
+def test_all_files_spans_retained_history_dedup_by_path(spark, tmp_path):
+    """Iceberg's .all_files/.all_data_files/.all_delete_files: every file
+    referenced by ANY retained snapshot, path-unique — a COW delete's
+    removed files still show (time-travel reachable), and a
+    rewrite_manifests base fold must not double-list live files."""
+    from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+        rewrite_manifests,
+    )
+
+    t = _table(spark, tmp_path, mode="copy-on-write")
+    pre_paths = {e.file_path for e in t.metadata.current_snapshot().manifest}
+    t.delete("id IN (3, 14)")  # COW: rewrites files, old ones retained
+    cur_paths = {e.file_path for e in t.metadata.current_snapshot().manifest}
+    assert pre_paths - cur_paths  # something was rewritten away
+
+    all_files = t.meta("all_files").collect()
+    got = {r["file_path"] for r in all_files}
+    assert got >= pre_paths | cur_paths
+    assert len(all_files) == len(got)  # path-unique
+    # .files lists only the current snapshot — strictly fewer
+    assert len(t.meta("files").collect()) < len(all_files)
+
+    # base fold re-lists live files as adds; all_files must stay unique
+    rewrite_manifests(t)
+    refolded = t.meta("all_files").collect()
+    assert len(refolded) == len({r["file_path"] for r in refolded})
+    assert {r["file_path"] for r in refolded} >= got
+
+    # content-filtered twins partition all_files
+    mor = _table(spark, tmp_path / "m", mode="merge-on-read")
+    mor.delete("id = 3")
+    af = mor.meta("all_files").count()
+    ad = mor.meta("all_data_files").count()
+    adel = mor.meta("all_delete_files").count()
+    assert ad + adel == af and adel >= 1
+    assert all(
+        r["content"] in (1, 2) for r in mor.meta("all_delete_files").collect()
+    )
