@@ -359,6 +359,7 @@ def stream_into_lake(
     order_col: str | None = None,
     timeout_s: int = 300,
     checkpoint: str | None = None,
+    compact_every_batches: int | None = None,
 ) -> None:
     """Sink a streaming DataFrame into a lake table via ``foreachBatch`` —
     the streaming-ingest integration Iceberg gives Spark users
@@ -394,9 +395,20 @@ def stream_into_lake(
     difference between a stream that keeps up at 100 TB and one whose
     per-batch cost grows with table size. The trade: reads pay an
     anti-join until ``compact()``/``rewrite_data_files`` folds the
-    accumulated eq-deletes (run it on a maintenance cadence). Batch
-    dedup rule is identical to ``'upsert'``.
+    accumulated eq-deletes. Batch dedup rule is identical to
+    ``'upsert'``.
+
+    ``compact_every_batches=N`` runs :meth:`LakeTable.compact` inline
+    after every N COMMITTED batches (replays don't count) — the
+    maintenance cadence Iceberg users schedule beside a Flink upsert job,
+    built into the sink so eq-delete/small-file accumulation stays
+    bounded without an external scheduler. Compaction commits ``replace``
+    snapshots, which the changelog/CDC surfaces skip; a compaction
+    failure fails the stream (the checkpoint resumes past the already-
+    committed batch, and the marker guard skips it on replay).
     """
+    if compact_every_batches is not None and compact_every_batches < 1:
+        raise ValueError("compact_every_batches must be >= 1")
     if mode not in ("append", "upsert", "upsert-eq"):
         raise ValueError(
             f"mode must be 'append', 'upsert' or 'upsert-eq', got {mode!r}"
@@ -417,6 +429,8 @@ def stream_into_lake(
     import hashlib
 
     run_id = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+    committed = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = table.refresh()
@@ -456,6 +470,13 @@ def stream_into_lake(
                 # skips committed batches)
                 t.metadata.properties[LAST_BATCH_PROP] = marker
                 t.merge(batch_df, on=list(merge_keys))
+        committed["n"] += 1
+        if (
+            compact_every_batches
+            and committed["n"] % compact_every_batches == 0
+        ):
+            t.refresh()
+            t.compact()
 
     q = (
         stream_df.writeStream.foreachBatch(sink)

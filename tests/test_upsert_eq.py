@@ -325,3 +325,49 @@ def test_sql_identifier_fields_and_streaming_default_keys(spark, tmp_path):
     eng.sql("ALTER TABLE demo.default.sidf DROP IDENTIFIER FIELDS")
     t.refresh()
     assert t.metadata.identifier_fields == []
+
+
+def test_compact_every_batches_bounds_eq_delete_accumulation(
+    spark, tmp_path
+):
+    """compact_every_batches=N runs compaction inline after every N
+    committed batches: eq-delete accumulation stays bounded inside the
+    sink, final state unchanged, and the replace snapshots it commits
+    don't disturb the exactly-once marker."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(BATCHES):
+        _write_events_file(spark, os.path.join(src, f"b{i}"), rows, 1000 * (i + 1))
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.mw", DDL)
+    stream_into_lake(
+        read_event_stream(spark, os.path.join(src, "*", "*.parquet"), 1),
+        t,
+        mode="upsert-eq",
+        merge_keys=["event_id"],
+        order_col="ts",
+        checkpoint=str(tmp_path / "ck"),
+        compact_every_batches=2,
+    )
+    t = cat.load_table("default.mw")
+    assert _state(t) == [
+        (1, 10, "view", 100.0),
+        (2, 11, "x", 200.0),
+        (3, 12, "view", 3.0),
+        (4, 13, "buy", 40.0),
+    ]
+    # batch 1: no delete file (empty table); batch 2's was folded by the
+    # inline compaction; only batch 3's survives at the head
+    head = t.metadata.current_snapshot()
+    eq = [e for e in head.manifest if e.content == CONTENT_EQUALITY_DELETES]
+    assert len(eq) == 1
+    assert any(s.operation == "replace" for s in t.metadata.snapshots)
+    assert t.properties[LAST_BATCH_PROP].endswith(":2")
+    with pytest.raises(ValueError, match="compact_every_batches"):
+        stream_into_lake(
+            read_event_stream(spark, os.path.join(src, "*", "*.parquet")),
+            t,
+            mode="append",
+            compact_every_batches=0,
+        )
