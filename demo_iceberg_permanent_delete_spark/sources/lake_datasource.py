@@ -20,7 +20,9 @@ API, shipped in this container). All heavy work happens on EXECUTORS:
   sequence rule — a delete only masks data files committed before it),
   then conforms to the declared schema (null-fill added columns, drop
   removed — the schema-evolution read contract). The driver ships only
-  manifest metadata.
+  manifest metadata. Time travel via Iceberg's read options:
+  ``snapshot-id``, ``as-of-timestamp`` (epoch ms), ``branch``, ``tag``
+  (mutually exclusive).
 - **Filter pushdown**: simple comparison/null filters are translated to a
   predicate string for the manifest min/max pruner (lake/pruning.py), so
   non-matching files are never scheduled; every filter is also returned as
@@ -698,6 +700,41 @@ class LakeBatchReader(DataSourceReader):
         state["_meta"] = None
         return state
 
+    def _resolve_read_snapshot(self, meta):
+        """Iceberg's time-travel read options, mutually exclusive:
+        ``snapshot-id`` (exact), ``as-of-timestamp`` (epoch ms, latest
+        commit at or before), ``branch`` / ``tag`` (named ref). None set
+        → the current snapshot. Mirrors LakeTable.read's selector rule."""
+        opts = {
+            k: self._options.get(k)
+            for k in ("snapshot-id", "as-of-timestamp", "branch", "tag")
+        }
+        given = [k for k, v in opts.items() if v]
+        if len(given) > 1:
+            raise ValueError(
+                f"set at most one of snapshot-id / as-of-timestamp / "
+                f"branch / tag, got {given}"
+            )
+        if opts["snapshot-id"]:
+            return meta.snapshot_by_id(int(opts["snapshot-id"]))
+        if opts["as-of-timestamp"]:
+            cutoff = int(opts["as-of-timestamp"])
+            eligible = [
+                s for s in meta.snapshots if s.committed_at_ms <= cutoff
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"no snapshot committed at or before {cutoff}"
+                )
+            return max(eligible, key=lambda s: s.committed_at_ms)
+        for kind in ("branch", "tag"):
+            if opts[kind]:
+                ref = meta.refs.get(opts[kind])
+                if ref is None or ref["type"] != kind:
+                    raise ValueError(f"unknown {kind} {opts[kind]!r}")
+                return meta.snapshot_by_id(int(ref["snapshot_id"]))
+        return meta.current_snapshot()
+
     def _meta_or_load(self):
         """Planning normally runs in the worker that constructed the
         reader, but a copy unpickled elsewhere (a protocol that splits
@@ -727,12 +764,7 @@ class LakeBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         meta = self._meta_or_load()
-        snap_id = self._options.get("snapshot-id")
-        snap = (
-            meta.snapshot_by_id(int(snap_id))
-            if snap_id
-            else meta.current_snapshot()
-        )
+        snap = self._resolve_read_snapshot(meta)
         if snap is None:
             return [LakeFilePartition(None)]
         from demo_iceberg_permanent_delete_spark.lake.transforms import (

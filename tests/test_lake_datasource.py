@@ -1687,3 +1687,36 @@ def test_cdc_lineage_incremental_and_default_schema_guard(
             .option("lineage", "true")
             .load()
         )
+
+
+def test_batch_reader_time_travel_options(registered, cat):
+    """Iceberg's read options on the batch DataSource: as-of-timestamp,
+    branch, tag (snapshot-id already covered) — mutually exclusive, each
+    equal to the corresponding table-API read."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table("default.tt_opts", "id bigint, v string")
+    t.insert(one_part(spark, [(1, "a")], "id bigint, v string"))
+    s1 = t.metadata.current_snapshot()
+    t.create_tag("v1")
+    t.create_branch("dev")
+    t.insert(one_part(spark, [(2, "b")], "id bigint, v string"))
+
+    def rd(**opts):
+        r = spark.read.format("lakehouse").option("location", t.metadata.location)
+        for k, v in opts.items():
+            r = r.option(k.replace("_", "-"), v)
+        return {x["id"] for x in r.load().collect()}
+
+    assert rd() == {1, 2}
+    assert rd(snapshot_id=s1.snapshot_id) == {1}
+    assert rd(as_of_timestamp=s1.committed_at_ms) == {1}
+    assert rd(tag="v1") == {1}
+    assert rd(branch="dev") == {1}
+    with pytest.raises(Exception, match="at most one"):
+        rd(tag="v1", branch="dev")
+    with pytest.raises(Exception, match="unknown tag"):
+        rd(tag="dev")  # exists, but it's a branch
+    with pytest.raises(Exception, match="at or before"):
+        rd(as_of_timestamp=s1.committed_at_ms - 10**9)
