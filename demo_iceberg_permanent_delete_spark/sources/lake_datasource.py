@@ -2008,20 +2008,38 @@ class LakeAppendWriter(DataSourceArrowWriter):
             if m is not None and m.file_path
         ]
         op = "overwrite" if self._overwrite else "append"
+        branch = self._options.get("branch")
+        if branch and self._overwrite:
+            raise ValueError("mode('overwrite') cannot target a branch")
         last_err = None
         for _ in range(5):
             meta = _load_meta(self._options)
-            snap_cur = meta.current_snapshot()
-            base = (
-                []
-                if self._overwrite
-                else (list(snap_cur.manifest) if snap_cur else [])
-            )
+            if branch:
+                # branch write (Iceberg's spark.wap.branch / branch
+                # write option): parent on the branch head, advance only
+                # the ref — main is untouched until fast_forward publishes
+                ref = meta.refs.get(branch)
+                if ref is None or ref["type"] != "branch":
+                    raise ValueError(f"unknown branch {branch!r}")
+                parent_id = int(ref["snapshot_id"])
+                base = list(meta.snapshot_by_id(parent_id).manifest)
+            else:
+                parent_id = -1
+                snap_cur = meta.current_snapshot()
+                base = (
+                    []
+                    if self._overwrite
+                    else (list(snap_cur.manifest) if snap_cur else [])
+                )
             snapshot = meta.add_snapshot(
                 op,
                 base + entries,
                 summary={"added-files": len(entries), "writer": "datasource"},
+                parent_snapshot_id=parent_id,
+                advance=not branch,
             )
+            if branch:
+                meta.refs[branch]["snapshot_id"] = snapshot.snapshot_id
             for e in entries:
                 e.added_snapshot_id = snapshot.snapshot_id
             try:
@@ -2029,6 +2047,14 @@ class LakeAppendWriter(DataSourceArrowWriter):
                 return
             except CommitConflictError as err:  # stale read — reload, retry
                 last_err = err
+                # same rebase rule as LakeTable._commit_retry: the failed
+                # attempt's sequence/row-id assignments were computed off
+                # the pre-conflict counters the winner consumed — clear
+                # them so the rebased add_snapshot assigns fresh ones
+                # (keeping them would duplicate row ids)
+                for e in entries:
+                    e.sequence_number = None
+                    e.first_row_id = None
         raise last_err
 
     def abort(self, messages) -> None:

@@ -1720,3 +1720,41 @@ def test_batch_reader_time_travel_options(registered, cat):
         rd(tag="dev")  # exists, but it's a branch
     with pytest.raises(Exception, match="at or before"):
         rd(as_of_timestamp=s1.committed_at_ms - 10**9)
+
+
+def test_datasource_branch_write_and_publish(registered, cat):
+    """df.write.format('lakehouse').option('branch', …): the commit
+    parents on the branch head and advances only the ref (Iceberg's
+    branch write option) — main is untouched until fast_forward
+    publishes; unknown branches and overwrite+branch are rejected."""
+    spark = registered
+    from tests.conftest import one_part
+
+    t = cat.create_table("default.bw", "id bigint, v string")
+    t.insert(one_part(spark, [(1, "a")], "id bigint, v string"))
+    t.create_branch("audit")
+
+    def w(df, **opts):
+        wr = df.write.format("lakehouse").option("location", t.metadata.location)
+        for k, v in opts.items():
+            wr = wr.option(k, v)
+        return wr
+
+    w(one_part(spark, [(2, "staged")], "id bigint, v string"),
+      branch="audit").mode("append").save()
+    t.refresh()
+    assert t.read().count() == 1  # main untouched
+    assert t.read(ref="audit").count() == 2
+    # lineage stays sound on the branch write
+    ids = [r["_row_id"] for r in t.read(ref="audit", lineage=True).collect()]
+    assert len(ids) == len(set(ids))
+
+    t.fast_forward("main", t.resolve_ref("audit"))  # the publish step
+    assert t.read().count() == 2
+
+    with pytest.raises(Exception, match="unknown branch"):
+        w(one_part(spark, [(3, "x")], "id bigint, v string"),
+          branch="nope").mode("append").save()
+    with pytest.raises(Exception, match="cannot target a branch"):
+        w(one_part(spark, [(3, "x")], "id bigint, v string"),
+          branch="audit").mode("overwrite").save()
