@@ -110,6 +110,27 @@ class Catalog:
         self._write_registry(reg)
         return LakeTable(self.spark, meta)
 
+    def register_table(self, name: str, location: str) -> LakeTable:
+        """Iceberg's ``register_table`` procedure: attach an EXISTING
+        table — its committed metadata at ``location`` — to this catalog
+        under ``name``. Nothing is copied or rewritten; the registry just
+        gains a pointer, so the table is instantly queryable (the
+        migration companion to ``add_files``, which registers foreign
+        FILES into an existing table). The metadata document keeps its
+        original ``name`` field, like Iceberg, which renames only the
+        catalog entry."""
+        ns, _ = self._qualify(name)
+        reg = self._read_registry()
+        if ns not in reg["namespaces"]:
+            raise NamespaceError(f"namespace {ns!r} does not exist")
+        if name in reg["tables"]:
+            raise NamespaceError(f"table {name!r} already exists")
+        # validates a committed metadata document exists at the location
+        meta = TableMetadata.load(location)
+        reg["tables"][name] = {"location": location}
+        self._write_registry(reg)
+        return LakeTable(self.spark, meta)
+
     def load_table(self, name: str) -> LakeTable:
         reg = self._read_registry()
         if name not in reg["tables"]:

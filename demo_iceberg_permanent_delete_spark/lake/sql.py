@@ -57,6 +57,7 @@ import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from demo_iceberg_permanent_delete_spark.lake.catalog import Catalog
 from demo_iceberg_permanent_delete_spark.lake.table import METADATA_VIEWS as _META_VIEWS
@@ -682,9 +683,55 @@ class LakeEngine:
             "rewrite_manifests": ["table"],
             "add_files": ["table", "source_table"],
             "compute_table_stats": ["table", "columns"],
+            "register_table": ["table", "metadata_file"],
+            "ancestors_of": ["table", "snapshot_id"],
         }.get(proc, ["table", "older_than"])
         args = _parse_call_args(m.group("args"), positional)
+        if proc == "register_table":
+            # the one procedure whose table does NOT exist yet
+            name = self._strip_catalog(str(args["table"]))
+            t = self.catalog.register_table(
+                name, str(args["metadata_file"])
+            )
+            return _one_row_df(
+                self.spark,
+                {
+                    "table": name,
+                    "current_snapshot_id": t.metadata.current_snapshot_id,
+                    "total_records_count": sum(
+                        e.record_count
+                        for e in (
+                            t.metadata.current_snapshot().data_files()
+                            if t.metadata.current_snapshot()
+                            else []
+                        )
+                    ),
+                },
+            )
         t = self.table(str(args.pop("table")))
+        if proc == "ancestors_of":
+            # Iceberg's system.ancestors_of: the ancestry chain of the
+            # given snapshot (default: the current one), newest first
+            start = args.get("snapshot_id")
+            cur = (
+                t.metadata.snapshot_by_id(int(start))
+                if start is not None
+                else t.metadata.current_snapshot()
+            )
+            rows = []
+            while cur is not None:
+                rows.append((cur.snapshot_id, cur.committed_at_ms))
+                cur = (
+                    t.metadata._maybe_snapshot(cur.parent_id)
+                    if cur.parent_id is not None
+                    else None
+                )
+            df = self.spark.createDataFrame(
+                rows or [], "snapshot_id long, timestamp long"
+            )
+            return df.withColumn(
+                "timestamp", F.timestamp_millis(F.col("timestamp"))
+            )
         if proc == "create_changelog_view":
             options = args.get("options", {})
             view = str(args.get("changelog_view") or f"{t.name.split('.')[-1]}_changes")

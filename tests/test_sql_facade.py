@@ -579,3 +579,43 @@ def test_scan_prune_only_returns_candidate_superset(spark, tmp_path):
     assert {r["day"] for r in pruned.collect()} == {"d1"}
     filtered = t.scan("day = 'd1' AND v < 5")
     assert filtered.count() == 5
+
+
+def test_call_ancestors_of_and_register_table(spark, tmp_path):
+    """Iceberg's system.ancestors_of (ancestry chain, newest first) and
+    register_table (attach an existing table's metadata to the catalog
+    without copying anything)."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.anc (k BIGINT) USING iceberg")
+    for k in (1, 2, 3):
+        eng.sql(f"INSERT INTO demo.default.anc VALUES ({k})")
+    t = eng.table("demo.default.anc")
+    ids = [s.snapshot_id for s in t.metadata.snapshots]
+    rows = eng.sql("CALL demo.system.ancestors_of('demo.default.anc')").collect()
+    assert [r["snapshot_id"] for r in rows] == list(reversed(ids))
+    assert all(r["timestamp"] is not None for r in rows)
+    # pinned start: ancestry of the SECOND snapshot
+    rows = eng.sql(
+        f"CALL demo.system.ancestors_of('demo.default.anc', {ids[1]})"
+    ).collect()
+    assert [r["snapshot_id"] for r in rows] == [ids[1], ids[0]]
+
+    # register the same table's metadata under a NEW catalog name: no
+    # copy, instantly queryable, snapshots intact
+    row = eng.sql(
+        "CALL demo.system.register_table('demo.default.anc2', "
+        f"'{t.metadata.location}')"
+    ).collect()[0]
+    assert row["current_snapshot_id"] == t.metadata.current_snapshot_id
+    assert row["total_records_count"] == 3
+    assert eng.sql("SELECT k FROM demo.default.anc2").count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="already exists"):
+        eng.sql(
+            "CALL demo.system.register_table('demo.default.anc2', "
+            f"'{t.metadata.location}')"
+        )
