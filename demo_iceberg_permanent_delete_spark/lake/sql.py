@@ -922,6 +922,35 @@ class LakeEngine:
 
         return self._TRAVEL.sub(sub, stmt)
 
+    _REF_SUFFIX = re.compile(
+        r"(?P<tbl>[\w.]+)\.(?P<kind>branch|tag)_(?P<ref>\w+)", re.I
+    )
+
+    def _rewrite_ref_reads(self, stmt: str) -> str:
+        """Iceberg's ref-suffix identifiers: ``FROM t.branch_<name>`` /
+        ``FROM t.tag_<name>`` read the named ref's snapshot — resolved to
+        a snapshot-pinned temp view like the AS OF grammar (the other
+        spelling of VERSION AS OF '<ref>'). Kind-checked: tag_x on a
+        branch named x is a user error, not a silent read."""
+        tables = set(self.catalog.list_tables())
+
+        def sub(m: re.Match) -> str:
+            name = self._strip_catalog(m.group("tbl"))
+            if name not in tables:
+                return m.group(0)
+            t = self.catalog.load_table(name)
+            kind, ref = m.group("kind").lower(), m.group("ref")
+            r = t.metadata.refs.get(ref)
+            if r is None or r["type"] != kind:
+                raise ValueError(f"unknown {kind} {ref!r} on {name}")
+            view = f"{name.replace('.', '__')}__{kind}_{ref}"
+            t.read(snapshot_id=int(r["snapshot_id"])).createOrReplaceTempView(
+                view
+            )
+            return view
+
+        return self._REF_SUFFIX.sub(sub, stmt)
+
     def _select(self, stmt: str) -> DataFrame:
         """Plain SQL: rewrite lake-table identifiers (and their metadata
         relations) to freshly registered temp views, then spark.sql.
@@ -932,6 +961,7 @@ class LakeEngine:
         (default.pii inside default.pii_data) or rewrite literals.
         """
         stmt = self._rewrite_time_travel(stmt)
+        stmt = self._rewrite_ref_reads(stmt)
         # (pattern text, table name, meta-view name or None, replacement
         # view name), longest first so demo-prefixed and .meta-suffixed
         # forms win over bare names.

@@ -345,3 +345,30 @@ def test_rollback_reports_true_previous_and_strict_time_boundary(
     ).collect()[0]
     assert row["previous_snapshot_id"] == s3
     assert row["current_snapshot_id"] == s1
+
+
+def test_branch_tag_suffix_identifiers(spark, tmp_path):
+    """Iceberg's ref-suffix reads: FROM t.branch_<name> / t.tag_<name> —
+    the other spelling of VERSION AS OF '<ref>'; kind mismatches fail."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh_sfx"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql(f"CREATE TABLE demo.default.sfx ({DDL}) USING iceberg")
+    eng.sql("INSERT INTO demo.default.sfx VALUES (1, 'a')")
+    t = eng.table("demo.default.sfx")
+    t.create_tag("v1")
+    t.create_branch("dev")
+    eng.sql("INSERT INTO demo.default.sfx VALUES (2, 'b')")
+
+    assert eng.sql("SELECT * FROM demo.default.sfx.tag_v1").count() == 1
+    assert eng.sql("SELECT * FROM demo.default.sfx.branch_dev").count() == 1
+    assert eng.sql("SELECT * FROM demo.default.sfx").count() == 2
+    # a join mixing head and ref reads
+    got = eng.sql(
+        "SELECT cur.k FROM demo.default.sfx cur "
+        "LEFT ANTI JOIN demo.default.sfx.tag_v1 old ON cur.k = old.k"
+    ).collect()
+    assert [r["k"] for r in got] == [2]
+    with pytest.raises(ValueError, match="unknown tag"):
+        eng.sql("SELECT * FROM demo.default.sfx.tag_dev")
