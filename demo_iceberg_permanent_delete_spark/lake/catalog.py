@@ -110,6 +110,64 @@ class Catalog:
         self._write_registry(reg)
         return LakeTable(self.spark, meta)
 
+    def snapshot_table(self, source_name: str, dest_name: str) -> LakeTable:
+        """Iceberg's ``snapshot`` procedure: a zero-copy FORK of
+        ``source_name`` — a new table whose single base snapshot
+        references the source's current data/delete files in place (no
+        bytes move). Commits to either table diverge independently.
+
+        Like Iceberg, the fork sets ``gc.enabled=false``: its entries
+        point into the SOURCE's data directory, so file-deleting
+        maintenance (expire_snapshots, remove_orphan_files, DROP PURGE)
+        is refused on the fork — it would destroy the source's files.
+        Sequence-number and row-id counters carry over so equality-delete
+        ordering and row lineage stay correct across the fork."""
+        src = self.load_table(source_name).metadata
+        ns, _ = self._qualify(dest_name)
+        reg = self._read_registry()
+        if ns not in reg["namespaces"]:
+            raise NamespaceError(f"namespace {ns!r} does not exist")
+        if dest_name in reg["tables"]:
+            raise NamespaceError(f"table {dest_name!r} already exists")
+        location = self.table_location(dest_name)
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        meta = TableMetadata(
+            name=dest_name,
+            location=location,
+            schema_ddl=src.schema_ddl,
+            properties={**src.properties, "gc.enabled": "false"},
+            partition_by=list(src.partition_by),
+            renames={k: list(v) for k, v in src.renames.items()},
+            retired_columns=list(src.retired_columns),
+            column_defaults={k: dict(v) for k, v in src.column_defaults.items()},
+            write_defaults=dict(src.write_defaults),
+            identifier_fields=list(src.identifier_fields),
+            last_sequence_number=src.last_sequence_number,
+            next_row_id=src.next_row_id,
+        )
+        cur = src.current_snapshot()
+        entries = []
+        if cur is not None:
+            from demo_iceberg_permanent_delete_spark.lake.metadata import (
+                ManifestEntry,
+            )
+
+            # deep copies preserving persisted sequence numbers and
+            # first_row_id ranges (the ordering/lineage truth)
+            entries = [ManifestEntry.from_json(e.to_json()) for e in cur.manifest]
+        snap = meta.add_snapshot(
+            "append",
+            entries,
+            summary={"snapshot-of": source_name, "added-files": len(entries)},
+        )
+        for e in entries:
+            e.added_snapshot_id = snap.snapshot_id
+        meta.commit()
+        reg = self._read_registry()
+        reg["tables"][dest_name] = {"location": location}
+        self._write_registry(reg)
+        return LakeTable(self.spark, meta)
+
     def register_table(self, name: str, location: str) -> LakeTable:
         """Iceberg's ``register_table`` procedure: attach an EXISTING
         table — its committed metadata at ``location`` — to this catalog
@@ -156,7 +214,24 @@ class Catalog:
             if if_exists:
                 return
             raise NoSuchTableError(f"table {name!r} not found")
-        location = reg["tables"].pop(name)["location"]
+        location = reg["tables"][name]["location"]
+        if purge:
+            # Iceberg's gc.enabled=false rule: a fork's files live inside
+            # ANOTHER table's directory tree; purging would destroy them
+            from demo_iceberg_permanent_delete_spark.lake.metadata import (
+                TableMetadata,
+            )
+
+            try:
+                props = TableMetadata.load(location).properties
+            except Exception:
+                props = {}
+            if str(props.get("gc.enabled", "true")).lower() == "false":
+                raise ValueError(
+                    f"cannot purge {name!r}: gc.enabled=false (its files "
+                    "are shared — drop without PURGE)"
+                )
+        reg["tables"].pop(name)
         self._write_registry(reg)
         if purge:
             shutil.rmtree(location, ignore_errors=True)

@@ -69,6 +69,17 @@ def _commit_or_refresh(table) -> None:
         raise
 
 
+def _check_gc_enabled(meta, op: str) -> None:
+    """Iceberg's gc.enabled=false rule (snapshot-procedure forks set it):
+    the table's entries reference files inside ANOTHER table's directory,
+    so file-deleting maintenance must be refused, not best-effort."""
+    if str(meta.properties.get("gc.enabled", "true")).lower() == "false":
+        raise ValueError(
+            f"cannot run {op} on {meta.name!r}: gc.enabled=false "
+            "(its files are shared with the table it was forked from)"
+        )
+
+
 def expire_snapshots(
     table, older_than: dt.datetime | int, *, retain_last: int = 1
 ) -> dict[str, int]:
@@ -90,6 +101,7 @@ def expire_snapshots(
     """
     cutoff_ms = _to_ms(older_than)
     meta = table.metadata
+    _check_gc_enabled(meta, "expire_snapshots")
     # ref retention first: an aged-out ref no longer protects
     now = now_ms()
     aged_out = []
@@ -185,6 +197,7 @@ def remove_orphan_files(
     iceberg_pii_deletion_demo.py:343-358). ``enforce_safety=False`` mirrors
     the JVM Action path (cleanup_utils.py:49-67) that deletes immediately.
     """
+    _check_gc_enabled(table.metadata, "remove_orphan_files")
     cutoff_ms = now_ms() - ORPHAN_SAFETY_WINDOW_MS if older_than is None else _to_ms(older_than)
     if enforce_safety and cutoff_ms > now_ms() - ORPHAN_SAFETY_WINDOW_MS:
         raise UnsafeOperationError(

@@ -685,8 +685,26 @@ class LakeEngine:
             "compute_table_stats": ["table", "columns"],
             "register_table": ["table", "metadata_file"],
             "ancestors_of": ["table", "snapshot_id"],
+            "snapshot": ["source_table", "table"],
         }.get(proc, ["table", "older_than"])
         args = _parse_call_args(m.group("args"), positional)
+        if proc == "snapshot":
+            # zero-copy fork: the DEST table does not exist yet
+            src = self._strip_catalog(str(args["source_table"]))
+            dest = self._strip_catalog(str(args["table"]))
+            t = self.catalog.snapshot_table(src, dest)
+            return _one_row_df(
+                self.spark,
+                {
+                    "source_table": src,
+                    "current_snapshot_id": t.metadata.current_snapshot_id,
+                    "imported_files_count": len(
+                        t.metadata.current_snapshot().manifest
+                        if t.metadata.current_snapshot()
+                        else []
+                    ),
+                },
+            )
         if proc == "register_table":
             # the one procedure whose table does NOT exist yet
             name = self._strip_catalog(str(args["table"]))

@@ -619,3 +619,58 @@ def test_call_ancestors_of_and_register_table(spark, tmp_path):
             "CALL demo.system.register_table('demo.default.anc2', "
             f"'{t.metadata.location}')"
         )
+
+
+def test_call_snapshot_zero_copy_fork(spark, tmp_path):
+    """Iceberg's snapshot procedure: a zero-copy fork referencing the
+    source's files in place; commits diverge; gc.enabled=false refuses
+    file-deleting maintenance and DROP PURGE on the fork; lineage and
+    equality-delete ordering carry across."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.src (k BIGINT, v STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.src VALUES (1, 'a'), (2, 'b')")
+    src = eng.table("demo.default.src")
+    src.equality_delete(spark.createDataFrame([(1,)], "k bigint"))
+
+    row = eng.sql(
+        "CALL demo.system.snapshot('demo.default.src', 'demo.default.fork')"
+    ).collect()[0]
+    assert row["imported_files_count"] >= 2  # data + eq-delete entries
+    fork = eng.table("demo.default.fork")
+    # same visible rows (eq-delete ordering carried via sequence numbers)
+    assert {r["k"] for r in fork.read().collect()} == {2}
+    # no bytes copied: the fork's entries point into the source's dir
+    assert all(
+        e.file_path.startswith(src.metadata.location)
+        for e in fork.metadata.current_snapshot().manifest
+    )
+    # divergence: a write to the fork doesn't touch the source
+    eng.sql("INSERT INTO demo.default.fork VALUES (9, 'z')")
+    assert {r["k"] for r in eng.table("demo.default.fork").read().collect()} == {2, 9}
+    assert {r["k"] for r in eng.table("demo.default.src").read().collect()} == {2}
+    # lineage ids stay unique across the fork boundary
+    ids = [
+        r["_row_id"]
+        for r in eng.table("demo.default.fork").read(lineage=True).collect()
+    ]
+    assert len(ids) == len(set(ids))
+
+    # gc.enabled=false: file-deleting maintenance refused on the fork
+    fork.refresh()
+    assert fork.properties["gc.enabled"] == "false"
+    with _pytest.raises(ValueError, match="gc.enabled"):
+        fork.expire_snapshots(older_than=dt.datetime(2100, 1, 1))
+    with _pytest.raises(ValueError, match="gc.enabled"):
+        fork.remove_orphan_files()
+    with _pytest.raises(ValueError, match="cannot purge"):
+        eng.catalog.drop_table("default.fork", purge=True, if_exists=False)
+    # plain drop (no purge) is fine, and the source's files survive
+    eng.catalog.drop_table("default.fork", if_exists=False)
+    assert {r["k"] for r in eng.table("demo.default.src").read().collect()} == {2}
