@@ -110,6 +110,48 @@ class Catalog:
         self._write_registry(reg)
         return LakeTable(self.spark, meta)
 
+    # --------------------------------------------------------------- views
+    def create_view(self, name: str, sql: str, replace: bool = False) -> None:
+        """CREATE [OR REPLACE] VIEW — Iceberg's catalog views (view spec):
+        the SQL text is stored in the catalog registry with a version
+        history (REPLACE appends a version, Iceberg's view versioning);
+        the facade expands references at query time."""
+        from demo_iceberg_permanent_delete_spark.lake.metadata import now_ms
+
+        ns, _ = self._qualify(name)
+        reg = self._read_registry()
+        if ns not in reg["namespaces"]:
+            raise NamespaceError(f"namespace {ns!r} does not exist")
+        if name in reg["tables"]:
+            raise NamespaceError(f"{name!r} is a table")
+        views = reg.setdefault("views", {})
+        if name in views and not replace:
+            raise NamespaceError(f"view {name!r} already exists")
+        entry = views.get(name, {"versions": []})
+        entry["versions"].append({"sql": sql, "created_at_ms": now_ms()})
+        entry["sql"] = sql
+        views[name] = entry
+        self._write_registry(reg)
+
+    def drop_view(self, name: str, if_exists: bool = True) -> None:
+        reg = self._read_registry()
+        views = reg.get("views", {})
+        if name not in views:
+            if if_exists:
+                return
+            raise NoSuchTableError(f"view {name!r} not found")
+        views.pop(name)
+        self._write_registry(reg)
+
+    def list_views(self, namespace: str | None = None) -> list[str]:
+        names = self._read_registry().get("views", {}).keys()
+        if namespace is None:
+            return sorted(names)
+        return sorted(n for n in names if n.startswith(namespace + "."))
+
+    def view_entry(self, name: str) -> dict | None:
+        return self._read_registry().get("views", {}).get(name)
+
     def snapshot_table(self, source_name: str, dest_name: str) -> LakeTable:
         """Iceberg's ``snapshot`` procedure: a zero-copy FORK of
         ``source_name`` — a new table whose single base snapshot

@@ -472,6 +472,32 @@ class LakeEngine:
             rows or [], "namespace string, tableName string"
         )
 
+    def _create_view(self, m: re.Match) -> DataFrame:
+        """CREATE [OR REPLACE] VIEW ns.v AS SELECT … — Iceberg catalog
+        views: SQL stored (versioned) in the registry; validated by
+        planning it once at creation time, like Iceberg."""
+        name = self._strip_catalog(m.group("name"))
+        body = m.group("query").strip()
+        self._select(body)  # validation: a broken view fails at CREATE
+        self.catalog.create_view(
+            name, body, replace=m.group("replace") is not None
+        )
+        return _one_row_df(self.spark, {"view": name, "status": "created"})
+
+    def _drop_view(self, m: re.Match) -> DataFrame:
+        name = self._strip_catalog(m.group("name"))
+        self.catalog.drop_view(name, if_exists=m.group("ife") is not None)
+        return _one_row_df(self.spark, {"view": name, "status": "dropped"})
+
+    def _show_views(self, m: re.Match) -> DataFrame:
+        ns = m.group("ns")
+        names = self.catalog.list_views(
+            self._strip_catalog(ns) if ns else None
+        )
+        return self.spark.createDataFrame(
+            [(n,) for n in names] or [], "view_name string"
+        )
+
     def _describe_table(self, m: re.Match) -> DataFrame:
         if self._strip_catalog(m.group("name")) not in self.catalog.list_tables():
             return self.spark.sql(m.group(0))  # temp view / non-lake relation
@@ -940,6 +966,37 @@ class LakeEngine:
 
         return self._TRAVEL.sub(sub, stmt)
 
+    def _expand_views(self, stmt: str, depth: int) -> str:
+        """Catalog-view expansion: each referenced view's stored SQL is
+        planned (recursively — views on views compose) and registered as
+        a temp view the statement reads instead. Depth-capped so a
+        definition cycle fails loudly rather than recursing forever."""
+        views = self.catalog._read_registry().get("views", {})
+        if not views:
+            return stmt
+        if depth > 8:
+            raise ValueError(
+                "view expansion exceeded depth 8 — definition cycle?"
+            )
+        segments = re.split(r"('(?:[^']|'')*')", stmt)
+        for name in sorted(views, key=len, reverse=True):
+            target = "view__" + name.replace(".", "__")
+            hit = False
+            for cand in (f"{self.catalog_name}.{name}", name):
+                pat = re.compile(
+                    r"(?<![\w.])" + re.escape(cand) + r"(?![\w.])"
+                )
+                for i in range(0, len(segments), 2):
+                    new_seg, n = pat.subn(target, segments[i])
+                    if n:
+                        segments[i] = new_seg
+                        hit = True
+            if hit:
+                self._select(
+                    views[name]["sql"], _depth=depth + 1
+                ).createOrReplaceTempView(target)
+        return "".join(segments)
+
     _REF_SUFFIX = re.compile(
         r"(?P<tbl>[\w.]+)\.(?P<kind>branch|tag)_(?P<ref>\w+)", re.I
     )
@@ -969,7 +1026,7 @@ class LakeEngine:
 
         return self._REF_SUFFIX.sub(sub, stmt)
 
-    def _select(self, stmt: str) -> DataFrame:
+    def _select(self, stmt: str, _depth: int = 0) -> DataFrame:
         """Plain SQL: rewrite lake-table identifiers (and their metadata
         relations) to freshly registered temp views, then spark.sql.
 
@@ -978,6 +1035,7 @@ class LakeEngine:
         substring replace would mangle a table whose name prefixes another
         (default.pii inside default.pii_data) or rewrite literals.
         """
+        stmt = self._expand_views(stmt, _depth)
         stmt = self._rewrite_time_travel(stmt)
         stmt = self._rewrite_ref_reads(stmt)
         # (pattern text, table name, meta-view name or None, replacement
@@ -1302,6 +1360,25 @@ class LakeEngine:
                 r"SHOW\s+TBLPROPERTIES\s+(?P<name>[\w.]+)$", re.I
             ),
             _show_tblproperties,
+        ),
+        (
+            re.compile(
+                r"CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
+                r"(?P<name>[\w.]+)\s+AS\s+(?P<query>SELECT\s+.+)$",
+                re.I | re.S,
+            ),
+            _create_view,
+        ),
+        (
+            re.compile(
+                r"DROP\s+VIEW\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>[\w.]+)$",
+                re.I,
+            ),
+            _drop_view,
+        ),
+        (
+            re.compile(r"SHOW\s+VIEWS(?:\s+IN\s+(?P<ns>[\w.]+))?$", re.I),
+            _show_views,
         ),
     ]
 

@@ -674,3 +674,62 @@ def test_call_snapshot_zero_copy_fork(spark, tmp_path):
     # plain drop (no purge) is fine, and the source's files survive
     eng.catalog.drop_table("default.fork", if_exists=False)
     assert {r["k"] for r in eng.table("demo.default.src").read().collect()} == {2}
+
+
+def test_catalog_views_create_replace_drop(spark, tmp_path):
+    """Iceberg catalog views: CREATE [OR REPLACE] VIEW stores versioned
+    SQL in the registry; SELECTs expand it (views on views compose);
+    DROP VIEW / SHOW VIEWS; a broken definition fails at CREATE time."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.base (k BIGINT, v STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.base VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    eng.sql(
+        "CREATE VIEW demo.default.small AS "
+        "SELECT k, v FROM demo.default.base WHERE k < 3"
+    )
+    assert eng.sql("SELECT * FROM demo.default.small").count() == 2
+    # view on view
+    eng.sql(
+        "CREATE VIEW demo.default.tiny AS "
+        "SELECT k FROM demo.default.small WHERE k = 1"
+    )
+    assert [r["k"] for r in eng.sql("SELECT * FROM demo.default.tiny").collect()] == [1]
+    # a view reflects NEW table data at query time (stored SQL, not rows)
+    eng.sql("INSERT INTO demo.default.base VALUES (0, 'z')")
+    assert eng.sql("SELECT * FROM demo.default.small").count() == 3
+
+    # REPLACE bumps the version history
+    eng.sql(
+        "CREATE OR REPLACE VIEW demo.default.small AS "
+        "SELECT k, v FROM demo.default.base WHERE k >= 3"
+    )
+    assert eng.sql("SELECT * FROM demo.default.small").count() == 1
+    entry = eng.catalog.view_entry("default.small")
+    assert len(entry["versions"]) == 2
+
+    assert eng.sql("SHOW VIEWS").count() == 2
+    assert [r["view_name"] for r in eng.sql("SHOW VIEWS IN demo.default").collect()] == [
+        "default.small",
+        "default.tiny",
+    ]
+    eng.sql("DROP VIEW demo.default.tiny")
+    assert eng.sql("SHOW VIEWS").count() == 1
+
+    # duplicate without REPLACE, broken body, name collisions
+    with _pytest.raises(Exception, match="already exists"):
+        eng.sql(
+            "CREATE VIEW demo.default.small AS SELECT 1 AS one"
+        )
+    with _pytest.raises(Exception):
+        eng.sql(
+            "CREATE VIEW demo.default.bad AS SELECT nope FROM demo.default.base"
+        )
+    assert eng.catalog.view_entry("default.bad") is None
+    with _pytest.raises(Exception, match="is a table"):
+        eng.sql("CREATE VIEW demo.default.base AS SELECT 1 AS one")
