@@ -110,6 +110,28 @@ class Catalog:
         self._write_registry(reg)
         return LakeTable(self.spark, meta)
 
+    def migrate(
+        self, name: str, source_dir: str, *, pattern: str = "*.parquet"
+    ) -> LakeTable:
+        """Iceberg's ``migrate`` procedure re-expressed for bare parquet
+        directories: create a lake table whose schema is INFERRED from the
+        files at ``source_dir`` and register those files in place via
+        ``add_files`` (footer-only stats, zero copy, one append snapshot).
+        The files become table-managed from that commit on — exactly
+        add_files' documented ownership transfer."""
+        df = self.spark.read.parquet(source_dir)
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        t = self.create_table(name, ddl)
+        try:
+            t.add_files(source_dir, pattern=pattern)
+        except Exception:
+            # a failed registration must not leave an empty phantom table
+            self.drop_table(name)
+            raise
+        return t
+
     # --------------------------------------------------------------- views
     def create_view(self, name: str, sql: str, replace: bool = False) -> None:
         """CREATE [OR REPLACE] VIEW — Iceberg's catalog views (view spec):

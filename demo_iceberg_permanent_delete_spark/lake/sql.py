@@ -712,6 +712,7 @@ class LakeEngine:
             "register_table": ["table", "metadata_file"],
             "ancestors_of": ["table", "snapshot_id"],
             "snapshot": ["source_table", "table"],
+            "migrate": ["source_dir", "table"],
         }.get(proc, ["table", "older_than"])
         args = _parse_call_args(m.group("args"), positional)
         if proc == "snapshot":
@@ -729,6 +730,17 @@ class LakeEngine:
                         if t.metadata.current_snapshot()
                         else []
                     ),
+                },
+            )
+        if proc == "migrate":
+            dest = self._strip_catalog(str(args["table"]))
+            t = self.catalog.migrate(dest, str(args["source_dir"]))
+            snap = t.metadata.current_snapshot()
+            return _one_row_df(
+                self.spark,
+                {
+                    "table": dest,
+                    "migrated_files_count": len(snap.manifest) if snap else 0,
                 },
             )
         if proc == "register_table":

@@ -733,3 +733,41 @@ def test_catalog_views_create_replace_drop(spark, tmp_path):
     assert eng.catalog.view_entry("default.bad") is None
     with _pytest.raises(Exception, match="is a table"):
         eng.sql("CREATE VIEW demo.default.base AS SELECT 1 AS one")
+
+
+def test_call_migrate_bare_parquet_directory(spark, tmp_path):
+    """migrate: infer the schema from a bare parquet directory, create
+    the table, and register the files in place — zero copy; a failed
+    registration leaves no phantom table behind."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from tests.conftest import one_part
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    src = str(tmp_path / "raw")
+    one_part(
+        spark, [(1, "a"), (2, "b")], "id bigint, v string"
+    ).write.mode("overwrite").parquet(src)
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    row = eng.sql(
+        f"CALL demo.system.migrate('{src}', 'demo.default.migrated')"
+    ).collect()[0]
+    assert row["migrated_files_count"] >= 1
+    got = eng.sql("SELECT id, v FROM demo.default.migrated").collect()
+    assert sorted((r["id"], r["v"]) for r in got) == [(1, "a"), (2, "b")]
+    # zero copy: the registered entries point at the source directory
+    t = eng.table("demo.default.migrated")
+    assert all(
+        e.file_path.startswith(src)
+        for e in t.metadata.current_snapshot().data_files()
+    )
+    # failure path: empty dir → add_files raises → no phantom table
+    empty = str(tmp_path / "empty")
+    _os.makedirs(empty)
+    with _pytest.raises(Exception):
+        eng.catalog.migrate("default.phantom", empty)
+    assert "default.phantom" not in eng.catalog.list_tables()
