@@ -73,6 +73,21 @@ class Catalog:
         ns, tbl = self._qualify(name)
         return os.path.join(self.warehouse, ns, tbl)
 
+    def _check_new_table_name(self, name: str, reg: dict) -> None:
+        """Shared CREATE-path validation (create_table, CTAS, migrate,
+        snapshot_table, register_table): namespace exists, no table OR
+        VIEW already claims the name — a table created under a view's
+        name would be silently shadowed at SELECT time (the facade
+        expands views first), so the collision is rejected in BOTH
+        directions (review finding)."""
+        ns, _ = self._qualify(name)
+        if ns not in reg["namespaces"]:
+            raise NamespaceError(f"namespace {ns!r} does not exist")
+        if name in reg["tables"]:
+            raise NamespaceError(f"table {name!r} already exists")
+        if name in reg.get("views", {}):
+            raise NamespaceError(f"{name!r} is a view")
+
     def create_table(
         self,
         name: str,
@@ -82,14 +97,10 @@ class Catalog:
         partition_by: list[str] | None = None,
     ) -> LakeTable:
         """CREATE TABLE … (reference DDL: iceberg_pii_deletion_demo.py:74-85)."""
-        ns, _ = self._qualify(name)
         reg = self._read_registry()
-        if ns not in reg["namespaces"]:
-            raise NamespaceError(f"namespace {ns!r} does not exist")
-        if name in reg["tables"]:
-            if if_not_exists:
-                return self.load_table(name)
-            raise NamespaceError(f"table {name!r} already exists")
+        if name in reg["tables"] and if_not_exists:
+            return self.load_table(name)
+        self._check_new_table_name(name, reg)
         if partition_by:
             from demo_iceberg_permanent_delete_spark.lake.transforms import (
                 parse_partition_by,
@@ -187,12 +198,8 @@ class Catalog:
         Sequence-number and row-id counters carry over so equality-delete
         ordering and row lineage stay correct across the fork."""
         src = self.load_table(source_name).metadata
-        ns, _ = self._qualify(dest_name)
         reg = self._read_registry()
-        if ns not in reg["namespaces"]:
-            raise NamespaceError(f"namespace {ns!r} does not exist")
-        if dest_name in reg["tables"]:
-            raise NamespaceError(f"table {dest_name!r} already exists")
+        self._check_new_table_name(dest_name, reg)
         location = self.table_location(dest_name)
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         meta = TableMetadata(
@@ -241,12 +248,8 @@ class Catalog:
         FILES into an existing table). The metadata document keeps its
         original ``name`` field, like Iceberg, which renames only the
         catalog entry."""
-        ns, _ = self._qualify(name)
         reg = self._read_registry()
-        if ns not in reg["namespaces"]:
-            raise NamespaceError(f"namespace {ns!r} does not exist")
-        if name in reg["tables"]:
-            raise NamespaceError(f"table {name!r} already exists")
+        self._check_new_table_name(name, reg)
         # validates a committed metadata document exists at the location
         meta = TableMetadata.load(location)
         reg["tables"][name] = {"location": location}
@@ -280,21 +283,41 @@ class Catalog:
             raise NoSuchTableError(f"table {name!r} not found")
         location = reg["tables"][name]["location"]
         if purge:
+            # register_table twins: if ANOTHER catalog entry points at
+            # the same location, purging destroys ITS data too (review
+            # finding) — the shared-location invariant, checked before
+            # any property
+            twins = [
+                n
+                for n, e in reg["tables"].items()
+                if n != name and e["location"] == location
+            ]
+            if twins:
+                raise ValueError(
+                    f"cannot purge {name!r}: location shared with "
+                    f"{twins} (drop without PURGE)"
+                )
             # Iceberg's gc.enabled=false rule: a fork's files live inside
             # ANOTHER table's directory tree; purging would destroy them
+            from demo_iceberg_permanent_delete_spark.lake.maintenance import (
+                _check_gc_enabled,
+            )
             from demo_iceberg_permanent_delete_spark.lake.metadata import (
                 TableMetadata,
             )
 
             try:
-                props = TableMetadata.load(location).properties
+                meta = TableMetadata.load(location)
             except Exception:
-                props = {}
-            if str(props.get("gc.enabled", "true")).lower() == "false":
-                raise ValueError(
-                    f"cannot purge {name!r}: gc.enabled=false (its files "
-                    "are shared — drop without PURGE)"
-                )
+                meta = None
+            if meta is not None:
+                try:
+                    _check_gc_enabled(meta, "DROP TABLE PURGE")
+                except ValueError:
+                    raise ValueError(
+                        f"cannot purge {name!r}: gc.enabled=false (its "
+                        "files are shared — drop without PURGE)"
+                    ) from None
         reg["tables"].pop(name)
         self._write_registry(reg)
         if purge:

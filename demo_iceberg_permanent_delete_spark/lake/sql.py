@@ -1018,7 +1018,11 @@ class LakeEngine:
         ``FROM t.tag_<name>`` read the named ref's snapshot — resolved to
         a snapshot-pinned temp view like the AS OF grammar (the other
         spelling of VERSION AS OF '<ref>'). Kind-checked: tag_x on a
-        branch named x is a user error, not a silent read."""
+        branch named x is a user error, not a silent read.
+        ``branch_main`` resolves to the current snapshot (resolve_ref's
+        'main' rule). Applied OUTSIDE string literals only, like the
+        table-identifier rewrite (review finding — a literal containing
+        't.tag_x' must be neither rewritten nor ref-checked)."""
         tables = set(self.catalog.list_tables())
 
         def sub(m: re.Match) -> str:
@@ -1027,16 +1031,21 @@ class LakeEngine:
                 return m.group(0)
             t = self.catalog.load_table(name)
             kind, ref = m.group("kind").lower(), m.group("ref")
-            r = t.metadata.refs.get(ref)
-            if r is None or r["type"] != kind:
-                raise ValueError(f"unknown {kind} {ref!r} on {name}")
+            if kind == "branch" and ref == "main":
+                snap_id = t.resolve_ref("main")
+            else:
+                r = t.metadata.refs.get(ref)
+                if r is None or r["type"] != kind:
+                    raise ValueError(f"unknown {kind} {ref!r} on {name}")
+                snap_id = int(r["snapshot_id"])
             view = f"{name.replace('.', '__')}__{kind}_{ref}"
-            t.read(snapshot_id=int(r["snapshot_id"])).createOrReplaceTempView(
-                view
-            )
+            t.read(snapshot_id=snap_id).createOrReplaceTempView(view)
             return view
 
-        return self._REF_SUFFIX.sub(sub, stmt)
+        segments = re.split(r"('(?:[^']|'')*')", stmt)
+        for i in range(0, len(segments), 2):
+            segments[i] = self._REF_SUFFIX.sub(sub, segments[i])
+        return "".join(segments)
 
     def _select(self, stmt: str, _depth: int = 0) -> DataFrame:
         """Plain SQL: rewrite lake-table identifiers (and their metadata

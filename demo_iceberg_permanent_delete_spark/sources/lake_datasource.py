@@ -729,6 +729,9 @@ class LakeBatchReader(DataSourceReader):
             return max(eligible, key=lambda s: s.committed_at_ms)
         for kind in ("branch", "tag"):
             if opts[kind]:
+                if kind == "branch" and opts[kind] == "main":
+                    # resolve_ref's rule: 'main' IS the current snapshot
+                    return meta.current_snapshot()
                 ref = meta.refs.get(opts[kind])
                 if ref is None or ref["type"] != kind:
                     raise ValueError(f"unknown {kind} {opts[kind]!r}")
@@ -2009,6 +2012,8 @@ class LakeAppendWriter(DataSourceArrowWriter):
         ]
         op = "overwrite" if self._overwrite else "append"
         branch = self._options.get("branch")
+        if branch == "main":
+            branch = None  # 'main' IS the default target (resolve_ref rule)
         if branch and self._overwrite:
             raise ValueError("mode('overwrite') cannot target a branch")
         last_err = None

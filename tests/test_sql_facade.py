@@ -771,3 +771,59 @@ def test_call_migrate_bare_parquet_directory(spark, tmp_path):
     with _pytest.raises(Exception):
         eng.catalog.migrate("default.phantom", empty)
     assert "default.phantom" not in eng.catalog.list_tables()
+
+
+def test_review_fixes_purge_twin_shadowing_main_and_literals(spark, tmp_path):
+    """Round-9 review findings: (a) PURGE on a register_table twin is
+    refused (shared location — rmtree would destroy the original);
+    (b) a table cannot be created under a view's name; (c) 'main'
+    resolves everywhere a ref name is accepted; (d) ref-suffix text
+    inside string literals is never rewritten or ref-checked."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.orig (k BIGINT) USING iceberg")
+    eng.sql("INSERT INTO demo.default.orig VALUES (1)")
+    t = eng.table("demo.default.orig")
+
+    # (a) purge refused on either name while the location is shared
+    eng.catalog.register_table("default.twin", t.metadata.location)
+    with _pytest.raises(ValueError, match="location shared"):
+        eng.catalog.drop_table("default.twin", purge=True, if_exists=False)
+    with _pytest.raises(ValueError, match="location shared"):
+        eng.catalog.drop_table("default.orig", purge=True, if_exists=False)
+    eng.catalog.drop_table("default.twin", if_exists=False)  # plain drop ok
+    assert eng.sql("SELECT * FROM demo.default.orig").count() == 1
+
+    # (b) view-name collision refused at CREATE TABLE (both directions)
+    eng.sql("CREATE VIEW demo.default.vw AS SELECT 1 AS one")
+    with _pytest.raises(Exception, match="is a view"):
+        eng.sql("CREATE TABLE demo.default.vw (k BIGINT) USING iceberg")
+
+    # (c) 'main' accepted as a branch name on every surface
+    assert (
+        eng.sql("SELECT * FROM demo.default.orig.branch_main").count() == 1
+    )
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        register,
+    )
+
+    register(spark)
+    assert (
+        spark.read.format("lakehouse")
+        .option("location", t.metadata.location)
+        .option("branch", "main")
+        .load()
+        .count()
+        == 1
+    )
+
+    # (d) ref-suffix text inside a literal is data, not grammar
+    got = eng.sql(
+        "SELECT k FROM demo.default.orig "
+        "WHERE 'demo.default.orig.tag_v9' != ''"
+    )
+    assert got.count() == 1
