@@ -63,7 +63,14 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
     lin_states: dict[int, dict[int, tuple[int, int]]] = {}
     used_rids: set[int] = set()
 
-    def check(step, op, *, changed: set[int] = frozenset(), new_seq=None):
+    def check(
+        step,
+        op,
+        *,
+        changed: set[int] = frozenset(),
+        replaced: set[int] = frozenset(),
+        new_seq=None,
+    ):
         nonlocal lin_obs
         got, lin = _rows_lin(t)
         want = sorted((k, v, s) for k, (v, s) in model.items())
@@ -78,6 +85,21 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
         )
         for k, (rid, seq) in lin.items():
             assert rid is not None and seq is not None
+            if k in lin_obs and k in replaced:
+                # eq-upsert REPLACES the row: the new copy is a brand-new
+                # row (Iceberg semantics — equality delete + insert), so
+                # its identity must be FRESH, never the old id re-used
+                prev_rid, _ = lin_obs[k]
+                assert rid != prev_rid and rid not in used_rids, (
+                    f"seed {seed} step {step} after {op}: upserted k={k} "
+                    f"kept/reused row id {rid}"
+                )
+                assert seq == new_seq, (
+                    f"seed {seed} step {step} after {op}: upserted k={k} "
+                    f"seq {seq} != commit {new_seq}"
+                )
+                used_rids.add(rid)
+                continue
             if k in lin_obs:
                 prev_rid, prev_seq = lin_obs[k]
                 assert rid == prev_rid, (
@@ -105,9 +127,10 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
     ops = []
     for step in range(N_STEPS):
         changed: set[int] = set()
+        replaced: set[int] = set()
         new_seq = None
         choice = rnd.random()
-        if choice < 0.35 or not model:  # insert a small batch
+        if choice < 0.28 or not model:  # insert a small batch
             n = rnd.randint(1, 6)
             batch = [
                 (next_k + i, rnd.randint(0, 5), f"s{(next_k + i) % 7}")
@@ -120,6 +143,22 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
             for k, v, s in batch:
                 model[k] = (v, s)
             ops.append(f"insert{n}")
+        elif choice < 0.35:  # equality-delete upsert (X56): replaces rows
+            n_upd = rnd.randint(1, min(3, len(model)))
+            upd_keys = rnd.sample(sorted(model), n_upd)
+            n_new = rnd.randint(0, 2)
+            new_keys = list(range(next_k, next_k + n_new))
+            next_k += n_new
+            batch = [
+                (k, rnd.randint(0, 5), f"s{k % 7}")
+                for k in upd_keys + new_keys
+            ]
+            snap = t.upsert(spark.createDataFrame(batch, DDL), on=["k"])
+            replaced = set(upd_keys)
+            new_seq = snap.sequence_number
+            for k, v, s in batch:
+                model[k] = (v, s)
+            ops.append(f"upsert {n_upd}+{n_new}")
         elif choice < 0.50:  # delete by value predicate (random write mode)
             t.set_properties(
                 {
@@ -192,7 +231,7 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
         cur = t.metadata.current_snapshot_id
         if cur is not None:
             states[cur] = dict(model)
-        check(step, ops[-1], changed=changed, new_seq=new_seq)
+        check(step, ops[-1], changed=changed, replaced=replaced, new_seq=new_seq)
         if cur is not None:
             lin_states[cur] = dict(lin_obs)
 
