@@ -949,14 +949,17 @@ class LakeEngine:
         re.I,
     )
 
-    def _rewrite_time_travel(self, stmt: str) -> str:
+    def _rewrite_time_travel(
+        self, stmt: str, tables: set[str] | None = None
+    ) -> str:
         """Spark/Iceberg time-travel syntax: ``FROM t VERSION AS OF <id|'ref'>``
         and ``FROM t TIMESTAMP AS OF <'ts'|epoch-ms>`` (``FOR`` and
         ``SYSTEM_VERSION``/``SYSTEM_TIME`` spellings accepted). Each travel
         clause is resolved to a concrete snapshot, registered as a temp view
         pinned to that snapshot, and the clause replaced by the view name.
         """
-        tables = set(self.catalog.list_tables())
+        if tables is None:
+            tables = set(self.catalog.list_tables())
 
         def sub(m: re.Match) -> str:
             name = self._strip_catalog(m.group("tbl"))
@@ -978,12 +981,13 @@ class LakeEngine:
 
         return self._TRAVEL.sub(sub, stmt)
 
-    def _expand_views(self, stmt: str, depth: int) -> str:
+    def _expand_views(self, stmt: str, depth: int, views=None) -> str:
         """Catalog-view expansion: each referenced view's stored SQL is
         planned (recursively — views on views compose) and registered as
         a temp view the statement reads instead. Depth-capped so a
         definition cycle fails loudly rather than recursing forever."""
-        views = self.catalog._read_registry().get("views", {})
+        if views is None:
+            views = self.catalog._read_registry().get("views", {})
         if not views:
             return stmt
         if depth > 8:
@@ -1013,7 +1017,9 @@ class LakeEngine:
         r"(?P<tbl>[\w.]+)\.(?P<kind>branch|tag)_(?P<ref>\w+)", re.I
     )
 
-    def _rewrite_ref_reads(self, stmt: str) -> str:
+    def _rewrite_ref_reads(
+        self, stmt: str, tables: set[str] | None = None
+    ) -> str:
         """Iceberg's ref-suffix identifiers: ``FROM t.branch_<name>`` /
         ``FROM t.tag_<name>`` read the named ref's snapshot — resolved to
         a snapshot-pinned temp view like the AS OF grammar (the other
@@ -1023,7 +1029,8 @@ class LakeEngine:
         'main' rule). Applied OUTSIDE string literals only, like the
         table-identifier rewrite (review finding — a literal containing
         't.tag_x' must be neither rewritten nor ref-checked)."""
-        tables = set(self.catalog.list_tables())
+        if tables is None:
+            tables = set(self.catalog.list_tables())
 
         def sub(m: re.Match) -> str:
             name = self._strip_catalog(m.group("tbl"))
@@ -1056,14 +1063,18 @@ class LakeEngine:
         substring replace would mangle a table whose name prefixes another
         (default.pii inside default.pii_data) or rewrite literals.
         """
-        stmt = self._expand_views(stmt, _depth)
-        stmt = self._rewrite_time_travel(stmt)
-        stmt = self._rewrite_ref_reads(stmt)
+        # ONE registry snapshot per statement — the rewrites below used
+        # to each re-read catalog.json (4 reads/statement)
+        reg = self.catalog._read_registry()
+        table_names = sorted(reg["tables"])
+        stmt = self._expand_views(stmt, _depth, views=reg.get("views", {}))
+        stmt = self._rewrite_time_travel(stmt, tables=set(table_names))
+        stmt = self._rewrite_ref_reads(stmt, tables=set(table_names))
         # (pattern text, table name, meta-view name or None, replacement
         # view name), longest first so demo-prefixed and .meta-suffixed
         # forms win over bare names.
         candidates: list[tuple[str, str, str | None, str]] = []
-        for name in self.catalog.list_tables():
+        for name in table_names:
             base = name.replace(".", "__")
             for cand in (f"{self.catalog_name}.{name}", name):
                 for view in _META_VIEWS:
