@@ -206,7 +206,12 @@ class Catalog:
             name=dest_name,
             location=location,
             schema_ddl=src.schema_ddl,
-            properties={**src.properties, "gc.enabled": "false"},
+            properties={
+                **src.properties,
+                "gc.enabled": "false",
+                # lets the source's DROP PURGE detect live forks
+                "forked-from": src.location,
+            },
             partition_by=list(src.partition_by),
             renames={k: list(v) for k, v in src.renames.items()},
             retired_columns=list(src.retired_columns),
@@ -285,20 +290,25 @@ class Catalog:
         if purge:
             # register_table twins: if ANOTHER catalog entry points at
             # the same location, purging destroys ITS data too (review
-            # finding) — the shared-location invariant, checked before
-            # any property
+            # finding) — compared through realpath so a trailing slash,
+            # relative spelling or symlink cannot evade the guard
+            loc_real = os.path.realpath(location)
             twins = [
                 n
                 for n, e in reg["tables"].items()
-                if n != name and e["location"] == location
+                if n != name and os.path.realpath(e["location"]) == loc_real
             ]
             if twins:
                 raise ValueError(
                     f"cannot purge {name!r}: location shared with "
                     f"{twins} (drop without PURGE)"
                 )
-            # Iceberg's gc.enabled=false rule: a fork's files live inside
-            # ANOTHER table's directory tree; purging would destroy them
+            # snapshot_table forks reference files INSIDE this location;
+            # purging the source would dangle every fork (review finding
+            # — the reverse direction of the shared-files hazard). Forks
+            # record their source ('forked-from'); a DROP PURGE is rare
+            # and destructive enough to afford one metadata-head read
+            # per registry entry.
             from demo_iceberg_permanent_delete_spark.lake.maintenance import (
                 _check_gc_enabled,
             )
@@ -306,18 +316,30 @@ class Catalog:
                 TableMetadata,
             )
 
+            for other, e in reg["tables"].items():
+                if other == name:
+                    continue
+                try:
+                    props = TableMetadata.load(e["location"]).properties
+                except Exception:
+                    continue
+                if (
+                    os.path.realpath(props.get("forked-from", ""))
+                    == loc_real
+                ):
+                    raise ValueError(
+                        f"cannot purge {name!r}: {other!r} is a "
+                        "zero-copy fork of it (drop without PURGE, or "
+                        "drop the fork first)"
+                    )
             try:
                 meta = TableMetadata.load(location)
             except Exception:
                 meta = None
             if meta is not None:
-                try:
-                    _check_gc_enabled(meta, "DROP TABLE PURGE")
-                except ValueError:
-                    raise ValueError(
-                        f"cannot purge {name!r}: gc.enabled=false (its "
-                        "files are shared — drop without PURGE)"
-                    ) from None
+                # Iceberg's gc.enabled=false rule — the helper's error
+                # names the op and table
+                _check_gc_enabled(meta, "DROP TABLE PURGE")
         reg["tables"].pop(name)
         self._write_registry(reg)
         if purge:

@@ -949,6 +949,26 @@ class LakeEngine:
         re.I,
     )
 
+    @staticmethod
+    def _sub_outside_literals(pattern: re.Pattern, fn, stmt: str) -> str:
+        """``pattern.sub(fn, stmt)`` applied only to matches that START
+        outside single-quoted string literals — the one rule every
+        identifier rewrite must follow (review findings ×2: ref-suffix
+        then time-travel each re-invented or missed it). A match may
+        legitimately EXTEND into a literal (VERSION AS OF 'v1' owns its
+        quoted ref), so spans gate the match START, not its extent."""
+        spans = [
+            m.span() for m in re.finditer(r"'(?:[^']|'')*'", stmt)
+        ]
+
+        def guarded(m: re.Match):
+            at = m.start()
+            if any(lo < at < hi for lo, hi in spans):
+                return m.group(0)
+            return fn(m)
+
+        return pattern.sub(guarded, stmt)
+
     def _rewrite_time_travel(
         self, stmt: str, tables: set[str] | None = None
     ) -> str:
@@ -979,7 +999,7 @@ class LakeEngine:
             t.read(snapshot_id=snap_id).createOrReplaceTempView(view)
             return view
 
-        return self._TRAVEL.sub(sub, stmt)
+        return self._sub_outside_literals(self._TRAVEL, sub, stmt)
 
     def _expand_views(self, stmt: str, depth: int, views=None) -> str:
         """Catalog-view expansion: each referenced view's stored SQL is
@@ -994,24 +1014,24 @@ class LakeEngine:
             raise ValueError(
                 "view expansion exceeded depth 8 — definition cycle?"
             )
-        segments = re.split(r"('(?:[^']|'')*')", stmt)
         for name in sorted(views, key=len, reverse=True):
             target = "view__" + name.replace(".", "__")
-            hit = False
+            hit = {"any": False}
+
+            def repl(m, target=target, hit=hit):
+                hit["any"] = True
+                return target
+
             for cand in (f"{self.catalog_name}.{name}", name):
                 pat = re.compile(
                     r"(?<![\w.])" + re.escape(cand) + r"(?![\w.])"
                 )
-                for i in range(0, len(segments), 2):
-                    new_seg, n = pat.subn(target, segments[i])
-                    if n:
-                        segments[i] = new_seg
-                        hit = True
-            if hit:
+                stmt = self._sub_outside_literals(pat, repl, stmt)
+            if hit["any"]:
                 self._select(
                     views[name]["sql"], _depth=depth + 1
                 ).createOrReplaceTempView(target)
-        return "".join(segments)
+        return stmt
 
     _REF_SUFFIX = re.compile(
         r"(?P<tbl>[\w.]+)\.(?P<kind>branch|tag)_(?P<ref>\w+)", re.I
@@ -1038,21 +1058,21 @@ class LakeEngine:
                 return m.group(0)
             t = self.catalog.load_table(name)
             kind, ref = m.group("kind").lower(), m.group("ref")
+            view = f"{name.replace('.', '__')}__{kind}_{ref}"
             if kind == "branch" and ref == "main":
-                snap_id = t.resolve_ref("main")
+                # 'main' IS the current state — empty-table safe, the
+                # same rule the DataSource branch option uses (review
+                # finding: resolve_ref raises on an empty table)
+                df = t.read()
             else:
                 r = t.metadata.refs.get(ref)
                 if r is None or r["type"] != kind:
                     raise ValueError(f"unknown {kind} {ref!r} on {name}")
-                snap_id = int(r["snapshot_id"])
-            view = f"{name.replace('.', '__')}__{kind}_{ref}"
-            t.read(snapshot_id=snap_id).createOrReplaceTempView(view)
+                df = t.read(snapshot_id=int(r["snapshot_id"]))
+            df.createOrReplaceTempView(view)
             return view
 
-        segments = re.split(r"('(?:[^']|'')*')", stmt)
-        for i in range(0, len(segments), 2):
-            segments[i] = self._REF_SUFFIX.sub(sub, segments[i])
-        return "".join(segments)
+        return self._sub_outside_literals(self._REF_SUFFIX, sub, stmt)
 
     def _select(self, stmt: str, _depth: int = 0) -> DataFrame:
         """Plain SQL: rewrite lake-table identifiers (and their metadata

@@ -669,7 +669,7 @@ def test_call_snapshot_zero_copy_fork(spark, tmp_path):
         fork.expire_snapshots(older_than=dt.datetime(2100, 1, 1))
     with _pytest.raises(ValueError, match="gc.enabled"):
         fork.remove_orphan_files()
-    with _pytest.raises(ValueError, match="cannot purge"):
+    with _pytest.raises(ValueError, match="gc.enabled"):
         eng.catalog.drop_table("default.fork", purge=True, if_exists=False)
     # plain drop (no purge) is fine, and the source's files survive
     eng.catalog.drop_table("default.fork", if_exists=False)
@@ -827,3 +827,40 @@ def test_review_fixes_purge_twin_shadowing_main_and_literals(spark, tmp_path):
         "WHERE 'demo.default.orig.tag_v9' != ''"
     )
     assert got.count() == 1
+
+
+def test_review3_purge_fork_source_literals_and_empty_main(spark, tmp_path):
+    """Third review pass: (a) purging a fork's SOURCE is refused while
+    the fork lives (its entries point INSIDE the source's directory);
+    (b) travel-clause text inside a string literal is data, not grammar;
+    (c) branch_main on an empty table reads empty instead of raising —
+    matching the DataSource branch option."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.src (k BIGINT) USING iceberg")
+    eng.sql("INSERT INTO demo.default.src VALUES (1)")
+    eng.sql("CALL demo.system.snapshot('demo.default.src', 'demo.default.fk')")
+
+    # (a) source purge refused while the fork references its files
+    with _pytest.raises(ValueError, match="zero-copy fork"):
+        eng.catalog.drop_table("default.src", purge=True, if_exists=False)
+    eng.catalog.drop_table("default.fk", if_exists=False)  # fork gone →
+    eng.catalog.drop_table("default.src", purge=True, if_exists=False)
+
+    # (b) a literal containing travel grammar is neither resolved nor
+    # mangled (the clause names a snapshot that does not exist)
+    eng.sql("CREATE TABLE demo.default.lit (note STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.lit VALUES ('x')")
+    got = eng.sql(
+        "SELECT note FROM demo.default.lit "
+        "WHERE note != 'demo.default.lit VERSION AS OF 999'"
+    ).collect()
+    assert [r["note"] for r in got] == ["x"]
+
+    # (c) branch_main on an empty table
+    eng.sql("CREATE TABLE demo.default.emp (k BIGINT) USING iceberg")
+    assert eng.sql("SELECT * FROM demo.default.emp.branch_main").count() == 0
