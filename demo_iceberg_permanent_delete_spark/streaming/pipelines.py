@@ -360,6 +360,7 @@ def stream_into_lake(
     timeout_s: int = 300,
     checkpoint: str | None = None,
     compact_every_batches: int | None = None,
+    branch: str | None = None,
 ) -> None:
     """Sink a streaming DataFrame into a lake table via ``foreachBatch`` —
     the streaming-ingest integration Iceberg gives Spark users
@@ -398,6 +399,13 @@ def stream_into_lake(
     accumulated eq-deletes. Batch dedup rule is identical to
     ``'upsert'``.
 
+    ``branch`` (append mode only) targets a named branch instead of
+    main — the write-audit-publish shape for a STREAM: micro-batches
+    accumulate on the branch invisible to main readers until
+    ``fast_forward('main', branch-head)`` publishes them (Iceberg's
+    ``spark.wap.branch`` applied to streaming ingest). The exactly-once
+    marker rides each branch commit the same way.
+
     ``compact_every_batches=N`` runs :meth:`LakeTable.compact` inline
     after every N COMMITTED batches (replays don't count) — the
     maintenance cadence Iceberg users schedule beside a Flink upsert job,
@@ -413,6 +421,8 @@ def stream_into_lake(
         raise ValueError(
             f"mode must be 'append', 'upsert' or 'upsert-eq', got {mode!r}"
         )
+    if branch is not None and mode != "append":
+        raise ValueError("branch ingest supports mode='append' only")
     if mode in ("upsert", "upsert-eq") and not merge_keys:
         # the table's declared row identity (SET IDENTIFIER FIELDS) is
         # the default merge key — Flink's upsert writer reads it the
@@ -442,7 +452,11 @@ def stream_into_lake(
         if mode == "append":
             # the marker rides the same commit as the snapshot and is
             # re-applied on every CAS-conflict rebase inside insert()
-            t.insert(batch_df, extra_properties={LAST_BATCH_PROP: marker})
+            t.insert(
+                batch_df,
+                branch=branch,
+                extra_properties={LAST_BATCH_PROP: marker},
+            )
         else:
             from pyspark.sql import Window
 

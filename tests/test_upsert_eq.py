@@ -371,3 +371,44 @@ def test_compact_every_batches_bounds_eq_delete_accumulation(
             mode="append",
             compact_every_batches=0,
         )
+
+
+def test_stream_into_lake_branch_ingest_wap(spark, tmp_path):
+    """Streaming WAP: append-mode ingest to a branch accumulates commits
+    invisible to main until fast_forward publishes; the exactly-once
+    marker rides the branch commits; non-append branch ingest rejected."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events_file(spark, os.path.join(src, "b0"), BATCHES[0], 1000)
+    _write_events_file(spark, os.path.join(src, "b1"), BATCHES[1], 2000)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.wap", DDL)
+    t.insert(
+        one_part(spark, [(99, None, 9, "seed", 0.0, "{}")], DDL)
+    )
+    t.create_branch("audit")
+    stream_into_lake(
+        read_event_stream(spark, os.path.join(src, "*", "*.parquet"), 1),
+        t,
+        mode="append",
+        branch="audit",
+        checkpoint=str(tmp_path / "ck"),
+    )
+    t = cat.load_table("default.wap")
+    assert t.read().count() == 1  # main untouched by the stream
+    assert t.read(ref="audit").count() == 1 + 5  # seed + both batches
+    assert t.properties[LAST_BATCH_PROP].endswith(":1")
+    t.fast_forward("main", t.resolve_ref("audit"))  # publish
+    assert t.read().count() == 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="append"):
+        stream_into_lake(
+            read_event_stream(spark, os.path.join(src, "*", "*.parquet")),
+            t,
+            mode="upsert-eq",
+            merge_keys=["event_id"],
+            branch="audit",
+        )
