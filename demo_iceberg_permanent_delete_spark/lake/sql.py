@@ -498,6 +498,34 @@ class LakeEngine:
             [(n,) for n in names] or [], "view_name string"
         )
 
+    def _truncate_table(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        snap = t.truncate()
+        return _one_row_df(
+            self.spark,
+            {"table": t.name, "status": "truncated", "snapshot_id": snap.snapshot_id},
+        )
+
+    def _show_create_table(self, m: re.Match) -> DataFrame:
+        """SHOW CREATE TABLE: reconstruct the DDL from metadata — schema,
+        partition spec, and non-default properties."""
+        t = self.table(m.group("name"))
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in t.schema().fields
+        )
+        ddl = f"CREATE TABLE {self.catalog_name}.{t.name} (\n  {cols})\nUSING iceberg"
+        if t.metadata.partition_by:
+            ddl += f"\nPARTITIONED BY ({', '.join(t.metadata.partition_by)})"
+        if t.properties:
+            props = ", ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(t.properties.items())
+            )
+            ddl += f"\nTBLPROPERTIES ({props})"
+        return self.spark.createDataFrame(
+            [(ddl,)], "createtab_stmt string"
+        )
+
     def _describe_table(self, m: re.Match) -> DataFrame:
         if self._strip_catalog(m.group("name")) not in self.catalog.list_tables():
             return self.spark.sql(m.group(0))  # temp view / non-lake relation
@@ -1431,6 +1459,16 @@ class LakeEngine:
         (
             re.compile(r"SHOW\s+VIEWS(?:\s+IN\s+(?P<ns>[\w.]+))?$", re.I),
             _show_views,
+        ),
+        (
+            re.compile(r"TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)$", re.I),
+            _truncate_table,
+        ),
+        (
+            re.compile(
+                r"SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)$", re.I
+            ),
+            _show_create_table,
         ),
     ]
 

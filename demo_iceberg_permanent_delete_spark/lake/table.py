@@ -1765,6 +1765,18 @@ class LakeTable:
                 self.refresh()
         raise last_err
 
+    def truncate(self) -> Snapshot:
+        """TRUNCATE TABLE — one METADATA-ONLY commit whose manifest is
+        empty: no data is scanned, rewritten or deleted (old files stay
+        reachable through time travel until expiry GCs them), so a
+        100 TB truncate costs the same one version-file write as an
+        empty append — Iceberg's truncate is the same snapshot trick."""
+        snapshot = self.metadata.add_snapshot(
+            "delete", [], summary={"truncated": True}
+        )
+        self.metadata.commit()
+        return snapshot
+
     def overwrite(self, df: DataFrame) -> Snapshot:
         new_entries = self._write_data(
             self._cluster_for_write(self._apply_write_defaults(df))

@@ -864,3 +864,42 @@ def test_review3_purge_fork_source_literals_and_empty_main(spark, tmp_path):
     # (c) branch_main on an empty table
     eng.sql("CREATE TABLE demo.default.emp (k BIGINT) USING iceberg")
     assert eng.sql("SELECT * FROM demo.default.emp.branch_main").count() == 0
+
+
+def test_truncate_and_show_create_table(spark, tmp_path):
+    """TRUNCATE TABLE is one metadata-only commit (no file deletion —
+    time travel still reads the pre-truncate state until expiry);
+    SHOW CREATE TABLE reconstructs schema + partition spec + properties."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql(
+        "CREATE TABLE demo.default.tr (k BIGINT, d DATE) USING iceberg "
+        "PARTITIONED BY (days(d)) "
+        "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')"
+    )
+    eng.sql("INSERT INTO demo.default.tr VALUES (1, DATE '2024-01-01')")
+    t = eng.table("demo.default.tr")
+    pre = t.metadata.current_snapshot_id
+    n_files = len(t.metadata.current_snapshot().data_files())
+    assert n_files >= 1
+
+    row = eng.sql("TRUNCATE TABLE demo.default.tr").collect()[0]
+    assert row["status"] == "truncated"
+    t.refresh()
+    assert eng.sql("SELECT * FROM demo.default.tr").count() == 0
+    # metadata-only: the old files still exist and time travel reads them
+    assert t.read(snapshot_id=pre).count() == 1
+    assert not t.metadata.current_snapshot().manifest
+    # the table keeps working after truncate
+    eng.sql("INSERT INTO demo.default.tr VALUES (2, DATE '2024-01-02')")
+    assert eng.sql("SELECT k FROM demo.default.tr").collect()[0]["k"] == 2
+
+    stmt = eng.sql("SHOW CREATE TABLE demo.default.tr").collect()[0][
+        "createtab_stmt"
+    ]
+    assert "CREATE TABLE demo.default.tr" in stmt
+    assert "k BIGINT" in stmt and "d DATE" in stmt
+    assert "PARTITIONED BY (days(d))" in stmt
+    assert "'write.delete.mode' = 'merge-on-read'" in stmt
