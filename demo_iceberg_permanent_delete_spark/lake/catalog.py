@@ -316,22 +316,35 @@ class Catalog:
                 TableMetadata,
             )
 
+            # Resolved TRANSITIVELY (round-9 advisor finding): a
+            # fork-of-a-fork's entries still reference the ORIGINAL
+            # table's files (snapshot_table is zero-copy all the way
+            # down), but its 'forked-from' names the INTERMEDIATE fork —
+            # which may itself have been dropped (without purge, so its
+            # metadata document is still loadable and its own
+            # 'forked-from' walkable). Visited-set capped, so a
+            # hand-edited cycle terminates.
             for other, e in reg["tables"].items():
                 if other == name:
                     continue
-                try:
-                    props = TableMetadata.load(e["location"]).properties
-                except Exception:
-                    continue
-                if (
-                    os.path.realpath(props.get("forked-from", ""))
-                    == loc_real
-                ):
-                    raise ValueError(
-                        f"cannot purge {name!r}: {other!r} is a "
-                        "zero-copy fork of it (drop without PURGE, or "
-                        "drop the fork first)"
-                    )
+                loc = e["location"]
+                seen: set[str] = set()
+                while loc and os.path.realpath(loc) not in seen:
+                    seen.add(os.path.realpath(loc))
+                    try:
+                        props = TableMetadata.load(loc).properties
+                    except Exception:
+                        break
+                    src = props.get("forked-from", "")
+                    if not src:
+                        break
+                    if os.path.realpath(src) == loc_real:
+                        raise ValueError(
+                            f"cannot purge {name!r}: {other!r} is a "
+                            "zero-copy fork of it (drop without PURGE, "
+                            "or drop the fork first)"
+                        )
+                    loc = src
             try:
                 meta = TableMetadata.load(location)
             except Exception:

@@ -399,12 +399,22 @@ def stream_into_lake(
     accumulated eq-deletes. Batch dedup rule is identical to
     ``'upsert'``.
 
-    ``branch`` (append mode only) targets a named branch instead of
-    main — the write-audit-publish shape for a STREAM: micro-batches
-    accumulate on the branch invisible to main readers until
-    ``fast_forward('main', branch-head)`` publishes them (Iceberg's
-    ``spark.wap.branch`` applied to streaming ingest). The exactly-once
-    marker rides each branch commit the same way.
+    ``branch`` (append and upsert-eq modes) targets a named branch
+    instead of main — the write-audit-publish shape for a STREAM:
+    micro-batches accumulate on the branch invisible to main readers
+    until ``fast_forward('main', branch-head)`` publishes them
+    (Iceberg's ``spark.wap.branch`` applied to streaming ingest). The
+    exactly-once marker rides each branch commit the same way — it
+    lives in table PROPERTIES (the shared metadata document), so a
+    replay after a crash is skipped whether or not the branch has been
+    published yet. ``mode='upsert'`` (MERGE) is read-modify-write
+    against main and cannot stage on a branch; upsert-eq is the WAP
+    upsert shape (Flink's eq-delete writer under ``spark.wap.branch``).
+    ``compact_every_batches`` is refused with ``branch``: compaction
+    plans off MAIN's current snapshot, so it would never bound the
+    branch's accumulation, and its replace commit advancing main makes
+    the later ``fast_forward`` publish fail ('not a descendant') —
+    compact after publishing instead.
 
     ``compact_every_batches=N`` runs :meth:`LakeTable.compact` inline
     after every N COMMITTED batches (replays don't count) — the
@@ -421,8 +431,17 @@ def stream_into_lake(
         raise ValueError(
             f"mode must be 'append', 'upsert' or 'upsert-eq', got {mode!r}"
         )
-    if branch is not None and mode != "append":
-        raise ValueError("branch ingest supports mode='append' only")
+    if branch is not None and mode == "upsert":
+        raise ValueError(
+            "branch ingest supports mode='append' or 'upsert-eq' "
+            "(MERGE is read-modify-write against main)"
+        )
+    if branch is not None and compact_every_batches is not None:
+        raise ValueError(
+            "compact_every_batches cannot target a branch ingest: "
+            "compaction plans off main and would break the publish "
+            "(compact after fast_forward instead)"
+        )
     if mode in ("upsert", "upsert-eq") and not merge_keys:
         # the table's declared row identity (SET IDENTIFIER FIELDS) is
         # the default merge key — Flink's upsert writer reads it the
@@ -475,6 +494,7 @@ def stream_into_lake(
                 t.upsert(
                     batch_df,
                     on=list(merge_keys),
+                    branch=branch,
                     extra_properties={LAST_BATCH_PROP: marker},
                 )
             else:

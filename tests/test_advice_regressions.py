@@ -186,3 +186,69 @@ def test_drop_then_readd_allowed_on_fileless_table(spark, tmp_path):
     t.drop_column("emial")
     t.add_column("email", "string")
     assert [f.name for f in t.schema().fields] == ["k", "email"]
+
+
+def test_drop_purge_fork_guard_is_transitive(spark, tmp_path):
+    """Round-9 advisor finding: a fork-of-a-fork's entries reference the
+    ORIGINAL table's files, but its 'forked-from' names the INTERMEDIATE
+    fork — after the intermediate is dropped (without purge), purging the
+    original must STILL be refused, or the grandchild dangles."""
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.orig", "k bigint, v string")
+    t.insert(one_part(spark, [(1, "a"), (2, "b")], "k bigint, v string"))
+    cat.snapshot_table("default.orig", "default.fork1")
+    cat.snapshot_table("default.fork1", "default.fork2")
+    cat.drop_table("default.fork1")  # intermediate gone from the registry
+    with pytest.raises(ValueError, match="zero-copy fork"):
+        cat.drop_table("default.orig", purge=True)
+    # the grandchild still reads the original's files
+    assert cat.load_table("default.fork2").read().count() == 2
+    # dropping the grandchild unblocks the purge
+    cat.drop_table("default.fork2")
+    cat.drop_table("default.orig", purge=True)
+    assert "default.orig" not in cat.list_tables()
+
+
+def test_ref_suffix_falls_through_to_column(spark, tmp_path):
+    """Round-9 advisor finding: a column genuinely named tag_x / branch_x
+    must not be parsed as a ref read when no such ref exists. A real
+    missing ref still fails loudly."""
+    import pytest
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE default")
+    eng.sql("CREATE TABLE default.evt (k BIGINT, tag_id STRING) USING iceberg")
+    eng.sql("INSERT INTO default.evt VALUES (1, 'x'), (2, 'y')")
+    # fully-qualified column named tag_id: must plan as the column,
+    # requalified to the rewritten view, not raise 'unknown tag'
+    got = eng.sql(
+        "SELECT k, tag_id FROM default.evt WHERE default.evt.tag_id = 'x'"
+    )
+    assert [(r["k"], r["tag_id"]) for r in got.collect()] == [(1, "x")]
+    # a genuinely missing ref (no same-named column) still raises
+    with pytest.raises(ValueError, match="unknown tag"):
+        eng.sql("SELECT * FROM default.evt.tag_nope")
+
+
+def test_insert_select_allows_any_omitted_column(spark, tmp_path):
+    """Round-9 advisor finding: INSERT INTO t SELECT … and the
+    column-list VALUES form must agree on which columns may be omitted —
+    any column may be, write defaults materialize, the rest read NULL."""
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE default")
+    eng.sql(
+        "CREATE TABLE default.wd (k BIGINT, a STRING, b DOUBLE) USING iceberg"
+    )
+    eng.sql("ALTER TABLE default.wd ALTER COLUMN a SET DEFAULT 'dflt'")
+    # omit a (write default) AND b (no default at all) — both allowed
+    eng.sql("INSERT INTO default.wd SELECT 1 AS k")
+    rows = eng.sql("SELECT * FROM default.wd").collect()
+    assert [(r["k"], r["a"], r["b"]) for r in rows] == [(1, "dflt", None)]
+    # dropped write default → omission still allowed, reads NULL
+    eng.sql("ALTER TABLE default.wd ALTER COLUMN a DROP DEFAULT")
+    eng.sql("INSERT INTO default.wd SELECT 2 AS k")
+    rows = {r["k"]: (r["a"], r["b"]) for r in eng.sql("SELECT * FROM default.wd").collect()}
+    assert rows[2] == (None, None)

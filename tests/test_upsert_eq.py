@@ -404,11 +404,105 @@ def test_stream_into_lake_branch_ingest_wap(spark, tmp_path):
 
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="append"):
+    # MERGE is read-modify-write against main — cannot stage on a branch
+    with _pytest.raises(ValueError, match="upsert-eq"):
         stream_into_lake(
             read_event_stream(spark, os.path.join(src, "*", "*.parquet")),
             t,
-            mode="upsert-eq",
+            mode="upsert",
             merge_keys=["event_id"],
             branch="audit",
+        )
+    # inline compaction plans off MAIN — refused with a branch ingest
+    # (round-9 advisor finding: it would never bound the branch and its
+    # replace commit breaks the later fast_forward publish)
+    with _pytest.raises(ValueError, match="compact_every_batches"):
+        stream_into_lake(
+            read_event_stream(spark, os.path.join(src, "*", "*.parquet")),
+            t,
+            mode="append",
+            branch="audit",
+            compact_every_batches=2,
+        )
+
+
+def test_stream_into_lake_branch_upsert_eq_wap(spark, tmp_path):
+    """Streaming WAP × upsert-eq (round-9 brief item 3): eq-delete upsert
+    commits stage on the branch (main untouched), fast_forward publishes,
+    and the published state is IDENTICAL to the same stream upserted
+    straight into main. Replay across the publish boundary is
+    exactly-once (the marker rides the shared metadata document)."""
+    # reference run: same batches upserted directly into main
+    _, t_main = _run(spark, tmp_path, "upsert-eq", "direct")
+
+    src = str(tmp_path / "src_wap")
+    os.makedirs(src)
+    for i, rows in enumerate(BATCHES):
+        _write_events_file(spark, os.path.join(src, f"b{i}"), rows, 1000 * (i + 1))
+    cat = Catalog(spark, str(tmp_path / "wh_wap"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.wapu", DDL)
+    t.truncate()  # a branch needs a snapshot to reference (empty is fine)
+    t.create_branch("audit")
+    ck = str(tmp_path / "ck_wap")
+    stream_into_lake(
+        read_event_stream(spark, os.path.join(src, "*", "*.parquet"), 1),
+        t,
+        mode="upsert-eq",
+        merge_keys=["event_id"],
+        order_col="ts",
+        branch="audit",
+        checkpoint=ck,
+    )
+    t = cat.load_table("default.wapu")
+    assert t.read().count() == 0, "main untouched before publish"
+    assert t.read(ref="audit").count() == 4
+    # the branch head chain carries one eq-upsert commit per batch
+    assert t.properties[LAST_BATCH_PROP].endswith(":2")
+    t.fast_forward("main", t.resolve_ref("audit"))  # publish
+    assert _state(t.refresh()) == _state(t_main)
+    # replay across the publish boundary: rerunning the SAME checkpoint
+    # re-offers the batches; the marker (in the shared metadata document,
+    # not the branch) skips them all — no duplicate commits
+    n_snaps = len(t.metadata.snapshots)
+    stream_into_lake(
+        read_event_stream(spark, os.path.join(src, "*", "*.parquet"), 1),
+        t,
+        mode="upsert-eq",
+        merge_keys=["event_id"],
+        order_col="ts",
+        branch="audit",
+        checkpoint=ck,
+    )
+    t = cat.load_table("default.wapu")
+    assert len(t.metadata.snapshots) == n_snaps
+    assert _state(t) == _state(t_main)
+
+
+def test_upsert_keys_from_written_files(spark, tmp_path):
+    """The eq-delete key set is derived from the batch's WRITTEN data
+    files, not a re-evaluation of the incoming plan (round-9 advisor
+    finding): a non-deterministic source must not leave stale duplicates
+    unmasked."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.nd", "k bigint, v double")
+    t.insert(one_part(spark, [(1, 1.0), (2, 2.0), (3, 3.0)], "k long, v double"))
+    # a plan whose key values CHANGE on re-evaluation: rand() picks k
+    nd = (
+        spark.range(1)
+        .select(
+            (F.floor(F.rand() * 3) + 1).cast("long").alias("k"),
+            F.lit(99.0).alias("v"),
+        )
+    )
+    # several rounds drive the regression probability to ~1 (each
+    # re-evaluation mismatch leaves a duplicate key behind)
+    for _ in range(5):
+        t.upsert(nd, on=["k"])
+        rows = t.read().collect()
+        assert len(rows) == 3, (
+            f"stale duplicate key survived: {sorted((r['k'], r['v']) for r in rows)}"
         )
