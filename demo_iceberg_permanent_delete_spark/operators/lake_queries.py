@@ -123,20 +123,29 @@ def lake_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lake_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every time-travel surface + rollback in one hash-checked entry:
-    after a MOR delete, (a) a snapshot-id travel read as-of the pre-delete
+    """Every time-travel surface + rollback in one hash-checked entry —
+    routed through the SQL FACADE's rewrite machinery (round-9 brief
+    item 1: the regex identifier rewriting is the repo's riskiest
+    correctness surface, so it runs under the DuckDB hash, not just
+    pytest): after a MOR delete, (a) ``FOR VERSION AS OF`` the pre-delete
     snapshot makes the deleted rows reappear (reference:
     spark.read.option('snapshot-id', id), iceberg_pii_deletion_demo.py:261),
-    (b) TIMESTAMP AS OF the first commit resolves to the same snapshot,
-    (c) a tag and (d) a branch created at that snapshot read it by name
-    (Iceberg VERSION AS OF refs), (e) CALL rollback_to_snapshot points
-    the table back so the CURRENT read returns every row again — those
-    five reads equal the full subset — and (f) a write-audit-publish
-    cycle: stage a batch on the branch, cherrypick_snapshot onto main,
-    rewrite_manifests folds the chain, and the published read adds
-    exactly the staged rows."""
+    (b) ``TIMESTAMP AS OF`` the first commit's epoch-ms resolves to the
+    same snapshot, (c) a tag read via the ``t.tag_<name>`` suffix and
+    (d) a branch via ``t.branch_<name>`` (Iceberg ref-suffix
+    identifiers), (e) CALL rollback_to_snapshot points the table back and
+    the current read goes through CREATE VIEW + view-on-view expansion —
+    those five reads equal the full subset — and (f) a
+    write-audit-publish cycle: stage a batch on the branch,
+    cherrypick_snapshot onto main, rewrite_manifests folds the chain, and
+    the published read adds exactly the staged rows. Each facade read
+    asserts the pinned-view substitution IN ITS PLAN (the X39 style), so
+    the rewrite path is demonstrably what produced the hashed rows."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
     t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
     try:
+        engine = LakeEngine(spark, warehouse)
         first = t.metadata.current_snapshot()
         t.create_tag("v1")
         t.create_branch("audit", first.snapshot_id)
@@ -147,19 +156,40 @@ def lake_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert t.snapshot_as_of(first.committed_at_ms) == first.snapshot_id
         refs = {r["name"]: r["type"] for r in t.meta("refs").collect()}
         assert refs == {"main": "BRANCH", "v1": "TAG", "audit": "BRANCH"}
+
+        def _plan_of(df: DataFrame) -> str:
+            return df._jdf.queryExecution().analyzed().toString()
+
+        tbl = "default.lineitem_lake"
         parts = [
-            t.read(snapshot_id=first.snapshot_id).select(
-                F.lit("time_travel").alias("path"), "*"
+            engine.sql(
+                f"SELECT 'time_travel' AS path, * FROM {tbl} "
+                f"FOR VERSION AS OF {first.snapshot_id}"
             ),
-            t.read(as_of=first.committed_at_ms).select(
-                F.lit("as_of").alias("path"), "*"
+            engine.sql(
+                f"SELECT 'as_of' AS path, * FROM {tbl} "
+                f"TIMESTAMP AS OF {first.committed_at_ms}"
             ),
-            t.read(ref="v1").select(F.lit("tag").alias("path"), "*"),
-            t.read(ref="audit").select(F.lit("branch").alias("path"), "*"),
+            engine.sql(f"SELECT 'tag' AS path, * FROM {tbl}.tag_v1"),
+            engine.sql(f"SELECT 'branch' AS path, * FROM {tbl}.branch_audit"),
         ]
+        # the rewrite is demonstrably in each plan: the travel clauses
+        # resolved to snapshot-pinned temp views, the suffixes to ref views
+        pin = f"default__lineitem_lake__v{first.snapshot_id}"
+        assert pin in _plan_of(parts[0]) and pin in _plan_of(parts[1])
+        assert "default__lineitem_lake__tag_v1" in _plan_of(parts[2])
+        assert "default__lineitem_lake__branch_audit" in _plan_of(parts[3])
         t.rollback_to_snapshot(first.snapshot_id)
         assert t.metadata.current_snapshot_id == first.snapshot_id
-        parts.append(t.read().select(F.lit("rollback").alias("path"), "*"))
+        # (e) the post-rollback read goes through catalog-view expansion,
+        # recursively (view on view) — the riskiest rewrite after travel
+        engine.sql(f"CREATE VIEW default.ttr_base AS SELECT * FROM {tbl}")
+        engine.sql(
+            "CREATE VIEW default.ttr_roll AS SELECT * FROM default.ttr_base"
+        )
+        rolled = engine.sql("SELECT 'rollback' AS path, * FROM default.ttr_roll")
+        assert "view__default__ttr_roll" in _plan_of(rolled)
+        parts.append(rolled)
         # (f) write-audit-publish: stage a second batch on the audit
         # branch (main untouched), publish by cherry-picking the staged
         # change set onto main, then fold the manifest chain — the final
