@@ -111,6 +111,36 @@ def _delete_paths(spark, paths: list[str]) -> int:
     return sum(sc.parallelize(paths, slices).mapPartitions(_unlink).collect())
 
 
+def _target_snapshot(table, branch: str | None):
+    """Resolve the snapshot a maintenance pass plans against: the current
+    snapshot, or a named branch's head (branch-scoped maintenance — the
+    companion Iceberg gives Flink WAP upsert pipelines, where eq-delete
+    accumulation lives on the ingest branch and must be compacted THERE,
+    not on main). Returns ``(snapshot, head_id)``; head_id None = main."""
+    meta = table.metadata
+    if branch is None:
+        return meta.current_snapshot(), None
+    ref = meta.refs.get(branch)
+    if ref is None or ref["type"] != "branch":
+        raise KeyError(f"unknown branch {branch!r}")
+    head = int(ref["snapshot_id"])
+    return meta.snapshot_by_id(head), head
+
+
+def _commit_maintenance(meta, snapshot_args, branch: str | None):
+    """add_snapshot for a maintenance commit, targeting main or a branch:
+    a branch commit parents on the branch head and advances only the ref."""
+    op, manifest, summary = snapshot_args
+    if branch is None:
+        return meta.add_snapshot(op, manifest, summary=summary)
+    head = int(meta.refs[branch]["snapshot_id"])
+    snap = meta.add_snapshot(
+        op, manifest, summary=summary, parent_snapshot_id=head, advance=False
+    )
+    meta.refs[branch]["snapshot_id"] = snap.snapshot_id
+    return snap
+
+
 def _check_gc_enabled(meta, op: str) -> None:
     """Iceberg's gc.enabled=false rule (snapshot-procedure forks set it):
     the table's entries reference files inside ANOTHER table's directory,
@@ -309,6 +339,7 @@ def rewrite_data_files(
     sort_order: str | list[str] | None = None,
     where: str | None = None,
     files: list[str] | None = None,
+    branch: str | None = None,
 ) -> dict[str, int]:
     """M4 — compact: read the current snapshot WITH position deletes applied,
     write fresh ~128 MiB files, commit a snapshot referencing only the new
@@ -339,9 +370,14 @@ def rewrite_data_files(
     already-target-sized neighbors in the same partition are never
     re-written, and it needs no derivable predicate — unpartitioned and
     multi-field-partitioned groups compact just as well.
+
+    ``branch`` plans against (and commits onto) a named branch's head —
+    the Flink-WAP companion: a streaming eq-delete upsert accumulating on
+    an ingest branch compacts ON the branch, main untouched, and the
+    replace commit keeps the chain publishable by ``fast_forward``.
     """
     meta = table.metadata
-    snap = meta.current_snapshot()
+    snap, head_id = _target_snapshot(table, branch)
     if snap is None:
         return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
     prior_data = snap.data_files()
@@ -376,7 +412,8 @@ def rewrite_data_files(
     # survives the rewrite (Iceberg v3 writer requirement)
     lin = table._lineage_ok()
     if not scoped:
-        merged = table.read(lineage=lin)  # delete-merge applied
+        # delete-merge applied; branch rewrites read the branch head
+        merged = table.read(snapshot_id=head_id, lineage=lin)
     else:
         wp = table._read_data_entries(
             prior_data, lineage=lin, positions=bool(prior_deletes)
@@ -430,14 +467,19 @@ def rewrite_data_files(
     stats_were_fresh = (
         meta.statistics.get("snapshot_id") == meta.current_snapshot_id
     )
-    snapshot = meta.add_snapshot(
-        "replace",
-        kept + carried_deletes + new_entries,
-        summary={
-            "rewritten-data-files": len(prior_data),
-            "removed-delete-files": len(prior_deletes) - len(carried_deletes),
-            "added-data-files": len(new_entries),
-        },
+    snapshot = _commit_maintenance(
+        meta,
+        (
+            "replace",
+            kept + carried_deletes + new_entries,
+            {
+                "rewritten-data-files": len(prior_data),
+                "removed-delete-files": len(prior_deletes)
+                - len(carried_deletes),
+                "added-data-files": len(new_entries),
+            },
+        ),
+        branch,
     )
     for e in new_entries:
         e.added_snapshot_id = snapshot.snapshot_id
@@ -445,8 +487,9 @@ def rewrite_data_files(
     # the delete-merged read; applying tombstones physically is a no-op
     # for that view) — carry ANALYZE stats forward instead of staling
     # them on every compaction. At 100 TB maintenance churns constantly;
-    # planner-grade NDV must survive it.
-    if stats_were_fresh:
+    # planner-grade NDV must survive it. Branch rewrites never touch the
+    # stats (they describe MAIN's current snapshot).
+    if stats_were_fresh and branch is None:
         meta.statistics = {
             **meta.statistics,
             "snapshot_id": snapshot.snapshot_id,
@@ -596,13 +639,16 @@ def rewrite_manifests(table, *, min_count_to_rewrite: int = 2) -> dict[str, int]
     }
 
 
-def rewrite_position_delete_files(table) -> dict[str, int]:
+def rewrite_position_delete_files(
+    table, *, branch: str | None = None
+) -> dict[str, int]:
     """M5 — consolidate position-delete files: drop entries that target data
     files no longer in the current snapshot (inert after COW/compaction) and
     merge the survivors into one file (reference: iceberg_pii_deletion_demo
-    .py:436-447; post-condition :449-466 — delete-file count drops)."""
+    .py:436-447; post-condition :449-466 — delete-file count drops).
+    ``branch`` consolidates a branch head instead, like rewrite_data_files."""
     meta = table.metadata
-    snap = meta.current_snapshot()
+    snap, _ = _target_snapshot(table, branch)
     if snap is None:
         return {"rewritten_delete_files_count": 0, "added_delete_files_count": 0}
     delete_entries = [
@@ -637,18 +683,22 @@ def rewrite_position_delete_files(table) -> dict[str, int]:
     stats_were_fresh = (
         meta.statistics.get("snapshot_id") == meta.current_snapshot_id
     )
-    snapshot = meta.add_snapshot(
-        "replace",
-        snap.data_files() + eq_entries + new_entries,
-        summary={
-            "rewritten-delete-files": len(delete_entries),
-            "added-delete-files": len(new_entries),
-        },
+    snapshot = _commit_maintenance(
+        meta,
+        (
+            "replace",
+            snap.data_files() + eq_entries + new_entries,
+            {
+                "rewritten-delete-files": len(delete_entries),
+                "added-delete-files": len(new_entries),
+            },
+        ),
+        branch,
     )
     for e in new_entries:
         e.added_snapshot_id = snapshot.snapshot_id
     # Tombstone consolidation is live-row-preserving — stats stay valid.
-    if stats_were_fresh:
+    if stats_were_fresh and branch is None:
         meta.statistics = {
             **meta.statistics,
             "snapshot_id": snapshot.snapshot_id,
@@ -875,8 +925,10 @@ def plan_compaction(
     small_file_fraction: float = 0.5,
     min_input_files: int = 4,
     delete_ratio_threshold: float = 0.2,
+    branch: str | None = None,
 ) -> dict[str, Any]:
-    """Select compaction candidates from manifests alone.
+    """Select compaction candidates from manifests alone (``branch``
+    plans against a named branch's head instead of main).
 
     Files are grouped by their partition tuple — derivable from manifest
     min/max stats whenever a file sits wholly inside one partition value
@@ -896,7 +948,7 @@ def plan_compaction(
     count): past ``delete_ratio_threshold`` the recommendation is a
     rewrite (MOR read-merge cost has outgrown its write savings).
     """
-    snap = table.metadata.current_snapshot()
+    snap, _ = _target_snapshot(table, branch)
     if snap is None:
         return {"groups": [], "ungrouped": None, "delete_pressure": None}
     data = snap.data_files()
@@ -1031,6 +1083,7 @@ def compact(
     small_file_fraction: float = 0.5,
     min_input_files: int = 4,
     delete_ratio_threshold: float = 0.2,
+    branch: str | None = None,
 ) -> dict[str, Any]:
     """Close the maintenance loop: :func:`plan_compaction` →
     :func:`rewrite_data_files` per emitted group — Iceberg's rewrite-job
@@ -1057,6 +1110,7 @@ def compact(
         small_file_fraction=small_file_fraction,
         min_input_files=min_input_files,
         delete_ratio_threshold=delete_ratio_threshold,
+        branch=branch,
     )
     dp = plan["delete_pressure"] or {}
     summary: dict[str, Any] = {
@@ -1070,7 +1124,7 @@ def compact(
     }
     if dp.get("recommend_rewrite"):
         stats = rewrite_data_files(
-            table, target_file_size_bytes=target_file_size_bytes
+            table, target_file_size_bytes=target_file_size_bytes, branch=branch
         )
         summary["full_rewrite"] = True
         summary["rewritten_data_files_count"] = stats[
@@ -1083,15 +1137,16 @@ def compact(
             table,
             files=g["files"],
             target_file_size_bytes=target_file_size_bytes,
+            branch=branch,
         )
         summary["groups_compacted"] += 1
         summary["rewritten_data_files_count"] += stats[
             "rewritten_data_files_count"
         ]
         summary["added_data_files_count"] += stats["added_data_files_count"]
-    snap = table.metadata.current_snapshot()
+    snap, _ = _target_snapshot(table, branch)
     if summary["groups_compacted"] and snap is not None and any(
         e.content == CONTENT_POSITION_DELETES for e in snap.delete_files()
     ):
-        rewrite_position_delete_files(table)
+        rewrite_position_delete_files(table, branch=branch)
     return summary

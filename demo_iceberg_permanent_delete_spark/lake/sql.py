@@ -589,6 +589,25 @@ class LakeEngine:
             sorted(t.properties.items()) or [], "key string, value string"
         )
 
+    def _wap_write_opts(self) -> dict[str, str]:
+        """Iceberg's session-conf write-audit-publish controls:
+        ``spark.wap.branch`` routes INSERT commits onto a branch,
+        ``spark.wap.id`` stages them unpublished with the id stamped in
+        the snapshot summary for ``CALL publish_changes``. Mutually
+        exclusive, like Iceberg's SparkWriteConf rule."""
+        wb = self.spark.conf.get("spark.wap.branch", None)
+        wid = self.spark.conf.get("spark.wap.id", None)
+        if wb and wid:
+            raise ValueError(
+                "cannot set both spark.wap.branch and spark.wap.id"
+            )
+        out: dict[str, str] = {}
+        if wb:
+            out["branch"] = wb
+        if wid:
+            out["wap_id"] = wid
+        return out
+
     # ------------------------------------------------------- DML handlers
     def _insert_select(self, m: re.Match) -> DataFrame:
         """INSERT INTO t SELECT …: run the query through the same
@@ -609,7 +628,7 @@ class LakeEngine:
                 if f.name in df.columns
             ]
         )
-        snap = t.insert(aligned)
+        snap = t.insert(aligned, **self._wap_write_opts())
         return _one_row_df(
             self.spark,
             {"table": t.name, "status": "inserted", "snapshot_id": snap.snapshot_id},
@@ -636,7 +655,7 @@ class LakeEngine:
         aligned = raw.select(
             *[raw[f.name].cast(f.dataType).alias(f.name) for f in fields]
         )
-        snap = t.insert(aligned)
+        snap = t.insert(aligned, **self._wap_write_opts())
         return _one_row_df(
             self.spark,
             {"table": t.name, "status": "inserted", "snapshot_id": snap.snapshot_id},
@@ -782,6 +801,7 @@ class LakeEngine:
             "ancestors_of": ["table", "snapshot_id"],
             "snapshot": ["source_table", "table"],
             "migrate": ["source_dir", "table"],
+            "publish_changes": ["table", "wap_id"],
         }.get(proc, ["table", "older_than"])
         args = _parse_call_args(m.group("args"), positional)
         if proc == "snapshot":
@@ -920,6 +940,7 @@ class LakeEngine:
             sort_order = args.get("sort_order")
             if sort_order and not re.match(r"(?i)\s*zorder\s*\(", sort_order):
                 sort_order = [c.strip() for c in sort_order.split(",") if c.strip()]
+            branch = args.get("branch")
             stats = t.rewrite_data_files(
                 rewrite_all=options.get("rewrite-all", "true") == "true",
                 target_file_size_bytes=int(
@@ -927,17 +948,26 @@ class LakeEngine:
                 ),
                 sort_order=sort_order,
                 where=args.get("where"),
+                branch=str(branch).strip("'\"") if branch else None,
             )
             return _one_row_df(self.spark, stats)
         if proc == "rewrite_position_delete_files":
-            return _one_row_df(self.spark, t.rewrite_position_delete_files())
+            branch = args.get("branch")
+            return _one_row_df(
+                self.spark,
+                t.rewrite_position_delete_files(
+                    branch=str(branch).strip("'\"") if branch else None
+                ),
+            )
         if proc == "compact":
             options = args.get("options", {})
+            branch = args.get("branch")
             summary = t.compact(
                 target_file_size_bytes=int(
                     options.get("target-file-size-bytes", 134217728)
                 ),
                 min_input_files=int(options.get("min-input-files", 4)),
+                branch=str(branch).strip("'\"") if branch else None,
             )
             return _one_row_df(self.spark, summary)
         if proc == "plan_compaction":
@@ -987,6 +1017,27 @@ class LakeEngine:
             if m2:
                 src = m2.group("p")
             return _one_row_df(self.spark, t.add_files(src))
+        if proc == "publish_changes":
+            # Iceberg's WAP publish: cherry-pick the staged snapshot whose
+            # summary carries this wap.id (stamped by a spark.wap.id write)
+            wid = str(args["wap_id"]).strip("'\"")
+            cand = [
+                s2
+                for s2 in t.metadata.snapshots
+                if s2.summary.get("wap.id") == wid
+            ]
+            if not cand:
+                raise ValueError(f"no snapshot with wap.id {wid!r}")
+            if len(cand) > 1:
+                raise ValueError(f"duplicate wap.id {wid!r} — publish by snapshot id")
+            snap = t.cherrypick_snapshot(cand[0].snapshot_id)
+            return _one_row_df(
+                self.spark,
+                {
+                    "source_snapshot_id": cand[0].snapshot_id,
+                    "current_snapshot_id": snap.snapshot_id,
+                },
+            )
         if proc == "cherrypick_snapshot":
             snap = t.cherrypick_snapshot(int(args["snapshot_id"]))
             return _one_row_df(

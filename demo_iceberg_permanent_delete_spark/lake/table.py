@@ -1705,6 +1705,7 @@ class LakeTable:
         df: DataFrame,
         *,
         branch: str | None = None,
+        wap_id: str | None = None,
         extra_properties: dict[str, str] | None = None,
     ) -> Snapshot:
         """INSERT INTO … VALUES / append (reference: iceberg_pii_deletion_demo.py:105-110).
@@ -1714,10 +1715,19 @@ class LakeTable:
         head and advances only the branch ref — main is untouched until
         fast_forward/cherrypick publishes it.
 
+        ``wap_id`` stages the commit WITHOUT advancing any pointer,
+        stamping ``wap.id`` into its summary (Iceberg's ``spark.wap.id``
+        write step — the branch-less WAP shape): the snapshot parents on
+        the current head, is invisible to every read, and
+        ``CALL publish_changes(table, wap_id)`` cherry-picks it onto main
+        after the audit. Mutually exclusive with ``branch``, like Iceberg.
+
         ``extra_properties`` are table properties committed ATOMICALLY with
         the snapshot — re-applied on every rebase attempt, so they survive
         a CAS conflict retry (the streaming sink's batch-id bookkeeping
         depends on this)."""
+        if branch is not None and wap_id is not None:
+            raise ValueError("cannot set both branch and wap_id (Iceberg's rule)")
         # Data files are written exactly once; only the metadata commit
         # rebases and retries on a CAS conflict (_commit_retry).
         new_entries = self._write_data(
@@ -1732,7 +1742,8 @@ class LakeTable:
         # stats these are).
         stats_update = None
         stats_base_snapshot = None
-        if branch is None:
+        staged = branch is not None or wap_id is not None
+        if not staged:
             from demo_iceberg_permanent_delete_spark.lake import maintenance
 
             stats_base_snapshot = self.metadata.statistics.get("snapshot_id")
@@ -1749,12 +1760,15 @@ class LakeTable:
                 snap = self.metadata.current_snapshot()
                 parent_id = -1
                 base = list(snap.manifest) if snap else []
+            summary = {"added-files": len(new_entries)}
+            if wap_id is not None:
+                summary["wap.id"] = wap_id
             snapshot = self.metadata.add_snapshot(
                 "append",
                 base + new_entries,
-                summary={"added-files": len(new_entries)},
+                summary=summary,
                 parent_snapshot_id=parent_id,
-                advance=branch is None,
+                advance=not staged,
             )
             if branch is not None:
                 self.metadata.refs[branch]["snapshot_id"] = snapshot.snapshot_id
@@ -1764,7 +1778,7 @@ class LakeTable:
             # update and let stats go stale instead of losing their rows).
             if (
                 stats_update is not None
-                and branch is None
+                and not staged
                 and self.metadata.statistics.get("snapshot_id")
                 == stats_base_snapshot
                 == snapshot.parent_id
@@ -3093,6 +3107,7 @@ class LakeTable:
         target_file_size_bytes: int = TARGET_FILE_SIZE_BYTES,
         sort_order: str | list[str] | None = None,
         where: str | None = None,
+        branch: str | None = None,
     ) -> dict[str, int]:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 
@@ -3102,12 +3117,15 @@ class LakeTable:
             target_file_size_bytes=target_file_size_bytes,
             sort_order=sort_order,
             where=where,
+            branch=branch,
         )
 
-    def rewrite_position_delete_files(self) -> dict[str, int]:
+    def rewrite_position_delete_files(
+        self, *, branch: str | None = None
+    ) -> dict[str, int]:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 
-        return maintenance.rewrite_position_delete_files(self)
+        return maintenance.rewrite_position_delete_files(self, branch=branch)
 
     def compute_table_stats(self, columns: list[str] | None = None) -> dict[str, int]:
         from demo_iceberg_permanent_delete_spark.lake import maintenance

@@ -410,11 +410,11 @@ def stream_into_lake(
     published yet. ``mode='upsert'`` (MERGE) is read-modify-write
     against main and cannot stage on a branch; upsert-eq is the WAP
     upsert shape (Flink's eq-delete writer under ``spark.wap.branch``).
-    ``compact_every_batches`` is refused with ``branch``: compaction
-    plans off MAIN's current snapshot, so it would never bound the
-    branch's accumulation, and its replace commit advancing main makes
-    the later ``fast_forward`` publish fail ('not a descendant') —
-    compact after publishing instead.
+    ``compact_every_batches`` composed with ``branch`` compacts the
+    BRANCH head (branch-scoped ``compact(branch=…)``) so eq-delete and
+    small-file accumulation stays bounded on the ingest branch itself —
+    main is untouched and the replace commits keep the chain
+    ``fast_forward``-publishable.
 
     ``compact_every_batches=N`` runs :meth:`LakeTable.compact` inline
     after every N COMMITTED batches (replays don't count) — the
@@ -435,12 +435,6 @@ def stream_into_lake(
         raise ValueError(
             "branch ingest supports mode='append' or 'upsert-eq' "
             "(MERGE is read-modify-write against main)"
-        )
-    if branch is not None and compact_every_batches is not None:
-        raise ValueError(
-            "compact_every_batches cannot target a branch ingest: "
-            "compaction plans off main and would break the publish "
-            "(compact after fast_forward instead)"
         )
     if mode in ("upsert", "upsert-eq") and not merge_keys:
         # the table's declared row identity (SET IDENTIFIER FIELDS) is
@@ -510,7 +504,11 @@ def stream_into_lake(
             and committed["n"] % compact_every_batches == 0
         ):
             t.refresh()
-            t.compact()
+            # a branch ingest compacts the BRANCH head (round-9 advisor
+            # finding: compacting main would never bound the branch's
+            # accumulation, and its replace commit advancing main makes
+            # the later fast_forward publish raise 'not a descendant')
+            t.compact(branch=branch)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)

@@ -959,3 +959,93 @@ def test_show_create_view_and_view_versions(spark, tmp_path):
         eng.sql("SHOW CREATE VIEW demo.default.nope")
     with _pytest.raises(Exception, match="not found"):
         eng.sql("SHOW VIEW VERSIONS demo.default.nope")
+
+
+def test_wap_id_staging_and_publish_changes(spark, tmp_path):
+    """Iceberg's branch-less WAP: with spark.wap.id set, INSERTs stage
+    unpublished (wap.id stamped in the snapshot summary, no pointer
+    move); CALL publish_changes cherry-picks by id. spark.wap.branch
+    routes INSERTs to a branch. Both confs together are rejected."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE demo.default")
+    eng.sql("CREATE TABLE demo.default.w (k BIGINT, v STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.w VALUES (1, 'a')")
+    try:
+        spark.conf.set("spark.wap.id", "audit-123")
+        eng.sql("INSERT INTO demo.default.w VALUES (2, 'b')")
+        # staged: invisible to reads, stamped in the summary
+        assert eng.sql("SELECT * FROM demo.default.w").count() == 1
+        t = eng.table("default.w")
+        staged = [
+            s for s in t.metadata.snapshots if s.summary.get("wap.id") == "audit-123"
+        ]
+        assert len(staged) == 1
+        assert t.metadata.current_snapshot_id != staged[0].snapshot_id
+        # both confs together rejected (Iceberg's SparkWriteConf rule)
+        spark.conf.set("spark.wap.branch", "nope")
+        with _pytest.raises(ValueError, match="both"):
+            eng.sql("INSERT INTO demo.default.w VALUES (9, 'x')")
+        spark.conf.unset("spark.wap.branch")
+        spark.conf.unset("spark.wap.id")
+        # publish: cherry-pick by wap id
+        got = eng.sql(
+            "CALL demo.system.publish_changes(table => 'default.w', wap_id => 'audit-123')"
+        ).collect()[0]
+        assert got["source_snapshot_id"] == staged[0].snapshot_id
+        rows = {r["k"]: r["v"] for r in eng.sql("SELECT * FROM demo.default.w").collect()}
+        assert rows == {1: "a", 2: "b"}
+        with _pytest.raises(ValueError, match="no snapshot"):
+            eng.sql("CALL demo.system.publish_changes('default.w', 'missing')")
+        # spark.wap.branch routes the INSERT onto the branch
+        eng.sql("ALTER TABLE default.w CREATE BRANCH audit")
+        spark.conf.set("spark.wap.branch", "audit")
+        eng.sql("INSERT INTO demo.default.w VALUES (3, 'c')")
+        spark.conf.unset("spark.wap.branch")
+        assert eng.sql("SELECT * FROM demo.default.w").count() == 2
+        assert eng.sql("SELECT * FROM demo.default.w.branch_audit").count() == 3
+    finally:
+        for c in ("spark.wap.id", "spark.wap.branch"):
+            try:
+                spark.conf.unset(c)
+            except Exception:
+                pass
+
+
+def test_call_branch_scoped_maintenance(spark, tmp_path):
+    """CALL rewrite_data_files/compact with branch => compacts the branch
+    head (replace commit on the branch, ref advanced, main untouched)."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE demo.default")
+    eng.sql("CREATE TABLE demo.default.bm (k BIGINT, v STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.bm VALUES (1, 'a'), (2, 'b')")
+    eng.sql("ALTER TABLE default.bm CREATE BRANCH ingest")
+    t = eng.table("default.bm")
+    # accumulate on the branch: two upsert-eq commits
+    from tests.conftest import one_part
+
+    t.upsert(one_part(spark, [(2, "B"), (3, "c")], "k bigint, v string"),
+             on=["k"], branch="ingest")
+    t = eng.table("default.bm")
+    t.upsert(one_part(spark, [(3, "C")], "k bigint, v string"),
+             on=["k"], branch="ingest")
+    main_head = eng.table("default.bm").metadata.current_snapshot_id
+    got = eng.sql(
+        "CALL demo.system.rewrite_data_files(table => 'default.bm', branch => 'ingest')"
+    ).collect()[0]
+    assert got["rewritten_data_files_count"] >= 1
+    t = eng.table("default.bm")
+    assert t.metadata.current_snapshot_id == main_head, "main untouched"
+    head = t.metadata.snapshot_by_id(t.resolve_ref("ingest"))
+    assert head.operation == "replace"
+    assert not head.delete_files(), "eq-deletes folded on the branch"
+    # branch content correct after the fold; publishable
+    rows = {r["k"]: r["v"] for r in t.read(ref="ingest").collect()}
+    assert rows == {1: "a", 2: "B", 3: "C"}
+    t.fast_forward("main", t.resolve_ref("ingest"))
+    assert {r["k"]: r["v"] for r in t.read().collect()} == rows

@@ -413,17 +413,6 @@ def test_stream_into_lake_branch_ingest_wap(spark, tmp_path):
             merge_keys=["event_id"],
             branch="audit",
         )
-    # inline compaction plans off MAIN — refused with a branch ingest
-    # (round-9 advisor finding: it would never bound the branch and its
-    # replace commit breaks the later fast_forward publish)
-    with _pytest.raises(ValueError, match="compact_every_batches"):
-        stream_into_lake(
-            read_event_stream(spark, os.path.join(src, "*", "*.parquet")),
-            t,
-            mode="append",
-            branch="audit",
-            compact_every_batches=2,
-        )
 
 
 def test_stream_into_lake_branch_upsert_eq_wap(spark, tmp_path):
@@ -506,3 +495,53 @@ def test_upsert_keys_from_written_files(spark, tmp_path):
         assert len(rows) == 3, (
             f"stale duplicate key survived: {sorted((r['k'], r['v']) for r in rows)}"
         )
+
+
+def test_branch_compaction_cadence_bounds_branch_and_publishes(spark, tmp_path):
+    """compact_every_batches composed with a branch ingest compacts the
+    BRANCH head (round-9 advisor finding: compacting main never bounds
+    the branch and its replace commit made the publish raise 'not a
+    descendant'): eq-delete accumulation on the ingest branch stays
+    bounded, main is untouched until fast_forward, and the published
+    state equals the direct-to-main run."""
+    _, t_main = _run(spark, tmp_path, "upsert-eq", "direct_bc")
+
+    src = str(tmp_path / "src_bc")
+    os.makedirs(src)
+    for i, rows in enumerate(BATCHES):
+        _write_events_file(spark, os.path.join(src, f"b{i}"), rows, 1000 * (i + 1))
+    cat = Catalog(spark, str(tmp_path / "wh_bc"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.bc", DDL)
+    t.truncate()
+    t.create_branch("audit")
+    stream_into_lake(
+        read_event_stream(spark, os.path.join(src, "*", "*.parquet"), 1),
+        t,
+        mode="upsert-eq",
+        merge_keys=["event_id"],
+        order_col="ts",
+        branch="audit",
+        checkpoint=str(tmp_path / "ck_bc"),
+        compact_every_batches=2,
+    )
+    t = cat.load_table("default.bc")
+    assert t.read().count() == 0, "main untouched before publish"
+    # the cadence-2 compaction ran ON the branch: its head chain holds a
+    # replace snapshot, and eq-delete files are bounded (batch 2's folded;
+    # only batch 3's survives)
+    head = t.metadata.snapshot_by_id(t.resolve_ref("audit"))
+    eq = [e for e in head.manifest if e.content == CONTENT_EQUALITY_DELETES]
+    assert len(eq) == 1
+    ops = []
+    walk = head
+    while walk is not None:
+        ops.append(walk.operation)
+        walk = (
+            t.metadata._maybe_snapshot(walk.parent_id)
+            if walk.parent_id is not None
+            else None
+        )
+    assert "replace" in ops, "compaction must have committed on the branch"
+    t.fast_forward("main", t.resolve_ref("audit"))  # publish still works
+    assert _state(t.refresh()) == _state(t_main)
