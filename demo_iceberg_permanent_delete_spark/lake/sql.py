@@ -589,6 +589,21 @@ class LakeEngine:
             sorted(t.properties.items()) or [], "key string, value string"
         )
 
+    _BRANCH_WRITE = re.compile(r"^(?P<tbl>[\w.]+)\.branch_(?P<b>\w+)$")
+
+    def _table_and_branch(self, name: str) -> tuple[LakeTable, str | None]:
+        """Resolve a DML target that may carry Iceberg's branch-write
+        suffix (`INSERT INTO t.branch_x` / `UPDATE t.branch_x` /
+        `DELETE FROM t.branch_x`): returns (table, branch). A bare name
+        falls back to the `spark.wap.branch` session conf (Iceberg routes
+        ALL DML through it); the explicit suffix wins over the conf."""
+        bare = self._strip_catalog(name)
+        m = self._BRANCH_WRITE.match(bare)
+        if m and m.group("tbl") in self.catalog._read_registry()["tables"]:
+            return self.catalog.load_table(m.group("tbl")), m.group("b")
+        t = self.catalog.load_table(bare)
+        return t, self.spark.conf.get("spark.wap.branch", None) or None
+
     def _wap_write_opts(self) -> dict[str, str]:
         """Iceberg's session-conf write-audit-publish controls:
         ``spark.wap.branch`` routes INSERT commits onto a branch,
@@ -613,7 +628,7 @@ class LakeEngine:
         """INSERT INTO t SELECT …: run the query through the same
         identifier/travel rewrite as any SELECT, align columns by name to
         the table schema, append."""
-        t = self.table(m.group("name"))
+        t, suffix_branch = self._table_and_branch(m.group("name"))
         df = self._select(m.group("query").strip())
         fields = t.schema().fields
         # Omitted columns are allowed for ANY column — write-defaulted
@@ -628,14 +643,17 @@ class LakeEngine:
                 if f.name in df.columns
             ]
         )
-        snap = t.insert(aligned, **self._wap_write_opts())
+        opts = self._wap_write_opts()
+        if suffix_branch is not None:
+            opts["branch"] = suffix_branch
+        snap = t.insert(aligned, **opts)
         return _one_row_df(
             self.spark,
             {"table": t.name, "status": "inserted", "snapshot_id": snap.snapshot_id},
         )
 
     def _insert_values(self, m: re.Match) -> DataFrame:
-        t = self.table(m.group("name"))
+        t, suffix_branch = self._table_and_branch(m.group("name"))
         # DATE('2023-01-01') (reference :107-109) → standard DATE literal.
         values = re.sub(r"DATE\('([^']*)'\)", r"DATE '\1'", m.group("values"), flags=re.I)
         fields = t.schema().fields
@@ -655,15 +673,25 @@ class LakeEngine:
         aligned = raw.select(
             *[raw[f.name].cast(f.dataType).alias(f.name) for f in fields]
         )
-        snap = t.insert(aligned, **self._wap_write_opts())
+        opts = self._wap_write_opts()
+        if suffix_branch is not None:
+            opts["branch"] = suffix_branch
+        snap = t.insert(aligned, **opts)
         return _one_row_df(
             self.spark,
             {"table": t.name, "status": "inserted", "snapshot_id": snap.snapshot_id},
         )
 
     def _delete(self, m: re.Match) -> DataFrame:
-        t = self.table(m.group("name"))
-        snap = t.delete(m.group("pred"))
+        t, branch = self._table_and_branch(m.group("name"))
+        if self.spark.conf.get("spark.wap.id", None):
+            # staging a DELETE under wap.id is not implemented — failing
+            # loudly beats silently publishing what the user meant to audit
+            raise ValueError(
+                "spark.wap.id staging supports INSERT only — stage DML on "
+                "a branch (spark.wap.branch / t.branch_<name>) instead"
+            )
+        snap = t.delete(m.group("pred"), branch=branch)
         return _one_row_df(
             self.spark,
             {
@@ -676,12 +704,17 @@ class LakeEngine:
     def _update(self, m: re.Match) -> DataFrame:
         from pyspark.sql import functions as F
 
-        t = self.table(m.group("name"))
+        t, branch = self._table_and_branch(m.group("name"))
+        if self.spark.conf.get("spark.wap.id", None):
+            raise ValueError(
+                "spark.wap.id staging supports INSERT only — stage DML on "
+                "a branch (spark.wap.branch / t.branch_<name>) instead"
+            )
         assignments = {}
         for part in _split_top_level(m.group("sets")):
             col, expr = part.split("=", 1)
             assignments[col.strip()] = F.expr(expr.strip())
-        snap = t.update(assignments, m.group("pred"))
+        snap = t.update(assignments, m.group("pred"), branch=branch)
         return _one_row_df(
             self.spark,
             {

@@ -49,6 +49,11 @@ from demo_iceberg_permanent_delete_spark.lake.metadata import (
 # large).
 _BROADCAST_DELETES_MAX_BYTES = 256 * 1024 * 1024
 
+# Per-write cap on harvested (file, partition-value) count rows — bounds the
+# driver-side collect in _harvest_partition_counts (≈ a few MB of tiny maps
+# at the cap; a batch past it just falls back to the .partitions scan path).
+_PARTITION_HARVEST_MAX_GROUPS = 65536
+
 # Row-lineage metadata columns (Iceberg v3): exposed by lineage reads and
 # MATERIALIZED physically by row-carrying rewrites (COW UPDATE/DELETE/MERGE,
 # MOR update copies, compaction) so a row keeps its identity across file
@@ -831,10 +836,15 @@ class LakeTable:
         if not fields or not paths:
             return
         try:
-            df = self.spark.read.parquet(*paths)
-            types = {f.name: f.dataType for f in df.schema.fields}
-            if any(f.source not in types for f in fields):
+            # explicit source-column schema: no footer-inference job, and
+            # the parquet scan is pruned to exactly the transform inputs
+            declared = {f.name: f for f in self.schema().fields}
+            if any(f.source not in declared for f in fields):
                 return
+            sources = list(dict.fromkeys(f.source for f in fields))
+            src_schema = T.StructType([declared[s] for s in sources])
+            df = self.spark.read.schema(src_schema).parquet(*paths)
+            types = {f.name: f.dataType for f in df.schema.fields}
             kvs: list[Column] = []
             for fld in fields:
                 kvs.append(F.lit(fld.spec))
@@ -850,8 +860,16 @@ class LakeTable:
                 )
                 .groupBy("__f", "partition")
                 .agg(F.count(F.lit(1)).alias("n"))
+                # bounded collect: (files × values-per-file) is tiny under
+                # range-clustering, but identity-partitioning a near-unique
+                # column could make it row-proportional — past the cap the
+                # batch keeps counts=None and the view's scan fallback
+                # covers it (degrade, never OOM the driver)
+                .limit(_PARTITION_HARVEST_MAX_GROUPS + 1)
                 .collect()
             )
+            if len(rows) > _PARTITION_HARVEST_MAX_GROUPS:
+                return
         except Exception:
             return
         by_path: dict[str, list] = {}
@@ -1863,14 +1881,49 @@ class LakeTable:
     def _as_column(self, predicate: str | Column) -> Column:
         return F.expr(predicate) if isinstance(predicate, str) else predicate
 
-    def _affected_files(self, pred: Column, pred_str: str | None = None) -> list[str]:
+    def _affected_files(
+        self,
+        pred: Column,
+        pred_str: str | None = None,
+        snap: Snapshot | None = None,
+    ) -> list[str]:
         """Data files containing at least one live match — one pushed-down
         scan; manifest min/max skip non-candidate files entirely and
         parquet row-group stats prune inside the rest."""
-        matches = self.read_with_positions(prune_for=pred_str).filter(pred)
+        matches = self.read_with_positions(snap, prune_for=pred_str).filter(pred)
         return [r["__fp"] for r in matches.select("__fp").distinct().collect()]
 
-    def delete(self, predicate: str | Column) -> Snapshot | None:
+    def _branch_base(self, branch: str | None):
+        """(target snapshot, parent_snapshot_id) for a DML commit: the
+        current snapshot (parent -1 = head) or a named branch's head —
+        Iceberg's branch-targeted DML (`spark.wap.branch` / writes to
+        ``t.branch_x``): the commit plans against the branch state,
+        parents there, and advances only the ref."""
+        if branch is None:
+            return self.metadata.current_snapshot(), -1
+        ref = self.metadata.refs.get(branch)
+        if ref is None or ref["type"] != "branch":
+            raise KeyError(f"unknown branch {branch!r}")
+        head = int(ref["snapshot_id"])
+        return self.metadata.snapshot_by_id(head), head
+
+    def _commit_dml(
+        self, operation: str, manifest, summary, branch: str | None, parent_id
+    ) -> Snapshot:
+        snapshot = self.metadata.add_snapshot(
+            operation,
+            manifest,
+            summary=summary,
+            parent_snapshot_id=parent_id,
+            advance=branch is None,
+        )
+        if branch is not None:
+            self.metadata.refs[branch]["snapshot_id"] = snapshot.snapshot_id
+        return snapshot
+
+    def delete(
+        self, predicate: str | Column, *, branch: str | None = None
+    ) -> Snapshot | None:
         """DELETE FROM … WHERE pred.
 
         Dispatches on ``write.delete.mode`` (reference sets merge-on-read at
@@ -1878,35 +1931,55 @@ class LakeTable:
         - merge-on-read: write position-delete parquet files; data persists
           physically until rewrite (the reference's entire PII point).
         - copy-on-write: rewrite affected files without the matching rows.
+
+        ``branch`` targets a named branch (plan against its head, commit
+        parents there, only the ref advances) — Iceberg's branch DML.
         """
         pred = self._as_column(predicate)
         pred_str = predicate if isinstance(predicate, str) else None
         mode = self.properties.get("write.delete.mode", "copy-on-write")
         if mode == "merge-on-read":
-            return self._delete_mor(pred, pred_str)
-        return self._delete_cow(pred, pred_str)
+            return self._delete_mor(pred, pred_str, branch=branch)
+        return self._delete_cow(pred, pred_str, branch=branch)
 
-    def _delete_mor(self, pred: Column, pred_str: str | None = None) -> Snapshot | None:
+    def _delete_mor(
+        self,
+        pred: Column,
+        pred_str: str | None = None,
+        *,
+        branch: str | None = None,
+    ) -> Snapshot | None:
+        snap, parent_id = self._branch_base(branch)
         matches = (
-            self.read_with_positions(prune_for=pred_str)
+            self.read_with_positions(snap, prune_for=pred_str)
             .filter(pred)
             .select(F.col("__fp").alias("file_path"), F.col("__pos").alias("pos"))
         )
-        snap = self.metadata.current_snapshot()
         base = list(snap.manifest) if snap else []
         delete_entries = self._write_position_deletes(matches)
         if not delete_entries:
             return None  # nothing matched — no commit (Iceberg behavior)
-        snapshot = self.metadata.add_snapshot(
-            "delete", base + delete_entries, summary={"added-delete-files": len(delete_entries)}
+        snapshot = self._commit_dml(
+            "delete",
+            base + delete_entries,
+            {"added-delete-files": len(delete_entries)},
+            branch,
+            parent_id,
         )
         for e in delete_entries:
             e.added_snapshot_id = snapshot.snapshot_id
         self.metadata.commit()
         return snapshot
 
-    def _delete_cow(self, pred: Column, pred_str: str | None = None) -> Snapshot | None:
-        affected = set(self._affected_files(pred, pred_str))
+    def _delete_cow(
+        self,
+        pred: Column,
+        pred_str: str | None = None,
+        *,
+        branch: str | None = None,
+    ) -> Snapshot | None:
+        snap, parent_id = self._branch_base(branch)
+        affected = set(self._affected_files(pred, pred_str, snap))
         if not affected:
             return None
         # DELETE keeps rows where the predicate is false OR null — a bare
@@ -1914,17 +1987,18 @@ class LakeTable:
         # survivors are CARRIED rows — the replacement files materialize
         # their _row_id/_last_updated_sequence_number so identity survives
         # the rewrite (Iceberg v3 writer requirement).
-        survivors = self.read_with_positions(lineage=self._lineage_ok()).filter(
+        survivors = self.read_with_positions(snap, lineage=self._lineage_ok()).filter(
             F.col("__fp").isin(list(affected))
         ).filter(~F.coalesce(pred, F.lit(False)))
         cols = [c for c in survivors.columns if c not in ("__fp", "__pos")]
         new_entries = self._write_data(survivors.select(*cols))
-        snap = self.metadata.current_snapshot()
         kept = [e for e in snap.manifest if e.file_path not in affected]
-        snapshot = self.metadata.add_snapshot(
+        snapshot = self._commit_dml(
             "delete",
             kept + new_entries,
-            summary={"rewritten-files": len(affected), "added-files": len(new_entries)},
+            {"rewritten-files": len(affected), "added-files": len(new_entries)},
+            branch,
+            parent_id,
         )
         for e in new_entries:
             e.added_snapshot_id = snapshot.snapshot_id
@@ -2026,7 +2100,18 @@ class LakeTable:
         # from the batch's own parquet is column-pruned and O(batch).
         paths = [e.file_path for e in data_entries]
         if paths:
-            keys_df = self.spark.read.parquet(*paths).select(*on).distinct()
+            # explicit schema skips the footer-inference job (one per
+            # upsert); key columns are always physically present in the
+            # batch's own files
+            key_schema = T.StructType(
+                [f for f in df.schema.fields if f.name in set(on)]
+            )
+            keys_df = (
+                self.spark.read.schema(key_schema)
+                .parquet(*paths)
+                .select(*on)
+                .distinct()
+            )
         else:
             keys_df = df.select(*on).distinct().limit(0)
         delete_entries: list[ManifestEntry] = []
@@ -2256,7 +2341,13 @@ class LakeTable:
         self.metadata.commit()
         return snapshot
 
-    def update(self, assignments: dict[str, Column | Any], predicate: str | Column) -> Snapshot | None:
+    def update(
+        self,
+        assignments: dict[str, Column | Any],
+        predicate: str | Column,
+        *,
+        branch: str | None = None,
+    ) -> Snapshot | None:
         """UPDATE … SET col=expr WHERE pred.
 
         Dispatches on ``write.update.mode`` (the reference pins
@@ -2273,8 +2364,8 @@ class LakeTable:
         pred = self._as_column(predicate)
         pred_str = predicate if isinstance(predicate, str) else None
         if self.properties.get("write.update.mode", "copy-on-write") == "merge-on-read":
-            return self._update_mor(assignments, pred, pred_str)
-        return self._update_cow(assignments, pred, pred_str)
+            return self._update_mor(assignments, pred, pred_str, branch=branch)
+        return self._update_cow(assignments, pred, pred_str, branch=branch)
 
     def _assignment_exprs(
         self, assignments: dict[str, Column | Any], cols: list[str], *, gate: Column | None
@@ -2302,13 +2393,19 @@ class LakeTable:
         return exprs
 
     def _update_mor(
-        self, assignments: dict[str, Column | Any], pred: Column, pred_str: str | None
+        self,
+        assignments: dict[str, Column | Any],
+        pred: Column,
+        pred_str: str | None,
+        *,
+        branch: str | None = None,
     ) -> Snapshot | None:
         from pyspark import StorageLevel
 
         lin = self._lineage_ok()
+        snap, parent_id = self._branch_base(branch)
         matches = (
-            self.read_with_positions(prune_for=pred_str, lineage=lin)
+            self.read_with_positions(snap, prune_for=pred_str, lineage=lin)
             .filter(pred)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -2334,15 +2431,16 @@ class LakeTable:
             new_entries = self._write_data(matches.select(*exprs))
         finally:
             matches.unpersist()
-        snap = self.metadata.current_snapshot()
         base = list(snap.manifest) if snap else []
-        snapshot = self.metadata.add_snapshot(
+        snapshot = self._commit_dml(
             "overwrite",
             base + pos_entries + new_entries,
-            summary={
+            {
                 "added-delete-files": len(pos_entries),
                 "added-files": len(new_entries),
             },
+            branch,
+            parent_id,
         )
         for e in pos_entries + new_entries:
             e.added_snapshot_id = snapshot.snapshot_id
@@ -2350,13 +2448,19 @@ class LakeTable:
         return snapshot
 
     def _update_cow(
-        self, assignments: dict[str, Column | Any], pred: Column, pred_str: str | None
+        self,
+        assignments: dict[str, Column | Any],
+        pred: Column,
+        pred_str: str | None,
+        *,
+        branch: str | None = None,
     ) -> Snapshot | None:
-        affected = set(self._affected_files(pred, pred_str))
+        snap, parent_id = self._branch_base(branch)
+        affected = set(self._affected_files(pred, pred_str, snap))
         if not affected:
             return None
         lin = self._lineage_ok()
-        rows = self.read_with_positions(lineage=lin).filter(
+        rows = self.read_with_positions(snap, lineage=lin).filter(
             F.col("__fp").isin(list(affected))
         )
         drop = {"__fp", "__pos"}
@@ -2380,12 +2484,13 @@ class LakeTable:
                 .alias(LAST_UPDATED_COL)
             )
         new_entries = self._write_data(rows.select(*exprs))
-        snap = self.metadata.current_snapshot()
         kept = [e for e in snap.manifest if e.file_path not in affected]
-        snapshot = self.metadata.add_snapshot(
+        snapshot = self._commit_dml(
             "overwrite",
             kept + new_entries,
-            summary={"rewritten-files": len(affected), "added-files": len(new_entries)},
+            {"rewritten-files": len(affected), "added-files": len(new_entries)},
+            branch,
+            parent_id,
         )
         for e in new_entries:
             e.added_snapshot_id = snapshot.snapshot_id

@@ -1049,3 +1049,64 @@ def test_call_branch_scoped_maintenance(spark, tmp_path):
     assert rows == {1: "a", 2: "B", 3: "C"}
     t.fast_forward("main", t.resolve_ref("ingest"))
     assert {r["k"]: r["v"] for r in t.read().collect()} == rows
+
+
+def test_branch_dml_suffix_and_conf(spark, tmp_path):
+    """Iceberg branch DML: INSERT/UPDATE/DELETE against t.branch_<name>
+    target the branch (plan against its head, only the ref advances);
+    spark.wap.branch routes bare-name DML the same way; wap.id staging
+    for DELETE/UPDATE is refused loudly; publish via fast_forward."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE demo.default")
+    eng.sql(
+        "CREATE TABLE demo.default.d (k BIGINT, v STRING) USING iceberg "
+        "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')"
+    )
+    eng.sql("INSERT INTO demo.default.d VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    eng.sql("ALTER TABLE default.d CREATE BRANCH audit")
+    main_head = eng.table("default.d").metadata.current_snapshot_id
+
+    # suffix-targeted DML: all three statements stage on the branch
+    eng.sql("INSERT INTO demo.default.d.branch_audit VALUES (4, 'd')")
+    eng.sql("UPDATE default.d.branch_audit SET v = 'B' WHERE k = 2")
+    eng.sql("DELETE FROM default.d.branch_audit WHERE k = 1")
+    t = eng.table("default.d")
+    assert t.metadata.current_snapshot_id == main_head, "main untouched"
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "a", 2: "b", 3: "c"}
+    branch_rows = {r["k"]: r["v"] for r in t.read(ref="audit").collect()}
+    assert branch_rows == {2: "B", 3: "c", 4: "d"}
+    # MOR on the branch: the delete/update wrote delete files there
+    head = t.metadata.snapshot_by_id(t.resolve_ref("audit"))
+    assert head.delete_files(), "branch MOR DML must carry delete files"
+
+    # conf-routed DML (bare names under spark.wap.branch)
+    try:
+        spark.conf.set("spark.wap.branch", "audit")
+        eng.sql("DELETE FROM demo.default.d WHERE k = 3")
+        eng.sql("UPDATE demo.default.d SET v = 'D' WHERE k = 4")
+    finally:
+        spark.conf.unset("spark.wap.branch")
+    t = eng.table("default.d")
+    assert t.read().count() == 3, "main still untouched"
+    assert {r["k"]: r["v"] for r in t.read(ref="audit").collect()} == {
+        2: "B",
+        4: "D",
+    }
+
+    # wap.id staging is INSERT-only — DELETE/UPDATE refuse loudly
+    try:
+        spark.conf.set("spark.wap.id", "z1")
+        with _pytest.raises(ValueError, match="INSERT only"):
+            eng.sql("DELETE FROM demo.default.d WHERE k = 2")
+        with _pytest.raises(ValueError, match="INSERT only"):
+            eng.sql("UPDATE demo.default.d SET v = 'x' WHERE k = 2")
+    finally:
+        spark.conf.unset("spark.wap.id")
+
+    # publish the audited state
+    t.fast_forward("main", t.resolve_ref("audit"))
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {2: "B", 4: "D"}
