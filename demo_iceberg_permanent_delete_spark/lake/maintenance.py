@@ -91,9 +91,15 @@ def _delete_paths(spark, paths: list[str]) -> int:
     if len(paths) < PARALLEL_DELETE_MIN:
         n = 0
         for p in paths:
-            if os.path.exists(p):
+            # try/remove, not exists-then-remove: a concurrent
+            # maintenance pass can unlink between the probe and the
+            # remove (review finding — the executor branch already
+            # handled this race)
+            try:
                 os.remove(p)
                 n += 1
+            except FileNotFoundError:
+                pass
         return n
 
     def _unlink(it):
@@ -116,9 +122,11 @@ def _target_snapshot(table, branch: str | None):
     snapshot, or a named branch's head (branch-scoped maintenance — the
     companion Iceberg gives Flink WAP upsert pipelines, where eq-delete
     accumulation lives on the ingest branch and must be compacted THERE,
-    not on main). Returns ``(snapshot, head_id)``; head_id None = main."""
+    not on main). Returns ``(snapshot, head_id)``; head_id None = main.
+    ``branch='main'`` IS main (Iceberg's implicit main branch — callers
+    must also treat it so when committing)."""
     meta = table.metadata
-    if branch is None:
+    if branch is None or branch == "main":
         return meta.current_snapshot(), None
     ref = meta.refs.get(branch)
     if ref is None or ref["type"] != "branch":
@@ -193,6 +201,31 @@ def expire_snapshots(
     protected = {meta.current_snapshot_id} | {
         int(r["snapshot_id"]) for r in meta.refs.values()
     }
+    # Iceberg's per-branch SNAPSHOT RETENTION: each branch protects the
+    # first min_snapshots_to_keep ancestors of its head (default 1 = the
+    # head, already protected above) and every ancestor younger than
+    # max_snapshot_age_ms — the branch-local rollback window.
+    for r in meta.refs.values():
+        if r.get("type") != "branch":
+            continue
+        keep_n = int(r.get("min_snapshots_to_keep", 1))
+        keep_age = r.get("max_snapshot_age_ms")
+        cur = meta._maybe_snapshot(int(r["snapshot_id"]))
+        n = 0
+        while cur is not None:
+            n += 1
+            within_age = (
+                keep_age is not None
+                and now - cur.committed_at_ms <= int(keep_age)
+            )
+            if n > keep_n and not within_age:
+                break
+            protected.add(cur.snapshot_id)
+            cur = (
+                meta._maybe_snapshot(cur.parent_id)
+                if cur.parent_id is not None
+                else None
+            )
     if retain_last > 1:
         cur = meta.current_snapshot()
         n = 0
@@ -376,6 +409,7 @@ def rewrite_data_files(
     an ingest branch compacts ON the branch, main untouched, and the
     replace commit keeps the chain publishable by ``fast_forward``.
     """
+    branch = None if branch == "main" else branch
     meta = table.metadata
     snap, head_id = _target_snapshot(table, branch)
     if snap is None:
@@ -647,6 +681,7 @@ def rewrite_position_delete_files(
     merge the survivors into one file (reference: iceberg_pii_deletion_demo
     .py:436-447; post-condition :449-466 — delete-file count drops).
     ``branch`` consolidates a branch head instead, like rewrite_data_files."""
+    branch = None if branch == "main" else branch
     meta = table.metadata
     snap, _ = _target_snapshot(table, branch)
     if snap is None:
@@ -948,6 +983,7 @@ def plan_compaction(
     count): past ``delete_ratio_threshold`` the recommendation is a
     rewrite (MOR read-merge cost has outgrown its write savings).
     """
+    branch = None if branch == "main" else branch
     snap, _ = _target_snapshot(table, branch)
     if snap is None:
         return {"groups": [], "ungrouped": None, "delete_pressure": None}
@@ -1104,6 +1140,7 @@ def compact(
     are consolidated (``rewrite_position_delete_files``) so tombstones
     pointing at rewritten paths don't linger.
     """
+    branch = None if branch == "main" else branch
     plan = plan_compaction(
         table,
         target_file_size_bytes=target_file_size_bytes,

@@ -1187,23 +1187,26 @@ class TableMetadata:
         # admission control run from headers alone, no manifest resolution
         # (Iceberg's summary map; the record counts feed the CDC stream's
         # per-poll cost, lake_datasource._admission_cost).
-        n_data = sum(1 for e in manifest if e.content == CONTENT_DATA)
+        n_data, total_records, total_bytes = 0, 0, 0
+        for e in manifest:
+            total_bytes += e.file_size_in_bytes
+            if e.content == CONTENT_DATA:
+                n_data += 1
+                total_records += e.record_count
         stats = {
             "total-files": len(manifest),
-            "total-bytes": sum(e.file_size_in_bytes for e in manifest),
+            "total-bytes": total_bytes,
             # Iceberg SnapshotSummary's running totals, under its exact
             # key names — ops tooling trends table growth from
             # `.snapshots` via these (round-9 judge gap). Iceberg
             # maintains them incrementally from the parent's totals; here
             # the FULL manifest is already in hand (it feeds total-files/
-            # total-bytes above), so the direct fold is the same O(entries)
-            # driver cost the commit already pays.
-            "total-records": sum(
-                e.record_count for e in manifest if e.content == CONTENT_DATA
-            ),
+            # total-bytes above), so the single fold above is the same
+            # O(entries) driver cost the commit already paid.
+            "total-records": total_records,
             "total-data-files": n_data,
             "total-delete-files": len(manifest) - n_data,
-            "total-files-size": sum(e.file_size_in_bytes for e in manifest),
+            "total-files-size": total_bytes,
             "added-entries": len(delta.added),
             "removed-entries": len(delta.removed),
             "added-records": sum(e.record_count for e in delta.added),

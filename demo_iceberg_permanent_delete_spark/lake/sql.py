@@ -333,16 +333,34 @@ class LakeEngine:
         t = self.table(m.group("name"))
         kind = m.group("kind").lower()
         snap_id = int(m.group("version")) if m.group("version") else None
+        per_unit = {
+            "day": 86_400_000,
+            "hour": 3_600_000,
+            "minute": 60_000,
+        }
         age_ms = None
         if m.group("retain"):
-            per_unit = {
-                "day": 86_400_000,
-                "hour": 3_600_000,
-                "minute": 60_000,
-            }[m.group("unit").lower().rstrip("s")]
-            age_ms = int(m.group("retain")) * per_unit
-        fn = t.create_tag if kind == "tag" else t.create_branch
-        fn(m.group("ref"), snap_id, max_ref_age_ms=age_ms)
+            age_ms = int(m.group("retain")) * per_unit[
+                m.group("unit").lower().rstrip("s")
+            ]
+        if kind == "tag":
+            if m.group("keepn") or m.group("age"):
+                raise ValueError("WITH SNAPSHOT RETENTION applies to branches only")
+            t.create_tag(m.group("ref"), snap_id, max_ref_age_ms=age_ms)
+        else:
+            keep_n = int(m.group("keepn")) if m.group("keepn") else None
+            snap_age_ms = None
+            if m.group("age"):
+                snap_age_ms = int(m.group("age")) * per_unit[
+                    m.group("ageunit").lower().rstrip("s")
+                ]
+            t.create_branch(
+                m.group("ref"),
+                snap_id,
+                max_ref_age_ms=age_ms,
+                min_snapshots_to_keep=keep_n,
+                max_snapshot_age_ms=snap_age_ms,
+            )
         return _one_row_df(
             self.spark,
             {"table": t.name, "status": f"created {kind} {m.group('ref')}"},
@@ -543,8 +561,13 @@ class LakeEngine:
         )
 
     def _truncate_table(self, m: re.Match) -> DataFrame:
-        t = self.table(m.group("name"))
-        snap = t.truncate()
+        t, branch = self._table_and_branch(m.group("name"))
+        if self.spark.conf.get("spark.wap.id", None):
+            raise ValueError(
+                "spark.wap.id staging supports INSERT only — stage DML on "
+                "a branch (spark.wap.branch / t.branch_<name>) instead"
+            )
+        snap = t.truncate(branch=branch)
         return _one_row_df(
             self.spark,
             {"table": t.name, "status": "truncated", "snapshot_id": snap.snapshot_id},
@@ -600,9 +623,14 @@ class LakeEngine:
         bare = self._strip_catalog(name)
         m = self._BRANCH_WRITE.match(bare)
         if m and m.group("tbl") in self.catalog._read_registry()["tables"]:
-            return self.catalog.load_table(m.group("tbl")), m.group("b")
+            b = m.group("b")
+            # Iceberg's implicit main: writing t.branch_main IS writing t
+            return self.catalog.load_table(m.group("tbl")), (
+                None if b == "main" else b
+            )
         t = self.catalog.load_table(bare)
-        return t, self.spark.conf.get("spark.wap.branch", None) or None
+        b = self.spark.conf.get("spark.wap.branch", None) or None
+        return t, (None if b == "main" else b)
 
     def _wap_write_opts(self) -> dict[str, str]:
         """Iceberg's session-conf write-audit-publish controls:
@@ -631,6 +659,17 @@ class LakeEngine:
         t, suffix_branch = self._table_and_branch(m.group("name"))
         df = self._select(m.group("query").strip())
         fields = t.schema().fields
+        unknown = [
+            c for c in df.columns if c not in {f.name for f in fields}
+        ]
+        if unknown:
+            # parity with the column-list VALUES form: a typo'd/renamed
+            # SELECT column must not silently drop its data (review
+            # finding) — and this also catches the zero-overlap SELECT
+            # before it dies in the parquet writer with an empty schema
+            raise ValueError(
+                f"INSERT SELECT has columns not in the table: {unknown}"
+            )
         # Omitted columns are allowed for ANY column — write-defaulted
         # ones are materialized by _apply_write_defaults inside insert(),
         # the rest read back as NULL — matching the column-list VALUES
@@ -725,7 +764,18 @@ class LakeEngine:
         )
 
     def _merge(self, m: re.Match) -> DataFrame:
-        t = self.table(m.group("name"))
+        t, branch = self._table_and_branch(m.group("name"))
+        if branch is not None:
+            raise ValueError(
+                "MERGE onto a branch is not supported — MERGE is "
+                "read-modify-write against main; stage with "
+                "mode='upsert-eq' on the branch instead"
+            )
+        if self.spark.conf.get("spark.wap.id", None):
+            raise ValueError(
+                "spark.wap.id staging supports INSERT only — stage DML on "
+                "a branch (spark.wap.branch / t.branch_<name>) instead"
+            )
         talias = m.group("talias") or "t"
         salias = m.group("salias") or "s"
 
@@ -1454,7 +1504,11 @@ class LakeEngine:
                 r"(?P<kind>TAG|BRANCH)\s+(?P<ref>\w+)"
                 r"(?:\s+AS\s+OF\s+VERSION\s+(?P<version>\d+))?"
                 r"(?:\s+RETAIN\s+(?P<retain>\d+)\s+"
-                r"(?P<unit>DAYS?|HOURS?|MINUTES?))?$",
+                r"(?P<unit>DAYS?|HOURS?|MINUTES?))?"
+                r"(?:\s+WITH\s+SNAPSHOT\s+RETENTION"
+                r"(?:\s+(?P<keepn>\d+)\s+SNAPSHOTS)?"
+                r"(?:\s+(?P<age>\d+)\s+"
+                r"(?P<ageunit>DAYS?|HOURS?|MINUTES?))?)?$",
                 re.I | re.S,
             ),
             _alter_create_ref,

@@ -1417,8 +1417,17 @@ class LakeTable:
         snapshot_id: int | None = None,
         *,
         max_ref_age_ms: int | None = None,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
     ) -> None:
-        self._create_ref(name, snapshot_id, "branch", max_ref_age_ms)
+        self._create_ref(
+            name,
+            snapshot_id,
+            "branch",
+            max_ref_age_ms,
+            min_snapshots_to_keep=min_snapshots_to_keep,
+            max_snapshot_age_ms=max_snapshot_age_ms,
+        )
 
     def _create_ref(
         self,
@@ -1426,11 +1435,20 @@ class LakeTable:
         snapshot_id: int | None,
         kind: str,
         max_ref_age_ms: int | None = None,
+        *,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
     ) -> None:
         """``max_ref_age_ms`` (Iceberg's ref property of the same name):
         expire_snapshots REMOVES the ref — and with it its protection —
         once the referenced snapshot is older than this; None = the ref
-        never ages out (the default, and the pre-upgrade behavior)."""
+        never ages out (the default, and the pre-upgrade behavior).
+
+        Branches additionally carry Iceberg's SNAPSHOT RETENTION pair:
+        ``min_snapshots_to_keep`` protects the first N ancestors of the
+        branch head from expiry (default 1 = the head only), and
+        ``max_snapshot_age_ms`` protects every ancestor younger than the
+        age — the per-branch rollback window expire_snapshots honors."""
         if name in self.metadata.refs or name == "main":
             raise ValueError(f"ref {name!r} already exists")
         if snapshot_id is None:
@@ -1439,10 +1457,18 @@ class LakeTable:
             raise ValueError("table has no snapshot to reference")
         if max_ref_age_ms is not None and max_ref_age_ms <= 0:
             raise ValueError("max_ref_age_ms must be positive")
+        if min_snapshots_to_keep is not None and min_snapshots_to_keep < 1:
+            raise ValueError("min_snapshots_to_keep must be >= 1")
+        if max_snapshot_age_ms is not None and max_snapshot_age_ms <= 0:
+            raise ValueError("max_snapshot_age_ms must be positive")
         self.metadata.snapshot_by_id(snapshot_id)  # raises if unknown
         ref: dict[str, Any] = {"snapshot_id": snapshot_id, "type": kind}
         if max_ref_age_ms is not None:
             ref["max_ref_age_ms"] = int(max_ref_age_ms)
+        if min_snapshots_to_keep is not None:
+            ref["min_snapshots_to_keep"] = int(min_snapshots_to_keep)
+        if max_snapshot_age_ms is not None:
+            ref["max_snapshot_age_ms"] = int(max_snapshot_age_ms)
         self.metadata.refs[name] = ref
         self.metadata.commit()
 
@@ -1744,6 +1770,8 @@ class LakeTable:
         the snapshot — re-applied on every rebase attempt, so they survive
         a CAS conflict retry (the streaming sink's batch-id bookkeeping
         depends on this)."""
+        if branch == "main":
+            branch = None  # Iceberg's implicit main branch IS the table
         if branch is not None and wap_id is not None:
             raise ValueError("cannot set both branch and wap_id (Iceberg's rule)")
         # Data files are written exactly once; only the metadata commit
@@ -1854,14 +1882,19 @@ class LakeTable:
                 self.refresh()
         raise last_err
 
-    def truncate(self) -> Snapshot:
+    def truncate(self, *, branch: str | None = None) -> Snapshot:
         """TRUNCATE TABLE — one METADATA-ONLY commit whose manifest is
         empty: no data is scanned, rewritten or deleted (old files stay
         reachable through time travel until expiry GCs them), so a
         100 TB truncate costs the same one version-file write as an
-        empty append — Iceberg's truncate is the same snapshot trick."""
-        snapshot = self.metadata.add_snapshot(
-            "delete", [], summary={"truncated": True}
+        empty append — Iceberg's truncate is the same snapshot trick.
+        ``branch`` truncates a branch head (ref-only advance), like the
+        other DML."""
+        if branch == "main":
+            branch = None
+        _, parent_id = self._branch_base(branch)
+        snapshot = self._commit_dml(
+            "delete", [], {"truncated": True}, branch, parent_id
         )
         self.metadata.commit()
         return snapshot
@@ -1935,6 +1968,8 @@ class LakeTable:
         ``branch`` targets a named branch (plan against its head, commit
         parents there, only the ref advances) — Iceberg's branch DML.
         """
+        if branch == "main":
+            branch = None
         pred = self._as_column(predicate)
         pred_str = predicate if isinstance(predicate, str) else None
         mode = self.properties.get("write.delete.mode", "copy-on-write")
@@ -2082,6 +2117,8 @@ class LakeTable:
         semantically with a concurrent append (both are add-only), so
         rebase-and-retry is sound.
         """
+        if branch == "main":
+            branch = None
         on = self._upsert_keys(on)
         table_cols = {f.name for f in self.schema().fields}
         missing = [c for c in on if c not in table_cols]
@@ -2098,6 +2135,10 @@ class LakeTable:
         # that doesn't match the written rows, leaving stale duplicates
         # unmasked (round-9 advisor finding). Reading the key columns back
         # from the batch's own parquet is column-pruned and O(batch).
+        # (On a PARTITIONED table this is a second read-back beside the
+        # partition-count harvest — accepted: both are column-pruned
+        # O(batch) jobs, and the common streaming-upsert tables are
+        # unpartitioned, where only this one runs.)
         paths = [e.file_path for e in data_entries]
         if paths:
             # explicit schema skips the footer-inference job (one per
@@ -2361,6 +2402,8 @@ class LakeTable:
           DELETE — the reference's entire point) the PRE-update values
           persist physically until rewrite_data_files.
         """
+        if branch == "main":
+            branch = None
         pred = self._as_column(predicate)
         pred_str = predicate if isinstance(predicate, str) else None
         if self.properties.get("write.update.mode", "copy-on-write") == "merge-on-read":
@@ -2764,16 +2807,27 @@ class LakeTable:
                 T.StructField("type", T.StringType()),
                 T.StructField("snapshot_id", T.LongType()),
                 T.StructField("max_reference_age_in_ms", T.LongType()),
+                T.StructField("min_snapshots_to_keep", T.IntegerType()),
+                T.StructField("max_snapshot_age_in_ms", T.LongType()),
             ]
         )
         rows = [
-            ("main", "BRANCH", self.metadata.current_snapshot_id, None),
+            (
+                "main",
+                "BRANCH",
+                self.metadata.current_snapshot_id,
+                None,
+                None,
+                None,
+            ),
         ] + [
             (
                 name,
                 r["type"].upper(),
                 int(r["snapshot_id"]),
                 r.get("max_ref_age_ms"),
+                r.get("min_snapshots_to_keep"),
+                r.get("max_snapshot_age_ms"),
             )
             for name, r in sorted(self.metadata.refs.items())
         ]

@@ -1110,3 +1110,67 @@ def test_branch_dml_suffix_and_conf(spark, tmp_path):
     # publish the audited state
     t.fast_forward("main", t.resolve_ref("audit"))
     assert {r["k"]: r["v"] for r in t.read().collect()} == {2: "B", 4: "D"}
+
+
+def test_wap_review_guards_and_branch_main(spark, tmp_path):
+    """Review fixes: MERGE and TRUNCATE must not silently bypass the WAP
+    session confs; branch 'main' is the implicit main branch for writes
+    (t.branch_main / spark.wap.branch='main' target the table itself);
+    INSERT SELECT rejects columns the table doesn't have."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE demo.default")
+    eng.sql("CREATE TABLE demo.default.g (k BIGINT, v STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.g VALUES (1, 'a')")
+
+    # branch_main writes ARE main writes (read path already treated them so)
+    eng.sql("INSERT INTO demo.default.g.branch_main VALUES (2, 'b')")
+    assert eng.sql("SELECT * FROM demo.default.g").count() == 2
+    try:
+        spark.conf.set("spark.wap.branch", "main")
+        eng.sql("DELETE FROM demo.default.g WHERE k = 2")
+    finally:
+        spark.conf.unset("spark.wap.branch")
+    assert eng.sql("SELECT * FROM demo.default.g").count() == 1
+    t = eng.table("default.g")
+    t.truncate(branch="main")
+    assert eng.sql("SELECT * FROM demo.default.g").count() == 0
+    eng.sql("INSERT INTO demo.default.g VALUES (1, 'a'), (2, 'b')")
+
+    # MERGE/TRUNCATE under the WAP confs fail loudly instead of
+    # publishing to main behind the audit's back
+    try:
+        spark.conf.set("spark.wap.branch", "audit")
+        with _pytest.raises(ValueError, match="MERGE onto a branch"):
+            eng.sql(
+                "MERGE INTO demo.default.g USING (SELECT 1 AS k, 'z' AS v) s "
+                "ON g.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v"
+            )
+    finally:
+        spark.conf.unset("spark.wap.branch")
+    try:
+        spark.conf.set("spark.wap.id", "w9")
+        with _pytest.raises(ValueError, match="INSERT only"):
+            eng.sql("TRUNCATE TABLE demo.default.g")
+        with _pytest.raises(ValueError, match="INSERT only"):
+            eng.sql(
+                "MERGE INTO demo.default.g USING (SELECT 1 AS k, 'z' AS v) s "
+                "ON g.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v"
+            )
+    finally:
+        spark.conf.unset("spark.wap.id")
+    assert eng.sql("SELECT * FROM demo.default.g").count() == 2
+
+    # TRUNCATE of a branch via the suffix: main untouched
+    eng.sql("ALTER TABLE default.g CREATE BRANCH b1")
+    eng.sql("TRUNCATE TABLE demo.default.g.branch_b1")
+    t = eng.table("default.g")
+    assert t.read().count() == 2
+    assert t.read(ref="b1").count() == 0
+
+    # INSERT SELECT with a column the table doesn't have is a hard error
+    with _pytest.raises(ValueError, match="not in the table"):
+        eng.sql("INSERT INTO demo.default.g SELECT 1 AS k, 'x' AS nope")
