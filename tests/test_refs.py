@@ -372,3 +372,58 @@ def test_branch_tag_suffix_identifiers(spark, tmp_path):
     assert [r["k"] for r in got] == [2]
     with pytest.raises(ValueError, match="unknown tag"):
         eng.sql("SELECT * FROM demo.default.sfx.tag_dev")
+
+
+def test_branch_snapshot_retention_protects_ancestry(spark, tmp_path):
+    """Iceberg's WITH SNAPSHOT RETENTION: a branch's min_snapshots_to_keep
+    protects the first N ancestors of ITS head from expiry (not just the
+    head), and max_snapshot_age_ms protects the age window; snapshots
+    past both still expire."""
+    from demo_iceberg_permanent_delete_spark.lake.metadata import now_ms
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE demo.default")
+    eng.sql("CREATE TABLE demo.default.rr (k BIGINT, v STRING) USING iceberg")
+    for i in range(4):
+        eng.sql(f"INSERT INTO demo.default.rr VALUES ({i}, 'v{i}')")
+    t = eng.table("default.rr")
+    snaps = [s.snapshot_id for s in t.metadata.snapshots]
+    # branch at the 3rd commit, keeping 2 ancestors (head + its parent)
+    eng.sql(
+        "ALTER TABLE default.rr CREATE BRANCH keeper "
+        f"AS OF VERSION {snaps[2]} WITH SNAPSHOT RETENTION 2 SNAPSHOTS"
+    )
+    t = eng.table("default.rr")
+    t.expire_snapshots(older_than=now_ms() + 1000)
+    live = {s.snapshot_id for s in t.metadata.snapshots}
+    assert snaps[3] in live            # current
+    assert snaps[2] in live            # branch head
+    assert snaps[1] in live            # protected ancestor (keep 2)
+    assert snaps[0] not in live        # past the retention window
+    # the protected ancestor is still readable
+    assert t.read(snapshot_id=snaps[1]).count() == 2
+
+    # age-window variant: everything younger than 1 day survives via the
+    # branch even when the cutoff is in the future
+    eng2 = LakeEngine(spark, str(tmp_path / "wh2"))
+    eng2.sql("CREATE NAMESPACE demo.default")
+    eng2.sql("CREATE TABLE demo.default.aw (k BIGINT) USING iceberg")
+    for i in range(3):
+        eng2.sql(f"INSERT INTO demo.default.aw VALUES ({i})")
+    t2 = eng2.table("default.aw")
+    ids = [s.snapshot_id for s in t2.metadata.snapshots]
+    eng2.sql(
+        "ALTER TABLE default.aw CREATE BRANCH win WITH SNAPSHOT RETENTION 1 DAY"
+    )
+    t2 = eng2.table("default.aw")
+    t2.expire_snapshots(older_than=now_ms() + 1000)
+    assert {s.snapshot_id for s in t2.metadata.snapshots} == set(ids)
+
+    # tags reject the clause
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="branches only"):
+        eng2.sql(
+            "ALTER TABLE default.aw CREATE TAG t1 WITH SNAPSHOT RETENTION 2 SNAPSHOTS"
+        )
