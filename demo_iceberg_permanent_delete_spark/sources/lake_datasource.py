@@ -61,6 +61,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -2068,6 +2069,118 @@ class LakeAppendWriter(DataSourceArrowWriter):
                 os.remove(m.file_path)
 
 
+class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("lakehouse")`` — the streaming SINK the
+    DataSource was missing (Iceberg's ``writeStream.format("iceberg")``):
+    one append snapshot per micro-batch, committed with an exactly-once
+    marker.
+
+    Executor side reuses :class:`LakeAppendWriter`'s Arrow write path
+    (one parquet file per non-empty task, footer stats harvested in
+    place). Driver side, ``commit(messages, batchId)`` rides a
+    ``run_id:batch_id`` marker in table properties INSIDE the same
+    metadata commit as the batch's snapshot — the idempotent-sink
+    pattern ``stream_into_lake`` uses, so a batch replayed after a crash
+    or restart is detected and skipped. The run id scopes the marker to
+    the query's checkpoint (hash of ``checkpointLocation`` when Spark
+    forwards it in the writer options, else one id per writer instance —
+    same dedup within a run, and a restart without a forwarded
+    checkpoint degrades to at-least-once for the single boundary batch,
+    stated here rather than hidden). ``branch`` stages micro-batches on
+    a branch (streaming WAP), like the batch writer.
+    """
+
+    def __init__(self, schema: StructType, options) -> None:
+        super().__init__(schema, options, overwrite=False)
+        import hashlib
+
+        ckpt = options.get("checkpointlocation") or options.get(
+            "checkpointLocation"
+        )
+        self._run_id = (
+            hashlib.md5(os.path.abspath(ckpt).encode()).hexdigest()[:12]
+            if ckpt
+            else uuid.uuid4().hex[:12]
+        )
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        from demo_iceberg_permanent_delete_spark.lake.errors import (
+            CommitConflictError,
+        )
+        from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
+        from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
+            LAST_BATCH_PROP,
+        )
+
+        entries = [
+            ManifestEntry(
+                file_path=m.file_path,
+                content=0,
+                record_count=m.record_count,
+                file_size_in_bytes=m.file_size_in_bytes,
+                min_values=m.min_values,
+                max_values=m.max_values,
+                null_counts=m.null_counts,
+                columns=m.columns,
+            )
+            for m in messages
+            if m is not None and m.file_path
+        ]
+        branch = self._options.get("branch")
+        if branch == "main":
+            branch = None
+        marker = f"{self._run_id}:{batchId}"
+        last_err = None
+        for _ in range(5):
+            meta = _load_meta(self._options)
+            last = meta.properties.get(LAST_BATCH_PROP, "")
+            last_run, _sep, last_batch = last.rpartition(":")
+            if last_run == self._run_id and last_batch and batchId <= int(last_batch):
+                # replay of a batch this run already committed — drop the
+                # (re-written) files; the committed batch's are live
+                self.abort(messages, batchId)
+                return
+            if branch:
+                ref = meta.refs.get(branch)
+                if ref is None or ref["type"] != "branch":
+                    raise ValueError(f"unknown branch {branch!r}")
+                parent_id = int(ref["snapshot_id"])
+                base = list(meta.snapshot_by_id(parent_id).manifest)
+            else:
+                parent_id = -1
+                snap_cur = meta.current_snapshot()
+                base = list(snap_cur.manifest) if snap_cur else []
+            meta.properties[LAST_BATCH_PROP] = marker
+            snapshot = meta.add_snapshot(
+                "append",
+                base + entries,
+                summary={
+                    "added-files": len(entries),
+                    "writer": "datasource-stream",
+                },
+                parent_snapshot_id=parent_id,
+                advance=not branch,
+            )
+            if branch:
+                meta.refs[branch]["snapshot_id"] = snapshot.snapshot_id
+            for e in entries:
+                e.added_snapshot_id = snapshot.snapshot_id
+            try:
+                meta.commit()
+                return
+            except CommitConflictError as err:
+                last_err = err
+                for e in entries:
+                    e.sequence_number = None
+                    e.first_row_id = None
+        raise last_err
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages:
+            if m is not None and m.file_path and os.path.exists(m.file_path):
+                os.remove(m.file_path)
+
+
 # ----------------------------------------------------------------- source
 class LakeDataSource(DataSource):
     """format("lakehouse") — see module docstring for options."""
@@ -2118,6 +2231,14 @@ class LakeDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> LakeAppendWriter:
         _ensure_importable()
         return LakeAppendWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        _ensure_importable()
+        if overwrite:
+            raise ValueError(
+                "streaming sink supports append output mode only"
+            )
+        return LakeStreamWriter(schema, self.options)
 
 
 def register(spark) -> None:

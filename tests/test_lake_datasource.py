@@ -1758,3 +1758,95 @@ def test_datasource_branch_write_and_publish(registered, cat):
     with pytest.raises(Exception, match="cannot target a branch"):
         w(one_part(spark, [(3, "x")], "id bigint, v string"),
           branch="audit").mode("overwrite").save()
+
+
+def test_stream_writer_sink_exactly_once(registered, cat, tmp_path):
+    """writeStream.format('lakehouse'): one append snapshot per
+    micro-batch; rerunning the same checkpoint with no new data commits
+    nothing (the run:batch marker rides each commit); branch option
+    stages the stream for WAP publish."""
+    from tests.conftest import one_part
+
+    spark = registered
+    # file-source input: two files → two micro-batches (maxFilesPerTrigger=1)
+    src = str(tmp_path / "src")
+    one_part(spark, [(1, "a"), (2, "b")], "id bigint, v string").write.parquet(
+        os.path.join(src, "f0")
+    )
+    one_part(spark, [(3, "c")], "id bigint, v string").write.parquet(
+        os.path.join(src, "f1")
+    )
+    t = cat.create_table("default.sw", "id bigint, v string")
+    ckpt = str(tmp_path / "ck")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("id bigint, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.format("lakehouse")
+            .option("location", t.metadata.location)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run_stream()
+    t2 = cat.load_table("default.sw")
+    assert {(r["id"], r["v"]) for r in t2.read().collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+    appends = [s for s in t2.metadata.snapshots if s.operation == "append"]
+    assert len(appends) == 2, "one commit per micro-batch"
+    assert all(
+        s.summary.get("writer") == "datasource-stream" for s in appends
+    )
+    n_snaps = len(t2.metadata.snapshots)
+
+    # idempotent replay: same checkpoint, no new files → no new snapshots
+    run_stream()
+    t2 = cat.load_table("default.sw")
+    assert len(t2.metadata.snapshots) == n_snaps
+    assert t2.read().count() == 3
+
+    # resume with a new file: exactly the delta lands
+    one_part(spark, [(4, "d")], "id bigint, v string").write.parquet(
+        os.path.join(src, "f2")
+    )
+    run_stream()
+    t2 = cat.load_table("default.sw")
+    assert t2.read().count() == 4
+
+
+def test_stream_writer_branch_wap(registered, cat, tmp_path):
+    from tests.conftest import one_part
+
+    spark = registered
+    src = str(tmp_path / "src")
+    one_part(spark, [(1, "a"), (2, "b")], "id bigint, v string").write.parquet(
+        os.path.join(src, "f0")
+    )
+    t = cat.create_table("default.swb", "id bigint, v string")
+    t.truncate()  # a snapshot for the branch to reference
+    t.create_branch("audit")
+    q = (
+        spark.readStream.schema("id bigint, v string")
+        .parquet(os.path.join(src, "*"))
+        .writeStream.format("lakehouse")
+        .option("location", t.metadata.location)
+        .option("branch", "audit")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    t = cat.load_table("default.swb")
+    assert t.read().count() == 0, "main untouched before publish"
+    assert t.read(ref="audit").count() == 2
+    t.fast_forward("main", t.resolve_ref("audit"))
+    assert t.read().count() == 2
