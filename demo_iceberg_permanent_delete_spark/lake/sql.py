@@ -765,12 +765,6 @@ class LakeEngine:
 
     def _merge(self, m: re.Match) -> DataFrame:
         t, branch = self._table_and_branch(m.group("name"))
-        if branch is not None:
-            raise ValueError(
-                "MERGE onto a branch is not supported — MERGE is "
-                "read-modify-write against main; stage with "
-                "mode='upsert-eq' on the branch instead"
-            )
         if self.spark.conf.get("spark.wap.id", None):
             raise ValueError(
                 "spark.wap.id staging supports INSERT only — stage DML on "
@@ -857,6 +851,7 @@ class LakeEngine:
             insert_unmatched=insert_unmatched,
             when_not_matched_by_source=by_source,
             not_matched_by_source_assignments=by_source_sets,
+            branch=branch,
         )
         return _one_row_df(
             self.spark,

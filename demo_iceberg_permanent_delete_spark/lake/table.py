@@ -2211,6 +2211,7 @@ class LakeTable:
         insert_unmatched: bool = True,
         when_not_matched_by_source: str = "ignore",
         not_matched_by_source_assignments: dict[str, Column | str | Any] | None = None,
+        branch: str | None = None,
     ) -> Snapshot | None:
         """MERGE INTO (upsert) — copy-on-write, one commit.
 
@@ -2237,11 +2238,18 @@ class LakeTable:
         a single job; only affected files are rewritten (left join vs
         source); inserts are a key anti-join against a column-pruned target
         key projection. Source-side joins broadcast under AQE when small.
+
+        ``branch`` merges INTO a named branch: the whole read-modify-write
+        plans against the branch head and the commit advances only the
+        ref — Iceberg's branch-targeted MERGE.
         """
         from demo_iceberg_permanent_delete_spark.lake.errors import (
             MergeCardinalityError,
         )
 
+        if branch == "main":
+            branch = None
+        merge_snap, parent_id = self._branch_base(branch)
         fields = self.schema().fields
         cols = [f.name for f in fields]
         types = {f.name: f.dataType for f in fields}
@@ -2255,7 +2263,7 @@ class LakeTable:
                     f"SET */INSERT * needs every table column in the source; missing {missing}"
                 )
 
-        tgt = self.read_with_positions()
+        tgt = self.read_with_positions(merge_snap)
         key_counts = source.groupBy(*on).agg(F.count(F.lit(1)).alias("__src_n"))
         # One job, grouped by file: the collect is bounded by the affected
         # FILE count (metadata-proportional), never a single-reducer
@@ -2301,7 +2309,7 @@ class LakeTable:
         lin = self._lineage_ok()
         if files_to_rewrite:
             rows = (
-                self.read_with_positions(lineage=lin)
+                self.read_with_positions(merge_snap, lineage=lin)
                 .filter(F.col("__fp").isin(list(files_to_rewrite)))
                 .drop("__pos")
                 .alias("t")
@@ -2365,17 +2373,18 @@ class LakeTable:
 
         if not new_entries and not files_to_rewrite:
             return None
-        snap = self.metadata.current_snapshot()
-        base = list(snap.manifest) if snap else []
+        base = list(merge_snap.manifest) if merge_snap else []
         kept = [e for e in base if e.file_path not in files_to_rewrite]
-        snapshot = self.metadata.add_snapshot(
+        snapshot = self._commit_dml(
             "overwrite",
             kept + new_entries,
-            summary={
+            {
                 "rewritten-files": rewritten,
                 "added-files": len(new_entries),
                 "inserted-files": inserted_files,
             },
+            branch,
+            parent_id,
         )
         for e in new_entries:
             e.added_snapshot_id = snapshot.snapshot_id

@@ -399,7 +399,7 @@ def stream_into_lake(
     accumulated eq-deletes. Batch dedup rule is identical to
     ``'upsert'``.
 
-    ``branch`` (append and upsert-eq modes) targets a named branch
+    ``branch`` (all three modes) targets a named branch
     instead of main — the write-audit-publish shape for a STREAM:
     micro-batches accumulate on the branch invisible to main readers
     until ``fast_forward('main', branch-head)`` publishes them
@@ -407,9 +407,9 @@ def stream_into_lake(
     exactly-once marker rides each branch commit the same way — it
     lives in table PROPERTIES (the shared metadata document), so a
     replay after a crash is skipped whether or not the branch has been
-    published yet. ``mode='upsert'`` (MERGE) is read-modify-write
-    against main and cannot stage on a branch; upsert-eq is the WAP
-    upsert shape (Flink's eq-delete writer under ``spark.wap.branch``).
+    published yet. ``mode='upsert'`` (MERGE) plans its read-modify-write
+    against the BRANCH head; upsert-eq remains the O(batch) WAP upsert
+    shape (Flink's eq-delete writer under ``spark.wap.branch``).
     ``compact_every_batches`` composed with ``branch`` compacts the
     BRANCH head (branch-scoped ``compact(branch=…)``) so eq-delete and
     small-file accumulation stays bounded on the ingest branch itself —
@@ -431,11 +431,14 @@ def stream_into_lake(
         raise ValueError(
             f"mode must be 'append', 'upsert' or 'upsert-eq', got {mode!r}"
         )
-    if branch is not None and mode == "upsert":
-        raise ValueError(
-            "branch ingest supports mode='append' or 'upsert-eq' "
-            "(MERGE is read-modify-write against main)"
-        )
+
+    if branch is not None:
+        # validate BEFORE the query starts — a typo'd branch should fail
+        # at the call site, not as a wrapped foreachBatch error at the
+        # first commit
+        ref = table.metadata.refs.get(branch)
+        if ref is None or ref["type"] != "branch":
+            raise KeyError(f"unknown branch {branch!r}")
     if mode in ("upsert", "upsert-eq") and not merge_keys:
         # the table's declared row identity (SET IDENTIFIER FIELDS) is
         # the default merge key — Flink's upsert writer reads it the
@@ -497,7 +500,7 @@ def stream_into_lake(
                 # (rerun resumes from the checkpoint; the guard above
                 # skips committed batches)
                 t.metadata.properties[LAST_BATCH_PROP] = marker
-                t.merge(batch_df, on=list(merge_keys))
+                t.merge(batch_df, on=list(merge_keys), branch=branch)
         committed["n"] += 1
         if (
             compact_every_batches

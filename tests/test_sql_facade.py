@@ -1140,17 +1140,24 @@ def test_wap_review_guards_and_branch_main(spark, tmp_path):
     assert eng.sql("SELECT * FROM demo.default.g").count() == 0
     eng.sql("INSERT INTO demo.default.g VALUES (1, 'a'), (2, 'b')")
 
-    # MERGE/TRUNCATE under the WAP confs fail loudly instead of
-    # publishing to main behind the audit's back
+    # MERGE routes to the conf branch like every other DML (it plans the
+    # read-modify-write against the branch head)
+    eng.sql("ALTER TABLE default.g CREATE BRANCH audit")
     try:
         spark.conf.set("spark.wap.branch", "audit")
-        with _pytest.raises(ValueError, match="MERGE onto a branch"):
-            eng.sql(
-                "MERGE INTO demo.default.g USING (SELECT 1 AS k, 'z' AS v) s "
-                "ON g.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v"
-            )
+        eng.sql(
+            "MERGE INTO demo.default.g t USING (SELECT 1 AS k, 'z' AS v) s "
+            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
     finally:
         spark.conf.unset("spark.wap.branch")
+    t = eng.table("default.g")
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "a", 2: "b"}
+    assert {r["k"]: r["v"] for r in t.read(ref="audit").collect()} == {
+        1: "z",
+        2: "b",
+    }
+    eng.sql("ALTER TABLE default.g DROP BRANCH audit")
     try:
         spark.conf.set("spark.wap.id", "w9")
         with _pytest.raises(ValueError, match="INSERT only"):

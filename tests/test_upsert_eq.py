@@ -404,14 +404,15 @@ def test_stream_into_lake_branch_ingest_wap(spark, tmp_path):
 
     import pytest as _pytest
 
-    # MERGE is read-modify-write against main — cannot stage on a branch
-    with _pytest.raises(ValueError, match="upsert-eq"):
+    # an unknown branch still fails loudly (mode='upsert' on a branch is
+    # now supported — see test_stream_merge_upsert_on_branch)
+    with _pytest.raises(KeyError, match="unknown branch"):
         stream_into_lake(
             read_event_stream(spark, os.path.join(src, "*", "*.parquet")),
             t,
-            mode="upsert",
+            mode="upsert-eq",
             merge_keys=["event_id"],
-            branch="audit",
+            branch="nope",
         )
 
 
@@ -545,3 +546,41 @@ def test_branch_compaction_cadence_bounds_branch_and_publishes(spark, tmp_path):
     assert "replace" in ops, "compaction must have committed on the branch"
     t.fast_forward("main", t.resolve_ref("audit"))  # publish still works
     assert _state(t.refresh()) == _state(t_main)
+
+
+def test_stream_merge_upsert_on_branch(spark, tmp_path):
+    """mode='upsert' (MERGE) now stages on a branch too: the
+    read-modify-write plans against the BRANCH head each batch; after
+    fast_forward the state equals the direct-to-main MERGE run."""
+    _, t_main = _run(spark, tmp_path, "upsert", "direct_m")
+
+    src = str(tmp_path / "src_m")
+    os.makedirs(src)
+    for i, rows in enumerate(BATCHES):
+        _write_events_file(spark, os.path.join(src, f"b{i}"), rows, 1000 * (i + 1))
+    cat = Catalog(spark, str(tmp_path / "wh_m"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.mb", DDL)
+    t.truncate()
+    t.create_branch("audit")
+    stream_into_lake(
+        read_event_stream(spark, os.path.join(src, "*", "*.parquet"), 1),
+        t,
+        mode="upsert",
+        merge_keys=["event_id"],
+        order_col="ts",
+        branch="audit",
+        checkpoint=str(tmp_path / "ck_m"),
+    )
+    t = cat.load_table("default.mb")
+    assert t.read().count() == 0, "main untouched before publish"
+    assert _state_ref(t, "audit") == _state(t_main)
+    t.fast_forward("main", t.resolve_ref("audit"))
+    assert _state(t.refresh()) == _state(t_main)
+
+
+def _state_ref(t, ref) -> list[tuple]:
+    return sorted(
+        (r["event_id"], r["user_id"], r["event_type"], r["value"])
+        for r in t.read(ref=ref).collect()
+    )
