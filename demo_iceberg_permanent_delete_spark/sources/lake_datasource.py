@@ -1896,6 +1896,12 @@ class LakeWriteMessage(WriterCommitMessage):
     # physical column-name harvest (same cap/None rule as
     # datafiles.write_data_files) — initial-default resolution uses it
     columns: list | None = None
+    # upsert-eq stream mode only: the task's equality-delete file (the
+    # task's distinct key tuples — Flink's writer emits them beside the
+    # data file, executor-local, no driver data movement)
+    delete_file_path: str | None = None
+    delete_record_count: int = 0
+    delete_file_size: int = 0
 
 
 class LakeAppendWriter(DataSourceArrowWriter):
@@ -1943,9 +1949,12 @@ class LakeAppendWriter(DataSourceArrowWriter):
         path = os.path.join(self._data_dir, f"ds-{uuid.uuid4().hex}.parquet")
         writer = None
         rows = 0
+        key_batches = []  # upsert-eq stream mode harvests keys per batch
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
+            if getattr(self, "_upsert_keys", None):
+                key_batches.append(batch.select(list(self._upsert_keys)))
             if self._fill:
                 arrays = batch.columns
                 fields = list(batch.schema)
@@ -1970,6 +1979,19 @@ class LakeAppendWriter(DataSourceArrowWriter):
         if writer is None:
             return LakeWriteMessage()
         writer.close()
+        delete_file, delete_rows, delete_size = None, 0, 0
+        if key_batches:
+            keys = (
+                pa.Table.from_batches(key_batches)
+                .group_by(list(self._upsert_keys))
+                .aggregate([])
+            )
+            delete_file = os.path.join(
+                self._data_dir, f"eqdelete-ds-{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(keys, delete_file)
+            delete_rows = keys.num_rows
+            delete_size = os.path.getsize(delete_file)
         from demo_iceberg_permanent_delete_spark.lake.datafiles import (
             _COLUMNS_HARVEST_MAX,
         )
@@ -1988,6 +2010,9 @@ class LakeAppendWriter(DataSourceArrowWriter):
             max_values={k: _jsonable(v) for k, v in maxs.items()},
             null_counts=dict(nulls),
             columns=phys_cols,
+            delete_file_path=delete_file,
+            delete_record_count=delete_rows,
+            delete_file_size=delete_size,
         )
 
     def commit(self, messages) -> None:
@@ -2102,6 +2127,39 @@ class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
             if ckpt
             else uuid.uuid4().hex[:12]
         )
+        # mode=upsert-eq (Flink's eq-delete writer shape): each task
+        # writes its distinct key tuples as an equality-delete file
+        # BESIDE its data file — executor-local, no driver data movement;
+        # the per-batch commit carries both at one sequence number, so
+        # the batch's own rows survive their own delete (strict-< rule).
+        # Keys default to the table's identifier fields. CAVEAT (same as
+        # Flink/LakeTable.upsert): the sink does not dedup WITHIN a
+        # batch — duplicate keys in one micro-batch both survive; key
+        # the stream upstream (dropDuplicates / repartition by key).
+        mode = (options.get("mode") or "append").lower()
+        if mode not in ("append", "upsert-eq"):
+            raise ValueError(
+                f"streaming sink mode must be 'append' or 'upsert-eq', got {mode!r}"
+            )
+        self._upsert_keys: tuple = ()
+        if mode == "upsert-eq":
+            meta = _load_meta(options)
+            raw = options.get("keys")
+            keys = (
+                [k.strip() for k in raw.split(",") if k.strip()]
+                if raw
+                else list(meta.identifier_fields)
+            )
+            if not keys:
+                raise ValueError(
+                    "mode=upsert-eq needs option('keys', 'a,b') or SET "
+                    "IDENTIFIER FIELDS on the table"
+                )
+            declared = {f.split()[0] for f in meta.schema_ddl.split(",")}
+            missing = [k for k in keys if k not in declared]
+            if missing:
+                raise ValueError(f"upsert keys not in table schema: {missing}")
+            self._upsert_keys = tuple(keys)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
         from demo_iceberg_permanent_delete_spark.lake.errors import (
@@ -2125,6 +2183,17 @@ class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
             )
             for m in messages
             if m is not None and m.file_path
+        ]
+        delete_entries = [
+            ManifestEntry(
+                file_path=m.delete_file_path,
+                content=2,
+                record_count=m.delete_record_count,
+                file_size_in_bytes=m.delete_file_size,
+                equality_columns=list(self._upsert_keys),
+            )
+            for m in messages
+            if m is not None and m.delete_file_path
         ]
         branch = self._options.get("branch")
         if branch == "main":
@@ -2150,12 +2219,22 @@ class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
                 parent_id = -1
                 snap_cur = meta.current_snapshot()
                 base = list(snap_cur.manifest) if snap_cur else []
+            # first-batch fast path, decided per attempt like
+            # LakeTable.upsert: nothing below to mask on an empty base
+            adds = list(entries)
+            dropped_deletes = []
+            if delete_entries:
+                if base:
+                    adds = delete_entries + adds
+                else:
+                    dropped_deletes = delete_entries
             meta.properties[LAST_BATCH_PROP] = marker
             snapshot = meta.add_snapshot(
-                "append",
-                base + entries,
+                "overwrite" if delete_entries and base else "append",
+                base + adds,
                 summary={
                     "added-files": len(entries),
+                    "added-equality-delete-files": len(adds) - len(entries),
                     "writer": "datasource-stream",
                 },
                 parent_snapshot_id=parent_id,
@@ -2163,22 +2242,28 @@ class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
             )
             if branch:
                 meta.refs[branch]["snapshot_id"] = snapshot.snapshot_id
-            for e in entries:
+            for e in adds:
                 e.added_snapshot_id = snapshot.snapshot_id
             try:
                 meta.commit()
+                for d in dropped_deletes:  # never committed anywhere
+                    if d.file_path and os.path.exists(d.file_path):
+                        os.remove(d.file_path)
                 return
             except CommitConflictError as err:
                 last_err = err
-                for e in entries:
+                for e in adds:
                     e.sequence_number = None
                     e.first_row_id = None
         raise last_err
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         for m in messages:
-            if m is not None and m.file_path and os.path.exists(m.file_path):
-                os.remove(m.file_path)
+            if m is None:
+                continue
+            for p in (m.file_path, getattr(m, "delete_file_path", None)):
+                if p and os.path.exists(p):
+                    os.remove(p)
 
 
 # ----------------------------------------------------------------- source

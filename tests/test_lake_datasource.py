@@ -1850,3 +1850,91 @@ def test_stream_writer_branch_wap(registered, cat, tmp_path):
     assert t.read(ref="audit").count() == 2
     t.fast_forward("main", t.resolve_ref("audit"))
     assert t.read().count() == 2
+
+
+def test_stream_writer_upsert_eq_mode(registered, cat, tmp_path):
+    """mode=upsert-eq: each task writes its distinct-key eq-delete file
+    beside its data file (Flink's writer shape — no driver data
+    movement); per-batch commits mask older keys via the strict-<
+    sequence rule; the first batch on an empty table skips the delete
+    files; replay is exactly-once."""
+    from tests.conftest import one_part
+
+    spark = registered
+    src = str(tmp_path / "src")
+    one_part(
+        spark, [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"
+    ).write.parquet(os.path.join(src, "f0"))
+    one_part(
+        spark, [(2, "B"), (4, "d")], "id bigint, v string"
+    ).write.parquet(os.path.join(src, "f1"))
+    t = cat.create_table("default.su", "id bigint, v string")
+    t.set_identifier_fields(["id"])  # keys default from identifier fields
+    ckpt = str(tmp_path / "ck")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("id bigint, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.format("lakehouse")
+            .option("location", t.metadata.location)
+            .option("mode", "upsert-eq")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run_stream()
+    t2 = cat.load_table("default.su")
+    assert {(r["id"], r["v"]) for r in t2.read().collect()} == {
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+        (4, "d"),
+    }
+    head = t2.metadata.current_snapshot()
+    eq = [e for e in head.manifest if e.content == 2]
+    assert eq, "second batch must carry an eq-delete file"
+    assert all(e.equality_columns == ["id"] for e in eq)
+    # first batch (empty base) skipped its delete file
+    first_append = [
+        s for s in t2.metadata.snapshots if s.summary.get("writer") == "datasource-stream"
+    ][0]
+    assert int(first_append.summary.get("added-equality-delete-files", 0)) == 0
+    n_snaps = len(t2.metadata.snapshots)
+
+    run_stream()  # replay: nothing new
+    t2 = cat.load_table("default.su")
+    assert len(t2.metadata.snapshots) == n_snaps
+    assert t2.read().count() == 4
+
+    # compaction folds the stream's eq-deletes like any other
+    t2.compact()
+    t2.refresh()
+    assert not t2.metadata.current_snapshot().delete_files()
+    assert {(r["id"], r["v"]) for r in t2.read().collect()} == {
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+        (4, "d"),
+    }
+
+    # unknown mode / missing keys fail loudly
+    import pytest as _pytest
+
+    t3 = cat.create_table("default.su2", "id bigint, v string")
+    with _pytest.raises(Exception, match="keys"):
+        (
+            spark.readStream.schema("id bigint, v string")
+            .parquet(os.path.join(src, "*"))
+            .writeStream.format("lakehouse")
+            .option("location", t3.metadata.location)
+            .option("mode", "upsert-eq")
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
