@@ -1907,6 +1907,7 @@ class LakeWriteMessage(WriterCommitMessage):
 class LakeAppendWriter(DataSourceArrowWriter):
     def __init__(self, schema: StructType, options, overwrite: bool) -> None:
         meta = _load_meta(options)  # validates the target exists
+        self._meta = meta  # planning-time snapshot; commit reloads fresh
         self._options = options
         self._overwrite = overwrite
         self._data_dir = os.path.join(meta.location, "data")
@@ -2045,23 +2046,10 @@ class LakeAppendWriter(DataSourceArrowWriter):
         last_err = None
         for _ in range(5):
             meta = _load_meta(self._options)
-            if branch:
-                # branch write (Iceberg's spark.wap.branch / branch
-                # write option): parent on the branch head, advance only
-                # the ref — main is untouched until fast_forward publishes
-                ref = meta.refs.get(branch)
-                if ref is None or ref["type"] != "branch":
-                    raise ValueError(f"unknown branch {branch!r}")
-                parent_id = int(ref["snapshot_id"])
-                base = list(meta.snapshot_by_id(parent_id).manifest)
-            else:
-                parent_id = -1
-                snap_cur = meta.current_snapshot()
-                base = (
-                    []
-                    if self._overwrite
-                    else (list(snap_cur.manifest) if snap_cur else [])
-                )
+            # branch write (Iceberg's spark.wap.branch / branch write
+            # option): parent on the branch head, advance only the ref —
+            # main is untouched until fast_forward publishes
+            parent_id, base = _resolve_commit_base(meta, branch, self._overwrite)
             snapshot = meta.add_snapshot(
                 op,
                 base + entries,
@@ -2092,6 +2080,22 @@ class LakeAppendWriter(DataSourceArrowWriter):
         for m in messages:
             if m is not None and m.file_path and os.path.exists(m.file_path):
                 os.remove(m.file_path)
+
+
+def _resolve_commit_base(meta, branch: str | None, overwrite: bool):
+    """(parent_id, base manifest) for a DataSource commit — main head or a
+    named branch's head. Shared by the batch and stream writers so the
+    branch-ref rules stay in ONE place (review finding: the CAS/rebase
+    logic had three copies drifting apart)."""
+    if branch:
+        ref = meta.refs.get(branch)
+        if ref is None or ref["type"] != "branch":
+            raise ValueError(f"unknown branch {branch!r}")
+        parent_id = int(ref["snapshot_id"])
+        return parent_id, list(meta.snapshot_by_id(parent_id).manifest)
+    snap_cur = meta.current_snapshot()
+    base = [] if overwrite else (list(snap_cur.manifest) if snap_cur else [])
+    return -1, base
 
 
 class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
@@ -2143,7 +2147,7 @@ class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
             )
         self._upsert_keys: tuple = ()
         if mode == "upsert-eq":
-            meta = _load_meta(options)
+            meta = self._meta  # planned by LakeAppendWriter.__init__
             raw = options.get("keys")
             keys = (
                 [k.strip() for k in raw.split(",") if k.strip()]
@@ -2155,10 +2159,19 @@ class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
                     "mode=upsert-eq needs option('keys', 'a,b') or SET "
                     "IDENTIFIER FIELDS on the table"
                 )
-            declared = {f.split()[0] for f in meta.schema_ddl.split(",")}
+            # top-level-comma DDL split (a naive split(',') mangles
+            # decimal(10,2) — review finding), AND the incoming STREAM
+            # schema: a key the stream omits would die as an opaque
+            # pyarrow KeyError in the task instead of here
+            declared = {name for name, _ in _ddl_fields(meta.schema_ddl)}
             missing = [k for k in keys if k not in declared]
             if missing:
                 raise ValueError(f"upsert keys not in table schema: {missing}")
+            absent = [k for k in keys if k not in set(schema.fieldNames())]
+            if absent:
+                raise ValueError(
+                    f"upsert keys not in the incoming stream schema: {absent}"
+                )
             self._upsert_keys = tuple(keys)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
@@ -2199,26 +2212,22 @@ class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
         if branch == "main":
             branch = None
         marker = f"{self._run_id}:{batchId}"
+        # RUN-SCOPED property key: two concurrent writers into one table
+        # must not clobber each other's replay markers (review finding —
+        # writer A's crash replay has to see ITS last batch even after B
+        # committed in between). One small property per distinct
+        # checkpoint; UNSET TBLPROPERTIES cleans old ones.
+        run_key = f"{LAST_BATCH_PROP}.{self._run_id}"
         last_err = None
         for _ in range(5):
             meta = _load_meta(self._options)
-            last = meta.properties.get(LAST_BATCH_PROP, "")
-            last_run, _sep, last_batch = last.rpartition(":")
-            if last_run == self._run_id and last_batch and batchId <= int(last_batch):
+            last_batch = meta.properties.get(run_key)
+            if last_batch is not None and batchId <= int(last_batch):
                 # replay of a batch this run already committed — drop the
                 # (re-written) files; the committed batch's are live
                 self.abort(messages, batchId)
                 return
-            if branch:
-                ref = meta.refs.get(branch)
-                if ref is None or ref["type"] != "branch":
-                    raise ValueError(f"unknown branch {branch!r}")
-                parent_id = int(ref["snapshot_id"])
-                base = list(meta.snapshot_by_id(parent_id).manifest)
-            else:
-                parent_id = -1
-                snap_cur = meta.current_snapshot()
-                base = list(snap_cur.manifest) if snap_cur else []
+            parent_id, base = _resolve_commit_base(meta, branch, False)
             # first-batch fast path, decided per attempt like
             # LakeTable.upsert: nothing below to mask on an empty base
             adds = list(entries)
@@ -2229,6 +2238,7 @@ class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
                 else:
                     dropped_deletes = delete_entries
             meta.properties[LAST_BATCH_PROP] = marker
+            meta.properties[run_key] = str(batchId)
             snapshot = meta.add_snapshot(
                 "overwrite" if delete_entries and base else "append",
                 base + adds,

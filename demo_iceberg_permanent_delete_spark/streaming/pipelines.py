@@ -432,10 +432,14 @@ def stream_into_lake(
             f"mode must be 'append', 'upsert' or 'upsert-eq', got {mode!r}"
         )
 
+    if branch == "main":
+        branch = None  # the implicit main branch IS the table
     if branch is not None:
         # validate BEFORE the query starts — a typo'd branch should fail
         # at the call site, not as a wrapped foreachBatch error at the
-        # first commit
+        # first commit. Refresh first: the branch may have been created
+        # through another handle/process since this one loaded.
+        table.refresh()
         ref = table.metadata.refs.get(branch)
         if ref is None or ref["type"] != "branch":
             raise KeyError(f"unknown branch {branch!r}")
@@ -455,14 +459,22 @@ def stream_into_lake(
     import hashlib
 
     run_id = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    # The replay guard reads a RUN-SCOPED property key, so two concurrent
+    # writers (two checkpoints into one table) cannot clobber each
+    # other's markers — writer A's crash replay must still see ITS last
+    # batch after B committed in between (review finding). The legacy
+    # combined marker is still written for observability. One small
+    # property per distinct checkpoint ever used; clean old ones with
+    # ALTER TABLE … UNSET TBLPROPERTIES if a table sees many one-off
+    # checkpoints.
+    run_key = f"{LAST_BATCH_PROP}.{run_id}"
 
     committed = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = table.refresh()
-        last = t.properties.get(LAST_BATCH_PROP, "")
-        last_run, _, last_batch = last.rpartition(":")
-        if last_run == run_id and last_batch and batch_id <= int(last_batch):
+        last_batch = t.properties.get(run_key)
+        if last_batch is not None and batch_id <= int(last_batch):
             return  # replay of a batch this run already committed
         marker = f"{run_id}:{batch_id}"
         if mode == "append":
@@ -471,7 +483,7 @@ def stream_into_lake(
             t.insert(
                 batch_df,
                 branch=branch,
-                extra_properties={LAST_BATCH_PROP: marker},
+                extra_properties={LAST_BATCH_PROP: marker, run_key: str(batch_id)},
             )
         else:
             from pyspark.sql import Window
@@ -492,7 +504,7 @@ def stream_into_lake(
                     batch_df,
                     on=list(merge_keys),
                     branch=branch,
-                    extra_properties={LAST_BATCH_PROP: marker},
+                    extra_properties={LAST_BATCH_PROP: marker, run_key: str(batch_id)},
                 )
             else:
                 # merge is read-modify-write: a conflicting concurrent
@@ -500,6 +512,7 @@ def stream_into_lake(
                 # (rerun resumes from the checkpoint; the guard above
                 # skips committed batches)
                 t.metadata.properties[LAST_BATCH_PROP] = marker
+                t.metadata.properties[run_key] = str(batch_id)
                 t.merge(batch_df, on=list(merge_keys), branch=branch)
         committed["n"] += 1
         if (

@@ -1938,3 +1938,61 @@ def test_stream_writer_upsert_eq_mode(registered, cat, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_stream_writer_crash_replay_skip_direct(registered, cat, tmp_path):
+    """Drive the sink's commit() twice with the SAME batchId — the crash
+    window Spark replays (sink committed, checkpoint didn't): the second
+    commit must be skipped, its re-written files deleted, and a LATER
+    batchId must still commit. Also: two writers with different
+    checkpoints (run ids) must not clobber each other's markers."""
+    import pyarrow as pa
+    from pyspark.sql.types import StructType
+
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        LakeStreamWriter,
+    )
+
+    t = cat.create_table("default.rp", "id bigint, v string")
+    schema = StructType.fromDDL("id bigint, v string")
+
+    def writer_for(ck):
+        return LakeStreamWriter(
+            schema,
+            {"location": t.metadata.location, "checkpointLocation": str(ck)},
+        )
+
+    def batch(rows):
+        return pa.RecordBatch.from_pylist(
+            [{"id": i, "v": v} for i, v in rows],
+            schema=pa.schema([("id", pa.int64()), ("v", pa.string())]),
+        )
+
+    wa = writer_for(tmp_path / "ckA")
+    m0 = wa.write(iter([batch([(1, "a"), (2, "b")])]))
+    wa.commit([m0], 0)
+    assert cat.load_table("default.rp").read().count() == 2
+
+    # crash replay: same batchId, fresh files — skipped AND cleaned up
+    m0r = wa.write(iter([batch([(1, "a"), (2, "b")])]))
+    replay_path = m0r.file_path
+    wa.commit([m0r], 0)
+    t2 = cat.load_table("default.rp")
+    assert t2.read().count() == 2, "replayed batch must not double-commit"
+    assert not os.path.exists(replay_path), "replayed files must be deleted"
+
+    # a SECOND writer (different checkpoint = different run) commits in
+    # between without disturbing writer A's marker
+    wb = writer_for(tmp_path / "ckB")
+    mb = wb.write(iter([batch([(9, "z")])]))
+    wb.commit([mb], 0)
+    assert cat.load_table("default.rp").read().count() == 3
+
+    # writer A's NEXT replay of batch 0 is still skipped (run-scoped key
+    # survived writer B's commit), and batch 1 commits normally
+    m0r2 = wa.write(iter([batch([(1, "a"), (2, "b")])]))
+    wa.commit([m0r2], 0)
+    assert cat.load_table("default.rp").read().count() == 3
+    m1 = wa.write(iter([batch([(3, "c")])]))
+    wa.commit([m1], 1)
+    assert cat.load_table("default.rp").read().count() == 4
