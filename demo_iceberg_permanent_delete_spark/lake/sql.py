@@ -343,10 +343,16 @@ class LakeEngine:
             age_ms = int(m.group("retain")) * per_unit[
                 m.group("unit").lower().rstrip("s")
             ]
+        flags = {
+            "replace": m.group("orrep") is not None,
+            "if_not_exists": m.group("ine") is not None,
+        }
+        if all(flags.values()):
+            raise ValueError("OR REPLACE and IF NOT EXISTS are exclusive")
         if kind == "tag":
             if m.group("keepn") or m.group("age"):
                 raise ValueError("WITH SNAPSHOT RETENTION applies to branches only")
-            t.create_tag(m.group("ref"), snap_id, max_ref_age_ms=age_ms)
+            t.create_tag(m.group("ref"), snap_id, max_ref_age_ms=age_ms, **flags)
         else:
             keep_n = int(m.group("keepn")) if m.group("keepn") else None
             snap_age_ms = None
@@ -360,6 +366,7 @@ class LakeEngine:
                 max_ref_age_ms=age_ms,
                 min_snapshots_to_keep=keep_n,
                 max_snapshot_age_ms=snap_age_ms,
+                **flags,
             )
         return _one_row_df(
             self.spark,
@@ -1496,7 +1503,9 @@ class LakeEngine:
         (
             re.compile(
                 r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+CREATE\s+"
-                r"(?P<kind>TAG|BRANCH)\s+(?P<ref>\w+)"
+                r"(?P<orrep>OR\s+REPLACE\s+)?"
+                r"(?P<kind>TAG|BRANCH)\s+"
+                r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<ref>\w+)"
                 r"(?:\s+AS\s+OF\s+VERSION\s+(?P<version>\d+))?"
                 r"(?:\s+RETAIN\s+(?P<retain>\d+)\s+"
                 r"(?P<unit>DAYS?|HOURS?|MINUTES?))?"

@@ -1408,8 +1408,17 @@ class LakeTable:
         snapshot_id: int | None = None,
         *,
         max_ref_age_ms: int | None = None,
+        replace: bool = False,
+        if_not_exists: bool = False,
     ) -> None:
-        self._create_ref(name, snapshot_id, "tag", max_ref_age_ms)
+        self._create_ref(
+            name,
+            snapshot_id,
+            "tag",
+            max_ref_age_ms,
+            replace=replace,
+            if_not_exists=if_not_exists,
+        )
 
     def create_branch(
         self,
@@ -1419,6 +1428,8 @@ class LakeTable:
         max_ref_age_ms: int | None = None,
         min_snapshots_to_keep: int | None = None,
         max_snapshot_age_ms: int | None = None,
+        replace: bool = False,
+        if_not_exists: bool = False,
     ) -> None:
         self._create_ref(
             name,
@@ -1427,6 +1438,8 @@ class LakeTable:
             max_ref_age_ms,
             min_snapshots_to_keep=min_snapshots_to_keep,
             max_snapshot_age_ms=max_snapshot_age_ms,
+            replace=replace,
+            if_not_exists=if_not_exists,
         )
 
     def _create_ref(
@@ -1438,6 +1451,8 @@ class LakeTable:
         *,
         min_snapshots_to_keep: int | None = None,
         max_snapshot_age_ms: int | None = None,
+        replace: bool = False,
+        if_not_exists: bool = False,
     ) -> None:
         """``max_ref_age_ms`` (Iceberg's ref property of the same name):
         expire_snapshots REMOVES the ref — and with it its protection —
@@ -1448,9 +1463,26 @@ class LakeTable:
         ``min_snapshots_to_keep`` protects the first N ancestors of the
         branch head from expiry (default 1 = the head only), and
         ``max_snapshot_age_ms`` protects every ancestor younger than the
-        age — the per-branch rollback window expire_snapshots honors."""
-        if name in self.metadata.refs or name == "main":
-            raise ValueError(f"ref {name!r} already exists")
+        age — the per-branch rollback window expire_snapshots honors.
+
+        ``replace`` (CREATE OR REPLACE) re-points an existing ref of the
+        SAME kind (replacing a tag with a branch is a user error, like
+        Iceberg); ``if_not_exists`` returns silently when the ref already
+        exists."""
+        if name == "main":
+            raise ValueError("ref 'main' already exists")
+        existing = self.metadata.refs.get(name)
+        if existing is not None:
+            if if_not_exists:
+                return
+            if not replace:
+                raise ValueError(f"ref {name!r} already exists")
+            if existing["type"] != kind:
+                raise ValueError(
+                    f"ref {name!r} is a {existing['type']}, not a {kind} — "
+                    "drop it first to change kinds"
+                )
+            del self.metadata.refs[name]
         if snapshot_id is None:
             snapshot_id = self.metadata.current_snapshot_id
         if snapshot_id is None:

@@ -427,3 +427,45 @@ def test_branch_snapshot_retention_protects_ancestry(spark, tmp_path):
         eng2.sql(
             "ALTER TABLE default.aw CREATE TAG t1 WITH SNAPSHOT RETENTION 2 SNAPSHOTS"
         )
+
+
+def test_create_or_replace_and_if_not_exists_refs(spark, tmp_path):
+    """Iceberg ref DDL: CREATE OR REPLACE re-points a same-kind ref,
+    IF NOT EXISTS is a silent no-op on an existing one, kind change is
+    refused, and the two modifiers are mutually exclusive."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE demo.default")
+    eng.sql("CREATE TABLE demo.default.cr (k BIGINT) USING iceberg")
+    eng.sql("INSERT INTO demo.default.cr VALUES (1)")
+    t = eng.table("default.cr")
+    first = t.metadata.current_snapshot_id
+    eng.sql("INSERT INTO demo.default.cr VALUES (2)")
+
+    eng.sql(f"ALTER TABLE default.cr CREATE TAG v AS OF VERSION {first}")
+    t = eng.table("default.cr")
+    assert t.read(ref="v").count() == 1
+    # OR REPLACE re-points to the current head
+    eng.sql("ALTER TABLE default.cr CREATE OR REPLACE TAG v")
+    t = eng.table("default.cr")
+    assert t.read(ref="v").count() == 2
+    # IF NOT EXISTS: silent no-op, ref unchanged
+    eng.sql(f"ALTER TABLE default.cr CREATE TAG IF NOT EXISTS v AS OF VERSION {first}")
+    t = eng.table("default.cr")
+    assert t.read(ref="v").count() == 2
+    # plain duplicate still errors; kind change refused
+    with _pytest.raises(ValueError, match="already exists"):
+        eng.sql("ALTER TABLE default.cr CREATE TAG v")
+    with _pytest.raises(ValueError, match="not a branch"):
+        eng.sql("ALTER TABLE default.cr CREATE OR REPLACE BRANCH v")
+    # retention rides a REPLACE (branch form)
+    eng.sql("ALTER TABLE default.cr CREATE BRANCH b")
+    eng.sql(
+        "ALTER TABLE default.cr CREATE OR REPLACE BRANCH b "
+        "WITH SNAPSHOT RETENTION 3 SNAPSHOTS"
+    )
+    t = eng.table("default.cr")
+    assert t.metadata.refs["b"]["min_snapshots_to_keep"] == 3
