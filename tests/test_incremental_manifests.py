@@ -54,10 +54,15 @@ def test_commit_payload_is_o_delta_across_100_commits(tmp_path):
     )
 
     # header file carries snapshot headers only: its per-snapshot cost is
-    # bounded and independent of the 1000-entry file list
+    # bounded and independent of the 1000-entry file list. The bound is a
+    # CONSTANT-per-snapshot guard, not a byte budget — the round-10
+    # SnapshotSummary running totals (total-records/-data-files/
+    # -delete-files/-files-size) added ~40 bytes/snapshot, nudging it
+    # from ~960 past the old 1000; what must never happen is the header
+    # scaling with the FILE count, which the margin below still catches.
     header = meta.metadata_file(meta.version)
     per_snapshot = os.path.getsize(header) / len(meta.snapshots)
-    assert per_snapshot < 1000, f"{per_snapshot:.0f} bytes/snapshot header"
+    assert per_snapshot < 1200, f"{per_snapshot:.0f} bytes/snapshot header"
     with open(header) as fh:
         doc = json.load(fh)
     assert all("manifest" not in s for s in doc["snapshots"]), (
