@@ -374,12 +374,18 @@ class LakeEngine:
         )
 
     def _alter_drop_ref(self, m: re.Match) -> DataFrame:
-        """``ALTER TABLE t DROP TAG|BRANCH name`` — rejects a kind
-        mismatch (dropping a branch with DROP TAG is a user error, not a
-        silent removal)."""
+        """``ALTER TABLE t DROP TAG|BRANCH [IF EXISTS] name`` — rejects a
+        kind mismatch (dropping a branch with DROP TAG is a user error,
+        not a silent removal); IF EXISTS is a silent no-op on a missing
+        ref (Iceberg's grammar), never on a kind mismatch."""
         t = self.table(m.group("name"))
         kind = m.group("kind").lower()
         ref = t.metadata.refs.get(m.group("ref"))
+        if ref is None and m.group("ife") is not None:
+            return _one_row_df(
+                self.spark,
+                {"table": t.name, "status": f"no such {kind} {m.group('ref')}"},
+            )
         if ref is not None and ref["type"] != kind:
             raise ValueError(
                 f"ref {m.group('ref')!r} is a {ref['type']}, not a {kind}"
@@ -1520,7 +1526,8 @@ class LakeEngine:
         (
             re.compile(
                 r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+"
-                r"(?P<kind>TAG|BRANCH)\s+(?P<ref>\w+)$",
+                r"(?P<kind>TAG|BRANCH)\s+"
+                r"(?P<ife>IF\s+EXISTS\s+)?(?P<ref>\w+)$",
                 re.I | re.S,
             ),
             _alter_drop_ref,

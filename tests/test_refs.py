@@ -469,3 +469,24 @@ def test_create_or_replace_and_if_not_exists_refs(spark, tmp_path):
     )
     t = eng.table("default.cr")
     assert t.metadata.refs["b"]["min_snapshots_to_keep"] == 3
+
+
+def test_drop_ref_if_exists(spark, tmp_path):
+    """DROP TAG|BRANCH IF EXISTS: silent no-op on a missing ref, real
+    drop on an existing one, kind mismatch still loud."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE demo.default")
+    eng.sql("CREATE TABLE demo.default.dr (k BIGINT) USING iceberg")
+    eng.sql("INSERT INTO demo.default.dr VALUES (1)")
+    eng.sql("ALTER TABLE default.dr DROP BRANCH IF EXISTS nope")  # no-op
+    eng.sql("ALTER TABLE default.dr CREATE BRANCH b")
+    with _pytest.raises(ValueError, match="not a tag"):
+        eng.sql("ALTER TABLE default.dr DROP TAG IF EXISTS b")
+    eng.sql("ALTER TABLE default.dr DROP BRANCH IF EXISTS b")
+    assert "b" not in eng.table("default.dr").metadata.refs
+    with _pytest.raises(KeyError):
+        eng.sql("ALTER TABLE default.dr DROP BRANCH b")
