@@ -782,6 +782,42 @@ def lake_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert 0 < len(cand) < len(entries), (
             f"raw-column predicate must prune: {len(cand)}/{len(entries)}"
         )
+        # X70 differential, in-query (the X39 style): the MANIFEST-served
+        # `.partitions` view (write-time harvested counts — every entry of
+        # this engine-written table carries them, so no data file is
+        # opened) must agree with a groupBy over the data itself, per
+        # partition tuple, before the hashed scan below is trusted.
+        assert all(e.partition_counts is not None for e in entries)
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            transform_column,
+        )
+
+        view = {
+            tuple(sorted(r["partition"].items())): r["record_count"]
+            for r in hp.meta("partitions").collect()
+        }
+        raw = hp.read()
+        types = {f.name: f.dataType for f in raw.schema.fields}
+        truth = {
+            tuple(
+                sorted(
+                    (fld.spec, r[f"__p{i}"])
+                    for i, fld in enumerate(hp._partition_fields)
+                )
+            ): r["n"]
+            for r in raw.select(
+                *[
+                    transform_column(fld, types[fld.source])
+                    .cast("string")
+                    .alias(f"__p{i}")
+                    for i, fld in enumerate(hp._partition_fields)
+                ]
+            )
+            .groupBy(*[f"__p{i}" for i in range(len(hp._partition_fields))])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert view == truth, "manifest-served .partitions != data truth"
 
         zt = cat.create_table("default.lineitem_z", _LINEITEM_DDL)
         zt.insert(_subset(spark, sf_dir))
