@@ -261,6 +261,20 @@ class Catalog:
         self._write_registry(reg)
         return LakeTable(self.spark, meta)
 
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE … RENAME TO — Iceberg renames only the CATALOG
+        entry: the metadata document (and its internal ``name`` field)
+        and every data/metadata file stay exactly where they are, so a
+        rename is one registry write regardless of table size. The new
+        name passes the same validation as CREATE (namespace exists, no
+        table/view collision)."""
+        reg = self._read_registry()
+        if old not in reg["tables"]:
+            raise NoSuchTableError(f"table {old!r} not found")
+        self._check_new_table_name(new, reg)
+        reg["tables"][new] = reg["tables"].pop(old)
+        self._write_registry(reg)
+
     def load_table(self, name: str) -> LakeTable:
         reg = self._read_registry()
         if name not in reg["tables"]:

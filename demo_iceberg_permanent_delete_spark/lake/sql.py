@@ -373,6 +373,16 @@ class LakeEngine:
             {"table": t.name, "status": f"created {kind} {m.group('ref')}"},
         )
 
+    def _alter_rename_table(self, m: re.Match) -> DataFrame:
+        old = self._strip_catalog(m.group("name"))
+        new = self._strip_catalog(m.group("newname"))
+        self.catalog.rename_table(old, new)
+        # stale cached handles must not serve the old name
+        self._table_cache.pop(old, None)
+        return _one_row_df(
+            self.spark, {"table": new, "status": f"renamed from {old}"}
+        )
+
     def _alter_drop_ref(self, m: re.Match) -> DataFrame:
         """``ALTER TABLE t DROP TAG|BRANCH [IF EXISTS] name`` — rejects a
         kind mismatch (dropping a branch with DROP TAG is a user error,
@@ -1531,6 +1541,14 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _alter_drop_ref,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+TO\s+"
+                r"(?P<newname>[\w.]+)$",
+                re.I | re.S,
+            ),
+            _alter_rename_table,
         ),
         (
             re.compile(

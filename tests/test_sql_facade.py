@@ -1181,3 +1181,41 @@ def test_wap_review_guards_and_branch_main(spark, tmp_path):
     # INSERT SELECT with a column the table doesn't have is a hard error
     with _pytest.raises(ValueError, match="not in the table"):
         eng.sql("INSERT INTO demo.default.g SELECT 1 AS k, 'x' AS nope")
+
+
+def test_alter_table_rename_to(spark, tmp_path):
+    """ALTER TABLE … RENAME TO: a pure registry move (files and metadata
+    untouched), new name queryable with history intact, old name gone,
+    collisions with tables and views refused, RENAME COLUMN unaffected."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE demo.default")
+    eng.sql("CREATE TABLE demo.default.a (k BIGINT, v STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.a VALUES (1, 'x'), (2, 'y')")
+    loc_before = eng.table("default.a").metadata.location
+
+    eng.sql("ALTER TABLE demo.default.a RENAME TO demo.default.b")
+    t = eng.table("default.b")
+    assert t.metadata.location == loc_before, "rename must not move files"
+    assert eng.sql("SELECT * FROM demo.default.b").count() == 2
+    assert eng.sql("SELECT * FROM demo.default.b.history").count() == 1
+    assert "default.a" not in eng.catalog.list_tables()
+    with _pytest.raises(Exception, match="not found"):
+        eng.catalog.load_table("default.a")
+
+    # collision checks: existing table, existing view, missing namespace
+    eng.sql("CREATE TABLE demo.default.c (k BIGINT) USING iceberg")
+    with _pytest.raises(Exception, match="already exists"):
+        eng.sql("ALTER TABLE demo.default.b RENAME TO demo.default.c")
+    eng.sql("CREATE VIEW demo.default.vv AS SELECT 1 AS one")
+    with _pytest.raises(Exception, match="is a view"):
+        eng.sql("ALTER TABLE demo.default.b RENAME TO demo.default.vv")
+    with _pytest.raises(Exception, match="does not exist"):
+        eng.sql("ALTER TABLE demo.default.b RENAME TO demo.nope.b")
+
+    # the RENAME COLUMN grammar still routes correctly next to RENAME TO
+    eng.sql("ALTER TABLE demo.default.b RENAME COLUMN v TO w")
+    assert [f.name for f in eng.table("default.b").schema().fields] == ["k", "w"]
