@@ -584,13 +584,8 @@ class LakeEngine:
         )
 
     def _truncate_table(self, m: re.Match) -> DataFrame:
-        t, branch = self._table_and_branch(m.group("name"))
-        if self.spark.conf.get("spark.wap.id", None):
-            raise ValueError(
-                "spark.wap.id staging supports INSERT only — stage DML on "
-                "a branch (spark.wap.branch / t.branch_<name>) instead"
-            )
-        snap = t.truncate(branch=branch)
+        t, branch, wap_id = self._dml_target(m.group("name"))
+        snap = t.truncate(branch=branch, wap_id=wap_id)
         return _one_row_df(
             self.spark,
             {"table": t.name, "status": "truncated", "snapshot_id": snap.snapshot_id},
@@ -654,6 +649,24 @@ class LakeEngine:
         t = self.catalog.load_table(bare)
         b = self.spark.conf.get("spark.wap.branch", None) or None
         return t, (None if b == "main" else b)
+
+    def _dml_target(self, name: str) -> tuple[LakeTable, str | None, str | None]:
+        """DML target resolution with both WAP session confs applied:
+        (table, branch, wap_id). ``spark.wap.id`` stages ANY
+        snapshot-producing DML unpublished (Iceberg stageOnly semantics —
+        the INSERT-only refusal this replaces was the last WAP asymmetry:
+        an audit-gated pipeline stages its GDPR DELETE under wap.id and
+        publishes after the audit). A branch target — suffix or
+        ``spark.wap.branch`` — is mutually exclusive with wap.id, like
+        Iceberg's SparkWriteConf rule."""
+        t, branch = self._table_and_branch(name)
+        wap_id = self.spark.conf.get("spark.wap.id", None) or None
+        if wap_id and branch is not None:
+            raise ValueError(
+                "cannot set both spark.wap.branch (or a t.branch_<name> "
+                "target) and spark.wap.id"
+            )
+        return t, branch, wap_id
 
     def _wap_write_opts(self) -> dict[str, str]:
         """Iceberg's session-conf write-audit-publish controls:
@@ -745,15 +758,8 @@ class LakeEngine:
         )
 
     def _delete(self, m: re.Match) -> DataFrame:
-        t, branch = self._table_and_branch(m.group("name"))
-        if self.spark.conf.get("spark.wap.id", None):
-            # staging a DELETE under wap.id is not implemented — failing
-            # loudly beats silently publishing what the user meant to audit
-            raise ValueError(
-                "spark.wap.id staging supports INSERT only — stage DML on "
-                "a branch (spark.wap.branch / t.branch_<name>) instead"
-            )
-        snap = t.delete(m.group("pred"), branch=branch)
+        t, branch, wap_id = self._dml_target(m.group("name"))
+        snap = t.delete(m.group("pred"), branch=branch, wap_id=wap_id)
         return _one_row_df(
             self.spark,
             {
@@ -766,17 +772,12 @@ class LakeEngine:
     def _update(self, m: re.Match) -> DataFrame:
         from pyspark.sql import functions as F
 
-        t, branch = self._table_and_branch(m.group("name"))
-        if self.spark.conf.get("spark.wap.id", None):
-            raise ValueError(
-                "spark.wap.id staging supports INSERT only — stage DML on "
-                "a branch (spark.wap.branch / t.branch_<name>) instead"
-            )
+        t, branch, wap_id = self._dml_target(m.group("name"))
         assignments = {}
         for part in _split_top_level(m.group("sets")):
             col, expr = part.split("=", 1)
             assignments[col.strip()] = F.expr(expr.strip())
-        snap = t.update(assignments, m.group("pred"), branch=branch)
+        snap = t.update(assignments, m.group("pred"), branch=branch, wap_id=wap_id)
         return _one_row_df(
             self.spark,
             {
@@ -787,12 +788,7 @@ class LakeEngine:
         )
 
     def _merge(self, m: re.Match) -> DataFrame:
-        t, branch = self._table_and_branch(m.group("name"))
-        if self.spark.conf.get("spark.wap.id", None):
-            raise ValueError(
-                "spark.wap.id staging supports INSERT only — stage DML on "
-                "a branch (spark.wap.branch / t.branch_<name>) instead"
-            )
+        t, branch, wap_id = self._dml_target(m.group("name"))
         talias = m.group("talias") or "t"
         salias = m.group("salias") or "s"
 
@@ -875,6 +871,7 @@ class LakeEngine:
             when_not_matched_by_source=by_source,
             not_matched_by_source_assignments=by_source_sets,
             branch=branch,
+            wap_id=wap_id,
         )
         return _one_row_df(
             self.spark,

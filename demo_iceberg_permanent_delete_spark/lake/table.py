@@ -1914,19 +1914,22 @@ class LakeTable:
                 self.refresh()
         raise last_err
 
-    def truncate(self, *, branch: str | None = None) -> Snapshot:
+    def truncate(
+        self, *, branch: str | None = None, wap_id: str | None = None
+    ) -> Snapshot:
         """TRUNCATE TABLE — one METADATA-ONLY commit whose manifest is
         empty: no data is scanned, rewritten or deleted (old files stay
         reachable through time travel until expiry GCs them), so a
         100 TB truncate costs the same one version-file write as an
         empty append — Iceberg's truncate is the same snapshot trick.
         ``branch`` truncates a branch head (ref-only advance), like the
-        other DML."""
+        other DML; ``wap_id`` stages it unpublished (see _commit_dml)."""
         if branch == "main":
             branch = None
+        self._check_branch_wap(branch, wap_id)
         _, parent_id = self._branch_base(branch)
         snapshot = self._commit_dml(
-            "delete", [], {"truncated": True}, branch, parent_id
+            "delete", [], {"truncated": True}, branch, parent_id, wap_id
         )
         self.metadata.commit()
         return snapshot
@@ -1973,21 +1976,45 @@ class LakeTable:
         return self.metadata.snapshot_by_id(head), head
 
     def _commit_dml(
-        self, operation: str, manifest, summary, branch: str | None, parent_id
+        self,
+        operation: str,
+        manifest,
+        summary,
+        branch: str | None,
+        parent_id,
+        wap_id: str | None = None,
     ) -> Snapshot:
+        """One DML commit. ``branch`` advances only that ref; ``wap_id``
+        stages the snapshot UNPUBLISHED with ``wap.id`` stamped in its
+        summary (Iceberg stages ANY snapshot-producing write under
+        ``spark.wap.id``, not just appends — stageOnly + summary stamp),
+        so a GDPR DELETE can be audited before ``CALL publish_changes``
+        cherry-picks it onto main. Mutually exclusive, like Iceberg's
+        SparkWriteConf rule (validated by the public DML methods)."""
+        if wap_id is not None:
+            summary = {**summary, "wap.id": wap_id}
         snapshot = self.metadata.add_snapshot(
             operation,
             manifest,
             summary=summary,
             parent_snapshot_id=parent_id,
-            advance=branch is None,
+            advance=branch is None and wap_id is None,
         )
         if branch is not None:
             self.metadata.refs[branch]["snapshot_id"] = snapshot.snapshot_id
         return snapshot
 
+    @staticmethod
+    def _check_branch_wap(branch: str | None, wap_id: str | None) -> None:
+        if branch is not None and wap_id is not None:
+            raise ValueError("cannot set both branch and wap_id (Iceberg's rule)")
+
     def delete(
-        self, predicate: str | Column, *, branch: str | None = None
+        self,
+        predicate: str | Column,
+        *,
+        branch: str | None = None,
+        wap_id: str | None = None,
     ) -> Snapshot | None:
         """DELETE FROM … WHERE pred.
 
@@ -1999,15 +2026,19 @@ class LakeTable:
 
         ``branch`` targets a named branch (plan against its head, commit
         parents there, only the ref advances) — Iceberg's branch DML.
+        ``wap_id`` stages the delete unpublished for audit-then-publish
+        (the reference's PII-deletion theme: audit the staged snapshot's
+        raw files, then ``publish_changes``) — see _commit_dml.
         """
         if branch == "main":
             branch = None
+        self._check_branch_wap(branch, wap_id)
         pred = self._as_column(predicate)
         pred_str = predicate if isinstance(predicate, str) else None
         mode = self.properties.get("write.delete.mode", "copy-on-write")
         if mode == "merge-on-read":
-            return self._delete_mor(pred, pred_str, branch=branch)
-        return self._delete_cow(pred, pred_str, branch=branch)
+            return self._delete_mor(pred, pred_str, branch=branch, wap_id=wap_id)
+        return self._delete_cow(pred, pred_str, branch=branch, wap_id=wap_id)
 
     def _delete_mor(
         self,
@@ -2015,6 +2046,7 @@ class LakeTable:
         pred_str: str | None = None,
         *,
         branch: str | None = None,
+        wap_id: str | None = None,
     ) -> Snapshot | None:
         snap, parent_id = self._branch_base(branch)
         matches = (
@@ -2032,6 +2064,7 @@ class LakeTable:
             {"added-delete-files": len(delete_entries)},
             branch,
             parent_id,
+            wap_id,
         )
         for e in delete_entries:
             e.added_snapshot_id = snapshot.snapshot_id
@@ -2044,6 +2077,7 @@ class LakeTable:
         pred_str: str | None = None,
         *,
         branch: str | None = None,
+        wap_id: str | None = None,
     ) -> Snapshot | None:
         snap, parent_id = self._branch_base(branch)
         affected = set(self._affected_files(pred, pred_str, snap))
@@ -2066,6 +2100,7 @@ class LakeTable:
             {"rewritten-files": len(affected), "added-files": len(new_entries)},
             branch,
             parent_id,
+            wap_id,
         )
         for e in new_entries:
             e.added_snapshot_id = snapshot.snapshot_id
@@ -2244,6 +2279,7 @@ class LakeTable:
         when_not_matched_by_source: str = "ignore",
         not_matched_by_source_assignments: dict[str, Column | str | Any] | None = None,
         branch: str | None = None,
+        wap_id: str | None = None,
     ) -> Snapshot | None:
         """MERGE INTO (upsert) — copy-on-write, one commit.
 
@@ -2281,6 +2317,7 @@ class LakeTable:
 
         if branch == "main":
             branch = None
+        self._check_branch_wap(branch, wap_id)
         merge_snap, parent_id = self._branch_base(branch)
         fields = self.schema().fields
         cols = [f.name for f in fields]
@@ -2417,6 +2454,7 @@ class LakeTable:
             },
             branch,
             parent_id,
+            wap_id,
         )
         for e in new_entries:
             e.added_snapshot_id = snapshot.snapshot_id
@@ -2429,6 +2467,7 @@ class LakeTable:
         predicate: str | Column,
         *,
         branch: str | None = None,
+        wap_id: str | None = None,
     ) -> Snapshot | None:
         """UPDATE … SET col=expr WHERE pred.
 
@@ -2445,11 +2484,16 @@ class LakeTable:
         """
         if branch == "main":
             branch = None
+        self._check_branch_wap(branch, wap_id)
         pred = self._as_column(predicate)
         pred_str = predicate if isinstance(predicate, str) else None
         if self.properties.get("write.update.mode", "copy-on-write") == "merge-on-read":
-            return self._update_mor(assignments, pred, pred_str, branch=branch)
-        return self._update_cow(assignments, pred, pred_str, branch=branch)
+            return self._update_mor(
+                assignments, pred, pred_str, branch=branch, wap_id=wap_id
+            )
+        return self._update_cow(
+            assignments, pred, pred_str, branch=branch, wap_id=wap_id
+        )
 
     def _assignment_exprs(
         self, assignments: dict[str, Column | Any], cols: list[str], *, gate: Column | None
@@ -2483,6 +2527,7 @@ class LakeTable:
         pred_str: str | None,
         *,
         branch: str | None = None,
+        wap_id: str | None = None,
     ) -> Snapshot | None:
         from pyspark import StorageLevel
 
@@ -2525,6 +2570,7 @@ class LakeTable:
             },
             branch,
             parent_id,
+            wap_id,
         )
         for e in pos_entries + new_entries:
             e.added_snapshot_id = snapshot.snapshot_id
@@ -2538,6 +2584,7 @@ class LakeTable:
         pred_str: str | None,
         *,
         branch: str | None = None,
+        wap_id: str | None = None,
     ) -> Snapshot | None:
         snap, parent_id = self._branch_base(branch)
         affected = set(self._affected_files(pred, pred_str, snap))
@@ -2575,6 +2622,7 @@ class LakeTable:
             {"rewritten-files": len(affected), "added-files": len(new_entries)},
             branch,
             parent_id,
+            wap_id,
         )
         for e in new_entries:
             e.added_snapshot_id = snapshot.snapshot_id
