@@ -362,14 +362,32 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     target row (UPDATE SET *), unmatched source rows (a disjoint orderkey
     slice) are inserted — one snapshot, only affected files rewritten.
     Merging on lineitem's non-unique key raises MergeCardinalityError
-    (covered in tests/test_sql_facade.py)."""
+    (covered in tests/test_sql_facade.py).
+
+    The MERGE runs through the SQL facade against the ``t.branch_stage``
+    suffix target (X75 branch-DML routing — round-10's biggest pytest-only
+    rewrite surface, now under the DuckDB hash): the whole
+    read-modify-write plans against the branch head, main is asserted
+    untouched in-metadata, and ``CALL fast_forward`` publishes the branch
+    before the hashed read — so a routing bug (MERGE landing on main, the
+    ref not advancing, publish skipping files) breaks the hash, not just a
+    unit test."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
     warehouse = tempfile.mkdtemp(prefix="lakeq-")
-    cat = Catalog(spark, warehouse)
-    cat.create_namespace("default")
-    t = cat.create_table("default.orders_lake", _ORDERS_DDL)
+    eng = LakeEngine(spark, warehouse)
+    eng.sql("CREATE NAMESPACE demo.default")
+    cols = ", ".join(
+        f"{name} {typ.upper()}"
+        for name, typ in (c.rsplit(" ", 1) for c in _ORDERS_DDL.split(", "))
+    )
+    eng.sql(f"CREATE TABLE demo.default.orders_lake ({cols}) USING iceberg")
+    t = eng.table("default.orders_lake")
     try:
         orders = load_table(spark, sf_dir, "orders")
         t.insert(orders.filter("o_orderkey % 10 = 0"))
+        main_head = t.metadata.current_snapshot_id
+        eng.sql("ALTER TABLE default.orders_lake CREATE BRANCH stage")
         source = orders.filter(
             "(o_orderkey % 10 = 0 AND o_orderstatus = 'F') OR o_orderkey % 10 = 5"
         ).withColumn(
@@ -378,17 +396,38 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("o_orderkey % 10 = 0"), F.col("o_totalprice") + 1000
             ).otherwise(F.col("o_totalprice")),
         )
-        snap = t.merge(
-            source,
-            ["o_orderkey"],
-            when_matched="update",
-            assignments=None,  # SET *
-            insert_unmatched=True,
+        source.createOrReplaceTempView("merge_upsert_src")
+        eng.sql(
+            "MERGE INTO demo.default.orders_lake.branch_stage t "
+            "USING (SELECT * FROM merge_upsert_src) s "
+            "ON t.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
         )
-        assert snap is not None and snap.summary["rewritten-files"] >= 1
+        # branch routing asserted in-metadata: main's pointer did not move
+        # and the staged commit sits only on the branch ref (reload — the
+        # facade statements committed through their own table instance)
+        t = eng.table("default.orders_lake")
+        assert t.metadata.current_snapshot_id == main_head, "main moved"
+        staged_head = t.resolve_ref("stage")
+        assert staged_head != main_head, "branch ref did not advance"
+        snap = t.metadata.snapshot_by_id(staged_head)
+        assert snap.parent_id == main_head
+        assert snap.summary["rewritten-files"] >= 1
         assert snap.summary["inserted-files"] >= 1
-        return t.read().localCheckpoint(eager=True)
+        # publish: fast-forward main onto the audited branch head
+        eng.sql(
+            f"CALL demo.system.fast_forward('default.orders_lake', 'main', {staged_head})"
+        )
+        assert (
+            eng.table("default.orders_lake").metadata.current_snapshot_id
+            == staged_head
+        )
+        return eng.sql(
+            "SELECT * FROM demo.default.orders_lake"
+        ).localCheckpoint(eager=True)
     finally:
+        spark.catalog.dropTempView("merge_upsert_src")
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
