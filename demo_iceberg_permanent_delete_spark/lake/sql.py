@@ -14,7 +14,7 @@ extension. Covered statements, with the reference call sites:
 - ALTER TABLE t SET TBLPROPERTIES (...)  :166-171
 - DELETE FROM t WHERE pred               :175-180
 - UPDATE t SET c = e, … WHERE pred       :228-235
-- MERGE INTO t USING src ON keys WHEN MATCHED … WHEN NOT MATCHED …
+- MERGE [WITH SCHEMA EVOLUTION] INTO t USING src ON keys WHEN MATCHED …
   (extension — the reference stops at UPDATE/DELETE; same Iceberg grammar)
 - CREATE TABLE t [USING iceberg] [PARTITIONED BY …] AS SELECT …  (CTAS,
   extension — schema inferred from the query, first snapshot appended)
@@ -872,6 +872,7 @@ class LakeEngine:
             not_matched_by_source_assignments=by_source_sets,
             branch=branch,
             wap_id=wap_id,
+            schema_evolution=bool(m.group("evolve")),
         )
         return _one_row_df(
             self.spark,
@@ -1628,7 +1629,8 @@ class LakeEngine:
         ),
         (
             re.compile(
-                r"MERGE\s+INTO\s+(?P<name>[\w.]+)(?:\s+AS)?(?:\s+(?P<talias>(?!USING\b)\w+))?"
+                r"MERGE\s+(?:(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION)\s+)?"
+                r"INTO\s+(?P<name>[\w.]+)(?:\s+AS)?(?:\s+(?P<talias>(?!USING\b)\w+))?"
                 r"\s+USING\s+(?P<src>\(.*?\)|[\w.]+)(?:\s+AS)?(?:\s+(?P<salias>(?!ON\b)\w+))?"
                 r"\s+ON\s+(?P<cond>.+?)\s+(?P<clauses>WHEN\s+.+)$",
                 re.I | re.S,

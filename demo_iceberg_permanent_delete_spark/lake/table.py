@@ -2280,6 +2280,7 @@ class LakeTable:
         not_matched_by_source_assignments: dict[str, Column | str | Any] | None = None,
         branch: str | None = None,
         wap_id: str | None = None,
+        schema_evolution: bool = False,
     ) -> Snapshot | None:
         """MERGE INTO (upsert) — copy-on-write, one commit.
 
@@ -2310,6 +2311,14 @@ class LakeTable:
         ``branch`` merges INTO a named branch: the whole read-modify-write
         plans against the branch head and the commit advances only the
         ref — Iceberg's branch-targeted MERGE.
+
+        ``schema_evolution`` (Spark 4 / Iceberg ``MERGE WITH SCHEMA
+        EVOLUTION``): source-only columns are auto-ADDed to the table
+        schema before the merge plans — pure-metadata adds, so rows in
+        pre-existing files read NULL for them. Without the flag a star
+        action (``SET *`` / ``INSERT *``) over a wider source is rejected
+        (Spark's analysis rule) instead of silently dropping the extra
+        columns; explicit assignments may always reference a wider source.
         """
         from demo_iceberg_permanent_delete_spark.lake.errors import (
             MergeCardinalityError,
@@ -2321,6 +2330,23 @@ class LakeTable:
         merge_snap, parent_id = self._branch_base(branch)
         fields = self.schema().fields
         cols = [f.name for f in fields]
+        extra = [c for c in source.columns if c not in set(cols)]
+        if extra:
+            star = (
+                assignments is None and when_matched == "update"
+            ) or insert_unmatched
+            if schema_evolution:
+                src_types = {f.name: f.dataType for f in source.schema.fields}
+                for c in extra:  # source order preserved by the comprehension
+                    self.add_column(c, src_types[c].simpleString())
+                fields = self.schema().fields
+                cols = [f.name for f in fields]
+            elif star:
+                raise ValueError(
+                    f"MERGE source has columns not in the table: {extra}; "
+                    "use MERGE WITH SCHEMA EVOLUTION (schema_evolution=True) "
+                    "to auto-add them"
+                )
         types = {f.name: f.dataType for f in fields}
         bad = [k for k in on if k not in cols]
         if bad:

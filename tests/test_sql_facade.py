@@ -1323,3 +1323,57 @@ def test_wap_id_stages_all_dml(spark, tmp_path):
         eng.table("default.pii").delete("k = 2", branch="b", wap_id="x")
     with _pytest.raises(ValueError, match="cannot set both"):
         eng.table("default.pii").truncate(branch="b", wap_id="x")
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION (Spark 4 / Iceberg grammar): source-only
+    columns are auto-ADDed before the merge plans — rows in pre-existing
+    files read NULL for them. Without the clause a star action over a
+    wider source is REJECTED (it used to silently drop the extra columns);
+    explicit assignments may always reference a wider source."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE demo.default")
+    eng.sql("CREATE TABLE demo.default.m (k BIGINT, v STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.m VALUES (1, 'a'), (2, 'b')")
+    src = (
+        "SELECT 2 AS k, 'B' AS v, 'upd' AS note "
+        "UNION ALL SELECT 3, 'c', 'new'"
+    )
+
+    # star action over a wider source without the clause: hard error
+    with _pytest.raises(ValueError, match="WITH SCHEMA EVOLUTION"):
+        eng.sql(
+            f"MERGE INTO demo.default.m t USING ({src}) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+    t = eng.table("default.m")
+    assert [f.name for f in t.schema().fields] == ["k", "v"], "no phantom add"
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "a", 2: "b"}
+
+    # explicit assignments may reference the wider source without evolving
+    eng.sql(
+        f"MERGE INTO demo.default.m t USING ({src}) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.note"
+    )
+    t = eng.table("default.m")
+    assert [f.name for f in t.schema().fields] == ["k", "v"]
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "a", 2: "upd"}
+
+    # WITH SCHEMA EVOLUTION: note is auto-added, star actions resolve
+    eng.sql(
+        f"MERGE WITH SCHEMA EVOLUTION INTO demo.default.m t USING ({src}) s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    t = eng.table("default.m")
+    assert [f.name for f in t.schema().fields] == ["k", "v", "note"]
+    rows = {r["k"]: (r["v"], r["note"]) for r in t.read().collect()}
+    assert rows == {
+        1: ("a", None),  # pre-evolution file reads NULL for the new column
+        2: ("B", "upd"),
+        3: ("c", "new"),
+    }
