@@ -185,6 +185,50 @@ class Catalog:
     def view_entry(self, name: str) -> dict | None:
         return self._read_registry().get("views", {}).get(name)
 
+    def _view_or_raise(self, reg: dict, name: str) -> dict:
+        views = reg.get("views", {})
+        if name not in views:
+            raise NoSuchTableError(f"view {name!r} not found")
+        return views[name]
+
+    def alter_view_sql(self, name: str, sql: str) -> None:
+        """ALTER VIEW … AS — bump the view's version history (Iceberg view
+        versioning: same append REPLACE performs, but the view must
+        already exist)."""
+        from demo_iceberg_permanent_delete_spark.lake.metadata import now_ms
+
+        reg = self._read_registry()
+        entry = self._view_or_raise(reg, name)
+        entry["versions"].append({"sql": sql, "created_at_ms": now_ms()})
+        entry["sql"] = sql
+        self._write_registry(reg)
+
+    def rename_view(self, old: str, new: str) -> None:
+        """ALTER VIEW … RENAME TO — one registry move, same collision
+        matrix as table renames (namespace exists, no table or view
+        already claims the new name)."""
+        reg = self._read_registry()
+        self._view_or_raise(reg, old)
+        self._check_new_table_name(new, reg)
+        reg["views"][new] = reg["views"].pop(old)
+        self._write_registry(reg)
+
+    def set_view_properties(self, name: str, props: dict[str, str]) -> None:
+        """ALTER VIEW … SET TBLPROPERTIES (Iceberg view spec carries a
+        properties map beside the version history)."""
+        reg = self._read_registry()
+        entry = self._view_or_raise(reg, name)
+        entry.setdefault("properties", {}).update(props)
+        self._write_registry(reg)
+
+    def unset_view_properties(self, name: str, keys: list[str]) -> None:
+        reg = self._read_registry()
+        entry = self._view_or_raise(reg, name)
+        props = entry.setdefault("properties", {})
+        for k in keys:
+            props.pop(k, None)
+        self._write_registry(reg)
+
     def snapshot_table(self, source_name: str, dest_name: str) -> LakeTable:
         """Iceberg's ``snapshot`` procedure: a zero-copy FORK of
         ``source_name`` — a new table whose single base snapshot

@@ -530,6 +530,46 @@ class LakeEngine:
         self.catalog.drop_view(name, if_exists=m.group("ife") is not None)
         return _one_row_df(self.spark, {"view": name, "status": "dropped"})
 
+    def _alter_view_as(self, m: re.Match) -> DataFrame:
+        """ALTER VIEW v AS SELECT … — bump the version history (surfaces
+        in SHOW VIEW VERSIONS) after the same plan-once validation as
+        CREATE; unlike CREATE OR REPLACE the view must already exist."""
+        name = self._strip_catalog(m.group("name"))
+        self._view_entry_or_raise(name)
+        body = m.group("query").strip()
+        self._select(body)  # validation: a broken body fails the ALTER
+        self.catalog.alter_view_sql(name, body)
+        return _one_row_df(self.spark, {"view": name, "status": "altered"})
+
+    def _alter_view_rename(self, m: re.Match) -> DataFrame:
+        old = self._strip_catalog(m.group("name"))
+        new = self._strip_catalog(m.group("newname"))
+        self.catalog.rename_view(old, new)
+        return _one_row_df(self.spark, {"view": new, "status": "renamed"})
+
+    def _alter_view_set_props(self, m: re.Match) -> DataFrame:
+        name = self._strip_catalog(m.group("name"))
+        self.catalog.set_view_properties(
+            name, dict(_parse_kv_props(m.group("props")))
+        )
+        return _one_row_df(self.spark, {"view": name, "status": "properties set"})
+
+    def _alter_view_unset_props(self, m: re.Match) -> DataFrame:
+        name = self._strip_catalog(m.group("name"))
+        self.catalog.unset_view_properties(
+            name, re.findall(r"'([^']+)'", m.group("props"))
+        )
+        return _one_row_df(
+            self.spark, {"view": name, "status": "properties unset"}
+        )
+
+    def _alter_table_unset_props(self, m: re.Match) -> DataFrame:
+        t = self.table(m.group("name"))
+        t.unset_properties(re.findall(r"'([^']+)'", m.group("props")))
+        return _one_row_df(
+            self.spark, {"table": t.name, "status": "properties unset"}
+        )
+
     def _show_views(self, m: re.Match) -> DataFrame:
         ns = m.group("ns")
         names = self.catalog.list_views(
@@ -625,6 +665,13 @@ class LakeEngine:
         return self.spark.createDataFrame(rows, "col_name string, data_type string")
 
     def _show_tblproperties(self, m: re.Match) -> DataFrame:
+        name = self._strip_catalog(m.group("name"))
+        entry = self.catalog.view_entry(name)
+        if entry is not None:  # views carry a properties map too (Iceberg)
+            return self.spark.createDataFrame(
+                sorted(entry.get("properties", {}).items()) or [],
+                "key string, value string",
+            )
         t = self.table(m.group("name"))
         return self.spark.createDataFrame(
             sorted(t.properties.items()) or [], "key string, value string"
@@ -1676,6 +1723,45 @@ class LakeEngine:
                 re.I,
             ),
             _drop_view,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+VIEW\s+(?P<name>[\w.]+)\s+RENAME\s+TO\s+"
+                r"(?P<newname>[\w.]+)$",
+                re.I,
+            ),
+            _alter_view_rename,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+VIEW\s+(?P<name>[\w.]+)\s+SET\s+TBLPROPERTIES\s*"
+                r"\((?P<props>.*)\)$",
+                re.I | re.S,
+            ),
+            _alter_view_set_props,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+VIEW\s+(?P<name>[\w.]+)\s+UNSET\s+TBLPROPERTIES\s*"
+                r"\((?P<props>.*)\)$",
+                re.I | re.S,
+            ),
+            _alter_view_unset_props,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+VIEW\s+(?P<name>[\w.]+)\s+AS\s+(?P<query>SELECT\s+.+)$",
+                re.I | re.S,
+            ),
+            _alter_view_as,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+UNSET\s+TBLPROPERTIES\s*"
+                r"\((?P<props>.*)\)$",
+                re.I | re.S,
+            ),
+            _alter_table_unset_props,
         ),
         (
             re.compile(r"SHOW\s+VIEWS(?:\s+IN\s+(?P<ns>[\w.]+))?$", re.I),

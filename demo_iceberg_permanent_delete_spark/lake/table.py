@@ -520,6 +520,13 @@ class LakeTable:
         self.metadata.properties.update(props)
         self.metadata.commit()
 
+    def unset_properties(self, keys: Iterable[str]) -> None:
+        """ALTER TABLE UNSET TBLPROPERTIES — missing keys are ignored,
+        like Iceberg (no IF EXISTS needed)."""
+        for k in keys:
+            self.metadata.properties.pop(k, None)
+        self.metadata.commit()
+
     # -------------------------------------------------------------- read
     def read(
         self,

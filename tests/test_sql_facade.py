@@ -1377,3 +1377,72 @@ def test_merge_with_schema_evolution(spark, tmp_path):
         2: ("B", "upd"),
         3: ("c", "new"),
     }
+
+
+def test_alter_view(spark, tmp_path):
+    """ALTER VIEW: AS bumps the version history (same validation as
+    CREATE, view must exist), RENAME TO follows the table-rename collision
+    matrix, SET/UNSET TBLPROPERTIES round-trip through SHOW TBLPROPERTIES;
+    ALTER TABLE UNSET TBLPROPERTIES rides the same grammar."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE demo.default")
+    eng.sql("CREATE TABLE demo.default.t (k BIGINT, v STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.t VALUES (1, 'a'), (2, 'b')")
+    eng.sql("CREATE VIEW demo.default.w AS SELECT k FROM default.t")
+
+    # AS: new body, version bump visible in SHOW VIEW VERSIONS
+    eng.sql("ALTER VIEW demo.default.w AS SELECT k, v FROM default.t")
+    assert eng.sql("SELECT * FROM demo.default.w").columns == ["k", "v"]
+    vers = eng.sql("SHOW VIEW VERSIONS default.w").collect()
+    assert [r["version"] for r in vers] == [1, 2]
+    assert vers[-1]["is_current"] and "v FROM" in vers[-1]["sql"]
+    # a broken body fails and does NOT bump the history
+    with _pytest.raises(Exception):
+        eng.sql("ALTER VIEW demo.default.w AS SELECT nope FROM default.t")
+    assert eng.sql("SHOW VIEW VERSIONS default.w").count() == 2
+    # ALTER of a missing view is an error (CREATE OR REPLACE is the upsert)
+    with _pytest.raises(Exception, match="not found"):
+        eng.sql("ALTER VIEW demo.default.missing AS SELECT 1 AS one")
+
+    # SET / UNSET TBLPROPERTIES
+    eng.sql(
+        "ALTER VIEW demo.default.w SET TBLPROPERTIES ('comment' = 'c1', 'x' = '1')"
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in eng.sql("SHOW TBLPROPERTIES demo.default.w").collect()
+    }
+    assert props == {"comment": "c1", "x": "1"}
+    eng.sql("ALTER VIEW demo.default.w UNSET TBLPROPERTIES ('x', 'missing')")
+    props = {
+        r["key"]: r["value"]
+        for r in eng.sql("SHOW TBLPROPERTIES demo.default.w").collect()
+    }
+    assert props == {"comment": "c1"}
+
+    # RENAME TO: collision matrix matches tables
+    eng.sql("CREATE VIEW demo.default.w2 AS SELECT 1 AS one")
+    with _pytest.raises(Exception, match="is a view"):
+        eng.sql("ALTER VIEW demo.default.w RENAME TO demo.default.w2")
+    with _pytest.raises(Exception, match="already exists"):
+        eng.sql("ALTER VIEW demo.default.w RENAME TO demo.default.t")
+    with _pytest.raises(Exception, match="does not exist"):
+        eng.sql("ALTER VIEW demo.default.w RENAME TO demo.nope.w")
+    eng.sql("ALTER VIEW demo.default.w RENAME TO demo.default.w3")
+    assert eng.sql("SELECT * FROM demo.default.w3").count() == 2
+    assert "default.w" not in eng.catalog.list_views()
+    # history (and properties) travel with the rename
+    assert eng.sql("SHOW VIEW VERSIONS default.w3").count() == 2
+
+    # ALTER TABLE UNSET TBLPROPERTIES
+    eng.sql("ALTER TABLE default.t SET TBLPROPERTIES ('a' = '1', 'b' = '2')")
+    eng.sql("ALTER TABLE default.t UNSET TBLPROPERTIES ('a', 'ghost')")
+    props = {
+        r["key"]: r["value"]
+        for r in eng.sql("SHOW TBLPROPERTIES demo.default.t").collect()
+    }
+    assert props.get("b") == "2" and "a" not in props
