@@ -196,6 +196,30 @@ def expire_snapshots(
             aged_out.append(name)
     for name in aged_out:
         del meta.refs[name]
+    # Run-scoped streaming replay markers
+    # (streaming.last-committed-batch-id.<run_id>) GC under the same
+    # cutoff: a run whose LAST commit predates it could only replay
+    # batches whose snapshots this pass expires, so dropping its marker
+    # cannot break exactly-once for any recoverable checkpoint — while
+    # keeping them forever grew the property map by one key per distinct
+    # checkpoint the table ever saw (the one unbounded metadata growth
+    # left). The active run (named by the unscoped marker) is always
+    # kept; legacy un-timestamped values are kept too (undatable).
+    from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
+        LAST_BATCH_PROP,
+    )
+
+    marker_prefix = LAST_BATCH_PROP + "."
+    active_run = str(meta.properties.get(LAST_BATCH_PROP, "")).split(":", 1)[0]
+    stale_markers = []
+    for k, v in meta.properties.items():
+        if not k.startswith(marker_prefix) or k[len(marker_prefix):] == active_run:
+            continue
+        parts = str(v).split(":", 1)
+        if len(parts) == 2 and parts[1].isdigit() and int(parts[1]) < cutoff_ms:
+            stale_markers.append(k)
+    for k in stale_markers:
+        del meta.properties[k]
     # the current snapshot and every SURVIVING ref'd (tag/branch) snapshot
     # survive — Iceberg's retention rule: expiry never breaks a named ref
     protected = {meta.current_snapshot_id} | {
@@ -244,12 +268,13 @@ def expire_snapshots(
         if s.committed_at_ms < cutoff_ms and s.snapshot_id not in protected
     ]
     if not expired:
-        if aged_out:  # ref removal alone still needs to commit
+        if aged_out or stale_markers:  # metadata-only changes still commit
             _commit_or_refresh(table)
         return {
             "expired_snapshots": 0,
             "deleted_files": 0,
             "removed_refs": len(aged_out),
+            "removed_replay_markers": len(stale_markers),
         }
     expired_ids = {s.snapshot_id for s in expired}
     survivors = [s for s in meta.snapshots if s.snapshot_id not in expired_ids]
@@ -279,6 +304,7 @@ def expire_snapshots(
         "expired_snapshots": len(expired),
         "deleted_files": deleted,
         "removed_refs": len(aged_out),
+        "removed_replay_markers": len(stale_markers),
     }
 
 

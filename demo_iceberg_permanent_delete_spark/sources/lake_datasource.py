@@ -2181,6 +2181,8 @@ class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
         from demo_iceberg_permanent_delete_spark.lake.metadata import ManifestEntry
         from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
             LAST_BATCH_PROP,
+            marker_batch,
+            marker_value,
         )
 
         entries = [
@@ -2215,14 +2217,15 @@ class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
         # RUN-SCOPED property key: two concurrent writers into one table
         # must not clobber each other's replay markers (review finding —
         # writer A's crash replay has to see ITS last batch even after B
-        # committed in between). One small property per distinct
-        # checkpoint; UNSET TBLPROPERTIES cleans old ones.
+        # committed in between). The value carries a commit timestamp so
+        # expire_snapshots GCs keys of runs that stopped committing
+        # before the retention cutoff (UNSET TBLPROPERTIES still works).
         run_key = f"{LAST_BATCH_PROP}.{self._run_id}"
         last_err = None
         for _ in range(5):
             meta = _load_meta(self._options)
             last_batch = meta.properties.get(run_key)
-            if last_batch is not None and batchId <= int(last_batch):
+            if last_batch is not None and batchId <= marker_batch(last_batch):
                 # replay of a batch this run already committed — drop the
                 # (re-written) files; the committed batch's are live
                 self.abort(messages, batchId)
@@ -2238,7 +2241,7 @@ class LakeStreamWriter(LakeAppendWriter, DataSourceStreamArrowWriter):
                 else:
                     dropped_deletes = delete_entries
             meta.properties[LAST_BATCH_PROP] = marker
-            meta.properties[run_key] = str(batchId)
+            meta.properties[run_key] = marker_value(batchId)
             snapshot = meta.add_snapshot(
                 "overwrite" if delete_entries and base else "append",
                 base + adds,

@@ -350,6 +350,24 @@ def stateful_session_stream(events: DataFrame, gap_minutes: int = 10) -> DataFra
 LAST_BATCH_PROP = "streaming.last-committed-batch-id"
 
 
+def marker_value(batch_id: int) -> str:
+    """Run-scoped replay-marker value: ``<batch_id>:<epoch_ms>``. The
+    timestamp lets ``expire_snapshots`` GC markers of runs that stopped
+    committing before the retention cutoff (a checkpoint that old is
+    unrecoverable once its snapshots expire, so dropping its marker
+    keeps the exactly-once guarantee for every live run) — without it
+    the property map grew one key per distinct checkpoint forever."""
+    from demo_iceberg_permanent_delete_spark.lake.metadata import now_ms
+
+    return f"{batch_id}:{now_ms()}"
+
+
+def marker_batch(value: str) -> int:
+    """Batch id from a run-scoped marker value (legacy bare ints parse
+    too — pre-timestamp markers are read, never rewritten)."""
+    return int(str(value).split(":", 1)[0])
+
+
 def stream_into_lake(
     stream_df: DataFrame,
     table,
@@ -463,10 +481,10 @@ def stream_into_lake(
     # writers (two checkpoints into one table) cannot clobber each
     # other's markers — writer A's crash replay must still see ITS last
     # batch after B committed in between (review finding). The legacy
-    # combined marker is still written for observability. One small
-    # property per distinct checkpoint ever used; clean old ones with
-    # ALTER TABLE … UNSET TBLPROPERTIES if a table sees many one-off
-    # checkpoints.
+    # combined marker is still written for observability. Marker values
+    # carry a commit timestamp so expire_snapshots GCs the keys of runs
+    # that stopped committing before the retention cutoff (or UNSET
+    # TBLPROPERTIES cleans them manually).
     run_key = f"{LAST_BATCH_PROP}.{run_id}"
 
     committed = {"n": 0}
@@ -474,7 +492,7 @@ def stream_into_lake(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = table.refresh()
         last_batch = t.properties.get(run_key)
-        if last_batch is not None and batch_id <= int(last_batch):
+        if last_batch is not None and batch_id <= marker_batch(last_batch):
             return  # replay of a batch this run already committed
         marker = f"{run_id}:{batch_id}"
         if mode == "append":
@@ -483,7 +501,10 @@ def stream_into_lake(
             t.insert(
                 batch_df,
                 branch=branch,
-                extra_properties={LAST_BATCH_PROP: marker, run_key: str(batch_id)},
+                extra_properties={
+                    LAST_BATCH_PROP: marker,
+                    run_key: marker_value(batch_id),
+                },
             )
         else:
             from pyspark.sql import Window
@@ -504,7 +525,10 @@ def stream_into_lake(
                     batch_df,
                     on=list(merge_keys),
                     branch=branch,
-                    extra_properties={LAST_BATCH_PROP: marker, run_key: str(batch_id)},
+                    extra_properties={
+                        LAST_BATCH_PROP: marker,
+                        run_key: marker_value(batch_id),
+                    },
                 )
             else:
                 # merge is read-modify-write: a conflicting concurrent
@@ -512,7 +536,7 @@ def stream_into_lake(
                 # (rerun resumes from the checkpoint; the guard above
                 # skips committed batches)
                 t.metadata.properties[LAST_BATCH_PROP] = marker
-                t.metadata.properties[run_key] = str(batch_id)
+                t.metadata.properties[run_key] = marker_value(batch_id)
                 t.merge(batch_df, on=list(merge_keys), branch=branch)
         committed["n"] += 1
         if (

@@ -383,3 +383,46 @@ def test_gc_deletes_executor_parallel_above_gate(spark, pii_table, monkeypatch):
     assert orphan_path in removed and orphan_path2 in removed
     assert not os.path.exists(orphan_path) and not os.path.exists(orphan_path2)
     assert pii_table.read().count() == 2
+
+
+def test_expire_snapshots_gcs_stale_replay_markers(spark, tmp_path):
+    """expire_snapshots drops run-scoped streaming replay markers
+    (streaming.last-committed-batch-id.<run_id>) whose run stopped
+    committing before the cutoff — the one unbounded metadata growth
+    left after round 10. Kept unconditionally: the active run (unscoped
+    marker), any run with a commit inside the window, and legacy
+    un-timestamped values (undatable)."""
+    from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
+        LAST_BATCH_PROP,
+        marker_batch,
+        marker_value,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.marks", "k bigint, v string")
+    t.insert(one_part(spark, [(1, "a")], "k bigint, v string"))
+
+    now = now_ms()
+    old = now - 10 * 86_400_000  # 10 days ago, well past the cutoff
+    t.set_properties(
+        {
+            LAST_BATCH_PROP: "runB:5",  # runB is the active run
+            f"{LAST_BATCH_PROP}.runA": f"3:{old}",  # stale → dropped
+            f"{LAST_BATCH_PROP}.runB": f"5:{old}",  # active → kept even if old
+            f"{LAST_BATCH_PROP}.runC": "7",  # legacy undated → kept
+            f"{LAST_BATCH_PROP}.runD": marker_value(2),  # fresh → kept
+        }
+    )
+    stats = t.expire_snapshots(now - 86_400_000)
+    assert stats["removed_replay_markers"] == 1
+    t.refresh()
+    props = t.properties
+    assert f"{LAST_BATCH_PROP}.runA" not in props
+    assert props[f"{LAST_BATCH_PROP}.runB"] == f"5:{old}"
+    assert props[f"{LAST_BATCH_PROP}.runC"] == "7"
+    assert marker_batch(props[f"{LAST_BATCH_PROP}.runD"]) == 2
+    # the active run's replay guard still answers across the expiry
+    assert marker_batch(props[f"{LAST_BATCH_PROP}.runB"]) == 5
+    # idempotent: a second pass finds nothing to drop
+    assert t.expire_snapshots(now - 86_400_000)["removed_replay_markers"] == 0
