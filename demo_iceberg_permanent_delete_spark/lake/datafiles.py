@@ -264,6 +264,37 @@ def write_data_files(
     return entries
 
 
+def write_arrow_file(
+    table, target_dir: str, *, content: int = CONTENT_DATA, prefix: str = "data"
+) -> list[ManifestEntry]:
+    """Write one pyarrow Table as ONE managed parquet file, driver-side —
+    no Spark job. For metadata-sized sidecar files (the streaming
+    upsert's equality-delete key file: O(batch-keys) rows) where a Spark
+    write costs a job launch per micro-batch. Footer stats are harvested
+    exactly like write_data_files'. Returns [] for empty input (parity
+    with the zero-row file drop there)."""
+    if table.num_rows == 0:
+        return []
+    os.makedirs(target_dir, exist_ok=True)
+    final = os.path.join(target_dir, f"{prefix}-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, final)
+    n_rows, mins, maxs, nulls = _footer_stats(final)
+    names = table.schema.names
+    return [
+        ManifestEntry(
+            file_path=final,
+            content=content,
+            record_count=n_rows,
+            file_size_in_bytes=os.path.getsize(final),
+            min_values={k: _jsonable(v) for k, v in mins.items()},
+            max_values={k: _jsonable(v) for k, v in maxs.items()},
+            null_counts=dict(nulls),
+            referenced_files=[],
+            columns=list(names) if len(names) <= _COLUMNS_HARVEST_MAX else None,
+        )
+    ]
+
+
 def _jsonable(v: Any) -> Any:
     """Stats values must round-trip through JSON (datetime → isoformat)."""
     try:

@@ -290,3 +290,101 @@ def bucket_conjuncts(
         if ok and vals:
             out.append((fld.part_column, sorted(set(vals))))
     return out
+
+
+def _spark_timestamp_str(d: _dt.datetime) -> str:
+    """Spark's CAST(timestamp AS STRING) encoding: space separator, no
+    fraction when zero, trailing zeros trimmed otherwise."""
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    base = d.strftime("%Y-%m-%d %H:%M:%S")
+    if d.microsecond:
+        return f"{base}.{f'{d.microsecond:06d}'.rstrip('0')}"
+    return base
+
+
+def python_transform_str(field: PartitionField):
+    """Python twin of ``transform_column(field, …).cast('string')`` — the
+    EXACT per-row encoding the write-time partition-count harvest stores
+    in manifests (map<string,string>), so a driver-side pyarrow harvest
+    and the Spark-job harvest/scan-fallback produce byte-identical keys
+    (the ``.partitions`` view folds and compares them as strings).
+
+    Returns a ``value -> str | None`` callable, or None when the
+    transform/value-type combination has no provably identical Python
+    encoding (float/Decimal identity — Java's Double.toString disagrees
+    with Python's repr) — callers then fall back to the Spark-job
+    harvest. Raising ValueError inside the callable signals the same
+    fallback lazily (a value type the column claimed not to have)."""
+    t = field.transform
+
+    def temporal(value):
+        if value is None:
+            return None
+        if isinstance(value, _dt.datetime):
+            d = value
+            if d.tzinfo is not None:
+                d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        elif isinstance(value, _dt.date):
+            d = _dt.datetime(value.year, value.month, value.day)
+        else:
+            raise ValueError(f"not temporal: {value!r}")
+        if t == "year":
+            return str(d.year)
+        if t == "month":
+            return f"{d.year:04d}-{d.month:02d}"
+        if t == "day":
+            return d.strftime("%Y-%m-%d")
+        return d.strftime("%Y-%m-%d %H")
+
+    if t in ("year", "month", "day", "hour"):
+        return temporal
+
+    if t == "identity":
+
+        def identity(value):
+            if value is None:
+                return None
+            if isinstance(value, bool):
+                return "true" if value else "false"
+            if isinstance(value, str):
+                return value
+            if isinstance(value, int):
+                return str(value)
+            if isinstance(value, _dt.datetime):
+                return _spark_timestamp_str(value)
+            if isinstance(value, _dt.date):
+                return value.isoformat()
+            # float/Decimal/binary: Spark's string cast (Java notation)
+            # has no safe Python twin — force the Spark-job fallback
+            raise ValueError(f"no exact string twin for {type(value).__name__}")
+
+        return identity
+
+    if t == "truncate":
+        w = field.arg
+
+        def truncate(value):
+            if value is None:
+                return None
+            if isinstance(value, str):
+                return value[:w]
+            if isinstance(value, int) and not isinstance(value, bool):
+                return str(value - (value % w))
+            raise ValueError(f"truncate needs string/integral, got {value!r}")
+
+        return truncate
+
+    if t == "bucket":
+        n = field.arg
+
+        def bucket(value):
+            if value is None:
+                return None
+            if isinstance(value, (int, str)) and not isinstance(value, bool):
+                return str(zlib.crc32(str(value).encode("utf-8")) % n)
+            raise ValueError(f"bucket needs string/integral, got {value!r}")
+
+        return bucket
+
+    return None

@@ -215,3 +215,70 @@ def test_partitions_spec_evolution_invalidates_harvest(spark, tmp_path):
     assert all(set(r["partition"]) == {"days(ts)", "bucket(2, id)"} for r in rows)
     total = sum(r["record_count"] for r in rows)
     assert total == 7
+
+
+def test_arrow_harvest_matches_spark_harvest(spark, tmp_path):
+    """Differential gate for the round-11 write-path harvest: the
+    driver-side pyarrow harvest (no Spark job) must produce partition
+    maps BYTE-IDENTICAL to the Spark-job harvest's
+    ``cast(transform as string)`` encoding, across every transform and
+    the tricky value shapes (timestamp fractions with trailing zeros,
+    exact midnight, nulls, negative ints, multi-byte strings)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.dh",
+        "id bigint, name string, ts timestamp, status string",
+        partition_by=[
+            "days(ts)",
+            "hours(ts)",
+            "months(ts)",
+            "years(ts)",
+            "bucket(8, id)",
+            "bucket(4, name)",
+            "truncate(3, name)",
+            "truncate(100, id)",
+            "status",
+            "ts",  # identity timestamp: fraction-trimming must match
+        ],
+    )
+    rows = [
+        (1, "alpha", dt.datetime(2024, 6, 5, 10, 0, 0, 120000), "A"),
+        (2, "alphabet", dt.datetime(2024, 6, 5, 0, 0, 0), "B"),
+        (-250, "βeta", dt.datetime(2023, 12, 31, 23, 59, 59, 999999), None),
+        (3, None, dt.datetime(2024, 1, 1, 0, 0, 0, 100), "A"),
+        (4, "x", None, "B"),
+    ]
+    t.insert(
+        spark.createDataFrame(
+            rows, "id long, name string, ts timestamp, status string"
+        )
+    )
+    entries = [
+        e
+        for e in t.metadata.current_snapshot().manifest
+        if e.partition_counts is not None
+    ]
+    assert entries, "arrow harvest must have produced counts"
+    arrow_counts = {e.file_path: e.partition_counts for e in entries}
+    # recompute through the Spark-job path and compare byte-for-byte
+    for e in entries:
+        e.partition_counts = None
+    t._harvest_partition_counts_spark(entries, t._partition_fields)
+    spark_counts = {e.file_path: e.partition_counts for e in entries}
+    assert arrow_counts == spark_counts
+
+    # float identity has no exact Python twin — the dispatcher must fall
+    # back to the Spark job and still produce counts
+    tf = cat.create_table(
+        "default.dhf", "id bigint, score double", partition_by=["score"]
+    )
+    tf.insert(spark.createDataFrame([(1, 1.5), (2, 2.5)], "id long, score double"))
+    got = [
+        e.partition_counts
+        for e in tf.metadata.current_snapshot().manifest
+        if e.partition_counts is not None
+    ]
+    assert got, "float identity must fall back to the Spark harvest"
+    all_parts = [p for counts in got for p in counts]
+    assert {p[0]["score"] for p in all_parts} == {"1.5", "2.5"}
