@@ -142,6 +142,13 @@ class ManifestEntry:
     # foreign add_files/migrate file, or spec evolved since the write) —
     # the view falls back to scanning exactly those files.
     partition_counts: list | None = None
+    # Partition-spec id in force at the commit that ADDED the entry
+    # (Iceberg's per-manifest spec_id): stamped once in add_snapshot
+    # (only-if-None, like sequence numbers — rewritten-manifest re-adds
+    # keep their original), feeds the ``.partitions`` view's spec_id
+    # column. None = pre-upgrade manifest → the view resolves by matching
+    # the harvest's key set against the spec log, else the default spec.
+    spec_id: int | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -160,6 +167,7 @@ class ManifestEntry:
             "first_row_id": self.first_row_id,
             "columns": self.columns,
             "partition_counts": self.partition_counts,
+            "spec_id": self.spec_id,
         }
 
     @classmethod
@@ -407,6 +415,14 @@ class TableMetadata:
     # these so manifest min/max stats give exact file-level partition
     # pruning (Iceberg's write.distribution-mode=range behavior).
     partition_by: list[str] = field(default_factory=list)
+    # Partition-spec evolution log (Iceberg's partition-specs list):
+    # [{"spec_id": int, "fields": [spec strings]}], append-only;
+    # ``default_spec_id`` names the spec in force for new writes.
+    # ``partition_by`` above stays the DEFAULT spec's field list (every
+    # pre-existing consumer reads it). Empty = never-evolved table;
+    # spec_log() synthesizes spec 0 from partition_by on first need.
+    partition_spec_log: list[dict[str, Any]] = field(default_factory=list)
+    default_spec_id: int = 0
     snapshots: list[Snapshot] = field(default_factory=list)
     current_snapshot_id: int | None = None
     # [{"metadata_file": path, "timestamp_ms": int}] — mirrors
@@ -529,6 +545,8 @@ class TableMetadata:
             "schema_ddl": self.schema_ddl,
             "properties": self.properties,
             "partition_by": self.partition_by,
+            "partition_spec_log": self.partition_spec_log,
+            "default_spec_id": self.default_spec_id,
             "current_snapshot_id": self.current_snapshot_id,
             "metadata_log": self.metadata_log,
             "refs": self.refs,
@@ -562,6 +580,10 @@ class TableMetadata:
             schema_ddl=d["schema_ddl"],
             properties=dict(d["properties"]),
             partition_by=list(d.get("partition_by", [])),
+            partition_spec_log=[
+                dict(x) for x in d.get("partition_spec_log", [])
+            ],
+            default_spec_id=d.get("default_spec_id", 0),
             snapshots=[Snapshot.from_json(s) for s in d["snapshots"]],
             current_snapshot_id=d.get("current_snapshot_id"),
             metadata_log=list(d.get("metadata_log", [])),
@@ -726,6 +748,33 @@ class TableMetadata:
                     delta.removed.append(row["file_path"])
         self._deltas[snapshot_id] = delta
         return delta
+
+    def spec_log(self) -> list[dict[str, Any]]:
+        """The partition-spec evolution log, synthesizing spec 0 from the
+        creation-time layout for never-evolved (and legacy) tables. Call
+        BEFORE mutating partition_by — the synthesized spec 0 must be the
+        pre-evolution field list."""
+        if not self.partition_spec_log:
+            self.partition_spec_log = [
+                {"spec_id": 0, "fields": list(self.partition_by)}
+            ]
+        return self.partition_spec_log
+
+    def evolve_spec(self) -> int:
+        """Record the CURRENT partition_by as the default spec: reuse an
+        existing log entry with the identical field list (Iceberg dedupes
+        specs the same way), else append a fresh id. Returns the new
+        default_spec_id."""
+        log = self.spec_log()
+        fields = list(self.partition_by)
+        for entry in log:
+            if list(entry["fields"]) == fields:
+                self.default_spec_id = int(entry["spec_id"])
+                return self.default_spec_id
+        new_id = max(int(e["spec_id"]) for e in log) + 1
+        log.append({"spec_id": new_id, "fields": fields})
+        self.default_spec_id = new_id
+        return new_id
 
     def resolve_manifest(self, snap: Snapshot) -> list[ManifestEntry]:
         """Full file set of ``snap``: walk ancestry to the nearest base,
@@ -1227,6 +1276,10 @@ class TableMetadata:
         for e in delta.added:
             if e.sequence_number is None:
                 e.sequence_number = self.last_sequence_number
+            if e.spec_id is None:
+                # the spec in force at the ADDING commit (only-if-None:
+                # re-added/rewritten-manifest entries keep their original)
+                e.spec_id = self.default_spec_id
             if e.content == CONTENT_DATA and e.first_row_id is None:
                 e.first_row_id = self.next_row_id
                 self.next_row_id += e.record_count
