@@ -198,13 +198,17 @@ def expire_snapshots(
         del meta.refs[name]
     # Run-scoped streaming replay markers
     # (streaming.last-committed-batch-id.<run_id>) GC under the same
-    # cutoff: a run whose LAST commit predates it could only replay
-    # batches whose snapshots this pass expires, so dropping its marker
-    # cannot break exactly-once for any recoverable checkpoint — while
-    # keeping them forever grew the property map by one key per distinct
-    # checkpoint the table ever saw (the one unbounded metadata growth
-    # left). The active run (named by the unscoped marker) is always
-    # kept; legacy un-timestamped values are kept too (undatable).
+    # cutoff — keeping them forever grew the property map by one key per
+    # distinct checkpoint the table ever saw (the one unbounded metadata
+    # growth left). The trade is stated plainly (review finding — the
+    # rows outlive the marker, so this is NOT free): a checkpoint whose
+    # run sat idle past the retention window and is then resumed replays
+    # AT MOST its one boundary batch (at-least-once for that batch, the
+    # same bounded degradation the sink documents for a missing
+    # forwarded checkpoint). The active run (named by the unscoped
+    # marker) is always kept whatever its age, so the single-writer case
+    # never degrades; legacy un-timestamped values are kept too
+    # (undatable).
     from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
         LAST_BATCH_PROP,
     )

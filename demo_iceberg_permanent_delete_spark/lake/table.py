@@ -896,6 +896,7 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            NoExactStringTwin,
             python_transform_str,
         )
 
@@ -928,10 +929,12 @@ class LakeTable:
                     key=_partition_sort_key,
                 )
             return True
-        except ValueError:
+        except NoExactStringTwin:
             return False  # encoder met a type it can't mirror — Spark job
         except Exception:
-            return True  # unreadable file etc.: same degrade as before
+            # unreadable file etc. (incl. ArrowInvalid, a ValueError
+            # subclass): same counts-stay-None degrade as before
+            return True
 
     def _harvest_partition_counts_spark(
         self, entries: list[ManifestEntry], fields
@@ -1670,12 +1673,56 @@ class LakeTable:
         staged commit whose manifest was folded to a base by
         rewrite_manifests still cherry-picks correctly; only a snapshot
         whose parent has been expired AND whose manifest was folded is
-        unrecoverable (SnapshotNotFoundError)."""
+        unrecoverable (SnapshotNotFoundError).
+
+        When main MOVED since the stage, replaying a rewrite delta is
+        validated first (review finding — Iceberg refuses to cherry-pick
+        non-append snapshots for exactly this hazard): every file the
+        delta removes must still be live (a compaction that rewrote them
+        would otherwise resurrect deleted rows AND double-count the
+        carried survivors), and a replayed position-delete must still
+        find all its target files (else the staged GDPR delete silently
+        no-ops). Violations raise CommitConflictError — re-run the DML
+        against current state instead of publishing the stale stage."""
+        from demo_iceberg_permanent_delete_spark.lake.errors import (
+            CommitConflictError,
+        )
+        from demo_iceberg_permanent_delete_spark.lake.metadata import (
+            CONTENT_POSITION_DELETES,
+        )
+
         meta = self.metadata
         src = meta.snapshot_by_id(snapshot_id)
         delta = meta.change_set(snapshot_id)
         cur = meta.current_snapshot()
         files = {e.file_path: e for e in (cur.manifest if cur else [])}
+        if (cur.snapshot_id if cur else None) != src.parent_id:
+            missing = [p for p in delta.removed if p not in files]
+            if missing:
+                raise CommitConflictError(
+                    f"cannot cherry-pick snapshot {snapshot_id}: it rewrites "
+                    f"{len(missing)} file(s) no longer live on main (e.g. "
+                    f"{missing[0]!r}) — main was compacted/rewritten since "
+                    "the stage; re-run the DML against current state"
+                )
+            for e in delta.added:
+                if e.content != CONTENT_POSITION_DELETES:
+                    continue
+                gone = [p for p in e.referenced_files if p not in files]
+                if gone or not e.referenced_files:
+                    raise CommitConflictError(
+                        f"cannot cherry-pick snapshot {snapshot_id}: its "
+                        "position-delete file "
+                        + (
+                            f"references {len(gone)} data file(s) no longer "
+                            f"live on main (e.g. {gone[0]!r})"
+                            if gone
+                            else "has unknown targets (no referenced-files "
+                            "harvest) and main moved since the stage"
+                        )
+                        + " — the delete would silently miss rows; re-run "
+                        "it against current state"
+                    )
         for p in delta.removed:
             files.pop(p, None)
         for e in delta.added:
@@ -2459,12 +2506,24 @@ class LakeTable:
         merge_snap, parent_id = self._branch_base(branch)
         fields = self.schema().fields
         cols = [f.name for f in fields]
+        # key validation FIRST — a bad key must not leave evolved columns
+        # behind (a merge key can never be a source-only column anyway)
+        bad = [k for k in on if k not in cols]
+        if bad:
+            raise ValueError(f"merge keys not in table schema: {bad}")
         extra = [c for c in source.columns if c not in set(cols)]
         if extra:
             star = (
                 assignments is None and when_matched == "update"
             ) or insert_unmatched
             if schema_evolution:
+                # Committed EAGERLY, before the merge executes — Iceberg
+                # parity: Spark's merge schema evolution runs
+                # UpdateSchema.commit() at analysis time, so a merge that
+                # later fails at runtime (cardinality violation, commit
+                # conflict) keeps the evolved schema there too. Cheap
+                # validations above run first so pure-validation failures
+                # never evolve.
                 src_types = {f.name: f.dataType for f in source.schema.fields}
                 for c in extra:  # source order preserved by the comprehension
                     self.add_column(c, src_types[c].simpleString())
@@ -2477,9 +2536,6 @@ class LakeTable:
                     "to auto-add them"
                 )
         types = {f.name: f.dataType for f in fields}
-        bad = [k for k in on if k not in cols]
-        if bad:
-            raise ValueError(f"merge keys not in table schema: {bad}")
         if (assignments is None and when_matched == "update") or insert_unmatched:
             missing = [c for c in cols if c not in source.columns]
             if missing:

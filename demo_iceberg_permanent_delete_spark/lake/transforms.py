@@ -292,12 +292,26 @@ def bucket_conjuncts(
     return out
 
 
+class NoExactStringTwin(ValueError):
+    """Raised by python_transform_str encoders for a value type whose
+    Spark string cast has no provably identical Python encoding — the
+    caller falls back to the Spark-job harvest. A DEDICATED class because
+    pyarrow's ArrowInvalid subclasses ValueError: a bare ``except
+    ValueError`` would misroute corrupt-file errors into the Spark
+    fallback instead of the per-file degrade (review finding)."""
+
+
 def _spark_timestamp_str(d: _dt.datetime) -> str:
     """Spark's CAST(timestamp AS STRING) encoding: space separator, no
-    fraction when zero, trailing zeros trimmed otherwise."""
+    fraction when zero, trailing zeros trimmed otherwise. Explicit
+    %04d year — strftime does not zero-pad years < 1000 (review finding:
+    the 0001-01-01 sentinel encoded as '1-01-01')."""
     if d.tzinfo is not None:
         d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-    base = d.strftime("%Y-%m-%d %H:%M:%S")
+    base = (
+        f"{d.year:04d}-{d.month:02d}-{d.day:02d} "
+        f"{d.hour:02d}:{d.minute:02d}:{d.second:02d}"
+    )
     if d.microsecond:
         return f"{base}.{f'{d.microsecond:06d}'.rstrip('0')}"
     return base
@@ -328,14 +342,15 @@ def python_transform_str(field: PartitionField):
         elif isinstance(value, _dt.date):
             d = _dt.datetime(value.year, value.month, value.day)
         else:
-            raise ValueError(f"not temporal: {value!r}")
+            raise NoExactStringTwin(f"not temporal: {value!r}")
         if t == "year":
-            return str(d.year)
+            return str(d.year)  # Spark casts year()'s INT — unpadded too
         if t == "month":
             return f"{d.year:04d}-{d.month:02d}"
         if t == "day":
-            return d.strftime("%Y-%m-%d")
-        return d.strftime("%Y-%m-%d %H")
+            # explicit padding: strftime leaves years < 1000 unpadded
+            return f"{d.year:04d}-{d.month:02d}-{d.day:02d}"
+        return f"{d.year:04d}-{d.month:02d}-{d.day:02d} {d.hour:02d}"
 
     if t in ("year", "month", "day", "hour"):
         return temporal
@@ -357,7 +372,9 @@ def python_transform_str(field: PartitionField):
                 return value.isoformat()
             # float/Decimal/binary: Spark's string cast (Java notation)
             # has no safe Python twin — force the Spark-job fallback
-            raise ValueError(f"no exact string twin for {type(value).__name__}")
+            raise NoExactStringTwin(
+                f"no exact string twin for {type(value).__name__}"
+            )
 
         return identity
 
@@ -371,7 +388,9 @@ def python_transform_str(field: PartitionField):
                 return value[:w]
             if isinstance(value, int) and not isinstance(value, bool):
                 return str(value - (value % w))
-            raise ValueError(f"truncate needs string/integral, got {value!r}")
+            raise NoExactStringTwin(
+                f"truncate needs string/integral, got {value!r}"
+            )
 
         return truncate
 
@@ -383,7 +402,9 @@ def python_transform_str(field: PartitionField):
                 return None
             if isinstance(value, (int, str)) and not isinstance(value, bool):
                 return str(zlib.crc32(str(value).encode("utf-8")) % n)
-            raise ValueError(f"bucket needs string/integral, got {value!r}")
+            raise NoExactStringTwin(
+                f"bucket needs string/integral, got {value!r}"
+            )
 
         return bucket
 

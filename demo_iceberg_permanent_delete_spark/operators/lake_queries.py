@@ -377,11 +377,7 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse = tempfile.mkdtemp(prefix="lakeq-")
     eng = LakeEngine(spark, warehouse)
     eng.sql("CREATE NAMESPACE demo.default")
-    cols = ", ".join(
-        f"{name} {typ.upper()}"
-        for name, typ in (c.rsplit(" ", 1) for c in _ORDERS_DDL.split(", "))
-    )
-    eng.sql(f"CREATE TABLE demo.default.orders_lake ({cols}) USING iceberg")
+    eng.sql(f"CREATE TABLE demo.default.orders_lake ({_ORDERS_DDL}) USING iceberg")
     t = eng.table("default.orders_lake")
     try:
         orders = load_table(spark, sf_dir, "orders")

@@ -353,10 +353,15 @@ LAST_BATCH_PROP = "streaming.last-committed-batch-id"
 def marker_value(batch_id: int) -> str:
     """Run-scoped replay-marker value: ``<batch_id>:<epoch_ms>``. The
     timestamp lets ``expire_snapshots`` GC markers of runs that stopped
-    committing before the retention cutoff (a checkpoint that old is
-    unrecoverable once its snapshots expire, so dropping its marker
-    keeps the exactly-once guarantee for every live run) — without it
-    the property map grew one key per distinct checkpoint forever."""
+    committing before the retention cutoff — without it the property map
+    grew one key per distinct checkpoint forever. HONEST CONTRACT
+    (review finding): the committed rows outlive the marker (expiry
+    removes snapshots, not data), so a checkpoint resumed after sitting
+    idle PAST the retention window degrades to at-least-once for its one
+    boundary batch — the same bounded degradation the DataSource sink
+    documents for a restart without a forwarded checkpoint. The active
+    run (the unscoped marker's writer) is always exempt, whatever its
+    age."""
     from demo_iceberg_permanent_delete_spark.lake.metadata import now_ms
 
     return f"{batch_id}:{now_ms()}"

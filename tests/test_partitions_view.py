@@ -265,6 +265,9 @@ def test_arrow_harvest_matches_spark_harvest(spark, tmp_path):
         (-250, "βeta", dt.datetime(2023, 12, 31, 23, 59, 59, 999999), None),
         (3, None, dt.datetime(2024, 1, 1, 0, 0, 0, 100), "A"),
         (4, "x", None, "B"),
+        # year < 1000: strftime doesn't zero-pad — the encoder must
+        # (review finding: '0001-01-01' vs '1-01-01')
+        (5, "y", dt.datetime(900, 6, 5, 1, 2, 3), "C"),
     ]
     t.insert(
         spark.createDataFrame(

@@ -1363,6 +1363,14 @@ def test_merge_with_schema_evolution(spark, tmp_path):
     assert [f.name for f in t.schema().fields] == ["k", "v"]
     assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "a", 2: "upd"}
 
+    # a bad merge key fails BEFORE any evolution commits (review finding)
+    with _pytest.raises(ValueError, match="merge keys"):
+        eng.sql(
+            f"MERGE WITH SCHEMA EVOLUTION INTO demo.default.m t USING ({src}) s "
+            "ON t.nope = s.nope WHEN MATCHED THEN UPDATE SET *"
+        )
+    assert [f.name for f in eng.table("default.m").schema().fields] == ["k", "v"]
+
     # WITH SCHEMA EVOLUTION: note is auto-added, star actions resolve
     eng.sql(
         f"MERGE WITH SCHEMA EVOLUTION INTO demo.default.m t USING ({src}) s "
@@ -1446,3 +1454,66 @@ def test_alter_view(spark, tmp_path):
         for r in eng.sql("SHOW TBLPROPERTIES demo.default.t").collect()
     }
     assert props.get("b") == "2" and "a" not in props
+
+
+def test_publish_changes_conflict_validation(spark, tmp_path):
+    """Review finding: cherry-picking a staged REWRITE delta onto a main
+    that compacted the same files must refuse (CommitConflictError) —
+    silently replaying it would resurrect GDPR-deleted rows and
+    double-count carried survivors; a stale staged position-delete whose
+    targets were rewritten must refuse too. Append stages stay
+    publishable across any divergence."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.lake.errors import (
+        CommitConflictError,
+    )
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE demo.default")
+    eng.sql("CREATE TABLE demo.default.c (k BIGINT, v STRING) USING iceberg")
+    eng.sql("INSERT INTO demo.default.c VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    # staged COW DELETE, then main compacts the same files
+    try:
+        spark.conf.set("spark.wap.id", "d1")
+        eng.sql("DELETE FROM demo.default.c WHERE k = 2")
+    finally:
+        spark.conf.unset("spark.wap.id")
+    eng.sql("INSERT INTO demo.default.c VALUES (4, 'd')")
+    eng.table("default.c").compact()
+    with _pytest.raises(CommitConflictError, match="no longer live"):
+        eng.sql("CALL demo.system.publish_changes('default.c', 'd1')")
+    t = eng.table("default.c")
+    assert t.read().count() == 4, "refused publish must not mutate main"
+
+    # staged MOR DELETE whose DV targets get compacted away: refused too
+    eng.sql(
+        "ALTER TABLE default.c SET TBLPROPERTIES "
+        "('write.delete.mode' = 'merge-on-read')"
+    )
+    try:
+        spark.conf.set("spark.wap.id", "d2")
+        eng.sql("DELETE FROM demo.default.c WHERE k = 3")
+    finally:
+        spark.conf.unset("spark.wap.id")
+    # a COW delete on main rewrites the file d2's DV points at (compact
+    # would no-op on a single file and leave the targets live)
+    eng.sql(
+        "ALTER TABLE default.c SET TBLPROPERTIES "
+        "('write.delete.mode' = 'copy-on-write')"
+    )
+    eng.sql("DELETE FROM demo.default.c WHERE k = 1")
+    with _pytest.raises(CommitConflictError, match="position-delete"):
+        eng.sql("CALL demo.system.publish_changes('default.c', 'd2')")
+
+    # an APPEND stage still publishes across arbitrary divergence
+    try:
+        spark.conf.set("spark.wap.id", "a1")
+        eng.sql("INSERT INTO demo.default.c VALUES (9, 'z')")
+    finally:
+        spark.conf.unset("spark.wap.id")
+    eng.sql("DELETE FROM demo.default.c WHERE k = 4")  # diverge main again
+    eng.sql("CALL demo.system.publish_changes('default.c', 'a1')")
+    assert eng.table("default.c").read().filter("k = 9").count() == 1
