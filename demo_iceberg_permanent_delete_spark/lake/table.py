@@ -2271,7 +2271,12 @@ class LakeTable:
         return snapshot
 
     def equality_delete(
-        self, deletes: DataFrame, equality_columns: list[str] | None = None
+        self,
+        deletes: DataFrame,
+        equality_columns: list[str] | None = None,
+        *,
+        branch: str | None = None,
+        wap_id: str | None = None,
     ) -> Snapshot | None:
         """Equality-delete commit (content=2): every row of ``deletes``
         (projected to ``equality_columns``, default: all of its columns)
@@ -2292,8 +2297,11 @@ class LakeTable:
         missing = [c for c in cols if c not in table_cols]
         if missing:
             raise ValueError(f"equality columns not in table schema: {missing}")
+        if branch == "main":
+            branch = None
+        self._check_branch_wap(branch, wap_id)
         rows = deletes.select(*cols).distinct()
-        snap = self.metadata.current_snapshot()
+        snap, parent_id = self._branch_base(branch)
         base = list(snap.manifest) if snap else []
         delete_entries = write_data_files(
             rows, self.data_dir, content=CONTENT_EQUALITY_DELETES, prefix="eqdelete"
@@ -2302,10 +2310,13 @@ class LakeTable:
             return None
         for e in delete_entries:
             e.equality_columns = list(cols)
-        snapshot = self.metadata.add_snapshot(
+        snapshot = self._commit_dml(
             "delete",
             base + delete_entries,
-            summary={"added-equality-delete-files": len(delete_entries)},
+            {"added-equality-delete-files": len(delete_entries)},
+            branch,
+            parent_id,
+            wap_id,
         )
         for e in delete_entries:
             e.added_snapshot_id = snapshot.snapshot_id
@@ -2318,6 +2329,7 @@ class LakeTable:
         on: list[str] | None = None,
         *,
         branch: str | None = None,
+        wap_id: str | None = None,
         extra_properties: dict[str, str] | None = None,
     ) -> Snapshot:
         """Equality-delete upsert — Iceberg's Flink-writer upsert commit:
@@ -2339,7 +2351,9 @@ class LakeTable:
         write-audit-publish shape for a continuous upsert stream (the
         Flink eq-delete writer under ``spark.wap.branch``): commits
         parent on the branch head and advance only the branch ref;
-        ``fast_forward('main', head)`` publishes.
+        ``fast_forward('main', head)`` publishes. ``wap_id`` stages the
+        upsert unpublished instead (branch-less WAP, mutually exclusive
+        with ``branch``) for ``publish_changes``.
 
         ``extra_properties`` commit atomically with the snapshot and are
         re-applied on every CAS-conflict rebase, like :meth:`insert` —
@@ -2349,6 +2363,7 @@ class LakeTable:
         """
         if branch == "main":
             branch = None
+        self._check_branch_wap(branch, wap_id)
         on = self._upsert_keys(on)
         table_cols = {f.name for f in self.schema().fields}
         missing = [c for c in on if c not in table_cols]
@@ -2428,15 +2443,18 @@ class LakeTable:
                     e.equality_columns = list(on)
                 delete_entries.extend(written)
                 new_entries[:0] = written  # same list _commit_retry stamps
+            summary = {
+                "added-files": len(data_entries),
+                "added-equality-delete-files": len(delete_entries),
+            }
+            if wap_id is not None:
+                summary["wap.id"] = wap_id
             snapshot = self.metadata.add_snapshot(
                 "overwrite",
                 base + new_entries,
-                summary={
-                    "added-files": len(data_entries),
-                    "added-equality-delete-files": len(delete_entries),
-                },
+                summary=summary,
                 parent_snapshot_id=parent_id,
-                advance=branch is None,
+                advance=branch is None and wap_id is None,
             )
             if branch is not None:
                 self.metadata.refs[branch]["snapshot_id"] = snapshot.snapshot_id

@@ -61,11 +61,23 @@ def lake_delete_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness rows): the same logical DELETE via merge-on-read
     (position-delete files; the read-side anti-join masks exactly the
     predicate rows) and via copy-on-write (files rewritten, no delete files
-    in the manifest) — both reads must equal the same oracle."""
+    in the manifest) — both reads must equal the same oracle.
+
+    The MOR leg runs the X79 write-audit-publish DELETE (round 11, under
+    the hash): staged with ``wap_id`` — pointer unmoved, summary stamped,
+    invisible — then published by the cherry-pick ``publish_changes``
+    rides, so the hashed read proves the staged-then-published delete
+    equals a direct one. This is the reference's audited-PII-deletion
+    story end to end."""
     t_mor, wh_mor = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
     t_cow, wh_cow = _fresh_table(spark, sf_dir, {"write.delete.mode": "copy-on-write"})
     try:
-        t_mor.delete("l_returnflag = 'R'")
+        head = t_mor.metadata.current_snapshot_id
+        staged = t_mor.delete("l_returnflag = 'R'", wap_id="gdpr-audit")
+        assert t_mor.metadata.current_snapshot_id == head, "stage moved main"
+        assert staged.summary.get("wap.id") == "gdpr-audit"
+        assert staged.delete_files(), "staged MOR delete must carry a DV"
+        t_mor.cherrypick_snapshot(staged.snapshot_id)  # the publish step
         assert any(e.content == 1 for e in t_mor.metadata.current_snapshot().manifest), (
             "MOR delete must produce position-delete files"
         )

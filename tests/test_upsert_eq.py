@@ -584,3 +584,53 @@ def _state_ref(t, ref) -> list[tuple]:
         (r["event_id"], r["user_id"], r["event_type"], r["value"])
         for r in t.read(ref=ref).collect()
     )
+
+
+def test_upsert_and_equality_delete_wap_id(spark, tmp_path):
+    """X79 symmetry for the add-only writers: upsert(wap_id=) and
+    equality_delete(wap_id=/branch=) stage/route like every other DML —
+    invisible until published, branch+wap.id rejected."""
+    import pytest
+
+    from demo_iceberg_permanent_delete_spark.lake import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.u", "k bigint, v string")
+    t.insert(one_part(spark, [(1, "a"), (2, "b")], "k bigint, v string"))
+    head = t.metadata.current_snapshot_id
+
+    staged = t.upsert(
+        one_part(spark, [(2, "B"), (3, "c")], "k bigint, v string"),
+        on=["k"],
+        wap_id="u1",
+    )
+    assert t.metadata.current_snapshot_id == head, "staged upsert moved main"
+    assert staged.summary["wap.id"] == "u1"
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "a", 2: "b"}
+    t.cherrypick_snapshot(staged.snapshot_id)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {
+        1: "a",
+        2: "B",
+        3: "c",
+    }
+
+    # equality_delete: staged, then branch-targeted
+    head = t.metadata.current_snapshot_id
+    sd = t.equality_delete(one_part(spark, [(1,)], "k bigint"), ["k"], wap_id="e1")
+    assert t.metadata.current_snapshot_id == head
+    assert sd.summary["wap.id"] == "e1"
+    assert t.read().count() == 3, "staged eq-delete invisible"
+    t.cherrypick_snapshot(sd.snapshot_id)
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+
+    t.create_branch("b")
+    bd = t.equality_delete(one_part(spark, [(2,)], "k bigint"), ["k"], branch="b")
+    assert bd is not None
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3], "main untouched"
+    assert sorted(r["k"] for r in t.read(ref="b").collect()) == [3]
+
+    with pytest.raises(ValueError, match="cannot set both"):
+        t.upsert(one_part(spark, [(9, "z")], "k bigint, v string"), on=["k"], branch="b", wap_id="x")
+    with pytest.raises(ValueError, match="cannot set both"):
+        t.equality_delete(one_part(spark, [(9,)], "k bigint"), ["k"], branch="b", wap_id="x")
