@@ -1028,11 +1028,49 @@ class LakeEngine:
             view = str(args.get("changelog_view") or f"{t.name.split('.')[-1]}_changes")
             start = options.get("start-snapshot-id")
             end = options.get("end-snapshot-id")
-            t.changes(
+            # Iceberg's timestamp options (epoch-ms): resolved to snapshot
+            # ids with the same at-or-before rule as TIMESTAMP AS OF —
+            # start is exclusive (changes strictly after that instant's
+            # head), end inclusive. Explicit snapshot ids win.
+            from demo_iceberg_permanent_delete_spark.lake.errors import (
+                SnapshotNotFoundError,
+            )
+
+            empty_range = False
+            if start is None and options.get("start-timestamp") is not None:
+                try:
+                    start = t.snapshot_as_of(int(options["start-timestamp"]))
+                except SnapshotNotFoundError:
+                    start = None  # before the first commit: from the start
+            if end is None and options.get("end-timestamp") is not None:
+                try:
+                    end = t.snapshot_as_of(int(options["end-timestamp"]))
+                except SnapshotNotFoundError:
+                    empty_range = True  # no snapshot existed yet: empty feed
+            ident = args.get("identifier_columns")
+            if isinstance(ident, str):
+                ident = [ident]
+            compute_updates = args.get("compute_updates")
+            if compute_updates is None:
+                # Iceberg's defaulting: providing identifier_columns
+                # turns update computation on
+                compute_updates = ident is not None
+            net = bool(args.get("net_changes", False))
+            # carry-overs are removed by default (Iceberg retired the
+            # remove_carryovers option and made removal always-on; we
+            # keep the escape hatch); net already cancels them per commit
+            carry = bool(args.get("remove_carryovers", True))
+            feed = t.changes(
                 start_snapshot_id=int(start) if start is not None else None,
                 end_snapshot_id=int(end) if end is not None else None,
-                net=bool(args.get("net_changes", False)),
-            ).createOrReplaceTempView(view)
+                net=net,
+                remove_carryovers=carry and not net and not bool(compute_updates),
+                compute_updates=bool(compute_updates),
+                identifier_columns=ident,
+            )
+            if empty_range:
+                feed = feed.limit(0)
+            feed.createOrReplaceTempView(view)
             return _one_row_df(self.spark, {"changelog_view": view})
         if proc in ("rollback_to_snapshot", "set_current_snapshot"):
             # set_current_snapshot is Iceberg's unconditional form of the
@@ -1857,6 +1895,9 @@ def _parse_literal(text: str) -> Any:
     if m:
         items = [_parse_literal(x) for x in _split_top_level(m.group(1))]
         return dict(zip(items[::2], items[1::2]))
+    m = re.match(r"array\s*\((.*)\)$", text, re.I | re.S)
+    if m:
+        return [_parse_literal(x) for x in _split_top_level(m.group(1))]
     if re.match(r"^'.*'$", text, re.S):
         return text[1:-1]
     if text.lower() in ("true", "false"):

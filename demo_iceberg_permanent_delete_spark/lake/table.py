@@ -194,6 +194,42 @@ def _utc(ms: int) -> dt.datetime:
     return dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc).replace(tzinfo=None)
 
 
+def _remove_changelog_carryovers(df: DataFrame) -> DataFrame:
+    """Cancel identical DELETE/INSERT changelog pairs per commit (see
+    LakeTable.changes): group by the full row minus the label, count each
+    side, and re-emit only the surplus — ``array_repeat`` + ``explode``
+    rebuilds duplicate survivors, so the multiset cardinality is exact.
+    One shuffle over the changelog delta; stays whole-stage-codegen
+    (grouping keys are the row values — NULL and NaN group as equal,
+    Spark's aggregate-key semantics, which is the null-safe comparison
+    Iceberg's carry-over check uses)."""
+    gcols = [c for c in df.columns if c != "_change_type"]
+    typ = F.col("_change_type")
+    grp = df.groupBy(*gcols).agg(
+        F.sum(F.when(typ == "DELETE", 1).otherwise(0)).alias("__nd"),
+        F.sum(F.when(typ == "INSERT", 1).otherwise(0)).alias("__ni"),
+    )
+    matched = F.least("__nd", "__ni")
+    keep = grp.select(
+        *gcols,
+        (F.col("__nd") - matched).cast("int").alias("__kd"),
+        (F.col("__ni") - matched).cast("int").alias("__ki"),
+    )
+    dels = keep.filter(F.col("__kd") > 0).select(
+        *gcols,
+        F.explode(F.array_repeat(F.lit("DELETE"), F.col("__kd"))).alias(
+            "_change_type"
+        ),
+    )
+    ins = keep.filter(F.col("__ki") > 0).select(
+        *gcols,
+        F.explode(F.array_repeat(F.lit("INSERT"), F.col("__ki"))).alias(
+            "_change_type"
+        ),
+    )
+    return dels.unionByName(ins).select(*df.columns)
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, metadata: TableMetadata):
         self.spark = spark
@@ -1289,6 +1325,9 @@ class LakeTable:
         net: bool = False,
         *,
         lineage: bool = False,
+        remove_carryovers: bool = False,
+        compute_updates: bool = False,
+        identifier_columns: Iterable[str] | None = None,
     ) -> DataFrame:
         """Iceberg changelog scan (the ``create_changelog_view`` procedure's
         row feed): every row-level change committed after
@@ -1324,7 +1363,36 @@ class LakeTable:
         of value-matching — and ``net=True`` nets by IDENTITY, not by
         value (two equal-valued rows with different ids no longer
         collapse).
+
+        ``remove_carryovers=True`` (Iceberg's changelog default since the
+        ``remove_carryovers`` procedure option was retired — always-on
+        there; opt-in here so the raw feed stays raw): per commit, a
+        DELETE and an INSERT carrying identical values cancel pairwise
+        (multiset semantics — k identical deletes cancel k identical
+        inserts; survivors keep their label). These pairs are rewrite
+        noise: a COW DELETE re-inserts every kept row of the touched
+        files, and a consumer replaying them as churn double-counts.
+
+        ``compute_updates=True`` (the ``create_changelog_view`` pre/post
+        image mode): after carry-over removal (implied), a DELETE and an
+        INSERT sharing ``identifier_columns`` values (default: the
+        table's identifier fields) within one commit are relabeled
+        ``UPDATE_BEFORE`` / ``UPDATE_AFTER`` — Iceberg's value-based
+        update pairing, the complement of the ``lineage=True`` identity
+        pairing above. An identifier that is not unique within a commit
+        (more than one DELETE or more than one INSERT for the same key)
+        raises at consumption time via an in-plan guard — pairing would
+        be arbitrary, matching Iceberg's ChangelogIterator contract.
+        Mutually exclusive with ``net`` (Iceberg rejects the combination).
+
+        Both post-passes cost one extra shuffle each over the changelog
+        delta (group/window by row values), never the table.
         """
+        if net and compute_updates:
+            raise ValueError(
+                "net_changes and compute_updates cannot be combined "
+                "(Iceberg's create_changelog_view rejects this too)"
+            )
         if lineage:
             self._lineage_guard()
         to_id = (
@@ -1499,7 +1567,65 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if remove_carryovers or compute_updates:
+            out = _remove_changelog_carryovers(out)
+        if compute_updates:
+            out = self._compute_update_images(out, identifier_columns)
         return out
+
+    def _compute_update_images(
+        self, df: DataFrame, identifier_columns: Iterable[str] | None
+    ) -> DataFrame:
+        """Relabel value-paired DELETE/INSERT changelog rows as
+        UPDATE_BEFORE/UPDATE_AFTER (see changes()). One window shuffle on
+        (_change_ordinal, identifier columns) — NULL keys group together,
+        matching Iceberg's null-safe identifier comparison. The
+        uniqueness guard is in-plan (F.raise_error), so no extra driver
+        action is spent pre-validating the delta."""
+        ident = [str(c) for c in (identifier_columns or [])] or list(
+            self.metadata.identifier_fields or []
+        )
+        if not ident:
+            raise ValueError(
+                "compute_updates needs identifier_columns or table "
+                "identifier fields (ALTER TABLE … SET IDENTIFIER FIELDS)"
+            )
+        missing = [c for c in ident if c not in df.columns]
+        if missing:
+            raise ValueError(f"identifier columns not in table: {missing}")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("_change_ordinal", *ident)
+        typ = F.col("_change_type")
+        nd = F.sum(F.when(typ == "DELETE", 1).otherwise(0)).over(w)
+        ni = F.sum(F.when(typ == "INSERT", 1).otherwise(0)).over(w)
+        paired = (F.col("__nd") == 1) & (F.col("__ni") == 1)
+        ambiguous = (F.col("__nd") > 1) | (F.col("__ni") > 1)
+        return (
+            df.withColumn("__nd", nd)
+            .withColumn("__ni", ni)
+            .withColumn(
+                "_change_type",
+                F.when(
+                    ambiguous,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "compute_updates: identifier columns "
+                                f"({', '.join(ident)}) are not unique "
+                                "within commit ordinal "
+                            ),
+                            F.col("_change_ordinal").cast("string"),
+                            F.lit(" — cannot pair update images"),
+                        )
+                    ),
+                )
+                .when(paired & (typ == "DELETE"), F.lit("UPDATE_BEFORE"))
+                .when(paired & (typ == "INSERT"), F.lit("UPDATE_AFTER"))
+                .otherwise(typ),
+            )
+            .drop("__nd", "__ni")
+        )
 
     def rollback_to_snapshot(self, snapshot_id: int) -> None:
         """CALL rollback_to_snapshot parity (Iceberg maintenance procedure):

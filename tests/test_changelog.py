@@ -109,6 +109,85 @@ def test_empty_table_changelog(spark, tmp_path):
     assert df.columns == ["k", "v", "_change_type", "_change_ordinal", "_commit_snapshot_id"]
 
 
+def test_remove_carryovers_cancels_rewrite_pairs(spark, tmp_path):
+    """COW update: kept rows appear as identical DELETE+INSERT pairs in
+    the raw feed; remove_carryovers cancels exactly those (multiset —
+    duplicate rows cancel pairwise, survivors keep their count)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.carry", DDL)
+    # (1,'a') duplicated on purpose: both copies are carry-overs of the
+    # update commit and BOTH must cancel
+    t.insert(one_part(spark, [(1, "a"), (1, "a"), (2, "b"), (3, "c")], DDL))
+    t.update({"v": None}, "k = 2")
+    raw = [g for g in _rows(t.changes()) if g[1] == 1]
+    assert ("DELETE", 1, 1, "a") in raw and ("INSERT", 1, 1, "a") in raw
+    got = [g for g in _rows(t.changes(remove_carryovers=True)) if g[1] == 1]
+    assert got == [("DELETE", 1, 2, "b"), ("INSERT", 1, 2, None)]
+    # ordinal-0 inserts untouched, duplicates preserved
+    assert [g for g in _rows(t.changes(remove_carryovers=True)) if g[1] == 0] == [
+        ("INSERT", 0, 1, "a"),
+        ("INSERT", 0, 1, "a"),
+        ("INSERT", 0, 2, "b"),
+        ("INSERT", 0, 3, "c"),
+    ]
+
+
+def test_compute_updates_pairs_images(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.cu", DDL)
+    t.insert(one_part(spark, [(1, "a"), (2, "b"), (3, "c")], DDL))
+    t.update({"v": None}, "k = 2")
+    got = _rows(t.changes(compute_updates=True, identifier_columns=["k"]))
+    assert [g for g in got if g[1] == 1] == [
+        ("UPDATE_AFTER", 1, 2, None),
+        ("UPDATE_BEFORE", 1, 2, "b"),
+    ]
+    # lone deletes/inserts keep their labels
+    t.delete("k = 3")
+    got = _rows(t.changes(compute_updates=True, identifier_columns=["k"]))
+    assert ("DELETE", 2, 3, "c") in got
+    # default identifier columns come from the table's identifier fields
+    t.set_identifier_fields(["k"])
+    assert _rows(t.changes(compute_updates=True)) == got
+
+
+def test_compute_updates_guards(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.gu", DDL)
+    t.insert(one_part(spark, [(2, "b"), (2, "x")], DDL))
+    with pytest.raises(ValueError, match="net_changes and compute_updates"):
+        t.changes(net=True, compute_updates=True, identifier_columns=["k"])
+    with pytest.raises(ValueError, match="identifier_columns or table"):
+        t.changes(compute_updates=True)
+    with pytest.raises(ValueError, match="not in table"):
+        t.changes(compute_updates=True, identifier_columns=["nope"])
+    # a key with two updates in one commit cannot be paired: the in-plan
+    # guard raises at consumption time, naming the columns
+    t.update({"v": None}, "k = 2")
+    with pytest.raises(Exception, match="not unique within commit"):
+        t.changes(compute_updates=True, identifier_columns=["k"]).collect()
+
+
+def test_compute_updates_key_change_stays_delete_insert(spark, tmp_path):
+    """An update that MOVES a row to a new identifier value is not an
+    update pair — value-based pairing sees DELETE(old key) + INSERT(new
+    key), exactly Iceberg's semantics."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.mv", DDL)
+    t.insert(one_part(spark, [(1, "a"), (2, "b")], DDL))
+    t.update({"k": 9}, "k = 2")
+    got = [
+        g
+        for g in _rows(t.changes(compute_updates=True, identifier_columns=["k"]))
+        if g[1] == 1
+    ]
+    assert got == [("DELETE", 1, 2, "b"), ("INSERT", 1, 9, "b")]
+
+
 def test_changelog_via_sql_procedure(spark, tmp_path):
     from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
 
@@ -128,3 +207,82 @@ def test_changelog_via_sql_procedure(spark, tmp_path):
         (1, "INSERT"),
         (2, "INSERT"),
     ]
+
+
+def test_changelog_procedure_update_images_and_timestamps(spark, tmp_path):
+    """The Iceberg argument surface: identifier_columns => array(...)
+    turns compute_updates on (Iceberg's defaulting), carry-overs are
+    removed by default with remove_carryovers => false as the escape
+    hatch, and start/end-timestamp options resolve through the same
+    at-or-before rule as TIMESTAMP AS OF."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql(
+        "CREATE TABLE demo.default.cl (k bigint, v string) USING iceberg "
+        "TBLPROPERTIES ('write.update.mode'='copy-on-write')"
+    )
+    # one data file (one_part), so the COW update's rewrite carries
+    # rows 1 and 3 over
+    eng.catalog.load_table("default.cl").insert(
+        one_part(spark, [(1, "a"), (2, "b"), (3, "c")], DDL)
+    )
+    eng.sql("UPDATE demo.default.cl SET v = 'B' WHERE k = 2")
+    eng.sql(
+        "CALL demo.system.create_changelog_view(table => 'default.cl', "
+        "changelog_view => 'u1', identifier_columns => array('k'))"
+    )
+    got = sorted(
+        (r["_change_type"], r["k"], r["v"])
+        for r in spark.sql("SELECT * FROM u1 WHERE _change_ordinal = 1").collect()
+    )
+    assert got == [("UPDATE_AFTER", 2, "B"), ("UPDATE_BEFORE", 2, "b")]
+
+    # default: carry-overs removed (COW update rewrote rows 1 and 3)
+    eng.sql(
+        "CALL demo.system.create_changelog_view(table => 'default.cl', "
+        "changelog_view => 'u2')"
+    )
+    ord1 = sorted(
+        (r["_change_type"], r["k"])
+        for r in spark.sql("SELECT * FROM u2 WHERE _change_ordinal = 1").collect()
+    )
+    assert ord1 == [("DELETE", 2), ("INSERT", 2)]
+    eng.sql(
+        "CALL demo.system.create_changelog_view(table => 'default.cl', "
+        "changelog_view => 'u3', remove_carryovers => false)"
+    )
+    assert spark.sql("SELECT * FROM u3 WHERE _change_ordinal = 1").count() == 6
+
+    # net_changes + compute_updates rejected (Iceberg parity)
+    with pytest.raises(ValueError, match="net_changes and compute_updates"):
+        eng.sql(
+            "CALL demo.system.create_changelog_view(table => 'default.cl', "
+            "changelog_view => 'u4', net_changes => true, "
+            "compute_updates => true, identifier_columns => array('k'))"
+        )
+
+    # timestamp range options: before-creation start = everything,
+    # before-creation end = empty feed
+    eng.sql(
+        "CALL demo.system.create_changelog_view(table => 'default.cl', "
+        "changelog_view => 'u5', options => map('start-timestamp', '1'))"
+    )
+    assert spark.sql("SELECT * FROM u5").count() > 0
+    eng.sql(
+        "CALL demo.system.create_changelog_view(table => 'default.cl', "
+        "changelog_view => 'u6', options => map('end-timestamp', '1'))"
+    )
+    assert spark.sql("SELECT * FROM u6").count() == 0
+    # end-timestamp 'now' covers both commits
+    import time
+
+    now_ms = int(time.time() * 1000) + 60_000
+    eng.sql(
+        "CALL demo.system.create_changelog_view(table => 'default.cl', "
+        f"changelog_view => 'u7', options => map('end-timestamp', '{now_ms}'))"
+    )
+    assert (
+        spark.sql("SELECT max(_change_ordinal) AS m FROM u7").collect()[0]["m"] == 1
+    )
