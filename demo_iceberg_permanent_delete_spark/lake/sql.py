@@ -457,6 +457,27 @@ class LakeEngine:
             {"table": t.name, "status": f"dropped partition field {m.group('spec').strip()}"},
         )
 
+    def _alter_replace_partition_field(self, m: re.Match) -> DataFrame:
+        old, new = m.group("old").strip(), m.group("new").strip()
+        if re.search(r"\s+AS\s+\w+$", new, re.I):
+            # Iceberg's optional `AS name`: this engine keys partition
+            # fields by their transform spec (.partitions, harvests,
+            # pruning) — a custom display name would be silently
+            # meaningless, so refuse instead of accept-and-ignore
+            raise ValueError(
+                "REPLACE PARTITION FIELD … AS <name> is not supported: "
+                "partition fields are keyed by their transform spec"
+            )
+        t = self.table(m.group("name"))
+        t.replace_partition_field(old, new)
+        return _one_row_df(
+            self.spark,
+            {
+                "table": t.name,
+                "status": f"replaced partition field {old} with {new}",
+            },
+        )
+
     def _alter_write_ordered(self, m: re.Match) -> DataFrame:
         t = self.table(m.group("name"))
         t.set_sort_order(m.group("order").strip())
@@ -1573,6 +1594,14 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _alter_drop_partition_field,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+REPLACE\s+PARTITION\s+"
+                r"FIELD\s+(?P<old>.+?)\s+WITH\s+(?P<new>.+)$",
+                re.I | re.S,
+            ),
+            _alter_replace_partition_field,
         ),
         (
             re.compile(

@@ -2047,6 +2047,40 @@ class LakeTable:
         self.metadata.evolve_spec()
         self.metadata.commit()
 
+    def replace_partition_field(self, old_spec: str, new_spec: str) -> None:
+        """ALTER TABLE … REPLACE PARTITION FIELD old WITH new — Iceberg's
+        atomic drop+add: ONE new spec, ONE metadata commit (doing it as
+        drop then add would publish an intermediate spec id that never
+        partitioned anything, and two commits where Iceberg makes one).
+        The replacement keeps the old field's position so co-clustered
+        fields keep their order; matching is by canonical transform like
+        drop_partition_field."""
+        from demo_iceberg_permanent_delete_spark.lake.transforms import (
+            parse_partition_by,
+        )
+
+        target = parse_partition_by([old_spec])[0]
+        new = parse_partition_by([new_spec])[0]
+        fields = self._partition_fields
+        idx = [
+            i
+            for i, f in enumerate(fields)
+            if (f.source, f.transform, f.arg)
+            == (target.source, target.transform, target.arg)
+        ]
+        if not idx:
+            raise ValueError(f"partition field {old_spec!r} not found")
+        if any(
+            (f.source, f.transform, f.arg) == (new.source, new.transform, new.arg)
+            for i, f in enumerate(fields)
+            if i != idx[0]
+        ):
+            raise ValueError(f"partition field {new_spec!r} already present")
+        self.metadata.spec_log()  # materialize spec 0 BEFORE the mutation
+        self.metadata.partition_by[idx[0]] = new_spec
+        self.metadata.evolve_spec()
+        self.metadata.commit()
+
     def set_sort_order(self, order: str | None) -> None:
         """ALTER TABLE … WRITE ORDERED BY (cols) / WRITE UNORDERED."""
         if order:

@@ -62,6 +62,60 @@ def test_drop_partition_field(spark, cat):
         t.add_partition_field("date(ts)")  # same canonical transform as days
 
 
+def test_replace_partition_field(spark, cat):
+    """REPLACE = atomic drop+add: one spec id, one commit, position kept."""
+    t = cat.create_table(
+        "default.pr", "id bigint, ts timestamp",
+        partition_by=["days(ts)", "bucket(4, id)"],
+    )
+    commits_before = len(t.metadata.metadata_log)
+    spec_before = t.metadata.default_spec_id
+    t.replace_partition_field("days(ts)", "months(ts)")
+    assert t.metadata.partition_by == ["months(ts)", "bucket(4, id)"]
+    # exactly one commit, exactly one new spec id (no intermediate
+    # dropped-state spec from a drop-then-add)
+    assert len(t.metadata.metadata_log) == commits_before + 1
+    assert t.metadata.default_spec_id == spec_before + 1
+    log_ids = [e["spec_id"] for e in t.metadata.spec_log()]
+    assert log_ids == [spec_before, spec_before + 1]
+
+    with pytest.raises(ValueError, match="not found"):
+        t.replace_partition_field("days(ts)", "years(ts)")
+    with pytest.raises(ValueError, match="already present"):
+        t.replace_partition_field("months(ts)", "bucket(4, id)")
+    # data written under both specs stays readable
+    t.insert(
+        spark.sql(
+            "SELECT id, timestamp'2024-03-05 00:00:00' + make_interval(0,0,0,int(id)) AS ts "
+            "FROM range(20)"
+        )
+    )
+    t.replace_partition_field("months(ts)", "days(ts)")
+    t.insert(
+        spark.sql(
+            "SELECT id + 100 AS id, timestamp'2024-06-01 00:00:00' AS ts FROM range(5)"
+        )
+    )
+    assert t.read().count() == 25
+
+
+def test_replace_partition_field_sql(spark, cat):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, cat.warehouse)
+    eng.sql(
+        "CREATE TABLE default.prs (id bigint, ts timestamp) USING iceberg "
+        "PARTITIONED BY (days(ts))"
+    )
+    eng.sql("ALTER TABLE default.prs REPLACE PARTITION FIELD days(ts) WITH months(ts)")
+    assert cat.load_table("default.prs").metadata.partition_by == ["months(ts)"]
+    with pytest.raises(ValueError, match="AS <name> is not supported"):
+        eng.sql(
+            "ALTER TABLE default.prs REPLACE PARTITION FIELD months(ts) "
+            "WITH years(ts) AS yr"
+        )
+
+
 def test_write_ordered_by_tightens_bounds(spark, cat):
     t = cat.create_table(
         "default.so", "id bigint, v string",
