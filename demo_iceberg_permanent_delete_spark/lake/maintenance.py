@@ -279,9 +279,24 @@ def expire_snapshots(
             "deleted_files": 0,
             "removed_refs": len(aged_out),
             "removed_replay_markers": len(stale_markers),
+            "removed_partition_stats": 0,
         }
     expired_ids = {s.snapshot_id for s in expired}
     survivors = [s for s in meta.snapshots if s.snapshot_id not in expired_ids]
+
+    # partition-statistics files describe exactly one snapshot: expire
+    # them with it (entry dropped in the same metadata commit, file
+    # unlinked after — same order as data files)
+    doomed_pstats = [
+        e
+        for e in meta.partition_statistics
+        if int(e["snapshot-id"]) in expired_ids
+    ]
+    meta.partition_statistics = [
+        e
+        for e in meta.partition_statistics
+        if int(e["snapshot-id"]) not in expired_ids
+    ]
 
     # Reachability via DataFrame set algebra (union + distinct + anti-join):
     # scales with file *count*, runs in Spark, matches the M1 plan in
@@ -304,11 +319,17 @@ def expire_snapshots(
     _commit_or_refresh(table)
 
     deleted = _delete_paths(spark, doomed)
+    for e in doomed_pstats:
+        try:
+            os.unlink(e["statistics-path"])
+        except OSError:
+            pass
     return {
         "expired_snapshots": len(expired),
         "deleted_files": deleted,
         "removed_refs": len(aged_out),
         "removed_replay_markers": len(stale_markers),
+        "removed_partition_stats": len(doomed_pstats),
     }
 
 
@@ -813,6 +834,69 @@ def examine_delete_files(table) -> list[dict[str, Any]]:
             }
         )
     return out
+
+
+def compute_partition_stats(table) -> dict[str, Any]:
+    """CALL compute_partition_stats parity (Iceberg 1.7's procedure /
+    the spec's partition-statistics files): materialize the
+    ``.partitions`` view — manifest-only for engine-written files (X70),
+    full Iceberg column set (X84) — as ONE parquet file under the
+    table's metadata directory and register it in table metadata as
+    ``partition-statistics: [{"snapshot-id", "statistics-path",
+    "file-size-in-bytes"}]`` (the spec's field names). Recomputing for
+    the same snapshot replaces the entry and unlinks the file it
+    replaced; ``expire_snapshots`` drops entries with their snapshots.
+
+    Cost: the view's own cost (metadata for engine writes, a scoped scan
+    only for foreign files) + one repartition(1) write. The stats file's
+    row count is the table's partition count — the same bound the view's
+    driver-side manifest fold already carries, so this adds no new scale
+    exposure. repartition (not coalesce): the manifest side is a
+    driver-local frame whose lazy slices would otherwise serialize
+    through a single task."""
+    import shutil
+    import uuid
+
+    meta = table.metadata
+    snap = meta.current_snapshot()
+    if snap is None:
+        raise ValueError("compute_partition_stats: table has no snapshot")
+    meta_dir = meta.metadata_dir
+    os.makedirs(meta_dir, exist_ok=True)
+    tmp = os.path.join(meta_dir, f".tmp-pstats-{uuid.uuid4().hex}")
+    table._partitions_view().repartition(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet"))
+    path = os.path.join(
+        meta_dir,
+        f"partition-stats-{snap.snapshot_id}-{uuid.uuid4().hex[:8]}.parquet",
+    )
+    os.replace(os.path.join(tmp, part), path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    replaced = [
+        e
+        for e in meta.partition_statistics
+        if int(e["snapshot-id"]) == snap.snapshot_id
+    ]
+    entry = {
+        "snapshot-id": snap.snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": os.path.getsize(path),
+    }
+    meta.partition_statistics = [
+        e
+        for e in meta.partition_statistics
+        if int(e["snapshot-id"]) != snap.snapshot_id
+    ] + [entry]
+    meta.commit()
+    # unlink only AFTER the commit stopped referencing the old file —
+    # the same order every physical deletion in this module uses
+    for e in replaced:
+        try:
+            os.unlink(e["statistics-path"])
+        except OSError:
+            pass
+    return dict(entry)
 
 
 def compute_table_stats(table, columns: list[str] | None = None) -> dict[str, int]:

@@ -451,6 +451,13 @@ class TableMetadata:
     # snapshot they were computed at; readers flag them stale when the
     # current snapshot has moved on.
     statistics: dict[str, Any] = field(default_factory=dict)
+    # Iceberg's partition-statistics files (spec: one parquet file per
+    # computed snapshot, registered in table metadata): list of
+    # {"snapshot-id", "statistics-path", "file-size-in-bytes"} — the
+    # spec's field names verbatim. At most one entry per snapshot id
+    # (recompute replaces); expire_snapshots drops entries (and unlinks
+    # their files) with the snapshots they describe.
+    partition_statistics: list[dict[str, Any]] = field(default_factory=list)
     # Iceberg v2/v3 table counters: the last data sequence number any
     # commit was assigned (monotonic, table-global — branch/WAP commits
     # included), and the next row id available for assignment to added
@@ -553,6 +560,7 @@ class TableMetadata:
             "renames": self.renames,
             "retired_columns": self.retired_columns,
             "statistics": self.statistics,
+            "partition-statistics": self.partition_statistics,
             "last_sequence_number": self.last_sequence_number,
             "next_row_id": self.next_row_id,
             "column_defaults": self.column_defaults,
@@ -591,6 +599,9 @@ class TableMetadata:
             renames={k: list(v) for k, v in d.get("renames", {}).items()},
             retired_columns=list(d.get("retired_columns", [])),
             statistics=dict(d.get("statistics", {})),
+            partition_statistics=[
+                dict(x) for x in d.get("partition-statistics", [])
+            ],
             # Pre-upgrade documents: floor at len(snapshots) so every
             # sequence a NEW commit assigns exceeds every snapshot-list
             # ordinal a legacy (sequence-less) entry can resolve to —

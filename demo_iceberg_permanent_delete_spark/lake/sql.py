@@ -1207,6 +1207,8 @@ class LakeEngine:
                 "delete_ratio double, eq_delete_files int, "
                 "recommend_rewrite boolean",
             )
+        if proc == "compute_partition_stats":
+            return _one_row_df(self.spark, t.compute_partition_stats())
         if proc == "compute_table_stats":
             cols = args.get("columns")
             if isinstance(cols, str):

@@ -3174,6 +3174,7 @@ class LakeTable:
             T.StructField("spec_id", T.IntegerType()),
             T.StructField("record_count", T.LongType()),
             T.StructField("file_count", T.LongType()),
+            T.StructField("total_data_file_size_in_bytes", T.LongType()),
             T.StructField("position_delete_record_count", T.LongType()),
             T.StructField("position_delete_file_count", T.LongType()),
             T.StructField("equality_delete_record_count", T.LongType()),
@@ -3239,19 +3240,24 @@ class LakeTable:
             s.snapshot_id: s.committed_at_ms for s in self.metadata.snapshots
         }
 
-        # (partition key tuple, spec_id) -> [records, files, pos_del_recs,
-        # pos_del_files, eq_del_recs, eq_del_files, last_ms, last_snap]
+        # (partition key tuple, spec_id) -> [records, files, data_bytes,
+        # pos_del_recs, pos_del_files, eq_del_recs, eq_del_files,
+        # last_ms, last_snap]. data_bytes: a file whose harvest straddles
+        # k tuples contributes its FULL size to each — the same
+        # convention file_count already uses for straddlers (Iceberg
+        # files belong to exactly one tuple, so there the question
+        # doesn't arise).
         folded: dict[tuple, list] = {}
 
         def bump(key, spec, idx_counts, entry):
             slot = folded.setdefault(
-                (key, spec), [0, 0, 0, 0, 0, 0, None, None]
+                (key, spec), [0, 0, 0, 0, 0, 0, 0, None, None]
             )
             for i, n in idx_counts:
                 slot[i] += n
             ms = commit_ms.get(entry.added_snapshot_id)
-            if ms is not None and (slot[6] is None or ms > slot[6]):
-                slot[6], slot[7] = ms, entry.added_snapshot_id
+            if ms is not None and (slot[7] is None or ms > slot[7]):
+                slot[7], slot[8] = ms, entry.added_snapshot_id
 
         uncovered: list[ManifestEntry] = []
         for e in entries:
@@ -3263,12 +3269,17 @@ class LakeTable:
                 bump(
                     (),
                     spec,
-                    [(2 if pos else 4, e.record_count), (3 if pos else 5, 1)],
+                    [(3 if pos else 5, e.record_count), (4 if pos else 6, 1)],
                     e,
                 )
             elif not fields and e.partition_counts is None:
                 # unpartitioned default spec: pure manifest arithmetic
-                bump((), default_spec, [(0, e.record_count), (1, 1)], e)
+                bump(
+                    (),
+                    default_spec,
+                    [(0, e.record_count), (1, 1), (2, e.file_size_in_bytes)],
+                    e,
+                )
             elif e.partition_counts is not None:
                 spec = e.spec_id
                 if spec is None:
@@ -3282,7 +3293,7 @@ class LakeTable:
                     bump(
                         tuple(sorted(pmap.items())),
                         spec,
-                        [(0, int(n)), (1, 1)],
+                        [(0, int(n)), (1, 1), (2, e.file_size_in_bytes)],
                         e,
                     )
             else:
@@ -3299,8 +3310,9 @@ class LakeTable:
                     slot[3],
                     slot[4],
                     slot[5],
-                    _utc(slot[6]) if slot[6] is not None else None,
-                    slot[7],
+                    slot[6],
+                    _utc(slot[7]) if slot[7] is not None else None,
+                    slot[8],
                 )
                 for (key, spec), slot in folded.items()
             ]
@@ -3323,6 +3335,7 @@ class LakeTable:
             [
                 (
                     e.file_path,
+                    e.file_size_in_bytes,
                     _utc(commit_ms[e.added_snapshot_id])
                     if e.added_snapshot_id in commit_ms
                     else None,
@@ -3330,13 +3343,17 @@ class LakeTable:
                 )
                 for e in uncovered
             ],
-            "__f string, __ms timestamp, __snap long",
+            "__f string, __sz long, __ms timestamp, __snap long",
         )
         part_col = (
             F.create_map(*kvs)
             if fields
             else F.create_map().cast("map<string,string>")
         )
+        # two-level fold so a straddling file's size counts once per
+        # tuple it contains (the manifest side's convention): first
+        # (partition, file) — partial aggregation keeps this one
+        # shuffle — then per partition
         scan_side = (
             df.select(
                 part_col.alias("partition"),
@@ -3344,11 +3361,14 @@ class LakeTable:
                     "__f"
                 ),
             )
+            .groupBy("partition", "__f")
+            .agg(F.count(F.lit(1)).alias("__n"))
             .join(F.broadcast(info), "__f", "left")
             .groupBy("partition")
             .agg(
-                F.count(F.lit(1)).alias("record_count"),
-                F.count_distinct(F.col("__f")).alias("file_count"),
+                F.sum("__n").alias("record_count"),
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("__sz").alias("total_data_file_size_in_bytes"),
                 F.max(F.struct("__ms", "__snap")).alias("__last"),
             )
             .select(
@@ -3356,6 +3376,9 @@ class LakeTable:
                 F.lit(default_spec).cast("int").alias("spec_id"),
                 "record_count",
                 "file_count",
+                F.coalesce(
+                    "total_data_file_size_in_bytes", F.lit(0)
+                ).cast("long").alias("total_data_file_size_in_bytes"),
                 F.lit(0).cast("long").alias("position_delete_record_count"),
                 F.lit(0).cast("long").alias("position_delete_file_count"),
                 F.lit(0).cast("long").alias("equality_delete_record_count"),
@@ -3370,6 +3393,9 @@ class LakeTable:
             .agg(
                 F.sum("record_count").cast("long").alias("record_count"),
                 F.sum("file_count").cast("long").alias("file_count"),
+                F.sum("total_data_file_size_in_bytes")
+                .cast("long")
+                .alias("total_data_file_size_in_bytes"),
                 F.sum("position_delete_record_count")
                 .cast("long")
                 .alias("position_delete_record_count"),
@@ -3391,6 +3417,7 @@ class LakeTable:
                 "spec_id",
                 "record_count",
                 "file_count",
+                "total_data_file_size_in_bytes",
                 "position_delete_record_count",
                 "position_delete_file_count",
                 "equality_delete_record_count",
@@ -3894,6 +3921,11 @@ class LakeTable:
         from demo_iceberg_permanent_delete_spark.lake import maintenance
 
         return maintenance.compute_table_stats(self, columns)
+
+    def compute_partition_stats(self) -> dict[str, Any]:
+        from demo_iceberg_permanent_delete_spark.lake import maintenance
+
+        return maintenance.compute_partition_stats(self)
 
     def plan_compaction(self, **kwargs) -> dict:
         from demo_iceberg_permanent_delete_spark.lake import maintenance

@@ -355,3 +355,139 @@ def test_partitions_delete_counts_and_last_updated(spark, tmp_path):
     )
     # sanity: sd's DV file is the position-delete counted above
     assert sd is not None
+
+
+def test_partitions_total_data_file_size(spark, tmp_path):
+    """total_data_file_size_in_bytes (the Iceberg .partitions column X84
+    missed): manifest-served per partition; a straddling file counts its
+    FULL size in every tuple it contains (the file_count convention)."""
+    import os
+
+    from tests.conftest import one_part
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table(
+        "default.sz", "id bigint, v string, ts timestamp",
+        partition_by=["days(ts)"],
+    )
+    t.insert(one_part(spark, _rows(5, 3), "id bigint, v string, ts timestamp"))
+    t.insert(one_part(spark, _rows(6, 2, 50), "id bigint, v string, ts timestamp"))
+    by_day = {
+        r["partition"]["days(ts)"]: r for r in t.meta("partitions").collect()
+    }
+    sizes = {
+        e.file_path: e.file_size_in_bytes
+        for e in t.metadata.current_snapshot().data_files()
+    }
+    # one file per day here: the view's size equals the manifest's, which
+    # equals the physical file
+    assert sum(r["total_data_file_size_in_bytes"] for r in by_day.values()) == sum(
+        sizes.values()
+    )
+    for p, sz in sizes.items():
+        assert os.path.getsize(p) == sz
+
+    # straddler: one file spanning both days counts fully in each tuple
+    t2 = cat.create_table(
+        "default.sz2", "id bigint, v string, ts timestamp",
+        partition_by=["days(ts)"],
+    )
+    t2.insert(
+        one_part(
+            spark,
+            _rows(5, 3) + _rows(6, 2, 50),
+            "id bigint, v string, ts timestamp",
+        )
+    )
+    entries = t2.metadata.current_snapshot().data_files()
+    if len(entries) == 1:
+        rows = t2.meta("partitions").collect()
+        assert all(
+            r["total_data_file_size_in_bytes"] == entries[0].file_size_in_bytes
+            for r in rows
+        )
+
+    # unpartitioned: single row carries the full data size
+    t3 = cat.create_table("default.sz3", "id bigint")
+    t3.insert(spark.createDataFrame([(1,), (2,)], "id long"))
+    row = t3.meta("partitions").collect()[0]
+    assert row["total_data_file_size_in_bytes"] == sum(
+        e.file_size_in_bytes
+        for e in t3.metadata.current_snapshot().data_files()
+    )
+
+
+def test_compute_partition_stats_lifecycle(spark, tmp_path):
+    """CALL compute_partition_stats: the .partitions view materialized as
+    one parquet under metadata/, registered in table metadata with the
+    spec's field names; recompute replaces (old file unlinked), expire
+    drops the entry with its snapshot."""
+    import datetime as _dt
+    import os
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql(
+        "CREATE TABLE demo.default.ps (id bigint, ts timestamp) USING iceberg "
+        "PARTITIONED BY (days(ts))"
+    )
+    eng.sql(
+        "INSERT INTO demo.default.ps VALUES "
+        "(1, timestamp'2024-06-05 10:00:00'), (2, timestamp'2024-06-06 10:00:00')"
+    )
+    out = eng.sql(
+        "CALL demo.system.compute_partition_stats(table => 'default.ps')"
+    ).collect()[0]
+    t = eng.catalog.load_table("default.ps")
+    assert out["snapshot-id"] == t.metadata.current_snapshot_id
+    path = out["statistics-path"]
+    assert os.path.dirname(path) == t.metadata.metadata_dir
+    assert out["file-size-in-bytes"] == os.path.getsize(path)
+    assert t.metadata.partition_statistics == [
+        {
+            "snapshot-id": out["snapshot-id"],
+            "statistics-path": path,
+            "file-size-in-bytes": out["file-size-in-bytes"],
+        }
+    ]
+    # the file IS the view (ordered by partition value for comparison)
+    stats = spark.read.parquet(path)
+    assert sorted(stats.columns) == sorted(t.meta("partitions").columns)
+    assert sorted(
+        (r["partition"]["days(ts)"], r["record_count"], r["file_count"])
+        for r in stats.collect()
+    ) == sorted(
+        (r["partition"]["days(ts)"], r["record_count"], r["file_count"])
+        for r in t.meta("partitions").collect()
+    )
+
+    # recompute for the SAME snapshot: one entry, old file gone
+    out2 = eng.sql(
+        "CALL demo.system.compute_partition_stats(table => 'default.ps')"
+    ).collect()[0]
+    t.refresh()
+    assert len(t.metadata.partition_statistics) == 1
+    assert not os.path.exists(path)
+    assert os.path.exists(out2["statistics-path"])
+
+    # a new snapshot gets its own entry; expiring the old snapshot drops
+    # the old entry and unlinks its file
+    eng.sql("INSERT INTO demo.default.ps VALUES (3, timestamp'2024-06-07 10:00:00')")
+    out3 = eng.sql(
+        "CALL demo.system.compute_partition_stats(table => 'default.ps')"
+    ).collect()[0]
+    t.refresh()
+    assert len(t.metadata.partition_statistics) == 2
+    res = t.expire_snapshots(
+        _dt.datetime.now(_dt.timezone.utc) + _dt.timedelta(days=1)
+    )
+    assert res["removed_partition_stats"] == 1
+    t.refresh()
+    assert [e["statistics-path"] for e in t.metadata.partition_statistics] == [
+        out3["statistics-path"]
+    ]
+    assert not os.path.exists(out2["statistics-path"])
+    assert os.path.exists(out3["statistics-path"])
