@@ -495,6 +495,16 @@ _UPDATE_PRED = "l_returnflag = 'N' AND l_linenumber = 1"
       l_returnflag, l_linestatus, l_shipdate
     FROM lineitem
     WHERE l_orderkey % 100 = 0 AND {_UPDATE_PRED}
+    UNION ALL
+    SELECT 'value_update', 'UPDATE_BEFORE', 4, * FROM lineitem
+    WHERE l_orderkey % 100 = 0 AND {_UPDATE_PRED}
+    UNION ALL
+    SELECT 'value_update', 'UPDATE_AFTER', 4,
+      l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      l_quantity + 1000 AS l_quantity, l_extendedprice, l_discount, l_tax,
+      l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0 AND {_UPDATE_PRED}
     """,
 )
 def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,7 +579,37 @@ def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         paired = _feed("d", "UPDATE_PRE").unionByName(_feed("i", "UPDATE_POST"))
-        return inc.unionByName(chg).unionByName(paired).localCheckpoint(eager=True)
+        # (d) the VALUE-matching counterpart (round-11): the same MOR
+        # update's changelog rows paired by identifier columns via
+        # changes(compute_updates=True) — Iceberg's create_changelog_view
+        # pre/post-image mode. The UPDATE_BEFORE/UPDATE_AFTER relabeling
+        # itself sits under the hash: a mispair or a carry-over leak
+        # would flip labels or leak extra rows and break it.
+        # (l_orderkey, l_linenumber) alone is NOT unique in the synthetic
+        # lineitem — the guard correctly refuses it; the widened key is
+        # unique within the updated subset at every bundled SF and none
+        # of its columns are touched by the update
+        value_paired = t2.changes(
+            start_snapshot_id=pre_update_head,
+            compute_updates=True,
+            identifier_columns=[
+                "l_orderkey",
+                "l_linenumber",
+                "l_partkey",
+                "l_suppkey",
+            ],
+        ).select(
+            F.lit("value_update").alias("feed"),
+            "_change_type",
+            F.lit(4).alias("_change_ordinal"),
+            *data_cols,
+        )
+        return (
+            inc.unionByName(chg)
+            .unionByName(paired)
+            .unionByName(value_paired)
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 
