@@ -1623,7 +1623,7 @@ class LakeEngine:
         (
             re.compile(
                 r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*"
-                r"(?P<col>\w+)\s+(?P<type>[\w<>(),. ]+?)"
+                r"(?P<col>[\w.]+)\s+(?P<type>[\w<>(),: ]+?)"
                 r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|[^\s)]+))?"
                 r"\s*\)?$",
                 re.I | re.S,
@@ -1667,7 +1667,7 @@ class LakeEngine:
         (
             re.compile(
                 r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMNS?\s*\(?\s*"
-                r"(?P<col>\w+)\s*\)?$",
+                r"(?P<col>[\w.]+)\s*\)?$",
                 re.I | re.S,
             ),
             _alter_drop_column,
@@ -1675,7 +1675,7 @@ class LakeEngine:
         (
             re.compile(
                 r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+COLUMN\s+"
-                r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)$",
+                r"(?P<old>[\w.]+)\s+TO\s+(?P<new>[\w.]+)$",
                 re.I | re.S,
             ),
             _alter_rename_column,

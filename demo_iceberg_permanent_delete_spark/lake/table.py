@@ -194,6 +194,20 @@ def _utc(ms: int) -> dt.datetime:
     return dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc).replace(tzinfo=None)
 
 
+def _refuse_nested(name: str, op: str) -> None:
+    """Nested paths are supported for ADD COLUMN only: DROP/RENAME/type
+    promotion of a struct FIELD would need field-level tombstones and
+    rename chains inside the by-name parquet resolution, which this
+    engine keys by top-level column. Refuse loudly rather than treat the
+    dotted name as a (never-matching) top-level column."""
+    if "." in name:
+        raise ValueError(
+            f"{op} on nested field {name!r} is not supported "
+            "(nested ADD COLUMN is; drop/rename/retype operate on "
+            "top-level columns)"
+        )
+
+
 def _remove_changelog_carryovers(df: DataFrame) -> DataFrame:
     """Cancel identical DELETE/INSERT changelog pairs per commit (see
     LakeTable.changes): group by the full row minus the label, count each
@@ -279,7 +293,22 @@ class LakeTable:
         watermark land in the table header, and the read path splits the
         scan by manifest sequence (``_read_data_entries``). The value
         must be a JSON-encodable literal of the column's type (it is
-        cast to ``type_ddl`` at read time)."""
+        cast to ``type_ddl`` at read time).
+
+        A dotted ``name`` (``loc.alt``) adds a NESTED struct field —
+        Iceberg's nested evolution, same pure-metadata contract: parquet
+        by-name resolution null-fills the missing subfield in old files
+        (the JVM reader natively; the Arrow DataSource via its recursive
+        struct conformance). Struct paths only, and no ``default`` (the
+        initial-default machinery is keyed by top-level columns)."""
+        if "." in name:
+            if default is not None:
+                raise ValueError(
+                    "nested ADD COLUMN cannot carry a DEFAULT: initial "
+                    "defaults are keyed by top-level columns"
+                )
+            self._add_nested_field(name, type_ddl)
+            return
         if any(f.name == name for f in self.schema().fields):
             raise ValueError(f"column {name!r} already exists")
         if name in {h for hs in self.metadata.renames.values() for h in hs} or (
@@ -314,6 +343,54 @@ class LakeTable:
             # alongside the initial default (SET DEFAULT later moves
             # only the write side)
             self.metadata.write_defaults[name] = default
+        self.metadata.commit()
+
+    def _add_nested_field(self, path: str, type_ddl: str) -> None:
+        """ADD COLUMN with a dotted path: rebuild the struct type along
+        the path with the new leaf appended (Iceberg appends new fields
+        at the end of their parent). Struct chains only — array/map
+        element paths are refused (their evolution needs element-level
+        by-name resolution this engine's readers don't do); so is a path
+        whose parent doesn't exist or whose leaf already does. One
+        metadata commit; the schema DDL is re-rendered canonically."""
+        parts = path.split(".")
+        if any(not p for p in parts):
+            raise ValueError(f"malformed nested column path {path!r}")
+        leaf_type = T._parse_datatype_string(type_ddl)
+
+        def insert(dtype: T.DataType, rest: list[str], at: str) -> T.StructType:
+            if not isinstance(dtype, T.StructType):
+                raise ValueError(
+                    f"cannot add {path!r}: {at!r} is not a struct "
+                    "(nested ADD COLUMN supports struct paths only)"
+                )
+            fields = list(dtype.fields)
+            idx = {f.name: i for i, f in enumerate(fields)}
+            head = rest[0]
+            if len(rest) == 1:
+                if head in idx:
+                    raise ValueError(f"field {path!r} already exists")
+                fields.append(T.StructField(head, leaf_type, True))
+                return T.StructType(fields)
+            if head not in idx:
+                raise ValueError(
+                    f"cannot add {path!r}: no field {head!r} under {at!r}"
+                )
+            f = fields[idx[head]]
+            fields[idx[head]] = T.StructField(
+                f.name,
+                insert(f.dataType, rest[1:], f"{at}.{head}" if at else head),
+                f.nullable,
+                f.metadata,
+            )
+            return T.StructType(fields)
+
+        new_schema = insert(self.schema(), parts, self.name)
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in new_schema.fields
+        )
+        T._parse_datatype_string(ddl)  # defensive round-trip
+        self.metadata.schema_ddl = ddl
         self.metadata.commit()
 
     def set_default(self, name: str, value: Any) -> None:
@@ -424,6 +501,7 @@ class LakeTable:
     def drop_column(self, name: str) -> None:
         """ALTER TABLE DROP COLUMN — metadata-only: files keep the physical
         column; declared-schema reads stop projecting it."""
+        _refuse_nested(name, "DROP COLUMN")
         fields = [f for f in self.schema().fields if f.name != name]
         if len(fields) == len(self.schema().fields):
             raise ValueError(f"no such column {name!r}")
@@ -476,6 +554,7 @@ class LakeTable:
         """ALTER TABLE … ALTER COLUMN <name> TYPE <type> — metadata-only
         widening promotion (int→bigint family, float→double). Anything
         else would reinterpret stored bytes and is rejected."""
+        _refuse_nested(name, "ALTER COLUMN TYPE")
         fields = self.schema().fields
         fld = next((f for f in fields if f.name == name), None)
         if fld is None:
@@ -508,6 +587,8 @@ class LakeTable:
         transform (the synthetic stat columns embed the source name), or
         while retained equality-delete files key on ``old`` (their stored
         rows use the old name; compact them away first)."""
+        _refuse_nested(old, "RENAME COLUMN")
+        _refuse_nested(new, "RENAME COLUMN")
         fields = self.schema().fields
         if not any(f.name == old for f in fields):
             raise ValueError(f"no such column {old!r}")

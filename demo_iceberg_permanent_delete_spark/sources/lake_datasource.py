@@ -189,11 +189,45 @@ def _conform(table, arrow_schema, renames=None):
         if name is not None:
             col = table.column(name)
             if col.type != fld.type:
-                col = col.cast(fld.type)
+                col = _cast_widening(col, fld.type)
             cols.append(col)
         else:
             cols.append(pa.nulls(table.num_rows, type=fld.type))
     return pa.Table.from_arrays(cols, schema=arrow_schema)
+
+
+def _cast_widening(col, target):
+    """Arrow cast that also handles nested ADD COLUMN: ``Array.cast``
+    refuses struct casts that change the field count, so structs are
+    rebuilt field-by-field — declared subfields missing from the file
+    null-fill (by name, recursively; the contract the JVM parquet reader
+    gives Spark for free). Top-level struct nulls are preserved via the
+    validity mask. Non-struct mismatches keep Arrow's plain cast and its
+    errors."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not (pa.types.is_struct(target) and pa.types.is_struct(col.type)):
+        return col.cast(target)
+    arr = (
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
+    have = {col.type.field(i).name for i in range(col.type.num_fields)}
+    children = []
+    for i in range(target.num_fields):
+        f = target.field(i)
+        if f.name in have:
+            child = arr.field(f.name)
+            if child.type != f.type:
+                child = _cast_widening(child, f.type)
+        else:
+            child = pa.nulls(len(arr), type=f.type)
+        children.append(child)
+    return pa.StructArray.from_arrays(
+        children,
+        fields=[target.field(i) for i in range(target.num_fields)],
+        mask=pc.is_null(arr),
+    )
 
 
 def _read_data_file(

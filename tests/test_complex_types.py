@@ -1,0 +1,177 @@
+"""Complex-typed columns (array/map/struct) through the lake engine, and
+nested struct evolution (Iceberg's dotted ADD COLUMN path).
+
+The scalar surface is exercised everywhere else; these tests lock in
+that the full DML + changelog + metadata stack works when columns are
+nested, and that nested ADD COLUMN is pure metadata on BOTH read paths
+(JVM parquet null-fills missing subfields natively; the Arrow DataSource
+through its recursive struct conformance)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_iceberg_permanent_delete_spark.lake import Catalog
+
+DDL = "id bigint, tags array<string>, attrs map<string,string>, loc struct<lat:double,lon:double>"
+
+
+def _df(spark, n, base=0):
+    return spark.sql(
+        f"SELECT id + {base} AS id, array('t', CAST(id AS string)) AS tags, "
+        "map('k', CAST(id AS string)) AS attrs, "
+        "named_struct('lat', CAST(id AS double), 'lon', 2.0d) AS loc "
+        f"FROM range({n})"
+    )
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "wh"))
+    c.create_namespace("default")
+    return c
+
+
+def test_complex_roundtrip_and_dml(spark, cat):
+    t = cat.create_table("default.cx", DDL)
+    t.insert(_df(spark, 5))
+    assert t.read().count() == 5
+    assert t.read().filter("loc.lat = 3.0").first()["attrs"] == {"k": "3"}
+    # COW delete with a nested predicate
+    t.delete("loc.lat >= 4")
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 2, 3]
+    # update writing an array value
+    t.update({"tags": F.array(F.lit("z"))}, "id = 2")
+    assert t.read().filter("id = 2").first()["tags"] == ["z"]
+
+
+def test_complex_mor_eq_delete_changelog(spark, cat):
+    t = cat.create_table(
+        "default.cm", DDL, properties={"write.delete.mode": "merge-on-read"}
+    )
+    t.insert(_df(spark, 6))
+    t.delete("loc.lat >= 4")  # MOR position deletes, nested predicate
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 2, 3]
+    t.equality_delete(spark.createDataFrame([(0,)], "id bigint"), ["id"])
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+    got = sorted(
+        (r["_change_type"], r["id"]) for r in t.changes().collect()
+    )
+    assert got.count(("DELETE", 0)) == 1 and got.count(("DELETE", 4)) == 1
+    # complex values ride the changelog intact
+    ins2 = [
+        r
+        for r in t.changes().collect()
+        if r["_change_type"] == "INSERT" and r["id"] == 2
+    ]
+    assert ins2[0]["loc"]["lat"] == 2.0 and ins2[0]["tags"] == ["t", "2"]
+
+
+def test_nested_add_column_metadata_only(spark, cat):
+    t = cat.create_table("default.nx", "id bigint, loc struct<lat:double,lon:double>")
+    t.insert(
+        spark.sql(
+            "SELECT id, named_struct('lat', CAST(id AS double), 'lon', 2.0d) AS loc "
+            "FROM range(3)"
+        )
+    )
+    files_before = {
+        e.file_path for e in t.metadata.current_snapshot().data_files()
+    }
+    t.add_column("loc.alt", "double")
+    assert t.schema()["loc"].dataType.fieldNames() == ["lat", "lon", "alt"]
+    # pure metadata: same physical files, old rows null-fill the subfield
+    assert {
+        e.file_path for e in t.metadata.current_snapshot().data_files()
+    } == files_before
+    assert [r["loc"]["alt"] for r in t.read().collect()] == [None] * 3
+    # new writes carry the field; both generations coexist
+    t.insert(
+        spark.sql(
+            "SELECT id + 10 AS id, "
+            "named_struct('lat', 0.0d, 'lon', 0.0d, 'alt', 9.0d) AS loc "
+            "FROM range(2)"
+        )
+    )
+    vals = {r["id"]: r["loc"]["alt"] for r in t.read().collect()}
+    assert vals[0] is None and vals[10] == 9.0
+    # deeper chain: struct-in-struct
+    t.add_column("loc.meta", "struct<src:string>")
+    t.add_column("loc.meta.conf", "double")
+    assert (
+        t.schema()["loc"].dataType["meta"].dataType.fieldNames()
+        == ["src", "conf"]
+    )
+    assert t.read().filter("id = 10").first()["loc"]["meta"] is None
+
+
+def test_nested_add_column_sql_and_guards(spark, cat):
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, cat.warehouse)
+    eng.sql(
+        "CREATE TABLE default.ng (id bigint, loc struct<lat:double,lon:double>) "
+        "USING iceberg"
+    )
+    eng.sql("ALTER TABLE default.ng ADD COLUMN loc.alt double")
+    t = cat.load_table("default.ng")
+    assert t.schema()["loc"].dataType.fieldNames() == ["lat", "lon", "alt"]
+
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("loc.alt", "double")
+    with pytest.raises(ValueError, match="no field"):
+        t.add_column("nope.alt", "double")
+    with pytest.raises(ValueError, match="struct paths only"):
+        t.add_column("id.sub", "double")
+    with pytest.raises(ValueError, match="cannot carry a DEFAULT"):
+        t.add_column("loc.d", "double", default=1.0)
+    with pytest.raises(ValueError, match="not supported"):
+        t.drop_column("loc.alt")
+    with pytest.raises(ValueError, match="not supported"):
+        t.rename_column("loc.alt", "loc.height")
+    with pytest.raises(ValueError, match="not supported"):
+        t.alter_column_type("loc.lat", "double")
+    # the SQL spellings hit the same guards
+    with pytest.raises(ValueError, match="not supported"):
+        eng.sql("ALTER TABLE default.ng DROP COLUMN loc.alt")
+    with pytest.raises(ValueError, match="not supported"):
+        eng.sql("ALTER TABLE default.ng RENAME COLUMN loc.alt TO loc.height")
+
+
+def test_nested_add_column_arrow_datasource_read(spark, cat, tmp_path):
+    """The Arrow read path can't lean on the JVM's nested null-fill:
+    _conform rebuilds evolved structs field-by-field (old files widen
+    with null subfields, struct-level nulls preserved)."""
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        register,
+    )
+
+    register(spark)
+    t = cat.create_table("default.na", "id bigint, loc struct<lat:double,lon:double>")
+    t.insert(
+        spark.sql(
+            "SELECT id, IF(id = 1, CAST(NULL AS struct<lat:double,lon:double>), "
+            "named_struct('lat', CAST(id AS double), 'lon', 2.0d)) AS loc "
+            "FROM range(3)"
+        )
+    )
+    t.add_column("loc.alt", "double")
+    t.insert(
+        spark.sql(
+            "SELECT 10 AS id, named_struct('lat', 0.0d, 'lon', 0.0d, 'alt', 9.0d) AS loc"
+        )
+    )
+    got = {
+        r["id"]: r["loc"]
+        for r in spark.read.format("lakehouse")
+        .option("location", t.metadata.location)
+        .load()
+        .collect()
+    }
+    assert got[1] is None  # struct-level null survives the widening
+    assert got[0]["lat"] == 0.0 and got[0]["alt"] is None
+    assert got[10]["alt"] == 9.0
+    # and it matches the JVM read exactly
+    jvm = {r["id"]: r["loc"] for r in t.read().collect()}
+    assert got == jvm
