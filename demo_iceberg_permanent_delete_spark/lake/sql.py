@@ -58,6 +58,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from demo_iceberg_permanent_delete_spark.lake.catalog import Catalog
 from demo_iceberg_permanent_delete_spark.lake.table import METADATA_VIEWS as _META_VIEWS
@@ -1415,6 +1416,38 @@ class LakeEngine:
 
         return self._sub_outside_literals(self._REF_SUFFIX, sub, stmt)
 
+    _COUNT_STAR = re.compile(
+        r"SELECT\s+COUNT\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>\w+))?"
+        r"\s+FROM\s+(?P<tbl>[\w.]+)$",
+        re.I | re.S,
+    )
+
+    def _metadata_count(self, ident: str, alias: str | None):
+        """Iceberg's aggregate pushdown (SparkScanBuilder.pushAggregation)
+        re-expressed at the facade: an unfiltered ``SELECT COUNT(*) FROM
+        t`` answers from manifest record counts — zero Spark tasks at any
+        table size. Pushed ONLY when the current snapshot carries no
+        delete files (position/equality/DV deletes mask rows inside data
+        files, so record-count sums would overcount — the same condition
+        Iceberg requires before pushing aggregates). Any resolution
+        failure (unknown name, a metadata-relation or ref suffix, a view)
+        returns None and the statement takes the general path, so the
+        fast path can only ever produce what the slow path would."""
+        try:
+            t = self.table(ident)
+        except Exception:
+            return None
+        snap = t.metadata.current_snapshot()
+        n = 0
+        if snap is not None:
+            if snap.delete_files():
+                return None
+            n = sum(e.record_count for e in snap.data_files())
+        return self.spark.createDataFrame(
+            [(n,)],
+            T.StructType([T.StructField(alias or "count(1)", T.LongType())]),
+        )
+
     def _select(self, stmt: str, _depth: int = 0) -> DataFrame:
         """Plain SQL: rewrite lake-table identifiers (and their metadata
         relations) to freshly registered temp views, then spark.sql.
@@ -1424,6 +1457,12 @@ class LakeEngine:
         substring replace would mangle a table whose name prefixes another
         (default.pii inside default.pii_data) or rewrite literals.
         """
+        if _depth == 0:
+            m = self._COUNT_STAR.match(stmt)
+            if m:
+                fast = self._metadata_count(m.group("tbl"), m.group("alias"))
+                if fast is not None:
+                    return fast
         # ONE registry snapshot per statement — the rewrites below used
         # to each re-read catalog.json (4 reads/statement)
         reg = self.catalog._read_registry()

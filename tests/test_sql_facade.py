@@ -1517,3 +1517,62 @@ def test_publish_changes_conflict_validation(spark, tmp_path):
     eng.sql("DELETE FROM demo.default.c WHERE k = 4")  # diverge main again
     eng.sql("CALL demo.system.publish_changes('default.c', 'a1')")
     assert eng.table("default.c").read().filter("k = 9").count() == 1
+
+
+def test_count_star_metadata_pushdown(spark, tmp_path):
+    """Iceberg aggregate-pushdown parity: an unfiltered SELECT COUNT(*)
+    answers from manifest record counts — no parquet scan in the plan.
+    Any delete file, filter, suffix, or view falls back to the general
+    path, and the fast answer always equals the slow one."""
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.ct (id bigint, v string) USING iceberg")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # empty table: zero, still metadata-only
+    df = eng.sql("SELECT COUNT(*) FROM demo.default.ct")
+    assert df.collect()[0][0] == 0 and df.columns == ["count(1)"]
+    assert "parquet" not in plan(df).lower()
+
+    eng.sql("INSERT INTO demo.default.ct VALUES (1,'a'), (2,'b'), (3,'c')")
+    df = eng.sql("SELECT COUNT(*) FROM demo.default.ct")
+    assert df.collect()[0][0] == 3
+    assert "parquet" not in plan(df).lower()
+    # alias + bare-name spellings
+    assert eng.sql("SELECT COUNT(*) AS n FROM default.ct").collect()[0]["n"] == 3
+
+    # COW delete rewrites files: counts stay manifest-exact
+    eng.sql("DELETE FROM demo.default.ct WHERE id = 1")
+    df = eng.sql("SELECT COUNT(*) FROM demo.default.ct")
+    assert df.collect()[0][0] == 2
+    assert "parquet" not in plan(df).lower()
+
+    # MOR deletes mask rows inside files -> MUST fall back (and be right)
+    eng.sql(
+        "ALTER TABLE demo.default.ct SET TBLPROPERTIES "
+        "('write.delete.mode'='merge-on-read')"
+    )
+    eng.sql("DELETE FROM demo.default.ct WHERE id = 2")
+    df = eng.sql("SELECT COUNT(*) FROM demo.default.ct")
+    assert df.collect()[0][0] == 1
+    assert "parquet" in plan(df).lower()
+
+    # filters and metadata relations never hit the fast path
+    assert (
+        eng.sql("SELECT COUNT(*) FROM demo.default.ct WHERE id = 3").collect()[0][0]
+        == 1
+    )
+    files = eng.sql("SELECT COUNT(*) FROM demo.default.ct.files").collect()[0][0]
+    assert files >= 2  # data + delete entries, counted via the relation
+
+    # views expand through the general path
+    eng.sql("CREATE VIEW demo.default.ctv AS SELECT * FROM demo.default.ct")
+    assert eng.sql("SELECT COUNT(*) FROM demo.default.ctv").collect()[0][0] == 1
+
+    # TRUNCATE: metadata-only empty snapshot, fast path gives 0
+    eng.sql("TRUNCATE TABLE demo.default.ct")
+    df = eng.sql("SELECT COUNT(*) FROM demo.default.ct")
+    assert df.collect()[0][0] == 0
+    assert "parquet" not in plan(df).lower()
