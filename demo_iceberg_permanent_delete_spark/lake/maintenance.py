@@ -100,6 +100,15 @@ def _delete_paths(spark, paths: list[str]) -> int:
                 n += 1
             except FileNotFoundError:
                 pass
+            except IsADirectoryError:
+                # crash debris can be a DIRECTORY (a killed
+                # compute_partition_stats leaves its .tmp-pstats staging
+                # dir); a file-only unlink would poison every later
+                # maintenance pass with the same error (review finding)
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True)
+                n += 1
         return n
 
     def _unlink(it):
@@ -110,6 +119,11 @@ def _delete_paths(spark, paths: list[str]) -> int:
                 n += 1
             except FileNotFoundError:
                 pass
+            except IsADirectoryError:
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True)
+                n += 1
         yield n
 
     slices = max(1, min(len(paths) // _PARALLEL_DELETE_SLICE, 256))
@@ -888,7 +902,18 @@ def compute_partition_stats(table) -> dict[str, Any]:
         for e in meta.partition_statistics
         if int(e["snapshot-id"]) != snap.snapshot_id
     ] + [entry]
-    meta.commit()
+    try:
+        _commit_or_refresh(table)
+    except Exception:
+        # CAS conflict (or any commit failure): the freshly written file
+        # was never registered — unlink it now, since nothing else knows
+        # it exists (the metadata-dir orphan sweep skips non-manifest
+        # names); the handle was already refreshed to persisted truth
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        raise
     # unlink only AFTER the commit stopped referencing the old file —
     # the same order every physical deletion in this module uses
     for e in replaced:

@@ -1054,21 +1054,29 @@ class LakeEngine:
             # ids with the same at-or-before rule as TIMESTAMP AS OF —
             # start is exclusive (changes strictly after that instant's
             # head), end inclusive. Explicit snapshot ids win.
-            from demo_iceberg_permanent_delete_spark.lake.errors import (
-                SnapshotNotFoundError,
-            )
+            # timestamps resolve against the MAIN ANCESTRY only (newest
+            # ancestor committed at-or-before the cutoff) — the plain
+            # snapshot_as_of scans ALL snapshots and could land on a
+            # WAP-staged or branch commit, leaking unpublished rows into
+            # the view or failing the changelog's ancestry check for a
+            # valid request (review finding)
+            def _ancestor_as_of(ts_ms: int):
+                cur = t.metadata.current_snapshot_id
+                while cur is not None:
+                    s = t.metadata.snapshot_by_id(cur)
+                    if s.committed_at_ms <= ts_ms:
+                        return s.snapshot_id
+                    cur = s.parent_id
+                return None
 
             empty_range = False
             if start is None and options.get("start-timestamp") is not None:
-                try:
-                    start = t.snapshot_as_of(int(options["start-timestamp"]))
-                except SnapshotNotFoundError:
-                    start = None  # before the first commit: from the start
+                # None = before the first commit: from the start
+                start = _ancestor_as_of(int(options["start-timestamp"]))
             if end is None and options.get("end-timestamp") is not None:
-                try:
-                    end = t.snapshot_as_of(int(options["end-timestamp"]))
-                except SnapshotNotFoundError:
-                    empty_range = True  # no snapshot existed yet: empty feed
+                end = _ancestor_as_of(int(options["end-timestamp"]))
+                if end is None:
+                    empty_range = True  # no snapshot existed yet
             ident = args.get("identifier_columns")
             if isinstance(ident, str):
                 ident = [ident]
@@ -1722,7 +1730,7 @@ class LakeEngine:
         (
             re.compile(
                 r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ALTER\s+COLUMN\s+"
-                r"(?P<col>\w+)\s+TYPE\s+(?P<type>[\w<>(),. ]+?)$",
+                r"(?P<col>[\w.]+)\s+TYPE\s+(?P<type>[\w<>(),: ]+?)$",
                 re.I | re.S,
             ),
             _alter_column_type,
@@ -1730,7 +1738,7 @@ class LakeEngine:
         (
             re.compile(
                 r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ALTER\s+COLUMN\s+"
-                r"(?P<col>\w+)\s+(?:SET\s+DEFAULT\s+(?P<default>.+)|"
+                r"(?P<col>[\w.]+)\s+(?:SET\s+DEFAULT\s+(?P<default>.+)|"
                 r"DROP\s+DEFAULT)$",
                 re.I | re.S,
             ),

@@ -399,6 +399,7 @@ class LakeTable:
         omit the column physically get ``value``; the initial default
         (what pre-add rows read) is immutable after ADD COLUMN, per the
         spec. ``value=None`` clears it (DROP DEFAULT)."""
+        _refuse_nested(name, "ALTER COLUMN SET/DROP DEFAULT")
         fld = next(
             (f for f in self.schema().fields if f.name == name), None
         )

@@ -286,3 +286,39 @@ def test_changelog_procedure_update_images_and_timestamps(spark, tmp_path):
     assert (
         spark.sql("SELECT max(_change_ordinal) AS m FROM u7").collect()[0]["m"] == 1
     )
+
+
+def test_changelog_timestamps_resolve_on_main_ancestry(spark, tmp_path):
+    """Timestamp options must resolve against the MAIN ancestry: a
+    WAP-staged or branch commit that is the newest snapshot must neither
+    leak unpublished rows into the view nor fail the ancestry check
+    (review finding — plain snapshot_as_of scans all snapshots)."""
+    import time
+
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.tb (k bigint, v string) USING iceberg")
+    eng.sql("INSERT INTO demo.default.tb VALUES (1, 'a')")
+    # newest snapshots: one branch commit and one wap.id-staged commit
+    eng.sql("ALTER TABLE demo.default.tb CREATE BRANCH dev")
+    eng.sql("INSERT INTO demo.default.tb.branch_dev VALUES (9, 'branch-only')")
+    spark.conf.set("spark.wap.id", "w1")
+    try:
+        eng.sql("INSERT INTO demo.default.tb VALUES (8, 'staged-only')")
+    finally:
+        spark.conf.unset("spark.wap.id")
+    now_ms = int(time.time() * 1000) + 60_000
+    eng.sql(
+        "CALL demo.system.create_changelog_view(table => 'default.tb', "
+        f"changelog_view => 'tb1', options => map('end-timestamp', '{now_ms}'))"
+    )
+    got = sorted((r["k"], r["v"]) for r in spark.sql("SELECT * FROM tb1").collect())
+    assert got == [(1, "a")]  # neither the branch nor the staged row
+    # a start just after the main head: empty feed, not an ancestry error
+    eng.sql(
+        "CALL demo.system.create_changelog_view(table => 'default.tb', "
+        f"changelog_view => 'tb2', options => map('start-timestamp', '{now_ms}'))"
+    )
+    assert spark.sql("SELECT * FROM tb2").count() == 0

@@ -137,6 +137,10 @@ def test_nested_add_column_sql_and_guards(spark, cat):
         eng.sql("ALTER TABLE default.ng DROP COLUMN loc.alt")
     with pytest.raises(ValueError, match="not supported"):
         eng.sql("ALTER TABLE default.ng RENAME COLUMN loc.alt TO loc.height")
+    with pytest.raises(ValueError, match="not supported"):
+        eng.sql("ALTER TABLE default.ng ALTER COLUMN loc.lat TYPE double")
+    with pytest.raises(ValueError, match="not supported"):
+        eng.sql("ALTER TABLE default.ng ALTER COLUMN loc.lat SET DEFAULT 1.0")
 
 
 def test_nested_add_column_arrow_datasource_read(spark, cat, tmp_path):

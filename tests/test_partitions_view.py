@@ -491,3 +491,57 @@ def test_compute_partition_stats_lifecycle(spark, tmp_path):
     ]
     assert not os.path.exists(out2["statistics-path"])
     assert os.path.exists(out3["statistics-path"])
+
+
+def test_partition_stats_crash_debris_and_conflict(spark, tmp_path):
+    """Review findings: (a) a killed compute_partition_stats leaves its
+    .tmp-pstats staging DIRECTORY under metadata/ — the orphan sweep
+    must remove it, not die on IsADirectoryError; (b) a commit conflict
+    must unlink the freshly written (never-registered) stats file."""
+    import os
+    import time
+
+    import pytest
+
+    from demo_iceberg_permanent_delete_spark.lake import Catalog
+    from demo_iceberg_permanent_delete_spark.lake.errors import (
+        CommitConflictError,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.pc", "id bigint")
+    t.insert(spark.createDataFrame([(1,), (2,)], "id long"))
+
+    # (a) simulated crash debris: an aged .tmp-pstats directory
+    meta_dir = t.metadata.metadata_dir
+    debris = os.path.join(meta_dir, ".tmp-pstats-deadbeef")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-0.parquet"), "w") as f:
+        f.write("x")
+    old = time.time() - 90 * 86400
+    os.utime(debris, (old, old))
+    t.remove_orphan_files(enforce_safety=False)
+    assert not os.path.exists(debris)
+
+    # (b) commit conflict: stats file unlinked, registration unchanged
+    before = set(os.listdir(meta_dir))
+    real_commit = type(t.metadata).commit
+
+    def boom(self, *a, **k):
+        raise CommitConflictError("simulated concurrent commit")
+
+    type(t.metadata).commit = boom
+    try:
+        with pytest.raises(CommitConflictError):
+            t.compute_partition_stats()
+    finally:
+        type(t.metadata).commit = real_commit
+    t.refresh()
+    assert t.metadata.partition_statistics == []
+    leftover = set(os.listdir(meta_dir)) - before
+    assert not [n for n in leftover if "partition-stats" in n or ".tmp-" in n]
+
+    # and the real computation still works afterwards
+    out = t.compute_partition_stats()
+    assert os.path.exists(out["statistics-path"])
