@@ -108,7 +108,14 @@ def _footer_stats(
                 nulls[name] = nulls.get(name, 0) + stats.null_count
             if not stats.has_min_max:
                 continue
-            lo, hi = stats.min, stats.max
+            try:
+                lo, hi = stats.min, stats.max
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError for physical
+                # types it can't decode stats for (e.g. FIXED_LEN_BYTE_
+                # ARRAY decimals) even with has_min_max=True — treat as
+                # statless rather than failing the whole write
+                continue
             if isinstance(lo, bytes) or isinstance(hi, bytes):
                 continue  # undecoded byte stats are not comparable
             if name not in mins or lo < mins[name]:
@@ -164,10 +171,27 @@ def write_data_files(
     scratch = os.path.join(target_dir, f"_tmp-{uuid.uuid4().hex}")
 
     def _write(frame: DataFrame) -> None:
-        w = frame.write.mode("overwrite")
-        for k, v in (write_options or {}).items():
-            w = w.option(k, v)
-        w.parquet(scratch)
+        # Spark's default parquet timestamp is INT96 (Hive-era compat),
+        # which carries NO usable footer statistics — every timestamp
+        # column was invisible to min/max pruning, manifest bounds and
+        # aggregate pushdown. Write TIMESTAMP_MICROS (INT64) instead,
+        # Iceberg's own physical type; readers handle both, so tables
+        # with pre-switch INT96 files just keep their statless entries.
+        # Set-and-restore around the write: a concurrent writer thread
+        # racing the restore can at worst produce an INT96 file (lost
+        # stats, never lost correctness).
+        conf = frame.sparkSession.conf
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = conf.get(key, None)
+        conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            w = frame.write.mode("overwrite")
+            for k, v in (write_options or {}).items():
+                w = w.option(k, v)
+            w.parquet(scratch)
+        finally:
+            if prev is not None:
+                conf.set(key, prev)
 
     _write(df)
     parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
