@@ -1424,37 +1424,151 @@ class LakeEngine:
 
         return self._sub_outside_literals(self._REF_SUFFIX, sub, stmt)
 
-    _COUNT_STAR = re.compile(
-        r"SELECT\s+COUNT\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>\w+))?"
+    _AGG_ONLY = re.compile(
+        r"SELECT\s+(?P<items>(?:COUNT|MIN|MAX)\s*\([^()]*\)[^()]*?"
+        r"(?:,\s*(?:COUNT|MIN|MAX)\s*\([^()]*\)[^()]*?)*)"
         r"\s+FROM\s+(?P<tbl>[\w.]+)$",
         re.I | re.S,
     )
+    _AGG_ITEM = re.compile(
+        r"(?P<fn>COUNT|MIN|MAX)\s*\(\s*(?P<arg>\*|\w+)\s*\)"
+        r"(?:\s+AS\s+(?P<alias>\w+))?$",
+        re.I,
+    )
+    # exact-bounds types: parquet footer min/max are exact for these.
+    # Strings are EXCLUDED (this engine truncates their bounds, like
+    # Iceberg's), float/double too (Spark orders NaN greatest, parquet
+    # stats don't), binary/complex have no comparable stats.
+    _EXACT_BOUND_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.DateType, T.TimestampType, T.TimestampNTZType,
+        T.BooleanType, T.DecimalType,
+    )
 
-    def _metadata_count(self, ident: str, alias: str | None):
+    def _metadata_aggregates(self, items_text: str, ident: str):
         """Iceberg's aggregate pushdown (SparkScanBuilder.pushAggregation)
-        re-expressed at the facade: an unfiltered ``SELECT COUNT(*) FROM
-        t`` answers from manifest record counts — zero Spark tasks at any
-        table size. Pushed ONLY when the current snapshot carries no
-        delete files (position/equality/DV deletes mask rows inside data
-        files, so record-count sums would overcount — the same condition
-        Iceberg requires before pushing aggregates). Any resolution
-        failure (unknown name, a metadata-relation or ref suffix, a view)
-        returns None and the statement takes the general path, so the
-        fast path can only ever produce what the slow path would."""
+        re-expressed at the facade: an unfiltered aggregate-only SELECT of
+        COUNT(*) / COUNT(col) / MIN(col) / MAX(col) answers from manifest
+        stats — record counts, per-column null counts and exact bounds —
+        with zero data files opened at any table size. Pushed ONLY when
+        every part is provably exact, Iceberg's own conditions:
+
+        - no delete files in the current snapshot (masked rows would
+          falsify every aggregate);
+        - COUNT(col): every data entry carries the column's null count,
+          and the column has no rename history (old files key stats by
+          the old physical name) and no initial default (pre-add rows
+          read the default, which footer stats know nothing about);
+        - MIN/MAX(col): additionally the column's type has exact footer
+          bounds (no strings — bounds are truncated; no float/double —
+          NaN ordering) and every entry has bounds or is provably
+          all-null for the column.
+
+        Any miss returns None and the statement takes the general path,
+        so the fast path can only ever produce what the slow path would.
+        The answer is a one-row aggregate over a LOCAL entries frame
+        (manifest-proportional, no file reads), so types fold through
+        Spark's own casts — decimal/timestamp bounds compare correctly.
+        Resolution goes through the version-checked SELECT cache, so
+        repeated aggregate probes cost one registry read, not a
+        metadata re-load per statement."""
         try:
-            t = self.table(ident)
+            t, _ = self._cached_table(self._strip_catalog(ident))
         except Exception:
             return None
-        snap = t.metadata.current_snapshot()
-        n = 0
-        if snap is not None:
-            if snap.delete_files():
+        parsed: list[tuple[str, str, str | None]] = []
+        for raw in _split_top_level(items_text):
+            m = self._AGG_ITEM.match(raw.strip())
+            if not m:
                 return None
-            n = sum(e.record_count for e in snap.data_files())
-        return self.spark.createDataFrame(
-            [(n,)],
-            T.StructType([T.StructField(alias or "count(1)", T.LongType())]),
-        )
+            parsed.append(
+                (m.group("fn").lower(), m.group("arg"), m.group("alias"))
+            )
+        meta = t.metadata
+        snap = meta.current_snapshot()
+        entries = list(snap.data_files()) if snap is not None else []
+        if snap is not None and snap.delete_files():
+            return None
+        types = {f.name: f.dataType for f in t.schema().fields}
+        needed: list[str] = []
+        for fn, col, _alias in parsed:
+            if col == "*":
+                if fn != "count":
+                    return None  # MIN(*)/MAX(*) is not SQL
+                continue
+            ctype = types.get(col)
+            if (
+                ctype is None
+                or col in meta.renames
+                or col in meta.column_defaults
+            ):
+                return None
+            for e in entries:
+                if e.record_count == 0:
+                    continue
+                if e.null_counts.get(col) is None:
+                    return None  # unknown nulls: COUNT and all-null proof
+            if fn in ("min", "max"):
+                if not isinstance(ctype, self._EXACT_BOUND_TYPES):
+                    return None
+                for e in entries:
+                    if e.record_count == 0:
+                        continue
+                    all_null = e.null_counts.get(col) == e.record_count
+                    if not all_null and (
+                        e.min_values.get(col) is None
+                        or e.max_values.get(col) is None
+                    ):
+                        return None
+            if col not in needed:
+                needed.append(col)
+
+        # one row per data entry: record count + per-column non-null
+        # count and stringified bounds (cast back to the declared type
+        # inside the aggregate, so comparison semantics are Spark's)
+        fields = [T.StructField("__n", T.LongType())]
+        for c in needed:
+            fields += [
+                T.StructField(f"__nn_{c}", T.LongType()),
+                T.StructField(f"__lo_{c}", T.StringType()),
+                T.StructField(f"__hi_{c}", T.StringType()),
+            ]
+        rows = []
+        for e in entries:
+            row: list[Any] = [e.record_count]
+            for c in needed:
+                nn = e.record_count - e.null_counts.get(c, 0)
+                lo, hi = e.min_values.get(c), e.max_values.get(c)
+                row += [
+                    nn,
+                    None if lo is None else str(lo),
+                    None if hi is None else str(hi),
+                ]
+            rows.append(tuple(row))
+        frame = self.spark.createDataFrame(rows, T.StructType(fields))
+        aggs = []
+        for fn, col, alias in parsed:
+            if col == "*":
+                aggs.append(
+                    F.coalesce(F.sum("__n"), F.lit(0))
+                    .cast("long")
+                    .alias(alias or "count(1)")
+                )
+            elif fn == "count":
+                aggs.append(
+                    F.coalesce(F.sum(f"__nn_{col}"), F.lit(0))
+                    .cast("long")
+                    .alias(alias or f"count({col})")
+                )
+            else:
+                src = f"__lo_{col}" if fn == "min" else f"__hi_{col}"
+                agg = F.min if fn == "min" else F.max
+                aggs.append(
+                    agg(F.col(src).cast(types[col])).alias(
+                        alias or f"{fn}({col})"
+                    )
+                )
+        return frame.agg(*aggs)
 
     def _select(self, stmt: str, _depth: int = 0) -> DataFrame:
         """Plain SQL: rewrite lake-table identifiers (and their metadata
@@ -1466,9 +1580,11 @@ class LakeEngine:
         (default.pii inside default.pii_data) or rewrite literals.
         """
         if _depth == 0:
-            m = self._COUNT_STAR.match(stmt)
+            m = self._AGG_ONLY.match(stmt)
             if m:
-                fast = self._metadata_count(m.group("tbl"), m.group("alias"))
+                fast = self._metadata_aggregates(
+                    m.group("items"), m.group("tbl")
+                )
                 if fast is not None:
                     return fast
         # ONE registry snapshot per statement — the rewrites below used

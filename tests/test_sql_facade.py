@@ -433,18 +433,22 @@ def test_select_caches_metadata_until_commit(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(pl, "scan_estimate", spy_est)
 
+    # unfiltered count(*) takes the metadata-aggregate fast path: ONE
+    # load through the same version-checked cache, NO scan estimate
+    # (there is no scan)
     for _ in range(4):
         assert eng.sql("SELECT count(*) AS n FROM default.cachet").collect()[
             0
         ]["n"] == 100
     assert loads["n"] == 1, f"expected 1 metadata load, saw {loads['n']}"
-    assert estimates["n"] == 1, estimates["n"]
+    assert estimates["n"] == 0, estimates["n"]
 
-    # distinct predicate → one more estimate, still no metadata reload
+    # a filtered count takes the general path: one estimate per distinct
+    # predicate, still no metadata reload
     eng.sql("SELECT count(*) AS n FROM default.cachet WHERE k < 10").collect()
     eng.sql("SELECT count(*) AS n FROM default.cachet WHERE k < 10").collect()
     assert loads["n"] == 1
-    assert estimates["n"] == 2
+    assert estimates["n"] == 1
 
     # a commit bumps the on-disk version → both caches invalidate
     eng.sql("INSERT INTO default.cachet VALUES (200, 200)")
@@ -453,7 +457,8 @@ def test_select_caches_metadata_until_commit(spark, tmp_path, monkeypatch):
     ).collect()[0]
     assert row["n"] == 101
     assert loads["n"] >= 2, "commit must invalidate the metadata cache"
-    assert estimates["n"] >= 3, "commit must invalidate the estimate cache"
+    eng.sql("SELECT count(*) AS n FROM default.cachet WHERE k < 10").collect()
+    assert estimates["n"] >= 2, "commit must invalidate the estimate cache"
 
 
 def test_drop_purge_recreate_same_name_not_served_from_cache(spark, tmp_path):
@@ -1576,3 +1581,78 @@ def test_count_star_metadata_pushdown(spark, tmp_path):
     df = eng.sql("SELECT COUNT(*) FROM demo.default.ct")
     assert df.collect()[0][0] == 0
     assert "parquet" not in plan(df).lower()
+
+
+def test_min_max_count_metadata_pushdown(spark, tmp_path):
+    """The generalized aggregate pushdown: COUNT(col) from null counts,
+    MIN/MAX from exact manifest bounds (int/date/timestamp; strings are
+    truncated and floats NaN-unsafe so they fall back), equal to the
+    general path in every case."""
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql(
+        "CREATE TABLE demo.default.ag (id bigint, d date, ts timestamp, "
+        "s string, f double) USING iceberg"
+    )
+    eng.sql(
+        "INSERT INTO demo.default.ag VALUES "
+        "(5, date'2024-06-05', timestamp'2024-06-05 10:00:00', 'abc', 1.5), "
+        "(1, date'2024-01-01', timestamp'2024-01-01 00:00:00', 'zzz', 2.5), "
+        "(NULL, NULL, NULL, NULL, NULL)"
+    )
+    eng.sql(
+        "INSERT INTO demo.default.ag VALUES "
+        "(9, date'2025-12-31', timestamp'2025-12-31 23:59:59', 'mm', 0.5)"
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    q = (
+        "SELECT COUNT(*), COUNT(id), MIN(id), MAX(id), MIN(d), "
+        "MAX(ts) AS mts, COUNT(s) FROM demo.default.ag"
+    )
+    fast = eng.sql(q)
+    assert "parquet" not in plan(fast).lower(), "must answer from manifests"
+    # byte-identical to the general path (WHERE TRUE defeats the regex)
+    assert fast.collect() == eng.sql(q + " WHERE TRUE").collect()
+    assert fast.columns == [
+        "count(1)", "count(id)", "min(id)", "max(id)", "min(d)", "mts",
+        "count(s)",
+    ]
+
+    # strings (truncated bounds) and floats (NaN ordering) fall back —
+    # and still give the right answer
+    for expr, want in (("MIN(s)", "abc"), ("MAX(f)", 2.5)):
+        df = eng.sql(f"SELECT {expr} AS x FROM demo.default.ag")
+        assert "parquet" in plan(df).lower()
+        assert df.collect()[0]["x"] == want
+
+    # an all-null column: NULL min/max, zero count, still metadata-only
+    eng.sql("CREATE TABLE demo.default.an (x bigint, y bigint) USING iceberg")
+    eng.sql("INSERT INTO demo.default.an VALUES (1, NULL), (2, NULL)")
+    df = eng.sql("SELECT MIN(y), MAX(y), COUNT(y) FROM demo.default.an")
+    assert "parquet" not in plan(df).lower()
+    assert df.collect()[0] == (None, None, 0)
+
+    # a rename makes old stats unreachable by the new name: fall back
+    eng.sql("ALTER TABLE demo.default.ag RENAME COLUMN id TO ident")
+    df = eng.sql("SELECT COUNT(ident) FROM demo.default.ag")
+    assert "parquet" in plan(df).lower()
+    assert df.collect()[0][0] == 3
+
+    # an initial default falsifies footer stats for pre-add rows: fall back
+    eng.sql("ALTER TABLE demo.default.ag ADD COLUMN w bigint DEFAULT 7")
+    df = eng.sql("SELECT COUNT(w), MIN(w) FROM demo.default.ag")
+    assert "parquet" in plan(df).lower()
+    assert df.collect()[0] == (4, 7)
+
+    # MOR deletes gate everything
+    eng.sql(
+        "ALTER TABLE demo.default.an SET TBLPROPERTIES "
+        "('write.delete.mode'='merge-on-read')"
+    )
+    eng.sql("DELETE FROM demo.default.an WHERE x = 1")
+    df = eng.sql("SELECT MIN(x), COUNT(*) FROM demo.default.an")
+    assert "parquet" in plan(df).lower()
+    assert df.collect()[0] == (2, 1)
