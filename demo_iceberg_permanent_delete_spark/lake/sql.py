@@ -133,7 +133,14 @@ class LakeEngine:
 
         reg = self.catalog._read_registry()
         entry = reg["tables"].get(name)
-        cached = self._table_cache.get(name)
+        # the session read branch is part of table identity for reads:
+        # the same name under spark.wap.branch serves the BRANCH head
+        # (Iceberg's WAP read routing), so it caches under its own key —
+        # branch commits bump the metadata version, which the staleness
+        # probe below already watches
+        wb = self._active_read_branch()
+        cache_key = name if wb is None else f"{name}@{wb}"
+        cached = self._table_cache.get(cache_key)
         if entry is not None and cached is not None:
             version, ident, t, df = cached
             try:
@@ -153,9 +160,9 @@ class LakeEngine:
             ):
                 return t, df
         t = self.catalog.load_table(name)
-        df = t.read()
+        df = self._branch_read(t)
         ident = doc_identity(t.metadata.location, t.metadata.version)
-        self._table_cache[name] = (t.metadata.version, ident, t, df)
+        self._table_cache[cache_key] = (t.metadata.version, ident, t, df)
         # drop the table's stale estimates/scans with it (a same-version
         # recreate would otherwise serve the old table's)
         self._estimate_cache = {
@@ -225,6 +232,33 @@ class LakeEngine:
     def table(self, name: str) -> LakeTable:
         return self.catalog.load_table(self._strip_catalog(name))
 
+    def _active_read_branch(self) -> str | None:
+        """``spark.wap.branch`` routes READS too (Iceberg: 'the branch is
+        used for all table reads and writes within the session' — the
+        audit session sees its own staged data). 'main' is the table
+        itself; unset/empty is None."""
+        wb = self.spark.conf.get("spark.wap.branch", None) or None
+        return None if wb == "main" else wb
+
+    def _branch_read(self, t: LakeTable) -> DataFrame:
+        """The session-branch read of ``t``: the branch head when the
+        branch exists, the table itself when it doesn't (Iceberg's
+        pre-first-write WAP shape — the branch is born at the first
+        write), and a loud error when the name is a TAG (mirrors the
+        write-side kind check)."""
+        wb = self._active_read_branch()
+        if wb is None:
+            return t.read()
+        ref = t.metadata.refs.get(wb)
+        if ref is None:
+            return t.read()
+        if ref.get("type") != "branch":
+            raise ValueError(
+                f"spark.wap.branch {wb!r} names a tag on {t.name} — "
+                "tags are read-only snapshots, not write branches"
+            )
+        return t.read(ref=wb)
+
     def read_table(
         self,
         name: str,
@@ -235,8 +269,13 @@ class LakeEngine:
     ) -> DataFrame:
         """``spark.table(t)`` / ``spark.read.option('snapshot-id', id)
         .table(t)`` parity (reference :114 / :261), plus named-ref
-        (VERSION AS OF) and timestamp (TIMESTAMP AS OF) travel."""
-        return self.table(name).read(snapshot_id=snapshot_id, ref=ref, as_of=as_of)
+        (VERSION AS OF) and timestamp (TIMESTAMP AS OF) travel. An
+        explicit pin wins over the session's ``spark.wap.branch``; a
+        bare read follows it (Iceberg's WAP read routing)."""
+        t = self.table(name)
+        if snapshot_id is None and ref is None and as_of is None:
+            return self._branch_read(t)
+        return t.read(snapshot_id=snapshot_id, ref=ref, as_of=as_of)
 
     # ---------------------------------------------------------------- sql
     def sql(self, text: str) -> DataFrame:
@@ -1472,6 +1511,10 @@ class LakeEngine:
         Resolution goes through the version-checked SELECT cache, so
         repeated aggregate probes cost one registry read, not a
         metadata re-load per statement."""
+        if self._active_read_branch() is not None:
+            # wap.branch reads serve the BRANCH head; this fold reads the
+            # main manifest — defer to the general (branch-routed) path
+            return None
         try:
             t, _ = self._cached_table(self._strip_catalog(ident))
         except Exception:
@@ -1665,15 +1708,22 @@ class LakeEngine:
             )
         except Exception:  # extraction is best-effort, never fatal
             predicates = {}
+        # under spark.wap.branch the registered frames are BRANCH reads;
+        # the pruned-scan and estimate caches plan against the main head
+        # (t.scan), so substituting them would swap in main's files —
+        # keep the branch read as-is (correct first, fast later)
+        on_branch = self._active_read_branch() is not None
         for name, views in needed.items():
             t, df = loaded[name]
-            pred = predicates.get(name.replace(".", "__"))
-            est = self._cached_estimate(name, t, pred)
+            pred = None if on_branch else predicates.get(name.replace(".", "__"))
+            est = self._cached_estimate(name, t, pred) if not on_branch else None
             if pred is not None:
                 # register the manifest-pruned scan, not the full read —
                 # Spark re-applies the statement's WHERE above the view
                 df = self._cached_scan(name, t, pred, fallback=df)
-            if 0 < est["bytes"] <= _broadcast_threshold(self.spark, None):
+            if est is not None and 0 < est["bytes"] <= _broadcast_threshold(
+                self.spark, None
+            ):
                 from pyspark.sql import functions as F
 
                 df = F.broadcast(df)

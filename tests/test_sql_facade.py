@@ -1656,3 +1656,51 @@ def test_min_max_count_metadata_pushdown(spark, tmp_path):
     df = eng.sql("SELECT MIN(x), COUNT(*) FROM demo.default.an")
     assert "parquet" in plan(df).lower()
     assert df.collect()[0] == (2, 1)
+
+
+def test_wap_branch_routes_reads(spark, tmp_path):
+    """Iceberg WAP read routing: under spark.wap.branch the session's
+    bare-name READS serve the branch head too (the audit session sees
+    its own staged data), falling back to main before the branch's
+    first write; explicit pins (AS OF, ref suffixes) still win; a tag
+    name errors like the write side; 'main' is the table itself."""
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.r (k bigint, v string) USING iceberg")
+    eng.sql("INSERT INTO demo.default.r VALUES (1, 'a')")
+    eng.sql("ALTER TABLE default.r CREATE TAG t0")
+    import pytest as _pytest
+
+    try:
+        # branch not created yet: reads fall back to main
+        spark.conf.set("spark.wap.branch", "audit")
+        assert eng.sql("SELECT COUNT(*) AS n FROM demo.default.r").collect()[0]["n"] == 1
+        # create the branch (X75: branch writes need an existing branch)
+        # and stage a row on it; session reads now see the staged row...
+        eng.sql("ALTER TABLE default.r CREATE BRANCH audit")
+        eng.sql("INSERT INTO demo.default.r VALUES (2, 'staged')")
+        got = sorted(r["k"] for r in eng.sql("SELECT * FROM demo.default.r").collect())
+        assert got == [1, 2]
+        assert eng.read_table("default.r").count() == 2
+        # ...and COUNT(*) (via the general path) agrees
+        assert eng.sql("SELECT COUNT(*) AS n FROM demo.default.r").collect()[0]["n"] == 2
+        # main itself is untouched
+        spark.conf.unset("spark.wap.branch")
+        assert eng.sql("SELECT COUNT(*) AS n FROM demo.default.r").collect()[0]["n"] == 1
+        spark.conf.set("spark.wap.branch", "audit")
+        # explicit pins win over the session branch
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM demo.default.r VERSION AS OF 't0'"
+        ).collect()[0]["n"] == 1
+        assert eng.read_table("default.r", ref="t0").count() == 1
+        # 'main' routes to the table; a tag name errors like the write side
+        spark.conf.set("spark.wap.branch", "main")
+        assert eng.sql("SELECT COUNT(*) AS n FROM demo.default.r").collect()[0]["n"] == 1
+        spark.conf.set("spark.wap.branch", "t0")
+        with _pytest.raises(ValueError, match="names a tag"):
+            eng.sql("SELECT * FROM demo.default.r").collect()
+    finally:
+        try:
+            spark.conf.unset("spark.wap.branch")
+        except Exception:
+            pass
