@@ -1655,6 +1655,32 @@ class LakeTable:
             out = self._compute_update_images(out, identifier_columns)
         return out
 
+    def pair_update_images(
+        self,
+        changelog_df: DataFrame,
+        identifier_columns: Iterable[str] | None = None,
+        *,
+        remove_carryovers: bool = True,
+    ) -> DataFrame:
+        """Post-process an EXISTING changelog frame into pre/post update
+        images — Iceberg's ChangelogIterator as a public operator, for
+        consumers who already hold (and often checkpointed) a changelog
+        and shouldn't pay a second changelog read just to flip
+        ``compute_updates`` on. Same semantics as
+        ``changes(compute_updates=True)``, which routes through this:
+        carry-overs cancel first (multiset), then DELETE/INSERT pairs
+        sharing identifier values within a commit relabel
+        UPDATE_BEFORE/UPDATE_AFTER, with the in-plan uniqueness guard.
+        Extra columns (e.g. ``lineage=True``'s row-lineage pair) ride
+        along untouched."""
+        for c in ("_change_type", "_change_ordinal"):
+            if c not in changelog_df.columns:
+                raise ValueError(f"not a changelog frame: missing {c!r}")
+        out = changelog_df
+        if remove_carryovers:
+            out = _remove_changelog_carryovers(out)
+        return self._compute_update_images(out, identifier_columns)
+
     def _compute_update_images(
         self, df: DataFrame, identifier_columns: Iterable[str] | None
     ) -> DataFrame:

@@ -581,17 +581,19 @@ def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         paired = _feed("d", "UPDATE_PRE").unionByName(_feed("i", "UPDATE_POST"))
         # (d) the VALUE-matching counterpart (round-11): the same MOR
         # update's changelog rows paired by identifier columns via
-        # changes(compute_updates=True) — Iceberg's create_changelog_view
-        # pre/post-image mode. The UPDATE_BEFORE/UPDATE_AFTER relabeling
-        # itself sits under the hash: a mispair or a carry-over leak
-        # would flip labels or leak extra rows and break it.
-        # (l_orderkey, l_linenumber) alone is NOT unique in the synthetic
-        # lineitem — the guard correctly refuses it; the widened key is
-        # unique within the updated subset at every bundled SF and none
-        # of its columns are touched by the update
-        value_paired = t2.changes(
-            start_snapshot_id=pre_update_head,
-            compute_updates=True,
+        # pair_update_images — the public post-processor behind
+        # changes(compute_updates=True), Iceberg's create_changelog_view
+        # pre/post-image mode — applied to the ALREADY-CHECKPOINTED
+        # changelog above rather than paying a second changelog read.
+        # The UPDATE_BEFORE/UPDATE_AFTER relabeling itself sits under
+        # the hash: a mispair or a carry-over leak would flip labels or
+        # leak extra rows and break it. (l_orderkey, l_linenumber) alone
+        # is NOT unique in the synthetic lineitem — the guard correctly
+        # refuses it; the widened key is unique within the updated
+        # subset at every bundled SF and none of its columns are touched
+        # by the update
+        value_paired = t2.pair_update_images(
+            upd,
             identifier_columns=[
                 "l_orderkey",
                 "l_linenumber",

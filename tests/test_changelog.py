@@ -322,3 +322,22 @@ def test_changelog_timestamps_resolve_on_main_ancestry(spark, tmp_path):
         f"changelog_view => 'tb2', options => map('start-timestamp', '{now_ms}'))"
     )
     assert spark.sql("SELECT * FROM tb2").count() == 0
+
+
+def test_pair_update_images_public_postprocessor(spark, tmp_path):
+    """pair_update_images (Iceberg's ChangelogIterator as a public
+    operator) equals changes(compute_updates=True) applied to the same
+    range, rides extra columns (lineage) untouched, and validates its
+    input is a changelog frame."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.pp", DDL)
+    t.insert(one_part(spark, [(1, "a"), (2, "b")], DDL))
+    t.update({"v": None}, "k = 2")
+    via_flag = _rows(t.changes(compute_updates=True, identifier_columns=["k"]))
+    via_post = _rows(
+        t.pair_update_images(t.changes(), identifier_columns=["k"])
+    )
+    assert via_post == via_flag
+    with pytest.raises(ValueError, match="not a changelog frame"):
+        t.pair_update_images(t.read(), identifier_columns=["k"])
