@@ -411,10 +411,19 @@ def remove_orphan_files(
         # hint); a process killed before the rename/unlink leaves it
         # behind forever, and nothing else ever references it.
         is_debris = ".tmp-" in name or name.startswith(".hint-tmp-")
-        if not (name.startswith("manifest-") or is_debris):
+        is_pstats = name.startswith("partition-stats-")
+        if not (name.startswith("manifest-") or is_debris or is_pstats):
             continue
         path = os.path.join(meta_dir, name)
         if path in live_manifests:
+            continue
+        if is_pstats and any(
+            e["statistics-path"] == path
+            for e in table.metadata.partition_statistics
+        ):
+            # registered stats files are live; an UNREGISTERED one is a
+            # crash leftover (killed between write and commit) — age it
+            # out like any other orphan
             continue
         try:
             mtime_ms = os.path.getmtime(path) * 1000

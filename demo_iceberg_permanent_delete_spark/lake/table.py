@@ -2095,12 +2095,22 @@ class LakeTable:
         # pins an explicit file count (AQE never coalesces an explicit n).
         n_raw = self.properties.get("write.distribution.partitions")
         n = int(n_raw) if n_raw else None
+        # Iceberg's write.distribution-mode: range (default) | hash |
+        # none — validated here at write time so a typo fails the write
+        # loudly instead of silently range-clustering
+        mode = str(
+            self.properties.get("write.distribution-mode", "range")
+        ).lower()
+        if mode not in ("range", "hash", "none"):
+            raise ValueError(
+                f"write.distribution-mode {mode!r}: expected range|hash|none"
+            )
         if fields:
             from demo_iceberg_permanent_delete_spark.lake.transforms import (
                 cluster_for_write,
             )
 
-            df = cluster_for_write(df, fields, num_partitions=n)
+            df = cluster_for_write(df, fields, num_partitions=n, mode=mode)
         order = self.properties.get("write.sort-order")
         if order:
             sort_cols = _parse_sort_order(order)

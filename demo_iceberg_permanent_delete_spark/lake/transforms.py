@@ -222,10 +222,25 @@ def cluster_for_write(
     fields: list[PartitionField],
     *,
     num_partitions: int | None = None,
+    mode: str = "range",
 ) -> DataFrame:
-    """Attach synthetic bucket columns and range-cluster by the transform
-    values, so every output file covers a narrow slice of each partition
-    dimension (tight stats → file pruning at plan time)."""
+    """Attach synthetic bucket columns and distribute by the transform
+    values per Iceberg's ``write.distribution-mode``:
+
+    - ``range`` (default): range-cluster, so every output file covers a
+      narrow slice of each partition dimension (tight stats → file
+      pruning at plan time — Iceberg's range distribution).
+    - ``hash``: hash-repartition on the transform tuple — co-locates
+      each partition value into one task's files without a range
+      sample pass (cheaper shuffle planning; files cover ONE value per
+      dimension but carry no cross-file ordering).
+    - ``none``: no shuffle at all — incoming partitioning is kept
+      (fastest ingest; files may straddle many partition values, which
+      the write-time harvest and the pruner handle, just with looser
+      stats).
+
+    The synthetic bucket stat columns attach in every mode — pruning
+    correctness never depends on the distribution choice."""
     if not fields:
         return df
     types = {f.name: f.dataType for f in df.schema.fields}
@@ -240,6 +255,14 @@ def cluster_for_write(
             df = df.withColumn(part_col, expr)
             expr = F.col(part_col)
         exprs.append(expr)
+    if mode == "none":
+        return df
+    if mode == "hash":
+        return (
+            df.repartition(num_partitions, *exprs)
+            if num_partitions
+            else df.repartition(*exprs)
+        )
     if num_partitions:
         return df.repartitionByRange(num_partitions, *exprs)
     return df.repartitionByRange(*exprs)

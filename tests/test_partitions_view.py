@@ -545,3 +545,17 @@ def test_partition_stats_crash_debris_and_conflict(spark, tmp_path):
     # and the real computation still works afterwards
     out = t.compute_partition_stats()
     assert os.path.exists(out["statistics-path"])
+
+    # (c) an UNREGISTERED partition-stats file (killed between write and
+    # commit) ages out through the orphan sweep; the registered one and
+    # a fresh leftover both survive
+    stale = os.path.join(meta_dir, "partition-stats-999-deadbeef.parquet")
+    fresh = os.path.join(meta_dir, "partition-stats-999-cafecafe.parquet")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("x")
+    os.utime(stale, (old, old))
+    t.remove_orphan_files(enforce_safety=False)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # inside the cutoff window
+    assert os.path.exists(out["statistics-path"])  # registered: live

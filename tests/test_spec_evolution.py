@@ -158,3 +158,50 @@ def test_sort_order_sql_surface(spark, cat):
 
     with pytest.raises(ValueError, match="not in table schema"):
         t.set_sort_order("nope")
+
+
+def test_write_distribution_mode(spark, cat):
+    """Iceberg's write.distribution-mode: range (default, tight bounds),
+    hash (one value per dimension per task, no range sample), none (no
+    shuffle). All three read back identically and keep exact partition
+    counts in .partitions; a typo fails the write loudly."""
+    rows = [(i, f"2024-06-{(i % 3) + 5:02d}") for i in range(60)]
+
+    def mk(name, mode):
+        t = cat.create_table(
+            f"default.{name}", "id bigint, d date",
+            partition_by=["d"],
+            properties={"write.distribution-mode": mode} if mode else {},
+        )
+        t.insert(
+            spark.createDataFrame(rows, "id long, d string").selectExpr(
+                "id", "CAST(d AS date) AS d"
+            )
+        )
+        return t
+
+    expected = {f"2024-06-{k + 5:02d}": 20 for k in range(3)}
+    for name, mode in (("wr", None), ("wh", "hash"), ("wn", "none")):
+        t = mk(name, mode)
+        assert t.read().count() == 60
+        got = {
+            r["partition"]["d"]: r["record_count"]
+            for r in t.meta("partitions").collect()
+        }
+        assert got == expected, (name, got)
+
+    # hash mode: each partition value lands in exactly one task's files
+    # → at most one file per value (60 tiny rows, 3 values)
+    th = cat.load_table("default.wh")
+    per_value: dict = {}
+    for e in th.metadata.current_snapshot().data_files():
+        for pmap, _n in e.partition_counts or []:
+            per_value.setdefault(pmap["d"], set()).add(e.file_path)
+    assert all(len(files) == 1 for files in per_value.values())
+
+    t = cat.create_table(
+        "default.wx", "id bigint, d date", partition_by=["d"],
+        properties={"write.distribution-mode": "zorder"},
+    )
+    with pytest.raises(ValueError, match="range|hash|none"):
+        t.insert(spark.sql("SELECT 1 AS id, date'2024-06-05' AS d"))
