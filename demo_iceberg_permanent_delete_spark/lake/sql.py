@@ -1358,8 +1358,14 @@ class LakeEngine:
 
         def sub(m: re.Match) -> str:
             name = self._strip_catalog(m.group("tbl"))
+            meta_view = None
             if name not in tables:
-                return m.group(0)
+                # Iceberg metadata-table travel: t.files VERSION AS OF …
+                base, _, tail = name.rpartition(".")
+                if base in tables and tail in _META_VIEWS:
+                    name, meta_view = base, tail
+                else:
+                    return m.group(0)
             t = self.catalog.load_table(name)
             kind = m.group("kind").upper()
             raw = m.group("val")
@@ -1370,6 +1376,10 @@ class LakeEngine:
             else:  # TIMESTAMP / SYSTEM_TIME — ISO string or epoch-ms
                 as_of = dt.datetime.fromisoformat(lit) if quoted else int(lit)
                 snap_id = t.snapshot_as_of(as_of)
+            if meta_view is not None:
+                view = f"{name.replace('.', '__')}__{meta_view}__v{snap_id}"
+                t.meta_at(meta_view, snapshot_id=snap_id).createOrReplaceTempView(view)
+                return view
             view = f"{name.replace('.', '__')}__v{snap_id}"
             t.read(snapshot_id=snap_id).createOrReplaceTempView(view)
             return view

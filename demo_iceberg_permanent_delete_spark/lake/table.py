@@ -3142,6 +3142,41 @@ class LakeTable:
     # .metadata_log_entries .all_entries — plus the rest of Iceberg's
     # metadata-relation family (.entries .manifests .data_files
     # .delete_files .position_deletes .refs .partitions)
+    def meta_at(
+        self,
+        view: str,
+        snapshot_id: int | None = None,
+        *,
+        ref: str | None = None,
+        as_of: dt.datetime | int | None = None,
+    ) -> DataFrame:
+        """Iceberg metadata-table time travel (``SELECT … FROM t.files
+        VERSION AS OF v``): serve ``view`` as of the pinned snapshot.
+        The same view builders run against a read-only metadata handle
+        whose current pointer is the pin (``dataclasses.replace``
+        shallow copy — snapshot/ref/property maps and the manifest fold
+        cache are shared with the live handle, so repeated travels
+        don't re-fold). Snapshot-level views (.files .entries
+        .partitions .manifests .history …) reflect the pinned state;
+        table-level documents (.refs, .snapshots, properties) are the
+        CURRENT metadata's, exactly Iceberg's behavior — travel picks
+        the snapshot, not an old metadata.json."""
+        if snapshot_id is None and ref is None and as_of is None:
+            return self.meta(view)
+        if sum(x is not None for x in (snapshot_id, ref, as_of)) > 1:
+            raise ValueError("pass only one of snapshot_id, ref, as_of")
+        if ref is not None:
+            sid = self.resolve_ref(ref)
+        elif as_of is not None:
+            sid = self.snapshot_as_of(as_of)
+        else:
+            sid = int(snapshot_id)  # type: ignore[arg-type]
+            self.metadata.snapshot_by_id(sid)  # raises if unknown
+        import dataclasses
+
+        pinned = dataclasses.replace(self.metadata, current_snapshot_id=sid)
+        return LakeTable(self.spark, pinned).meta(view)
+
     def meta(self, view: str) -> DataFrame:
         builder = {
             "files": self._files_view,

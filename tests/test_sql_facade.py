@@ -1704,3 +1704,52 @@ def test_wap_branch_routes_reads(spark, tmp_path):
             spark.conf.unset("spark.wap.branch")
         except Exception:
             pass
+
+
+def test_metadata_table_time_travel(spark, tmp_path):
+    """Iceberg metadata-table travel: t.files/.partitions/.history
+    VERSION|TIMESTAMP AS OF serve the pinned snapshot's state (the
+    travel picks the snapshot, not an old metadata.json); the API form
+    is meta_at, with the same one-pin rule as read()."""
+    import pytest as _pytest
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.mt (k bigint) USING iceberg")
+    eng.sql("INSERT INTO demo.default.mt VALUES (1)")
+    t = eng.table("default.mt")
+    v1 = t.metadata.current_snapshot_id
+    eng.sql("ALTER TABLE default.mt CREATE TAG first")
+    eng.sql("INSERT INTO demo.default.mt VALUES (2), (3)")
+
+    files_then = eng.sql(
+        f"SELECT COUNT(*) AS n FROM demo.default.mt.files VERSION AS OF {v1}"
+    ).collect()[0]["n"]
+    files_now = eng.sql(
+        "SELECT COUNT(*) AS n FROM demo.default.mt.files"
+    ).collect()[0]["n"]
+    assert files_then < files_now
+    # ref literal + partitions travel: record_count as of the tag
+    n = eng.sql(
+        "SELECT SUM(record_count) AS n FROM demo.default.mt.partitions "
+        "VERSION AS OF 'first'"
+    ).collect()[0]["n"]
+    assert n == 1
+    # history lists every snapshot (table-level document), but the
+    # ancestry flag is computed against the PIN
+    h = {
+        r["snapshot_id"]: r["is_current_ancestor"]
+        for r in eng.sql(
+            f"SELECT * FROM demo.default.mt.history VERSION AS OF {v1}"
+        ).collect()
+    }
+    assert h[v1] is True
+    assert sum(1 for v in h.values() if v) == 1  # the later commit isn't
+    # API form + guards
+    t.refresh()  # the handle predates the facade's second INSERT
+    assert t.meta_at("files", snapshot_id=v1).count() == files_then
+    assert t.meta_at("files").count() == files_now
+    with _pytest.raises(ValueError, match="only one of"):
+        t.meta_at("files", snapshot_id=v1, ref="first")
+    with _pytest.raises(Exception):
+        t.meta_at("files", snapshot_id=123456789)
