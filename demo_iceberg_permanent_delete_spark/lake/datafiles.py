@@ -190,8 +190,15 @@ def write_data_files(
                 w = w.option(k, v)
             w.parquet(scratch)
         finally:
+            # conf.get(key, None) is None when the key was never
+            # explicitly set (it does NOT surface the INT96 default), so
+            # restore means UNSET in that case — otherwise the override
+            # would leak into the user's session and change what THEIR
+            # df.write.parquet() emits (review finding)
             if prev is not None:
                 conf.set(key, prev)
+            else:
+                conf.unset(key)
 
     _write(df)
     parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))

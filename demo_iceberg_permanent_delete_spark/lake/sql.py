@@ -1576,52 +1576,56 @@ class LakeEngine:
             if col not in needed:
                 needed.append(col)
 
-        # one row per data entry: record count + per-column non-null
-        # count and stringified bounds (cast back to the declared type
-        # inside the aggregate, so comparison semantics are Spark's)
-        fields = [T.StructField("__n", T.LongType())]
-        for c in needed:
-            fields += [
-                T.StructField(f"__nn_{c}", T.LongType()),
-                T.StructField(f"__lo_{c}", T.StringType()),
-                T.StructField(f"__hi_{c}", T.StringType()),
-            ]
-        rows = []
-        for e in entries:
-            row: list[Any] = [e.record_count]
-            for c in needed:
-                nn = e.record_count - e.null_counts.get(c, 0)
-                lo, hi = e.min_values.get(c), e.max_values.get(c)
-                row += [
-                    nn,
-                    None if lo is None else str(lo),
-                    None if hi is None else str(hi),
-                ]
-            rows.append(tuple(row))
-        frame = self.spark.createDataFrame(rows, T.StructType(fields))
-        aggs = []
-        for fn, col, alias in parsed:
-            if col == "*":
-                aggs.append(
-                    F.coalesce(F.sum("__n"), F.lit(0))
-                    .cast("long")
-                    .alias(alias or "count(1)")
-                )
-            elif fn == "count":
-                aggs.append(
-                    F.coalesce(F.sum(f"__nn_{col}"), F.lit(0))
-                    .cast("long")
-                    .alias(alias or f"count({col})")
-                )
-            else:
-                src = f"__lo_{col}" if fn == "min" else f"__hi_{col}"
-                agg = F.min if fn == "min" else F.max
-                aggs.append(
-                    agg(F.col(src).cast(types[col])).alias(
-                        alias or f"{fn}({col})"
+        # pure driver-side fold over the (already cached) manifest
+        # entries — no per-statement createDataFrame of one row per data
+        # file (review finding: at 800k files that serialized 800k
+        # tuples per COUNT(*)). Bounds parse to the column's Python
+        # value space (same total order Spark's casts give these exact
+        # types); any parse surprise falls back to the general path.
+        out_fields: list[T.StructField] = []
+        out_row: list[Any] = []
+        try:
+            for fn, col, alias in parsed:
+                if col == "*":
+                    out_fields.append(
+                        T.StructField(alias or "count(1)", T.LongType())
                     )
-                )
-        return frame.agg(*aggs)
+                    out_row.append(sum(e.record_count for e in entries))
+                elif fn == "count":
+                    out_fields.append(
+                        T.StructField(alias or f"count({col})", T.LongType())
+                    )
+                    out_row.append(
+                        sum(
+                            e.record_count - e.null_counts.get(col, 0)
+                            for e in entries
+                        )
+                    )
+                else:
+                    vals = [
+                        _parse_bound(
+                            (e.min_values if fn == "min" else e.max_values)[
+                                col
+                            ],
+                            types[col],
+                        )
+                        for e in entries
+                        if e.record_count > 0
+                        and e.null_counts.get(col) != e.record_count
+                    ]
+                    out_fields.append(
+                        T.StructField(alias or f"{fn}({col})", types[col])
+                    )
+                    out_row.append(
+                        (min(vals) if fn == "min" else max(vals))
+                        if vals
+                        else None
+                    )
+        except Exception:
+            return None
+        return self.spark.createDataFrame(
+            [tuple(out_row)], T.StructType(out_fields)
+        )
 
     def _select(self, stmt: str, _depth: int = 0) -> DataFrame:
         """Plain SQL: rewrite lake-table identifiers (and their metadata
@@ -2138,6 +2142,42 @@ def _parse_default_literal(raw: str) -> Any:
                 f"unsupported DEFAULT literal {raw!r}: use a quoted "
                 "string, a number, TRUE/FALSE, or NULL"
             ) from None
+
+
+def _parse_bound(v: Any, dtype: T.DataType) -> Any:
+    """A manifest bound value → the column's Python value space, with
+    the same total order Spark's casts give these exact-bounds types.
+    Values arrive either raw (a fresh in-memory entry holds what pyarrow
+    decoded: int/bool/datetime/date/Decimal) or JSON-round-tripped
+    (ints stay ints; datetimes/dates/decimals became ISO/str). Raises on
+    anything unexpected — the caller treats that as 'not pushable'."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise ValueError(f"non-int bound {v!r}")
+        return v
+    if isinstance(dtype, T.BooleanType):
+        if isinstance(v, bool):
+            return v
+        if str(v) in ("True", "true", "False", "false"):
+            return str(v).lower() == "true"
+        raise ValueError(f"non-bool bound {v!r}")
+    if isinstance(dtype, T.DateType):
+        if isinstance(v, _dt.datetime):
+            raise ValueError("datetime bound for a date column")
+        if isinstance(v, _dt.date):
+            return v
+        return _dt.date.fromisoformat(str(v))
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        d = v if isinstance(v, _dt.datetime) else _dt.datetime.fromisoformat(str(v))
+        if d.tzinfo is not None:
+            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return d
+    if isinstance(dtype, T.DecimalType):
+        return _decimal.Decimal(str(v))
+    raise ValueError(f"no exact bound parse for {dtype}")
 
 
 def _parse_literal(text: str) -> Any:

@@ -217,8 +217,15 @@ def _remove_changelog_carryovers(df: DataFrame) -> DataFrame:
     (grouping keys are the row values — NULL and NaN group as equal,
     Spark's aggregate-key semantics, which is the null-safe comparison
     Iceberg's carry-over check uses)."""
-    gcols = [c for c in df.columns if c != "_change_type"]
     typ = F.col("_change_type")
+    # only DELETE/INSERT rows participate in cancellation; any other
+    # label (an already-paired UPDATE_BEFORE/UPDATE_AFTER from a prior
+    # pass) rides through untouched — without this split a re-applied
+    # post-processor would silently drop every paired row (review
+    # finding: both count surpluses are zero for a non-DML label)
+    passthrough = df.filter(~typ.isin("DELETE", "INSERT"))
+    df = df.filter(typ.isin("DELETE", "INSERT"))
+    gcols = [c for c in df.columns if c != "_change_type"]
     grp = df.groupBy(*gcols).agg(
         F.sum(F.when(typ == "DELETE", 1).otherwise(0)).alias("__nd"),
         F.sum(F.when(typ == "INSERT", 1).otherwise(0)).alias("__ni"),
@@ -241,7 +248,11 @@ def _remove_changelog_carryovers(df: DataFrame) -> DataFrame:
             "_change_type"
         ),
     )
-    return dels.unionByName(ins).select(*df.columns)
+    return (
+        dels.unionByName(ins)
+        .select(*df.columns)
+        .unionByName(passthrough.select(*df.columns))
+    )
 
 
 class LakeTable:

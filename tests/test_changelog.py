@@ -341,3 +341,18 @@ def test_pair_update_images_public_postprocessor(spark, tmp_path):
     assert via_post == via_flag
     with pytest.raises(ValueError, match="not a changelog frame"):
         t.pair_update_images(t.read(), identifier_columns=["k"])
+
+
+def test_pair_update_images_idempotent(spark, tmp_path):
+    """Re-applying the post-processor must pass already-paired rows
+    through untouched (review finding: the carry-over cancel used to
+    silently drop every non-DELETE/INSERT label)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.idem", DDL)
+    t.insert(one_part(spark, [(1, "a"), (2, "b")], DDL))
+    t.update({"v": None}, "k = 2")
+    once = t.pair_update_images(t.changes(), identifier_columns=["k"])
+    twice = t.pair_update_images(once, identifier_columns=["k"])
+    assert _rows(twice) == _rows(once)
+    assert ("UPDATE_BEFORE", 1, 2, "b") in _rows(twice)

@@ -559,3 +559,30 @@ def test_partition_stats_crash_debris_and_conflict(spark, tmp_path):
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)  # inside the cutoff window
     assert os.path.exists(out["statistics-path"])  # registered: live
+
+
+def test_write_restores_timestamp_conf(spark, tmp_path):
+    """The TIMESTAMP_MICROS write override must not leak into the user's
+    session (review finding: get(key, None) is None for a never-set key,
+    so restore means unset)."""
+    from demo_iceberg_permanent_delete_spark.lake import Catalog
+
+    key = "spark.sql.parquet.outputTimestampType"
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("default")
+    t = cat.create_table("default.tc", "id bigint, ts timestamp")
+    spark.conf.unset(key)  # pristine session
+    t.insert(spark.sql("SELECT id, timestamp'2024-06-05 10:00:00' AS ts FROM range(3)"))
+    assert spark.conf.get(key, None) is None  # not leaked
+    # an explicit user setting survives the write round trip
+    spark.conf.set(key, "INT96")
+    try:
+        t.insert(spark.sql("SELECT 9 AS id, timestamp'2024-06-06 00:00:00' AS ts"))
+        assert spark.conf.get(key) == "INT96"
+    finally:
+        spark.conf.unset(key)
+    # and timestamp bounds exist for the micros-written files
+    assert any(
+        "ts" in e.min_values
+        for e in t.metadata.current_snapshot().data_files()
+    )
