@@ -79,6 +79,27 @@ def _truncate_upper(s: str) -> str:
     return s  # every char is U+10FFFF — cannot round up, keep exact
 
 
+def _raw_decimal_bounds(stats):
+    """Decode INT32/INT64-backed DECIMAL column statistics from the raw
+    unscaled values: ``Decimal(raw).scaleb(-scale)``. FLBA decimals don't
+    land here (pyarrow decodes those natively); returns None for anything
+    that isn't an int-backed decimal."""
+    import json as _json
+    from decimal import Decimal
+
+    try:
+        lt = stats.logical_type
+        if lt is None or lt.type != "DECIMAL":
+            return None
+        scale = int(_json.loads(lt.to_json())["scale"])
+        lo_raw, hi_raw = stats.min_raw, stats.max_raw
+        if not isinstance(lo_raw, int) or not isinstance(hi_raw, int):
+            return None
+        return Decimal(lo_raw).scaleb(-scale), Decimal(hi_raw).scaleb(-scale)
+    except Exception:
+        return None
+
+
 def _footer_stats(
     path: str,
 ) -> tuple[int, dict[str, Any], dict[str, Any], dict[str, int]]:
@@ -111,11 +132,15 @@ def _footer_stats(
             try:
                 lo, hi = stats.min, stats.max
             except Exception:
-                # pyarrow raises ArrowNotImplementedError for physical
-                # types it can't decode stats for (e.g. FIXED_LEN_BYTE_
-                # ARRAY decimals) even with has_min_max=True — treat as
-                # statless rather than failing the whole write
-                continue
+                # pyarrow can't decode INT32/INT64-backed DECIMAL
+                # statistics (ArrowNotImplementedError) though the raw
+                # unscaled ints are right there — decode them; anything
+                # else undecodable is statless rather than failing the
+                # whole write
+                bounds = _raw_decimal_bounds(stats)
+                if bounds is None:
+                    continue
+                lo, hi = bounds
             if isinstance(lo, bytes) or isinstance(hi, bytes):
                 continue  # undecoded byte stats are not comparable
             if name not in mins or lo < mins[name]:

@@ -1621,6 +1621,18 @@ def test_min_max_count_metadata_pushdown(spark, tmp_path):
         "count(s)",
     ]
 
+    # decimals push too: pyarrow can't decode INT64-backed decimal
+    # stats, so the harvest decodes the raw unscaled values
+    eng.sql(
+        "CREATE TABLE demo.default.dc (x decimal(10,2)) USING iceberg"
+    )
+    eng.sql("INSERT INTO demo.default.dc VALUES (10.25), (9.75), (100.00)")
+    df = eng.sql("SELECT MIN(x), MAX(x) FROM demo.default.dc")
+    assert "parquet" not in plan(df).lower()
+    from decimal import Decimal
+
+    assert df.collect()[0] == (Decimal("9.75"), Decimal("100.00"))
+
     # strings (truncated bounds) and floats (NaN ordering) fall back —
     # and still give the right answer
     for expr, want in (("MIN(s)", "abc"), ("MAX(f)", 2.5)):
