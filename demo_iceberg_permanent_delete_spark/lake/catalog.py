@@ -62,6 +62,48 @@ class Catalog:
     def list_namespaces(self) -> list[str]:
         return list(self._read_registry()["namespaces"])
 
+    def drop_namespace(
+        self,
+        namespace: str,
+        *,
+        if_exists: bool = False,
+        cascade: bool = False,
+    ) -> dict[str, int]:
+        """DROP NAMESPACE [IF EXISTS] ns [RESTRICT|CASCADE] — Spark's
+        namespace DDL over the registry. RESTRICT (default) refuses a
+        namespace that still holds tables or views, naming them; CASCADE
+        drops the views and the tables first (non-purge, like Spark's
+        CASCADE on external tables: data files linger as droppable
+        orphans — DROP TABLE … PURGE each table first for a full
+        erase)."""
+        reg = self._read_registry()
+        if namespace not in reg["namespaces"]:
+            if if_exists:
+                return {"dropped_tables": 0, "dropped_views": 0}
+            raise NamespaceError(f"namespace {namespace!r} not found")
+        tables = [
+            n for n in reg["tables"] if n.rsplit(".", 1)[0] == namespace
+        ]
+        views = [
+            n
+            for n in reg.get("views", {})
+            if n.rsplit(".", 1)[0] == namespace
+        ]
+        if (tables or views) and not cascade:
+            raise NamespaceError(
+                f"namespace {namespace!r} is not empty "
+                f"(tables: {sorted(tables)}, views: {sorted(views)}); "
+                "use CASCADE to drop its contents"
+            )
+        for v in views:
+            self.drop_view(v)
+        for t in tables:
+            self.drop_table(t)
+        reg = self._read_registry()  # re-read: the drops rewrote it
+        reg["namespaces"] = [n for n in reg["namespaces"] if n != namespace]
+        self._write_registry(reg)
+        return {"dropped_tables": len(tables), "dropped_views": len(views)}
+
     # ------------------------------------------------------------- tables
     def _qualify(self, name: str) -> tuple[str, str]:
         if "." not in name:

@@ -574,6 +574,23 @@ class LakeEngine:
             rows or [], "namespace string, tableName string"
         )
 
+    def _drop_namespace(self, m: re.Match) -> DataFrame:
+        ns = self._strip_catalog(m.group("ns"))
+        stats = self.catalog.drop_namespace(
+            ns,
+            if_exists=m.group("ife") is not None,
+            cascade=(m.group("mode") or "").upper() == "CASCADE",
+        )
+        return _one_row_df(
+            self.spark, {"namespace": ns, "status": "dropped", **stats}
+        )
+
+    def _show_namespaces(self, m: re.Match) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(n,) for n in sorted(self.catalog.list_namespaces())] or [],
+            "namespace string",
+        )
+
     def _create_view(self, m: re.Match) -> DataFrame:
         """CREATE [OR REPLACE] VIEW ns.v AS SELECT … — Iceberg catalog
         views: SQL stored (versioned) in the registry; validated by
@@ -1770,6 +1787,21 @@ class LakeEngine:
                 re.I | re.S,
             ),
             _create_namespace,
+        ),
+        (
+            re.compile(
+                r"DROP\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+"
+                r"(?P<ife>IF\s+EXISTS\s+)?(?P<ns>[\w.]+)"
+                r"(?:\s+(?P<mode>CASCADE|RESTRICT))?$",
+                re.I | re.S,
+            ),
+            _drop_namespace,
+        ),
+        (
+            re.compile(
+                r"SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)$", re.I
+            ),
+            _show_namespaces,
         ),
         (
             re.compile(

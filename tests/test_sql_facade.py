@@ -1765,3 +1765,34 @@ def test_metadata_table_time_travel(spark, tmp_path):
         t.meta_at("files", snapshot_id=v1, ref="first")
     with _pytest.raises(Exception):
         t.meta_at("files", snapshot_id=123456789)
+
+
+def test_namespace_ddl(spark, tmp_path):
+    """DROP NAMESPACE [IF EXISTS] [CASCADE|RESTRICT] + SHOW NAMESPACES:
+    RESTRICT (default) refuses a non-empty namespace naming its
+    contents; CASCADE drops views then tables (non-purge) then the
+    namespace."""
+    import pytest as _pytest
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.a")
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.b")
+    assert [r["namespace"] for r in eng.sql("SHOW NAMESPACES").collect()] == [
+        "a",
+        "b",
+    ]
+    eng.sql("CREATE TABLE demo.a.t1 (k bigint) USING iceberg")
+    eng.sql("INSERT INTO demo.a.t1 VALUES (1)")
+    eng.sql("CREATE VIEW demo.a.v1 AS SELECT * FROM demo.a.t1")
+
+    with _pytest.raises(Exception, match="not empty"):
+        eng.sql("DROP NAMESPACE demo.a")
+    out = eng.sql("DROP NAMESPACE demo.a CASCADE").collect()[0]
+    assert out["dropped_tables"] == 1 and out["dropped_views"] == 1
+    assert [r["namespace"] for r in eng.sql("SHOW NAMESPACES").collect()] == ["b"]
+    # empty namespace drops under RESTRICT; IF EXISTS absorbs a re-drop
+    eng.sql("DROP SCHEMA demo.b RESTRICT")
+    eng.sql("DROP DATABASE IF EXISTS demo.b")
+    with _pytest.raises(Exception, match="not found"):
+        eng.sql("DROP NAMESPACE demo.b")
+    assert eng.sql("SHOW NAMESPACES").count() == 0
