@@ -1783,7 +1783,8 @@ class LakeEngine:
     _DISPATCH = [
         (
             re.compile(
-                r"CREATE\s+NAMESPACE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<ns>[\w.]+)$",
+                r"CREATE\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+"
+                r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<ns>[\w.]+)$",
                 re.I | re.S,
             ),
             _create_namespace,

@@ -1776,7 +1776,7 @@ def test_namespace_ddl(spark, tmp_path):
 
     eng = LakeEngine(spark, str(tmp_path / "wh"))
     eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.a")
-    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.b")
+    eng.sql("CREATE DATABASE IF NOT EXISTS demo.b")  # synonym spelling
     assert [r["namespace"] for r in eng.sql("SHOW NAMESPACES").collect()] == [
         "a",
         "b",
