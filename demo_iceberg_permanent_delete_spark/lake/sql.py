@@ -327,6 +327,69 @@ class LakeEngine:
             self.spark, {"table": t.name, "status": f"added column {m.group('col')}"}
         )
 
+    _COLUMN_SPEC = re.compile(
+        r"(?P<col>[\w.]+)\s+(?P<type>[\w<>(),: ]+?)"
+        r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|[^\s]+))?$",
+        re.I | re.S,
+    )
+
+    def _alter_add_columns(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE … ADD COLUMNS (a int, b string DEFAULT 'x', …) —
+        Spark's multi-column form. Every spec is parsed and validated
+        (type DDL, duplicates against the live schema AND the list
+        itself) BEFORE the first add, so a malformed list changes
+        nothing; the adds themselves then commit one metadata version
+        per column (this engine's ADD COLUMN is a single-column commit —
+        N tiny commits, not Iceberg's one transaction; each is
+        independently valid so a crash mid-list leaves a usable
+        prefix)."""
+        t = self.table(m.group("name"))
+        specs = []
+        seen: set[str] = set()
+        live = {f.name for f in t.schema().fields}
+        for item in _split_column_specs(m.group("cols")):
+            im = self._COLUMN_SPEC.match(item.strip())
+            if not im:
+                raise ValueError(f"cannot parse column spec {item!r}")
+            col, type_ddl = im.group("col"), im.group("type").strip()
+            T._parse_datatype_string(type_ddl)  # fail the WHOLE list early
+            if col in seen or ("." not in col and col in live):
+                raise ValueError(f"duplicate column {col!r} in ADD COLUMNS")
+            seen.add(col)
+            raw = im.group("default")
+            specs.append(
+                (col, type_ddl, None if raw is None else _parse_default_literal(raw))
+            )
+        for col, type_ddl, default in specs:
+            t.add_column(col, type_ddl, default=default)
+        return _one_row_df(
+            self.spark,
+            {
+                "table": t.name,
+                "status": f"added columns {', '.join(c for c, _, _ in specs)}",
+            },
+        )
+
+    def _alter_drop_columns(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE … DROP COLUMNS (a, b) — validated as a list
+        first, dropped one metadata commit per column."""
+        t = self.table(m.group("name"))
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        live = {f.name for f in t.schema().fields}
+        for c in cols:
+            if not re.fullmatch(r"[\w.]+", c):
+                raise ValueError(f"cannot parse column name {c!r}")
+            if "." not in c and c not in live:
+                raise ValueError(f"no such column {c!r}")
+        if len(set(cols)) != len(cols):
+            raise ValueError("duplicate column in DROP COLUMNS")
+        for c in cols:
+            t.drop_column(c)
+        return _one_row_df(
+            self.spark,
+            {"table": t.name, "status": f"dropped columns {', '.join(cols)}"},
+        )
+
     def _alter_identifier_fields(self, m: re.Match) -> DataFrame:
         """ALTER TABLE … SET IDENTIFIER FIELDS a, b / DROP IDENTIFIER
         FIELDS (Iceberg grammar): declares / clears the table's
@@ -1882,10 +1945,17 @@ class LakeEngine:
         ),
         (
             re.compile(
-                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*"
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s*"
+                r"\(\s*(?P<cols>.+)\s*\)$",
+                re.I | re.S,
+            ),
+            _alter_add_columns,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s+"
                 r"(?P<col>[\w.]+)\s+(?P<type>[\w<>(),: ]+?)"
-                r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|[^\s)]+))?"
-                r"\s*\)?$",
+                r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|\S+))?$",
                 re.I | re.S,
             ),
             _alter_add_column,
@@ -1926,8 +1996,16 @@ class LakeEngine:
         ),
         (
             re.compile(
-                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMNS?\s*\(?\s*"
-                r"(?P<col>[\w.]+)\s*\)?$",
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMNS?\s*"
+                r"\(\s*(?P<cols>[\w.,\s]+)\s*\)$",
+                re.I | re.S,
+            ),
+            _alter_drop_columns,
+        ),
+        (
+            re.compile(
+                r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMNS?\s+"
+                r"(?P<col>[\w.]+)$",
                 re.I | re.S,
             ),
             _alter_drop_column,
@@ -2122,6 +2200,40 @@ class LakeEngine:
 
 
 # --------------------------------------------------------------- parsing
+def _split_column_specs(text: str) -> list[str]:
+    """Split a column-spec list on top-level commas, nesting-aware for
+    BOTH parens and angle brackets (``decimal(10,2)``,
+    ``struct<a:int,b:int>``) and quote-aware for DEFAULT literals. A
+    dedicated splitter: the general ``_split_top_level`` ignores ``<>``
+    on purpose (comparison operators appear in its other inputs)."""
+    parts: list[str] = []
+    depth, quote, cur = 0, None, []
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch in "(<":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")>":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 def _split_top_level(text: str) -> list[str]:
     """Split on commas outside quotes/parens."""
     parts, depth, quote, cur = [], 0, None, []

@@ -1796,3 +1796,49 @@ def test_namespace_ddl(spark, tmp_path):
     with _pytest.raises(Exception, match="not found"):
         eng.sql("DROP NAMESPACE demo.b")
     assert eng.sql("SHOW NAMESPACES").count() == 0
+
+
+def test_add_drop_columns_multi(spark, tmp_path):
+    """Spark's multi-column ADD COLUMNS (…) / DROP COLUMNS (…): the
+    whole list validates before any change (a malformed or duplicate
+    list changes nothing); nested types with commas and angle brackets
+    parse; the single-column spellings keep working."""
+    import pytest as _pytest
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    eng.sql("CREATE TABLE demo.default.mc (id bigint) USING iceberg")
+    eng.sql("INSERT INTO demo.default.mc VALUES (1)")
+    eng.sql(
+        "ALTER TABLE demo.default.mc ADD COLUMNS ("
+        "a int, b string DEFAULT 'x,y', d decimal(10,2), "
+        "s struct<u:int,v:string>, m map<string,int>)"
+    )
+    t = eng.table("default.mc")
+    assert [f.name for f in t.schema().fields] == ["id", "a", "b", "d", "s", "m"]
+    # pre-add row reads the default for b, NULL elsewhere
+    row = t.read().first()
+    assert row["b"] == "x,y" and row["a"] is None and row["s"] is None
+
+    # a bad list changes nothing (duplicate against live schema)
+    with _pytest.raises(ValueError, match="duplicate column"):
+        eng.sql("ALTER TABLE demo.default.mc ADD COLUMNS (z int, a int)")
+    with _pytest.raises(ValueError, match="duplicate column"):
+        eng.sql("ALTER TABLE demo.default.mc ADD COLUMNS (z int, z string)")
+    t.refresh()
+    assert "z" not in [f.name for f in t.schema().fields]
+
+    eng.sql("ALTER TABLE demo.default.mc DROP COLUMNS (a, m)")
+    t.refresh()
+    assert [f.name for f in t.schema().fields] == ["id", "b", "d", "s"]
+    with _pytest.raises(ValueError, match="no such column"):
+        eng.sql("ALTER TABLE demo.default.mc DROP COLUMNS (b, nope)")
+    t.refresh()
+    assert "b" in [f.name for f in t.schema().fields]  # nothing dropped
+
+    # single spellings unchanged (unparenthesized + parenthesized-single)
+    eng.sql("ALTER TABLE demo.default.mc ADD COLUMN w bigint DEFAULT 7")
+    eng.sql("ALTER TABLE demo.default.mc ADD COLUMNS (w2 bigint)")
+    eng.sql("ALTER TABLE demo.default.mc DROP COLUMN w2")
+    t.refresh()
+    assert t.read().first()["w"] == 7
