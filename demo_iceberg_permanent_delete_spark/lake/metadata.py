@@ -445,6 +445,10 @@ class TableMetadata:
     # immune because a re-added column gets a fresh field id). Survives
     # drop_column, unlike the renames chain.
     retired_columns: list[str] = field(default_factory=list)
+    # Dropped NESTED struct-field paths ("loc.alt") — same leak-guard as
+    # retired_columns: re-adding the path would resurrect old files'
+    # values through by-name parquet resolution inside the struct.
+    retired_nested: list[str] = field(default_factory=list)
     # Table-level statistics (Iceberg's Puffin stats files, inlined since
     # they're tiny): {"snapshot_id", "computed_at_ms", "row_count",
     # "columns": {name: {"ndv": int, "null_count": int}}}. Tied to the
@@ -559,6 +563,7 @@ class TableMetadata:
             "refs": self.refs,
             "renames": self.renames,
             "retired_columns": self.retired_columns,
+            "retired_nested": self.retired_nested,
             "statistics": self.statistics,
             "partition-statistics": self.partition_statistics,
             "last_sequence_number": self.last_sequence_number,
@@ -598,6 +603,7 @@ class TableMetadata:
             refs={k: dict(v) for k, v in d.get("refs", {}).items()},
             renames={k: list(v) for k, v in d.get("renames", {}).items()},
             retired_columns=list(d.get("retired_columns", [])),
+            retired_nested=list(d.get("retired_nested", [])),
             statistics=dict(d.get("statistics", {})),
             partition_statistics=[
                 dict(x) for x in d.get("partition-statistics", [])

@@ -396,12 +396,65 @@ class LakeTable:
             )
             return T.StructType(fields)
 
+        if path in self.metadata.retired_nested:
+            raise ValueError(
+                f"nested path {path!r} was dropped; re-adding it would "
+                "leak old files' values through by-name struct resolution"
+            )
         new_schema = insert(self.schema(), parts, self.name)
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in new_schema.fields
         )
         T._parse_datatype_string(ddl)  # defensive round-trip
         self.metadata.schema_ddl = ddl
+        self.metadata.commit()
+
+    def _drop_nested_field(self, path: str) -> None:
+        """DROP COLUMN with a dotted path: remove the leaf from the
+        struct type along the path. Pure metadata on both readers — the
+        JVM parquet reader projects the declared struct (extra file
+        subfields never surface) and the Arrow conformance rebuilds to
+        the target fields only. The path is tombstoned in
+        ``retired_nested``. Dropping a struct's LAST field is refused
+        (an empty struct type isn't expressible) — drop the column."""
+        parts = path.split(".")
+
+        def remove(dtype: T.DataType, rest: list[str], at: str) -> T.StructType:
+            if not isinstance(dtype, T.StructType):
+                raise ValueError(
+                    f"cannot drop {path!r}: {at!r} is not a struct"
+                )
+            fields = list(dtype.fields)
+            idx = {f.name: i for i, f in enumerate(fields)}
+            head = rest[0]
+            if head not in idx:
+                raise ValueError(
+                    f"cannot drop {path!r}: no field {head!r} under {at!r}"
+                )
+            if len(rest) == 1:
+                if len(fields) == 1:
+                    raise ValueError(
+                        f"cannot drop {path!r}: it is the struct's last "
+                        "field (drop the column instead)"
+                    )
+                del fields[idx[head]]
+                return T.StructType(fields)
+            f = fields[idx[head]]
+            fields[idx[head]] = T.StructField(
+                f.name,
+                remove(f.dataType, rest[1:], f"{at}.{head}" if at else head),
+                f.nullable,
+                f.metadata,
+            )
+            return T.StructType(fields)
+
+        new_schema = remove(self.schema(), parts, self.name)
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in new_schema.fields
+        )
+        T._parse_datatype_string(ddl)
+        self.metadata.schema_ddl = ddl
+        self.metadata.retired_nested.append(path)
         self.metadata.commit()
 
     def set_default(self, name: str, value: Any) -> None:
@@ -512,8 +565,13 @@ class LakeTable:
 
     def drop_column(self, name: str) -> None:
         """ALTER TABLE DROP COLUMN — metadata-only: files keep the physical
-        column; declared-schema reads stop projecting it."""
-        _refuse_nested(name, "DROP COLUMN")
+        column; declared-schema reads stop projecting it. A dotted name
+        drops a NESTED struct field (both readers prune file subfields
+        absent from the declared struct natively; the path lands in
+        ``retired_nested`` so a re-add can't resurrect old values)."""
+        if "." in name:
+            self._drop_nested_field(name)
+            return
         fields = [f for f in self.schema().fields if f.name != name]
         if len(fields) == len(self.schema().fields):
             raise ValueError(f"no such column {name!r}")

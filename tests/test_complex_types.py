@@ -127,14 +127,10 @@ def test_nested_add_column_sql_and_guards(spark, cat):
     with pytest.raises(ValueError, match="cannot carry a DEFAULT"):
         t.add_column("loc.d", "double", default=1.0)
     with pytest.raises(ValueError, match="not supported"):
-        t.drop_column("loc.alt")
-    with pytest.raises(ValueError, match="not supported"):
         t.rename_column("loc.alt", "loc.height")
     with pytest.raises(ValueError, match="not supported"):
         t.alter_column_type("loc.lat", "double")
     # the SQL spellings hit the same guards
-    with pytest.raises(ValueError, match="not supported"):
-        eng.sql("ALTER TABLE default.ng DROP COLUMN loc.alt")
     with pytest.raises(ValueError, match="not supported"):
         eng.sql("ALTER TABLE default.ng RENAME COLUMN loc.alt TO loc.height")
     with pytest.raises(ValueError, match="not supported"):
@@ -179,3 +175,61 @@ def test_nested_add_column_arrow_datasource_read(spark, cat, tmp_path):
     # and it matches the JVM read exactly
     jvm = {r["id"]: r["loc"] for r in t.read().collect()}
     assert got == jvm
+
+
+def test_nested_drop_column(spark, cat):
+    """Dotted DROP COLUMN removes a nested struct field — pure metadata
+    on both readers (extra file subfields never surface), tombstoned so
+    a re-add can't resurrect old values; the last field of a struct is
+    refused."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+    from demo_iceberg_permanent_delete_spark.sources.lake_datasource import (
+        register,
+    )
+
+    eng = LakeEngine(spark, cat.warehouse)
+    eng.sql(
+        "CREATE TABLE default.nd (id bigint, "
+        "loc struct<lat:double,lon:double,alt:double>) USING iceberg"
+    )
+    t = cat.load_table("default.nd")
+    t.insert(
+        spark.sql(
+            "SELECT id, named_struct('lat', CAST(id AS double), 'lon', 2.0d, "
+            "'alt', 9.0d) AS loc FROM range(3)"
+        )
+    )
+    files_before = {
+        e.file_path for e in t.metadata.current_snapshot().data_files()
+    }
+    eng.sql("ALTER TABLE default.nd DROP COLUMN loc.alt")
+    t.refresh()
+    assert t.schema()["loc"].dataType.fieldNames() == ["lat", "lon"]
+    # metadata-only, and the dropped subfield never surfaces — JVM read
+    assert {
+        e.file_path for e in t.metadata.current_snapshot().data_files()
+    } == files_before
+    row = t.read().filter("id = 1").first()
+    assert row["loc"].asDict() == {"lat": 1.0, "lon": 2.0}
+    # Arrow DataSource read narrows identically
+    register(spark)
+    arow = (
+        spark.read.format("lakehouse")
+        .option("location", t.metadata.location)
+        .load()
+        .filter("id = 1")
+        .first()
+    )
+    assert arow["loc"].asDict() == {"lat": 1.0, "lon": 2.0}
+    # the tombstone blocks re-adding the path
+    with pytest.raises(ValueError, match="was dropped"):
+        t.add_column("loc.alt", "double")
+    # a different leaf still adds fine
+    t.add_column("loc.elev", "double")
+    # last-field refusal
+    eng.sql("ALTER TABLE default.nd ADD COLUMN one struct<only:int>")
+    t.refresh()
+    with pytest.raises(ValueError, match="last"):
+        t.drop_column("one.only")
+    with pytest.raises(ValueError, match="no field"):
+        t.drop_column("loc.nope")
