@@ -3078,20 +3078,61 @@ class LakeTable:
         (see _update_cow's note on chained withColumn). ``gate`` applies the
         predicate per row (COW rewrites whole files); None = every row is a
         match (MOR operates on the matched set only)."""
-        unknown = [c for c in assignments if c not in cols]
+        # dotted keys assign NESTED struct fields (UPDATE … SET
+        # loc.alt = …, Spark/Iceberg grammar): grouped per top-level
+        # column and applied with withField — paths are validated
+        # against the schema first, because withField silently ADDS an
+        # unknown field instead of erroring
+        flat: dict[str, Any] = {}
+        nested: dict[str, dict[str, Any]] = {}
+        for k, v in assignments.items():
+            if "." in k:
+                top, rest = k.split(".", 1)
+                nested.setdefault(top, {})[rest] = v
+            else:
+                flat[k] = v
+        unknown = [c for c in flat if c not in cols] + [
+            t for t in nested if t not in cols
+        ]
         if unknown:
             raise ValueError(f"UPDATE SET columns not in table schema: {unknown}")
+        clash = sorted(set(flat) & set(nested))
+        if clash:
+            raise ValueError(
+                f"UPDATE SET assigns {clash} both wholly and by nested field"
+            )
         types = {f.name: f.dataType for f in self.schema().fields}
+
+        def leaf_type(top: str, rest: str) -> T.DataType:
+            dtype: T.DataType = types[top]
+            at = top
+            for part in rest.split("."):
+                if not isinstance(dtype, T.StructType) or part not in dtype.names:
+                    raise ValueError(
+                        f"UPDATE SET {top}.{rest}: no field {part!r} under {at!r}"
+                    )
+                dtype = dtype[part].dataType
+                at = f"{at}.{part}"
+            return dtype
+
         exprs: list[Column] = []
         for c in cols:
-            if c in assignments:
-                value = assignments[c]
+            if c in flat:
+                value = flat[c]
                 val = value if isinstance(value, Column) else F.lit(value)
                 if types.get(c) is not None:
                     val = val.cast(types[c])
                 if gate is not None:
                     val = F.when(gate, val).otherwise(F.col(c))
                 exprs.append(val.alias(c))
+            elif c in nested:
+                newv = F.col(c)
+                for rest, value in sorted(nested[c].items()):
+                    val = value if isinstance(value, Column) else F.lit(value)
+                    newv = newv.withField(rest, val.cast(leaf_type(c, rest)))
+                if gate is not None:
+                    newv = F.when(gate, newv).otherwise(F.col(c))
+                exprs.append(newv.alias(c))
             else:
                 exprs.append(F.col(c))
         return exprs

@@ -233,3 +233,54 @@ def test_nested_drop_column(spark, cat):
         t.drop_column("one.only")
     with pytest.raises(ValueError, match="no field"):
         t.drop_column("loc.nope")
+
+
+def test_nested_update_set(spark, cat):
+    """UPDATE … SET loc.alt = expr (Spark/Iceberg nested assignment):
+    grouped per struct with withField, validated against the schema
+    (withField would silently ADD an unknown path), gated by the
+    predicate, NULL structs stay NULL; works in COW and MOR modes and
+    through the SQL facade."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, cat.warehouse)
+    eng.sql(
+        "CREATE TABLE default.nu (id bigint, "
+        "loc struct<lat:double,lon:double,meta:struct<src:string>>) USING iceberg"
+    )
+    t = cat.load_table("default.nu")
+    t.insert(
+        spark.sql(
+            "SELECT id, IF(id = 2, CAST(NULL AS "
+            "struct<lat:double,lon:double,meta:struct<src:string>>), "
+            "named_struct('lat', CAST(id AS double), 'lon', 2.0d, "
+            "'meta', named_struct('src', 'a'))) AS loc FROM range(3)"
+        )
+    )
+    eng.sql("UPDATE default.nu SET loc.lon = 9.0, loc.meta.src = 'b' WHERE id = 1")
+    t.refresh()
+    rows = {r["id"]: r["loc"] for r in t.read().collect()}
+    assert rows[1]["lon"] == 9.0 and rows[1]["meta"]["src"] == "b"
+    assert rows[1]["lat"] == 1.0  # untouched sibling
+    assert rows[0]["lon"] == 2.0 and rows[0]["meta"]["src"] == "a"  # ungated
+    assert rows[2] is None  # NULL struct stays NULL
+
+    # MOR mode too
+    eng.sql(
+        "ALTER TABLE default.nu SET TBLPROPERTIES "
+        "('write.update.mode'='merge-on-read')"
+    )
+    eng.sql("UPDATE default.nu SET loc.lat = -1.0 WHERE id = 0")
+    t.refresh()
+    rows = {r["id"]: r["loc"] for r in t.read().collect()}
+    assert rows[0]["lat"] == -1.0 and rows[0]["lon"] == 2.0
+
+    # guards: unknown path, whole+nested clash
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no field"):
+        t.update({"loc.nope": 1.0}, "id = 0")
+    with _pytest.raises(ValueError, match="both wholly and by nested"):
+        t.update({"loc": None, "loc.lat": 1.0}, "id = 0")
+    with _pytest.raises(ValueError, match="not in table schema"):
+        t.update({"nope.lat": 1.0}, "id = 0")
