@@ -2876,6 +2876,19 @@ class LakeTable:
         bad = [k for k in on if k not in cols]
         if bad:
             raise ValueError(f"merge keys not in table schema: {bad}")
+        dotted = [
+            k
+            for asg in (assignments, not_matched_by_source_assignments)
+            for k in (asg or {})
+            if "." in k
+        ]
+        if dotted:
+            # the merge projection looks assignments up BY COLUMN name —
+            # a dotted key would be silently ignored, not applied
+            raise ValueError(
+                f"MERGE assignments to nested fields are not supported: "
+                f"{sorted(dotted)} (UPDATE … SET handles nested paths)"
+            )
         extra = [c for c in source.columns if c not in set(cols)]
         if extra:
             star = (

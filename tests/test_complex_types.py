@@ -284,3 +284,17 @@ def test_nested_update_set(spark, cat):
         t.update({"loc": None, "loc.lat": 1.0}, "id = 0")
     with _pytest.raises(ValueError, match="not in table schema"):
         t.update({"nope.lat": 1.0}, "id = 0")
+
+
+def test_merge_nested_assignment_refused(spark, cat):
+    """MERGE's projection looks assignments up by column name — a dotted
+    key would be silently ignored, so it's refused loudly."""
+    t = cat.create_table(
+        "default.mg", "id bigint, loc struct<lat:double,lon:double>"
+    )
+    t.insert(
+        spark.sql("SELECT 1 AS id, named_struct('lat', 1.0d, 'lon', 2.0d) AS loc")
+    )
+    src = spark.sql("SELECT 1 AS id, 9.9d AS v")
+    with pytest.raises(ValueError, match="nested fields are not supported"):
+        t.merge(src, ["id"], assignments={"loc.lat": "s.v"})
