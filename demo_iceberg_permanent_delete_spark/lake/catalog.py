@@ -79,20 +79,31 @@ class Catalog:
         reg = self._read_registry()
         if namespace not in reg["namespaces"]:
             if if_exists:
-                return {"dropped_tables": 0, "dropped_views": 0}
+                return {
+                    "dropped_tables": 0,
+                    "dropped_views": 0,
+                    "dropped_namespaces": 0,
+                }
             raise NamespaceError(f"namespace {namespace!r} not found")
-        tables = [
-            n for n in reg["tables"] if n.rsplit(".", 1)[0] == namespace
-        ]
+
+        def under(n: str) -> bool:
+            # the namespace itself or anything nested beneath it —
+            # child NAMESPACES count too (review finding: a flat
+            # rsplit-parent check let a populated child survive its
+            # parent's drop, stranded under a nonexistent namespace)
+            return n == namespace or n.startswith(namespace + ".")
+
+        doomed_ns = [n for n in reg["namespaces"] if under(n)]
+        tables = [n for n in reg["tables"] if under(n.rsplit(".", 1)[0])]
         views = [
-            n
-            for n in reg.get("views", {})
-            if n.rsplit(".", 1)[0] == namespace
+            n for n in reg.get("views", {}) if under(n.rsplit(".", 1)[0])
         ]
-        if (tables or views) and not cascade:
+        children = [n for n in doomed_ns if n != namespace]
+        if (tables or views or children) and not cascade:
             raise NamespaceError(
                 f"namespace {namespace!r} is not empty "
-                f"(tables: {sorted(tables)}, views: {sorted(views)}); "
+                f"(tables: {sorted(tables)}, views: {sorted(views)}, "
+                f"child namespaces: {sorted(children)}); "
                 "use CASCADE to drop its contents"
             )
         for v in views:
@@ -100,9 +111,13 @@ class Catalog:
         for t in tables:
             self.drop_table(t)
         reg = self._read_registry()  # re-read: the drops rewrote it
-        reg["namespaces"] = [n for n in reg["namespaces"] if n != namespace]
+        reg["namespaces"] = [n for n in reg["namespaces"] if not under(n)]
         self._write_registry(reg)
-        return {"dropped_tables": len(tables), "dropped_views": len(views)}
+        return {
+            "dropped_tables": len(tables),
+            "dropped_views": len(views),
+            "dropped_namespaces": len(doomed_ns),
+        }
 
     # ------------------------------------------------------------- tables
     def _qualify(self, name: str) -> tuple[str, str]:

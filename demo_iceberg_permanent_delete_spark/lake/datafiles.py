@@ -352,12 +352,25 @@ def write_arrow_file(
 
 
 def _jsonable(v: Any) -> Any:
-    """Stats values must round-trip through JSON (datetime → isoformat)."""
+    """Stats values must round-trip through JSON (datetime → isoformat).
+
+    Decimals are TAGGED (``{"dec": "9.75"}``), never bare strings: the
+    schema-blind pruner compares str-vs-str bounds lexicographically
+    (correct for string columns, whose bounds it truncates char-wise),
+    and a bare "9.75" would make a quoted decimal predicate mis-prune
+    ("10.50" < "9.75" lexicographically — review finding). Every
+    bounds consumer treats an uncomparable dict as unknown (pruning
+    keeps the file, delta folds skip the column); the type-aware
+    aggregate fast path decodes the tag exactly."""
     try:
         import datetime as dt
 
         if isinstance(v, (dt.datetime, dt.date)):
             return v.isoformat()
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return {"dec": str(v)}
     except Exception:
         pass
     if isinstance(v, (int, float, str, bool)) or v is None:

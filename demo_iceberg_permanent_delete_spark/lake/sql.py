@@ -289,7 +289,12 @@ class LakeEngine:
     # ------------------------------------------------------- DDL handlers
     def _create_namespace(self, m: re.Match) -> DataFrame:
         ns = self._strip_catalog(m.group("ns"))
-        self.catalog.create_namespace(ns, if_not_exists=True)
+        # without IF NOT EXISTS a duplicate errors, like Spark (review
+        # finding: the flag used to be hard-coded True, so the bare
+        # spelling silently 'created' an existing namespace)
+        self.catalog.create_namespace(
+            ns, if_not_exists=m.group("ine") is not None
+        )
         return _one_row_df(self.spark, {"namespace": ns, "status": "created"})
 
     def _drop_table(self, m: re.Match) -> DataFrame:
@@ -335,33 +340,26 @@ class LakeEngine:
 
     def _alter_add_columns(self, m: re.Match) -> DataFrame:
         """ALTER TABLE … ADD COLUMNS (a int, b string DEFAULT 'x', …) —
-        Spark's multi-column form. Every spec is parsed and validated
-        (type DDL, duplicates against the live schema AND the list
-        itself) BEFORE the first add, so a malformed list changes
-        nothing; the adds themselves then commit one metadata version
-        per column (this engine's ADD COLUMN is a single-column commit —
-        N tiny commits, not Iceberg's one transaction; each is
-        independently valid so a crash mid-list leaves a usable
-        prefix)."""
+        Spark's multi-column form, routed through LakeTable.add_columns:
+        the whole list stages against in-memory metadata (every
+        validation — type DDL, duplicates incl. within the list,
+        tombstones, DEFAULT casts, nested paths — runs before the ONE
+        commit), so a bad spec anywhere changes nothing."""
         t = self.table(m.group("name"))
         specs = []
-        seen: set[str] = set()
-        live = {f.name for f in t.schema().fields}
         for item in _split_column_specs(m.group("cols")):
             im = self._COLUMN_SPEC.match(item.strip())
             if not im:
                 raise ValueError(f"cannot parse column spec {item!r}")
-            col, type_ddl = im.group("col"), im.group("type").strip()
-            T._parse_datatype_string(type_ddl)  # fail the WHOLE list early
-            if col in seen or ("." not in col and col in live):
-                raise ValueError(f"duplicate column {col!r} in ADD COLUMNS")
-            seen.add(col)
             raw = im.group("default")
             specs.append(
-                (col, type_ddl, None if raw is None else _parse_default_literal(raw))
+                (
+                    im.group("col"),
+                    im.group("type").strip(),
+                    None if raw is None else _parse_default_literal(raw),
+                )
             )
-        for col, type_ddl, default in specs:
-            t.add_column(col, type_ddl, default=default)
+        t.add_columns(specs)
         return _one_row_df(
             self.spark,
             {
@@ -371,20 +369,17 @@ class LakeEngine:
         )
 
     def _alter_drop_columns(self, m: re.Match) -> DataFrame:
-        """ALTER TABLE … DROP COLUMNS (a, b) — validated as a list
-        first, dropped one metadata commit per column."""
+        """ALTER TABLE … DROP COLUMNS (a, b) — one staged transaction
+        (LakeTable.drop_columns): any refusal leaves the schema
+        untouched."""
         t = self.table(m.group("name"))
         cols = [c.strip() for c in m.group("cols").split(",")]
-        live = {f.name for f in t.schema().fields}
         for c in cols:
             if not re.fullmatch(r"[\w.]+", c):
                 raise ValueError(f"cannot parse column name {c!r}")
-            if "." not in c and c not in live:
-                raise ValueError(f"no such column {c!r}")
         if len(set(cols)) != len(cols):
             raise ValueError("duplicate column in DROP COLUMNS")
-        for c in cols:
-            t.drop_column(c)
+        t.drop_columns(cols)
         return _one_row_df(
             self.spark,
             {"table": t.name, "status": f"dropped columns {', '.join(cols)}"},
@@ -1013,7 +1008,25 @@ class LakeEngine:
                 expr = re.sub(rf"\b{talias}\.", "t.", expr)
                 expr = re.sub(rf"\b{salias}\.", "s.", expr)
                 col = col.strip()
-                col = col.split(".")[-1]  # accept t.col = …
+                # accept `t.col = …` (the target alias only); a DEEPER
+                # dotted target is a nested-field assignment, which the
+                # merge projection cannot apply — stripping it to the
+                # last segment could silently hit a same-named TOP-LEVEL
+                # column (review finding), so refuse it here
+                if "." in col:
+                    alias, rest = col.split(".", 1)
+                    if alias not in (talias, m.group("name").split(".")[-1]):
+                        raise ValueError(
+                            f"MERGE SET target {col!r}: unknown qualifier "
+                            f"{alias!r} (the target alias is {talias!r})"
+                        )
+                    col = rest
+                if "." in col:
+                    raise ValueError(
+                        f"MERGE SET target {col!r} is a nested field — "
+                        "not assignable in MERGE (UPDATE … SET handles "
+                        "nested paths)"
+                    )
                 out[col] = expr.strip()
             return out
 
@@ -1847,7 +1860,7 @@ class LakeEngine:
         (
             re.compile(
                 r"CREATE\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+"
-                r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<ns>[\w.]+)$",
+                r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<ns>[\w.]+)$",
                 re.I | re.S,
             ),
             _create_namespace,
@@ -2321,6 +2334,8 @@ def _parse_bound(v: Any, dtype: T.DataType) -> Any:
             d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return d
     if isinstance(dtype, T.DecimalType):
+        if isinstance(v, dict):  # the {"dec": "…"} manifest tag
+            return _decimal.Decimal(v["dec"])
         return _decimal.Decimal(str(v))
     raise ValueError(f"no exact bound parse for {dtype}")
 

@@ -289,8 +289,55 @@ class LakeTable:
     def empty_frame(self) -> DataFrame:
         return self.spark.createDataFrame([], self.metadata.schema_ddl)
 
+    def _schema_tx(self, ops: list) -> None:
+        """All-or-nothing schema change: every op validates and stages
+        against the IN-MEMORY metadata (later ops see earlier ones —
+        duplicates inside one list are caught naturally), then ONE
+        commit — Iceberg's single-transaction multi-column DDL. On any
+        failure the staged fields are restored, so nothing persists and
+        nothing dirty lingers on the handle."""
+        m = self.metadata
+        saved_ddl = m.schema_ddl
+        saved = (
+            dict(m.column_defaults),
+            dict(m.write_defaults),
+            list(m.retired_columns),
+            list(m.retired_nested),
+            {k: list(v) for k, v in m.renames.items()},
+        )
+        try:
+            for op in ops:
+                op()
+        except Exception:
+            m.schema_ddl = saved_ddl
+            (
+                m.column_defaults,
+                m.write_defaults,
+                m.retired_columns,
+                m.retired_nested,
+                m.renames,
+            ) = saved
+            raise
+        m.commit()
+
     def add_column(
         self, name: str, type_ddl: str, *, default: Any = None
+    ) -> None:
+        self._schema_tx([lambda: self._stage_add_column(name, type_ddl, default)])
+
+    def add_columns(self, specs: list[tuple[str, str, Any]]) -> None:
+        """ALTER TABLE ADD COLUMNS (…) — [(name, type_ddl, default)]
+        staged together and committed ONCE (see _schema_tx): a bad spec
+        anywhere in the list changes nothing, on disk or in memory."""
+        self._schema_tx(
+            [
+                (lambda s=s: self._stage_add_column(s[0], s[1], s[2]))
+                for s in specs
+            ]
+        )
+
+    def _stage_add_column(
+        self, name: str, type_ddl: str, default: Any = None
     ) -> None:
         """ALTER TABLE ADD COLUMN (schema evolution — extension; the
         reference mutates only table *properties*, SURVEY.md §1.4). Pure
@@ -318,7 +365,7 @@ class LakeTable:
                     "nested ADD COLUMN cannot carry a DEFAULT: initial "
                     "defaults are keyed by top-level columns"
                 )
-            self._add_nested_field(name, type_ddl)
+            self._stage_add_nested_field(name, type_ddl)
             return
         if any(f.name == name for f in self.schema().fields):
             raise ValueError(f"column {name!r} already exists")
@@ -354,16 +401,16 @@ class LakeTable:
             # alongside the initial default (SET DEFAULT later moves
             # only the write side)
             self.metadata.write_defaults[name] = default
-        self.metadata.commit()
 
-    def _add_nested_field(self, path: str, type_ddl: str) -> None:
+    def _stage_add_nested_field(self, path: str, type_ddl: str) -> None:
         """ADD COLUMN with a dotted path: rebuild the struct type along
         the path with the new leaf appended (Iceberg appends new fields
         at the end of their parent). Struct chains only — array/map
         element paths are refused (their evolution needs element-level
         by-name resolution this engine's readers don't do); so is a path
-        whose parent doesn't exist or whose leaf already does. One
-        metadata commit; the schema DDL is re-rendered canonically."""
+        whose parent doesn't exist or whose leaf already does. The
+        schema DDL is re-rendered canonically; commit belongs to the
+        enclosing _schema_tx."""
         parts = path.split(".")
         if any(not p for p in parts):
             raise ValueError(f"malformed nested column path {path!r}")
@@ -407,9 +454,8 @@ class LakeTable:
         )
         T._parse_datatype_string(ddl)  # defensive round-trip
         self.metadata.schema_ddl = ddl
-        self.metadata.commit()
 
-    def _drop_nested_field(self, path: str) -> None:
+    def _stage_drop_nested_field(self, path: str) -> None:
         """DROP COLUMN with a dotted path: remove the leaf from the
         struct type along the path. Pure metadata on both readers — the
         JVM parquet reader projects the declared struct (extra file
@@ -454,8 +500,11 @@ class LakeTable:
         )
         T._parse_datatype_string(ddl)
         self.metadata.schema_ddl = ddl
-        self.metadata.retired_nested.append(path)
-        self.metadata.commit()
+        # tombstone only when files exist to leak from (the flat-column
+        # guard's rule — review finding: a never-written table could
+        # never re-add the path)
+        if any(snap.manifest for snap in self.metadata.snapshots):
+            self.metadata.retired_nested.append(path)
 
     def set_default(self, name: str, value: Any) -> None:
         """ALTER TABLE … ALTER COLUMN ``name`` SET DEFAULT ``value``
@@ -564,13 +613,26 @@ class LakeTable:
         )
 
     def drop_column(self, name: str) -> None:
+        self._schema_tx([lambda: self._stage_drop_column(name)])
+
+    def drop_columns(self, names: list[str]) -> None:
+        """ALTER TABLE DROP COLUMNS (…) — staged together, ONE commit
+        (see _schema_tx): any refusal anywhere in the list (unknown
+        name, identifier field, last column, nested path) leaves the
+        schema untouched."""
+        self._schema_tx(
+            [(lambda n=n: self._stage_drop_column(n)) for n in names]
+        )
+
+    def _stage_drop_column(self, name: str) -> None:
         """ALTER TABLE DROP COLUMN — metadata-only: files keep the physical
         column; declared-schema reads stop projecting it. A dotted name
         drops a NESTED struct field (both readers prune file subfields
         absent from the declared struct natively; the path lands in
-        ``retired_nested`` so a re-add can't resurrect old values)."""
+        ``retired_nested`` so a re-add can't resurrect old values).
+        Commit belongs to the enclosing _schema_tx."""
         if "." in name:
-            self._drop_nested_field(name)
+            self._stage_drop_nested_field(name)
             return
         fields = [f for f in self.schema().fields if f.name != name]
         if len(fields) == len(self.schema().fields):
@@ -606,7 +668,6 @@ class LakeTable:
         self.metadata.renames.pop(name, None)
         self.metadata.column_defaults.pop(name, None)
         self.metadata.write_defaults.pop(name, None)
-        self.metadata.commit()
 
     # Iceberg's safe type promotions (spec: "Schema Evolution") — widening
     # only, so every existing file's physical values remain exactly
@@ -699,6 +760,20 @@ class LakeTable:
         self.metadata.identifier_fields = [
             new if c == old else c for c in self.metadata.identifier_fields
         ]
+        # nested-drop tombstones follow the rename too (review finding):
+        # without the migrated spelling, rename('loc','loc2') +
+        # add_column('loc2.alt') would resurrect a dropped loc.alt from
+        # old files through the rename chain's by-name struct resolution.
+        # The old spelling is kept — tombstones are conservative.
+        migrated = [
+            f"{new}.{p.split('.', 1)[1]}"
+            for p in self.metadata.retired_nested
+            if p.split(".", 1)[0] == old
+        ]
+        if migrated:
+            self.metadata.retired_nested = sorted(
+                set(self.metadata.retired_nested) | set(migrated)
+            )
         self.schema()  # validate the DDL parses before committing
         self.metadata.commit()
 
@@ -2876,19 +2951,6 @@ class LakeTable:
         bad = [k for k in on if k not in cols]
         if bad:
             raise ValueError(f"merge keys not in table schema: {bad}")
-        dotted = [
-            k
-            for asg in (assignments, not_matched_by_source_assignments)
-            for k in (asg or {})
-            if "." in k
-        ]
-        if dotted:
-            # the merge projection looks assignments up BY COLUMN name —
-            # a dotted key would be silently ignored, not applied
-            raise ValueError(
-                f"MERGE assignments to nested fields are not supported: "
-                f"{sorted(dotted)} (UPDATE … SET handles nested paths)"
-            )
         extra = [c for c in source.columns if c not in set(cols)]
         if extra:
             star = (
@@ -2914,6 +2976,26 @@ class LakeTable:
                     "to auto-add them"
                 )
         types = {f.name: f.dataType for f in fields}
+        # the merge projection looks assignments up BY COLUMN name — an
+        # unknown key (a typo, or a nested path like loc.lat, possibly
+        # already stripped to its last segment by the SQL facade's SET
+        # parser) would be silently ignored, not applied (review
+        # finding). Checked AFTER schema evolution: an evolved
+        # source-only column is a legal target.
+        bad_keys = sorted(
+            {
+                k
+                for asg in (assignments, not_matched_by_source_assignments)
+                for k in (asg or {})
+                if k not in set(cols)
+            }
+        )
+        if bad_keys:
+            raise ValueError(
+                f"MERGE assignment targets not in table schema: {bad_keys} "
+                "(nested fields are not assignable in MERGE — UPDATE … SET "
+                "handles nested paths)"
+            )
         if (assignments is None and when_matched == "update") or insert_unmatched:
             missing = [c for c in cols if c not in source.columns]
             if missing:
@@ -3114,6 +3196,17 @@ class LakeTable:
             raise ValueError(
                 f"UPDATE SET assigns {clash} both wholly and by nested field"
             )
+        for top, paths in nested.items():
+            keys = sorted(paths)
+            for a, b in zip(keys, keys[1:]):
+                if b.startswith(a + "."):
+                    # Spark rejects conflicting assignments; applying
+                    # both in some order would silently pick a winner
+                    raise ValueError(
+                        f"UPDATE SET assigns {top}.{a} and {top}.{b} — "
+                        "one is a prefix of the other (conflicting "
+                        "assignments)"
+                    )
         types = {f.name: f.dataType for f in self.schema().fields}
 
         def leaf_type(top: str, rest: str) -> T.DataType:

@@ -129,6 +129,9 @@ def transform_value(field: PartitionField, value: Any) -> Any | None:
     t = field.transform
     if value is None:
         return None
+    if isinstance(value, dict):
+        # tagged bounds (decimal {"dec": …}) — no sound transform key
+        return None
     if t == "identity":
         return value
     if t in ("year", "month", "day", "hour"):

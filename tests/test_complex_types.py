@@ -295,6 +295,61 @@ def test_merge_nested_assignment_refused(spark, cat):
     t.insert(
         spark.sql("SELECT 1 AS id, named_struct('lat', 1.0d, 'lon', 2.0d) AS loc")
     )
-    src = spark.sql("SELECT 1 AS id, 9.9d AS v")
-    with pytest.raises(ValueError, match="nested fields are not supported"):
-        t.merge(src, ["id"], assignments={"loc.lat": "s.v"})
+    src = spark.sql("SELECT 1 AS id")
+    with pytest.raises(ValueError, match="not assignable in MERGE"):
+        t.merge(
+            src, ["id"], assignments={"loc.lat": "9.9"}, insert_unmatched=False
+        )
+
+
+def test_review_fixes_nested_ddl(spark, cat):
+    """Third-review regressions: SQL-path MERGE nested target errors
+    loudly (the facade strips dotted SET targets); rename carries nested
+    tombstones; fileless nested drop doesn't tombstone; UPDATE rejects
+    prefix-conflicting nested assignments."""
+    from demo_iceberg_permanent_delete_spark.lake.sql import LakeEngine
+
+    eng = LakeEngine(spark, cat.warehouse)
+    eng.sql(
+        "CREATE TABLE default.rf (id bigint, "
+        "loc struct<lat:double,alt:double>, lat double) USING iceberg"
+    )
+    t = cat.load_table("default.rf")
+    t.insert(
+        spark.sql(
+            "SELECT 1 AS id, named_struct('lat', 1.0d, 'alt', 5.0d) AS loc, "
+            "7.0d AS lat"
+        )
+    )
+    # SQL MERGE with a nested target must error, not silently write the
+    # same-named TOP-LEVEL column (t.loc.lat strips to 'lat'!)
+    with pytest.raises(ValueError, match="not in table schema|nested"):
+        eng.sql(
+            "MERGE INTO default.rf t USING (SELECT 1 AS id, 9.9 AS v) s "
+            "ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.loc.lat = s.v"
+        )
+    t.refresh()
+    assert t.read().first()["lat"] == 7.0  # top-level column untouched
+
+    # rename carries nested tombstones: loc.alt dropped, loc→loc2,
+    # re-adding loc2.alt must stay refused
+    t.drop_column("loc.alt")
+    t.rename_column("loc", "loc2")
+    with pytest.raises(ValueError, match="was dropped"):
+        t.add_column("loc2.alt", "double")
+
+    # fileless table: nested drop leaves no tombstone
+    t2 = cat.create_table("default.rf2", "id bigint, s struct<a:int,b:int>")
+    t2.drop_column("s.b")
+    t2.add_column("s.b", "int")  # no files to leak from → allowed
+    assert t2.schema()["s"].dataType.fieldNames() == ["a", "b"]
+
+    # prefix-conflicting nested assignments are rejected
+    t3 = cat.create_table(
+        "default.rf3", "id bigint, s struct<m:struct<x:int>,y:int>"
+    )
+    t3.insert(spark.sql(
+        "SELECT 1 AS id, named_struct('m', named_struct('x', 1), 'y', 2) AS s"
+    ))
+    with pytest.raises(ValueError, match="prefix of the other"):
+        t3.update({"s.m": None, "s.m.x": 9}, "id = 1")

@@ -1821,9 +1821,9 @@ def test_add_drop_columns_multi(spark, tmp_path):
     assert row["b"] == "x,y" and row["a"] is None and row["s"] is None
 
     # a bad list changes nothing (duplicate against live schema)
-    with _pytest.raises(ValueError, match="duplicate column"):
+    with _pytest.raises(ValueError, match="already exists"):
         eng.sql("ALTER TABLE demo.default.mc ADD COLUMNS (z int, a int)")
-    with _pytest.raises(ValueError, match="duplicate column"):
+    with _pytest.raises(ValueError, match="already exists"):
         eng.sql("ALTER TABLE demo.default.mc ADD COLUMNS (z int, z string)")
     t.refresh()
     assert "z" not in [f.name for f in t.schema().fields]
@@ -1842,3 +1842,63 @@ def test_add_drop_columns_multi(spark, tmp_path):
     eng.sql("ALTER TABLE demo.default.mc DROP COLUMN w2")
     t.refresh()
     assert t.read().first()["w"] == 7
+
+
+def test_review_fixes_ddl_atomicity_and_namespaces(spark, tmp_path):
+    """Third-review regressions: multi-column DDL is ONE staged commit
+    (tombstone/identifier/last-column refusals anywhere leave nothing
+    changed); DROP NAMESPACE sees child namespaces; bare CREATE
+    NAMESPACE errors on a duplicate; quoted decimal predicates don't
+    mis-prune against the tagged decimal bounds."""
+    import pytest as _pytest
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.default")
+    with _pytest.raises(Exception, match="already exists"):
+        eng.sql("CREATE NAMESPACE demo.default")
+
+    # ADD COLUMNS: a tombstoned name mid-list changes nothing
+    eng.sql("CREATE TABLE demo.default.at (id bigint, email string) USING iceberg")
+    eng.sql("INSERT INTO demo.default.at VALUES (1, 'e')")
+    eng.sql("ALTER TABLE demo.default.at DROP COLUMN email")
+    t = eng.table("default.at")
+    v_before = t.metadata.version
+    with _pytest.raises(ValueError, match="retired"):
+        eng.sql("ALTER TABLE demo.default.at ADD COLUMNS (a int, email string)")
+    t.refresh()
+    assert [f.name for f in t.schema().fields] == ["id"]
+    assert t.metadata.version == v_before  # truly zero commits
+    # a bad DEFAULT cast mid-list changes nothing either
+    with _pytest.raises(Exception):
+        eng.sql(
+            "ALTER TABLE demo.default.at ADD COLUMNS (a int, b bigint DEFAULT 'oops')"
+        )
+    t.refresh()
+    assert [f.name for f in t.schema().fields] == ["id"]
+
+    # DROP COLUMNS: identifier-field refusal leaves everything in place
+    eng.sql("ALTER TABLE demo.default.at ADD COLUMNS (a int, b int)")
+    eng.sql("ALTER TABLE demo.default.at SET IDENTIFIER FIELDS id")
+    with _pytest.raises(ValueError, match="identifier field"):
+        eng.sql("ALTER TABLE demo.default.at DROP COLUMNS (a, id)")
+    t.refresh()
+    assert [f.name for f in t.schema().fields] == ["id", "a", "b"]
+
+    # DROP NAMESPACE sees nested children
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.p")
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS demo.p.q")
+    eng.sql("CREATE TABLE demo.p.q.t1 (k bigint) USING iceberg")
+    with _pytest.raises(Exception, match="child namespaces"):
+        eng.sql("DROP NAMESPACE demo.p")
+    out = eng.sql("DROP NAMESPACE demo.p CASCADE").collect()[0]
+    assert out["dropped_namespaces"] == 2 and out["dropped_tables"] == 1
+    names = [r["namespace"] for r in eng.sql("SHOW NAMESPACES").collect()]
+    assert "p" not in names and "p.q" not in names
+
+    # quoted decimal predicate: the tagged bounds never string-compare,
+    # so the matching file survives pruning
+    eng.sql("CREATE TABLE demo.default.dq (x decimal(10,2)) USING iceberg")
+    eng.sql("INSERT INTO demo.default.dq VALUES (9.75)")
+    eng.sql("INSERT INTO demo.default.dq VALUES (10.50), (100.00)")
+    got = eng.sql("SELECT * FROM demo.default.dq WHERE x = '10.50'").collect()
+    assert [str(r["x"]) for r in got] == ["10.50"]
