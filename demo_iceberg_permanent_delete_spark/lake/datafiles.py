@@ -18,6 +18,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import threading
 import uuid
 from math import ceil
 from typing import Any
@@ -59,6 +60,66 @@ _COLUMNS_HARVEST_MAX = 64
 # bound truncates to a prefix (≤ every value), the upper bound truncates
 # and increments its last code point (≥ every value) — pruning stays sound.
 _STRING_BOUND_CHARS = 16
+
+
+class _MicrosTimestampGuard:
+    """Reentrant, refcounted session-conf override: holds
+    ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`` while any
+    writer is inside it, restoring (or unsetting — ``conf.get(key, None)``
+    is None when the key was never explicitly set, and leaking the
+    override would change what the USER's own ``df.write.parquet()``
+    emits) only when the LAST writer leaves. The refcount is what makes
+    concurrent driver-thread writes safe: the old per-write set/restore
+    raced — thread B could capture thread A's override as "previous",
+    or A's restore could strip the conf mid-write for B, silently
+    producing INT96 files whose timestamp columns carry no usable footer
+    stats. Sessions that already run with TIMESTAMP_MICROS (the tuned
+    session) skip the py4j set/restore entirely."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._depth = 0
+        self._prev: str | None = None
+
+    _KEY = "spark.sql.parquet.outputTimestampType"
+
+    def __call__(self, spark):
+        return _MicrosTimestampScope(self, spark)
+
+    def enter(self, spark) -> None:
+        with self._lock:
+            if self._depth == 0:
+                prev = spark.conf.get(self._KEY, None)
+                if prev != "TIMESTAMP_MICROS":
+                    spark.conf.set(self._KEY, "TIMESTAMP_MICROS")
+                self._prev = prev
+            self._depth += 1
+
+    def leave(self, spark) -> None:
+        with self._lock:
+            self._depth -= 1
+            if self._depth == 0 and self._prev != "TIMESTAMP_MICROS":
+                if self._prev is not None:
+                    spark.conf.set(self._KEY, self._prev)
+                else:
+                    spark.conf.unset(self._KEY)
+
+
+class _MicrosTimestampScope:
+    def __init__(self, guard: _MicrosTimestampGuard, spark) -> None:
+        self._guard = guard
+        self._spark = spark
+
+    def __enter__(self):
+        self._guard.enter(self._spark)
+        return self
+
+    def __exit__(self, *exc):
+        self._guard.leave(self._spark)
+        return False
+
+
+_micros_timestamps = _MicrosTimestampGuard()
 
 
 def _truncate_lower(s: str) -> str:
@@ -202,28 +263,11 @@ def write_data_files(
         # aggregate pushdown. Write TIMESTAMP_MICROS (INT64) instead,
         # Iceberg's own physical type; readers handle both, so tables
         # with pre-switch INT96 files just keep their statless entries.
-        # Set-and-restore around the write: a concurrent writer thread
-        # racing the restore can at worst produce an INT96 file (lost
-        # stats, never lost correctness).
-        conf = frame.sparkSession.conf
-        key = "spark.sql.parquet.outputTimestampType"
-        prev = conf.get(key, None)
-        conf.set(key, "TIMESTAMP_MICROS")
-        try:
+        with _micros_timestamps(frame.sparkSession):
             w = frame.write.mode("overwrite")
             for k, v in (write_options or {}).items():
                 w = w.option(k, v)
             w.parquet(scratch)
-        finally:
-            # conf.get(key, None) is None when the key was never
-            # explicitly set (it does NOT surface the INT96 default), so
-            # restore means UNSET in that case — otherwise the override
-            # would leak into the user's session and change what THEIR
-            # df.write.parquet() emits (review finding)
-            if prev is not None:
-                conf.set(key, prev)
-            else:
-                conf.unset(key)
 
     _write(df)
     parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
@@ -251,7 +295,8 @@ def write_data_files(
             )
             for k, v in (write_options or {}).items():
                 w = w.option(k, v)
-            w.parquet(repack)
+            with _micros_timestamps(df.sparkSession):
+                w.parquet(repack)
             shutil.rmtree(scratch, ignore_errors=True)
             scratch = repack
             parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))

@@ -68,31 +68,60 @@ def lake_delete_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible — then published by the cherry-pick ``publish_changes``
     rides, so the hashed read proves the staged-then-published delete
     equals a direct one. This is the reference's audited-PII-deletion
-    story end to end."""
-    t_mor, wh_mor = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
-    t_cow, wh_cow = _fresh_table(spark, sf_dir, {"write.delete.mode": "copy-on-write"})
-    try:
-        head = t_mor.metadata.current_snapshot_id
-        staged = t_mor.delete("l_returnflag = 'R'", wap_id="gdpr-audit")
-        assert t_mor.metadata.current_snapshot_id == head, "stage moved main"
-        assert staged.summary.get("wap.id") == "gdpr-audit"
-        assert staged.delete_files(), "staged MOR delete must carry a DV"
-        t_mor.cherrypick_snapshot(staged.snapshot_id)  # the publish step
-        assert any(e.content == 1 for e in t_mor.metadata.current_snapshot().manifest), (
-            "MOR delete must produce position-delete files"
+    story end to end.
+
+    The two tables live in separate warehouses and share nothing, so
+    their lifecycles run CONCURRENTLY (run_concurrent, guide §2.6) —
+    each leg checkpoints its own read inside its thread, so the final
+    union is plan-free. Same rows, same commits per table; measured
+    4.2 s → ~2.6 s at sf0.1."""
+    from demo_iceberg_permanent_delete_spark.parallel import run_concurrent
+
+    def mor_leg() -> DataFrame:
+        t_mor, wh_mor = _fresh_table(
+            spark, sf_dir, {"write.delete.mode": "merge-on-read"}
         )
-        t_cow.delete("l_returnflag = 'R'")
-        assert all(e.content == 0 for e in t_cow.metadata.current_snapshot().manifest), (
-            "COW delete must not produce delete files"
+        try:
+            head = t_mor.metadata.current_snapshot_id
+            staged = t_mor.delete("l_returnflag = 'R'", wap_id="gdpr-audit")
+            assert t_mor.metadata.current_snapshot_id == head, "stage moved main"
+            assert staged.summary.get("wap.id") == "gdpr-audit"
+            assert staged.delete_files(), "staged MOR delete must carry a DV"
+            t_mor.cherrypick_snapshot(staged.snapshot_id)  # the publish step
+            assert any(
+                e.content == 1
+                for e in t_mor.metadata.current_snapshot().manifest
+            ), "MOR delete must produce position-delete files"
+            # localCheckpoint truncates lineage so the result survives the
+            # warehouse teardown below
+            return (
+                t_mor.read()
+                .select(F.lit("merge-on-read").alias("delete_mode"), "*")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(wh_mor, ignore_errors=True)
+
+    def cow_leg() -> DataFrame:
+        t_cow, wh_cow = _fresh_table(
+            spark, sf_dir, {"write.delete.mode": "copy-on-write"}
         )
-        mor = t_mor.read().select(F.lit("merge-on-read").alias("delete_mode"), "*")
-        cow = t_cow.read().select(F.lit("copy-on-write").alias("delete_mode"), "*")
-        # localCheckpoint truncates lineage so the result survives the
-        # warehouse teardown below
-        return mor.unionByName(cow).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(wh_mor, ignore_errors=True)
-        shutil.rmtree(wh_cow, ignore_errors=True)
+        try:
+            t_cow.delete("l_returnflag = 'R'")
+            assert all(
+                e.content == 0
+                for e in t_cow.metadata.current_snapshot().manifest
+            ), "COW delete must not produce delete files"
+            return (
+                t_cow.read()
+                .select(F.lit("copy-on-write").alias("delete_mode"), "*")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(wh_cow, ignore_errors=True)
+
+    mor, cow = run_concurrent(mor_leg, cow_leg)
+    return mor.unionByName(cow)
 
 
 @query(
@@ -524,96 +553,116 @@ def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — the semantics are table-size-independent and the changelog
     lineage read re-reads every referenced file, so a small table keeps
     the entry's bench cost at the pre-extension level."""
-    t, warehouse = _fresh_table(spark, sf_dir, {"write.delete.mode": "merge-on-read"})
-    try:
-        snap1 = t.metadata.current_snapshot_id
-        li = load_table(spark, sf_dir, "lineitem")
-        t.insert(li.filter("l_orderkey % 10 = 5"))
-        inc = t.incremental_read(from_snapshot_id=snap1).select(
-            F.lit("appends").alias("feed"),
-            F.lit("INSERT").alias("_change_type"),
-            F.lit(0).alias("_change_ordinal"),
-            "*",
-        )
-        t.delete("l_returnflag = 'R'")
-        chg = (
-            t.changes()
-            .drop("_commit_snapshot_id")
-            .select(F.lit("changelog").alias("feed"), "*")
-        )
-        # (c) MOR update on the small lineage table, then pair its
-        # changelog rows by row identity
-        cat2 = Catalog(spark, warehouse)
-        t2 = cat2.create_table(
-            "default.lineitem_upd",
-            _LINEITEM_DDL,
-            properties={"write.update.mode": "merge-on-read"},
-        )
-        t2.insert(li.filter("l_orderkey % 100 = 0"))
-        pre_update_head = t2.metadata.current_snapshot_id
-        t2.update({"l_quantity": F.col("l_quantity") + 1000}, _UPDATE_PRED)
-        data_cols = [c.strip().split()[0] for c in _LINEITEM_DDL.split(",")]
-        upd = t2.changes(
-            start_snapshot_id=pre_update_head, lineage=True
-        ).localCheckpoint(eager=True)
-        pre = upd.filter(F.col("_change_type") == "DELETE").select(
-            "_row_id", *data_cols
-        )
-        post = upd.filter(F.col("_change_type") == "INSERT").select(
-            "_row_id", *data_cols
-        )
-        pairs = pre.alias("d").join(
-            post.alias("i"), on="_row_id", how="inner"
-        ).localCheckpoint(eager=True)
-        n_pre, n_post, n_pairs = pre.count(), post.count(), pairs.count()
-        assert 0 < n_pairs == n_pre == n_post, (
-            f"lineage pairing must be a bijection: {n_pre=} {n_post=} {n_pairs=}"
-        )
+    from demo_iceberg_permanent_delete_spark.parallel import run_concurrent
 
-        def _feed(side: str, kind: str) -> DataFrame:
-            return pairs.select(
-                F.lit("lineage_update").alias("feed"),
-                F.lit(kind).alias("_change_type"),
-                F.lit(3).alias("_change_ordinal"),
-                *[F.col(f"{side}.{c}").alias(c) for c in data_cols],
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def append_changelog_leg() -> DataFrame:
+        """Feeds (a)+(b) on the main table — independent of the lineage
+        table, so it runs in its own thread (guide §2.6) and checkpoints
+        its union so teardown-safety costs no extra final pass."""
+        t, warehouse = _fresh_table(
+            spark, sf_dir, {"write.delete.mode": "merge-on-read"}
+        )
+        try:
+            snap1 = t.metadata.current_snapshot_id
+            t.insert(li.filter("l_orderkey % 10 = 5"))
+            inc = t.incremental_read(from_snapshot_id=snap1).select(
+                F.lit("appends").alias("feed"),
+                F.lit("INSERT").alias("_change_type"),
+                F.lit(0).alias("_change_ordinal"),
+                "*",
+            )
+            t.delete("l_returnflag = 'R'")
+            chg = (
+                t.changes()
+                .drop("_commit_snapshot_id")
+                .select(F.lit("changelog").alias("feed"), "*")
+            )
+            return inc.unionByName(chg).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(warehouse, ignore_errors=True)
+
+    def lineage_leg() -> DataFrame:
+        """Feeds (c)+(d): MOR update on the small lineage table, then pair
+        its changelog rows by row identity / by identifier values."""
+        warehouse = tempfile.mkdtemp(prefix="lakeq-")
+        cat2 = Catalog(spark, warehouse)
+        cat2.create_namespace("default")
+        try:
+            t2 = cat2.create_table(
+                "default.lineitem_upd",
+                _LINEITEM_DDL,
+                properties={"write.update.mode": "merge-on-read"},
+            )
+            t2.insert(li.filter("l_orderkey % 100 = 0"))
+            pre_update_head = t2.metadata.current_snapshot_id
+            t2.update({"l_quantity": F.col("l_quantity") + 1000}, _UPDATE_PRED)
+            data_cols = [c.strip().split()[0] for c in _LINEITEM_DDL.split(",")]
+            upd = t2.changes(
+                start_snapshot_id=pre_update_head, lineage=True
+            ).localCheckpoint(eager=True)
+            pre = upd.filter(F.col("_change_type") == "DELETE").select(
+                "_row_id", *data_cols
+            )
+            post = upd.filter(F.col("_change_type") == "INSERT").select(
+                "_row_id", *data_cols
+            )
+            pairs = pre.alias("d").join(
+                post.alias("i"), on="_row_id", how="inner"
+            ).localCheckpoint(eager=True)
+            n_pre, n_post, n_pairs = pre.count(), post.count(), pairs.count()
+            assert 0 < n_pairs == n_pre == n_post, (
+                f"lineage pairing must be a bijection: {n_pre=} {n_post=} {n_pairs=}"
             )
 
-        paired = _feed("d", "UPDATE_PRE").unionByName(_feed("i", "UPDATE_POST"))
-        # (d) the VALUE-matching counterpart (round-11): the same MOR
-        # update's changelog rows paired by identifier columns via
-        # pair_update_images — the public post-processor behind
-        # changes(compute_updates=True), Iceberg's create_changelog_view
-        # pre/post-image mode — applied to the ALREADY-CHECKPOINTED
-        # changelog above rather than paying a second changelog read.
-        # The UPDATE_BEFORE/UPDATE_AFTER relabeling itself sits under
-        # the hash: a mispair or a carry-over leak would flip labels or
-        # leak extra rows and break it. (l_orderkey, l_linenumber) alone
-        # is NOT unique in the synthetic lineitem — the guard correctly
-        # refuses it; the widened key is unique within the updated
-        # subset at every bundled SF and none of its columns are touched
-        # by the update
-        value_paired = t2.pair_update_images(
-            upd,
-            identifier_columns=[
-                "l_orderkey",
-                "l_linenumber",
-                "l_partkey",
-                "l_suppkey",
-            ],
-        ).select(
-            F.lit("value_update").alias("feed"),
-            "_change_type",
-            F.lit(4).alias("_change_ordinal"),
-            *data_cols,
-        )
-        return (
-            inc.unionByName(chg)
-            .unionByName(paired)
-            .unionByName(value_paired)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(warehouse, ignore_errors=True)
+            def _feed(side: str, kind: str) -> DataFrame:
+                return pairs.select(
+                    F.lit("lineage_update").alias("feed"),
+                    F.lit(kind).alias("_change_type"),
+                    F.lit(3).alias("_change_ordinal"),
+                    *[F.col(f"{side}.{c}").alias(c) for c in data_cols],
+                )
+
+            paired = _feed("d", "UPDATE_PRE").unionByName(
+                _feed("i", "UPDATE_POST")
+            )
+            # (d) the VALUE-matching counterpart (round-11): the same MOR
+            # update's changelog rows paired by identifier columns via
+            # pair_update_images — the public post-processor behind
+            # changes(compute_updates=True), Iceberg's create_changelog_view
+            # pre/post-image mode — applied to the ALREADY-CHECKPOINTED
+            # changelog above rather than paying a second changelog read.
+            # The UPDATE_BEFORE/UPDATE_AFTER relabeling itself sits under
+            # the hash: a mispair or a carry-over leak would flip labels or
+            # leak extra rows and break it. (l_orderkey, l_linenumber) alone
+            # is NOT unique in the synthetic lineitem — the guard correctly
+            # refuses it; the widened key is unique within the updated
+            # subset at every bundled SF and none of its columns are touched
+            # by the update
+            value_paired = t2.pair_update_images(
+                upd,
+                identifier_columns=[
+                    "l_orderkey",
+                    "l_linenumber",
+                    "l_partkey",
+                    "l_suppkey",
+                ],
+            ).select(
+                F.lit("value_update").alias("feed"),
+                "_change_type",
+                F.lit(4).alias("_change_ordinal"),
+                *data_cols,
+            )
+            # pairs is checkpointed and upd's derivation is checkpointed,
+            # so materializing the two paired feeds is join/projection
+            # over driver-local blocks — cheap, and teardown-safe
+            return paired.unionByName(value_paired).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(warehouse, ignore_errors=True)
+
+    main_feeds, lineage_feeds = run_concurrent(append_changelog_leg, lineage_leg)
+    return main_feeds.unionByName(lineage_feeds)
 
 
 @query(
@@ -852,97 +901,115 @@ def lake_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-sided corner box opens few files.
     """
     from demo_iceberg_permanent_delete_spark.lake.pruning import candidate_files
+    from demo_iceberg_permanent_delete_spark.parallel import run_concurrent
 
-    warehouse = tempfile.mkdtemp(prefix="lakeq-")
-    cat = Catalog(spark, warehouse)
-    cat.create_namespace("default")
-    hp = cat.create_table(
-        "default.lineitem_hp",
-        _LINEITEM_DDL,
-        partition_by=["days(l_shipdate)", "bucket(4, l_orderkey)"],
-        properties={"write.distribution.partitions": "8"},
-    )
-    try:
-        hp.insert(_subset(spark, sf_dir))
-        hp_pred = "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
-        entries = hp.metadata.current_snapshot().data_files()
-        cand = candidate_files(entries, hp_pred, hp._partition_fields)
-        assert len(entries) >= 4, "range-clustered write must produce several files"
-        assert 0 < len(cand) < len(entries), (
-            f"raw-column predicate must prune: {len(cand)}/{len(entries)}"
+    def hidden_partitioning_leg() -> DataFrame:
+        warehouse = tempfile.mkdtemp(prefix="lakeq-")
+        cat = Catalog(spark, warehouse)
+        cat.create_namespace("default")
+        hp = cat.create_table(
+            "default.lineitem_hp",
+            _LINEITEM_DDL,
+            partition_by=["days(l_shipdate)", "bucket(4, l_orderkey)"],
+            properties={"write.distribution.partitions": "8"},
         )
-        # X70 differential, in-query (the X39 style): the MANIFEST-served
-        # `.partitions` view (write-time harvested counts — every entry of
-        # this engine-written table carries them, so no data file is
-        # opened) must agree with a groupBy over the data itself, per
-        # partition tuple, before the hashed scan below is trusted.
-        assert all(e.partition_counts is not None for e in entries)
-        from demo_iceberg_permanent_delete_spark.lake.transforms import (
-            transform_column,
-        )
-
-        view = {
-            tuple(sorted(r["partition"].items())): r["record_count"]
-            for r in hp.meta("partitions").collect()
-        }
-        raw = hp.read()
-        types = {f.name: f.dataType for f in raw.schema.fields}
-        truth = {
-            tuple(
-                sorted(
-                    (fld.spec, r[f"__p{i}"])
-                    for i, fld in enumerate(hp._partition_fields)
-                )
-            ): r["n"]
-            for r in raw.select(
-                *[
-                    transform_column(fld, types[fld.source])
-                    .cast("string")
-                    .alias(f"__p{i}")
-                    for i, fld in enumerate(hp._partition_fields)
-                ]
+        try:
+            hp.insert(_subset(spark, sf_dir))
+            hp_pred = "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+            entries = hp.metadata.current_snapshot().data_files()
+            cand = candidate_files(entries, hp_pred, hp._partition_fields)
+            assert len(entries) >= 4, "range-clustered write must produce several files"
+            assert 0 < len(cand) < len(entries), (
+                f"raw-column predicate must prune: {len(cand)}/{len(entries)}"
             )
-            .groupBy(*[f"__p{i}" for i in range(len(hp._partition_fields))])
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        assert view == truth, "manifest-served .partitions != data truth"
+            # X70 differential, in-query (the X39 style): the MANIFEST-served
+            # `.partitions` view (write-time harvested counts — every entry of
+            # this engine-written table carries them, so no data file is
+            # opened) must agree with a groupBy over the data itself, per
+            # partition tuple, before the hashed scan below is trusted.
+            assert all(e.partition_counts is not None for e in entries)
+            from demo_iceberg_permanent_delete_spark.lake.transforms import (
+                transform_column,
+            )
 
-        zt = cat.create_table("default.lineitem_z", _LINEITEM_DDL)
-        zt.insert(_subset(spark, sf_dir))
-        # size the target from actual bytes so the rewrite yields ~6 files
-        # at any SF (a fixed 16 KiB under-splits the sf0.001 smoke subset)
-        total = sum(
-            e.file_size_in_bytes
-            for e in zt.metadata.current_snapshot().data_files()
-        )
-        zt.rewrite_data_files(
-            sort_order="zorder(l_orderkey, l_partkey)",
-            target_file_size_bytes=max(1024, min(16 * 1024, total // 6)),
-        )
-        entries = zt.metadata.current_snapshot().data_files()
-        assert len(entries) >= 4, "small target size must yield several files"
-        z_pred = "l_orderkey <= 4000 AND l_partkey <= 600"
-        # pruning is only expectable when the corner predicate is actually
-        # selective at this SF (at sf0.001 the keys top out near the corner
-        # itself, so every z-range legitimately intersects it)
-        max_ok = max(int(e.max_values["l_orderkey"]) for e in entries)
-        if max_ok >= 4 * 4000:
-            by_order = candidate_files(entries, "l_orderkey <= 4000")
-            by_part = candidate_files(entries, "l_partkey <= 600")
-            assert len(by_order) < len(entries), "zorder must prune on dim 1"
-            assert len(by_part) < len(entries), "zorder must prune on dim 2"
-            corner = candidate_files(entries, z_pred)
-            assert len(corner) <= min(len(by_order), len(by_part))
+            view = {
+                tuple(sorted(r["partition"].items())): r["record_count"]
+                for r in hp.meta("partitions").collect()
+            }
+            raw = hp.read()
+            types = {f.name: f.dataType for f in raw.schema.fields}
+            truth = {
+                tuple(
+                    sorted(
+                        (fld.spec, r[f"__p{i}"])
+                        for i, fld in enumerate(hp._partition_fields)
+                    )
+                ): r["n"]
+                for r in raw.select(
+                    *[
+                        transform_column(fld, types[fld.source])
+                        .cast("string")
+                        .alias(f"__p{i}")
+                        for i, fld in enumerate(hp._partition_fields)
+                    ]
+                )
+                .groupBy(*[f"__p{i}" for i in range(len(hp._partition_fields))])
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            assert view == truth, "manifest-served .partitions != data truth"
+            return (
+                hp.scan(hp_pred)
+                .select(F.lit("hidden_partitioning").alias("part"), "*")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(warehouse, ignore_errors=True)
 
-        return (
-            hp.scan(hp_pred)
-            .select(F.lit("hidden_partitioning").alias("part"), "*")
-            .unionByName(zt.scan(z_pred).select(F.lit("zorder").alias("part"), "*"))
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(warehouse, ignore_errors=True)
+    def zorder_leg() -> DataFrame:
+        warehouse = tempfile.mkdtemp(prefix="lakeq-")
+        cat = Catalog(spark, warehouse)
+        cat.create_namespace("default")
+        try:
+            zt = cat.create_table("default.lineitem_z", _LINEITEM_DDL)
+            zt.insert(_subset(spark, sf_dir))
+            # size the target from actual bytes so the rewrite yields ~6 files
+            # at any SF (a fixed 16 KiB under-splits the sf0.001 smoke subset)
+            total = sum(
+                e.file_size_in_bytes
+                for e in zt.metadata.current_snapshot().data_files()
+            )
+            zt.rewrite_data_files(
+                sort_order="zorder(l_orderkey, l_partkey)",
+                target_file_size_bytes=max(1024, min(16 * 1024, total // 6)),
+            )
+            entries = zt.metadata.current_snapshot().data_files()
+            assert len(entries) >= 4, "small target size must yield several files"
+            z_pred = "l_orderkey <= 4000 AND l_partkey <= 600"
+            # pruning is only expectable when the corner predicate is actually
+            # selective at this SF (at sf0.001 the keys top out near the corner
+            # itself, so every z-range legitimately intersects it)
+            max_ok = max(int(e.max_values["l_orderkey"]) for e in entries)
+            if max_ok >= 4 * 4000:
+                by_order = candidate_files(entries, "l_orderkey <= 4000")
+                by_part = candidate_files(entries, "l_partkey <= 600")
+                assert len(by_order) < len(entries), "zorder must prune on dim 1"
+                assert len(by_part) < len(entries), "zorder must prune on dim 2"
+                corner = candidate_files(entries, z_pred)
+                assert len(corner) <= min(len(by_order), len(by_part))
+            return (
+                zt.scan(z_pred)
+                .select(F.lit("zorder").alias("part"), "*")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(warehouse, ignore_errors=True)
+
+    # the two tables live in separate warehouses and share nothing — run
+    # their lifecycles concurrently (guide §2.6); each leg checkpoints its
+    # own scan, so the union below is plan-free and teardown-safe
+    hp_part, z_part = run_concurrent(hidden_partitioning_leg, zorder_leg)
+    return hp_part.unionByName(z_part)
 
 
 @query(

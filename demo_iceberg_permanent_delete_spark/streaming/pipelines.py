@@ -593,34 +593,79 @@ def run_available_now(
     7.1s, 8 → 1.9s for the same 100k-row dedup. Size it to expected state
     volume: thousands on a real cluster, single digits for a bounded local
     run. ``None`` keeps the session's setting."""
-    spark = stream_df.sparkSession
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    checkpoint = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "cp")
+    return run_available_now_many(
+        [stream_df],
+        output_modes=[output_mode],
+        timeout_s=timeout_s,
+        state_partitions=state_partitions,
+    )[0]
+
+
+def run_available_now_many(
+    stream_dfs: list[DataFrame],
+    *,
+    output_modes: list[str] | str = "append",
+    timeout_s: int = 300,
+    state_partitions: int | None = None,
+) -> list[DataFrame]:
+    """Bounded (availableNow) passes of several INDEPENDENT streams run
+    CONCURRENTLY into memory sinks; returns the sink contents in input
+    order.
+
+    Each streaming query runs its micro-batches in its own scheduler
+    thread, so starting all queries before awaiting any overlaps their
+    fixed costs (source listing, state-store commits, sink writes) and
+    lets one query's task tail back-fill executors the other has freed —
+    the guide-§2.6 shape. Results are identical to running them one at a
+    time: the queries share nothing but the session.
+
+    The shuffle-partition override is applied ONCE around starting all
+    queries and restored after the LAST one terminates (Spark pins the
+    setting into each checkpoint at first-batch planning): per-query
+    set/restore would race when the queries overlap."""
+    if isinstance(output_modes, str):
+        output_modes = [output_modes] * len(stream_dfs)
+    if len(output_modes) != len(stream_dfs):
+        raise ValueError("one output_mode per stream (or a single string)")
+    if not stream_dfs:
+        return []
+    spark = stream_dfs[0].sparkSession
+    names = [f"sink_{uuid.uuid4().hex[:12]}" for _ in stream_dfs]
+    ckpt_roots = [tempfile.mkdtemp(prefix="ckpt_") for _ in stream_dfs]
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    queries = []
     try:
         if state_partitions is not None:
             # Spark reads this at first-batch planning, not at .start() —
-            # keep it set until the bounded query terminates.
+            # keep it set until every bounded query terminates.
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
+        for df, mode, name, root in zip(
+            stream_dfs, output_modes, names, ckpt_roots
+        ):
+            queries.append(
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", os.path.join(root, "cp"))
+                .trigger(availableNow=True)
+                .start()
+            )
         try:
-            if not q.awaitTermination(timeout_s):
-                raise TimeoutError(f"stream {name} did not finish in {timeout_s}s")
+            for name, q in zip(names, queries):
+                if not q.awaitTermination(timeout_s):
+                    raise TimeoutError(
+                        f"stream {name} did not finish in {timeout_s}s"
+                    )
         finally:
-            if q.isActive:
-                q.stop()
+            for q in queries:
+                if q.isActive:
+                    q.stop()
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", before)
-        # the memory-sink table is already materialized; the single-use
-        # checkpoint is dead weight (8 MB of state-store deltas per run
+        # the memory-sink tables are already materialized; the single-use
+        # checkpoints are dead weight (8 MB of state-store deltas per run
         # that accumulate across repeated bench/test invocations)
-        shutil.rmtree(os.path.dirname(checkpoint), ignore_errors=True)
-    return spark.table(name)
+        for root in ckpt_roots:
+            shutil.rmtree(root, ignore_errors=True)
+    return [spark.table(name) for name in names]
