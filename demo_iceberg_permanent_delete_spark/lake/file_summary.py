@@ -21,6 +21,15 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# The relations the summary statements actually read (register_metadata_views
+# subset — the other 8 metadata views would be built and never queried).
+_SUMMARY_VIEWS = [
+    "snapshots",
+    "all_manifests",
+    "metadata_log_entries",
+    "all_entries",
+]
+
 # Output shape: FIXTURES.md `file_summary` (DDL-declared empty frame in the
 # reference at file_summary_utils.py:165-166).
 SUMMARY_DDL = (
@@ -30,7 +39,7 @@ SUMMARY_DDL = (
 
 _METADATA_SUMMARY_SQL = """
 WITH snapshot_files AS (
-  SELECT
+  SELECT /*+ BROADCAST(s2) */
     s1.manifest_list AS file_path,
     'manifest_lists' AS file_type,
     'json' AS file_format,
@@ -40,7 +49,7 @@ WITH snapshot_files AS (
   WHERE s1.manifest_list IS NOT NULL
 ),
 manifest_files AS (
-  SELECT
+  SELECT /*+ BROADCAST(s1) */
     m.path AS file_path,
     'manifests' AS file_type,
     'json' AS file_format,
@@ -75,7 +84,7 @@ GROUP BY file_type, file_format, date_trunc('minute', created_at)
 
 _DATA_SUMMARY_SQL = """
 WITH entries AS (
-  SELECT
+  SELECT /*+ BROADCAST(s) */
     e.data_file.file_path AS file_path,
     MIN(e.data_file.content) AS content,
     MIN(s.committed_at) AS created_at
@@ -113,7 +122,9 @@ def summarize_files(table, operation: str, run_id: str | None = None) -> DataFra
     before/after probe the reference brackets every lifecycle step with)."""
     spark = table.spark
     prefix = f"fs_{uuid.uuid4().hex[:8]}"
-    table.register_metadata_views(prefix=prefix)
+    # only the four relations the two statements read — building all 12
+    # views would pay ~3x the registration cost for relations never used
+    table.register_metadata_views(prefix=prefix, views=_SUMMARY_VIEWS)
     run_id = run_id or uuid.uuid4().hex[:12]
 
     meta_summary = spark.sql(_METADATA_SUMMARY_SQL.format(p=prefix))
@@ -128,13 +139,17 @@ def summarize_files(table, operation: str, run_id: str | None = None) -> DataFra
             )
         )
     )
-    empty = spark.createDataFrame([], SUMMARY_DDL)
+    from demo_iceberg_permanent_delete_spark.lake.table import _empty_frame
+
+    # schema-pinning union: the JVM-only empty frame (a 32-partition
+    # Python-RDD empty frame added a full-width worker job to every run)
+    empty = _empty_frame(spark, SUMMARY_DDL)
     return empty.unionByName(combined).orderBy("created_minute", "file_type", "file_format")
 
 
 _METADATA_SUMMARY_DET_SQL = """
 WITH snapshot_files AS (
-  SELECT
+  SELECT /*+ BROADCAST(s2) */
     s1.manifest_list AS file_path,
     'manifest_lists' AS file_type,
     'json' AS file_format,
@@ -144,7 +159,7 @@ WITH snapshot_files AS (
   WHERE s1.manifest_list IS NOT NULL
 ),
 manifest_files AS (
-  SELECT
+  SELECT /*+ BROADCAST(s1) */
     m.path AS file_path,
     'manifests' AS file_type,
     'json' AS file_format,
@@ -180,7 +195,7 @@ GROUP BY file_type, file_format, created_at
 
 _DATA_SUMMARY_DET_SQL = """
 WITH entries AS (
-  SELECT
+  SELECT /*+ BROADCAST(s) */
     e.data_file.file_path AS file_path,
     MIN(e.data_file.content) AS content,
     MIN(e.data_file.record_count) AS record_count,
@@ -225,7 +240,7 @@ def summarize_files_deterministic(
     the per-type sequence is fixed by the lifecycle's commit order."""
     spark = table.spark
     prefix = f"fs_{uuid.uuid4().hex[:8]}"
-    table.register_metadata_views(prefix=prefix)
+    table.register_metadata_views(prefix=prefix, views=_SUMMARY_VIEWS)
     meta_summary = spark.sql(_METADATA_SUMMARY_DET_SQL.format(p=prefix))
     data_summary = spark.sql(_DATA_SUMMARY_DET_SQL.format(p=prefix))
     combined = (
@@ -246,7 +261,9 @@ def summarize_files_deterministic(
 def recent_snapshots_debug(table) -> DataFrame:
     """The reference's debug query (file_summary_utils.py:116-125)."""
     prefix = f"fs_{uuid.uuid4().hex[:8]}"
-    table.register_metadata_views(prefix=prefix)
+    table.register_metadata_views(
+        prefix=prefix, views=["all_manifests", "snapshots"]
+    )
     return table.spark.sql(_DEBUG_RECENT_SNAPSHOTS_SQL.format(p=prefix))
 
 

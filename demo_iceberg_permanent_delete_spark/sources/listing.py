@@ -65,7 +65,9 @@ def _list_files_hadoop(spark: SparkSession, root: str, suffix: str | None) -> Da
     fs = path.getFileSystem(conf)
     rows = []
     if not fs.exists(path):
-        return spark.createDataFrame([], LISTING_SCHEMA)
+        from demo_iceberg_permanent_delete_spark.lake.table import _empty_frame
+
+        return _empty_frame(spark, LISTING_SCHEMA)
     it = fs.listFiles(path, True)  # recursive
     while it.hasNext():
         status = it.next()
