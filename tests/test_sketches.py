@@ -33,3 +33,60 @@ def test_approx_battery_tracks_exact_twin(spark):
         assert abs(a["p50_price_approx"] - r["p50_price"]) <= 0.05 * spread
         assert abs(a["p95_price_approx"] - r["p95_price"]) <= 0.05 * spread
         assert a["n_rows"] == r["n_rows"]
+
+
+def test_exact_percentiles_bit_identical_to_aggregate(spark):
+    """The single-sorted-pass exact_percentiles must reproduce Spark's
+    percentile aggregate BIT-FOR-BIT (it feeds the hash-checked
+    sketch_exact_summary row) — including integral positions (q=0.0/1.0),
+    fractional interpolation, and 1-row groups."""
+    from pyspark.sql import functions as F
+
+    from demo_iceberg_permanent_delete_spark.operators.sketches import (
+        exact_percentiles,
+    )
+    from demo_iceberg_permanent_delete_spark.sources.tables import load_table
+
+    for sf in ("/root/testdata/sf0.001", SF_ORACLE):
+        li = load_table(spark, sf, "lineitem")
+        qs = [(0.0, "q0"), (0.25, "q25"), (0.5, "q50"), (0.95, "q95"), (1.0, "q100")]
+        got = sorted(
+            map(
+                tuple,
+                exact_percentiles(li, "l_returnflag", "l_extendedprice", qs)
+                .withColumnsRenamed({"__mn": "mn", "__mx": "mx"})
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                li.groupBy("l_returnflag")
+                .agg(
+                    *[
+                        F.percentile("l_extendedprice", q).alias(a)
+                        for q, a in qs
+                    ],
+                    F.min("l_extendedprice").alias("mn"),
+                    F.max("l_extendedprice").alias("mx"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want
+
+    # 1-row groups: position is always integral, no interpolation branch
+    from tests.conftest import one_part
+
+    tiny = one_part(
+        spark,
+        [("a", 3.5), ("b", 1.25)],
+        "g string, v double",
+    )
+    got = sorted(
+        map(
+            tuple,
+            exact_percentiles(tiny, "g", "v", [(0.5, "q50")]).collect(),
+        )
+    )
+    assert got == [("a", 3.5, 3.5, 3.5), ("b", 1.25, 1.25, 1.25)]
