@@ -67,6 +67,13 @@ _UPSERT_KEYS_ARROW_MAX_ROWS = 4_000_000
 # it the executor write path keeps driver memory bounded.
 _EQ_DELETE_ARROW_MAX_ROWS = 100_000
 
+# deletion-vector gate: at or below this many matched (file_path, pos)
+# tombstones the DV file is built driver-side from one Arrow collect (one
+# Spark job vs checkpoint+write+repack ≈ three); above it the executor
+# path keeps the driver out of row-proportional work (a 100 TB bulk
+# delete's positions never land on the driver).
+_DV_ARROW_MAX_POSITIONS = 1_000_000
+
 
 def _distinct_keys_arrow(paths: list[str], on: list[str]):
     """Distinct key tuples of the just-written batch files, driver-side:
@@ -1303,6 +1310,19 @@ class LakeTable:
         if target_file_size_bytes is not None:
             kwargs["target_file_size_bytes"] = target_file_size_bytes
         if use_dv:
+            # Small deletes (the overwhelmingly common shape — a GDPR key,
+            # one bad batch) build the DV file DRIVER-SIDE from one Arrow
+            # collect of the (file_path, pos) matches: one Spark job
+            # total, where the executor path costs three (checkpoint of
+            # the match scan + parquet write + possible bin-pack repack).
+            # The limit(N+1) probe is exact below the gate; past it the
+            # executor path keeps driver memory bounded — at 100 TB a
+            # billion-row delete never lands on the driver. The probe's
+            # result is discarded on fallback, so a non-deterministic
+            # source cannot split tombstones across the two paths.
+            entries = self._write_dv_arrow(matches)
+            if entries is not None:
+                return entries
             # Checkpoint the DV frame (tiny: one row per TARGET file)
             # before writing — the bin-pack resize pass below may write
             # twice, and without this each write re-runs the full
@@ -1336,6 +1356,79 @@ class LakeTable:
             prefix="delete",
             **kwargs,
         )
+
+    def _write_dv_arrow(
+        self, matches: DataFrame
+    ) -> list[ManifestEntry] | None:
+        """Driver-side deletion-vector writer for small tombstone sets:
+        group the collected (file_path, pos) rows with vectorized Arrow
+        ops, sort each file's positions, and write ONE delete file with
+        pyarrow — semantically identical to the executor path (same
+        sorted-positions-array layout, record_count = total cardinality,
+        referenced-files harvest, dv flag; differential-tested in
+        tests/test_deletion_vectors.py). Returns None past the row gate
+        (or on any Arrow surprise) to request the executor path."""
+        import numpy as np
+        import pyarrow as pa
+
+        from demo_iceberg_permanent_delete_spark.lake.datafiles import (
+            _MAX_REFERENCED_FILES,
+            write_arrow_file,
+        )
+
+        try:
+            probe = matches.limit(_DV_ARROW_MAX_POSITIONS + 1).toArrow()
+        except Exception:
+            return None
+        if probe.num_rows > _DV_ARROW_MAX_POSITIONS:
+            return None
+        if probe.num_rows == 0:
+            return []  # nothing matched — parity with the zero-row drop
+        fps = probe.column("file_path").to_pylist()
+        pos = probe.column("pos").to_numpy(zero_copy_only=False)
+        order = np.argsort(np.array(fps, dtype=object), kind="stable")
+        # group positions per file; files emitted in sorted-path order so
+        # the single DV file's row layout is deterministic
+        grouped: dict[str, np.ndarray] = {}
+        cur: str | None = None
+        start = 0
+        sorted_fps = [fps[i] for i in order]
+        sorted_pos = pos[order]
+        for i, fp in enumerate(sorted_fps):
+            if fp != cur:
+                if cur is not None:
+                    grouped[cur] = np.sort(sorted_pos[start:i])
+                cur, start = fp, i
+        if cur is not None:
+            grouped[cur] = np.sort(sorted_pos[start:])
+        table = pa.table(
+            {
+                "file_path": pa.array(list(grouped), type=pa.string()),
+                "positions": pa.array(
+                    [v.tolist() for v in grouped.values()],
+                    type=pa.list_(pa.int64()),
+                ),
+                "cardinality": pa.array(
+                    [int(len(v)) for v in grouped.values()], type=pa.int64()
+                ),
+            }
+        )
+        entries = write_arrow_file(
+            table,
+            self.data_dir,
+            content=CONTENT_POSITION_DELETES,
+            prefix="delete",
+        )
+        refs = sorted(grouped)
+        for e in entries:
+            e.dv = True
+            # Iceberg v3: a DV's record_count is its cardinality (rows it
+            # deletes), not the physical row count of the DV file
+            e.record_count = int(probe.num_rows)
+            e.referenced_files = (
+                refs if len(refs) <= _MAX_REFERENCED_FILES else []
+            )
+        return entries
 
     def _apply_equality_deletes(
         self,

@@ -132,3 +132,59 @@ def test_mor_update_writes_dv(spark, dv_table):
     assert len(dels) == 1 and dels[0].dv
     got = {r["k"]: r["name"] for r in t.read().collect()}
     assert got[9] is None and got[10] == "name-10"
+
+
+def test_dv_arrow_writer_matches_executor_path(spark, tmp_path, monkeypatch):
+    """The round-11 driver-side DV writer must be indistinguishable from
+    the executor path: same visible rows, same DV semantics (record_count
+    = cardinality, sorted positions, dv flag, referenced-files harvest).
+    The executor path is forced via the row gate."""
+    import demo_iceberg_permanent_delete_spark.lake.table as table_mod
+    from demo_iceberg_permanent_delete_spark.lake import Catalog
+
+    def build(gate):
+        monkeypatch.setattr(table_mod, "_DV_ARROW_MAX_POSITIONS", gate)
+        wh = str(tmp_path / f"wh_{gate}")
+        cat = Catalog(spark, wh)
+        cat.create_namespace("default")
+        t = cat.create_table(
+            "default.t",
+            "id bigint, v string",
+            properties={"write.delete.mode": "merge-on-read"},
+        )
+        t.insert(
+            spark.range(1000).selectExpr("id", "concat('v', id % 7) AS v")
+        )
+        t.delete("id % 7 = 3")
+        return t
+
+    t_arrow = build(1_000_000)  # driver path
+    t_exec = build(0)  # gate 0 forces the executor path
+    got = sorted(map(tuple, t_arrow.read().collect()))
+    want = sorted(map(tuple, t_exec.read().collect()))
+    assert got == want and got
+
+    def dv_entries(t):
+        return [
+            e
+            for e in t.metadata.current_snapshot().manifest
+            if e.content == 1
+        ]
+
+    ea, ee = dv_entries(t_arrow), dv_entries(t_exec)
+    assert len(ea) == len(ee) == 1
+    assert ea[0].dv and ee[0].dv
+    assert ea[0].record_count == ee[0].record_count  # = cardinality
+    # paths are per-warehouse UUIDs — compare the harvest's shape: same
+    # number of referenced data files, every one registered in its table
+    assert len(ea[0].referenced_files) == len(ee[0].referenced_files)
+    assert ea[0].referenced_files, "small DV must harvest referenced files"
+    data_paths = {
+        e.file_path
+        for e in t_arrow.metadata.current_snapshot().data_files()
+    }
+    assert set(ea[0].referenced_files) <= data_paths
+    # audit surface identical too
+    assert sorted(map(tuple, t_arrow.deleted_rows().collect())) == sorted(
+        map(tuple, t_exec.deleted_rows().collect())
+    )
