@@ -638,9 +638,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame, id_col: str = "doc_
         for v in parent:
             r = find(v)
             comp_min[r] = min(comp_min.get(r, v), v)
+        from demo_iceberg_permanent_delete_spark.lake.table import (
+            _local_frame,
+        )
+
         id_type = nodes.schema[id_col].dataType.simpleString()
+        # one Arrow batch, not a 32-slice Python parallelize (the label
+        # map can be tens of thousands of rows — the slice path costs a
+        # full-width Python-worker job just to build the broadcast)
         label_df = F.broadcast(
-            nodes.sparkSession.createDataFrame(
+            _local_frame(
+                nodes.sparkSession,
                 [(v, comp_min[find(v)]) for v in parent],
                 f"{id_col} {id_type}, label {id_type}",
             )

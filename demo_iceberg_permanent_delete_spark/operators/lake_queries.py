@@ -813,9 +813,10 @@ def lake_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     and makes the erasure physical."""
     t, warehouse = _fresh_table(spark, sf_dir, {})
     try:
-        t.equality_delete(
-            spark.createDataFrame([("R",)], "l_returnflag string")
-        )
+        from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
+
+        # one Arrow batch, not a 32-slice Python parallelize
+        t.equality_delete(_local_frame(spark, [("R",)], "l_returnflag string"))
         assert any(
             e.content == 2 for e in t.metadata.current_snapshot().manifest
         ), "equality delete must add a content=2 file"
@@ -858,16 +859,27 @@ def lake_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assert live == result.count(), (live, "manifest rows ≠ visible rows")
         raw = t.read(apply_deletes=False)
-        # the upsert slice legitimately re-inserted its 'R' rows AFTER
-        # the key delete — exclude it from the erasure check
-        assert (
-            raw.filter(
-                f"l_orderkey % 10 = 0 AND l_returnflag = 'R' "
-                f"AND NOT ({_UPSERT_SLICE})"
-            ).count()
-            == 0
-        ), "post-rewrite raw files must not contain the eq-deleted rows"
-        assert raw.filter("l_orderkey % 10 = 5 AND l_returnflag = 'R'").count() > 0
+        # ONE aggregate pass for both erasure assertions (two counts were
+        # two full raw scans). The upsert slice legitimately re-inserted
+        # its 'R' rows AFTER the key delete — excluded from the check.
+        erased, survived = raw.select(
+            F.sum(
+                F.when(
+                    F.expr(
+                        f"l_orderkey % 10 = 0 AND l_returnflag = 'R' "
+                        f"AND NOT ({_UPSERT_SLICE})"
+                    ),
+                    1,
+                ).otherwise(0)
+            ),
+            F.sum(
+                F.when(
+                    F.expr("l_orderkey % 10 = 5 AND l_returnflag = 'R'"), 1
+                ).otherwise(0)
+            ),
+        ).first()
+        assert erased == 0, "post-rewrite raw files must not contain the eq-deleted rows"
+        assert survived > 0
         return result
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)

@@ -264,8 +264,13 @@ def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         fl = math.floor(y)
         return int(fl) + (1 if y - fl >= 0.5 else 0)
 
-    nll_table = spark.createDataFrame(
-        [(r["cnt"], _nll_q(r["cnt"])) for r in cnt_hist], "cnt long, nll_q long"
+    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
+
+    # one Arrow batch, not a 32-slice Python parallelize
+    nll_table = _local_frame(
+        spark,
+        [(r["cnt"], _nll_q(r["cnt"])) for r in cnt_hist],
+        "cnt long, nll_q long",
     )
     doc_nll = (
         tok_rows.join(freq, "t")

@@ -175,7 +175,12 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = base.filter(F.col("term").isNotNull())
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
-    qterms = spark.createDataFrame(
+    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
+
+    # one Arrow batch, not a 32-slice Python parallelize (the broadcast
+    # build otherwise launches a full-width Python-worker job)
+    qterms = _local_frame(
+        spark,
         [
             (qid, ord_, term)
             for qid, terms in BM25_QUERIES.items()
