@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for named queries to plans/r11/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/r12/<q>_<tag>.txt.
 
 Usage: python scratch/capture_plans.py TAG NAME [NAME...]
 """
@@ -18,7 +18,7 @@ names = sys.argv[2:]
 spark = get_spark(app_name="plans")
 spark.sparkContext.setLogLevel("ERROR")
 qs = em.queries()
-os.makedirs("/root/repo/plans/r11", exist_ok=True)
+os.makedirs("/root/repo/plans/r12", exist_ok=True)
 SF = "/root/testdata/sf0.1"
 
 for name in names:
@@ -26,7 +26,7 @@ for name in names:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    out = f"/root/repo/plans/r11/{name}_{tag}.txt"
+    out = f"/root/repo/plans/r12/{name}_{tag}.txt"
     with open(out, "w") as f:
         f.write(buf.getvalue())
     print("wrote", out, len(buf.getvalue()), "bytes")
