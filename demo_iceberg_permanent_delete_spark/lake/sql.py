@@ -66,7 +66,36 @@ from demo_iceberg_permanent_delete_spark.lake.table import LakeTable
 
 
 def _one_row_df(spark: SparkSession, data: dict[str, Any]) -> DataFrame:
-    return spark.createDataFrame([tuple(data.values())], list(data.keys()))
+    """One driver-known status row as ONE Arrow batch. The obvious
+    ``createDataFrame([row], names)`` parallelizes the row into
+    defaultParallelism Python-RDD slices — every facade DDL statement
+    paid a full-width Python-worker job (~80–140 ms measured) just to
+    build its one-row status frame (guide §5 driver rules; the same
+    ``_local_frame`` finding applied to the lake layer in round 11).
+    Type mapping mirrors createDataFrame's row inference for the value
+    types facade statements produce; anything else keeps the old path."""
+    import datetime as _dt
+
+    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
+
+    fields = []
+    for k, v in data.items():
+        if isinstance(v, bool):
+            dt_ = T.BooleanType()
+        elif isinstance(v, int):
+            dt_ = T.LongType()
+        elif isinstance(v, float):
+            dt_ = T.DoubleType()
+        elif isinstance(v, str):
+            dt_ = T.StringType()
+        elif isinstance(v, _dt.datetime):
+            dt_ = T.TimestampType()
+        elif isinstance(v, _dt.date):
+            dt_ = T.DateType()
+        else:  # exotic value type — fall back to row inference
+            return spark.createDataFrame([tuple(data.values())], list(data.keys()))
+        fields.append(T.StructField(k, dt_, True))
+    return _local_frame(spark, [tuple(data.values())], T.StructType(fields))
 
 
 def _store(cache: dict, key, val, cap: int) -> None:

@@ -74,6 +74,15 @@ _EQ_DELETE_ARROW_MAX_ROWS = 100_000
 # delete's positions never land on the driver).
 _DV_ARROW_MAX_POSITIONS = 1_000_000
 
+# small-append gate: at or below this many rows an INSERT's frame is
+# collected as one Arrow batch and its files are written driver-side
+# (split per Spark partition id, so the file count matches the executor
+# write exactly); above it the executor path runs unchanged — a 100 TB
+# ingest never lands on the driver. A Spark parquet write JOB costs
+# ~0.25 s of commit-protocol fixed overhead at any size (measured), vs
+# ~0.07 s for the same rows through one Arrow collect + pyarrow write.
+_INSERT_ARROW_MAX_ROWS = 100_000
+
 
 def _distinct_keys_arrow(paths: list[str], on: list[str]):
     """Distinct key tuples of the just-written batch files, driver-side:
@@ -1138,6 +1147,60 @@ class LakeTable:
             **kwargs,
         )
         self._harvest_partition_counts(entries)
+        return entries
+
+    def _write_append_data(self, frame: DataFrame) -> list[ManifestEntry]:
+        """INSERT's write: small appends to plain tables skip the Spark
+        write job entirely (guide §5 driver rules — the commit protocol's
+        ~0.25 s fixed cost dominates a small append; same gated pattern
+        as the eq-delete key file and DV writers). The frame is probed
+        with ``limit(N+1).toArrow()`` — cheap for the scan-shaped plans
+        appends are (CollectLimit stops early) — and, at or below the
+        gate, written driver-side with pyarrow, SPLIT BY SPARK PARTITION
+        ID so the file count and per-file row sets are exactly what the
+        executor write would have produced (one file per non-empty task;
+        ``repartition(2, k)``-shaped ingests still yield 2 files). Past
+        the gate, or for partitioned tables / explicit file-size targets /
+        parquet writer options, the executor path runs unchanged — a
+        100 TB ingest never lands on the driver."""
+        tsize = self._write_target_size()
+        if self._partition_fields or tsize or self._parquet_write_options():
+            return self._write_data(frame, target_file_size_bytes=tsize)
+        probe_df = frame.select(
+            "*", F.spark_partition_id().alias("__wpid")
+        ).limit(_INSERT_ARROW_MAX_ROWS + 1)
+        try:
+            # Driver-local VALUES/local relations constant-fold the whole
+            # probe (pid projection included) into one LocalRelation, so
+            # the collected pids would NOT reproduce the executor write's
+            # parallelize() slicing (min(rows, parallelism) files) —
+            # detected by the optimized plan's top node, those frames keep
+            # the executor path and its file layout exactly.
+            top = (
+                probe_df._jdf.queryExecution()
+                .optimizedPlan()
+                .getClass()
+                .getSimpleName()
+            )
+            if top == "LocalRelation":
+                return self._write_data(frame, target_file_size_bytes=tsize)
+            probe = probe_df.toArrow()
+        except Exception:
+            return self._write_data(frame, target_file_size_bytes=tsize)
+        if probe.num_rows > _INSERT_ARROW_MAX_ROWS:
+            return self._write_data(frame, target_file_size_bytes=tsize)
+        import pyarrow.compute as pc
+
+        from demo_iceberg_permanent_delete_spark.lake.datafiles import (
+            write_arrow_file,
+        )
+
+        pids = probe.column("__wpid")
+        tb = probe.drop_columns(["__wpid"])
+        entries: list[ManifestEntry] = []
+        # ascending pid order = the executor path's sorted part-file order
+        for pid in sorted(set(pids.to_pylist())):
+            entries += write_arrow_file(tb.filter(pc.equal(pids, pid)), self.data_dir)
         return entries
 
     def _harvest_partition_counts(self, entries: list[ManifestEntry]) -> None:
@@ -2505,9 +2568,8 @@ class LakeTable:
             raise ValueError("cannot set both branch and wap_id (Iceberg's rule)")
         # Data files are written exactly once; only the metadata commit
         # rebases and retries on a CAS conflict (_commit_retry).
-        new_entries = self._write_data(
-            self._cluster_for_write(self._apply_write_defaults(df)),
-            target_file_size_bytes=self._write_target_size(),
+        new_entries = self._write_append_data(
+            self._cluster_for_write(self._apply_write_defaults(df))
         )
         # Incremental ANALYZE (Puffin-style): when stats are fresh for the
         # parent snapshot, union each column's HLL sketch with the new
@@ -3242,14 +3304,35 @@ class LakeTable:
                     F.when(matched, m_seq).otherwise(u_seq).alias(LAST_UPDATED_COL)
                 )
             out = merged.filter(keep).select(*exprs)
-            new_entries += self._write_data(out)
             rewritten = len(files_to_rewrite)
+        else:
+            out = None
 
-        inserted_files = 0
+        aligned = None
         if insert_unmatched:
             fresh = source.join(tgt.select(*on).distinct(), on=on, how="left_anti")
             aligned = fresh.select(*[fresh[c].cast(types[c]).alias(c) for c in cols])
-            ins_entries = self._write_data(aligned)
+
+        # The rewrite and the insert are INDEPENDENT write jobs over
+        # disjoint outputs (rewritten survivors vs key-anti-joined fresh
+        # rows) — overlap them in driver threads (guide §2.6) so the
+        # second job's tasks back-fill the first's straggler tail.
+        # write_data_files is concurrency-safe (unique scratch dirs,
+        # refcounted timestamp-conf guard); entries keep the rewrite-
+        # before-insert manifest order.
+        from demo_iceberg_permanent_delete_spark.parallel import run_concurrent
+
+        thunks = []
+        if out is not None:
+            thunks.append(lambda: self._write_data(out))
+        if aligned is not None:
+            thunks.append(lambda: self._write_data(aligned))
+        results = run_concurrent(*thunks) if thunks else []
+        inserted_files = 0
+        if out is not None:
+            new_entries += results[0]
+        if aligned is not None:
+            ins_entries = results[-1]
             inserted_files = len(ins_entries)
             new_entries += ins_entries
 
