@@ -318,6 +318,137 @@ def bucket_conjuncts(
     return out
 
 
+def _crc32_table():
+    """zlib's CRC-32 lookup table (polynomial 0xEDB88320), built once —
+    the numpy-vectorized bucket transform below must equal zlib.crc32
+    byte for byte (differential-tested in tests/test_hidden_partitioning)."""
+    import numpy as np
+
+    table = np.empty(256, dtype=np.uint32)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        table[i] = c
+    return table
+
+
+_CRC32_TABLE = None
+
+
+def _crc32_mod_strings(arr, n: int):
+    """Vectorized ``zlib.crc32(s.encode()) % n`` over a pyarrow string
+    Array → pyarrow string array of the bucket numbers (the harvest's
+    map<string,string> encoding). Works on the UTF-8 buffers directly:
+    one numpy pass per byte POSITION (strings are short — int keys are
+    ≤ 20 bytes), each pass table-stepping every still-live row's CRC."""
+    import numpy as np
+    import pyarrow as pa
+
+    global _CRC32_TABLE
+    if _CRC32_TABLE is None:
+        _CRC32_TABLE = _crc32_table()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    starts, lens = offsets[:-1], offsets[1:] - offsets[:-1]
+    crc = np.full(len(arr), 0xFFFFFFFF, dtype=np.uint32)
+    for k in range(int(lens.max()) if len(lens) else 0):
+        live = lens > k
+        b = data[starts[live] + k].astype(np.uint32)
+        c = crc[live]
+        crc[live] = (c >> 8) ^ _CRC32_TABLE[(c ^ b) & 0xFF]
+    crc ^= np.uint32(0xFFFFFFFF)
+    out = pa.array((crc % np.uint32(n)).astype(np.int64)).cast(pa.string())
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        return pc.if_else(pc.is_valid(arr), out, pa.scalar(None, pa.string()))
+    return out
+
+
+def vectorized_transform_str(field: PartitionField, column):
+    """pyarrow/numpy-vectorized twin of ``python_transform_str(field)``
+    mapped over a column: returns a pyarrow STRING array byte-identical
+    to the per-value Python encoder (differential-tested), or None when
+    no exact vectorized path exists — callers then keep the per-distinct-
+    value Python path. This is what lets the write-time partition-count
+    harvest group by TRANSFORMED values, collapsing a near-unique source
+    column (e.g. timestamps under ``days(...)``) to the handful of actual
+    partition tuples before any Python-level loop (guide §4.2)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = column.combine_chunks() if isinstance(column, pa.ChunkedArray) else column
+    typ = arr.type
+    t = field.transform
+
+    def _pad(ints, width):
+        return pc.utf8_lpad(pc.cast(ints, pa.string()), width, "0")
+
+    if t in ("year", "month", "day", "hour"):
+        if pa.types.is_timestamp(typ):
+            # tz-aware non-UTC would need the astimezone(utc) the Python
+            # twin applies — only naive and UTC are exact here
+            if typ.tz not in (None, "UTC"):
+                return None
+        elif pa.types.is_date(typ):
+            if t == "hour":  # pc.hour is undefined on dates
+                return None
+        else:
+            return None
+        y = pc.cast(pc.year(arr), pa.string())  # str(d.year) — unpadded
+        if t == "year":
+            return y
+        ym = pc.binary_join_element_wise(
+            pc.utf8_lpad(y, 4, "0"), _pad(pc.month(arr), 2), "-"
+        )
+        if t == "month":
+            return ym
+        ymd = pc.binary_join_element_wise(ym, _pad(pc.day(arr), 2), "-")
+        if t == "day":
+            return ymd
+        return pc.binary_join_element_wise(ymd, _pad(pc.hour(arr), 2), " ")
+
+    if t == "identity":
+        if pa.types.is_boolean(typ):
+            return pc.if_else(arr, pa.scalar("true"), pa.scalar("false"))
+        if pa.types.is_integer(typ):
+            return pc.cast(arr, pa.string())
+        if pa.types.is_string(typ):
+            return arr
+        if pa.types.is_large_string(typ):
+            return pc.cast(arr, pa.string())
+        return None  # float/Decimal/temporal identity: Python/Spark twins only
+
+    if t == "truncate":
+        if pa.types.is_integer(typ) and arr.null_count == 0:
+            import numpy as np
+
+            v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            # numpy % matches Python's sign-of-divisor rule for w > 0
+            return pa.array(v - (v % field.arg)).cast(pa.string())
+        return None  # strings (codepoint slicing) and nullable ints: Python path
+
+    if t == "bucket":
+        if pa.types.is_boolean(typ):
+            return None  # Python twin raises → Spark-job fallback, keep that
+        if pa.types.is_integer(typ):
+            return _crc32_mod_strings(pc.cast(arr, pa.string()), field.arg)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return _crc32_mod_strings(pc.cast(arr, pa.string()), field.arg)
+        return None
+
+    return None
+
+
 class NoExactStringTwin(ValueError):
     """Raised by python_transform_str encoders for a value type whose
     Spark string cast has no provably identical Python encoding — the

@@ -56,14 +56,28 @@ def exact_percentiles(
     rows carry equal values, so whichever one row_number picks, the
     interpolated inputs are identical.
 
-    Scale shape: same single shuffle as the aggregate, but the shuffled
-    rows are (group, value) pairs feeding a codegen sort instead of
-    serialized whole-column buffers; the post-filter result is
-    O(groups·percentiles), never data-proportional.
+    Scale shape: one (group)-keyed Exchange like the aggregate, but the
+    shuffled rows are (group, value) pairs feeding a codegen sort instead
+    of serialized whole-column buffers; the post-filter result is
+    O(groups·percentiles), never data-proportional. Note the window is
+    one task PER GROUP — with few groups the sort parallelism is the
+    group count (documented in SCALE.md; the replaced aggregate buffered
+    whole groups per task identically, so this is not a new limit).
+
+    NULL semantics: ``F.percentile``/min/max IGNORE nulls, while
+    row_number would rank them first and ``__n`` would count them,
+    shifting every position — so nulls are filtered out up front, which
+    makes the two formulations identical wherever a group has at least
+    one non-null value (previously an undocumented non-null
+    precondition; round-11 advisor finding). Sole divergence left: a
+    group whose values are ALL null is absent from this output, where
+    the aggregate would emit it with NULL percentiles.
     """
     w = Window.partitionBy(group_col).orderBy(value_col)
     wn = Window.partitionBy(group_col)
-    ranked = df.select(group_col, value_col).withColumns(
+    ranked = df.select(group_col, value_col).filter(
+        F.col(value_col).isNotNull()
+    ).withColumns(
         {
             "__rn": (F.row_number().over(w) - F.lit(1)).cast("long"),
             "__n": F.count(F.lit(1)).over(wn),

@@ -177,3 +177,58 @@ def test_bad_transform_types_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="temporal transform"):
         t.insert(spark.createDataFrame([(1, "x")], "id bigint, name string"))
+
+
+def test_vectorized_transform_str_matches_python_twin():
+    """The harvest's vectorized encoders must be byte-identical to the
+    per-value Python twins for every supported transform x value type
+    (the group-by now collapses on the VECTORIZED encoding, so any
+    divergence would silently split/merge partition tuples)."""
+    import datetime as dt
+    import zlib
+
+    import pyarrow as pa
+
+    from demo_iceberg_permanent_delete_spark.lake.transforms import (
+        PartitionField,
+        python_transform_str,
+        vectorized_transform_str,
+    )
+
+    ts_vals = [
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(999, 2, 3, 4, 5, 6),
+        dt.datetime(1969, 12, 31, 23, 59, 59),
+        dt.datetime(2031, 12, 31, 13, 0, 0),
+        None,
+    ]
+    int_vals = [0, 1, -1, 7, -12345678901234, 2**62, None]
+    str_vals = ["", "a", "Straße", "x" * 40, "0", None]
+    cases = [
+        (PartitionField("days(ts)", "ts", "day"), pa.array(ts_vals, pa.timestamp("us"))),
+        (PartitionField("days(ts)", "ts", "day"), pa.array(ts_vals, pa.timestamp("us", tz="UTC"))),
+        (PartitionField("years(ts)", "ts", "year"), pa.array(ts_vals, pa.timestamp("us"))),
+        (PartitionField("months(ts)", "ts", "month"), pa.array(ts_vals, pa.timestamp("us"))),
+        (PartitionField("hours(ts)", "ts", "hour"), pa.array(ts_vals, pa.timestamp("us"))),
+        (PartitionField("days(d)", "d", "day"), pa.array([v.date() if v else None for v in ts_vals], pa.date32())),
+        (PartitionField("id", "id", "identity"), pa.array(int_vals, pa.int64())),
+        (PartitionField("s", "s", "identity"), pa.array(str_vals, pa.string())),
+        (PartitionField("b", "b", "identity"), pa.array([True, False, None], pa.bool_())),
+        (PartitionField("truncate(100, id)", "id", "truncate", 100), pa.array([v for v in int_vals if v is not None], pa.int64())),
+        (PartitionField("bucket(16, id)", "id", "bucket", 16), pa.array(int_vals, pa.int64())),
+        (PartitionField("bucket(7, s)", "s", "bucket", 7), pa.array(str_vals, pa.string())),
+    ]
+    for field, arr in cases:
+        vec = vectorized_transform_str(field, arr)
+        assert vec is not None, field
+        enc = python_transform_str(field)
+        expect = [None if v is None else enc(v) for v in arr.to_pylist()]
+        assert vec.to_pylist() == expect, (field, vec.to_pylist(), expect)
+
+    # the numpy crc32 IS zlib's
+    f = PartitionField("bucket(1000000007, s)", "s", "bucket", 1000000007)
+    arr = pa.array(["", "a", "abc", "Straße", "12345678901234567890"])
+    vec = vectorized_transform_str(f, arr).to_pylist()
+    assert vec == [
+        str(zlib.crc32(s.encode("utf-8")) % 1000000007) for s in arr.to_pylist()
+    ]

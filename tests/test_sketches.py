@@ -90,3 +90,44 @@ def test_exact_percentiles_bit_identical_to_aggregate(spark):
         )
     )
     assert got == [("a", 3.5, 3.5, 3.5), ("b", 1.25, 1.25, 1.25)]
+
+
+def test_exact_percentiles_ignores_nulls_like_aggregate(spark):
+    """NULL values must be IGNORED exactly like F.percentile/min/max
+    (round-11 advisor finding: unfiltered, row_number would rank nulls
+    first and shift every percentile position)."""
+    from pyspark.sql import functions as F
+
+    from demo_iceberg_permanent_delete_spark.operators.sketches import (
+        exact_percentiles,
+    )
+    from tests.conftest import one_part
+
+    df = one_part(
+        spark,
+        [("a", None), ("a", 2.0), ("a", 1.0), ("a", None), ("a", 4.0),
+         ("b", 10.0), ("b", None)],
+        "g string, v double",
+    )
+    got = sorted(
+        map(
+            tuple,
+            exact_percentiles(
+                df, "g", "v", [(0.25, "q25"), (0.5, "q50")]
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("g")
+            .agg(
+                F.percentile("v", F.lit(0.25)).alias("q25"),
+                F.percentile("v", F.lit(0.5)).alias("q50"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
