@@ -77,9 +77,15 @@ class _MicrosTimestampGuard:
     session) skip the py4j set/restore entirely."""
 
     def __init__(self) -> None:
+        import weakref
+
         self._lock = threading.Lock()
-        self._depth = 0
-        self._prev: str | None = None
+        # Depth and saved prev are PER SESSION (round-11 advisor finding:
+        # process-global state meant a second concurrent SparkSession saw
+        # depth>0 and never set the conf on ITS OWN session — silently
+        # emitting INT96 statless files, the exact failure the guard
+        # exists to prevent). Weak keys: a stopped session's entry GCs.
+        self._state: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
     _KEY = "spark.sql.parquet.outputTimestampType"
 
@@ -88,21 +94,25 @@ class _MicrosTimestampGuard:
 
     def enter(self, spark) -> None:
         with self._lock:
-            if self._depth == 0:
+            st = self._state.get(spark)
+            if st is None:
                 prev = spark.conf.get(self._KEY, None)
                 if prev != "TIMESTAMP_MICROS":
                     spark.conf.set(self._KEY, "TIMESTAMP_MICROS")
-                self._prev = prev
-            self._depth += 1
+                st = self._state[spark] = [0, prev]
+            st[0] += 1
 
     def leave(self, spark) -> None:
         with self._lock:
-            self._depth -= 1
-            if self._depth == 0 and self._prev != "TIMESTAMP_MICROS":
-                if self._prev is not None:
-                    spark.conf.set(self._KEY, self._prev)
-                else:
-                    spark.conf.unset(self._KEY)
+            st = self._state[spark]
+            st[0] -= 1
+            if st[0] == 0:
+                del self._state[spark]
+                if st[1] != "TIMESTAMP_MICROS":
+                    if st[1] is not None:
+                        spark.conf.set(self._KEY, st[1])
+                    else:
+                        spark.conf.unset(self._KEY)
 
 
 class _MicrosTimestampScope:

@@ -1382,6 +1382,7 @@ class LakeTable:
         matches: DataFrame,
         *,
         target_file_size_bytes: int | None = None,
+        row_bound: int | None = None,
     ) -> list[ManifestEntry]:
         """Persist (file_path, pos) tombstone rows as position-delete
         files. By default (``write.delete.vector.enabled=true``, flippable
@@ -1411,7 +1412,12 @@ class LakeTable:
             # billion-row delete never lands on the driver. The probe's
             # result is discarded on fallback, so a non-deterministic
             # source cannot split tombstones across the two paths.
-            entries = self._write_dv_arrow(matches)
+            # ``row_bound`` (the candidate files' manifest record-count
+            # sum — a metadata-only upper bound on matches) skips the
+            # probe OUTRIGHT when it already exceeds the gate, so a huge
+            # delete never pays a partially-executed match scan that the
+            # executor path then redoes (round-11 advisor finding).
+            entries = self._write_dv_arrow(matches, row_bound=row_bound)
             if entries is not None:
                 return entries
             # Checkpoint the DV frame (tiny: one row per TARGET file)
@@ -1449,7 +1455,7 @@ class LakeTable:
         )
 
     def _write_dv_arrow(
-        self, matches: DataFrame
+        self, matches: DataFrame, row_bound: int | None = None
     ) -> list[ManifestEntry] | None:
         """Driver-side deletion-vector writer for small tombstone sets:
         group the collected (file_path, pos) rows with vectorized Arrow
@@ -1467,6 +1473,8 @@ class LakeTable:
             write_arrow_file,
         )
 
+        if row_bound is not None and row_bound > _DV_ARROW_MAX_POSITIONS:
+            return None  # metadata bound says big — never start the probe
         try:
             probe = matches.limit(_DV_ARROW_MAX_POSITIONS + 1).toArrow()
         except Exception:
@@ -2396,6 +2404,11 @@ class LakeTable:
                 part_fields,
                 aliases=self.metadata.renames,
             )
+        # metadata-only upper bound on the rows this read can produce
+        # (candidate files' record_count sum) — _delete_mor hands it to
+        # the DV writer so an over-the-gate delete skips the Arrow probe
+        # without partially executing the match scan
+        self.last_scan_row_bound = sum(e.record_count for e in data_entries)
         if not data_entries:
             empty = self.empty_frame().withColumns(
                 {"__fp": F.lit(None).cast("string"), "__pos": F.lit(None).cast("long")}
@@ -2842,7 +2855,9 @@ class LakeTable:
             .select(F.col("__fp").alias("file_path"), F.col("__pos").alias("pos"))
         )
         base = list(snap.manifest) if snap else []
-        delete_entries = self._write_position_deletes(matches)
+        delete_entries = self._write_position_deletes(
+            matches, row_bound=getattr(self, "last_scan_row_bound", None)
+        )
         if not delete_entries:
             return None  # nothing matched — no commit (Iceberg behavior)
         snapshot = self._commit_dml(

@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -601,6 +602,41 @@ def run_available_now(
     )[0]
 
 
+_SHUFFLE_OVERRIDE_LOCK = threading.Lock()
+_SHUFFLE_OVERRIDE: dict = {"depth": 0, "value": None, "before": None}
+
+
+def _enter_shuffle_override(spark: SparkSession, value: str) -> None:
+    """Refcounted session-conf override of spark.sql.shuffle.partitions
+    (same pattern as the lake writer's _MicrosTimestampGuard): the first
+    entrant saves the prior value and sets the override, the last leaver
+    restores it. Overlapping callers wanting DIFFERENT values cannot both
+    hold one session conf — refuse loudly instead of silently pinning the
+    wrong state partitioning into a streaming checkpoint."""
+    with _SHUFFLE_OVERRIDE_LOCK:
+        st = _SHUFFLE_OVERRIDE
+        if st["depth"] == 0:
+            st["before"] = spark.conf.get("spark.sql.shuffle.partitions")
+            st["value"] = value
+            spark.conf.set("spark.sql.shuffle.partitions", value)
+        elif st["value"] != value:
+            raise RuntimeError(
+                "overlapping run_available_now* calls requested different "
+                f"state_partitions ({st['value']} vs {value}); stagger them "
+                "or use one value"
+            )
+        st["depth"] += 1
+
+
+def _leave_shuffle_override(spark: SparkSession) -> None:
+    with _SHUFFLE_OVERRIDE_LOCK:
+        st = _SHUFFLE_OVERRIDE
+        st["depth"] -= 1
+        if st["depth"] == 0:
+            spark.conf.set("spark.sql.shuffle.partitions", st["before"])
+            st["value"] = st["before"] = None
+
+
 def run_available_now_many(
     stream_dfs: list[DataFrame],
     *,
@@ -632,13 +668,16 @@ def run_available_now_many(
     spark = stream_dfs[0].sparkSession
     names = [f"sink_{uuid.uuid4().hex[:12]}" for _ in stream_dfs]
     ckpt_roots = [tempfile.mkdtemp(prefix="ckpt_") for _ in stream_dfs]
-    before = spark.conf.get("spark.sql.shuffle.partitions")
     queries = []
     try:
         if state_partitions is not None:
             # Spark reads this at first-batch planning, not at .start() —
-            # keep it set until every bounded query terminates.
-            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+            # keep it set until every bounded query terminates. Refcount-
+            # guarded (round-11 advisor finding): two OVERLAPPING calls
+            # from driver threads must not capture each other's override
+            # as 'before' or strip it mid-planning; a concurrent call
+            # asking for a DIFFERENT value cannot compose and raises.
+            _enter_shuffle_override(spark, str(state_partitions))
         for df, mode, name, root in zip(
             stream_dfs, output_modes, names, ckpt_roots
         ):
@@ -662,7 +701,7 @@ def run_available_now_many(
                     q.stop()
     finally:
         if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", before)
+            _leave_shuffle_override(spark)
         # the memory-sink tables are already materialized; the single-use
         # checkpoints are dead weight (8 MB of state-store deltas per run
         # that accumulate across repeated bench/test invocations)

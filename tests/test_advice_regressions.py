@@ -252,3 +252,51 @@ def test_insert_select_allows_any_omitted_column(spark, tmp_path):
     eng.sql("INSERT INTO default.wd SELECT 2 AS k")
     rows = {r["k"]: (r["a"], r["b"]) for r in eng.sql("SELECT * FROM default.wd").collect()}
     assert rows[2] == (None, None)
+
+
+def test_micros_guard_is_per_session(spark):
+    """Round-11 advisor: with process-global depth, a second session
+    entering while the first held the guard never got the conf set on
+    ITS OWN session (silently emitting statless INT96 files). The guard
+    now keys depth/prev per session."""
+    from demo_iceberg_permanent_delete_spark.lake.datafiles import (
+        _micros_timestamps,
+    )
+
+    key = "spark.sql.parquet.outputTimestampType"
+    other = spark.newSession()
+    spark.conf.unset(key)
+    other.conf.unset(key)
+    with _micros_timestamps(spark):
+        assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+        with _micros_timestamps(other):
+            assert other.conf.get(key) == "TIMESTAMP_MICROS", (
+                "second session must get its own override"
+            )
+        assert other.conf.get(key, None) is None
+        assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+    assert spark.conf.get(key, None) is None
+
+
+def test_shuffle_override_refuses_conflicting_overlap(spark):
+    """Round-11 advisor: overlapping run_available_now* overrides must
+    not race the set/restore; a conflicting concurrent value raises."""
+    import pytest as _pytest
+
+    from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
+        _enter_shuffle_override,
+        _leave_shuffle_override,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    _enter_shuffle_override(spark, "7")
+    try:
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        _enter_shuffle_override(spark, "7")  # same value refcounts
+        _leave_shuffle_override(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        with _pytest.raises(RuntimeError, match="different"):
+            _enter_shuffle_override(spark, "9")
+    finally:
+        _leave_shuffle_override(spark)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

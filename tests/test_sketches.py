@@ -131,3 +131,40 @@ def test_exact_percentiles_ignores_nulls_like_aggregate(spark):
         )
     )
     assert got == want
+
+
+def test_two_level_distincts_match_count_distinct(spark):
+    """sketch_exact_summary's Expand-free two-level distinct aggregates
+    must equal the count_distinct formulation they replaced (kept
+    verbatim here), at every SF the driver checks."""
+    from pyspark.sql import functions as F
+
+    from demo_iceberg_permanent_delete_spark.operators.sketches import (
+        sketch_exact_summary,
+    )
+    from demo_iceberg_permanent_delete_spark.sources.tables import load_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        li = load_table(spark, sf_dir, "lineitem")
+        old = sorted(
+            map(
+                tuple,
+                li.groupBy("l_returnflag")
+                .agg(
+                    F.count_distinct("l_partkey").alias("n_parts"),
+                    F.count_distinct("l_suppkey").alias("n_suppliers"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                )
+                .collect(),
+            )
+        )
+        new = sorted(
+            map(
+                tuple,
+                sketch_exact_summary(spark, sf_dir)
+                .select("l_returnflag", "n_parts", "n_suppliers", "n_rows")
+                .collect(),
+            )
+        )
+        assert new == old, (sf, new, old)
