@@ -74,6 +74,12 @@ _EQ_DELETE_ARROW_MAX_ROWS = 100_000
 # delete's positions never land on the driver).
 _DV_ARROW_MAX_POSITIONS = 1_000_000
 
+# Engine-written delete-file layouts (fixed by the writers in
+# _write_position_deletes/_write_dv_arrow): pinning them at read time
+# skips the per-call footer-inference Spark job of a bare read.parquet.
+_POS_DELETE_SCHEMA = "file_path string, pos bigint"
+_DV_SCHEMA = "file_path string, positions array<bigint>, cardinality bigint"
+
 # small-append gate: at or below this many rows an INSERT's frame is
 # collected as one Arrow batch and its files are written driver-side
 # (split per Spark partition id, so the file count matches the executor
@@ -82,6 +88,12 @@ _DV_ARROW_MAX_POSITIONS = 1_000_000
 # ~0.25 s of commit-protocol fixed overhead at any size (measured), vs
 # ~0.07 s for the same rows through one Arrow collect + pyarrow write.
 _INSERT_ARROW_MAX_ROWS = 100_000
+# ...and the probe itself is only attempted when the optimizer's
+# sizeInBytes estimate says the frame is plausibly small (scan estimates
+# are file-size-based — metadata-only, no job): a big ingest must not pay
+# a discarded limit-collect before its executor write (the same
+# cheap-signal-first rule as the DV writer's row_bound).
+_INSERT_ARROW_MAX_PLAN_BYTES = 4 * 1024 * 1024
 
 
 def _distinct_keys_arrow(paths: list[str], on: list[str]):
@@ -223,6 +235,25 @@ def _local_frame(
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=schema.names), schema
     )
+
+
+def _footer_pinned_reader(spark: SparkSession, path: str):
+    """``spark.read`` pre-pinned to the file's OWN schema, read driver-side
+    from the parquet footer (pyarrow, no data scan) — a bare
+    ``read.parquet`` runs a footer-inference Spark JOB per call, which on
+    eq-delete application means one job per delete file per read
+    construction. prefer_timestamp_ntz mirrors Spark's own parquet
+    inference (isAdjustedToUTC=false → TimestampNTZ). Falls back to the
+    inference read on any surprise."""
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return spark.read.schema(
+            from_arrow_schema(pq.read_schema(path), prefer_timestamp_ntz=True)
+        )
+    except Exception:
+        return spark.read
 
 
 def _utc(ms: int) -> dt.datetime:
@@ -1101,19 +1132,26 @@ class LakeTable:
         rows, whichever layout each file uses: plain row files contribute
         directly, deletion-vector files (one row per target data file with
         a sorted positions array) explode executor-side — same anti-join
-        shape downstream either way."""
+        shape downstream either way. Both layouts are engine-written with
+        FIXED schemas, pinned here so the read never runs the
+        footer-inference Spark job a bare read.parquet launches per call
+        (one job per read construction on every MOR table)."""
         parts = []
         plain = [e for e in pos_files if not e.dv]
         dvf = [e for e in pos_files if e.dv]
         if plain:
             parts.append(
-                self.spark.read.parquet(*[e.file_path for e in plain]).select(
+                self.spark.read.schema(_POS_DELETE_SCHEMA)
+                .parquet(*[e.file_path for e in plain])
+                .select(
                     F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
                 )
             )
         if dvf:
             parts.append(
-                self.spark.read.parquet(*[e.file_path for e in dvf]).select(
+                self.spark.read.schema(_DV_SCHEMA)
+                .parquet(*[e.file_path for e in dvf])
+                .select(
                     F.col("file_path").alias("__fp"),
                     F.explode("positions").alias("__pos"),
                 )
@@ -1176,13 +1214,13 @@ class LakeTable:
             # parallelize() slicing (min(rows, parallelism) files) —
             # detected by the optimized plan's top node, those frames keep
             # the executor path and its file layout exactly.
-            top = (
-                probe_df._jdf.queryExecution()
-                .optimizedPlan()
-                .getClass()
-                .getSimpleName()
-            )
-            if top == "LocalRelation":
+            plan = probe_df._jdf.queryExecution().optimizedPlan()
+            if plan.getClass().getSimpleName() == "LocalRelation":
+                return self._write_data(frame, target_file_size_bytes=tsize)
+            if (
+                int(str(plan.stats().sizeInBytes()))
+                > _INSERT_ARROW_MAX_PLAN_BYTES
+            ):
                 return self._write_data(frame, target_file_size_bytes=tsize)
             probe = probe_df.toArrow()
         except Exception:
@@ -1564,7 +1602,8 @@ class LakeTable:
             dels = None
             for e in entries:
                 d = (
-                    self.spark.read.parquet(e.file_path)
+                    _footer_pinned_reader(self.spark, e.file_path)
+                    .parquet(e.file_path)
                     .select(*[F.col(c).alias(f"__d_{c}") for c in cols])
                     .withColumn(
                         "__dseq",
@@ -1962,8 +2001,10 @@ class LakeTable:
                 base = self._read_snapshot(parent, lineage=lineage).select(*cols)
                 for e in eq_added:
                     keys = e.equality_columns
-                    dvals = self.spark.read.parquet(e.file_path).select(
-                        *[F.col(c).alias(f"__d_{c}") for c in keys]
+                    dvals = (
+                        _footer_pinned_reader(self.spark, e.file_path)
+                        .parquet(e.file_path)
+                        .select(*[F.col(c).alias(f"__d_{c}") for c in keys])
                     )
                     if e.file_size_in_bytes <= _BROADCAST_DELETES_MAX_BYTES:
                         dvals = F.broadcast(dvals)
@@ -4281,15 +4322,15 @@ class LakeTable:
         dvf = [e for e in pos_files if e.dv]
         if plain:
             parts.append(
-                self.spark.read.parquet(*[e.file_path for e in plain]).select(
-                    "file_path", "pos", delete_file
-                )
+                self.spark.read.schema(_POS_DELETE_SCHEMA)
+                .parquet(*[e.file_path for e in plain])
+                .select("file_path", "pos", delete_file)
             )
         if dvf:
             parts.append(
-                self.spark.read.parquet(*[e.file_path for e in dvf]).select(
-                    "file_path", F.explode("positions").alias("pos"), delete_file
-                )
+                self.spark.read.schema(_DV_SCHEMA)
+                .parquet(*[e.file_path for e in dvf])
+                .select("file_path", F.explode("positions").alias("pos"), delete_file)
             )
         out = parts[0]
         for p in parts[1:]:
