@@ -32,7 +32,18 @@ from demo_iceberg_permanent_delete_spark.streaming.pipelines import (
 # state itself (measured 7.1s → 1.9s on streaming_dedup at sf0.1). On an
 # unbounded production stream this would be sized to state volume instead
 # (see run_available_now docstring).
-_STATE_PARTITIONS = 8
+_STATE_PARTITIONS = 4
+# applyInPandasWithState (the user-profile entry) prefers MORE state
+# partitions: its per-batch cost is the Python worker round-trip per
+# partition's groups, which parallelizes, where the JVM stateful ops'
+# cost is the per-partition state-store commit, which doesn't. Swept
+# round 12 (min-of-3, alternating): dedup+ivjoin 3.79 s @8 -> 2.57 s @4,
+# tumbling 1.03 -> 0.89, session 1.21 -> 1.10, but user_profiles
+# 1.78/2.33 @8 vs 2.48/3.12 @4 in both reps — so it keeps 8. RocksDB
+# provider re-measured and still loses at this scale (4.27 s on the
+# dedup composite). Full A/B table in BASELINE.md. Production sizing
+# unchanged: state volume, not this bounded-run constant.
+_PROFILE_STATE_PARTITIONS = 8
 
 
 @query(
@@ -129,7 +140,7 @@ def streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         user_profile_stream(stream),
         output_mode="update",
-        state_partitions=_STATE_PARTITIONS,
+        state_partitions=_PROFILE_STATE_PARTITIONS,
     )
 
 
