@@ -52,7 +52,12 @@ def list_files(
                     dt.datetime.fromtimestamp(st.st_mtime, dt.timezone.utc).replace(tzinfo=None),
                 )
             )
-    return spark.createDataFrame(rows, LISTING_SCHEMA)
+    # one Arrow batch, not a defaultParallelism-sliced Python RDD — each
+    # consumer's collect otherwise launches a full-width Python-worker job
+    # for a metadata-sized listing (the _local_frame rule)
+    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
+
+    return _local_frame(spark, rows, LISTING_SCHEMA)
 
 
 def _list_files_hadoop(spark: SparkSession, root: str, suffix: str | None) -> DataFrame:
@@ -83,4 +88,9 @@ def _list_files_hadoop(spark: SparkSession, root: str, suffix: str | None) -> Da
                 ).replace(tzinfo=None),
             )
         )
-    return spark.createDataFrame(rows, LISTING_SCHEMA)
+    # one Arrow batch, not a defaultParallelism-sliced Python RDD — each
+    # consumer's collect otherwise launches a full-width Python-worker job
+    # for a metadata-sized listing (the _local_frame rule)
+    from demo_iceberg_permanent_delete_spark.lake.table import _local_frame
+
+    return _local_frame(spark, rows, LISTING_SCHEMA)
