@@ -103,8 +103,10 @@ _COSINE_ORACLE = f"""
     """
 
 
-def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = _corpus_with_norm(spark, sf_dir)
+def cosine_topk(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
+    n = corpus if corpus is not None else _corpus_with_norm(spark, sf_dir)
     queries = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -192,7 +194,9 @@ _ANN_ORACLE = f"""
     """
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     def bucket(table: int) -> Column:
@@ -205,7 +209,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = bit if out is None else out + bit
         return out
 
-    n = _corpus_with_norm(spark, sf_dir).select("vec_id", "v", "nrm")
+    n = (corpus if corpus is not None else _corpus_with_norm(spark, sf_dir)).select(
+        "vec_id", "v", "nrm"
+    )
     buckets = emb.select(
         "vec_id", *[bucket(t).alias(f"b{t}") for t in range(LSH_TABLES)]
     )
@@ -456,11 +462,15 @@ def ivf_fit_centroids(vecs: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
     return _with_cnorm(cents)
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     """IVF ANN search: train centroids, build the posting lists (final
     assignment), probe the NPROBE nearest centroids per query, exact-cosine
     rerank within the probed lists only."""
-    n = _corpus_with_norm(spark, sf_dir).select("vec_id", "v", "nrm")
+    n = (corpus if corpus is not None else _corpus_with_norm(spark, sf_dir)).select(
+        "vec_id", "v", "nrm"
+    )
     cents = ivf_fit_centroids(n.select("vec_id", "v")).localCheckpoint(eager=True)
     posting = _assign_to_centroids(n.select("vec_id", "v"), cents, 1).select(
         "vec_id", "cid"
@@ -575,7 +585,14 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = cosine_topk(spark, sf_dir).select(
+    # ONE materialization of the quantized corpus + norms, shared by all
+    # three parts: the (vec_id, label, v, nrm) subplan costs ~0.26 s per
+    # evaluation (interpreted HOF quantize + fold over the token arrays)
+    # and the parts' jobs re-evaluated it 7-9 times; a localCheckpoint of
+    # the 2k-row corpus replaces every re-evaluation with an RDD read.
+    # Values identical by construction (checkpoint only materializes).
+    corpus = _corpus_with_norm(spark, sf_dir).localCheckpoint(eager=True)
+    exact = cosine_topk(spark, sf_dir, corpus=corpus).select(
         F.lit("exact").alias("part"),
         "query_id",
         "neighbor_id",
@@ -583,7 +600,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rnk",
     )
-    ann = ann_lsh_topk(spark, sf_dir).select(
+    ann = ann_lsh_topk(spark, sf_dir, corpus=corpus).select(
         F.lit("ann").alias("part"),
         "query_id",
         "neighbor_id",
@@ -591,7 +608,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rnk",
     )
-    ivf = ivf_topk(spark, sf_dir).select(
+    ivf = ivf_topk(spark, sf_dir, corpus=corpus).select(
         F.lit("ivf").alias("part"),
         "query_id",
         "neighbor_id",
