@@ -94,6 +94,14 @@ _INSERT_ARROW_MAX_ROWS = 100_000
 # a discarded limit-collect before its executor write (the same
 # cheap-signal-first rule as the DV writer's row_bound).
 _INSERT_ARROW_MAX_PLAN_BYTES = 4 * 1024 * 1024
+# For plans with NO row-multiplying operator (no Join/Generate/Expand/
+# CartesianProduct: output rows ≤ scan rows, and the byte estimate is an
+# UPPER bound since filters only shrink it) the limit wrapper is skipped
+# entirely up to this estimate — CollectLimit's incremental executeTake
+# measured +0.17 s of pure overhead on a 60k-row append, turning a win
+# into a loss. Worst-case driver footprint is bounded by the estimate
+# itself (decompressed, a few × 32 MiB).
+_INSERT_ARROW_TRUSTED_PLAN_BYTES = 32 * 1024 * 1024
 
 
 def _distinct_keys_arrow(paths: list[str], on: list[str]):
@@ -1204,9 +1212,7 @@ class LakeTable:
         tsize = self._write_target_size()
         if self._partition_fields or tsize or self._parquet_write_options():
             return self._write_data(frame, target_file_size_bytes=tsize)
-        probe_df = frame.select(
-            "*", F.spark_partition_id().alias("__wpid")
-        ).limit(_INSERT_ARROW_MAX_ROWS + 1)
+        pid_df = frame.select("*", F.spark_partition_id().alias("__wpid"))
         try:
             # Driver-local VALUES/local relations constant-fold the whole
             # probe (pid projection included) into one LocalRelation, so
@@ -1214,15 +1220,24 @@ class LakeTable:
             # parallelize() slicing (min(rows, parallelism) files) —
             # detected by the optimized plan's top node, those frames keep
             # the executor path and its file layout exactly.
-            plan = probe_df._jdf.queryExecution().optimizedPlan()
+            plan = pid_df._jdf.queryExecution().optimizedPlan()
             if plan.getClass().getSimpleName() == "LocalRelation":
                 return self._write_data(frame, target_file_size_bytes=tsize)
-            if (
-                int(str(plan.stats().sizeInBytes()))
-                > _INSERT_ARROW_MAX_PLAN_BYTES
-            ):
+            est = int(str(plan.stats().sizeInBytes()))
+            plan_str = plan.toString()
+            multiplying = any(
+                k in plan_str
+                for k in ("Join", "Generate", "Expand", "CartesianProduct")
+            )
+            if not multiplying and est <= _INSERT_ARROW_TRUSTED_PLAN_BYTES:
+                # output rows ≤ scan rows and est bounds the bytes — a
+                # bare collect, skipping CollectLimit's executeTake
+                # overhead (+0.17 s measured on a 60k-row append)
+                probe = pid_df.toArrow()
+            elif est <= _INSERT_ARROW_MAX_PLAN_BYTES:
+                probe = pid_df.limit(_INSERT_ARROW_MAX_ROWS + 1).toArrow()
+            else:
                 return self._write_data(frame, target_file_size_bytes=tsize)
-            probe = probe_df.toArrow()
         except Exception:
             return self._write_data(frame, target_file_size_bytes=tsize)
         if probe.num_rows > _INSERT_ARROW_MAX_ROWS:
